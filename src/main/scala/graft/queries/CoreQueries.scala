@@ -1,0 +1,353 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Relational._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.1–§2.8) expressed over the
+  * driver's TPC-H-ish testdata. Each query demonstrates one reference
+  * operator re-expressed Spark-first; the oracle SQL is the DuckDB
+  * equivalent the driver runs for the correctness gate.
+  */
+object CoreQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // S1–S4: scan with filter + projection pushed to the parquet reader
+    // (reference: per-table COPY extraction with column pruning,
+    // include/unescape_copy_row.hpp:340-367).
+    QueryDef.sql("q01_scan_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_quantity") > 45 && col("l_discount") < 0.05)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+
+    // S5/A1: global max timestamp scan (reference
+    // include/table_extractor.hpp:31-47 running max → planet timestamp).
+    QueryDef.sql("q02_max_timestamp",
+      """SELECT max(ts) AS max_ts, min(ts) AS min_ts, count(*) AS n_rows
+        |FROM events""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .agg(max("ts").as("max_ts"), min("ts").as("min_ts"),
+               count(lit(1)).as("n_rows"))
+    },
+
+    // O2: global sort by composite key (reference external merge sort,
+    // src/dump_reader.cpp:450-628 → Catalyst range-partitioned SortExec).
+    QueryDef.sql("q03_global_sort",
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_shipdate")
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // J1/J2/A3: 1:N children collected in sequence order (reference
+    // way_nodes cursor join, src/copy_elements.cpp:166-235). The sort key
+    // leads the struct so array_sort == sequence order; rendered as a
+    // joined string so the oracle (string_agg ORDER BY) is comparable.
+    QueryDef.sql("q04_collect_ordered",
+      """SELECT l_orderkey AS okey,
+        |       string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey) AS parts,
+        |       count(*) AS n_items
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey").as("okey"))
+          .agg(
+            concat_ws(",", transform(
+              array_sort(collect_list(struct(col("l_linenumber"), col("l_partkey")))),
+              x => x.getField("l_partkey").cast("string"))).as("parts"),
+            count(lit(1)).as("n_items"))
+    },
+
+    // J3: parent left-outer 1:N aggregation — parents without children
+    // survive (reference changeset ⋈ comments keeps commentless
+    // changesets, src/xml_writer.cpp:485-531).
+    QueryDef.sql("q05_left_outer_agg",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       CAST(round(coalesce(sum(o_totalprice), 0) * 100) AS BIGINT) AS total_cents
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin) {
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count("o_orderkey").as("n_orders"),
+               cents(coalesce(sum("o_totalprice"), lit(0))).as("total_cents"))
+    },
+
+    // J4/F8: broadcast dimension chain (reference uid→display_name map,
+    // src/copy_elements.cpp:328-337 — a broadcast join at cluster scale).
+    QueryDef.sql("q06_broadcast_dim_join",
+      """SELECT r_name, n_name, count(*) AS n_supp,
+        |       CAST(round(sum(s_acctbal) * 100) AS BIGINT) AS acctbal_cents
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin) {
+      (s, d) =>
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_supp"), cents(sum("s_acctbal")).as("acctbal_cents"))
+    },
+
+    // J5: two-hop attribution fact→mid→dim (reference element →
+    // changeset → user, src/pbf_writer.cpp:564-571 + uid map).
+    QueryDef.sql("q07_two_hop_attribution",
+      """SELECT c_mktsegment,
+        |       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+               count(lit(1)).as("n_lines"))
+    },
+
+    // F1/F2: guard filters at the earliest scan (reference redaction +
+    // negative-id drop, src/copy_elements.cpp:211-218) — pushed to parquet.
+    QueryDef.sql("q08_guard_filters",
+      """SELECT count(*) AS n_kept, min(p_size) AS min_size, max(p_size) AS max_size
+        |FROM part WHERE p_size >= 0 AND p_retailprice IS NOT NULL
+        |  AND p_partkey >= 0""".stripMargin) {
+      (s, d) =>
+        Tables.part(s, d)
+          .filter(col("p_size") >= 0 && col("p_retailprice").isNotNull &&
+                  col("p_partkey") >= 0)
+          .agg(count(lit(1)).as("n_kept"), min("p_size").as("min_size"),
+               max("p_size").as("max_size"))
+    },
+
+    // F3 window form: latest-version-per-id (reference
+    // src/history_filter.cpp:30-245 ≡ row_number()=1).
+    QueryDef.sql("q09_latest_per_key",
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin) {
+      (s, d) =>
+        latestVersion(Tables.events(s, d), Seq("user_id"), Seq(col("ts"), col("event_id")))
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+                  col("event_type").as("last_type"))
+    },
+
+    // F3 agg form: same semantics via partial-aggregatable max_by —
+    // the 100 TB-preferred plan (map-side combine, no per-partition sort).
+    QueryDef.sql("q10_latest_per_key_agg",
+      """SELECT user_id,
+        |       max_by(event_id, ts) AS last_event_id,
+        |       max(ts) AS last_ts
+        |FROM events GROUP BY user_id""".stripMargin) {
+      (s, d) =>
+        // (user_id, ts) is unique in events, so ts alone totally orders a
+        // group; with ties, latestVersionAgg's struct ordering is the shape.
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(max_by(col("event_id"), col("ts")).as("last_event_id"),
+               max("ts").as("last_ts"))
+    },
+
+    // top-k per group generalization of F3 (k=3), rank window.
+    QueryDef.sql("q11_topk_per_group",
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) WHERE rn <= 3""".stripMargin) {
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+      }
+    },
+
+    // A1–A3: the classic wide aggregate (TPC-H Q1 shape; reference's only
+    // aggregates are max-ts + counts, this is the engine-complete form).
+    QueryDef.sql("q12_wide_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_cents,
+        |       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_cents,
+        |       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_cents,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(cents(sum("l_quantity")).as("sum_qty_cents"),
+               cents(sum("l_extendedprice")).as("sum_price_cents"),
+               cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+               count(lit(1)).as("n"))
+    },
+
+    // X2: fixed-point coordinate formatting `%.7f` (reference
+    // src/xml_writer.cpp:276-282 — int ÷ 1e7 printed at the sink).
+    QueryDef.sql("q13_format_fixed7",
+      """SELECT event_id,
+        |       printf('%.7f', CAST(round(value * 100000) AS BIGINT) / 10000000.0) AS coord
+        |FROM events WHERE event_id < 1000""".stripMargin) {
+      (s, d) =>
+        // reference stores 1e7-scaled *integers* and prints int/1e7 — an
+        // exact-7-decimal value, so %.7f never hits a halfway-rounding
+        // case (where C and Java printf disagree).
+        Tables.events(s, d).filter(col("event_id") < 1000)
+          .select(col("event_id"),
+            format_string("%.7f",
+              round(col("value") * 100000).cast("long") / lit(1e7)).as("coord"))
+    },
+
+    // X3: ISO-8601 Zulu timestamp format (reference src/xml_writer.cpp:86-123).
+    QueryDef.sql("q14_iso8601_format",
+      """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso
+        |FROM events WHERE event_id < 1000""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d).filter(col("event_id") < 1000)
+          .select(col("event_id"),
+                  date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"))
+    },
+
+    // X4: XML-invalid control chars → '?' (reference src/xml_writer.cpp:41-56).
+    QueryDef.sql("q15_control_char_clean",
+      """SELECT doc_id,
+        |       regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '?', 'g') AS clean,
+        |       length(text) AS n_chars2
+        |FROM documents""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+                  regexp_replace(col("text"), "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "?").as("clean"),
+                  length(col("text")).cast("long").as("n_chars2"))
+    },
+
+    // X6/X8: enum ↔ string mapping + bool rendering (reference
+    // nwr_enum → "node"/"way"/"relation", src/xml_writer.cpp:615-620).
+    QueryDef.sql("q16_enum_decode",
+      """SELECT event_id,
+        |       CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+        |            WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 9 END AS type_code,
+        |       CASE WHEN value > 50 THEN 'true' ELSE 'false' END AS is_big
+        |FROM events""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_id"),
+            when(col("event_type") === "click", 0)
+              .when(col("event_type") === "view", 1)
+              .when(col("event_type") === "purchase", 2)
+              .when(col("event_type") === "signup", 3)
+              .otherwise(9).as("type_code"),
+            when(col("value") > 50, "true").otherwise("false").as("is_big"))
+    },
+
+    // X7: scalar-aggregate broadcast into a row expression (reference
+    // `open = closed_at > max_time`, src/xml_writer.cpp:454-460).
+    QueryDef.sql("q17_scalar_agg_broadcast",
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderdate = (SELECT max(o_orderdate) FROM orders)
+        |            THEN 'open' ELSE 'closed' END AS status
+        |FROM orders""".stripMargin) {
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        // cross-join a 1-row aggregate (Catalyst broadcasts it) instead of
+        // collecting to the driver — survives the 1000-executor case.
+        val maxDate = o.agg(max("o_orderdate").as("__max_date"))
+        o.crossJoin(broadcast(maxDate))
+          .select(col("o_orderkey"),
+            when(col("o_orderdate") === col("__max_date"), "open")
+              .otherwise("closed").as("status"))
+      }
+    },
+
+    // distinct / exact set dedup (§2.7 — reference has none; engine-complete).
+    QueryDef.sql("q18_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""") {
+      (s, d) =>
+        Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
+    },
+
+    // semi/anti joins (reference J4's implicit semi-filter generalized).
+    QueryDef.sql("q19_semi_anti_join",
+      """SELECT 'with_orders' AS side, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS side, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) {
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n")).select(lit("with_orders").as("side"), col("n"))
+        val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).select(lit("without_orders").as("side"), col("n"))
+        semi.unionAll(anti)
+      }
+    },
+
+    // rollup (grouping sets surface; engine-complete beyond reference).
+    QueryDef.sql("q20_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(round(sum(l_quantity) * 100) AS BIGINT) AS qty_cents
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), cents(sum("l_quantity")).as("qty_cents"))
+    },
+
+    // JSON extraction from a string column (events.props `{"k": 69}`).
+    QueryDef.sql("q21_json_extract",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE event_id < 2000""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d).filter(col("event_id") < 2000)
+          .select(col("event_id"),
+                  get_json_object(col("props"), "$.k").cast("long").as("k"))
+    },
+
+    // running / windowed analytics: cumulative sum + lag (frame specs —
+    // §2.6 notes the reference has only row_number; engine-complete).
+    QueryDef.sql("q22_running_window",
+      """SELECT user_id, event_id,
+        |       CAST(round(sum(value) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100) AS BIGINT)
+        |         AS running_cents,
+        |       lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
+        |FROM events WHERE user_id < 100""".stripMargin) {
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d).filter(col("user_id") < 100)
+          .select(col("user_id"), col("event_id"),
+            cents(sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+              .as("running_cents"),
+            lag("event_id", 1).over(w).as("prev_event"))
+      }
+    },
+
+    // time-bucketed aggregation (batch form of the streaming windowed agg).
+    QueryDef.sql("q23_time_bucket_agg",
+      """SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+        |       count(*) AS n,
+        |       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n"), cents(sum("value")).as("value_cents"))
+    }
+  )
+}
