@@ -15,6 +15,8 @@ object PlanetDump {
   case object XmlHistory extends Kind // every version
   case object XmlChangesets extends Kind // changesets only (changeset_filter)
   case object XmlDiscussions extends Kind // changesets + <discussion>
+  case object PbfPlanet extends Kind // latest visible versions, OSMPBF
+  case object PbfHistory extends Kind // every version, OSMPBF
 
   final case class Output(kind: Kind, path: String, anon: Boolean = false)
 
@@ -35,24 +37,33 @@ object PlanetDump {
 
     outputs.foreach { o =>
       val anon = o.anon
-      val header = XmlFormat.header(generator, maxTime)
-      val sections = o.kind match {
-        case XmlChangesets =>
-          Seq(PlanetXml.renderChangesets(cs, anon, discussions = false, maxTime))
-        case XmlDiscussions =>
-          Seq(PlanetXml.renderChangesets(cs, anon, discussions = true, maxTime))
-        case XmlHistory =>
-          Seq(PlanetXml.renderChangesets(cs, anon, discussions = false, maxTime),
-            PlanetXml.renderNodes(nodesH, anon, history = true),
-            PlanetXml.renderWays(waysH, anon, history = true),
-            PlanetXml.renderRelations(relsH, anon, history = true))
-        case XmlPlanet =>
-          Seq(PlanetXml.renderChangesets(cs, anon, discussions = false, maxTime),
-            PlanetXml.renderNodes(Assemble.current(nodesH), anon, history = false),
-            PlanetXml.renderWays(Assemble.current(waysH), anon, history = false),
-            PlanetXml.renderRelations(Assemble.current(relsH), anon, history = false))
+      o.kind match {
+        case PbfPlanet =>
+          PlanetPbf.write(o.path, generator, history = false, anon, maxTime,
+            Assemble.current(nodesH), Assemble.current(waysH), Assemble.current(relsH))
+        case PbfHistory =>
+          PlanetPbf.write(o.path, generator, history = true, anon, maxTime,
+            nodesH, waysH, relsH)
+        case xmlKind =>
+          val header = XmlFormat.header(generator, maxTime)
+          val sections = xmlKind match {
+            case XmlChangesets =>
+              Seq(PlanetXml.renderChangesets(cs, anon, discussions = false, maxTime))
+            case XmlDiscussions =>
+              Seq(PlanetXml.renderChangesets(cs, anon, discussions = true, maxTime))
+            case XmlHistory =>
+              Seq(PlanetXml.renderChangesets(cs, anon, discussions = false, maxTime),
+                PlanetXml.renderNodes(nodesH, anon, history = true),
+                PlanetXml.renderWays(waysH, anon, history = true),
+                PlanetXml.renderRelations(relsH, anon, history = true))
+            case _ =>
+              Seq(PlanetXml.renderChangesets(cs, anon, discussions = false, maxTime),
+                PlanetXml.renderNodes(Assemble.current(nodesH), anon, history = false),
+                PlanetXml.renderWays(Assemble.current(waysH), anon, history = false),
+                PlanetXml.renderRelations(Assemble.current(relsH), anon, history = false))
+          }
+          XmlSink.write(o.path, header, sections)
       }
-      XmlSink.write(o.path, header, sections)
     }
 
     cs.unpersist()
@@ -77,6 +88,10 @@ object PlanetDump {
         case "--history-xml-no-userinfo" => outputs += Output(XmlHistory, args(i + 1), anon = true); i += 2
         case "--changesets" | "-C" => outputs += Output(XmlChangesets, args(i + 1)); i += 2
         case "--changesets-no-userinfo" => outputs += Output(XmlChangesets, args(i + 1), anon = true); i += 2
+        case "--pbf" | "-p" => outputs += Output(PbfPlanet, args(i + 1)); i += 2
+        case "--pbf-no-userinfo" => outputs += Output(PbfPlanet, args(i + 1), anon = true); i += 2
+        case "--history-pbf" | "-P" => outputs += Output(PbfHistory, args(i + 1)); i += 2
+        case "--history-pbf-no-userinfo" => outputs += Output(PbfHistory, args(i + 1), anon = true); i += 2
         case "--changeset-discussions" | "-D" => outputs += Output(XmlDiscussions, args(i + 1)); i += 2
         case "--changeset-discussions-no-userinfo" =>
           outputs += Output(XmlDiscussions, args(i + 1), anon = true); i += 2
