@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All built
+  * from codegen'd native functions (no UDFs) so they stay inside
+  * whole-stage codegen and scale linearly with executors.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens; empty/blank text → empty array (split of "" is
+    * [""], which must not count as a token).
+    */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: tokens re-split on letter/digit/punct
+    * boundaries (a cheap proxy for byte-pair tokenizers: counts word
+    * pieces rather than words).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
+      t => length(t) > 0)).cast("long")
+
+  /** Mean token length in chars ×1000 as integer (hash-stable). */
+  def meanTokenLenMilli(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0L)).otherwise(
+      round(aggregate(t, lit(0L), (acc, x) => acc + length(x)) * 1000.0 / size(t)).cast("long"))
+  }
+
+  /** Count of ASCII punctuation characters from a fixed set. */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
+
+  /** Stopword hits: number of tokens found in `words`. */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*))).cast("long")
+
+  /** Composite quality score ×1000 (integer, hash-stable): rewards
+    * mid-length docs, moderate punctuation, and stopword presence —
+    * the usual cheap pre-filter shape for web-scale corpora.
+    */
+  def qualityScoreMilli(text: Column, stopwords: Seq[String]): Column = {
+    val n = length(text).cast("double")
+    val lenScore = when(n < 50, n / 50).when(n > 2000, lit(2000.0) / n).otherwise(lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(n, lit(1.0))
+    val punctScore = when(punctRatio > lit(0.1), lit(0.5)).otherwise(lit(1.0))
+    val stopScore = when(stopwordCount(text, stopwords) > 0, lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * punctScore * stopScore * 1000).cast("long")
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic argmax with lexicographic tie-break.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Heuristic language ID: language with the most marker-word hits;
+    * ties break to the lexicographically first code; zero hits → "und".
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scored = langMarkers.map { case (code, words) =>
+      (code, size(filter(t, x => x.isin(words.map(lit(_)): _*))))
+    }
+    // fold: keep (bestCode, bestScore); strict > keeps earlier (lex-first) on ties
+    val (firstCode, firstScore) = scored.head
+    val folded = scored.tail.foldLeft((lit(firstCode), firstScore)) {
+      case ((bc, bs), (code, s)) =>
+        (when(s > bs, lit(code)).otherwise(bc), when(s > bs, s).otherwise(bs))
+    }
+    when(folded._2 === 0, lit("und")).otherwise(folded._1)
+  }
+
+  /** Document fingerprint: first 16 hex chars of md5 as an unsigned
+    * 64-bit value (SQL-expressible on any engine with md5).
+    */
+  def fingerprint64(text: Column): Column =
+    conv(substring(md5(text), 1, 16), 16, 10).cast("decimal(20,0)")
+
+  /** SimHash-64 over whitespace tokens: per-token 64-bit hash votes on
+    * each bit; the sign of the vote sum forms the fingerprint bit.
+    * Near-duplicate docs differ in few bits (Hamming distance).
+    * Built entirely from native functions: token→xxhash64, then a
+    * 64-way bit-vote fold.
+    */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    // one vote-sum expression per bit (Scala-side unroll keeps
+    // shiftright's bit count literal, which codegen requires)
+    val terms = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0,
+        lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(b))))
+        .otherwise(lit(java.math.BigDecimal.ZERO))
+    }
+    terms.reduce(_ + _).cast("decimal(20,0)")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (Array[Float]).
+  *
+  * Brute-force cosine top-k is the correctness baseline (cross join —
+  * fine for query batches, quadratic for all-pairs). The scale path is
+  * random-hyperplane LSH: each vector gets a `planes`-bit signature;
+  * vectors sharing a signature bucket are candidates, re-ranked
+  * exactly. At 100 TB the bucket join replaces the cross join, and the
+  * signature computation is a single codegen'd projection.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double in
+    * index order (deterministic).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (brute force).
+    * Returns (query_id, neighbor_id, rank, cosine_ppm).
+    */
+  def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     k: Int): DataFrame = {
+    val scored = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__q"))
+      .crossJoin(vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_ppm", round(cosine(col("__q"), col("__v")) * 1e6).cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_ppm").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine_ppm")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p component i is a
+    * zero-mean value derived from xxhash64(p, i). Signature bit p is
+    * the sign of v·plane_p. All codegen'd native functions.
+    */
+  def lshSignature(vec: Column, planes: Int, dim: Int): Column =
+    transform(sequence(lit(0), lit(planes - 1)), p => {
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) =>
+          x.cast("double") *
+            (xxhash64(concat(p.cast("string"), lit("_"), i.cast("string"))) % 1000001).cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(s >= 0, 1).otherwise(0)
+    })
+
+  /** LSH-bucketed ANN: candidates share a signature bucket; exact
+    * cosine re-ranks within buckets. Recall < 1 by design; `planes`
+    * trades bucket size vs. recall.
+    */
+  def lshTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+              planes: Int = 8, dim: Int = 64): DataFrame = {
+    val sig = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("bucket", concat_ws("", lshSignature(col("vec"), planes, dim)))
+    val a = sig.select(col("bucket"), col("vid").as("query_id"), col("vec").as("__q"))
+    val b = sig.select(col("bucket"), col("vid").as("neighbor_id"), col("vec").as("__v"))
+    val scored = a.join(b, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_ppm", round(cosine(col("__q"), col("__v")) * 1e6).cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_ppm").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine_ppm")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (LSH
+    * candidates, exact verify), id_a < id_b.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                         minCosinePpm: Long, planes: Int = 6, dim: Int = 64): DataFrame = {
+    val sig = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("bucket", concat_ws("", lshSignature(col("vec"), planes, dim)))
+    val a = sig.select(col("bucket"), col("vid").as("id_a"), col("vec").as("__a"))
+    val b = sig.select(col("bucket"), col("vid").as("id_b"), col("vec").as("__b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_ppm", round(cosine(col("__a"), col("__b")) * 1e6).cast("long"))
+      .filter(col("cosine_ppm") >= minCosinePpm)
+      .select("id_a", "id_b", "cosine_ppm").distinct()
+  }
+}

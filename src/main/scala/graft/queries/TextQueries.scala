@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over the documents table: dedup
+  * variants, language ID, quality scoring, token counting,
+  * fingerprinting, multimodal plumbing.
+  */
+object TextQueries {
+
+  private val enStop = Seq("the", "and", "of", "to", "is")
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef.sql("q24_exact_dedup",
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin) {
+      (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", col("text"))
+    },
+
+    QueryDef.sql("q25_token_count",
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  length(text) AS n_chars2
+        |FROM documents""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d).select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars2"))
+    },
+
+    QueryDef.sql("q26_quality_score",
+      """SELECT doc_id,
+        |  CAST(round(
+        |    (CASE WHEN length(text) < 50 THEN length(text) / 50.0
+        |          WHEN length(text) > 2000 THEN 2000.0 / length(text)
+        |          ELSE 1.0 END)
+        |    * (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |            / greatest(CAST(length(text) AS DOUBLE), 1.0) > 0.1 THEN 0.5 ELSE 1.0 END)
+        |    * (CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                                 x -> x IN ('the','and','of','to','is'))) > 0
+        |            THEN 1.0 ELSE 0.5 END)
+        |    * 1000) AS BIGINT) AS quality_milli
+        |FROM documents""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d).select(col("doc_id"),
+          qualityScoreMilli(col("text"), enStop).as("quality_milli"))
+    },
+
+    QueryDef.sql("q27_lang_id",
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, l.lang,
+        |         len(list_filter(t, x -> list_contains(l.words, x))) AS h
+        |  FROM toks, (VALUES
+        |    ('de', ['der','die','das','und','nicht']),
+        |    ('en', ['the','and','of','to','is']),
+        |    ('es', ['el','la','los','que','y']),
+        |    ('fr', ['le','la','les','et','est']),
+        |    ('zh', ['的','是','了','在','我'])) AS l(lang, words)),
+        |best AS (
+        |  SELECT doc_id, lang, h,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) AS rn
+        |  FROM hits)
+        |SELECT doc_id, CASE WHEN h = 0 THEN 'und' ELSE lang END AS lang_pred
+        |FROM best WHERE rn = 1""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d).select(col("doc_id"), langId(col("text")).as("lang_pred"))
+    },
+
+    QueryDef.sql("q28_ngram_jaccard_pairs",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id < 80),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+        |SELECT id_a, id_b,
+        |       CAST(round(inter * 1000000.0 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS jaccard_ppm
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b""".stripMargin) {
+      (s, d) =>
+        Dedup.ngramJaccardPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 80), "doc_id", col("text"))
+    },
+
+    // MinHash+LSH near-dup candidates — xxhash64-seeded signatures are
+    // not expressible in the oracle engine → rows-only check.
+    QueryDef.rowsOnly("q29_minhash_lsh") {
+      (s, d) =>
+        Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", col("text"),
+          bands = 16, rows = 4, minJaccardPpm = 0L)
+          .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash fingerprint + bucket — rows-only (xxhash64-based).
+    QueryDef.rowsOnly("q30_simhash") {
+      (s, d) =>
+        Dedup.simhashBuckets(Tables.documents(s, d).filter(col("doc_id") < 200),
+          "doc_id", col("text"))
+    },
+
+    QueryDef.sql("q31_fingerprint64",
+      """SELECT doc_id,
+        |       CAST(md5(text)[1:16] AS VARCHAR) AS fp_hex
+        |FROM documents""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d).select(col("doc_id"),
+          substring(md5(col("text")), 1, 16).as("fp_hex"))
+    },
+
+    QueryDef.sql("q32_multimodal_meta",
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |       CAST(length(text) % 64 * 16 AS INTEGER) AS width,
+        |       CAST(length(text) % 48 * 16 AS INTEGER) AS height
+        |FROM documents""".stripMargin) {
+      (s, d) => {
+        val blobs = Multimodal.packBlobs(Tables.documents(s, d))
+        blobs.select(col("doc_id"),
+          length(col("blob")).cast("long").as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+      }
+    },
+
+    // Batched binary feature extraction (mapPartitions) — decode is a
+    // deterministic fake (no codecs in this env) → rows-only check.
+    QueryDef.rowsOnly("q33_multimodal_features") {
+      (s, d) =>
+        Multimodal.extractFeatures(Multimodal.packBlobs(Tables.documents(s, d)))
+          .select(col("doc_id"), col("n_bytes"), col("mime"), col("width"), col("height"),
+            round(element_at(col("feature"), 1) * 1000).cast("long").as("f0_milli"))
+    }
+  )
+}

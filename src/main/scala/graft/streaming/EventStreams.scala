@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference engine is pure batch (SURVEY.md §2.10); these are the
+  * streaming-native counterparts a live pipeline needs: watermarked
+  * tumbling-window aggregation and stateful sessionization via
+  * mapGroupsWithState. Batch/stream parity: the windowed aggregation is
+  * the streaming form of the q23 time-bucket batch query.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class WindowCount(window_start: Timestamp, event_type: String,
+                               n: Long, value_sum: Double)
+
+  final case class Session(user_id: Long, n_events: Long, first_ts: Timestamp,
+                           last_ts: Timestamp, total_value: Double)
+
+  /** Watermarked tumbling-window aggregation: counts + value sums per
+    * (window, event_type); late events beyond the watermark drop out.
+    */
+  def windowedCounts(events: DataFrame, window: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** Session accumulator state per user (public: the state encoder's
+    * generated code needs accessible accessors). */
+  final case class SessionState(n: Long, first: Long, last: Long, totalValue: Double)
+
+  /** Stateful sessionization: per-user running session accumulated in
+    * mapGroupsWithState state, emitting the updated session per batch.
+    * Pass ProcessingTimeTimeout + gapMs to also close sessions after
+    * inactivity (the timeout firing emits the final session and clears
+    * state); the default NoTimeout keeps sessions open-ended.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, Session](timeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Session(userId, s.n, new Timestamp(s.first), new Timestamp(s.last), s.totalValue)
+          } else {
+            val events = batch.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue, 0.0))
+            val next = events.foldLeft(prev) { (acc, e) =>
+              SessionState(acc.n + 1,
+                math.min(acc.first, e.ts.getTime), math.max(acc.last, e.ts.getTime),
+                acc.totalValue + e.value)
+            }
+            state.update(next)
+            if (timeout != GroupStateTimeout.NoTimeout()) state.setTimeoutDuration(gapMs)
+            // interim emission — final emission happens on timeout
+            Session(userId, next.n, new Timestamp(next.first), new Timestamp(next.last), next.totalValue)
+          }
+      }
+  }
+
+  /** File-source streaming read of events-shaped parquet (the
+    * readStream entry point for directory-fed pipelines).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(dir)
+
+  /** Run a windowed-count stream into an in-memory sink; returns the
+    * query name to select from. Used by specs and demos.
+    */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update).start()
+}

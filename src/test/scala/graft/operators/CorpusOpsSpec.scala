@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("corpus-ops")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val df = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val out = Dedup.exact(df, "doc_id", col("text")).collect()
+    assert(out.length === 2)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhash LSH finds near-duplicates, not unrelated docs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w7", "changed")
+    val unrelated = (1 to 40).map(i => s"z$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", col("text"), minJaccardPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash of near-duplicates has small Hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok33", "other")
+    val far = (1 to 60).map(i => s"abc$i").mkString(" ")
+    val out = docs(1L -> base, 2L -> near, 3L -> far)
+      .select(col("doc_id"), TextFunctions.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).toBigInteger).toMap
+    def hamming(a: java.math.BigInteger, b: java.math.BigInteger): Int = a.xor(b).bitCount()
+    assert(hamming(out(1L), out(2L)) < 12)
+    assert(hamming(out(1L), out(3L)) > 16)
+  }
+
+  test("LSH ANN candidates agree with brute force where buckets collide") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    val lsh = Similarity.lshTopK(e, "vec_id", "embedding", k = 3)
+      .filter(col("query_id") < 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+    // every LSH-returned pair must carry the exact brute-force score
+    lsh.foreach { case (pair, ppm) =>
+      brute.get(pair).foreach(exact => assert(exact === ppm))
+    }
+    assert(lsh.nonEmpty)
+  }
+
+  test("multimodal feature extraction preserves schema and batch shape") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val out = Multimodal.extractFeatures(Multimodal.packBlobs(d), batchSize = 16)
+    assert(out.schema === Multimodal.featureSchema)
+    val rows = out.collect()
+    assert(rows.length === 100)
+    assert(rows.forall(_.getAs[scala.collection.Seq[Float]]("feature").length == 8))
+    assert(rows.forall(_.getAs[Long]("n_bytes") > 0))
+  }
+
+  test("frame sampling produces indexed fixed-size frames") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(5)
+    val frames = Multimodal.sampleFrames(Multimodal.packBlobs(d)).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getAs[Long]("frame_bytes") <= 32))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("event-streams")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String): Timestamp = Timestamp.from(java.time.Instant.parse(s))
+
+  test("watermarked windowed aggregation over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.windowedCounts(input.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        EventStreams.Event(1, ts("2024-01-01T00:10:00Z"), 1, "click", 10.0),
+        EventStreams.Event(2, ts("2024-01-01T00:40:00Z"), 2, "click", 5.0),
+        EventStreams.Event(3, ts("2024-01-01T01:05:00Z"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, event_type, n, value_sum FROM win_counts ORDER BY 1, 2")
+        .collect()
+      assert(rows.length === 2)
+      assert(rows(0).getAs[String]("event_type") === "click")
+      assert(rows(0).getAs[Long]("n") === 2L)
+      assert(rows(0).getAs[Double]("value_sum") === 15.0)
+      assert(rows(1).getAs[String]("event_type") === "view")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization accumulates per-user state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        EventStreams.Event(1, ts("2024-01-01T00:00:00Z"), 7, "click", 2.0),
+        EventStreams.Event(2, ts("2024-01-01T00:05:00Z"), 7, "view", 3.0),
+        EventStreams.Event(3, ts("2024-01-01T00:01:00Z"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sessions ORDER BY user_id").collect()
+      val u7 = rows.find(_.getAs[Long]("user_id") == 7L).get
+      assert(u7.getAs[Long]("n_events") === 2L)
+      assert(u7.getAs[Double]("total_value") === 5.0)
+      assert(u7.getAs[Timestamp]("first_ts") === ts("2024-01-01T00:00:00Z"))
+      assert(u7.getAs[Timestamp]("last_ts") === ts("2024-01-01T00:05:00Z"))
+      assert(rows.exists(_.getAs[Long]("user_id") == 9L))
+    } finally q.stop()
+  }
+
+  test("file-source readStream over events parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("evt-stream").toString
+    // stage a copy of the events table as the stream source directory
+    graft.Tables.events(spark, "/root/testdata/sf0.001").limit(200)
+      .write.mode("overwrite").parquet(dir)
+    val q = EventStreams.runToMemory(spark,
+      EventStreams.windowedCounts(EventStreams.readEventStream(spark, dir)), "file_counts")
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT sum(n) FROM file_counts").head.getLong(0) === 200L)
+    } finally q.stop()
+  }
+}
