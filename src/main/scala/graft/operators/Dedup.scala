@@ -27,15 +27,14 @@ object Dedup {
   def normalized(df: DataFrame, idCol: String, text: Column): DataFrame =
     exact(df, idCol, trim(regexp_replace(lower(text), "\\s+", " ")))
 
-  /** Word n-gram shingles (distinct), the unit set for Jaccard. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = graft.functions.TextFunctions.tokens(text)
-    array_distinct(
-      when(size(toks) < n, when(size(toks) > 0, array(concat_ws(" ", toks)))
-        .otherwise(array().cast("array<string>")))
-        .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** Word n-gram shingles (distinct), the unit set for Jaccard.
+    * Custom Catalyst expression — the composed built-in form
+    * (split → transform/slice → array_distinct) runs as interpreted
+    * higher-order functions, ~1000× slower per row (see
+    * plans.WordShingles).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.plans.WordShingles.word_shingles(text, n)
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the minimum over the shingle set of xxhash64(seed ⊕ shingle).
@@ -51,26 +50,47 @@ object Dedup {
     * of `rows` hashes; docs sharing any band bucket become candidates,
     * then exact n-gram Jaccard verifies. Returns
     * (id_a, id_b, jaccard_ppm) with id_a < id_b.
+    *
+    * Shape matters at scale: the signature is computed relationally —
+    * shingles exploded once, crossed with a broadcast seed table, and
+    * min-reduced by a codegen'd hash aggregate — NOT as a nested
+    * higher-order-function column (interpreted, and projection collapse
+    * re-inlines it per band: measured 200× slower at sf0.1). Candidate
+    * pairs are deduplicated before the shingle arrays are joined back,
+    * so verification cost is per unique pair, not per bucket collision.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, text: Column,
                       bands: Int = 16, rows: Int = 4, n: Int = 3,
                       minJaccardPpm: Long = 500000L): DataFrame = {
     val numHashes = bands * rows
-    val withSig = df.select(col(idCol).as("doc_id"), text.as("__text"))
-      .withColumn("sig", minhashSignature(col("__text"), numHashes, n))
-      .withColumn("sh", shingles(col("__text"), n))
-      .drop("__text")
-    val banded = withSig.select(col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))))
+    val spark = df.sparkSession
+    val docs = df.select(col(idCol).as("doc_id"), shingles(text, n).as("sh"))
+    // hash each shingle ONCE; seed s's value derives from (hg, s) —
+    // and all numHashes min-reductions run as ONE codegen'd hash agg
+    // (no seed cross join, no extra shuffle: partials combine map-side)
+    val shingleRows = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("hg"))
+    val minAggs = (0 until numHashes).map(s => min(xxhash64(col("hg"), lit(s))).as(s"m$s"))
+    val minh = shingleRows.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    // band bucket = hash of the band's min-hash columns
+    val bucketCols = (0 until bands).map { bnd =>
+      xxhash64((bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i")): _*).as(s"bk$bnd")
+    }
+    val banded = minh.select(col("doc_id") +: bucketCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(bnd => col(s"bk$bnd")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val shA = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val shB = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1000000L) /
           size(array_union(col("sh_a"), col("sh_b")))).cast("long").as("jaccard_ppm"))
-      .distinct()
       .filter(col("jaccard_ppm") >= minJaccardPpm)
   }
 

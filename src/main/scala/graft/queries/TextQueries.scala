@@ -72,7 +72,7 @@ object TextQueries {
         |SELECT doc_id, CASE WHEN h = 0 THEN 'und' ELSE lang END AS lang_pred
         |FROM best WHERE rn = 1""".stripMargin) {
       (s, d) =>
-        Tables.documents(s, d).select(col("doc_id"), langId(col("text")).as("lang_pred"))
+        langIdRelational(Tables.documents(s, d), "doc_id", col("text"))
     },
 
     QueryDef.sql("q28_ngram_jaccard_pairs",
