@@ -1,0 +1,32 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("word_shingles registered as a SQL function") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // a pre-existing shared session won't have build-time extensions —
+    // the runtime registration path covers that case (and is itself
+    // what this exercises when suites share the JVM session)
+    GraftExtensions.register(spark)
+    try {
+      val out = spark.sql("SELECT word_shingles('a b c d', 3) AS sh")
+        .head.getAs[scala.collection.Seq[String]]("sh")
+      assert(out === Seq("a b c", "b c d"))
+      val short = spark.sql("SELECT word_shingles('a b', 3) AS sh")
+        .head.getAs[scala.collection.Seq[String]]("sh")
+      assert(short === Seq("a b"))
+      val empty = spark.sql("SELECT word_shingles('  ', 3) AS sh")
+        .head.getAs[scala.collection.Seq[String]]("sh")
+      assert(empty === Seq.empty)
+    } finally () // session may be shared with other suites — don't stop it
+  }
+}
