@@ -25,7 +25,11 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Codegen'd single-loop cosine (see plans.CosineSimilarity) —
+    * numerically identical to `dot(a,b)/(norm(a)*norm(b))`.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimilarity.cosine_sim(a, b)
 
   /** Exact top-k neighbors for each query vector (brute force).
     * Returns (query_id, neighbor_id, rank, cosine_ppm).

@@ -17,6 +17,8 @@ object PlanetDump {
   case object XmlDiscussions extends Kind // changesets + <discussion>
   case object PbfPlanet extends Kind // latest visible versions, OSMPBF
   case object PbfHistory extends Kind // every version, OSMPBF
+  case object PbfPlanetParallel extends Kind // scale path: parallel block encoding
+  case object PbfHistoryParallel extends Kind
 
   final case class Output(kind: Kind, path: String, anon: Boolean = false)
 
@@ -43,6 +45,12 @@ object PlanetDump {
             Assemble.current(nodesH), Assemble.current(waysH), Assemble.current(relsH))
         case PbfHistory =>
           PlanetPbf.write(o.path, generator, history = true, anon, maxTime,
+            nodesH, waysH, relsH)
+        case PbfPlanetParallel =>
+          PlanetPbf.writeParallel(o.path, generator, history = false, anon, maxTime,
+            Assemble.current(nodesH), Assemble.current(waysH), Assemble.current(relsH))
+        case PbfHistoryParallel =>
+          PlanetPbf.writeParallel(o.path, generator, history = true, anon, maxTime,
             nodesH, waysH, relsH)
         case xmlKind =>
           val header = XmlFormat.header(generator, maxTime)
@@ -89,6 +97,8 @@ object PlanetDump {
         case "--changesets" | "-C" => outputs += Output(XmlChangesets, args(i + 1)); i += 2
         case "--changesets-no-userinfo" => outputs += Output(XmlChangesets, args(i + 1), anon = true); i += 2
         case "--pbf" | "-p" => outputs += Output(PbfPlanet, args(i + 1)); i += 2
+        case "--pbf-parallel" => outputs += Output(PbfPlanetParallel, args(i + 1)); i += 2
+        case "--history-pbf-parallel" => outputs += Output(PbfHistoryParallel, args(i + 1)); i += 2
         case "--pbf-no-userinfo" => outputs += Output(PbfPlanet, args(i + 1), anon = true); i += 2
         case "--history-pbf" | "-P" => outputs += Output(PbfHistory, args(i + 1)); i += 2
         case "--history-pbf-no-userinfo" => outputs += Output(PbfHistory, args(i + 1), anon = true); i += 2

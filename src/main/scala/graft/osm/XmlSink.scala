@@ -64,6 +64,8 @@ object XmlSink {
     override def close(): Unit = inner.flush()
   }
 
+  private[osm] def deleteRecursive(p: Path): Unit = deleteRec(p)
+
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())

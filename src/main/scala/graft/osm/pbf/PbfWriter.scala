@@ -18,7 +18,8 @@ import Proto._
 final class PbfWriter(out: OutputStream, generator: String, history: Boolean,
                       anon: Boolean, denseNodes: Boolean,
                       maxTime: Option[java.sql.Timestamp],
-                      source: String = "http://www.openstreetmap.org/api/0.6") {
+                      source: String = "http://www.openstreetmap.org/api/0.6",
+                      writeHeader: Boolean = true) {
 
   private val MaxUncompressedBlobSize = 16 * 1024 * 1024
   private val ByteLimit: Long = (0.125 * MaxUncompressedBlobSize).toInt // 2 MiB
@@ -88,7 +89,10 @@ final class PbfWriter(out: OutputStream, generator: String, history: Boolean,
 
   private val closedGroups = new java.util.ArrayList[Array[Byte]]()
 
-  writeHeaderBlock()
+  // parallel block-encoding mode: partitions write headerless block
+  // streams that concatenate after a driver-written header (each block
+  // is self-contained: own string table, deltas reset per group)
+  if (writeHeader) writeHeaderBlock()
 
   // ------------------------------------------------------------------
   private def writeHeaderBlock(): Unit = {
