@@ -67,4 +67,23 @@ object Relational {
   def broadcastLookup(fact: DataFrame, dim: DataFrame, factKey: String,
                       dimKey: String): DataFrame =
     fact.join(broadcast(dim), fact(factKey) === dim(dimKey), "left_outer")
+
+  /** Skew-resistant two-phase ordered collect: identical result to
+    * [[collectOrdered]], but a hot key's rows first combine under
+    * (keys, salt) — spreading one giant group (a mega-relation's 100k
+    * members, a viral user's events) across `salts` reducers — and the
+    * per-salt arrays then flatten + sort in a second, tiny aggregation.
+    * The phase-2 array sort is in-memory per group; the win is that no
+    * single reducer receives the hot key's full row stream.
+    */
+  def collectOrderedSalted(child: DataFrame, keys: Seq[String], ord: String,
+                           payload: Seq[String], colName: String,
+                           salts: Int = 32): DataFrame = {
+    val st = struct((ord +: payload).map(col): _*)
+    child
+      .groupBy((keys.map(col) :+ pmod(col(ord), lit(salts)).as("__salt")): _*)
+      .agg(collect_list(st).as("__part"))
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(flatten(collect_list(col("__part")))).as(colName))
+  }
 }

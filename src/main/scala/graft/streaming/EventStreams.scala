@@ -73,6 +73,27 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: attribute each purchase to the click
+    * by the same user within the preceding `window`. Watermarks on both
+    * sides bound the join state (late rows beyond them are dropped and
+    * their state evicted) — the canonical funnel-attribution shape.
+    */
+  def clickToPurchase(events: DataFrame, window: String = "30 minutes",
+                      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", watermark)
+    purchases.join(clicks,
+      expr(s"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL $window"))
+      .select(col("p_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("c_ts").as("click_ts"), col("p_ts").as("purchase_ts"), col("value"))
+  }
+
   /** File-source streaming read of events-shaped parquet (the
     * readStream entry point for directory-fed pipelines).
     */

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-mechanics specs: skew-resistant collect equivalence and
+  * bucketed co-located joins (shuffle elimination).
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("scale-ops")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("wh").toString)
+    .getOrCreate()
+
+  test("salted ordered collect equals plain ordered collect") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val plain = Relational.collectOrdered(li, Seq("l_orderkey"),
+        Seq("l_linenumber", "l_partkey"), Seq("l_suppkey"), "items")
+      .orderBy("l_orderkey").collect()
+    val salted = Relational.collectOrderedSalted(li, Seq("l_orderkey"),
+        "l_linenumber", Seq("l_partkey", "l_suppkey"), "items", salts = 7)
+      .orderBy("l_orderkey").collect()
+    assert(plain.length === salted.length)
+    // same groups; same multiset of (linenumber, partkey, suppkey) per
+    // group sorted identically (struct field order matches)
+    plain.zip(salted).foreach { case (p, s) =>
+      assert(p.getLong(0) === s.getLong(0))
+      val pa = p.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("items")
+        .map(r => (r.getInt(0), r.getLong(1)))
+      val sa = s.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("items")
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).map(t => (t._1, t._2))
+      assert(pa === sa)
+    }
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val d = "/root/testdata/sf0.001"
+    graft.Tables.orders(spark, d).write.mode("overwrite")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+    graft.Tables.lineitem(spark, d).write.mode("overwrite")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").count()
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located bucketed join: no shuffle exchange feeding the join
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected no join-side shuffles, plan:\n$plan")
+    assert(joined.agg(sum("count")).head.getLong(0) === 6000L)
+  }
+}

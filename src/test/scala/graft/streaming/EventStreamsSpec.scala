@@ -65,6 +65,27 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.clickToPurchase(input.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        EventStreams.Event(1, ts("2024-01-01T00:00:00Z"), 5, "click", 0.0),
+        EventStreams.Event(2, ts("2024-01-01T00:10:00Z"), 5, "purchase", 99.0),
+        EventStreams.Event(3, ts("2024-01-01T01:10:00Z"), 5, "purchase", 1.0), // outside window
+        EventStreams.Event(4, ts("2024-01-01T00:05:00Z"), 6, "purchase", 7.0)) // no click
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, click_id, purchase_id, value FROM attrib").collect()
+      assert(rows.length === 1)
+      assert(rows(0).getLong(0) === 5L && rows(0).getLong(1) === 1L &&
+        rows(0).getLong(2) === 2L && rows(0).getDouble(3) === 99.0)
+    } finally q.stop()
+  }
+
   test("file-source readStream over events parquet") {
     val dir = java.nio.file.Files.createTempDirectory("evt-stream").toString
     // stage a copy of the events table as the stream source directory
