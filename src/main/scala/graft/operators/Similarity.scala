@@ -77,6 +77,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine_ppm")
   }
 
+  /** IVF (inverted-file) ANN: vectors partition into `nLists` cells by
+    * nearest centroid; a query scans only its `nProbe` nearest cells.
+    *
+    * Centroids here are a deterministic sample (every (N/nLists)-th
+    * vector by id) rather than trained k-means — the partitioning
+    * quality differs, the *plan shape* doesn't: a broadcast
+    * centroid-assignment projection, a cell-keyed equi-join in place of
+    * the cross join, and exact re-ranking inside probed cells. At scale
+    * the assignment is one codegen'd pass and the join shuffles only
+    * cell-matched pairs. Returns (query_id, neighbor_id, rank,
+    * cosine_ppm); recall < 1 by design, exact within probed cells.
+    */
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = vectors.sparkSession
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val n = v.count()
+    val stride = math.max(1, n / nLists)
+    val centroids = broadcast(
+      v.withColumn("__rn", row_number().over(Window.orderBy(col("vid"))))
+        .filter((col("__rn") % stride === 1) && col("__rn") <= stride * nLists)
+        .select(col("vid").as("cid"), col("vec").as("cvec")))
+    // assign each vector to its single nearest centroid (rank 1)
+    val wAssign = Window.partitionBy("vid").orderBy(col("__sim").desc, col("cid"))
+    val assigned = v.crossJoin(centroids)
+      .withColumn("__sim", cosine(col("vec"), col("cvec")))
+      .withColumn("__r", row_number().over(wAssign)).filter(col("__r") === 1)
+      .select(col("vid"), col("vec"), col("cid").as("cell"))
+    // each query probes its nProbe nearest cells
+    val probes = v.crossJoin(centroids)
+      .withColumn("__sim", cosine(col("vec"), col("cvec")))
+      .withColumn("__r", row_number().over(wAssign)).filter(col("__r") <= nProbe)
+      .select(col("vid").as("query_id"), col("vec").as("__q"), col("cid").as("cell"))
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vid"))
+      .withColumn("cosine_ppm", round(cosine(col("__q"), col("vec")) * 1e6).cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_ppm").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("rank"), col("cosine_ppm"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (LSH
     * candidates, exact verify), id_a < id_b.
     */

@@ -55,6 +55,13 @@ object VectorQueries {
         Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
     },
 
+    // IVF-partitioned ANN (the other scale path besides LSH: broadcast
+    // centroid assignment + cell-keyed join) — rows-only.
+    QueryDef.rowsOnly("q38_cosine_ann_ivf") {
+      (s, d) =>
+        Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
+    },
+
     // Embedding near-duplicate pairs above 0.35 cosine (this synthetic
     // table's near-dup regime; max pairwise cosine is ~0.51) — rows-only
     // (LSH-bucketed; exact threshold verified).

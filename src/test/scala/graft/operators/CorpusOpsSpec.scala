@@ -66,6 +66,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF ANN scores agree with brute force; recall is meaningful") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+    assert(ivf.nonEmpty)
+    // exact scores within probed cells
+    ivf.foreach { case (pair, ppm) =>
+      brute.get(pair).foreach(exact => assert(exact === ppm))
+    }
+    // top-1 recall over all queries should be well above chance
+    val bruteTop1 = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivfTop1 = ivf.groupBy(_._1._1).view.mapValues(_.maxBy(_._2)._1._2).toMap
+    val hits = ivfTop1.count { case (q, n) => bruteTop1.get(q).contains(n) }
+    assert(hits.toDouble / bruteTop1.size > 0.3,
+      s"IVF top-1 recall too low: $hits/${bruteTop1.size}")
+  }
+
   test("multimodal feature extraction preserves schema and batch shape") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
     val out = Multimodal.extractFeatures(Multimodal.packBlobs(d), batchSize = 16)
