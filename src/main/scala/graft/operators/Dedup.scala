@@ -116,7 +116,9 @@ object Dedup {
     * of their simhash are near-dup candidates (cheap single shuffle).
     */
   def simhashBuckets(df: DataFrame, idCol: String, text: Column, prefixBits: Int = 16): DataFrame = {
-    val sim = graft.functions.TextFunctions.simhash64(text)
+    // single-pass expression, bit-identical to TextFunctions.simhash64
+    // but one eval per row instead of 64 per-bit aggregate passes
+    val sim = graft.plans.SimHash64.simhash64(text)
     df.select(col(idCol).as("doc_id"), sim.as("simhash"))
       .withColumn("bucket",
         (col("simhash") / java.math.BigDecimal.valueOf(2).pow(64 - prefixBits).longValue())

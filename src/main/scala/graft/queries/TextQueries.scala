@@ -115,6 +115,34 @@ object TextQueries {
           "doc_id", col("text"))
     },
 
+    QueryDef.sql("q39_normalized_dedup",
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin) {
+      (s, d) => Dedup.normalized(Tables.documents(s, d), "doc_id", col("text"))
+    },
+
+    QueryDef.sql("q40_mean_token_len",
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(round(list_sum(list_transform(
+        |              regexp_split_to_array(trim(text), '\s+'), x -> length(x)))
+        |              * 1000.0 / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |  END AS mean_len_milli
+        |FROM documents""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d).select(col("doc_id"),
+          meanTokenLenMilli(col("text")).as("mean_len_milli"))
+    },
+
+    // BPE-ish subword counting uses lookaround regex (not expressible
+    // in the oracle's RE2 engine) — rows-only.
+    QueryDef.rowsOnly("q41_subword_count") {
+      (s, d) =>
+        Tables.documents(s, d).select(col("doc_id"),
+          subwordCount(col("text")).as("n_subwords"))
+    },
+
     QueryDef.sql("q31_fingerprint64",
       """SELECT doc_id,
         |       CAST(md5(text)[1:16] AS VARCHAR) AS fp_hex

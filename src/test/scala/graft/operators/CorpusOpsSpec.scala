@@ -51,6 +51,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(hamming(out(1L), out(3L)) > 16)
   }
 
+  test("SimHash64 expression is bit-identical to the composed column form") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(150)
+    val both = d.select(col("doc_id"),
+        TextFunctions.simhash64(col("text")).as("composed"),
+        graft.plans.SimHash64.simhash64(col("text")).as("expr"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDecimal(1) === r.getDecimal(2), s"doc ${r.getLong(0)} differs")
+    }
+  }
+
   test("LSH ANN candidates agree with brute force where buckets collide") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",

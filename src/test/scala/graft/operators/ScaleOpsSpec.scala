@@ -42,6 +42,17 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("bucketed tables join without a shuffle") {
     val d = "/root/testdata/sf0.001"
+    // the shared-session warehouse may hold leftover dirs from earlier
+    // runs whose in-memory catalog has forgotten them — clear both
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      if (java.nio.file.Files.exists(loc)) {
+        java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+    }
     graft.Tables.orders(spark, d).write.mode("overwrite")
       .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
     graft.Tables.lineitem(spark, d).write.mode("overwrite")
