@@ -338,6 +338,45 @@ object CoreQueries {
       }
     },
 
+    // exact percentiles + distinct counting (engine-complete aggregates).
+    QueryDef.sql("q42_percentiles_distinct",
+      """SELECT l_returnflag,
+        |       CAST(round(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT) AS p50_cents,
+        |       CAST(round(quantile_cont(l_quantity, 0.95) * 100) AS BIGINT) AS p95_cents,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d).groupBy("l_returnflag")
+          .agg(round(percentile(col("l_quantity"), lit(0.5)) * 100).cast("long").as("p50_cents"),
+            round(percentile(col("l_quantity"), lit(0.95)) * 100).cast("long").as("p95_cents"),
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"))
+    },
+
+    // histogram binning (explicit floor buckets — the oracle engine
+    // predates width_bucket; identical arithmetic both sides).
+    QueryDef.sql("q43_histogram",
+      """SELECT CAST(floor(o_totalprice / 5000) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       CAST(round(min(o_totalprice) * 100) AS BIGINT) AS min_cents
+        |FROM orders GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(floor(col("o_totalprice") / 5000).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(min("o_totalprice") * 100).cast("long").as("min_cents"))
+    },
+
+    // cube (full grouping-set lattice; q20 covers rollup).
+    QueryDef.sql("q44_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d).cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+    },
+
     // time-bucketed aggregation (batch form of the streaming windowed agg).
     QueryDef.sql("q23_time_bucket_agg",
       """SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
