@@ -94,6 +94,40 @@ object EventStreams {
         col("c_ts").as("click_ts"), col("p_ts").as("purchase_ts"), col("value"))
   }
 
+  /** Versioned element update (streaming analog of the OSM element
+    * history rows: replication diffs arriving out of order).
+    */
+  final case class ElementUpdate(id: Long, version: Long, visible: Boolean, payload: String)
+
+  /** Streaming latest-version view (F3 as a stream): keeps the
+    * max-version row per element id in state and emits a row ONLY when
+    * an id's current version advances — out-of-order and duplicate
+    * diffs produce no output. Deletions (`visible=false`) are emitted
+    * as tombstones so a sink can remove the element; filtering the
+    * emissions to `visible` yields exactly the batch
+    * `Assemble.current` semantics incrementally (how a planet
+    * "current" table stays fresh from minutely replication diffs
+    * instead of full re-dumps).
+    */
+  def currentView(updates: Dataset[ElementUpdate]): Dataset[ElementUpdate] = {
+    import updates.sparkSession.implicits._
+    updates.groupByKey(_.id)
+      .flatMapGroupsWithState[ElementUpdate, ElementUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, batch: Iterator[ElementUpdate], state: GroupState[ElementUpdate]) =>
+          val prev = state.getOption
+          val best = batch.foldLeft(prev) { (acc, u) =>
+            if (acc.forall(_.version < u.version)) Some(u) else acc
+          }
+          best match {
+            case Some(b) if prev.forall(_.version < b.version) =>
+              state.update(b)
+              Iterator.single(b)
+            case _ => Iterator.empty // nothing advanced: no emission, no state write
+          }
+      }
+  }
+
   /** File-source streaming read of events-shaped parquet (the
     * readStream entry point for directory-fed pipelines).
     */

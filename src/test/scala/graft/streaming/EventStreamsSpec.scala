@@ -86,6 +86,33 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming current view keeps max version across out-of-order diffs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.ElementUpdate]
+    val q = EventStreams.currentView(input.toDS())
+      .writeStream.format("memory").queryName("current_view")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        EventStreams.ElementUpdate(1, 3, visible = true, "v3"),
+        EventStreams.ElementUpdate(1, 1, visible = true, "v1"), // out of order
+        EventStreams.ElementUpdate(2, 1, visible = true, "a1"))
+      q.processAllAvailable()
+      input.addData(
+        EventStreams.ElementUpdate(1, 2, visible = true, "v2"), // late, must NOT re-emit
+        EventStreams.ElementUpdate(2, 2, visible = false, "a2")) // deletion tombstone
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT id, version, visible, payload FROM current_view")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getString(3)))
+      // exact emission multiset: one advance per change, no re-emission
+      // for the late v2 diff, tombstone emitted for the deletion
+      assert(rows.sorted.toSeq === Seq(
+        (1L, 3L, true, "v3"), (2L, 1L, true, "a1"), (2L, 2L, false, "a2")))
+    } finally q.stop()
+  }
+
   test("file-source readStream over events parquet") {
     val dir = java.nio.file.Files.createTempDirectory("evt-stream").toString
     // stage a copy of the events table as the stream source directory
