@@ -26,9 +26,14 @@ object Assemble {
     db.users.filter(col("data_public"))
       .select(col("id").as("user_uid"), col("display_name").as("user_name"))
 
-  /** J5: changeset_id → uid. */
+  /** J5: changeset_id → uid. Negative-id changesets are excluded, as
+    * in the reference's element pass (F2 applies to changesets too), so
+    * an element referencing one stays unattributed — and trips the PBF
+    * missing-changeset guard — exactly like the reference.
+    */
   def changesetUid(db: OsmDb): DataFrame =
-    db.changesets.select(col("id").as("cs_id"), col("uid").as("cs_uid"))
+    db.changesets.filter(col("id") >= 0)
+      .select(col("id").as("cs_id"), col("uid").as("cs_uid"))
 
   /** J1: per-(element[,version]) tag array ordered by key bytes. */
   def tagsArray(tags: DataFrame, withVersion: Boolean): DataFrame = {

@@ -94,35 +94,44 @@ object CopyDecoder extends Serializable {
     java.sql.Timestamp.from(ldt.toInstant(ZoneOffset.UTC))
   }
 
-  /** Decode one COPY data line into an external Row for `table.schema`.
-    * `idx` is the precomputed column reorder (from [[reorder]]).
+  /** Build a reusable line→Row parser for `table` with the column
+    * reorder `idx`: per-column type dispatch and list indexing resolve
+    * ONCE here, not per cell — this is the hottest loop of the load
+    * phase (rows × columns at planet scale).
     */
-  def decode(table: Schema.Table, idx: Array[Int], line: String): Row = {
-    val raw = splitTabs(line)
-    val vals = new Array[Any](idx.length)
-    var i = 0
-    while (i < idx.length) {
-      val c = table.cols(i)
-      val r = raw(idx(i))
-      vals(i) =
-        if (c.nullable && r == "\\N") null
-        else c.dt match {
-          case LongType => java.lang.Long.parseLong(unescape(r))
-          case IntegerType => java.lang.Integer.parseInt(unescape(r))
-          case BooleanType => r.charAt(0) match {
-            case 't' => java.lang.Boolean.TRUE
-            case 'f' => java.lang.Boolean.FALSE
-            case _ => throw new IllegalArgumentException(s"bad bool `$r`")
-          }
-          case StringType => unescape(r)
-          case TimestampType => parseTimestamp(unescape(r))
-          case DoubleType => java.lang.Double.parseDouble(unescape(r))
-          case other => throw new IllegalArgumentException(s"unsupported type $other")
+  def rowParser(table: Schema.Table, idx: Array[Int]): String => Row = {
+    val parsers: Array[String => Any] = table.cols.map { c =>
+      val base: String => Any = c.dt match {
+        case LongType => r => java.lang.Long.parseLong(unescape(r))
+        case IntegerType => r => java.lang.Integer.parseInt(unescape(r))
+        case BooleanType => r => r.charAt(0) match {
+          case 't' => java.lang.Boolean.TRUE
+          case 'f' => java.lang.Boolean.FALSE
+          case _ => throw new IllegalArgumentException(s"bad bool `$r`")
         }
-      i += 1
+        case StringType => r => unescape(r)
+        case TimestampType => r => parseTimestamp(unescape(r))
+        case DoubleType => r => java.lang.Double.parseDouble(unescape(r))
+        case other => throw new IllegalArgumentException(s"unsupported type $other")
+      }
+      if (c.nullable) { r: String => if (r == "\\N") null else base(r) } else base
+    }.toArray
+    val reorder = idx
+    line => {
+      val raw = splitTabs(line)
+      val vals = new Array[Any](reorder.length)
+      var i = 0
+      while (i < reorder.length) {
+        vals(i) = parsers(i)(raw(reorder(i)))
+        i += 1
+      }
+      Row.fromSeq(vals.toSeq)
     }
-    Row.fromSeq(vals.toSeq)
   }
+
+  /** One-off decode (tests / single rows); hot paths use [[rowParser]]. */
+  def decode(table: Schema.Table, idx: Array[Int], line: String): Row =
+    rowParser(table, idx)(line)
 
   /** Tab split that keeps empty trailing fields (member_role is often ""). */
   private def splitTabs(line: String): Array[String] = line.split("\t", -1)

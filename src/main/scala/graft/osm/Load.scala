@@ -25,16 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object Load {
 
+  /** Find the COPY header line of a staged table text file. */
+  def copyHeader(textPath: String): String = {
+    val src = Source.fromFile(textPath, "UTF-8")
+    try src.getLines().find(_.startsWith("COPY "))
+      .getOrElse(throw new IllegalStateException(s"no COPY header in $textPath"))
+    finally src.close()
+  }
+
   /** Decode one staged table text file into a typed DataFrame. */
   def decodeTable(spark: SparkSession, table: Schema.Table, textPath: String): DataFrame = {
-    val header = Source.fromFile(textPath, "UTF-8").getLines()
-      .find(_.startsWith("COPY "))
-      .getOrElse(throw new IllegalStateException(s"no COPY header in $textPath"))
-    val idx = CopyDecoder.reorder(table, CopyDecoder.parseCopyHeader(header))
+    val idx = CopyDecoder.reorder(table, CopyDecoder.parseCopyHeader(copyHeader(textPath)))
     val enc = Encoders.row(table.schema)
+    val parser = CopyDecoder.rowParser(table, idx)
     spark.read.textFile(textPath)
       .filter(CopyDecoder.isDataLine _)
-      .map(line => CopyDecoder.decode(table, idx, line))(enc)
+      .map(parser)(enc)
   }
 
   /** Extract one table to staging text via pg_restore; returns the path.

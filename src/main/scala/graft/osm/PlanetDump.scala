@@ -32,7 +32,9 @@ object PlanetDump {
     val db = OsmDb(spark, s"$workDir/tables")
 
     val cs = Assemble.changesets(db).persist(StorageLevel.MEMORY_AND_DISK)
-    lazy val needElements = outputs.exists(o => o.kind == XmlPlanet || o.kind == XmlHistory)
+    // every kind except the changeset-only XML outputs touches elements
+    val needElements = outputs.exists(o =>
+      o.kind != XmlChangesets && o.kind != XmlDiscussions)
     lazy val nodesH = Assemble.nodes(db).persist(StorageLevel.MEMORY_AND_DISK)
     lazy val waysH = Assemble.ways(db).persist(StorageLevel.MEMORY_AND_DISK)
     lazy val relsH = Assemble.relations(db).persist(StorageLevel.MEMORY_AND_DISK)

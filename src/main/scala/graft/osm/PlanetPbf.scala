@@ -79,39 +79,27 @@ object PlanetPbf {
                     nodes: DataFrame, ways: DataFrame, relations: DataFrame,
                     denseNodes: Boolean = true): Unit = {
     val partsRoot = Paths.get(path + ".parts")
-    XmlSink.deleteRecursive(partsRoot)
+    PartSink.deleteRecursive(partsRoot)
     val sections = Seq(("nodes", nodes, feedNode _: (PbfWriter, Row) => Unit),
       ("ways", ways, feedWay _), ("relations", relations, feedRelation _))
-    sections.foreach { case (name, df, feed) =>
+    val written = sections.map { case (name, df, feed) =>
       val dir = partsRoot.resolve(name)
-      Files.createDirectories(dir)
-      val dirStr = dir.toString
-      df.orderBy(col("id"), col("version")).foreachPartition { (it: Iterator[Row]) =>
-        if (it.hasNext) {
-          val pid = org.apache.spark.TaskContext.get().partitionId()
-          val f = new java.io.File(dirStr, f"part-$pid%05d.pbf")
-          val os = new BufferedOutputStream(new FileOutputStream(f), 1 << 16)
-          val w = new PbfWriter(os, generator, history, anon, denseNodes, maxTime,
-            writeHeader = false)
-          try { it.foreach(feed(w, _)); w.finish() } finally os.close()
-        }
+      val ids = PartSink.writeParts(df.orderBy(col("id"), col("version")), dir) { (it, os) =>
+        val w = new PbfWriter(os, generator, history, anon, denseNodes, maxTime,
+          writeHeader = false)
+        it.foreach(feed(w, _))
+        w.finish()
       }
+      (dir, ids)
     }
     val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
     try {
       val headerOnly = new java.io.ByteArrayOutputStream()
       new PbfWriter(headerOnly, generator, history, anon, denseNodes, maxTime).finish()
       out.write(headerOnly.toByteArray)
-      sections.foreach { case (name, _, _) =>
-        val dir = partsRoot.resolve(name)
-        if (Files.isDirectory(dir)) {
-          Files.list(dir).toArray.map(_.asInstanceOf[java.nio.file.Path])
-            .sortBy(_.getFileName.toString)
-            .foreach(p => Files.copy(p, out))
-        }
-      }
+      written.foreach { case (dir, ids) => PartSink.concat(out, dir, ids) }
     } finally out.close()
-    XmlSink.deleteRecursive(partsRoot)
+    PartSink.deleteRecursive(partsRoot)
   }
 
   private def tagsOf(r: Row): Iterator[(String, String)] =

@@ -49,7 +49,10 @@ final class PbfWriter(out: OutputStream, generator: String, history: Boolean,
       strMap.put(s, id)
       val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       strList.add(b)
-      strApproxSize += s.length + (if (s.length > 128) 2 else 1)
+      // UTF-8 BYTE size, like the reference's std::string::size() —
+      // char count would under-estimate non-ASCII tables ~3× and shift
+      // block boundaries off the golden layout
+      strApproxSize += b.length + (if (b.length > 128) 2 else 1)
       id
     }
   }

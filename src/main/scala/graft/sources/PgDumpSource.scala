@@ -117,14 +117,12 @@ final class PgDumpPartitionReader(tableDef: Schema.Table, required: StructType,
 
   // header-driven reorder for the full table row, then project to the
   // required subset (pruning = those columns are never parsed)
-  private val header = scala.io.Source.fromFile(p.textPath, "UTF-8").getLines()
-    .find(_.startsWith("COPY "))
-    .getOrElse(throw new IllegalStateException(s"no COPY header in ${p.textPath}"))
-  private val dumpCols = CopyDecoder.parseCopyHeader(header)
+  private val dumpCols = CopyDecoder.parseCopyHeader(graft.osm.Load.copyHeader(p.textPath))
   private val prunedTable = Schema.Table(tableDef.name,
     required.fields.map(f => tableDef.cols.find(_.name == f.name).get).toSeq,
     tableDef.sortKeys)
-  private val idx = CopyDecoder.reorder(prunedTable, dumpCols)
+  private val parser = CopyDecoder.rowParser(prunedTable,
+    CopyDecoder.reorder(prunedTable, dumpCols))
   private val toInternal =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(required).createSerializer()
 
@@ -136,7 +134,7 @@ final class PgDumpPartitionReader(tableDef: Schema.Table, required: StructType,
       val line = readLine()
       if (line == null) return false
       if (CopyDecoder.isDataLine(line)) {
-        current = toInternal(CopyDecoder.decode(prunedTable, idx, line)).copy()
+        current = toInternal(parser(line)).copy()
         return true
       }
     }
