@@ -69,7 +69,9 @@ object TextFunctions {
     * ties break to the lexicographically first code; zero hits → "und".
     */
   def langId(text: Column): Column = {
-    val t = tokens(text)
+    // NULL text behaves like empty (zero hits -> "und"), matching
+    // langIdRelational's explode_outer path
+    val t = tokens(coalesce(text, lit("")))
     val scored = langMarkers.map { case (code, words) =>
       (code, size(filter(t, x => x.isin(words.map(lit(_)): _*))))
     }

@@ -63,7 +63,6 @@ object Dedup {
                       bands: Int = 16, rows: Int = 4, n: Int = 3,
                       minJaccardPpm: Long = 500000L): DataFrame = {
     val numHashes = bands * rows
-    val spark = df.sparkSession
     val docs = df.select(col(idCol).as("doc_id"), shingles(text, n).as("sh"))
     // hash each shingle ONCE; seed s's value derives from (hg, s) —
     // and all numHashes min-reductions run as ONE codegen'd hash agg
@@ -89,7 +88,7 @@ object Dedup {
     val shB = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1000000L) /
+        round(size(array_intersect(col("sh_a"), col("sh_b"))) * 1000000.0 /
           size(array_union(col("sh_a"), col("sh_b")))).cast("long").as("jaccard_ppm"))
       .filter(col("jaccard_ppm") >= minJaccardPpm)
   }

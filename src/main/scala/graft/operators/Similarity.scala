@@ -34,12 +34,16 @@ object Similarity {
   /** Exact top-k neighbors for each query vector (brute force).
     * Returns (query_id, neighbor_id, rank, cosine_ppm).
     */
+  /** `excludeSelf` assumes queries and vectors share an id space (the
+    * self-query case); pass false when they are distinct tables whose
+    * ids may coincide.
+    */
   def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qIdCol: String, qVecCol: String,
-                     k: Int): DataFrame = {
-    val scored = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__q"))
+                     k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val all = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__q"))
       .crossJoin(vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val scored = (if (excludeSelf) all.filter(col("query_id") =!= col("neighbor_id")) else all)
       .withColumn("cosine_ppm", round(cosine(col("__q"), col("__v")) * 1e6).cast("long"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine_ppm").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
@@ -47,13 +51,15 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: plane p component i is a
-    * zero-mean value derived from xxhash64(p, i). Signature bit p is
-    * the sign of v·plane_p. All codegen'd native functions.
+    * zero-mean value derived from xxhash64(p, i); the dimension comes
+    * from the vector itself (a fixed mismatched dim would null-poison
+    * the aggregate and collapse every vector into one bucket).
+    * Signature bit p is the sign of v·plane_p.
     */
-  def lshSignature(vec: Column, planes: Int, dim: Int): Column =
+  def lshSignature(vec: Column, planes: Int): Column =
     transform(sequence(lit(0), lit(planes - 1)), p => {
       val s = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) =>
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
           x.cast("double") *
             (xxhash64(concat(p.cast("string"), lit("_"), i.cast("string"))) % 1000001).cast("double")),
         lit(0.0), (acc, v) => acc + v)
@@ -65,9 +71,9 @@ object Similarity {
     * trades bucket size vs. recall.
     */
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
-              planes: Int = 8, dim: Int = 64): DataFrame = {
+              planes: Int = 8): DataFrame = {
     val sig = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .withColumn("bucket", concat_ws("", lshSignature(col("vec"), planes, dim)))
+      .withColumn("bucket", concat_ws("", lshSignature(col("vec"), planes)))
     val a = sig.select(col("bucket"), col("vid").as("query_id"), col("vec").as("__q"))
     val b = sig.select(col("bucket"), col("vid").as("neighbor_id"), col("vec").as("__v"))
     val scored = a.join(b, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
@@ -91,13 +97,13 @@ object Similarity {
     */
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
               nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val spark = vectors.sparkSession
     val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
     val n = v.count()
-    val stride = math.max(1, n / nLists)
+    val effLists = math.max(1L, math.min(nLists.toLong, n))
+    val stride = math.max(1L, n / effLists)
     val centroids = broadcast(
       v.withColumn("__rn", row_number().over(Window.orderBy(col("vid"))))
-        .filter((col("__rn") % stride === 1) && col("__rn") <= stride * nLists)
+        .filter(((col("__rn") - 1) % stride === 0) && col("__rn") <= stride * effLists)
         .select(col("vid").as("cid"), col("vec").as("cvec")))
     // assign each vector to its single nearest centroid (rank 1)
     val wAssign = Window.partitionBy("vid").orderBy(col("__sim").desc, col("cid"))
@@ -122,9 +128,9 @@ object Similarity {
     * candidates, exact verify), id_a < id_b.
     */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                         minCosinePpm: Long, planes: Int = 6, dim: Int = 64): DataFrame = {
+                         minCosinePpm: Long, planes: Int = 6): DataFrame = {
     val sig = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .withColumn("bucket", concat_ws("", lshSignature(col("vec"), planes, dim)))
+      .withColumn("bucket", concat_ws("", lshSignature(col("vec"), planes)))
     val a = sig.select(col("bucket"), col("vid").as("id_a"), col("vec").as("__a"))
     val b = sig.select(col("bucket"), col("vid").as("id_b"), col("vec").as("__b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))

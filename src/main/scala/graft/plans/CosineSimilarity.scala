@@ -17,8 +17,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * fixed-dim in practice).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
+  override def inputTypes = org.apache.spark.sql.graft.TypeShim.twoFloatArrays
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
@@ -44,13 +46,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double x = (double) $a.getFloat($i);
-         |  double y = (double) $b.getFloat($i);
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin

@@ -16,12 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * (functions.TextFunctions.simhash64's unrolled form) with one loop
   * per row; outputs are identical.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
+  override def inputTypes = org.apache.spark.sql.graft.TypeShim.oneString
   override def dataType: DataType = DecimalType(20, 0)
   override def nullIntolerant: Boolean = true
-
-  private val two = java.math.BigInteger.TWO
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString

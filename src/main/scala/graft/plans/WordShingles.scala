@@ -24,8 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * occurrence.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
+  override def inputTypes = org.apache.spark.sql.graft.TypeShim.oneString
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 

@@ -25,7 +25,11 @@ import graft.osm.{CopyDecoder, Schema}
   * input partitions over the staged text — each reader aligns to the
   * next line boundary after its split start (Hadoop-text-style) and
   * decodes rows with column pruning pushed into the decoder: only the
-  * columns Catalyst asks for are parsed.
+  * columns Catalyst asks for are parsed (an empty projection — a bare
+  * count — decodes nothing per row).
+  *
+  * The staged text path must be visible to the executors: local disk
+  * in local mode, shared storage on a cluster.
   */
 class PgDumpSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -64,7 +68,7 @@ final class PgDumpScanBuilder(tableDef: Schema.Table, dumpPath: String, staging:
   private var required: StructType = tableDef.schema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    if (requiredSchema.nonEmpty) required = requiredSchema
+    required = requiredSchema // empty = count-style scan, decode nothing
 
   override def build(): Scan = new PgDumpScan(tableDef, dumpPath, staging, required)
 }

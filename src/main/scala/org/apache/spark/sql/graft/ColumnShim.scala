@@ -24,3 +24,14 @@ object ColumnShim {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 }
+
+/** Input-type specs for custom expressions: `AbstractDataType` is
+  * private[sql], so third-party ExpectsInputTypes implementations get
+  * their Seq values from inside the namespace (return types inferred).
+  */
+object TypeShim {
+  import org.apache.spark.sql.types._
+  val oneString: Seq[AbstractDataType] = Seq(StringType)
+  val twoFloatArrays: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+}
