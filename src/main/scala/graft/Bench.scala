@@ -25,14 +25,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def execute(name: String): Double = {
+    def execute(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
 
     val names = SparkEntry.allQueries.map(_.name)
@@ -42,9 +43,14 @@ object Bench {
     catch { case _: Throwable => }
 
     val results = names.map(n => n -> execute(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // failed queries still count their elapsed time toward the total (a
+    // crash must never IMPROVE the headline metric) and are listed
+    val total = results.map(_._2._1).sum
+    val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    def jsonStr(x: String): String =
+      "\"" + x.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":${jsonStr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -26,14 +26,24 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
     * reader rejects; read it as raw Long ns (legacy conf) and convert to
-    * TimestampType at µs precision (the source data is µs-grained, so
-    * truncation is lossless). Stays fully codegen'd / pushdown-friendly.
+    * TimestampType at µs precision. NOTE the data carries real sub-µs
+    * components — truncation matches what a DuckDB-1.0 oracle reading
+    * the same file produces (it also truncates ns→µs), which is the
+    * contract the correctness gate checks. The legacy conf is restored
+    * after schema resolution (it is read eagerly at `read.parquet`).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions._
-    apply(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      import org.apache.spark.sql.functions._
+      apply(s, d, "events")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

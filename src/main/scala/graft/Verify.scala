@@ -20,6 +20,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove the partial dir so the driver's per-directory glob
+        // compare fails only this query, not the whole run
+        val d = new java.io.File(s"$outDir/$name")
+        if (d.isDirectory) {
+          java.nio.file.Files.walk(d.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -348,8 +348,8 @@ object CoreQueries {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) {
       (s, d) =>
         Tables.lineitem(s, d).groupBy("l_returnflag")
-          .agg(round(percentile(col("l_quantity"), lit(0.5)) * 100).cast("long").as("p50_cents"),
-            round(percentile(col("l_quantity"), lit(0.95)) * 100).cast("long").as("p95_cents"),
+          .agg(cents(percentile(col("l_quantity"), lit(0.5))).as("p50_cents"),
+            cents(percentile(col("l_quantity"), lit(0.95))).as("p95_cents"),
             countDistinct(col("l_partkey")).as("n_parts"),
             countDistinct(col("l_suppkey")).as("n_supps"))
     },
@@ -364,8 +364,7 @@ object CoreQueries {
       (s, d) =>
         Tables.orders(s, d)
           .groupBy(floor(col("o_totalprice") / 5000).cast("long").as("bucket"))
-          .agg(count(lit(1)).as("n"),
-            round(min("o_totalprice") * 100).cast("long").as("min_cents"))
+          .agg(count(lit(1)).as("n"), cents(min("o_totalprice")).as("min_cents"))
     },
 
     // cube (full grouping-set lattice; q20 covers rollup).

@@ -53,7 +53,7 @@ object TextQueries {
 
     QueryDef.sql("q27_lang_id",
       """WITH toks AS (
-        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
         |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
         |  FROM documents),
         |hits AS (
@@ -80,9 +80,13 @@ object TextQueries {
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         |  FROM documents WHERE doc_id < 80),
         |sh AS (
+        |  -- parity with WordShingles: fewer than n tokens -> ONE shingle
+        |  -- of all tokens (empty text -> none)
         |  SELECT DISTINCT doc_id,
-        |         unnest(list_transform(generate_series(1, len(t) - 2),
-        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+        |                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                     ELSE list_transform(generate_series(1, len(t) - 2),
+        |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
         |  FROM toks),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
