@@ -19,13 +19,16 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
-  /** BPE-ish subword count: tokens re-split on letter/digit/punct
-    * boundaries (a cheap proxy for byte-pair tokenizers: counts word
-    * pieces rather than words).
+  /** BPE-ish subword count: maximal letter/digit runs plus individual
+    * non-space punctuation marks (a cheap proxy for byte-pair
+    * tokenizers: counts word pieces rather than words). Expressed as a
+    * match count — `[\p{L}\p{N}]+|[^\p{L}\p{N}\s]` — which both Java
+    * regex and RE2-class oracle engines evaluate identically (the
+    * round-1 lookaround form was not oracle-expressible).
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
-      t => length(t) > 0)).cast("long")
+    size(regexp_extract_all(text, lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
+      .cast("long")
 
   /** Mean token length in chars ×1000 as integer (hash-stable). */
   def meanTokenLenMilli(text: Column): Column = {

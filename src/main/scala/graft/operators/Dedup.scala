@@ -36,16 +36,6 @@ object Dedup {
   def shingles(text: Column, n: Int = 3): Column =
     graft.plans.WordShingles.word_shingles(text, n)
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum over the shingle set of xxhash64(seed ⊕ shingle).
-    */
-  def minhashSignature(text: Column, numHashes: Int = 64, n: Int = 3): Column = {
-    val sh = shingles(text, n)
-    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
-      aggregate(sh, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(concat(s, lit("#"), seed.cast("string"))))))
-  }
-
   /** MinHash+LSH candidate pairs: signatures split into `bands` bands
     * of `rows` hashes; docs sharing any band bucket become candidates,
     * then exact n-gram Jaccard verifies. Returns
@@ -75,7 +65,41 @@ object Dedup {
     val bucketCols = (0 until bands).map { bnd =>
       xxhash64((bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i")): _*).as(s"bk$bnd")
     }
-    val banded = minh.select(col("doc_id") +: bucketCols: _*)
+    bandJoinVerify(docs, minh.select(col("doc_id") +: bucketCols: _*), bands, minJaccardPpm)
+  }
+
+  /** Oracle-verifiable MinHash+LSH twin: the same banding + bucket-join
+    * + exact-Jaccard-verify pipeline as [[minhashLshPairs]], but the
+    * hash family is the first 16 hex chars of md5 — lexicographic order
+    * on fixed-width lowercase hex IS unsigned numeric order, so the min
+    * reduction, band buckets (md5 of the concatenated mins) and verify
+    * all replicate on any engine with md5. xxhash64 stays the fast
+    * path; this twin is how the correctness gate proves the algorithm.
+    */
+  def minhashLshPairsMd5(df: DataFrame, idCol: String, text: Column,
+                         bands: Int = 8, rows: Int = 2, n: Int = 3,
+                         minJaccardPpm: Long = 0L): DataFrame = {
+    val numHashes = bands * rows
+    val docs = df.select(col(idCol).as("doc_id"), shingles(text, n).as("sh"))
+    val shingleRows = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val minAggs = (0 until numHashes).map(s =>
+      min(substring(md5(concat(col("g"), lit(s"#$s"))), 1, 16)).as(s"m$s"))
+    val minh = shingleRows.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bucketCols = (0 until bands).map { bnd =>
+      md5(concat_ws("|", (bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i")): _*))
+        .as(s"bk$bnd")
+    }
+    bandJoinVerify(docs, minh.select(col("doc_id") +: bucketCols: _*), bands, minJaccardPpm)
+  }
+
+  /** Shared LSH tail: explode band buckets, equi-join on (band, bucket),
+    * dedup candidate pairs, then verify each candidate ONCE with exact
+    * n-gram Jaccard. `bucketed` carries (doc_id, bk0..bk{bands-1});
+    * `docs` carries (doc_id, sh).
+    */
+  private def bandJoinVerify(docs: DataFrame, bucketed: DataFrame, bands: Int,
+                             minJaccardPpm: Long): DataFrame = {
+    val banded = bucketed
       .select(col("doc_id"),
         posexplode(array((0 until bands).map(bnd => col(s"bk$bnd")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -113,14 +137,51 @@ object Dedup {
 
   /** SimHash near-dup buckets: docs sharing the top-`prefixBits` bits
     * of their simhash are near-dup candidates (cheap single shuffle).
+    * `prefixBits` ∈ [1, 32]; the bucket is computed with exact integer
+    * arithmetic (subtract-mod then divide, then shift) — decimal
+    * division alone rounds HALF_UP at the result scale, which can push
+    * a fingerprint just below a bucket boundary into the wrong bucket.
     */
   def simhashBuckets(df: DataFrame, idCol: String, text: Column, prefixBits: Int = 16): DataFrame = {
+    require(prefixBits >= 1 && prefixBits <= 32,
+      s"prefixBits must be in [1,32], got $prefixBits")
     // single-pass expression, bit-identical to TextFunctions.simhash64
     // but one eval per row instead of 64 per-bit aggregate passes
     val sim = graft.plans.SimHash64.simhash64(text)
+    val pow32 = lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(32)))
     df.select(col(idCol).as("doc_id"), sim.as("simhash"))
+      // top 32 bits, exactly: (x - x % 2^32) / 2^32 divides a multiple
+      // of the divisor (no fractional part to round), then a plain
+      // shift selects the top prefixBits
       .withColumn("bucket",
-        (col("simhash") / java.math.BigDecimal.valueOf(2).pow(64 - prefixBits).longValue())
-          .cast("long"))
+        shiftrightunsigned(
+          ((col("simhash") - (col("simhash") % pow32)) / pow32).cast("long"),
+          32 - prefixBits))
+  }
+
+  /** Oracle-verifiable SimHash twin of [[simhashBuckets]]'s fingerprint:
+    * per-token 64-bit hash from the first 16 hex chars of md5, bit votes
+    * summed in one hash aggregate (64 conditional sums — partial-
+    * aggregatable, no row multiplication), fingerprint returned as two
+    * 32-bit halves (fp_hi, fp_lo) so every engine stays in int64.
+    * Docs with no tokens produce no row (both engines drop them).
+    */
+  def simhashMd5(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(text)).as("__t"))
+    val h = md5(col("__t"))
+    val withBits = toks.select(col("doc_id"),
+      conv(substring(h, 1, 8), 16, 10).cast("long").as("__hi"),
+      conv(substring(h, 9, 8), 16, 10).cast("long").as("__lo"))
+    val voteAggs = (0 until 64).map { b =>
+      val word = if (b < 32) col("__lo") else col("__hi")
+      sum(when(shiftright(word, b % 32).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    val votes = withBits.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+    def half(lowBit: Int): Column =
+      (lowBit until lowBit + 32)
+        .map(b => when(col(s"v$b") > 0, lit(1L << (b - lowBit))).otherwise(lit(0L)))
+        .reduce(_ + _)
+    votes.select(col("doc_id"), half(32).as("fp_hi"), half(0).as("fp_lo"))
   }
 }

@@ -40,15 +40,19 @@ object Multimodal {
     * blob into an 8-dim feature from byte statistics. Runs per batch
     * inside mapPartitions, the same call shape a vectorized decoder
     * (batch in, batch out) would use.
+    *
+    * Accumulates in double (sequential, ascending index) and narrows to
+    * float once at the end — pure byte arithmetic an oracle engine can
+    * reproduce exactly, which is what makes q33 hash-verifiable.
     */
   private def fakeDecode(blob: Array[Byte]): Array[Float] = {
-    val f = new Array[Float](8)
+    val acc = new Array[Double](8)
     var i = 0
     while (i < blob.length) {
-      f(i % 8) += (blob(i) & 0xff) / 255.0f
+      acc(i % 8) += (blob(i) & 0xff) / 255.0
       i += 1
     }
-    f
+    acc.map(_.toFloat)
   }
 
   /** Batched feature extraction over the binary column. `batchSize`

@@ -51,20 +51,14 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: plane p component i is a
-    * zero-mean value derived from xxhash64(p, i); the dimension comes
-    * from the vector itself (a fixed mismatched dim would null-poison
-    * the aggregate and collapse every vector into one bucket).
-    * Signature bit p is the sign of v·plane_p.
+    * zero-mean value derived from splitmix64(p, i); the dimension comes
+    * from the vector itself. Signature bit p is the sign of v·plane_p,
+    * packed into one long — a single codegen'd loop per row (see
+    * plans.LshSignature; the hyperplanes are data-independent and cost
+    * a few ALU ops per component, nothing is hashed per row).
     */
   def lshSignature(vec: Column, planes: Int): Column =
-    transform(sequence(lit(0), lit(planes - 1)), p => {
-      val s = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-          x.cast("double") *
-            (xxhash64(concat(p.cast("string"), lit("_"), i.cast("string"))) % 1000001).cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      when(s >= 0, 1).otherwise(0)
-    })
+    graft.plans.LshSignature.lsh_signature(vec, planes)
 
   /** LSH-bucketed ANN: candidates share a signature bucket; exact
     * cosine re-ranks within buckets. Recall < 1 by design; `planes`
@@ -73,7 +67,7 @@ object Similarity {
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
               planes: Int = 8): DataFrame = {
     val sig = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .withColumn("bucket", concat_ws("", lshSignature(col("vec"), planes)))
+      .withColumn("bucket", lshSignature(col("vec"), planes))
     val a = sig.select(col("bucket"), col("vid").as("query_id"), col("vec").as("__q"))
     val b = sig.select(col("bucket"), col("vid").as("neighbor_id"), col("vec").as("__v"))
     val scored = a.join(b, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
@@ -86,8 +80,9 @@ object Similarity {
   /** IVF (inverted-file) ANN: vectors partition into `nLists` cells by
     * nearest centroid; a query scans only its `nProbe` nearest cells.
     *
-    * Centroids here are a deterministic sample (every (N/nLists)-th
-    * vector by id) rather than trained k-means — the partitioning
+    * Centroids here are a deterministic pseudo-random sample (first
+    * nLists vectors in md5(id) order) rather than trained k-means — the
+    * partitioning
     * quality differs, the *plan shape* doesn't: a broadcast
     * centroid-assignment projection, a cell-keyed equi-join in place of
     * the cross join, and exact re-ranking inside probed cells. At scale
@@ -98,22 +93,28 @@ object Similarity {
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
               nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-    val n = v.count()
-    val effLists = math.max(1L, math.min(nLists.toLong, n))
-    val stride = math.max(1L, n / effLists)
+    // Deterministic pseudo-random pick of nLists centroids: order by
+    // md5(vid) and take the first nLists. Compiles to
+    // TakeOrderedAndProject — each partition keeps its local top-nLists
+    // and only those rows meet at the driver-side merge; no global
+    // shuffle, no extra count() job, no unpartitioned window (the
+    // round-1 scale-killer). md5 keeps the choice oracle-expressible.
     val centroids = broadcast(
-      v.withColumn("__rn", row_number().over(Window.orderBy(col("vid"))))
-        .filter(((col("__rn") - 1) % stride === 0) && col("__rn") <= stride * effLists)
+      v.orderBy(md5(col("vid").cast("string")), col("vid"))
+        .limit(nLists)
         .select(col("vid").as("cid"), col("vec").as("cvec")))
-    // assign each vector to its single nearest centroid (rank 1)
+    // assign each vector to its single nearest centroid (rank 1);
+    // ranking on the ppm-rounded similarity (with cid tie-break) keeps
+    // the assignment reproducible across engines — raw-double ordering
+    // would be ulp-sensitive.
     val wAssign = Window.partitionBy("vid").orderBy(col("__sim").desc, col("cid"))
     val assigned = v.crossJoin(centroids)
-      .withColumn("__sim", cosine(col("vec"), col("cvec")))
+      .withColumn("__sim", round(cosine(col("vec"), col("cvec")) * 1e6).cast("long"))
       .withColumn("__r", row_number().over(wAssign)).filter(col("__r") === 1)
       .select(col("vid"), col("vec"), col("cid").as("cell"))
     // each query probes its nProbe nearest cells
     val probes = v.crossJoin(centroids)
-      .withColumn("__sim", cosine(col("vec"), col("cvec")))
+      .withColumn("__sim", round(cosine(col("vec"), col("cvec")) * 1e6).cast("long"))
       .withColumn("__r", row_number().over(wAssign)).filter(col("__r") <= nProbe)
       .select(col("vid").as("query_id"), col("vec").as("__q"), col("cid").as("cell"))
     val scored = probes.join(assigned, Seq("cell"))

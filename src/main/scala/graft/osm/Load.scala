@@ -50,11 +50,19 @@ object Load {
     Files.createDirectories(Paths.get(stagingDir))
     val out = s"$stagingDir/$table.txt"
     if (!Files.exists(Paths.get(out))) {
-      val tmp = s"$out.tmp"
+      // attempt-unique tmp name: concurrent callers staging the same
+      // table each write their own file; the losers' ATOMIC_MOVE onto
+      // an existing target is simply discarded (same bytes either way)
+      val tmp = s"$out.${java.util.UUID.randomUUID().toString.take(8)}.tmp"
       val cmd = Seq("pg_restore", "-a", "-f", tmp, "-t", table, dumpFile)
       val rc = cmd.!
       require(rc == 0, s"pg_restore failed ($rc) for table $table")
-      Files.move(Paths.get(tmp), Paths.get(out))
+      try Files.move(Paths.get(tmp), Paths.get(out),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(Paths.get(tmp)) // another caller won the race
+      }
     }
     out
   }

@@ -346,12 +346,27 @@ object CoreQueries {
         |       count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) {
-      (s, d) =>
-        Tables.lineitem(s, d).groupBy("l_returnflag")
+      (s, d) => {
+        // Three column-pruned aggregations joined on the (tiny) group key
+        // instead of one agg with two countDistincts + exact percentiles:
+        // that single-agg form forces an Expand (3× row multiplication
+        // into one mega shuffle). Here each distinct count partial-
+        // aggregates map-side and shuffles only distinct (flag, key)
+        // pairs; the exact percentile — the oracle contract; swap in
+        // approx_percentile at 100 TB — sorts only (flag, quantity).
+        // The 3-row joins broadcast.
+        val li = Tables.lineitem(s, d)
+        val pct = li.groupBy("l_returnflag")
           .agg(cents(percentile(col("l_quantity"), lit(0.5))).as("p50_cents"),
-            cents(percentile(col("l_quantity"), lit(0.95))).as("p95_cents"),
-            countDistinct(col("l_partkey")).as("n_parts"),
-            countDistinct(col("l_suppkey")).as("n_supps"))
+            cents(percentile(col("l_quantity"), lit(0.95))).as("p95_cents"))
+        val parts = li.select("l_returnflag", "l_partkey")
+          .where(col("l_partkey").isNotNull).distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n_parts"))
+        val supps = li.select("l_returnflag", "l_suppkey")
+          .where(col("l_suppkey").isNotNull).distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n_supps"))
+        pct.join(parts, "l_returnflag").join(supps, "l_returnflag")
+      }
     },
 
     // histogram binning (explicit floor buckets — the oracle engine

@@ -13,6 +13,80 @@ object TextQueries {
 
   private val enStop = Seq("the", "and", "of", "to", "is")
 
+  /** Oracle for q29b: the md5 MinHash+LSH pipeline in DuckDB SQL,
+    * generated so the hash count / banding stays in sync with the Spark
+    * call (bands = 8, rows = 2). Candidates with zero common shingles
+    * still appear (left join), matching the engine's verify-all shape.
+    */
+  private val minhashMd5OracleSql: String = {
+    val bands = 8
+    val rows = 2
+    val mins = (0 until bands * rows)
+      .map(s => s"min(substr(md5(g || '#$s'), 1, 16)) AS m$s").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val bk = (b * rows until (b + 1) * rows).map(i => s"m$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($bk) AS bucket FROM minh"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+       |                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |                     ELSE list_transform(generate_series(1, len(t) - 2),
+       |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+       |  FROM toks),
+       |minh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |inters AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b AND sa.g = sb.g
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+       |SELECT c.id_a, c.id_b,
+       |       CAST(round(coalesce(i.inter, 0) * 1000000.0
+       |            / (sa.n_sh + sb.n_sh - coalesce(i.inter, 0))) AS BIGINT) AS jaccard_ppm
+       |FROM cand c
+       |LEFT JOIN inters i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |JOIN sizes sa ON sa.doc_id = c.id_a
+       |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin
+  }
+
+  /** Oracle for q30b: md5 SimHash bit votes + sign fingerprint as two
+    * int64 halves, generated to keep the 64 vote terms in sync with
+    * Dedup.simhashMd5.
+    */
+  private val simhashMd5OracleSql: String = {
+    val votes = (0 until 64).map { b =>
+      val word = if (b < 32) "lo" else "hi"
+      s"sum(CASE WHEN ($word >> ${b % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(", ")
+    def half(lowBit: Int): String =
+      (lowBit until lowBit + 32)
+        .map(b => s"(CASE WHEN v$b > 0 THEN CAST(1 AS BIGINT) << ${b - lowBit} ELSE 0 END)")
+        .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |                             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t
+       |  FROM documents WHERE doc_id < 200),
+       |bits AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hi,
+       |         CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS lo
+       |  FROM toks),
+       |votes AS (SELECT doc_id, $votes FROM bits GROUP BY doc_id)
+       |SELECT doc_id, ${half(32)} AS fp_hi, ${half(0)} AS fp_lo
+       |FROM votes""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef.sql("q24_exact_dedup",
@@ -77,11 +151,15 @@ object TextQueries {
 
     QueryDef.sql("q28_ngram_jaccard_pairs",
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  -- blank/whitespace-only text -> NO tokens (the split of '' is
+        |  -- [''], len 1, which would fabricate a '' shingle and spurious
+        |  -- blank-doc pairs; guard on trimmed length like q25/q40)
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
         |  FROM documents WHERE doc_id < 80),
         |sh AS (
         |  -- parity with WordShingles: fewer than n tokens -> ONE shingle
-        |  -- of all tokens (empty text -> none)
+        |  -- of all tokens (no tokens -> none)
         |  SELECT DISTINCT doc_id,
         |         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
         |                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
@@ -119,6 +197,23 @@ object TextQueries {
           "doc_id", col("text"))
     },
 
+    // md5-based MinHash+LSH twin: the full banding/bucket-join/verify
+    // pipeline hash-verifies against the oracle (hex-string min ==
+    // unsigned numeric min); xxhash64 (q29) stays the fast path.
+    QueryDef.sql("q29b_minhash_lsh_md5", minhashMd5OracleSql) {
+      (s, d) =>
+        Dedup.minhashLshPairsMd5(Tables.documents(s, d),
+          "doc_id", col("text"), bands = 8, rows = 2, minJaccardPpm = 0L)
+    },
+
+    // md5-based SimHash twin: per-token bit votes + sign fingerprint as
+    // two int64 halves, reproduced bit-for-bit by the oracle.
+    QueryDef.sql("q30b_simhash_md5", simhashMd5OracleSql) {
+      (s, d) =>
+        Dedup.simhashMd5(Tables.documents(s, d).filter(col("doc_id") < 200),
+          "doc_id", col("text"))
+    },
+
     QueryDef.sql("q39_normalized_dedup",
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
@@ -139,9 +234,13 @@ object TextQueries {
           meanTokenLenMilli(col("text")).as("mean_len_milli"))
     },
 
-    // BPE-ish subword counting uses lookaround regex (not expressible
-    // in the oracle's RE2 engine) — rows-only.
-    QueryDef.rowsOnly("q41_subword_count") {
+    // BPE-ish subword counting as a match count (letter/digit runs +
+    // single punctuation marks) — Java regex and the oracle's RE2 agree
+    // on these classes, so the count hash-verifies.
+    QueryDef.sql("q41_subword_count",
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS n_subwords
+        |FROM documents""".stripMargin) {
       (s, d) =>
         Tables.documents(s, d).select(col("doc_id"),
           subwordCount(col("text")).as("n_subwords"))
@@ -169,9 +268,23 @@ object TextQueries {
       }
     },
 
-    // Batched binary feature extraction (mapPartitions) — decode is a
-    // deterministic fake (no codecs in this env) → rows-only check.
-    QueryDef.rowsOnly("q33_multimodal_features") {
+    // Batched binary feature extraction (mapPartitions). The decode is
+    // a deterministic fake (no codecs in this env) but is pure byte
+    // arithmetic — double-accumulated in index order, narrowed to float
+    // — so the oracle reproduces it exactly from the blob's hex bytes.
+    QueryDef.sql("q33_multimodal_features",
+      """WITH b AS (
+        |  SELECT doc_id, text, hex(CAST(text AS BLOB)) AS h,
+        |         octet_length(CAST(text AS BLOB)) AS nb
+        |  FROM documents)
+        |SELECT doc_id, nb AS n_bytes, 'application/x-fake' AS mime,
+        |       CAST(length(text) % 64 * 16 AS INTEGER) AS width,
+        |       CAST(length(text) % 48 * 16 AS INTEGER) AS height,
+        |       CAST(round(CAST(coalesce(list_sum(list_transform(
+        |             generate_series(0, CAST(nb AS INTEGER) - 1, 8),
+        |             i -> CAST(('0x' || substr(h, 2*i + 1, 2)) AS BIGINT) / 255.0)), 0.0)
+        |           AS FLOAT) * 1000) AS BIGINT) AS f0_milli
+        |FROM b""".stripMargin) {
       (s, d) =>
         Multimodal.extractFeatures(Multimodal.packBlobs(Tables.documents(s, d)))
           .select(col("doc_id"), col("n_bytes"), col("mime"), col("width"), col("height"),

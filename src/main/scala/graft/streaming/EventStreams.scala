@@ -49,6 +49,12 @@ object EventStreams {
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
                  timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()): Dataset[Session] = {
+    // the gap is a wall-clock inactivity duration: only processing-time
+    // timeouts carry that semantic (setTimeoutDuration throws at
+    // runtime under EventTimeTimeout)
+    require(timeout != GroupStateTimeout.EventTimeTimeout(),
+      "sessionize supports NoTimeout or ProcessingTimeTimeout; " +
+        "event-time session windows need a watermark + setTimeoutTimestamp design")
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, Session](timeout) {
