@@ -111,7 +111,9 @@ object TextFunctions {
   }
 
   /** Document fingerprint: first 16 hex chars of md5 as an unsigned
-    * 64-bit value (SQL-expressible on any engine with md5).
+    * 64-bit value, decimal(20,0) because the top bit overflows a signed
+    * long (SQL-expressible on any engine with md5 + a u64 type; the
+    * oracle compares the stringified value).
     */
   def fingerprint64(text: Column): Column =
     conv(substring(md5(text), 1, 16), 16, 10).cast("decimal(20,0)")

@@ -22,12 +22,51 @@ object PlanetDump {
 
   final case class Output(kind: Kind, path: String, anon: Boolean = false)
 
+  /** Data metainfo (reference `meta-author|source|copyleft|attribution`,
+    * `src/planet-dump.cpp:66-71`): author → the `copyright` header
+    * attribute, copyleft → `license`, attribution → `attribution`,
+    * source → the `<bound origin>` / PBF `source` field
+    * (`src/xml_writer.cpp:418-435`).
+    */
+  final case class Meta(
+      author: String = "OpenStreetMap and contributors",
+      source: String = "http://www.openstreetmap.org/api/0.6",
+      copyleft: String = "http://opendatacommons.org/licenses/odbl/1-0/",
+      attribution: String = "http://www.openstreetmap.org/copyright")
+
+  /** Parse a `--meta-file` (boost program_options config format:
+    * `key = value` lines, `#` comments). CLI-provided values win over
+    * file values, matching boost's first-store-wins semantics
+    * (`src/planet-dump.cpp:104-116` stores the CLI before the file).
+    */
+  def parseMetaFile(path: String, cliOverrides: Map[String, String]): Meta = {
+    val kv = scala.io.Source.fromFile(path, "UTF-8").getLines()
+      .map(_.takeWhile(_ != '#').trim).filter(_.nonEmpty)
+      .flatMap { line =>
+        line.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _ => None
+        }
+      }.toMap
+    def pick(key: String, default: String): String =
+      cliOverrides.getOrElse(key, kv.getOrElse(key, default))
+    val d = Meta()
+    Meta(
+      author = pick("meta-author", d.author),
+      source = pick("meta-source", d.source),
+      copyleft = pick("meta-copyleft", d.copyleft),
+      attribution = pick("meta-attribution", d.attribution))
+  }
+
   /** Run the load once, assemble shared DataFrames once, write every
     * requested output from the shared plans (mirrors the reference's
     * single-pass multi-writer design, `src/planet-dump.cpp:180-249`).
     */
   def run(spark: SparkSession, dumpFile: String, workDir: String,
-          outputs: Seq[Output], generator: String): Unit = {
+          outputs: Seq[Output], generator: String,
+          meta: Meta = Meta(),
+          compressCommand: Option[String] = None,
+          denseNodes: Boolean = true): Unit = {
     val maxTime = Load.run(spark, dumpFile, workDir)
     val db = OsmDb(spark, s"$workDir/tables")
 
@@ -44,18 +83,22 @@ object PlanetDump {
       o.kind match {
         case PbfPlanet =>
           PlanetPbf.write(o.path, generator, history = false, anon, maxTime,
-            Assemble.current(nodesH), Assemble.current(waysH), Assemble.current(relsH))
+            Assemble.current(nodesH), Assemble.current(waysH), Assemble.current(relsH),
+            denseNodes, meta.source)
         case PbfHistory =>
           PlanetPbf.write(o.path, generator, history = true, anon, maxTime,
-            nodesH, waysH, relsH)
+            nodesH, waysH, relsH, denseNodes, meta.source)
         case PbfPlanetParallel =>
           PlanetPbf.writeParallel(o.path, generator, history = false, anon, maxTime,
-            Assemble.current(nodesH), Assemble.current(waysH), Assemble.current(relsH))
+            Assemble.current(nodesH), Assemble.current(waysH), Assemble.current(relsH),
+            denseNodes, meta.source)
         case PbfHistoryParallel =>
           PlanetPbf.writeParallel(o.path, generator, history = true, anon, maxTime,
-            nodesH, waysH, relsH)
+            nodesH, waysH, relsH, denseNodes, meta.source)
         case xmlKind =>
-          val header = XmlFormat.header(generator, maxTime)
+          val header = XmlFormat.header(generator, maxTime,
+            license = meta.copyleft, copyright = meta.author,
+            attribution = meta.attribution, origin = meta.source)
           val sections = xmlKind match {
             case XmlChangesets =>
               Seq(PlanetXml.renderChangesets(cs, anon, discussions = false, maxTime))
@@ -72,7 +115,7 @@ object PlanetDump {
                 PlanetXml.renderWays(Assemble.current(waysH), anon, history = false),
                 PlanetXml.renderRelations(Assemble.current(relsH), anon, history = false))
           }
-          XmlSink.write(o.path, header, sections)
+          XmlSink.write(o.path, header, sections, compressCommand)
       }
     }
 
@@ -80,11 +123,15 @@ object PlanetDump {
     if (needElements) { nodesH.unpersist(); waysH.unpersist(); relsH.unpersist() }
   }
 
-  /** CLI mirroring the reference option names (XML surface; PBF TBD). */
+  /** CLI mirroring the reference option names (`src/planet-dump.cpp:27-116`). */
   def main(args: Array[String]): Unit = {
     var dumpFile: Option[String] = None
     var workDir = "planet-dump-work"
     var generator = "graft-spark"
+    var compressCommand: Option[String] = None
+    var denseNodes = true
+    var metaFile: Option[String] = None
+    val metaCli = scala.collection.mutable.Map[String, String]()
     val outputs = scala.collection.mutable.ArrayBuffer[Output]()
     var i = 0
     while (i < args.length) {
@@ -92,6 +139,11 @@ object PlanetDump {
         case "--dump-file" | "-f" => dumpFile = Some(args(i + 1)); i += 2
         case "--work-dir" => workDir = args(i + 1); i += 2
         case "--generator" => generator = args(i + 1); i += 2
+        case "--compress-command" | "-c" => compressCommand = Some(args(i + 1)); i += 2
+        case "--dense-nodes" | "-d" => denseNodes = args(i + 1).toBoolean; i += 2
+        case "--meta-file" | "-M" => metaFile = Some(args(i + 1)); i += 2
+        case k @ ("--meta-author" | "--meta-source" | "--meta-copyleft" | "--meta-attribution") =>
+          metaCli(k.drop(2)) = args(i + 1); i += 2
         case "--xml" | "-x" => outputs += Output(XmlPlanet, args(i + 1)); i += 2
         case "--xml-no-userinfo" => outputs += Output(XmlPlanet, args(i + 1), anon = true); i += 2
         case "--history-xml" | "-X" => outputs += Output(XmlHistory, args(i + 1)); i += 2
@@ -112,6 +164,15 @@ object PlanetDump {
     }
     require(dumpFile.isDefined, "--dump-file is required")
     require(outputs.nonEmpty, "at least one output is required")
+    val defaults = Meta()
+    val meta = metaFile match {
+      case Some(f) => parseMetaFile(f, metaCli.toMap)
+      case None => Meta(
+        author = metaCli.getOrElse("meta-author", defaults.author),
+        source = metaCli.getOrElse("meta-source", defaults.source),
+        copyleft = metaCli.getOrElse("meta-copyleft", defaults.copyleft),
+        attribution = metaCli.getOrElse("meta-attribution", defaults.attribution))
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("planet-dump")
@@ -120,7 +181,8 @@ object PlanetDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, dumpFile.get, workDir, outputs.toSeq, generator)
+    try run(spark, dumpFile.get, workDir, outputs.toSeq, generator,
+      meta, compressCommand, denseNodes)
     finally spark.stop()
   }
 }

@@ -51,9 +51,10 @@ object PlanetPbf {
   def write(path: String, generator: String, history: Boolean, anon: Boolean,
             maxTime: Option[java.sql.Timestamp],
             nodes: DataFrame, ways: DataFrame, relations: DataFrame,
-            denseNodes: Boolean = true): Unit = {
+            denseNodes: Boolean = true,
+            source: String = "http://www.openstreetmap.org/api/0.6"): Unit = {
     val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
-    val w = new PbfWriter(out, generator, history, anon, denseNodes, maxTime)
+    val w = new PbfWriter(out, generator, history, anon, denseNodes, maxTime, source)
     try {
       nodes.orderBy(col("id"), col("version")).toLocalIterator()
         .forEachRemaining(feedNode(w, _))
@@ -77,7 +78,8 @@ object PlanetPbf {
   def writeParallel(path: String, generator: String, history: Boolean, anon: Boolean,
                     maxTime: Option[java.sql.Timestamp],
                     nodes: DataFrame, ways: DataFrame, relations: DataFrame,
-                    denseNodes: Boolean = true): Unit = {
+                    denseNodes: Boolean = true,
+                    source: String = "http://www.openstreetmap.org/api/0.6"): Unit = {
     val partsRoot = Paths.get(path + ".parts")
     PartSink.deleteRecursive(partsRoot)
     val sections = Seq(("nodes", nodes, feedNode _: (PbfWriter, Row) => Unit),
@@ -86,7 +88,7 @@ object PlanetPbf {
       val dir = partsRoot.resolve(name)
       val ids = PartSink.writeParts(df.orderBy(col("id"), col("version")), dir) { (it, os) =>
         val w = new PbfWriter(os, generator, history, anon, denseNodes, maxTime,
-          writeHeader = false)
+          source, writeHeader = false)
         it.foreach(feed(w, _))
         w.finish()
       }
@@ -95,7 +97,7 @@ object PlanetPbf {
     val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
     try {
       val headerOnly = new java.io.ByteArrayOutputStream()
-      new PbfWriter(headerOnly, generator, history, anon, denseNodes, maxTime).finish()
+      new PbfWriter(headerOnly, generator, history, anon, denseNodes, maxTime, source).finish()
       out.write(headerOnly.toByteArray)
       written.foreach { case (dir, ids) => PartSink.concat(out, dir, ids) }
     } finally out.close()

@@ -248,11 +248,13 @@ object TextQueries {
 
     QueryDef.sql("q31_fingerprint64",
       """SELECT doc_id,
-        |       CAST(md5(text)[1:16] AS VARCHAR) AS fp_hex
+        |       CAST(md5(text)[1:16] AS VARCHAR) AS fp_hex,
+        |       CAST(CAST(('0x' || md5(text)[1:16]) AS UBIGINT) AS VARCHAR) AS fp_u64
         |FROM documents""".stripMargin) {
       (s, d) =>
         Tables.documents(s, d).select(col("doc_id"),
-          substring(md5(col("text")), 1, 16).as("fp_hex"))
+          substring(md5(col("text")), 1, 16).as("fp_hex"),
+          fingerprint64(col("text")).cast("string").as("fp_u64"))
     },
 
     QueryDef.sql("q32_multimodal_meta",

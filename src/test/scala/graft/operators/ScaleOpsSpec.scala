@@ -40,6 +40,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("latestVersionAgg (max_by) equals the window form of latest-per-key") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val win = Relational.latestVersion(ev, Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_id").orderBy("user_id").collect()
+    val agg = Relational.latestVersionAgg(ev, Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_id").orderBy("user_id").collect()
+    assert(win.length === agg.length)
+    win.zip(agg).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("bucketed tables join without a shuffle") {
     val d = "/root/testdata/sf0.001"
     // the shared-session warehouse may hold leftover dirs from earlier
