@@ -99,24 +99,27 @@ object Similarity {
     // and only those rows meet at the driver-side merge; no global
     // shuffle, no extra count() job, no unpartitioned window (the
     // round-1 scale-killer). md5 keeps the choice oracle-expressible.
-    val centroids = broadcast(
-      v.orderBy(md5(col("vid").cast("string")), col("vid"))
-        .limit(nLists)
-        .select(col("vid").as("cid"), col("vec").as("cvec")))
-    // assign each vector to its single nearest centroid (rank 1);
-    // ranking on the ppm-rounded similarity (with cid tie-break) keeps
-    // the assignment reproducible across engines — raw-double ordering
-    // would be ulp-sensitive.
-    val wAssign = Window.partitionBy("vid").orderBy(col("__sim").desc, col("cid"))
-    val assigned = v.crossJoin(centroids)
-      .withColumn("__sim", round(cosine(col("vec"), col("cvec")) * 1e6).cast("long"))
-      .withColumn("__r", row_number().over(wAssign)).filter(col("__r") === 1)
-      .select(col("vid"), col("vec"), col("cid").as("cell"))
+    val centroids = v.orderBy(md5(col("vid").cast("string")), col("vid"))
+      .limit(nLists)
+      .select(col("vid").as("cid"), col("vec").as("cvec"))
+    // Rank the centroid set per row as an ARRAY expression: the
+    // broadcast centroid list rides along as one array column, each row
+    // scores all nLists centroids, sorts (sim desc, cid — ppm-rounded
+    // so the order is reproducible across engines, not ulp-sensitive)
+    // and keeps its top nProbe. No row multiplication, no window, no
+    // shuffle until the cell-keyed join itself — the round-1 form
+    // shuffled nLists×N rows through two window sorts.
+    val centArr = centroids.agg(collect_list(struct(col("cid"), col("cvec"))).as("__cents"))
+    val ranked = v.crossJoin(broadcast(centArr))
+      .withColumn("__top", slice(array_sort(transform(col("__cents"), c =>
+        struct((-round(cosine(col("vec"), c.getField("cvec")) * 1e6).cast("long")).as("negSim"),
+          c.getField("cid").as("cid")))), 1, nProbe))
+      .select(col("vid"), col("vec"), transform(col("__top"), t => t.getField("cid")).as("__cells"))
+    val assigned = ranked.select(col("vid"), col("vec"),
+      element_at(col("__cells"), 1).as("cell"))
     // each query probes its nProbe nearest cells
-    val probes = v.crossJoin(centroids)
-      .withColumn("__sim", round(cosine(col("vec"), col("cvec")) * 1e6).cast("long"))
-      .withColumn("__r", row_number().over(wAssign)).filter(col("__r") <= nProbe)
-      .select(col("vid").as("query_id"), col("vec").as("__q"), col("cid").as("cell"))
+    val probes = ranked.select(col("vid").as("query_id"), col("vec").as("__q"),
+      explode(col("__cells")).as("cell"))
     val scored = probes.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("vid"))
       .withColumn("cosine_ppm", round(cosine(col("__q"), col("vec")) * 1e6).cast("long"))

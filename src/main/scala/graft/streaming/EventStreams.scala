@@ -134,6 +134,16 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen, keeping state only within the watermark horizon — the
+    * streaming form of Dedup.exact for at-least-once sources
+    * (replication feeds redeliver; an unbounded `dropDuplicates` would
+    * grow state forever at 100 TB/day).
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-source streaming read of events-shaped parquet (the
     * readStream entry point for directory-fed pipelines).
     */

@@ -113,6 +113,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops redelivered events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.dedupEvents(input.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_events")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        EventStreams.Event(1, ts("2024-01-01T00:00:00Z"), 1, "click", 1.0),
+        EventStreams.Event(2, ts("2024-01-01T00:01:00Z"), 1, "view", 2.0),
+        EventStreams.Event(1, ts("2024-01-01T00:00:00Z"), 1, "click", 1.0)) // redelivery
+      q.processAllAvailable()
+      input.addData(
+        EventStreams.Event(2, ts("2024-01-01T00:01:30Z"), 1, "view", 2.0), // redelivery, later ts
+        EventStreams.Event(3, ts("2024-01-01T00:02:00Z"), 2, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_events")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("file-source readStream over events parquet") {
     val dir = java.nio.file.Files.createTempDirectory("evt-stream").toString
     // stage a copy of the events table as the stream source directory
