@@ -7,6 +7,57 @@ import org.apache.spark.sql.functions._
 /** Similarity search over the embeddings table (64-dim float vectors). */
 object VectorQueries {
 
+  /** 128-bit-safe mod-2^64 multiply for the oracle engine (HUGEINT
+    * overflows at a full 64×64 product): split the multiplicand into
+    * 32-bit halves. `a` must be a non-negative value < 2^64.
+    */
+  private def m64mul(a: String, c: String): String =
+    s"((($a) % 4294967296) * $c % 18446744073709551616" +
+      s" + ((($a) // 4294967296) * $c % 4294967296) * 4294967296)" +
+      " % 18446744073709551616"
+
+  /** CTEs reproducing plans.LshSignature exactly in oracle SQL:
+    * `comps` = splitmix64-derived plane components (signed-remainder
+    * parity with Java's `%`), `planes` = per-plane component lists,
+    * `sigs` = per-vector bucket (bit p = sign of the sequential
+    * double dot product, identical accumulation order to the codegen'd
+    * loop, so the doubles are bit-identical).
+    */
+  private def lshSigCtes(planes: Int): String = {
+    s"""c1 AS (
+       |  SELECT p, i,
+       |    ((CAST(p AS HUGEINT) * 4294967296 + i) + 11400714819323198485) % 18446744073709551616 AS z1
+       |  FROM generate_series(0, ${planes - 1}) g1(p),
+       |       generate_series(0, 127) g2(i)),
+       |  -- 128 components per plane: an upper bound on dim; the
+       |  -- signature only reads pc[1..len(vec)], extras are inert
+       |c2 AS (SELECT p, i, ${m64mul("xor(z1, z1 >> 30)", "13787848793156543929")} AS z2 FROM c1),
+       |c3 AS (SELECT p, i, ${m64mul("xor(z2, z2 >> 27)", "10723151780598845931")} AS z3 FROM c2),
+       |c4 AS (SELECT p, i, xor(z3, z3 >> 31) AS z4 FROM c3),
+       |comps AS (
+       |  SELECT p, i,
+       |    CAST(CASE WHEN z4 >= 9223372036854775808 THEN z4 - 18446744073709551616 ELSE z4 END
+       |         AS BIGINT) % 1000001 AS comp
+       |  FROM c4),
+       |planes AS (SELECT p, list(comp ORDER BY i) AS pc FROM comps GROUP BY p),
+       |sigs AS (
+       |  SELECT e.vec_id AS vid, e.embedding AS vec,
+       |         sum(CASE WHEN coalesce(list_sum(list_transform(
+       |               generate_series(1, len(e.embedding)),
+       |               j -> CAST(pl.pc[j] AS DOUBLE) * CAST(e.embedding[j] AS DOUBLE))), 0.0) >= 0
+       |             THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+       |  FROM embeddings e, planes pl
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val cosPpm =
+    """CAST(round(
+      |      list_sum(list_transform(list_zip(a.vec, b.vec),
+      |               q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(a.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(b.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |      * 1000000.0) AS BIGINT)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef.sql("q34_embedding_norm",
@@ -48,9 +99,22 @@ object VectorQueries {
       }
     },
 
-    // LSH-bucketed ANN (scale path) — signature hashing not oracle-
-    // expressible → rows-only.
-    QueryDef.rowsOnly("q36_cosine_ann_lsh") {
+    // LSH-bucketed ANN (scale path). The oracle reproduces the
+    // splitmix64 hyperplanes with 128-bit-safe mod-2^64 arithmetic and
+    // the signature's sequential double accumulation, so the full
+    // bucket-join + re-rank pipeline hash-verifies.
+    QueryDef.sql("q36_cosine_ann_lsh",
+      s"""WITH ${lshSigCtes(8)},
+         |scored AS (
+         |  SELECT a.vid AS query_id, b.vid AS neighbor_id,
+         |    $cosPpm AS cosine_ppm
+         |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vid <> b.vid),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine_ppm,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine_ppm DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, cosine_ppm FROM ranked WHERE rank <= 3""".stripMargin) {
       (s, d) =>
         Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
     },
@@ -98,9 +162,16 @@ object VectorQueries {
     },
 
     // Embedding near-duplicate pairs above 0.35 cosine (this synthetic
-    // table's near-dup regime; max pairwise cosine is ~0.51) — rows-only
-    // (LSH-bucketed; exact threshold verified).
-    QueryDef.rowsOnly("q37_cosine_near_dup") {
+    // table's near-dup regime; max pairwise cosine is ~0.51) —
+    // LSH candidates + exact threshold verify, oracle-reproduced like
+    // q36 (6-plane signature).
+    QueryDef.sql("q37_cosine_near_dup",
+      s"""WITH ${lshSigCtes(6)},
+         |pairs AS (
+         |  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b,
+         |    $cosPpm AS cosine_ppm
+         |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vid < b.vid)
+         |SELECT id_a, id_b, cosine_ppm FROM pairs WHERE cosine_ppm >= 350000""".stripMargin) {
       (s, d) =>
         Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
           minCosinePpm = 350000L)
