@@ -13,14 +13,22 @@ object TextQueries {
 
   private val enStop = Seq("the", "and", "of", "to", "is")
 
+  /** q29b banding parameters, shared by the Spark call and the
+    * generated oracle so they cannot drift. 4 bands × 2 rows keeps the
+    * md5 evaluation count (the twin's dominant cost) at 8 per shingle
+    * while still exercising multi-band candidate generation.
+    */
+  private val Md5Bands = 4
+  private val Md5Rows = 2
+
   /** Oracle for q29b: the md5 MinHash+LSH pipeline in DuckDB SQL,
     * generated so the hash count / banding stays in sync with the Spark
-    * call (bands = 8, rows = 2). Candidates with zero common shingles
-    * still appear (left join), matching the engine's verify-all shape.
+    * call. Candidates with zero common shingles still appear (left
+    * join), matching the engine's verify-all shape.
     */
   private val minhashMd5OracleSql: String = {
-    val bands = 8
-    val rows = 2
+    val bands = Md5Bands
+    val rows = Md5Rows
     val mins = (0 until bands * rows)
       .map(s => s"min(substr(md5(g || '#$s'), 1, 16)) AS m$s").mkString(", ")
     val bandSelects = (0 until bands).map { b =>
@@ -203,7 +211,7 @@ object TextQueries {
     QueryDef.sql("q29b_minhash_lsh_md5", minhashMd5OracleSql) {
       (s, d) =>
         Dedup.minhashLshPairsMd5(Tables.documents(s, d),
-          "doc_id", col("text"), bands = 8, rows = 2, minJaccardPpm = 0L)
+          "doc_id", col("text"), bands = Md5Bands, rows = Md5Rows, minJaccardPpm = 0L)
     },
 
     // md5-based SimHash twin: per-token bit votes + sign fingerprint as
@@ -212,6 +220,26 @@ object TextQueries {
       (s, d) =>
         Dedup.simhashMd5(Tables.documents(s, d).filter(col("doc_id") < 200),
           "doc_id", col("text"))
+    },
+
+    // Vocabulary building (tokenizer prep): term frequency + document
+    // frequency per token, top-100 by tf — explode + one hash agg (the
+    // single distinct group rewrites to a two-stage agg, no Expand) +
+    // TakeOrdered. The 100-TB shape for BPE/vocab corpus passes.
+    QueryDef.sql("q45_vocab_topk",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                             ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks GROUP BY token
+        |ORDER BY tf DESC, token LIMIT 100""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+          .orderBy(col("tf").desc, col("token")).limit(100)
     },
 
     QueryDef.sql("q39_normalized_dedup",
