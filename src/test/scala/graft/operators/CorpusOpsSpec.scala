@@ -99,6 +99,40 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"IVF top-1 recall too low: $hits/${bruteTop1.size}")
   }
 
+  test("LshSignature codegen matches the interpreted eval and a Scala reference") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    val rows = e.select(col("vec_id"), col("embedding"),
+        graft.plans.LshSignature.lsh_signature(col("embedding"), 8).as("sig"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vec = r.getAs[scala.collection.Seq[Float]]("embedding")
+      var expected = 0L
+      (0 until 8).foreach { p =>
+        var s = 0.0
+        vec.indices.foreach(i =>
+          s += graft.plans.LshSignature.planeComponent(p, i) * vec(i).toDouble)
+        if (s >= 0.0) expected |= (1L << p)
+      }
+      assert(r.getAs[Long]("sig") === expected, s"vec ${r.getLong(0)}")
+    }
+    // signatures must discriminate (not all vectors in one bucket)
+    assert(rows.map(_.getAs[Long]("sig")).distinct.length > 1)
+  }
+
+  test("q42 plan has no Expand; q38 plan has no unpartitioned window") {
+    val d = "/root/testdata/sf0.001"
+    val q42 = graft.SparkEntry.queries("q42_percentiles_distinct")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!q42.contains("Expand"), s"q42 regressed to an Expand plan:\n$q42")
+    val q38 = graft.SparkEntry.queries("q38_cosine_ann_ivf")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(q38.contains("TakeOrderedAndProject"), "centroid selection lost TakeOrdered")
+    // the only windows allowed are partitioned (per-query top-k)
+    assert(!q38.contains("Window [") || !q38.contains("windowspecdefinition()"),
+      "unpartitioned window reappeared in q38")
+  }
+
   test("multimodal feature extraction preserves schema and batch shape") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
     val out = Multimodal.extractFeatures(Multimodal.packBlobs(d), batchSize = 16)
