@@ -123,8 +123,16 @@ object PlanetDump {
     if (needElements) { nodesH.unpersist(); waysH.unpersist(); relsH.unpersist() }
   }
 
-  /** CLI mirroring the reference option names (`src/planet-dump.cpp:27-116`). */
-  def main(args: Array[String]): Unit = {
+  /** Parsed CLI configuration (everything `run` needs). */
+  final case class Cli(dumpFile: String, workDir: String, generator: String,
+                       outputs: Seq[Output], meta: Meta,
+                       compressCommand: Option[String], denseNodes: Boolean)
+
+  /** CLI parser mirroring the reference option names
+    * (`src/planet-dump.cpp:27-116`); pure so the option surface is
+    * testable without a session.
+    */
+  def parseArgs(args: Array[String]): Cli = {
     var dumpFile: Option[String] = None
     var workDir = "planet-dump-work"
     var generator = "graft-spark"
@@ -173,6 +181,12 @@ object PlanetDump {
         copyleft = metaCli.getOrElse("meta-copyleft", defaults.copyleft),
         attribution = metaCli.getOrElse("meta-attribution", defaults.attribution))
     }
+    Cli(dumpFile.get, workDir, generator, outputs.toSeq, meta,
+      compressCommand, denseNodes)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cli = parseArgs(args)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("planet-dump")
@@ -181,8 +195,8 @@ object PlanetDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, dumpFile.get, workDir, outputs.toSeq, generator,
-      meta, compressCommand, denseNodes)
+    try run(spark, cli.dumpFile, cli.workDir, cli.outputs, cli.generator,
+      cli.meta, cli.compressCommand, cli.denseNodes)
     finally spark.stop()
   }
 }

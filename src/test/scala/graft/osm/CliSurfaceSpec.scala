@@ -89,6 +89,36 @@ class CliSurfaceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exited") || e.getCause != null)
   }
 
+  test("parseArgs covers the reference option surface") {
+    import PlanetDump._
+    val cli = parseArgs(Array(
+      "-f", "planet.dmp", "--work-dir", "/tmp/w", "--generator", "gen v1",
+      "-c", "pbzip2 -c", "-d", "false",
+      "--meta-author", "A", "--meta-copyleft", "L",
+      "-x", "p.xml.bz2", "--history-xml-no-userinfo", "h.xml.bz2",
+      "-C", "cs.xml.bz2", "--changeset-discussions", "d.xml.bz2",
+      "-p", "p.pbf", "--history-pbf-no-userinfo", "h.pbf",
+      "--pbf-parallel", "pp.pbf"))
+    assert(cli.dumpFile === "planet.dmp")
+    assert(cli.workDir === "/tmp/w")
+    assert(cli.generator === "gen v1")
+    assert(cli.compressCommand === Some("pbzip2 -c"))
+    assert(!cli.denseNodes)
+    assert(cli.meta.author === "A" && cli.meta.copyleft === "L")
+    assert(cli.meta.source === Meta().source) // untouched default
+    assert(cli.outputs === Seq(
+      Output(XmlPlanet, "p.xml.bz2"),
+      Output(XmlHistory, "h.xml.bz2", anon = true),
+      Output(XmlChangesets, "cs.xml.bz2"),
+      Output(XmlDiscussions, "d.xml.bz2"),
+      Output(PbfPlanet, "p.pbf"),
+      Output(PbfHistory, "h.pbf", anon = true),
+      Output(PbfPlanetParallel, "pp.pbf")))
+    intercept[IllegalArgumentException](parseArgs(Array("--bogus", "x")))
+    intercept[IllegalArgumentException](parseArgs(Array("-x", "out.xml"))) // no dump file
+    intercept[IllegalArgumentException](parseArgs(Array("-f", "d.dmp"))) // no outputs
+  }
+
   test("meta-file overrides header attributes; CLI values win over the file") {
     val f = Files.createTempFile("meta", ".conf")
     Files.writeString(f,
