@@ -21,6 +21,109 @@ object TextQueries {
   private val Md5Bands = 4
   private val Md5Rows = 2
 
+  /** q29 banding parameters (xxhash64 fast path), shared with the
+    * generated oracle.
+    */
+  private val XxBands = 16
+  private val XxRows = 4
+
+  /** Oracle for q29: the COMPLETE xxhash64 MinHash+LSH pipeline — the
+    * same shingles, the per-shingle xxhash64, the 64 seeded min-hashes
+    * (signed-long min order), the per-band chained-hash buckets, the
+    * bucket join and the exact-Jaccard verify — rebuilt on the oracle
+    * engine from [[XxHash64Sql]]'s bit-exact XXH64.
+    */
+  private val minhashXxOracleSql: String = {
+    import XxHash64Sql._
+    val numHashes = XxBands * XxRows
+    val (hlSteps, hl) = hashLongSteps("xxh", "42", "HL")
+    val (hlCtes, hlLast) = chainCtes("hb", hlSteps, "hlc")
+    val (hiSteps, hi) = hashIntSteps("CAST(s AS HUGEINT)", hl, "HI")
+    val (hiCtes, hiLast) = chainCtes(
+      s"(SELECT * FROM $hlLast, generate_series(0, ${numHashes - 1}) ss(s))",
+      hiSteps, "hic")
+    var bSteps = Seq.empty[(String, String)]
+    var bSeed = "42"
+    (0 until XxRows).foreach { j =>
+      val (sj, out) = hashLongSteps(s2u(s"mv$j"), bSeed, s"B${j}_")
+      bSteps ++= sj; bSeed = out
+    }
+    val (bCtes, bLast) = chainCtes("bandpivot", bSteps, "bkc")
+    val pivots = (0 until XxRows)
+      .map(j => s"min(CASE WHEN s % $XxRows = $j THEN mv END) AS mv$j").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+       |                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |                     ELSE list_transform(generate_series(1, len(t) - 2),
+       |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+       |  FROM toks),
+       |gs AS (SELECT DISTINCT g FROM sh),
+       |${hashBytesCtes("gs", "g")},
+       |$hlCtes,
+       |$hiCtes,
+       |mins AS (
+       |  SELECT sh.doc_id, h.s, min(${u2s(hi)}) AS mv
+       |  FROM sh JOIN $hiLast h ON h.g = sh.g
+       |  GROUP BY 1, 2),
+       |bandpivot AS (
+       |  SELECT doc_id, s // $XxRows AS band, $pivots
+       |  FROM mins GROUP BY 1, 2),
+       |$bCtes,
+       |banded AS (SELECT doc_id, band, $bSeed AS bucket FROM $bLast),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |inters AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b AND sa.g = sb.g
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+       |SELECT c.id_a, c.id_b,
+       |       CAST(round(coalesce(i.inter, 0) * 1000000.0
+       |            / (sa.n_sh + sb.n_sh - coalesce(i.inter, 0))) AS BIGINT) AS jaccard_ppm
+       |FROM cand c
+       |LEFT JOIN inters i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |JOIN sizes sa ON sa.doc_id = c.id_a
+       |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin
+  }
+
+  /** Oracle for q30: the xxhash64 SimHash — per-token XXH64 rebuilt
+    * bit-exact, 64 bit-vote sums, sign fingerprint as DECIMAL(20,0) and
+    * the 16-bit prefix bucket. Docs with no tokens keep fingerprint 0
+    * (the engine's single-pass expression does not drop them); NULL
+    * text stays NULL (the expression is null-intolerant).
+    */
+  private val simhashXxOracleSql: String = {
+    val votes = (0 until 64)
+      .map(b => s"sum(CASE WHEN (xxh // ${BigInt(1) << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val fp = (0 until 64)
+      .map(b => s"(CASE WHEN v$b > 0 THEN CAST(${BigInt(1) << b} AS HUGEINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |                             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t
+       |  FROM documents WHERE doc_id < 200),
+       |${XxHash64Sql.hashBytesCtes("toks", "t")},
+       |votes AS (SELECT doc_id, $votes FROM hb GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fp AS f FROM votes)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN d.text IS NULL THEN NULL
+       |            ELSE coalesce(f.f, 0) END AS DECIMAL(20,0)) AS simhash,
+       |  CAST(CASE WHEN d.text IS NULL THEN NULL
+       |            ELSE coalesce(f.f, 0) // 281474976710656 END AS BIGINT) AS bucket
+       |FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200) d
+       |LEFT JOIN fp f ON f.doc_id = d.doc_id""".stripMargin
+  }
+
   /** Oracle for q29b: the md5 MinHash+LSH pipeline in DuckDB SQL,
     * generated so the hash count / banding stays in sync with the Spark
     * call. Candidates with zero common shingles still appear (left
@@ -189,17 +292,19 @@ object TextQueries {
           Tables.documents(s, d).filter(col("doc_id") < 80), "doc_id", col("text"))
     },
 
-    // MinHash+LSH near-dup candidates — xxhash64-seeded signatures are
-    // not expressible in the oracle engine → rows-only check.
-    QueryDef.rowsOnly("q29_minhash_lsh") {
+    // MinHash+LSH near-dup candidates, xxhash64 fast path — the oracle
+    // rebuilds Spark's XXH64 bit-exact (XxHash64Sql), so even this is
+    // hash-verified end-to-end.
+    QueryDef.sql("q29_minhash_lsh", minhashXxOracleSql) {
       (s, d) =>
         Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", col("text"),
-          bands = 16, rows = 4, minJaccardPpm = 0L)
+          bands = XxBands, rows = XxRows, minJaccardPpm = 0L)
           .orderBy(col("id_a"), col("id_b"))
     },
 
-    // SimHash fingerprint + bucket — rows-only (xxhash64-based).
-    QueryDef.rowsOnly("q30_simhash") {
+    // SimHash fingerprint + bucket (xxhash64-based, oracle-verified via
+    // the same bit-exact XXH64 rebuild).
+    QueryDef.sql("q30_simhash", simhashXxOracleSql) {
       (s, d) =>
         Dedup.simhashBuckets(Tables.documents(s, d).filter(col("doc_id") < 200),
           "doc_id", col("text"))
