@@ -347,6 +347,26 @@ object TextQueries {
           .orderBy(col("tf").desc, col("token")).limit(100)
     },
 
+    // Deterministic train/val split by id hash — the standard leakage-
+    // safe dataset partitioner (stable across runs and cluster sizes,
+    // unlike random splits). Oracle-verified via the bit-exact XXH64
+    // long path.
+    QueryDef.sql("q46_hash_split", {
+      import XxHash64Sql._
+      val (steps, h) = hashLongSteps(s2u("doc_id"), "42", "HS")
+      val (ctes, last) = chainCtes("documents", steps, "hsc")
+      s"""WITH $ctes
+         |SELECT doc_id, ((${u2s(h)} % 100) + 100) % 100 AS bucket,
+         |       CASE WHEN ((${u2s(h)} % 100) + 100) % 100 < 90 THEN 'train' ELSE 'val' END AS split
+         |FROM $last""".stripMargin
+    }) {
+      (s, d) =>
+        Tables.documents(s, d).select(col("doc_id"),
+          pmod(xxhash64(col("doc_id")), lit(100)).as("bucket"),
+          when(pmod(xxhash64(col("doc_id")), lit(100)) < 90, "train")
+            .otherwise("val").as("split"))
+    },
+
     QueryDef.sql("q39_normalized_dedup",
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
