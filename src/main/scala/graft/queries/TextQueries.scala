@@ -411,7 +411,7 @@ object TextQueries {
     },
 
     QueryDef.sql("q32_multimodal_meta",
-      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       CAST(length(text) % 64 * 16 AS INTEGER) AS width,
         |       CAST(length(text) % 48 * 16 AS INTEGER) AS height
         |FROM documents""".stripMargin) {
@@ -429,8 +429,9 @@ object TextQueries {
     // — so the oracle reproduces it exactly from the blob's hex bytes.
     QueryDef.sql("q33_multimodal_features",
       """WITH b AS (
-        |  SELECT doc_id, text, hex(CAST(text AS BLOB)) AS h,
-        |         octet_length(CAST(text AS BLOB)) AS nb
+        |  -- encode(): UTF-8 bytes; CAST(AS BLOB) rejects non-ASCII
+        |  SELECT doc_id, text, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS nb
         |  FROM documents)
         |SELECT doc_id, nb AS n_bytes, 'application/x-fake' AS mime,
         |       CAST(length(text) % 64 * 16 AS INTEGER) AS width,
