@@ -32,11 +32,10 @@ object Similarity {
     graft.plans.CosineSimilarity.cosine_sim(a, b)
 
   /** Exact top-k neighbors for each query vector (brute force).
-    * Returns (query_id, neighbor_id, rank, cosine_ppm).
-    */
-  /** `excludeSelf` assumes queries and vectors share an id space (the
-    * self-query case); pass false when they are distinct tables whose
-    * ids may coincide.
+    * Returns (query_id, neighbor_id, rank, cosine_ppm). `excludeSelf`
+    * assumes queries and vectors share an id space (the self-query
+    * case); pass false when they are distinct tables whose ids may
+    * coincide.
     */
   def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qIdCol: String, qVecCol: String,
@@ -81,9 +80,8 @@ object Similarity {
     * nearest centroid; a query scans only its `nProbe` nearest cells.
     *
     * Centroids here are a deterministic pseudo-random sample (first
-    * nLists vectors in md5(id) order) rather than trained k-means — the
-    * partitioning
-    * quality differs, the *plan shape* doesn't: a broadcast
+    * nLists vectors in md5(id) order) rather than trained k-means —
+    * the partitioning quality differs, the *plan shape* doesn't: a broadcast
     * centroid-assignment projection, a cell-keyed equi-join in place of
     * the cross join, and exact re-ranking inside probed cells. At scale
     * the assignment is one codegen'd pass and the join shuffles only
@@ -134,7 +132,7 @@ object Similarity {
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                          minCosinePpm: Long, planes: Int = 6): DataFrame = {
     val sig = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .withColumn("bucket", concat_ws("", lshSignature(col("vec"), planes)))
+      .withColumn("bucket", lshSignature(col("vec"), planes))
     val a = sig.select(col("bucket"), col("vid").as("id_a"), col("vec").as("__a"))
     val b = sig.select(col("bucket"), col("vid").as("id_b"), col("vec").as("__b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
