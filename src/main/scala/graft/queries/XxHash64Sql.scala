@@ -29,7 +29,11 @@ private[queries] object XxHash64Sql {
   private def mul(a: String, b: String) =
     m64(s"((($a) % 4294967296) * ($b) % $M64 + ((($a) // 4294967296) * ($b) % 4294967296) * 4294967296)")
   private def rotl(x: String, r: Int) =
-    m64(s"(($x) * ${1L << r} + ($x) // ${1L << (64 - r)})")
+    // BigInt: 1L << 63 overflows to a NEGATIVE long literal, and the
+    // oracle's truncating division with a negative divisor is silently
+    // wrong only when the operand's top bit is set — an intermittent
+    // corruption, not a crash
+    m64(s"(($x) * ${BigInt(1) << r} + ($x) // ${BigInt(1) << (64 - r)})")
   private def xor(a: String, b: String) = s"xor(($a), ($b))"
   private def shr(x: String, n: Int) = s"(($x) // ${1L << n})"
 
