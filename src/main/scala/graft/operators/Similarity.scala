@@ -76,6 +76,48 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine_ppm")
   }
 
+  /** Score the (small, broadcast) centroid array against each row's
+    * vector and keep the `take` nearest cell ids, ranked by
+    * (ppm-rounded sim desc, cid) — one array expression per row, no
+    * row multiplication, no window, no shuffle.
+    */
+  private def nearestCells(v: DataFrame, centroids: DataFrame, take: Int): DataFrame = {
+    val centArr = centroids.agg(collect_list(struct(col("cid"), col("cvec"))).as("__cents"))
+    v.crossJoin(broadcast(centArr))
+      .withColumn("__top", slice(array_sort(transform(col("__cents"), c =>
+        struct((-round(cosine(col("vec"), c.getField("cvec")) * 1e6).cast("long")).as("negSim"),
+          c.getField("cid").as("cid")))), 1, take))
+      .select(col("vid"), col("vec"), transform(col("__top"), t => t.getField("cid")).as("__cells"))
+  }
+
+  /** Relational Lloyd (k-means) refinement of IVF centroids: seed with
+    * the deterministic md5-ordered sample, then `iters` rounds of
+    * broadcast nearest-centroid assignment + per-cell elementwise mean
+    * (dims exploded once, one hash aggregate, centroid table rebuilt —
+    * k×dim rows, trivially broadcast). Cells that lose all members drop
+    * out, so ≤ `k` centroids return. Everything partial-aggregates
+    * map-side; per iteration the full table is read once and only
+    * (cell, dim) partials shuffle — the trained-ANN shape that holds at
+    * 100 TB.
+    */
+  def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    var cents = v.orderBy(md5(col("vid").cast("string")), col("vid")).limit(k)
+      .select(col("vid").as("cid"), col("vec").as("cvec"))
+    (0 until iters).foreach { _ =>
+      val assigned = nearestCells(v, cents, 1)
+        .select(element_at(col("__cells"), 1).as("cell"), col("vec"))
+      val dimMeans = assigned.select(col("cell"), posexplode(col("vec")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+      cents = dimMeans.groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__pm"))
+        .select(col("cell").as("cid"),
+          transform(col("__pm"), x => x.getField("m").cast("float")).as("cvec"))
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN: vectors partition into `nLists` cells by
     * nearest centroid; a query scans only its `nProbe` nearest cells.
     *
@@ -89,17 +131,22 @@ object Similarity {
     * cosine_ppm); recall < 1 by design, exact within probed cells.
     */
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
-              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+              nLists: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
     val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
     // Deterministic pseudo-random pick of nLists centroids: order by
     // md5(vid) and take the first nLists. Compiles to
     // TakeOrderedAndProject — each partition keeps its local top-nLists
     // and only those rows meet at the driver-side merge; no global
     // shuffle, no extra count() job, no unpartitioned window (the
-    // round-1 scale-killer). md5 keeps the choice oracle-expressible.
-    val centroids = v.orderBy(md5(col("vid").cast("string")), col("vid"))
-      .limit(nLists)
-      .select(col("vid").as("cid"), col("vec").as("cvec"))
+    // round-1 scale-killer). md5 keeps the choice oracle-expressible;
+    // trainIters > 0 refines the sample with relational Lloyd rounds
+    // (better recall, no longer oracle-reproducible — the q38 gate
+    // keeps trainIters = 0).
+    val centroids =
+      if (trainIters > 0) kmeansCentroids(vectors, idCol, vecCol, nLists, trainIters)
+      else v.orderBy(md5(col("vid").cast("string")), col("vid"))
+        .limit(nLists)
+        .select(col("vid").as("cid"), col("vec").as("cvec"))
     // Rank the centroid set per row as an ARRAY expression: the
     // broadcast centroid list rides along as one array column, each row
     // scores all nLists centroids, sorts (sim desc, cid — ppm-rounded
@@ -107,12 +154,7 @@ object Similarity {
     // and keeps its top nProbe. No row multiplication, no window, no
     // shuffle until the cell-keyed join itself — the round-1 form
     // shuffled nLists×N rows through two window sorts.
-    val centArr = centroids.agg(collect_list(struct(col("cid"), col("cvec"))).as("__cents"))
-    val ranked = v.crossJoin(broadcast(centArr))
-      .withColumn("__top", slice(array_sort(transform(col("__cents"), c =>
-        struct((-round(cosine(col("vec"), c.getField("cvec")) * 1e6).cast("long")).as("negSim"),
-          c.getField("cid").as("cid")))), 1, nProbe))
-      .select(col("vid"), col("vec"), transform(col("__top"), t => t.getField("cid")).as("__cells"))
+    val ranked = nearestCells(v, centroids, nProbe)
     val assigned = ranked.select(col("vid"), col("vec"),
       element_at(col("__cells"), 1).as("cell"))
     // each query probes its nProbe nearest cells

@@ -99,6 +99,25 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"IVF top-1 recall too low: $hits/${bruteTop1.size}")
   }
 
+  test("Lloyd-trained IVF centroids beat the untrained sample on recall") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bruteTop1 = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def top1Recall(trainIters: Int): Double = {
+      val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", k = 3, trainIters = trainIters)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+      val top1 = ivf.groupBy(_._1._1).view.mapValues(_.maxBy(_._2)._1._2).toMap
+      top1.count { case (q, n) => bruteTop1.get(q).contains(n) }.toDouble / bruteTop1.size
+    }
+    val untrained = top1Recall(0)
+    val trained = top1Recall(2)
+    // deterministic data: measured 0.486 untrained vs 0.628 after two
+    // Lloyd rounds; assert with slack against incidental plan changes
+    assert(trained > untrained, s"training did not help: $trained <= $untrained")
+    assert(trained >= 0.6, s"trained recall regressed: $trained")
+  }
+
   test("LshSignature codegen matches the interpreted eval and a Scala reference") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
     val rows = e.select(col("vec_id"), col("embedding"),
