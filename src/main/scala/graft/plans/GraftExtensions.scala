@@ -5,35 +5,58 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
-  * Catalyst expressions as SQL functions, so
+  * Catalyst expressions as SQL functions, so e.g.
   * `spark.sql("SELECT word_shingles(text, 3) ...")` works in any
   * session built with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("word_shingles"),
-      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      GraftExtensions.wordShinglesBuilder))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), builder))
+    }
 }
 
 object GraftExtensions {
+
+  private def intLiteral(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   private[plans] val wordShinglesBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.size == 2, "word_shingles(text, n)")
-    val n = exprs(1) match {
-      case Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"word_shingles n must be an integer literal, got $other")
-    }
-    WordShingles(exprs.head, n)
+    WordShingles(exprs.head, intLiteral(exprs(1), "word_shingles n"))
   }
+
+  private[plans] val simhash64Builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 1, "simhash64(text)")
+    SimHash64(exprs.head)
+  }
+
+  private[plans] val cosineSimBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 2, "cosine_sim(a, b)")
+    CosineSimilarity(exprs.head, exprs(1))
+  }
+
+  private[plans] val lshSignatureBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 2, "lsh_signature(vec, planes)")
+    LshSignature(exprs.head, intLiteral(exprs(1), "lsh_signature planes"))
+  }
+
+  private val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("word_shingles", classOf[WordShingles], wordShinglesBuilder),
+    ("simhash64", classOf[SimHash64], simhash64Builder),
+    ("cosine_sim", classOf[CosineSimilarity], cosineSimBuilder),
+    ("lsh_signature", classOf[LshSignature], lshSignatureBuilder))
 
   /** Register into an already-running session (extensions only apply at
     * session construction; this covers notebooks / shared sessions).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    org.apache.spark.sql.graft.ColumnShim.registerFunction(
-      spark, "word_shingles", wordShinglesBuilder)
+    builders.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.graft.ColumnShim.registerFunction(spark, name, builder)
+    }
 }

@@ -27,6 +27,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val empty = spark.sql("SELECT word_shingles('  ', 3) AS sh")
         .head.getAs[scala.collection.Seq[String]]("sh")
       assert(empty === Seq.empty)
+
+      // the other custom expressions register under the same mechanism
+      val sim = spark.sql("SELECT simhash64('a b c') AS h").head.getDecimal(0)
+      assert(sim.signum >= 0)
+      val cos = spark.sql(
+        "SELECT cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)," +
+          " CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS c").head.getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-12)
+      val lsh = spark.sql(
+        "SELECT lsh_signature(CAST(array(1.0, -2.0, 3.0) AS ARRAY<FLOAT>), 8) AS s")
+        .head.getLong(0)
+      assert(lsh >= 0 && lsh < 256)
     } finally () // session may be shared with other suites — don't stop it
   }
 }
