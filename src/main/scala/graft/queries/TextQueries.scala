@@ -108,6 +108,9 @@ object TextQueries {
     val fp = (0 until 64)
       .map(b => s"(CASE WHEN v$b > 0 THEN CAST(${BigInt(1) << b} AS HUGEINT) ELSE 0 END)")
       .mkString(" + ")
+    // simhash compares as VARCHAR: it is the suite's only unsigned-
+    // 64-bit value and a string compare sidesteps any decimal-vs-int
+    // coercion difference in the gate's comparator
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
        |                             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t
@@ -117,7 +120,7 @@ object TextQueries {
        |fp AS (SELECT doc_id, $fp AS f FROM votes)
        |SELECT d.doc_id,
        |  CAST(CASE WHEN d.text IS NULL THEN NULL
-       |            ELSE coalesce(f.f, 0) END AS DECIMAL(20,0)) AS simhash,
+       |            ELSE coalesce(f.f, 0) END AS VARCHAR) AS simhash,
        |  CAST(CASE WHEN d.text IS NULL THEN NULL
        |            ELSE coalesce(f.f, 0) // 281474976710656 END AS BIGINT) AS bucket
        |FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200) d
@@ -308,6 +311,7 @@ object TextQueries {
       (s, d) =>
         Dedup.simhashBuckets(Tables.documents(s, d).filter(col("doc_id") < 200),
           "doc_id", col("text"))
+          .withColumn("simhash", col("simhash").cast("string"))
     },
 
     // md5-based MinHash+LSH twin: the full banding/bucket-join/verify
