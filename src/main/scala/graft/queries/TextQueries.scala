@@ -351,6 +351,33 @@ object TextQueries {
           .orderBy(col("tf").desc, col("token")).limit(100)
     },
 
+    // Repetition-based quality signals (Gopher-style filters):
+    // duplicate-token fraction (1 - distinct/total) and most-frequent-
+    // token fraction, per doc — one explode + two hash aggregates, all
+    // partial-aggregating. Docs with no tokens have no repetition
+    // signal and drop out (both engines).
+    QueryDef.sql("q47_repetition",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                             ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(round((1 - count(*) * 1.0 / sum(c)) * 1000) AS BIGINT) AS dup_frac_milli,
+        |       CAST(round(max(c) * 1000.0 / sum(c)) AS BIGINT) AS top_frac_milli
+        |FROM cnt GROUP BY doc_id""".stripMargin) {
+      (s, d) => {
+        val cnt = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        cnt.groupBy("doc_id")
+          .agg(sum("c").as("n_tokens"),
+            round((lit(1) - count(lit(1)) * lit(1.0) / sum("c")) * 1000).cast("long")
+              .as("dup_frac_milli"),
+            round(max("c") * 1000.0 / sum("c")).cast("long").as("top_frac_milli"))
+      }
+    },
+
     // Deterministic train/val split by id hash — the standard leakage-
     // safe dataset partitioner (stable across runs and cluster sizes,
     // unlike random splits). Oracle-verified via the bit-exact XXH64
