@@ -59,17 +59,75 @@ object Similarity {
   def lshSignature(vec: Column, planes: Int): Column =
     graft.plans.LshSignature.lsh_signature(vec, planes)
 
-  /** LSH-bucketed ANN: candidates share a signature bucket; exact
-    * cosine re-ranks within buckets. Recall < 1 by design; `planes`
-    * trades bucket size vs. recall.
+  /** Banded (multi-table) LSH bucket rows: one (vid, band, bucket) row
+    * per band, where band b's bucket is bits [b·r, (b+1)·r) of one
+    * `bands × rowsPerBand`-plane signature (computed once per row).
+    * Two vectors are near-dup candidates if ANY band bucket matches —
+    * the same band-OR construction [[graft.operators.Dedup.minhashLshPairs]]
+    * uses for text, applied to random-hyperplane signatures.
+    *
+    * Sizing at scale: with match probability p = 1 − θ/π per plane, a
+    * candidate survives with 1 − (1 − p^r)^b — `rowsPerBand` (r) sets
+    * bucket granularity (2^r buckets per band; pick
+    * r ≈ log₂(N / targetBucketSize)), `bands` (b) buys recall back.
+    * A single fixed-plane table caps the bucket count regardless of N
+    * and goes quadratic inside buckets at 100× data; banding keeps r
+    * free to grow with N while recall stays controlled by b.
+    *
+    * Buckets larger than `maxBucket` are dropped entirely before the
+    * self-join — a degenerate vector cluster (all-zero embeddings, a
+    * repeated document) otherwise lands N' rows in one bucket and the
+    * join emits N'²/2 pairs on one reducer. The census is tiny
+    * (≤ bands·2^r groups), so the over-cap blacklist broadcasts.
+    * Dropping (not salting) is the standard production dedup choice:
+    * members of an over-cap bucket are still reachable through their
+    * other bands.
+    */
+  private[graft] def bandedBuckets(vectors: DataFrame, idCol: String, vecCol: String,
+                                   bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
+    val planes = bands * rowsPerBand
+    require(bands >= 1 && rowsPerBand >= 1 && planes <= 64,
+      s"bands*rowsPerBand must be in [1,64], got $bands*$rowsPerBand")
+    require(maxBucket >= 1, s"maxBucket must be positive, got $maxBucket")
+    val mask = (1L << rowsPerBand) - 1
+    val banded = vectors
+      .select(col(idCol).as("vid"), lshSignature(col(vecCol), planes).as("__sig"))
+      .select(col("vid"), posexplode(array((0 until bands).map(bnd =>
+        shiftrightunsigned(col("__sig"), bnd * rowsPerBand).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val hot = banded.groupBy("band", "bucket").count()
+      .filter(col("count") > maxBucket).select("band", "bucket")
+    banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+  }
+
+  /** Deduplicated candidate id pairs from the banded buckets (each pair
+    * once, however many bands it collides in) — the pre-verify set.
+    */
+  private[graft] def lshCandidates(vectors: DataFrame, idCol: String, vecCol: String,
+                                   bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
+    val banded = bandedBuckets(vectors, idCol, vecCol, bands, rowsPerBand, maxBucket)
+    val a = banded.select(col("band"), col("bucket"), col("vid").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("vid").as("id_b"))
+    a.join(b, Seq("band", "bucket")).filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** LSH-bucketed ANN: banded multi-table candidates (any band match),
+    * deduped, then exact cosine re-ranks each candidate pair once.
+    * Recall < 1 by design; `bands` raises recall, `rowsPerBand` shrinks
+    * buckets (see [[bandedBuckets]] for the sizing rule). Defaults keep
+    * the per-band granularity of the former single 8-plane table, so
+    * recall is a strict superset of it.
     */
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
-              planes: Int = 8): DataFrame = {
-    val sig = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .withColumn("bucket", lshSignature(col("vec"), planes))
-    val a = sig.select(col("bucket"), col("vid").as("query_id"), col("vec").as("__q"))
-    val b = sig.select(col("bucket"), col("vid").as("neighbor_id"), col("vec").as("__v"))
-    val scored = a.join(b, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+              bands: Int = 2, rowsPerBand: Int = 8,
+              maxBucket: Int = 4096): DataFrame = {
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val cand = lshCandidates(vectors, idCol, vecCol, bands, rowsPerBand, maxBucket)
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+    val scored = cand
+      .join(v.select(col("vid").as("query_id"), col("vec").as("__q")), Seq("query_id"))
+      .join(v.select(col("vid").as("neighbor_id"), col("vec").as("__v")), Seq("neighbor_id"))
       .withColumn("cosine_ppm", round(cosine(col("__q"), col("__v")) * 1e6).cast("long"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine_ppm").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
@@ -168,18 +226,23 @@ object Similarity {
       .select(col("query_id"), col("vid").as("neighbor_id"), col("rank"), col("cosine_ppm"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold (LSH
-    * candidates, exact verify), id_a < id_b.
+  /** Embedding-cosine near-duplicate pairs above a threshold: banded
+    * LSH candidates (any band match, deduped), exact cosine verify once
+    * per pair, id_a < id_b. Same banding/cap story as [[lshTopK]];
+    * defaults keep the former single 6-plane table's granularity per
+    * band.
     */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                         minCosinePpm: Long, planes: Int = 6): DataFrame = {
-    val sig = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .withColumn("bucket", lshSignature(col("vec"), planes))
-    val a = sig.select(col("bucket"), col("vid").as("id_a"), col("vec").as("__a"))
-    val b = sig.select(col("bucket"), col("vid").as("id_b"), col("vec").as("__b"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+                         minCosinePpm: Long, bands: Int = 2, rowsPerBand: Int = 6,
+                         maxBucket: Int = 4096): DataFrame = {
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val cand = lshCandidates(vectors, idCol, vecCol, bands, rowsPerBand, maxBucket)
+      .filter(col("id_a") < col("id_b"))
+    cand
+      .join(v.select(col("vid").as("id_a"), col("vec").as("__a")), Seq("id_a"))
+      .join(v.select(col("vid").as("id_b"), col("vec").as("__b")), Seq("id_b"))
       .withColumn("cosine_ppm", round(cosine(col("__a"), col("__b")) * 1e6).cast("long"))
       .filter(col("cosine_ppm") >= minCosinePpm)
-      .select("id_a", "id_b", "cosine_ppm").distinct()
+      .select("id_a", "id_b", "cosine_ppm")
   }
 }

@@ -19,7 +19,7 @@ object VectorQueries {
   /** CTEs reproducing plans.LshSignature exactly in oracle SQL:
     * `comps` = splitmix64-derived plane components (signed-remainder
     * parity with Java's `%`), `planes` = per-plane component lists,
-    * `sigs` = per-vector bucket (bit p = sign of the sequential
+    * `sigs` = per-vector signature (bit p = sign of the sequential
     * double dot product, identical accumulation order to the codegen'd
     * loop, so the doubles are bit-identical).
     */
@@ -45,9 +45,29 @@ object VectorQueries {
        |         sum(CASE WHEN coalesce(list_sum(list_transform(
        |               generate_series(1, len(e.embedding)),
        |               j -> CAST(pl.pc[j] AS DOUBLE) * CAST(e.embedding[j] AS DOUBLE))), 0.0) >= 0
-       |             THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+       |             THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS sig
        |  FROM embeddings e, planes pl
        |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** CTEs reproducing Similarity.bandedBuckets/lshCandidates: slice the
+    * signature into per-band buckets, drop over-cap buckets, candidate
+    * pairs on any band match, deduped. Builds on [[lshSigCtes]].
+    */
+  private def lshBandCtes(bands: Int, rowsPerBand: Int, maxBucket: Int): String = {
+    val mask = (1L << rowsPerBand) - 1
+    s"""${lshSigCtes(bands * rowsPerBand)},
+       |banded AS (
+       |  SELECT s.vid, g.band,
+       |         (CAST(s.sig AS BIGINT) >> (g.band * $rowsPerBand)) & $mask AS bucket
+       |  FROM sigs s, generate_series(0, ${bands - 1}) g(band)),
+       |kept AS (
+       |  SELECT * FROM banded
+       |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $maxBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vid <> b.vid)""".stripMargin
   }
 
   private val cosPpm =
@@ -99,16 +119,18 @@ object VectorQueries {
       }
     },
 
-    // LSH-bucketed ANN (scale path). The oracle reproduces the
-    // splitmix64 hyperplanes with 128-bit-safe mod-2^64 arithmetic and
-    // the signature's sequential double accumulation, so the full
-    // bucket-join + re-rank pipeline hash-verifies.
+    // Banded LSH ANN (scale path): 2 bands × 8 planes, candidates on
+    // any band match, over-cap buckets dropped, exact cosine re-rank.
+    // The oracle reproduces the splitmix64 hyperplanes with 128-bit-safe
+    // mod-2^64 arithmetic, the signature's sequential double
+    // accumulation, and the banding/cap, so the full pipeline
+    // hash-verifies.
     QueryDef.sql("q36_cosine_ann_lsh",
-      s"""WITH ${lshSigCtes(8)},
+      s"""WITH ${lshBandCtes(2, 8, 4096)},
          |scored AS (
-         |  SELECT a.vid AS query_id, b.vid AS neighbor_id,
+         |  SELECT c.id_a AS query_id, c.id_b AS neighbor_id,
          |    $cosPpm AS cosine_ppm
-         |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vid <> b.vid),
+         |  FROM cand c JOIN sigs a ON a.vid = c.id_a JOIN sigs b ON b.vid = c.id_b),
          |ranked AS (
          |  SELECT query_id, neighbor_id, cosine_ppm,
          |         row_number() OVER (PARTITION BY query_id
@@ -162,15 +184,15 @@ object VectorQueries {
     },
 
     // Embedding near-duplicate pairs above 0.35 cosine (this synthetic
-    // table's near-dup regime; max pairwise cosine is ~0.51) —
-    // LSH candidates + exact threshold verify, oracle-reproduced like
-    // q36 (6-plane signature).
+    // table's near-dup regime; max pairwise cosine is ~0.51) — banded
+    // LSH candidates (2 bands × 6 planes) + exact threshold verify,
+    // oracle-reproduced like q36.
     QueryDef.sql("q37_cosine_near_dup",
-      s"""WITH ${lshSigCtes(6)},
+      s"""WITH ${lshBandCtes(2, 6, 4096)},
          |pairs AS (
-         |  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b,
-         |    $cosPpm AS cosine_ppm
-         |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vid < b.vid)
+         |  SELECT c.id_a, c.id_b, $cosPpm AS cosine_ppm
+         |  FROM cand c JOIN sigs a ON a.vid = c.id_a JOIN sigs b ON b.vid = c.id_b
+         |  WHERE c.id_a < c.id_b)
          |SELECT id_a, id_b, cosine_ppm FROM pairs WHERE cosine_ppm >= 350000""".stripMargin) {
       (s, d) =>
         Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",

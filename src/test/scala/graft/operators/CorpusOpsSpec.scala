@@ -77,6 +77,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("banded LSH candidates contain the single-table candidates (recall never drops)") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(bands: Int) = Similarity
+      .lshCandidates(e, "vec_id", "embedding", bands, 8, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(1) // band 0 of the 16-plane signature IS the old 8-plane table
+    val banded = pairs(2)
+    assert(single.subsetOf(banded),
+      s"banding lost ${(single -- banded).size} candidate pairs")
+    assert(banded.size > single.size, "second band added no candidates on this fixture")
+  }
+
+  test("hot-bucket cap keeps banded LSH candidates sub-quadratic on skewed data") {
+    import spark.implicits._
+    val dim = 8
+    val hot = Array.fill(dim)(1.0f)
+    val rnd = new scala.util.Random(7)
+    def rv() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val warm = rv()
+    // 300 identical vectors (one bucket in EVERY band) + 30 scattered + 1 warm pair
+    val rows = (1L to 300L).map(i => (i, hot)) ++
+      (301L to 330L).map(i => (i, rv())) ++ Seq((331L, warm), (332L, warm))
+    val df = rows.toDF("vec_id", "embedding")
+    def count(cap: Int) =
+      Similarity.lshCandidates(df, "vec_id", "embedding", 2, 6, cap).count()
+    val uncapped = count(Int.MaxValue)
+    val capped = count(50)
+    assert(uncapped >= 300L * 299L, s"hot cluster should go quadratic uncapped: $uncapped")
+    // cap drops the degenerate cluster's buckets; what survives is the
+    // scattered tail — bounded by (N-300)² ordered pairs, not N²
+    assert(capped <= 32L * 31L, s"cap did not bound candidates: $capped")
+    val cappedPairs = Similarity.lshCandidates(df, "vec_id", "embedding", 2, 6, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs.contains((331L, 332L)), "small-bucket near-dup lost to the cap")
+    assert(!cappedPairs.exists(p => p._1 <= 300L || p._2 <= 300L),
+      "over-cap bucket members leaked into candidates")
+  }
+
   test("IVF ANN scores agree with brute force; recall is meaningful") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
