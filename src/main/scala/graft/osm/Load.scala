@@ -51,8 +51,12 @@ object Load {
     val out = s"$stagingDir/$table.txt"
     if (!Files.exists(Paths.get(out))) {
       // attempt-unique tmp name: concurrent callers staging the same
-      // table each write their own file; the losers' ATOMIC_MOVE onto
-      // an existing target is simply discarded (same bytes either way)
+      // table each write their own file. On POSIX, ATOMIC_MOVE maps to
+      // rename(2), which silently REPLACES an existing target — so when
+      // two callers race, the loser's move overwrites the winner's file
+      // with identical bytes (both came from the same dump), which is
+      // fine. The catch handles platforms whose atomic move refuses to
+      // replace instead of overwriting.
       val tmp = s"$out.${java.util.UUID.randomUUID().toString.take(8)}.tmp"
       val cmd = Seq("pg_restore", "-a", "-f", tmp, "-t", table, dumpFile)
       val rc = cmd.!
@@ -67,18 +71,70 @@ object Load {
     out
   }
 
+  /** Identity stamp of a dump file: size, mtime, and an md5 of the
+    * first 64 KiB — cheap to compute, and any replaced or repacked dump
+    * changes it.
+    */
+  def dumpId(dumpFile: String): String = {
+    val p = Paths.get(dumpFile)
+    val in = Files.newInputStream(p)
+    val head = try {
+      val buf = new Array[Byte](65536)
+      var off = 0
+      var r = 0
+      while (off < buf.length && { r = in.read(buf, off, buf.length - off); r > 0 }) off += r
+      java.util.Arrays.copyOf(buf, off)
+    } finally in.close()
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(head)
+      .map("%02x".format(_)).mkString
+    s"size=${Files.size(p)} mtime=${Files.getLastModifiedTime(p).toMillis} head=$md5"
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
   /** Full load: stage + decode + sorted-parquet every table; returns the
     * global max timestamp (reference planet `timestamp` attr / "now"),
     * or None when the dump has no timestamped rows (empty dump →
     * neg-infinity path, `src/xml_writer.cpp:86-88`).
+    *
+    * Resume semantics (S6; reference `src/planet-dump.cpp:55-57`
+    * re-extracts unless `--resume`): with `resume = true`, staged text
+    * and `_SUCCESS`-complete table dirs are reused — but only when the
+    * dump file's identity stamp matches the one recorded in
+    * `workDir/_dump_id`. Pointing the same workDir at a different dump
+    * invalidates everything instead of silently emitting a planet for
+    * the old dump. `resume = false` (the reference's default posture)
+    * always starts from scratch.
     */
-  def run(spark: SparkSession, dumpFile: String, workDir: String): Option[java.sql.Timestamp] = {
+  def run(spark: SparkSession, dumpFile: String, workDir: String,
+          resume: Boolean = true): Option[java.sql.Timestamp] = {
     val staging = s"$workDir/staging"
     val tablesDir = s"$workDir/tables"
+    val id = dumpId(dumpFile)
+    val idPath = Paths.get(workDir, "_dump_id")
+    val prior =
+      if (Files.exists(idPath))
+        Some(new String(Files.readAllBytes(idPath), java.nio.charset.StandardCharsets.UTF_8))
+      else None
+    if (!resume || !prior.contains(id)) {
+      deleteRecursively(Paths.get(staging))
+      deleteRecursively(Paths.get(tablesDir))
+    }
+    Files.createDirectories(Paths.get(workDir))
+    Files.write(idPath, id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // driver-side staging in parallel — one subprocess per table, like
     // the reference's 12 extraction threads
     Schema.all.par.foreach(t => stage(dumpFile, t.name, staging))
-    val maxTimes = Schema.all.map { t =>
+    // decode→sort→parquet jobs are independent per table: submit them
+    // concurrently (Spark schedules across the 12 jobs' stages) instead
+    // of draining the cluster between tables
+    val maxTimes = Schema.all.par.map { t =>
       val out = s"$tablesDir/${t.name}"
       if (!Files.exists(Paths.get(s"$out/_SUCCESS"))) {
         val df = decodeTable(spark, t, s"$staging/${t.name}.txt")
@@ -90,7 +146,7 @@ object Load {
       t.maxTimeCol.map { c =>
         spark.read.parquet(out).agg(max(col(c))).head.getTimestamp(0)
       }
-    }
+    }.seq
     maxTimes.flatten.filter(_ != null) match {
       case Nil => None
       case ts => Some(ts.maxBy(_.getTime))

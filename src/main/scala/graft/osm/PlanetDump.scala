@@ -66,8 +66,9 @@ object PlanetDump {
           outputs: Seq[Output], generator: String,
           meta: Meta = Meta(),
           compressCommand: Option[String] = None,
-          denseNodes: Boolean = true): Unit = {
-    val maxTime = Load.run(spark, dumpFile, workDir)
+          denseNodes: Boolean = true,
+          resume: Boolean = true): Unit = {
+    val maxTime = Load.run(spark, dumpFile, workDir, resume)
     val db = OsmDb(spark, s"$workDir/tables")
 
     val cs = Assemble.changesets(db).persist(StorageLevel.MEMORY_AND_DISK)
@@ -126,18 +127,40 @@ object PlanetDump {
   /** Parsed CLI configuration (everything `run` needs). */
   final case class Cli(dumpFile: String, workDir: String, generator: String,
                        outputs: Seq[Output], meta: Meta,
-                       compressCommand: Option[String], denseNodes: Boolean)
+                       compressCommand: Option[String], denseNodes: Boolean,
+                       resume: Boolean = false, maxConcurrency: Option[Int] = None)
+
+  /** boost::program_options bool parser accepts 1/0, on/off, yes/no,
+    * true/false (case-insensitive) — `planet-dump.cpp:69` relies on it
+    * for `--dense-nodes`, so scripts written against the reference may
+    * use any spelling.
+    */
+  private def parseBool(s: String): Boolean = s.trim.toLowerCase match {
+    case "1" | "true" | "on" | "yes" => true
+    case "0" | "false" | "off" | "no" => false
+    case other => throw new IllegalArgumentException(
+      s"invalid boolean '$other' (expected true/false/1/0/on/off/yes/no)")
+  }
 
   /** CLI parser mirroring the reference option names
     * (`src/planet-dump.cpp:27-116`); pure so the option surface is
-    * testable without a session.
+    * testable without a session. Accepts both `--opt value` and boost's
+    * `--opt=value` form.
     */
-  def parseArgs(args: Array[String]): Cli = {
+  def parseArgs(rawArgs: Array[String]): Cli = {
+    // boost accepts --opt=value; normalize it to two tokens
+    val args = rawArgs.flatMap {
+      case a if a.startsWith("--") && a.contains("=") =>
+        val Array(k, v) = a.split("=", 2); Seq(k, v)
+      case a => Seq(a)
+    }
     var dumpFile: Option[String] = None
     var workDir = "planet-dump-work"
     var generator = "graft-spark"
     var compressCommand: Option[String] = None
     var denseNodes = true
+    var resume = false
+    var maxConcurrency: Option[Int] = None
     var metaFile: Option[String] = None
     val metaCli = scala.collection.mutable.Map[String, String]()
     val outputs = scala.collection.mutable.ArrayBuffer[Output]()
@@ -148,7 +171,9 @@ object PlanetDump {
         case "--work-dir" => workDir = args(i + 1); i += 2
         case "--generator" => generator = args(i + 1); i += 2
         case "--compress-command" | "-c" => compressCommand = Some(args(i + 1)); i += 2
-        case "--dense-nodes" | "-d" => denseNodes = args(i + 1).toBoolean; i += 2
+        case "--dense-nodes" | "-d" => denseNodes = parseBool(args(i + 1)); i += 2
+        case "--resume" => resume = true; i += 1
+        case "--max-concurrency" => maxConcurrency = Some(args(i + 1).toInt); i += 2
         case "--meta-file" | "-M" => metaFile = Some(args(i + 1)); i += 2
         case k @ ("--meta-author" | "--meta-source" | "--meta-copyleft" | "--meta-attribution") =>
           metaCli(k.drop(2)) = args(i + 1); i += 2
@@ -182,21 +207,26 @@ object PlanetDump {
         attribution = metaCli.getOrElse("meta-attribution", defaults.attribution))
     }
     Cli(dumpFile.get, workDir, generator, outputs.toSeq, meta,
-      compressCommand, denseNodes)
+      compressCommand, denseNodes, resume, maxConcurrency)
   }
 
   def main(args: Array[String]): Unit = {
     val cli = parseArgs(args)
+    // --max-concurrency caps the reference's per-table writer threads
+    // (planet-dump.cpp:58-59); the Spark analogue of that knob is
+    // shuffle/write parallelism, so the flag aliases the partitions conf
+    val parallelism = cli.maxConcurrency.map(_.toString)
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("planet-dump")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.shuffle.partitions", parallelism)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, cli.dumpFile, cli.workDir, cli.outputs, cli.generator,
-      cli.meta, cli.compressCommand, cli.denseNodes)
+      cli.meta, cli.compressCommand, cli.denseNodes, cli.resume)
     finally spark.stop()
   }
 }
