@@ -51,7 +51,8 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, text: Column,
                       bands: Int = 16, rows: Int = 4, n: Int = 3,
-                      minJaccardPpm: Long = 500000L): DataFrame = {
+                      minJaccardPpm: Long = 500000L,
+                      maxBucket: Int = 4096): DataFrame = {
     val numHashes = bands * rows
     val docs = df.select(col(idCol).as("doc_id"), shingles(text, n).as("sh"))
     // hash each shingle ONCE; seed s's value derives from (hg, s) —
@@ -65,7 +66,8 @@ object Dedup {
     val bucketCols = (0 until bands).map { bnd =>
       xxhash64((bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i")): _*).as(s"bk$bnd")
     }
-    bandJoinVerify(docs, minh.select(col("doc_id") +: bucketCols: _*), bands, minJaccardPpm)
+    bandJoinVerify(docs, minh.select(col("doc_id") +: bucketCols: _*), bands,
+      minJaccardPpm, maxBucket)
   }
 
   /** Oracle-verifiable MinHash+LSH twin: the same banding + bucket-join
@@ -78,7 +80,8 @@ object Dedup {
     */
   def minhashLshPairsMd5(df: DataFrame, idCol: String, text: Column,
                          bands: Int = 8, rows: Int = 2, n: Int = 3,
-                         minJaccardPpm: Long = 0L): DataFrame = {
+                         minJaccardPpm: Long = 0L,
+                         maxBucket: Int = 4096): DataFrame = {
     val numHashes = bands * rows
     val docs = df.select(col(idCol).as("doc_id"), shingles(text, n).as("sh"))
     val shingleRows = docs.select(col("doc_id"), explode(col("sh")).as("g"))
@@ -89,20 +92,35 @@ object Dedup {
       md5(concat_ws("|", (bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i")): _*))
         .as(s"bk$bnd")
     }
-    bandJoinVerify(docs, minh.select(col("doc_id") +: bucketCols: _*), bands, minJaccardPpm)
+    bandJoinVerify(docs, minh.select(col("doc_id") +: bucketCols: _*), bands,
+      minJaccardPpm, maxBucket)
   }
 
   /** Shared LSH tail: explode band buckets, equi-join on (band, bucket),
     * dedup candidate pairs, then verify each candidate ONCE with exact
     * n-gram Jaccard. `bucketed` carries (doc_id, bk0..bk{bands-1});
     * `docs` carries (doc_id, sh).
+    *
+    * Buckets larger than `maxBucket` are dropped before the self-join:
+    * one degenerate bucket (boilerplate text, an empty-ish shingle set
+    * every stub page shares) otherwise puts N' rows on one (band,
+    * bucket) key and the join emits N'²/2 pairs on a single straggler
+    * reducer. The bucket census is at most a few groups per band, so
+    * the over-cap blacklist broadcasts; members of a dropped bucket
+    * stay reachable through their other bands (standard production
+    * dedup posture — same cap as
+    * [[graft.operators.Similarity.bandedBuckets]]).
     */
   private def bandJoinVerify(docs: DataFrame, bucketed: DataFrame, bands: Int,
-                             minJaccardPpm: Long): DataFrame = {
-    val banded = bucketed
+                             minJaccardPpm: Long, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be positive, got $maxBucket")
+    val allBanded = bucketed
       .select(col("doc_id"),
         posexplode(array((0 until bands).map(bnd => col(s"bk$bnd")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val hot = allBanded.groupBy("band", "bucket").count()
+      .filter(col("count") > maxBucket).select("band", "bucket")
+    val banded = allBanded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bucket"))

@@ -86,8 +86,14 @@ object Similarity {
   private[graft] def bandedBuckets(vectors: DataFrame, idCol: String, vecCol: String,
                                    bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
     val planes = bands * rowsPerBand
-    require(bands >= 1 && rowsPerBand >= 1 && planes <= 64,
-      s"bands*rowsPerBand must be in [1,64], got $bands*$rowsPerBand")
+    // 62, not 64: with the sign bit (or bit 62, once a full-width band
+    // mask reaches it) set, `(1L << 64) - 1` wraps to 0 (every row in
+    // bucket 0 → fully quadratic join) and shiftrightunsigned diverges
+    // from the arithmetic `>>` an external SQL oracle uses. Keeping the
+    // signature in the non-negative 62-bit range makes both operations
+    // sign-free and engine-portable.
+    require(bands >= 1 && rowsPerBand >= 1 && planes <= 62,
+      s"bands*rowsPerBand must be in [1,62], got $bands*$rowsPerBand")
     require(maxBucket >= 1, s"maxBucket must be positive, got $maxBucket")
     val mask = (1L << rowsPerBand) - 1
     val banded = vectors
@@ -117,7 +123,9 @@ object Similarity {
     * Recall < 1 by design; `bands` raises recall, `rowsPerBand` shrinks
     * buckets (see [[bandedBuckets]] for the sizing rule). Defaults keep
     * the per-band granularity of the former single 8-plane table, so
-    * recall is a strict superset of it.
+    * for buckets under `maxBucket` the candidate set is a superset of
+    * it; a degenerate cluster over the cap can be dropped from every
+    * band (the cap trades that tail of recall for bounded reducers).
     */
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
               bands: Int = 2, rowsPerBand: Int = 8,

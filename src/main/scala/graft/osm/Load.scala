@@ -56,7 +56,10 @@ object Load {
       // two callers race, the loser's move overwrites the winner's file
       // with identical bytes (both came from the same dump), which is
       // fine. The catch handles platforms whose atomic move refuses to
-      // replace instead of overwriting.
+      // replace instead of overwriting. NOTE: this race-safety only
+      // covers stage() itself — a concurrent Load.run with
+      // resume = false wipes the whole staging dir (see run()'s
+      // exclusive-ownership requirement).
       val tmp = s"$out.${java.util.UUID.randomUUID().toString.take(8)}.tmp"
       val cmd = Seq("pg_restore", "-a", "-f", tmp, "-t", table, dumpFile)
       val rc = cmd.!
@@ -110,10 +113,20 @@ object Load {
     * `workDir/_dump_id`. Pointing the same workDir at a different dump
     * invalidates everything instead of silently emitting a planet for
     * the old dump. `resume = false` (the reference's default posture)
-    * always starts from scratch.
+    * always starts from scratch — it WIPES `staging/` and `tables/`, so
+    * a non-resume run requires exclusive ownership of `workDir`
+    * (concurrent callers sharing a workDir are only safe when every one
+    * of them passes `resume = true` against the same dump file).
+    *
+    * `maxConcurrency` caps how many tables are staged / submitted at
+    * once (the reference's `--max-concurrency` semaphore over writer
+    * threads, `src/planet-dump.cpp:58-59`): it bounds the concurrent
+    * pg_restore subprocesses and the concurrently-submitted Spark jobs,
+    * not just shuffle width. Default: one slot per table.
     */
   def run(spark: SparkSession, dumpFile: String, workDir: String,
-          resume: Boolean = true): Option[java.sql.Timestamp] = {
+          resume: Boolean = true,
+          maxConcurrency: Option[Int] = None): Option[java.sql.Timestamp] = {
     val staging = s"$workDir/staging"
     val tablesDir = s"$workDir/tables"
     val id = dumpId(dumpFile)
@@ -128,25 +141,37 @@ object Load {
     }
     Files.createDirectories(Paths.get(workDir))
     Files.write(idPath, id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // driver-side staging in parallel — one subprocess per table, like
-    // the reference's 12 extraction threads
-    Schema.all.par.foreach(t => stage(dumpFile, t.name, staging))
-    // decode→sort→parquet jobs are independent per table: submit them
-    // concurrently (Spark schedules across the 12 jobs' stages) instead
-    // of draining the cluster between tables
-    val maxTimes = Schema.all.par.map { t =>
-      val out = s"$tablesDir/${t.name}"
-      if (!Files.exists(Paths.get(s"$out/_SUCCESS"))) {
-        val df = decodeTable(spark, t, s"$staging/${t.name}.txt")
-        val sortCols = t.sortKeys.map(col)
-        df.repartitionByRange(sortCols: _*)
-          .sortWithinPartitions(sortCols: _*)
-          .write.mode("overwrite").parquet(out)
-      }
-      t.maxTimeCol.map { c =>
-        spark.read.parquet(out).agg(max(col(c))).head.getTimestamp(0)
-      }
-    }.seq
+    val pool = maxConcurrency.map { n =>
+      require(n >= 1, s"maxConcurrency must be positive, got $n")
+      new java.util.concurrent.ForkJoinPool(n)
+    }
+    def bounded[T](xs: Seq[T]): scala.collection.parallel.ParSeq[T] = {
+      val p = xs.par
+      pool.foreach(fj => p.tasksupport =
+        new scala.collection.parallel.ForkJoinTaskSupport(fj))
+      p
+    }
+    val maxTimes = try {
+      // driver-side staging in parallel — one subprocess per table, like
+      // the reference's 12 extraction threads (capped at maxConcurrency)
+      bounded(Schema.all).foreach(t => stage(dumpFile, t.name, staging))
+      // decode→sort→parquet jobs are independent per table: submit them
+      // concurrently (Spark schedules across the 12 jobs' stages) instead
+      // of draining the cluster between tables
+      bounded(Schema.all).map { t =>
+        val out = s"$tablesDir/${t.name}"
+        if (!Files.exists(Paths.get(s"$out/_SUCCESS"))) {
+          val df = decodeTable(spark, t, s"$staging/${t.name}.txt")
+          val sortCols = t.sortKeys.map(col)
+          df.repartitionByRange(sortCols: _*)
+            .sortWithinPartitions(sortCols: _*)
+            .write.mode("overwrite").parquet(out)
+        }
+        t.maxTimeCol.map { c =>
+          spark.read.parquet(out).agg(max(col(c))).head.getTimestamp(0)
+        }
+      }.seq
+    } finally pool.foreach(_.shutdown())
     maxTimes.flatten.filter(_ != null) match {
       case Nil => None
       case ts => Some(ts.maxBy(_.getTime))

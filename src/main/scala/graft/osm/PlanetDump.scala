@@ -67,8 +67,9 @@ object PlanetDump {
           meta: Meta = Meta(),
           compressCommand: Option[String] = None,
           denseNodes: Boolean = true,
-          resume: Boolean = true): Unit = {
-    val maxTime = Load.run(spark, dumpFile, workDir, resume)
+          resume: Boolean = true,
+          maxConcurrency: Option[Int] = None): Unit = {
+    val maxTime = Load.run(spark, dumpFile, workDir, resume, maxConcurrency)
     val db = OsmDb(spark, s"$workDir/tables")
 
     val cs = Assemble.changesets(db).persist(StorageLevel.MEMORY_AND_DISK)
@@ -213,8 +214,9 @@ object PlanetDump {
   def main(args: Array[String]): Unit = {
     val cli = parseArgs(args)
     // --max-concurrency caps the reference's per-table writer threads
-    // (planet-dump.cpp:58-59); the Spark analogue of that knob is
-    // shuffle/write parallelism, so the flag aliases the partitions conf
+    // (planet-dump.cpp:58-59). It bounds BOTH the driver-side staging /
+    // per-table job submission (plumbed into Load.run's task pool) and,
+    // as the Spark analogue of the knob, shuffle/write parallelism
     val parallelism = cli.maxConcurrency.map(_.toString)
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val spark = SparkSession.builder()
@@ -226,7 +228,8 @@ object PlanetDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, cli.dumpFile, cli.workDir, cli.outputs, cli.generator,
-      cli.meta, cli.compressCommand, cli.denseNodes, cli.resume)
+      cli.meta, cli.compressCommand, cli.denseNodes, cli.resume,
+      cli.maxConcurrency)
     finally spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DecimalType, StringType}
 import org.apache.spark.sql.types.Decimal
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,9 +14,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Replaces 64 interpreted per-bit aggregate passes
   * (functions.TextFunctions.simhash64's unrolled form) with one loop
-  * per row; outputs are identical.
+  * per row; outputs are identical. Fully codegen'd (`doGenCode`): the
+  * generated loop tokenizes the UTF-8 *bytes* directly — every
+  * whitespace delimiter (space, \t, \n, \x0B, \f, \r) is a single
+  * ASCII byte and UTF-8 multi-byte sequences never contain bytes
+  * < 0x80, so byte splitting is exactly char splitting — and hashes
+  * each token span in place via XXH64, no String or UTF8String
+  * allocation per token.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback
+case class SimHash64(child: Expression) extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
   override def inputTypes = org.apache.spark.sql.graft.TypeShim.oneString
@@ -42,6 +48,56 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
         }
       }
     }
+    SimHash64.fingerprint(votes)
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bts = ctx.freshName("bts")
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val len = ctx.freshName("len")
+      val start = ctx.freshName("start")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      // whitespace bytes: 0x20 and 0x09..0x0D
+      def ws(idx: String) =
+        s"($bts[$idx] == 32 || ($bts[$idx] >= 9 && $bts[$idx] <= 13))"
+      s"""
+         |byte[] $bts = $a.getBytes();
+         |int[] $votes = new int[64];
+         |int $i = 0;
+         |int $len = $bts.length;
+         |while ($i < $len) {
+         |  while ($i < $len && ${ws(i)}) $i++;
+         |  int $start = $i;
+         |  while ($i < $len && !${ws(i)}) $i++;
+         |  if ($i > $start) {
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |      $bts, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + $start,
+         |      $i - $start, 42L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |}
+         |${ev.value} = graft.plans.SimHash64.fingerprint($votes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  /** Sign fingerprint of the 64 bit-votes as unsigned decimal(20,0);
+    * shared by the interpreted eval and the generated code.
+    */
+  def fingerprint(votes: Array[Int]): Decimal = {
     var acc = java.math.BigInteger.ZERO
     var b = 0
     while (b < 64) {
@@ -51,14 +107,6 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     Decimal(new java.math.BigDecimal(acc), 20, 0)
   }
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-}
-
-object SimHash64 {
   def simhash64(c: Column): Column =
     org.apache.spark.sql.graft.ColumnShim.column(
       SimHash64(org.apache.spark.sql.graft.ColumnShim.expression(c)))

@@ -130,7 +130,10 @@ object TextQueries {
   /** Oracle for q29b: the md5 MinHash+LSH pipeline in DuckDB SQL,
     * generated so the hash count / banding stays in sync with the Spark
     * call. Candidates with zero common shingles still appear (left
-    * join), matching the engine's verify-all shape.
+    * join), matching the engine's verify-all shape. Scoped to
+    * doc_id < 200 (both engines): the md5 twin is a correctness
+    * artifact, not the fast path, so the gate pays 8 md5 evals per
+    * shingle over 200 docs instead of 500 (same scoping as q30b).
     */
   private val minhashMd5OracleSql: String = {
     val bands = Md5Bands
@@ -144,7 +147,7 @@ object TextQueries {
     s"""WITH toks AS (
        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
        |                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
-       |  FROM documents),
+       |  FROM documents WHERE doc_id < 200),
        |sh AS (
        |  SELECT DISTINCT doc_id,
        |         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
@@ -319,7 +322,7 @@ object TextQueries {
     // unsigned numeric min); xxhash64 (q29) stays the fast path.
     QueryDef.sql("q29b_minhash_lsh_md5", minhashMd5OracleSql) {
       (s, d) =>
-        Dedup.minhashLshPairsMd5(Tables.documents(s, d),
+        Dedup.minhashLshPairsMd5(Tables.documents(s, d).filter(col("doc_id") < 200),
           "doc_id", col("text"), bands = Md5Bands, rows = Md5Rows, minJaccardPpm = 0L)
     },
 

@@ -39,6 +39,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("MinHash band-join bucket cap bounds candidates on degenerate boilerplate") {
+    import spark.implicits._
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w7", "changed")
+    // 300 identical boilerplate docs: one bucket in EVERY band
+    val rows = (1L to 300L).map(i => (i, boiler)) ++ Seq((301L, base), (302L, nearDup))
+    val df = rows.toDF("doc_id", "text")
+    def pairs(cap: Int) =
+      Dedup.minhashLshPairs(df, "doc_id", col("text"), minJaccardPpm = 0L, maxBucket = cap)
+    assert(pairs(Int.MaxValue).count() >= 300L * 299L / 2,
+      "boilerplate cluster should go quadratic uncapped")
+    val capped = pairs(50).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((301L, 302L)), "small-bucket near-dup lost to the cap")
+    assert(!capped.exists(p => p._1 <= 300L || p._2 <= 300L),
+      "over-cap bucket members leaked into candidates")
+  }
+
   test("simhash of near-duplicates has small Hamming distance") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = base.replace("tok33", "other")
