@@ -51,10 +51,11 @@ object EventStreams {
                  timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()): Dataset[Session] = {
     // the gap is a wall-clock inactivity duration: only processing-time
     // timeouts carry that semantic (setTimeoutDuration throws at
-    // runtime under EventTimeTimeout)
+    // runtime under EventTimeTimeout) — for sessions that close on
+    // EVENT time, use [[sessionizeEventTime]]
     require(timeout != GroupStateTimeout.EventTimeTimeout(),
       "sessionize supports NoTimeout or ProcessingTimeTimeout; " +
-        "event-time session windows need a watermark + setTimeoutTimestamp design")
+        "use sessionizeEventTime for event-time session windows")
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, Session](timeout) {
@@ -75,6 +76,74 @@ object EventStreams {
             if (timeout != GroupStateTimeout.NoTimeout()) state.setTimeoutDuration(gapMs)
             // interim emission — final emission happens on timeout
             Session(userId, next.n, new Timestamp(next.first), new Timestamp(next.last), next.totalValue)
+          }
+      }
+  }
+
+  /** Event-time sessionization: sessions close `gapMs` of EVENT time
+    * after their last event, not wall clock — a replayed day of logs
+    * sessionizes identically at any processing speed. Built on the
+    * watermark + EventTimeTimeout + setTimeoutTimestamp design:
+    *
+    *  - each user's open session lives in state; arriving events (the
+    *    per-trigger batch is sorted by event time — micro-batches are
+    *    not ordered) extend it, or, when a gap larger than `gapMs`
+    *    separates them from the session's last event, close it and
+    *    start the next one (closed sessions emit immediately);
+    *  - the open session arms an event-time timer at `last + gapMs`;
+    *    when the watermark (driven by `watermarkDelay` behind max seen
+    *    event time) passes that point no in-order event can extend the
+    *    session anymore, the timeout fires, and the final session
+    *    emits;
+    *  - events later than the watermark are dropped by the watermark
+    *    filter, so state per user is bounded and a session, once
+    *    emitted, is never reopened (Append-mode emissions are final).
+    *
+    * Out-of-order events within the watermark horizon land in the still
+    * -open session correctly (state keeps min/max, the batch sort
+    * handles intra-batch disorder).
+    */
+  def sessionizeEventTime(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                          watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              Session(userId, s.n, new Timestamp(s.first), new Timestamp(s.last), s.totalValue))
+          } else {
+            val sorted = batch.toArray.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer[Session]()
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > gapMs =>
+                  closed += Session(userId, s.n, new Timestamp(s.first),
+                    new Timestamp(s.last), s.totalValue)
+                  cur = Some(SessionState(1, t, t, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.n + 1, math.min(s.first, t),
+                    math.max(s.last, t), s.totalValue + e.value))
+                case None =>
+                  cur = Some(SessionState(1, t, t, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // fire gapMs of event time after the last event; a timer
+              // at-or-before the current watermark is illegal, so a
+              // session the watermark already passed arms for the next
+              // instant and closes on the following trigger
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
           }
       }
   }

@@ -65,6 +65,49 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time sessionization closes sessions on event time, not wall clock") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionizeEventTime(input.toDS(),
+        gapMs = 10 * 60 * 1000L, watermarkDelay = "15 minutes")
+      .writeStream.format("memory").queryName("et_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 7: an open session; user 8: two events >gap apart in ONE
+      // batch — the first must close immediately as its own session.
+      // Watermark after this batch: 00:20 − 15 min = 00:05.
+      input.addData(
+        EventStreams.Event(1, ts("2024-01-01T00:00:00Z"), 7, "click", 1.0),
+        EventStreams.Event(2, ts("2024-01-01T00:08:00Z"), 7, "view", 2.0),
+        EventStreams.Event(3, ts("2024-01-01T00:00:00Z"), 8, "click", 5.0),
+        EventStreams.Event(4, ts("2024-01-01T00:20:00Z"), 8, "view", 6.0))
+      q.processAllAvailable()
+      // out-of-order late event (00:07 — after the 00:05 watermark,
+      // before the already-seen 00:08) joins user 7's still-open
+      // session; user 9's 00:45 event drives the watermark to 00:30,
+      // past user 7's 00:18 session deadline
+      input.addData(
+        EventStreams.Event(5, ts("2024-01-01T00:07:00Z"), 7, "click", 4.0),
+        EventStreams.Event(6, ts("2024-01-01T00:45:00Z"), 9, "click", 0.0))
+      q.processAllAvailable()
+      // any further trigger fires user 7's expired event-time timer
+      input.addData(EventStreams.Event(7, ts("2024-01-01T00:46:00Z"), 9, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events, first_ts, last_ts, total_value FROM et_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getTimestamp(3), r.getDouble(4))).toSet
+      val u7 = rows.find(_._1 == 7L).get
+      // all three events — including the late out-of-order one — in one session
+      assert(u7 === ((7L, 3L, ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:08:00Z"), 7.0)))
+      // user 8's first event closed as a 1-event session by the in-batch gap
+      assert(rows.contains((8L, 1L, ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:00:00Z"), 5.0)))
+      // user 9's session is still open: nothing emitted
+      assert(!rows.exists(_._1 == 9L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
