@@ -110,6 +110,33 @@ object TextFunctions {
       when(folded._2 === 0, lit("und")).otherwise(folded._1).as("lang_pred"))
   }
 
+  /** PII patterns, written in the portable intersection of Java regex
+    * and RE2 (no lookarounds, no backreferences) so the identical
+    * pattern string runs on Spark and on an RE2-class oracle engine.
+    * Deliberately high-recall/low-precision: a corpus scrubber prefers
+    * redacting a false positive to leaking PII.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-ish: 8+ chars of digits/space/parens/dash, digit-bounded,
+    * optional leading +.
+    */
+  val PhonePattern = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(EmailPattern)).cast("long")
+
+  def phoneCount(text: Column): Column =
+    regexp_count(text, lit(PhonePattern)).cast("long")
+
+  /** Redact emails then phone numbers with typed placeholder tokens —
+    * the standard pre-training scrub pass. Order matters: email local
+    * parts may contain digit runs, so emails redact first.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
   /** Document fingerprint: first 16 hex chars of md5 as an unsigned
     * 64-bit value, decimal(20,0) because the top bit overflows a signed
     * long (SQL-expressible on any engine with md5 + a u64 type; the

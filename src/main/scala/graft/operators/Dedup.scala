@@ -153,6 +153,36 @@ object Dedup {
           .as("jaccard_ppm"))
   }
 
+  /** Benchmark decontamination: per corpus doc, how many of its
+    * distinct word n-gram shingles also occur anywhere in `benchmark`
+    * (an eval/benchmark suite). Training on benchmark text corrupts
+    * evaluation, so pipelines drop or flag docs with any overlap —
+    * `n_hit > 0` — or with `hit_frac_milli` above a threshold.
+    * Returns (doc_id, n_sh, n_hit, hit_frac_milli); docs with no
+    * shingles (blank text) produce no row.
+    *
+    * Scale shape: benchmark suites are tiny next to a 100 TB corpus,
+    * so the distinct benchmark shingle set BROADCASTS and the corpus
+    * side streams through one map-side join + one partial-aggregating
+    * count — no corpus shuffle at all until the per-doc aggregate. If
+    * a benchmark ever outgrows broadcast, hash both sides' shingles to
+    * 64-bit (xxhash64) and let it shuffle-join; the per-doc aggregate
+    * is unchanged.
+    */
+  def ngramContamination(corpus: DataFrame, idCol: String, text: Column,
+                         benchmark: DataFrame, benchText: Column,
+                         n: Int = 3): DataFrame = {
+    val docSh = corpus.select(col(idCol).as("doc_id"), explode(shingles(text, n)).as("g"))
+    val benchSh = benchmark.select(explode(shingles(benchText, n)).as("g"))
+      .distinct().withColumn("__hit", lit(1))
+    docSh.join(broadcast(benchSh), Seq("g"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"),
+        round(sum(coalesce(col("__hit"), lit(0))) * 1000.0 / count(lit(1)))
+          .cast("long").as("hit_frac_milli"))
+  }
+
   /** SimHash near-dup buckets: docs sharing the top-`prefixBits` bits
     * of their simhash are near-dup candidates (cheap single shuffle).
     * `prefixBits` ∈ [1, 32]; the bucket is computed with exact integer

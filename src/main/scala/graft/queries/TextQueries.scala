@@ -479,6 +479,69 @@ object TextQueries {
         Multimodal.extractFeatures(Multimodal.packBlobs(Tables.documents(s, d)))
           .select(col("doc_id"), col("n_bytes"), col("mime"), col("width"), col("height"),
             round(element_at(col("feature"), 1) * 1000).cast("long").as("f0_milli"))
+    },
+
+    // Benchmark decontamination: flag training docs sharing 3-gram
+    // shingles with the (deterministic) benchmark subset. One explode +
+    // broadcast join + one hash agg — the corpus side never shuffles
+    // until the per-doc aggregate.
+    QueryDef.sql("q48_decontamination",
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents WHERE doc_id % 50 != 0),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+        |                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                     ELSE list_transform(generate_series(1, len(t) - 2),
+        |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+        |  FROM toks),
+        |btoks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |bsh AS (
+        |  SELECT DISTINCT
+        |         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+        |                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                     ELSE list_transform(generate_series(1, len(t) - 2),
+        |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+        |  FROM btoks)
+        |SELECT s.doc_id, count(*) AS n_sh,
+        |       CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |       CAST(round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) * 1000.0
+        |            / count(*)) AS BIGINT) AS hit_frac_milli
+        |FROM sh s LEFT JOIN bsh b ON s.g = b.g
+        |GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.ngramContamination(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", col("text"),
+          docs.filter(col("doc_id") % 50 === 0), col("text"))
+      }
+    },
+
+    // PII scrub: email/phone counts + md5 of the redacted text. The
+    // pattern strings are shared constants (TextFunctions.EmailPattern/
+    // PhonePattern), written in the Java-regex ∩ RE2 subset so both
+    // engines evaluate them identically; the corpus here is PII-free,
+    // so the hash also proves the scrub passes clean text through
+    // untouched (positive-match semantics are spec-covered).
+    QueryDef.sql("q49_pii_scrub", {
+      import graft.functions.TextFunctions.{EmailPattern, PhonePattern}
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailPattern')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$PhonePattern')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
+         |      '$PhonePattern', '<PHONE>', 'g')) AS redacted_hash
+         |FROM documents""".stripMargin
+    }) {
+      (s, d) =>
+        Tables.documents(s, d).select(col("doc_id"),
+          emailCount(col("text")).as("n_emails"),
+          phoneCount(col("text")).as("n_phones"),
+          md5(redactPii(col("text"))).as("redacted_hash"))
     }
   )
 }

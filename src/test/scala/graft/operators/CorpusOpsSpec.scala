@@ -57,6 +57,40 @@ class CorpusOpsSpec extends AnyFunSuite {
       "over-cap bucket members leaked into candidates")
   }
 
+  test("ngram contamination flags docs overlapping the benchmark set") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon", // contains benchmark 3-grams
+      2L -> "one two three four five",        // disjoint
+      3L -> "beta gamma delta zeta eta")      // partial overlap
+    val bench = docs(100L -> "alpha beta gamma delta")
+    val out = Dedup.ngramContamination(corpus, "doc_id", col("text"), bench, col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // bench shingles: "alpha beta gamma", "beta gamma delta"
+    assert(out(1L)._2 === 2L)
+    assert(out(2L)._2 === 0L)
+    assert(out(3L)._2 === 1L) // "beta gamma delta"
+    assert(out(1L)._1 === 3L) // 5 tokens -> 3 distinct shingles
+  }
+
+  test("PII scrub redacts emails and phones, counts match") {
+    val df = docs(
+      1L -> "contact bob.smith+x@example.co.uk or call +1 555-123-4567 now",
+      2L -> "no pii here at all",
+      3L -> "two mails: a@b.io c@d.org and digits 12345678")
+    val out = df.select(col("doc_id"),
+        TextFunctions.emailCount(col("text")).as("ne"),
+        TextFunctions.phoneCount(col("text")).as("np"),
+        TextFunctions.redactPii(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L)._1 === 1L)
+    assert(out(1L)._2 === 1L)
+    assert(out(1L)._3 === "contact <EMAIL> or call <PHONE> now")
+    assert(out(2L) === ((0L, 0L, "no pii here at all")))
+    assert(out(3L)._1 === 2L)
+    assert(out(3L)._2 === 1L) // the 8-digit run
+    assert(out(3L)._3 === "two mails: <EMAIL> <EMAIL> and digits <PHONE>")
+  }
+
   test("simhash of near-duplicates has small Hamming distance") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = base.replace("tok33", "other")
