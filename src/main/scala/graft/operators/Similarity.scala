@@ -234,6 +234,22 @@ object Similarity {
       .select(col("query_id"), col("vid").as("neighbor_id"), col("rank"), col("cosine_ppm"))
   }
 
+  /** Per-vector symmetric int8 quantization scale: max |component|
+    * (in double), so round(127·x/scale) spans the full int8 range.
+    */
+  def int8Scale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** Quantize a float vector to int8 against `scale` (usually
+    * [[int8Scale]]): floor(127·x/scale + ½) — explicit floor-plus-half
+    * rounding because it is exactly reproducible on any engine,
+    * unlike half-even/half-away library `round`s. 4× smaller ANN
+    * candidate storage; dequantize as q·scale/127 (error ≤ scale/254
+    * per component).
+    */
+  def int8Quantize(vec: Column, scale: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 127 / scale + lit(0.5)).cast("int"))
+
   /** Embedding-cosine near-duplicate pairs above a threshold: banded
     * LSH candidates (any band match, deduped), exact cosine verify once
     * per pair, id_a < id_b. Same banding/cap story as [[lshTopK]];

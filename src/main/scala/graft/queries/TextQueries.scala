@@ -542,6 +542,30 @@ object TextQueries {
           emailCount(col("text")).as("n_emails"),
           phoneCount(col("text")).as("n_phones"),
           md5(redactPii(col("text"))).as("redacted_hash"))
+    },
+
+    // Sequence packing for pre-training batches: docs pack into
+    // 2048-token sequences within 8 hash shards (xxhash64 shard is
+    // bit-exact in the oracle via the q46 long path). The only shuffle
+    // is the shard-partitioned window — no unpartitioned window.
+    QueryDef.sql("q50_pack_sequences", {
+      import XxHash64Sql._
+      val (steps, h) = hashLongSteps(s2u("doc_id"), "42", "PS")
+      val (ctes, last) = chainCtes("documents", steps, "psc")
+      s"""WITH $ctes,
+         |t AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |         ((${u2s(h)} % 8) + 8) % 8 AS shard
+         |  FROM $last)
+         |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         |            - n_tokens) / 2048.0) AS BIGINT) AS seq_index
+         |FROM t""".stripMargin
+    }) {
+      (s, d) =>
+        graft.operators.Packing.packSequences(Tables.documents(s, d), "doc_id", col("text"))
     }
   )
 }

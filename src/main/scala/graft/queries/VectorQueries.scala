@@ -197,6 +197,35 @@ object VectorQueries {
       (s, d) =>
         Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
           minCosinePpm = 350000L)
+    },
+
+    // Symmetric int8 embedding quantization (4× smaller ANN candidate
+    // storage): scale = max |component|, q = floor(127·x/scale + ½) —
+    // explicit floor-plus-half rounding so both engines agree on every
+    // half-way case. The md5 over the joined quantized values verifies
+    // the whole vector, not a summary.
+    QueryDef.sql("q51_embedding_quantize",
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_ppm,
+        |  md5(array_to_string(list_transform(embedding,
+        |      x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127 / scale + 0.5) AS BIGINT) AS VARCHAR)),
+        |      ',')) AS q_hash,
+        |  CAST(list_sum(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale + 0.5) AS BIGINT))) AS BIGINT) AS q_sum
+        |FROM s""".stripMargin) {
+      (s, d) => {
+        val withScale = Tables.embeddings(s, d)
+          .withColumn("__scale", Similarity.int8Scale(col("embedding")))
+        val q = Similarity.int8Quantize(col("embedding"), col("__scale"))
+        withScale.select(col("vec_id"),
+          floor(col("__scale") * 1000000 + lit(0.5)).cast("long").as("scale_ppm"),
+          md5(concat_ws(",", transform(q, x => x.cast("string")))).as("q_hash"),
+          aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"))
+      }
     }
   )
 }

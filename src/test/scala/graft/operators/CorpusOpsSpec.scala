@@ -167,6 +167,26 @@ class CorpusOpsSpec extends AnyFunSuite {
       "over-cap bucket members leaked into candidates")
   }
 
+  test("int8 quantization round-trips within scale/254 per component") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("__scale", Similarity.int8Scale(col("embedding")))
+    val rows = e.select(col("embedding"), col("__scale"),
+        Similarity.int8Quantize(col("embedding"), col("__scale")).as("q"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      // floor(±127 + .5) stays in [-127, 127] even at x = ±scale
+      assert(q.forall(x => x >= -127 && x <= 127))
+      v.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(qi * scale / 127 - x) <= scale / 254 + 1e-9,
+          s"component $x dequantized too far: $qi (scale $scale)")
+      }
+    }
+  }
+
   test("IVF ANN scores agree with brute force; recall is meaningful") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
