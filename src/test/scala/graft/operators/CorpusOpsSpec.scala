@@ -262,6 +262,21 @@ class CorpusOpsSpec extends AnyFunSuite {
       "unpartitioned window reappeared in q38")
   }
 
+  test("q48 broadcasts the benchmark side; q50 window stays partitioned") {
+    val d = "/root/testdata/sf0.001"
+    val q48 = graft.SparkEntry.queries("q48_decontamination")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(q48.contains("BroadcastHashJoin"),
+      s"q48 benchmark join regressed off broadcast:\n$q48")
+    assert(!q48.contains("SortMergeJoin"), "q48 corpus side should not sort-merge")
+    val q50 = graft.SparkEntry.queries("q50_pack_sequences")(spark, d)
+      .queryExecution.executedPlan.toString
+    // the packing window must carry its shard partition key — a global
+    // window here is the single-reducer scale-killer class
+    assert(q50.contains("windowspecdefinition(shard"),
+      s"q50 packing window lost its shard partitioning:\n$q50")
+  }
+
   test("multimodal feature extraction preserves schema and batch shape") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
     val out = Multimodal.extractFeatures(Multimodal.packBlobs(d), batchSize = 16)
