@@ -42,12 +42,17 @@ object Dedup {
     * (id_a, id_b, jaccard_ppm) with id_a < id_b.
     *
     * Shape matters at scale: the signature is computed relationally —
-    * shingles exploded once, crossed with a broadcast seed table, and
-    * min-reduced by a codegen'd hash aggregate — NOT as a nested
-    * higher-order-function column (interpreted, and projection collapse
-    * re-inlines it per band: measured 200× slower at sf0.1). Candidate
-    * pairs are deduplicated before the shingle arrays are joined back,
-    * so verification cost is per unique pair, not per bucket collision.
+    * shingles exploded once, min-reduced by a codegen'd hash aggregate
+    * — NOT as a nested higher-order-function column (interpreted, and
+    * projection collapse re-inlines it per band: measured 200× slower
+    * at sf0.1). The seed family is Carter-Wegman double hashing
+    * (Broder): two independent 64-bit hashes per shingle, seed s's
+    * value is `h1 + s·h2` (wrapping, [[graft.plans.SeededMix]]) — one
+    * multiply-add per seed instead of one full hash evaluation per
+    * seed, and all numHashes min-reductions run as ONE hash agg
+    * (partials combine map-side). Candidate pairs are deduplicated
+    * before the shingle arrays are joined back, so verification cost
+    * is per unique pair, not per bucket collision.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, text: Column,
                       bands: Int = 16, rows: Int = 4, n: Int = 3,
@@ -55,12 +60,14 @@ object Dedup {
                       maxBucket: Int = 4096): DataFrame = {
     val numHashes = bands * rows
     val docs = df.select(col(idCol).as("doc_id"), shingles(text, n).as("sh"))
-    // hash each shingle ONCE; seed s's value derives from (hg, s) —
-    // and all numHashes min-reductions run as ONE codegen'd hash agg
-    // (no seed cross join, no extra shuffle: partials combine map-side)
+    // hash each shingle ONCE (h1), derive the second hash from it
+    // (h2 = xxhash64 of the long h1); every seeded hash is then pure
+    // register arithmetic inside the aggregate
     val shingleRows = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("hg"))
-    val minAggs = (0 until numHashes).map(s => min(xxhash64(col("hg"), lit(s))).as(s"m$s"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h1"))
+      .withColumn("h2", xxhash64(col("h1")))
+    val minAggs = (0 until numHashes).map(s =>
+      min(graft.plans.SeededMix.seeded_mix(col("h1"), col("h2"), s)).as(s"m$s"))
     val minh = shingleRows.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
     // band bucket = hash of the band's min-hash columns
     val bucketCols = (0 until bands).map { bnd =>

@@ -46,11 +46,17 @@ object GraftExtensions {
     LshSignature(exprs.head, intLiteral(exprs(1), "lsh_signature planes"))
   }
 
+  private[plans] val seededMixBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 3, "seeded_mix(h1, h2, seed)")
+    SeededMix(exprs.head, exprs(1), intLiteral(exprs(2), "seeded_mix seed"))
+  }
+
   private val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("word_shingles", classOf[WordShingles], wordShinglesBuilder),
     ("simhash64", classOf[SimHash64], simhash64Builder),
     ("cosine_sim", classOf[CosineSimilarity], cosineSimBuilder),
-    ("lsh_signature", classOf[LshSignature], lshSignatureBuilder))
+    ("lsh_signature", classOf[LshSignature], lshSignatureBuilder),
+    ("seeded_mix", classOf[SeededMix], seededMixBuilder))
 
   /** Register into an already-running session (extensions only apply at
     * session construction; this covers notebooks / shared sessions).

@@ -28,7 +28,8 @@ object TextQueries {
   private val XxRows = 4
 
   /** Oracle for q29: the COMPLETE xxhash64 MinHash+LSH pipeline — the
-    * same shingles, the per-shingle xxhash64, the 64 seeded min-hashes
+    * same shingles, the per-shingle xxhash64 (h1) and its re-hash
+    * (h2), the Carter-Wegman seeded family `h1 + s·h2` mod 2^64
     * (signed-long min order), the per-band chained-hash buckets, the
     * bucket join and the exact-Jaccard verify — rebuilt on the oracle
     * engine from [[XxHash64Sql]]'s bit-exact XXH64.
@@ -36,12 +37,10 @@ object TextQueries {
   private val minhashXxOracleSql: String = {
     import XxHash64Sql._
     val numHashes = XxBands * XxRows
-    val (hlSteps, hl) = hashLongSteps("xxh", "42", "HL")
+    // h2 = xxhash64 of the LONG h1 (seed 42), exactly Spark's
+    // xxhash64(h1) long path
+    val (hlSteps, h2) = hashLongSteps("xxh", "42", "HL")
     val (hlCtes, hlLast) = chainCtes("hb", hlSteps, "hlc")
-    val (hiSteps, hi) = hashIntSteps("CAST(s AS HUGEINT)", hl, "HI")
-    val (hiCtes, hiLast) = chainCtes(
-      s"(SELECT * FROM $hlLast, generate_series(0, ${numHashes - 1}) ss(s))",
-      hiSteps, "hic")
     var bSteps = Seq.empty[(String, String)]
     var bSeed = "42"
     (0 until XxRows).foreach { j =>
@@ -65,10 +64,11 @@ object TextQueries {
        |gs AS (SELECT DISTINCT g FROM sh),
        |${hashBytesCtes("gs", "g")},
        |$hlCtes,
-       |$hiCtes,
        |mins AS (
-       |  SELECT sh.doc_id, h.s, min(${u2s(hi)}) AS mv
-       |  FROM sh JOIN $hiLast h ON h.g = sh.g
+       |  SELECT sh.doc_id, ss.s,
+       |         min(${u2s(s"(h.xxh + ss.s * h.$h2) % $M64")}) AS mv
+       |  FROM sh JOIN $hlLast h ON h.g = sh.g,
+       |       generate_series(0, ${numHashes - 1}) ss(s)
        |  GROUP BY 1, 2),
        |bandpivot AS (
        |  SELECT doc_id, s // $XxRows AS band, $pivots

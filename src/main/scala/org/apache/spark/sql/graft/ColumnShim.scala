@@ -35,4 +35,5 @@ object TypeShim {
   val oneFloatArray: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   val twoFloatArrays: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
+  val twoLongs: Seq[AbstractDataType] = Seq(LongType, LongType)
 }
