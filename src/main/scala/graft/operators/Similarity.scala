@@ -234,6 +234,38 @@ object Similarity {
       .select(col("query_id"), col("vid").as("neighbor_id"), col("rank"), col("cosine_ppm"))
   }
 
+  /** Elementwise mean embedding per group (the group's centroid):
+    * dims exploded once, one partial-aggregating hash agg over
+    * (group, dim), centroid rebuilt in dim order. Output is
+    * (grp, cvec: array<double>) — groups × dim rows shuffle, nothing
+    * else; the result is tiny and broadcastable.
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"), posexplode(col(vecCol)))
+      .groupBy("grp", "pos").agg(avg(col("col")).as("m"))
+      .groupBy("grp")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__pm"))
+      .select(col("grp"), transform(col("__pm"), x => x.getField("m")).as("cvec"))
+
+  /** Cosine of each vector to its group's centroid — the
+    * prototypicality score cluster-based curation uses (SemDeDup-style
+    * pruning keeps prototypical members, drops far outliers; diversity
+    * sampling does the opposite). Returns (idCol, grp,
+    * centroid_cos_ppm). Scale shape: the centroid table broadcasts, so
+    * beyond [[groupCentroids]]' (group, dim) aggregate nothing
+    * shuffles.
+    */
+  def centroidCosine(df: DataFrame, idCol: String, groupCol: String,
+                     vecCol: String): DataFrame = {
+    val cents = groupCentroids(df, groupCol, vecCol)
+    df.select(col(idCol), col(groupCol).as("grp"), col(vecCol).as("__v"))
+      .join(broadcast(cents), Seq("grp"))
+      .select(col(idCol), col("grp"),
+        round(dot(col("__v"), col("cvec"))
+          / (norm(col("__v")) * norm(col("cvec"))) * 1e6).cast("long")
+          .as("centroid_cos_ppm"))
+  }
+
   /** Per-vector symmetric int8 quantization scale: max |component|
     * (in double), so round(127·x/scale) spans the full int8 range.
     */

@@ -226,6 +226,40 @@ object VectorQueries {
           md5(concat_ws(",", transform(q, x => x.cast("string")))).as("q_hash"),
           aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"))
       }
+    },
+
+    // Per-source centroid prototypicality (SemDeDup-style curation):
+    // each doc's cosine to its source's mean embedding. Centroids are
+    // one (group, dim) hash agg, then broadcast — nothing else
+    // shuffles. ppm rounding absorbs partial-aggregation float
+    // ordering (double noise ~1e-14 vs 1e-6 resolution).
+    QueryDef.sql("q52_centroid_outlier",
+      """WITH j AS (
+        |  SELECT d.doc_id, d.source, e.embedding
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |dims AS (
+        |  -- constant bounds: the FROM-clause generate_series cannot
+        |  -- laterally reference len(embedding); the table is 64-dim
+        |  SELECT source, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+        |  FROM j, generate_series(1, 64) g(i)
+        |  GROUP BY 1, 2),
+        |cent AS (SELECT source, list(m ORDER BY pos) AS cvec FROM dims GROUP BY source)
+        |SELECT j.doc_id, j.source,
+        |  CAST(round(
+        |    list_sum(list_transform(generate_series(1, len(j.embedding)),
+        |             i -> CAST(j.embedding[i] AS DOUBLE) * c.cvec[i]))
+        |    / (sqrt(list_sum(list_transform(j.embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.cvec, x -> x * x))))
+        |    * 1000000.0) AS BIGINT) AS centroid_cos_ppm
+        |FROM j JOIN cent c ON c.source = j.source""".stripMargin) {
+      (s, d) => {
+        val j = Tables.documents(s, d).select(col("doc_id"), col("source"))
+          .join(Tables.embeddings(s, d),
+            col("vec_id") === col("doc_id"))
+        Similarity.centroidCosine(j, "doc_id", "source", "embedding")
+          .withColumnRenamed("grp", "source")
+      }
     }
   )
 }
