@@ -566,6 +566,28 @@ object TextQueries {
     }) {
       (s, d) =>
         graft.operators.Packing.packSequences(Tables.documents(s, d), "doc_id", col("text"))
+    },
+
+    // Deterministic stratified sampling: cap each source at 10 docs,
+    // chosen by md5(doc_id) order — the data-mixing/rebalancing pass
+    // (down-weight over-represented sources) as a source-partitioned
+    // window, reproducible across runs and cluster sizes.
+    QueryDef.sql("q53_stratified_sample",
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, rk AS sample_rank
+        |FROM r WHERE rk <= 10""".stripMargin) {
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            row_number().over(w).cast("long").as("sample_rank"))
+          .filter(col("sample_rank") <= 10)
+      }
     }
   )
 }
