@@ -37,4 +37,34 @@ object Packing {
       .withColumn("seq_index",
         floor((sum("n_tokens").over(w) - col("n_tokens")) / (seqLen * 1.0)).cast("long"))
   }
+
+  /** Overlapping fixed-token chunking (the RAG / embedding-window
+    * shape): one chunk per `stride` tokens, each spanning up to
+    * `chunkTokens` tokens, so consecutive chunks overlap by
+    * `chunkTokens - stride`. Pure per-row explode — embarrassingly
+    * parallel, no shuffle at all. Empty docs produce no chunks.
+    * Returns (idCol, chunk_index, start_token, n_chunk_tokens,
+    * chunk_hash) — the hash stands in for the chunk text in the gate;
+    * a production pipeline keeps the text/token slice itself.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, text: Column,
+                     chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      s"need 1 <= stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    val withToks = df.select(col(idCol),
+        graft.functions.TextFunctions.tokens(text).as("__t"))
+      .filter(size(col("__t")) > 0)
+    withToks
+      .select(col(idCol), col("__t"),
+        posexplode(sequence(lit(0), size(col("__t")) - 1, lit(stride))))
+      .withColumnRenamed("pos", "chunk_index")
+      .withColumnRenamed("col", "start_token")
+      .withColumn("__chunk",
+        slice(col("__t"), col("start_token") + 1, lit(chunkTokens)))
+      .select(col(idCol),
+        col("chunk_index").cast("long").as("chunk_index"),
+        col("start_token").cast("long").as("start_token"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("__chunk"), " ")).as("chunk_hash"))
+  }
 }

@@ -588,6 +588,30 @@ object TextQueries {
             row_number().over(w).cast("long").as("sample_rank"))
           .filter(col("sample_rank") <= 10)
       }
+    },
+
+    // Overlapping fixed-token chunking (64-token windows, stride 48 —
+    // the RAG/embedding-window pass). Pure per-row explode, no
+    // shuffle; chunk content verified via md5 of the joined tokens.
+    QueryDef.sql("q54_chunking",
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        |st AS (SELECT doc_id, t, n,
+        |              unnest(generate_series(0, n - 1, 48)) AS start_token
+        |       FROM nz),
+        |ch AS (SELECT doc_id, start_token // 48 AS chunk_index, start_token,
+        |              list_slice(t, start_token + 1, least(start_token + 64, n)) AS c
+        |       FROM st)
+        |SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index,
+        |       CAST(start_token AS BIGINT) AS start_token,
+        |       CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+        |       md5(array_to_string(c, ' ')) AS chunk_hash
+        |FROM ch""".stripMargin) {
+      (s, d) =>
+        graft.operators.Packing.chunkDocuments(Tables.documents(s, d), "doc_id", col("text"))
     }
   )
 }
