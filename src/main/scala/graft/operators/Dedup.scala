@@ -160,6 +160,54 @@ object Dedup {
           .as("jaccard_ppm"))
   }
 
+  /** Duplicate-cluster formation: connected components over a near-dup
+    * pair set (the output of [[minhashLshPairs]] /
+    * [[graft.operators.Similarity.cosineNearDupPairs]]), returning
+    * (v, lbl) where `lbl` is the minimum id reachable from `v` — the
+    * canonical cluster id. "Keep one per cluster" is then
+    * `filter(v === lbl)`. Only ids that appear in a pair participate
+    * (singletons have no cluster to join).
+    *
+    * Algorithm: min-label propagation — every node starts labeled with
+    * its own id; each round takes the min of its and its neighbors'
+    * labels; converges in O(cluster diameter) rounds, and near-dup
+    * clusters are shallow (most are cliques from a shared bucket, so
+    * 1-2 rounds). Each round is one shuffle join + one partial-
+    * aggregating min; the convergence check is a count. At extreme
+    * scale (billion-edge graphs, long chains) the alternating
+    * large-star/small-star variant [Kiveris et al.] halves round
+    * count; the per-round plan shape is the same.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                          maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl")).persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("v").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+        .groupBy("src").agg(min("nlbl").as("nmin"))
+        .withColumnRenamed("src", "v")
+      val updated = labels.join(nbrMin, Seq("v"), "left_outer")
+        .select(col("v"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = updated
+        .join(labels.select(col("v"), col("lbl").as("old")), Seq("v"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
+    edges.unpersist()
+    labels
+  }
+
   /** Benchmark decontamination: per corpus doc, how many of its
     * distinct word n-gram shingles also occur anywhere in `benchmark`
     * (an eval/benchmark suite). Training on benchmark text corrupts

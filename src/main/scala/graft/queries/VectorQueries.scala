@@ -199,6 +199,35 @@ object VectorQueries {
           minCosinePpm = 350000L)
     },
 
+    // Duplicate-cluster formation over the q37 near-dup pairs:
+    // connected components by min-label propagation (Spark) vs a
+    // recursive min-reachable CTE (oracle). cluster_id = min id in the
+    // component; is_keeper marks the one doc kept per cluster.
+    QueryDef.sql("q55_dup_clusters",
+      s"""WITH RECURSIVE ${lshBandCtes(2, 6, 4096)},
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b, $cosPpm AS cosine_ppm
+         |  FROM cand c JOIN sigs a ON a.vid = c.id_a JOIN sigs b ON b.vid = c.id_b
+         |  WHERE c.id_a < c.id_b),
+         |thr AS (SELECT id_a, id_b FROM pairs WHERE cosine_ppm >= 350000),
+         |e AS (SELECT id_a AS a, id_b AS b FROM thr
+         |      UNION SELECT id_b, id_a FROM thr),
+         |nodes AS (SELECT DISTINCT a AS v FROM e),
+         |reach AS (
+         |  SELECT v, v AS m FROM nodes
+         |  UNION
+         |  SELECT e.b AS v, r.m FROM reach r JOIN e ON e.a = r.v)
+         |SELECT v AS doc_id, min(m) AS cluster_id, v = min(m) AS is_keeper
+         |FROM reach GROUP BY v""".stripMargin) {
+      (s, d) => {
+        val pairs = Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", minCosinePpm = 350000L)
+        graft.operators.Dedup.connectedComponents(pairs)
+          .select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
+            (col("v") === col("lbl")).as("is_keeper"))
+      }
+    },
+
     // Symmetric int8 embedding quantization (4× smaller ANN candidate
     // storage): scale = max |component|, q = floor(127·x/scale + ½) —
     // explicit floor-plus-half rounding so both engines agree on every

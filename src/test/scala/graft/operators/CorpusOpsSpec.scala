@@ -57,6 +57,18 @@ class CorpusOpsSpec extends AnyFunSuite {
       "over-cap bucket members leaked into candidates")
   }
 
+  test("connected components form duplicate clusters from pairs") {
+    import spark.implicits._
+    // components: {1,2,3,4} (a chain — needs >1 propagation round),
+    // {10,11}, and an isolated pair {20,21}
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("ngram contamination flags docs overlapping the benchmark set") {
     val corpus = docs(
       1L -> "alpha beta gamma delta epsilon", // contains benchmark 3-grams
