@@ -168,15 +168,20 @@ object Dedup {
     * `filter(v === lbl)`. Only ids that appear in a pair participate
     * (singletons have no cluster to join).
     *
-    * Algorithm: min-label propagation — every node starts labeled with
-    * its own id; each round takes the min of its and its neighbors'
-    * labels; converges in O(cluster diameter) rounds, and near-dup
-    * clusters are shallow (most are cliques from a shared bucket, so
-    * 1-2 rounds). Each round is one shuffle join + one partial-
-    * aggregating min; the convergence check is a count. At extreme
-    * scale (billion-edge graphs, long chains) the alternating
-    * large-star/small-star variant [Kiveris et al.] halves round
-    * count; the per-round plan shape is the same.
+    * Algorithm: min-label propagation with POINTER JUMPING — every
+    * node starts labeled with its own id; each round takes the min of
+    * its own, its neighbors', and its current label's label (the
+    * path-doubling shortcut: labels are node ids, so a label's label
+    * is a valid, smaller-or-equal label). The shortcut turns the
+    * O(diameter) naive round count into O(log diameter) — a chain
+    * component of length 1000 converges in ~10 rounds, not 1000 (the
+    * naive form genuinely failed to converge at sf0.1's pair graph).
+    * Each round is two shuffle joins + one partial-aggregating min,
+    * with `localCheckpoint` truncating the lineage so round N's plan
+    * doesn't replan rounds 1..N-1; the convergence check is a count.
+    * At extreme scale the alternating large-star/small-star variant
+    * [Kiveris et al.] tightens constants; the per-round plan shape is
+    * the same.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                           maxIters: Int = 50): DataFrame = {
@@ -185,7 +190,7 @@ object Dedup {
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl")).persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("v"), col("v").as("lbl")).localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -193,13 +198,16 @@ object Dedup {
         .join(labels.select(col("v").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
         .groupBy("src").agg(min("nlbl").as("nmin"))
         .withColumnRenamed("src", "v")
-      val updated = labels.join(nbrMin, Seq("v"), "left_outer")
-        .select(col("v"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cand = labels.join(nbrMin, Seq("v"), "left_outer")
+        .select(col("v"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("c"))
+      // pointer jump: follow the candidate label to ITS label
+      val updated = cand
+        .join(labels.select(col("v").as("c"), col("lbl").as("clbl")), Seq("c"), "left_outer")
+        .select(col("v"), least(col("c"), coalesce(col("clbl"), col("c"))).as("lbl"))
+        .localCheckpoint(true)
       changed = updated
         .join(labels.select(col("v"), col("lbl").as("old")), Seq("v"))
         .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
       labels = updated
       i += 1
     }
