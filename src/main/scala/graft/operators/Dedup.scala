@@ -178,7 +178,10 @@ object Dedup {
     * naive form genuinely failed to converge at sf0.1's pair graph).
     * Each round is two shuffle joins + one partial-aggregating min,
     * with `localCheckpoint` truncating the lineage so round N's plan
-    * doesn't replan rounds 1..N-1; the convergence check is a count.
+    * doesn't replan rounds 1..N-1 (on a cluster with dynamic
+    * allocation prefer reliable `checkpoint()` + a checkpoint dir —
+    * localCheckpoint blocks die with their executor); the convergence
+    * check is a count.
     * At extreme scale the alternating large-star/small-star variant
     * [Kiveris et al.] tightens constants; the per-round plan shape is
     * the same.

@@ -57,6 +57,20 @@ class CorpusOpsSpec extends AnyFunSuite {
       "over-cap bucket members leaked into candidates")
   }
 
+  test("chunking: strides overlap and cover every token") {
+    val df = docs(1L -> (1 to 150).map(i => s"t$i").mkString(" "), 2L -> "")
+    val out = graft.operators.Packing
+      .chunkDocuments(df, "doc_id", col("text"), chunkTokens = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(!out.exists(_._1 == 2L)) // empty doc -> no chunks
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 150 tokens, stride 48 -> starts 0, 48, 96, 144
+    assert(c1.map(_._3).toSeq === Seq(0L, 48L, 96L, 144L))
+    assert(c1.map(_._4).toSeq === Seq(64L, 64L, 54L, 6L)) // tails clip
+    // consecutive full chunks overlap by chunk - stride = 16 tokens
+    assert(c1(0)._3 + 64 - c1(1)._3 === 16L)
+  }
+
   test("connected components form duplicate clusters from pairs") {
     import spark.implicits._
     // components: {1,2,3,4} (a chain — needs >1 propagation round),

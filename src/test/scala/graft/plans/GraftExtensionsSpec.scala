@@ -39,6 +39,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT lsh_signature(CAST(array(1.0, -2.0, 3.0) AS ARRAY<FLOAT>), 8) AS s")
         .head.getLong(0)
       assert(lsh >= 0 && lsh < 256)
+      // seeded_mix wraps instead of throwing under ANSI
+      val mix = spark.sql(
+        "SELECT seeded_mix(9223372036854775807L, 9223372036854775807L, 3) AS m")
+        .head.getLong(0)
+      assert(mix === (Long.MaxValue + 3L * Long.MaxValue))
     } finally () // session may be shared with other suites — don't stop it
   }
 }
