@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fleet-wide scale lint: builds the physical plan of EVERY gate query
+  * and rejects the two classic single-reducer scale killers —
+  * unpartitioned windows (all rows through one task; the round-1 IVF
+  * bug class) and cartesian products (quadratic row blowup) — except
+  * where a query declares them by design. New queries are linted
+  * automatically by being in SparkEntry.
+  */
+class PlanLintSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-lint")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** The declared brute-force baseline: quadratic by definition. */
+  private val cartesianAllowed = Set("q35_cosine_topk")
+
+  test("no gate query plans an unpartitioned window or undeclared cartesian") {
+    // AQE wraps the plan in a leaf AdaptiveSparkPlanExec that defeats
+    // collect(); disable it while building plans (runtime-settable)
+    val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = graft.SparkEntry.allQueries.flatMap { q =>
+        // q55 loops with actions at plan-build time; its per-round
+        // shapes are the joins/aggs linted through every other query,
+        // so lint its (cheap) sf0.001 plan like the rest
+        val plan: SparkPlan =
+          q.fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+        val unpartitioned = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        val cartesian = plan.collect { case c: CartesianProductExec => c }
+        val bad = Seq(
+          if (unpartitioned.nonEmpty) Some(s"${q.name}: unpartitioned window") else None,
+          if (cartesian.nonEmpty && !cartesianAllowed(q.name))
+            Some(s"${q.name}: cartesian product") else None).flatten
+        bad
+      }
+      assert(offenders.isEmpty, offenders.mkString("; "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+}
