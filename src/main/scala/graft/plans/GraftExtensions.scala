@@ -51,12 +51,18 @@ object GraftExtensions {
     SeededMix(exprs.head, exprs(1), intLiteral(exprs(2), "seeded_mix seed"))
   }
 
+  private[plans] val nfcNormalizeBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 1, "nfc_normalize(text)")
+    NfcNormalize(exprs.head)
+  }
+
   private val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("word_shingles", classOf[WordShingles], wordShinglesBuilder),
     ("simhash64", classOf[SimHash64], simhash64Builder),
     ("cosine_sim", classOf[CosineSimilarity], cosineSimBuilder),
     ("lsh_signature", classOf[LshSignature], lshSignatureBuilder),
-    ("seeded_mix", classOf[SeededMix], seededMixBuilder))
+    ("seeded_mix", classOf[SeededMix], seededMixBuilder),
+    ("nfc_normalize", classOf[NfcNormalize], nfcNormalizeBuilder))
 
   /** Register into an already-running session (extensions only apply at
     * session construction; this covers notebooks / shared sessions).

@@ -612,6 +612,22 @@ object TextQueries {
         |FROM ch""".stripMargin) {
       (s, d) =>
         graft.operators.Packing.chunkDocuments(Tables.documents(s, d), "doc_id", col("text"))
+    },
+
+    // Unicode NFC normalization (the pre-hash canonicalization pass):
+    // composed vs decomposed accents hash identically after it. The
+    // corpus is ASCII (trivially NFC) so the gate proves passthrough
+    // parity; positive-case parity is covered by nfccheck.py and the
+    // spec.
+    QueryDef.sql("q56_nfc_normalize",
+      """SELECT doc_id, text = nfc_normalize(text) AS was_normalized,
+        |       md5(nfc_normalize(text)) AS norm_hash
+        |FROM documents""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d).select(col("doc_id"),
+          (col("text") === graft.plans.NfcNormalize.nfc_normalize(col("text")))
+            .as("was_normalized"),
+          md5(graft.plans.NfcNormalize.nfc_normalize(col("text"))).as("norm_hash"))
     }
   )
 }

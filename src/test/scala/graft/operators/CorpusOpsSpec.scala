@@ -57,6 +57,24 @@ class CorpusOpsSpec extends AnyFunSuite {
       "over-cap bucket members leaked into candidates")
   }
 
+  test("NFC normalization merges composed/decomposed, preserves compatibility chars") {
+    import spark.implicits._
+    val composed = "café"
+    val decomposed = "café"
+    // guard: if an editor/tool ever normalizes this file, the fixture
+    // goes meaningless - composed and decomposed must differ
+    assert(composed != decomposed && composed.length + 1 == decomposed.length)
+    val ligature = "ﬁsh" // NFC must NOT touch ﬁ (that's NFKC)
+    val out = Seq((1L, composed), (2L, decomposed), (3L, ligature), (4L, "plain"))
+      .toDF("id", "s")
+      .select(col("id"), graft.plans.NfcNormalize.nfc_normalize(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === composed)
+    assert(out(2L) === composed, "decomposed form did not compose")
+    assert(out(3L) === ligature)
+    assert(out(4L) === "plain")
+  }
+
   test("chunking: strides overlap and cover every token") {
     val df = docs(1L -> (1 to 150).map(i => s"t$i").mkString(" "), 2L -> "")
     val out = graft.operators.Packing
