@@ -53,6 +53,11 @@ object Dedup {
     * (partials combine map-side). Candidate pairs are deduplicated
     * before the shingle arrays are joined back, so verification cost
     * is per unique pair, not per bucket collision.
+    *
+    * The plan references the shingled corpus three times (min-hash
+    * aggregate + both sides of the verify join); at corpus scale,
+    * persist/checkpoint the shingled `df` upstream so the shingle
+    * expression runs one scan, not three.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, text: Column,
                       bands: Int = 16, rows: Int = 4, n: Int = 3,
