@@ -401,6 +401,47 @@ object CoreQueries {
         Tables.events(s, d)
           .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"), col("event_type"))
           .agg(count(lit(1)).as("n"), cents(sum("value")).as("value_cents"))
+    },
+
+    // Batch sessionization (the batch twin of streaming
+    // sessionizeEventTime, same 30-min gap rule): a session starts at
+    // a gap > 30 min from the previous event; session_seq = running
+    // count of session starts. Two user-partitioned windows + one
+    // aggregate; microsecond-exact gap arithmetic on both engines.
+    QueryDef.sql("q57_sessionize_batch",
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+        |                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              <= 1800000000 THEN 0 ELSE 1 END AS is_new
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts,
+        |       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+        |FROM sess GROUP BY 1, 2""".stripMargin) {
+      (s, d) => {
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        // same (ts, event_id) tie-break as the lag window — with ties
+        // on ts alone, which tied row "sees" a session start first
+        // would otherwise be engine-dependent
+        val running = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables.events(s, d)
+          .withColumn("is_new",
+            when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+              <= 1800000000L, 0L).otherwise(1L))
+          .withColumn("session_seq", sum("is_new").over(running))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(count(lit(1)).as("n_events"), min("ts").as("first_ts"),
+            max("ts").as("last_ts"), cents(sum("value")).as("value_cents"))
+      }
     }
   )
 }
