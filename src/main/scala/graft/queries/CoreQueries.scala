@@ -442,6 +442,48 @@ object CoreQueries {
           .agg(count(lit(1)).as("n_events"), min("ts").as("first_ts"),
             max("ts").as("last_ts"), cents(sum("value")).as("value_cents"))
       }
+    },
+
+    // Pivot (wide conditional aggregation): event counts per user by
+    // type. Spark's groupBy().pivot() compiles to exactly the
+    // conditional-aggregate form the oracle writes out — one hash agg,
+    // no row multiplication.
+    QueryDef.sql("q58_pivot", {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val filters = types
+        .map(t => s"       count(*) FILTER (event_type = '$t') AS \"$t\"")
+        .mkString(",\n")
+      s"""SELECT user_id,
+         |$filters
+         |FROM events GROUP BY user_id""".stripMargin
+    }) {
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .na.fill(0L, types)
+      }
+    },
+
+    // Correlated EXISTS through the SQL front door (Catalyst rewrites
+    // the subquery to a left-semi join): customers with at least one
+    // urgent order.
+    QueryDef.sql("q59_exists_subquery",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')""".stripMargin) {
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT c_custkey, c_name FROM customer c
+            |WHERE EXISTS (SELECT 1 FROM orders o
+            |              WHERE o.o_custkey = c.c_custkey
+            |                AND o.o_orderpriority = '1-URGENT')""".stripMargin)
+      }
     }
   )
 }
