@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the operators of this engine composed
+  * in the order a production pre-training pipeline runs them. Each
+  * stage is individually oracle-verified (see COVERAGE.md); this
+  * facade is the integration story — one call from raw documents to a
+  * training-ready corpus, all stages optional.
+  *
+  * Stage order matters and is the standard one:
+  *  1. NFC-normalize (byte-canonical text BEFORE any hashing),
+  *  2. PII scrub (never hash/emit raw PII),
+  *  3. quality floor (cheap filters first — shrink before the
+  *     expensive pairwise stages),
+  *  4. exact dedup (md5 — removes the bulk duplicates cheaply),
+  *  5. near-dedup (MinHash-LSH pairs → connected components → keep
+  *     each cluster's min id),
+  *  6. benchmark decontamination (drop docs overlapping the eval set),
+  *  7. deterministic train/val split (hash bucket).
+  *
+  * Every stage is a narrow DataFrame transform: nothing here collects,
+  * and the only shuffles are the ones the underlying operators
+  * declare.
+  */
+object CurationPipeline {
+
+  final case class Config(
+      minQualityMilli: Long = 400,
+      stopwords: Seq[String] = Seq("the", "and", "of", "to", "is"),
+      nearDupJaccardPpm: Long = 800000L,
+      contaminationMaxHits: Long = 0,
+      valPercent: Int = 10)
+
+  /** Run the full pipeline. `benchmark` is the eval set to
+    * decontaminate against (None = skip the stage). Returns the kept
+    * corpus as (doc_id, text, quality_milli, split).
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             benchmark: Option[DataFrame] = None,
+             cfg: Config = Config()): DataFrame = {
+    import graft.functions.TextFunctions._
+    val base = docs.select(col(idCol).as("doc_id"),
+      graft.plans.NfcNormalize.nfc_normalize(col(textCol)).as("text"))
+    val scrubbed = base.withColumn("text", redactPii(col("text")))
+    val scored = scrubbed
+      .withColumn("quality_milli", qualityScoreMilli(col("text"), cfg.stopwords))
+      .filter(col("quality_milli") >= cfg.minQualityMilli)
+    // exact dedup: keep each content hash's min doc_id
+    val exactKeep = Dedup.exact(scored, "doc_id", col("text"))
+      .select(col("keep_id").as("doc_id"))
+    val exact = scored.join(exactKeep, Seq("doc_id"), "left_semi")
+    // near-dedup: pair graph -> clusters -> drop every non-keeper
+    val pairs = Dedup.minhashLshPairs(exact, "doc_id", col("text"),
+      minJaccardPpm = cfg.nearDupJaccardPpm)
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("v") =!= col("lbl")).select(col("v").as("doc_id"))
+    val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
+    // decontamination: drop docs with benchmark n-gram overlap
+    val clean = benchmark match {
+      case Some(b) =>
+        val contaminated = Dedup
+          .ngramContamination(deduped, "doc_id", col("text"), b, col(textCol))
+          .filter(col("n_hit") > cfg.contaminationMaxHits)
+          .select("doc_id")
+        deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      case None => deduped
+    }
+    clean.withColumn("split",
+      when(pmod(xxhash64(col("doc_id")), lit(100)) < 100 - cfg.valPercent, "train")
+        .otherwise("val"))
+  }
+}

@@ -89,6 +89,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(c1(0)._3 + 64 - c1(1)._3 === 16L)
   }
 
+  test("curation pipeline composes: dedup, decontaminate, split") {
+    val good = (1 to 80).map(i => s"the w$i of") // long enough, has stopwords
+    val df = docs(
+      1L -> good.mkString(" "),
+      2L -> good.mkString(" "),                       // exact dup of 1 -> dropped
+      3L -> good.updated(7, "changed").mkString(" "), // near dup of 1 -> dropped
+      4L -> ("the contaminated of " + (1 to 60).map(i => s"b$i").mkString(" ")),
+      5L -> "too short",                              // quality floor
+      6L -> ("the clean of " + (1 to 60).map(i => s"c$i").mkString(" ")))
+    val bench = docs(100L -> "contaminated of b1 b2 b3")
+    val kept = CurationPipeline.curate(df, "doc_id", "text", Some(bench))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(kept.keySet === Set(1L, 6L))
+    assert(kept.values.forall(s => s == "train" || s == "val"))
+    // deterministic: same input, same result
+    val again = CurationPipeline.curate(df, "doc_id", "text", Some(bench))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again === kept)
+  }
+
   test("connected components form duplicate clusters from pairs") {
     import spark.implicits._
     // components: {1,2,3,4} (a chain — needs >1 propagation round),
