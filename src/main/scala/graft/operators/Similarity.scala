@@ -277,10 +277,14 @@ object Similarity {
     * rounding because it is exactly reproducible on any engine,
     * unlike half-even/half-away library `round`s. 4× smaller ANN
     * candidate storage; dequantize as q·scale/127 (error ≤ scale/254
-    * per component).
+    * per component). An all-zero vector (scale 0) quantizes to zeros —
+    * without the guard the division yields NaN, and under ANSI mode
+    * the NaN→int cast is a runtime error, not a null.
     */
   def int8Quantize(vec: Column, scale: Column): Column =
-    transform(vec, x => floor(x.cast("double") * 127 / scale + lit(0.5)).cast("int"))
+    transform(vec, x =>
+      when(scale === 0, lit(0))
+        .otherwise(floor(x.cast("double") * 127 / scale + lit(0.5)).cast("int")))
 
   /** Embedding-cosine near-duplicate pairs above a threshold: banded
     * LSH candidates (any band match, deduped), exact cosine verify once

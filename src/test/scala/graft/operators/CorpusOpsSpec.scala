@@ -231,6 +231,18 @@ class CorpusOpsSpec extends AnyFunSuite {
       "over-cap bucket members leaked into candidates")
   }
 
+  test("int8 quantization of an all-zero vector yields zeros, not an ANSI cast error") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.0f, 0.0f, 0.0f)), (2L, Array(1.0f, -2.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("__scale", Similarity.int8Scale(col("embedding")))
+    val out = df.select(col("vec_id"),
+        Similarity.int8Quantize(col("embedding"), col("__scale")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(out(1L) === Seq(0, 0, 0))
+    assert(out(2L) === Seq(64, -127, 32)) // floor(127*x/2 + .5)
+  }
+
   test("int8 quantization round-trips within scale/254 per component") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .withColumn("__scale", Similarity.int8Scale(col("embedding")))
