@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   * vectors sharing a signature bucket are candidates, re-ranked
   * exactly. At 100 TB the bucket join replaces the cross join, and the
   * signature computation is a single codegen'd projection.
+  *
+  * PRECONDITION for every cosine-based op: vectors must be non-zero.
+  * cosine(0⃗, ·) is 0/0 = NaN, and the ppm rounding's NaN→long cast is
+  * a runtime error under ANSI mode (identically on the oracle engine)
+  * — filter zero vectors out upstream ([[int8Scale]] > 0, or a norm
+  * filter). [[int8Quantize]] is the one op that guards internally.
   */
 object Similarity {
 

@@ -351,6 +351,12 @@ class CorpusOpsSpec extends AnyFunSuite {
     // window here is the single-reducer scale-killer class
     assert(q50.contains("windowspecdefinition(shard"),
       s"q50 packing window lost its shard partitioning:\n$q50")
+    // the centroid table is tiny by construction; re-shuffling the full
+    // embedding table against it would be the regression
+    val q52 = graft.SparkEntry.queries("q52_centroid_outlier")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(q52.contains("BroadcastHashJoin"),
+      s"q52 centroid join regressed off broadcast:\n$q52")
   }
 
   test("multimodal feature extraction preserves schema and batch shape") {
