@@ -125,11 +125,40 @@ object PlanetDump {
     if (needElements) { nodesH.unpersist(); waysH.unpersist(); relsH.unpersist() }
   }
 
-  /** Parsed CLI configuration (everything `run` needs). */
+  /** Parsed CLI configuration (everything `run` needs). `help = true`
+    * short-circuits: no other option is validated (reference prints
+    * usage and exits 0 whenever --help appears, `planet-dump.cpp:80-83`).
+    */
   final case class Cli(dumpFile: String, workDir: String, generator: String,
                        outputs: Seq[Output], meta: Meta,
                        compressCommand: Option[String], denseNodes: Boolean,
-                       resume: Boolean = false, maxConcurrency: Option[Int] = None)
+                       resume: Boolean = false, maxConcurrency: Option[Int] = None,
+                       help: Boolean = false)
+
+  /** Usage text (the option surface; mirrors the reference's list). */
+  val helpText: String =
+    """planet-dump-ng-spark: allowed options
+      |  -h [ --help ]                 display help text and exit
+      |  -c [ --compress-command ] arg program used to compress XML output
+      |  -x [ --xml ] arg              planet XML output file (without history)
+      |  -X [ --history-xml ] arg      history XML output file
+      |  -p [ --pbf ] arg              planet PBF output file (without history)
+      |  -P [ --history-pbf ] arg      history PBF output file
+      |  -C [ --changesets ] arg       changeset XML output file
+      |  -D [ --changeset-discussions ] arg  changeset discussions XML output file
+      |  --xml-no-userinfo / --history-xml-no-userinfo / --pbf-no-userinfo /
+      |  --history-pbf-no-userinfo / --changesets-no-userinfo /
+      |  --changeset-discussions-no-userinfo arg   anonymized variants
+      |  --pbf-parallel / --history-pbf-parallel arg  parallel-encoded PBF (scale path)
+      |  -d [ --dense-nodes ] arg      use dense nodes for PBF output (default true)
+      |  -f [ --dump-file ] arg        PostgreSQL table dump to read
+      |  --work-dir arg                staging/table directory (default planet-dump-work)
+      |  --generator arg               override the generator string
+      |  --resume                      resume from partial data (else start from scratch)
+      |  --max-concurrency arg         cap staging subprocesses / job submission / shuffle width
+      |  -M [ --meta-file ] arg        data metainfo configuration file
+      |  --meta-author / --meta-source / --meta-copyleft / --meta-attribution arg
+      |""".stripMargin
 
   /** boost::program_options bool parser accepts 1/0, on/off, yes/no,
     * true/false (case-insensitive) — `planet-dump.cpp:69` relies on it
@@ -165,6 +194,9 @@ object PlanetDump {
     var metaFile: Option[String] = None
     val metaCli = scala.collection.mutable.Map[String, String]()
     val outputs = scala.collection.mutable.ArrayBuffer[Output]()
+    // --help anywhere wins: usage + exit 0, nothing else validated
+    if (args.contains("--help") || args.contains("-h"))
+      return Cli("", "", "", Nil, Meta(), None, denseNodes = true, help = true)
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -213,6 +245,7 @@ object PlanetDump {
 
   def main(args: Array[String]): Unit = {
     val cli = parseArgs(args)
+    if (cli.help) { println(helpText); return }
     // --max-concurrency caps the reference's per-table writer threads
     // (planet-dump.cpp:58-59). It bounds BOTH the driver-side staging /
     // per-table job submission (plumbed into Load.run's task pool) and,

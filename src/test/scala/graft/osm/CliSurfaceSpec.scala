@@ -117,6 +117,11 @@ class CliSurfaceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parseArgs(Array("--bogus", "x")))
     intercept[IllegalArgumentException](parseArgs(Array("-x", "out.xml"))) // no dump file
     intercept[IllegalArgumentException](parseArgs(Array("-f", "d.dmp"))) // no outputs
+    // --help anywhere wins, even with otherwise-invalid args (reference
+    // prints usage and exits 0 before any validation)
+    assert(parseArgs(Array("--help")).help)
+    assert(parseArgs(Array("-x", "out.xml", "-h")).help)
+    assert(!cli.help)
   }
 
   test("meta-file overrides header attributes; CLI values win over the file") {
