@@ -42,6 +42,10 @@ class PlanLintSpec extends AnyFunSuite {
           case w: WindowExec if w.partitionSpec.isEmpty => w
         }
         val cartesian = plan.collect { case c: CartesianProductExec => c }
+        // NOT linted: Exchange SinglePartition — scalar aggregates
+        // (q02/q08/q17/q19) legitimately send their few partial-agg
+        // rows to one reducer; the harmful single-partition cases are
+        // the window/cartesian forms above
         val bad = Seq(
           if (unpartitioned.nonEmpty) Some(s"${q.name}: unpartitioned window") else None,
           if (cartesian.nonEmpty && !cartesianAllowed(q.name))
