@@ -570,8 +570,10 @@ object TextQueries {
 
     // Deterministic stratified sampling: cap each source at 10 docs,
     // chosen by md5(doc_id) order — the data-mixing/rebalancing pass
-    // (down-weight over-represented sources) as a source-partitioned
-    // window, reproducible across runs and cluster sizes.
+    // (down-weight over-represented sources). Two-phase windows
+    // (shard-local prune, then final rank over the survivors) so a
+    // billion-row source never streams through one task; the oracle
+    // states the equivalent single-window semantics.
     QueryDef.sql("q53_stratified_sample",
       """WITH r AS (
         |  SELECT doc_id, source,
@@ -580,14 +582,9 @@ object TextQueries {
         |  FROM documents)
         |SELECT doc_id, source, rk AS sample_rank
         |FROM r WHERE rk <= 10""".stripMargin) {
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            row_number().over(w).cast("long").as("sample_rank"))
-          .filter(col("sample_rank") <= 10)
-      }
+      (s, d) =>
+        graft.operators.Sampling.stratifiedByHash(
+          Tables.documents(s, d), "doc_id", "source", n = 10)
     },
 
     // Overlapping fixed-token chunking (64-token windows, stride 48 —
