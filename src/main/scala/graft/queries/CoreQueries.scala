@@ -467,6 +467,70 @@ object CoreQueries {
       }
     },
 
+    // TPC-H Q1 (pricing summary): the canonical wide aggregate —
+    // partial-aggregates map-side, money rendered hash-stable in cents.
+    QueryDef.sql("q60_tpch_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+        |  CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_cents,
+        |  CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_cents,
+        |  CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT) AS sum_charge_cents,
+        |  CAST(round(avg(l_quantity) * 1000) AS BIGINT) AS avg_qty_milli,
+        |  CAST(round(avg(l_extendedprice) * 100) AS BIGINT) AS avg_price_cents,
+        |  CAST(round(avg(l_discount) * 100000) AS BIGINT) AS avg_disc_e5,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity")).cast("long").as("sum_qty"),
+            cents(sum("l_extendedprice")).as("sum_base_cents"),
+            cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .as("sum_disc_cents"),
+            cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * (lit(1) + col("l_tax")))).as("sum_charge_cents"),
+            round(avg("l_quantity") * 1000).cast("long").as("avg_qty_milli"),
+            cents(avg("l_extendedprice")).as("avg_price_cents"),
+            round(avg("l_discount") * 100000).cast("long").as("avg_disc_e5"),
+            count(lit(1)).as("count_order"))
+    },
+
+    // TPC-H Q3 (shipping priority, adapted: this schema carries
+    // o_orderpriority instead of o_shippriority): 3-way join +
+    // aggregate + deterministic top-10 (integer revenue, orderkey
+    // tie-break) — compiles to TakeOrderedAndProject, no global sort.
+    QueryDef.sql("q61_tpch_q3",
+      """SELECT l_orderkey,
+        |  CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_cents,
+        |  o_orderdate, o_orderpriority
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin) {
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+          .limit(10)
+          .select("l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
+      }
+    },
+
     // Correlated EXISTS through the SQL front door (Catalyst rewrites
     // the subquery to a left-semi join): customers with at least one
     // urgent order.
