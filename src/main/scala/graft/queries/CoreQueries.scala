@@ -531,6 +531,42 @@ object CoreQueries {
       }
     },
 
+    // TPC-H Q5 (local-supplier revenue): the six-way join — region and
+    // nation broadcast, customer/supplier co-key the join, one
+    // partial-aggregating rollup per nation. The canonical
+    // join-reorder/broadcast showcase.
+    QueryDef.sql("q62_tpch_q5",
+      """SELECT n_name,
+        |  CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_cents
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin) {
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        Tables.customer(s, d)
+          .join(o, col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.supplier(s, d),
+            col("l_suppkey") === col("s_suppkey")
+              && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
+      }
+    },
+
     // Correlated EXISTS through the SQL front door (Catalyst rewrites
     // the subquery to a left-semi join): customers with at least one
     // urgent order.
