@@ -109,6 +109,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again === kept)
   }
 
+  test("curation pipeline runs end-to-end on the real documents table") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = CurationPipeline.curate(d, "doc_id", "text")
+    val n = out.count()
+    assert(n > 0 && n <= d.count())
+    // split column fully populated
+    assert(out.filter(!col("split").isin("train", "val")).count() === 0)
+  }
+
   test("connected components form duplicate clusters from pairs") {
     import spark.implicits._
     // components: {1,2,3,4} (a chain — needs >1 propagation round),
