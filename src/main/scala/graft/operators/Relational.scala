@@ -68,6 +68,44 @@ object Relational {
                       dimKey: String): DataFrame =
     fact.join(broadcast(dim), fact(factKey) === dim(dimKey), "left_outer")
 
+  /** AS-OF join: attach to each left row the latest right row whose
+    * `ts` is at-or-before the left row's, per key — the time-series
+    * lookup (tick data, attribution, config-as-of). Spark has no
+    * native ASOF; the naive range join explodes to |L|·|R| per key
+    * before picking the max. This is the scale-correct composition:
+    * union the two sides tagged, ONE window pass per key in time
+    * order carrying the last-seen right payload forward
+    * (`last(_, ignoreNulls = true)` over rows unbounded-preceding),
+    * then keep the left rows. One shuffle on the key, zero row
+    * multiplication, whatever the key's row count.
+    *
+    * Right rows sort before left rows at the same timestamp (tag
+    * order), so a same-instant right row IS visible to the left row —
+    * matching the `>=` (inclusive) ASOF convention. Returns every left
+    * column plus `rightPayload` columns prefixed `asof_` (null when no
+    * right row precedes).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val lTagged = left.select(
+      (col(key) +: col(ts) +: lit(1).as("__isLeft") +:
+        left.columns.filter(c => c != key && c != ts).map(col) ++:
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))): _*)
+    val rTagged = right.select(
+      (col(key) +: col(ts) +: lit(0).as("__isLeft") +:
+        left.columns.filter(c => c != key && c != ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
+        rightPayload.map(c => col(c).as(s"__r_$c"))): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts), col("__isLeft")) // right (0) before left (1) on ties
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightPayload.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__isLeft") === 1)
+      .select((left.columns.map(col) ++ rightPayload.map(c => col(s"asof_$c"))): _*)
+  }
+
   /** Skew-resistant two-phase ordered collect: identical result to
     * [[collectOrdered]], but a hot key's rows first combine under
     * (keys, salt) — spreading one giant group (a mega-relation's 100k

@@ -567,6 +567,29 @@ object CoreQueries {
       }
     },
 
+    // AS-OF join: each purchase attributed to the user's latest click
+    // at-or-before it. The oracle uses the engine-native ASOF JOIN;
+    // Spark lacks one, so Relational.asofJoin composes it as a tagged
+    // union + one windowed carry-forward — no row multiplication (the
+    // naive range join explodes |L|·|R| per key). Only the click ts is
+    // emitted: with duplicate click timestamps, which same-ts row wins
+    // is engine-unspecified, the timestamp itself is not.
+    QueryDef.sql("q63_asof_join",
+      """SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin) {
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("ts").as("click_ts"))
+        asofJoin(p, c, "user_id", "ts", Seq("click_ts"))
+          .withColumnRenamed("asof_click_ts", "click_ts")
+      }
+    },
+
     // Correlated EXISTS through the SQL front door (Catalyst rewrites
     // the subquery to a left-semi join): customers with at least one
     // urgent order.

@@ -52,6 +52,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     win.zip(agg).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("asof join picks the latest at-or-before right row per key") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val left = Seq((10L, 1L, ts(0)), (11L, 1L, ts(5)), (12L, 1L, ts(20)),
+        (13L, 2L, ts(6)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts(5), "a"), (1L, ts(15), "b"), (2L, ts(7), "c"))
+      .toDF("user_id", "ts", "tag")
+    val out = Relational.asofJoin(left, right, "user_id", "ts", Seq("tag"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out(10L) === None)       // nothing at-or-before t0
+    assert(out(11L) === Some("a"))  // same-instant right row IS visible
+    assert(out(12L) === Some("b"))  // latest of the two
+    assert(out(13L) === None)       // other user's rows invisible
+  }
+
   test("bucketed tables join without a shuffle") {
     val d = "/root/testdata/sf0.001"
     // the shared-session warehouse may hold leftover dirs from earlier
