@@ -106,6 +106,32 @@ object Relational {
       .select((left.columns.map(col) ++ rightPayload.map(c => col(s"asof_$c"))): _*)
   }
 
+  /** Range (interval) join: match each point row to every interval
+    * `[start, end)` containing it — without a shared key, so a plain
+    * join would be a theta/nested-loop cartesian. Grid-bucketed
+    * instead: points land in ONE time bucket, intervals explode to
+    * the buckets they cover, the bucket equi-join carries only
+    * plausible pairs, and the exact containment filter runs on those.
+    * A point meets an interval in exactly one bucket (its own), so no
+    * dedup is needed. Interval explode cost is
+    * ceil(length / bucketMicros) rows — pick `bucketMicros` around the
+    * median interval length (default 1 hour). Empty/negative intervals
+    * are dropped.
+    */
+  def rangeJoin(points: DataFrame, ptTs: String, intervals: DataFrame,
+                startTs: String, endTs: String,
+                bucketMicros: Long = 3600L * 1000000L): DataFrame = {
+    require(bucketMicros >= 1, s"bucketMicros must be positive")
+    val p = points.withColumn("__b", floor(unix_micros(col(ptTs)) / bucketMicros))
+    val iv = intervals.filter(col(endTs) > col(startTs))
+      .withColumn("__b", explode(sequence(
+        floor(unix_micros(col(startTs)) / bucketMicros),
+        floor((unix_micros(col(endTs)) - 1) / bucketMicros))))
+    p.join(iv, Seq("__b"))
+      .filter(col(ptTs) >= col(startTs) && col(ptTs) < col(endTs))
+      .drop("__b")
+  }
+
   /** Skew-resistant two-phase ordered collect: identical result to
     * [[collectOrdered]], but a hot key's rows first combine under
     * (keys, salt) — spreading one giant group (a mega-relation's 100k

@@ -590,6 +590,32 @@ object CoreQueries {
       }
     },
 
+    // Range join: every event inside the 20 busiest hour-long windows.
+    // Keyless interval containment — the oracle does the inequality
+    // join directly; Spark grid-buckets it (Relational.rangeJoin) so
+    // only bucket-plausible pairs ever join, instead of a nested-loop
+    // cartesian.
+    QueryDef.sql("q64_range_join",
+      """WITH buckets AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |peaks AS (SELECT h FROM buckets ORDER BY n DESC, h LIMIT 20)
+        |SELECT e.event_id, p.h AS window_start
+        |FROM events e JOIN peaks p
+        |  ON e.ts >= p.h AND e.ts < p.h + INTERVAL 1 HOUR""".stripMargin) {
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val peaks = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("h")).limit(20)
+          .select(col("h").as("window_start"),
+            (col("h") + expr("INTERVAL 1 HOUR")).as("window_end"))
+        rangeJoin(ev.select("event_id", "ts"), "ts",
+            peaks, "window_start", "window_end")
+          .select("event_id", "window_start")
+      }
+    },
+
     // Correlated EXISTS through the SQL front door (Catalyst rewrites
     // the subquery to a left-semi join): customers with at least one
     // urgent order.

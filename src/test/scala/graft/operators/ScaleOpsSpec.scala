@@ -68,6 +68,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out(13L) === None)       // other user's rows invisible
   }
 
+  test("range join matches points to containing intervals, including bucket-straddlers") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val pts = Seq((1L, ts(30)), (2L, ts(90)), (3L, ts(200)), (4L, ts(100)))
+      .toDF("pid", "ts")
+    // [20,120) straddles two 60s buckets; [100,100) is empty; [90,101) overlaps
+    val ivs = Seq(("A", ts(20), ts(120)), ("B", ts(100), ts(100)), ("C", ts(90), ts(101)))
+      .toDF("name", "start_ts", "end_ts")
+    val out = Relational.rangeJoin(pts, "ts", ivs, "start_ts", "end_ts",
+        bucketMicros = 60L * 1000000L)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(out === Set((1L, "A"), (2L, "A"), (2L, "C"), (4L, "A"), (4L, "C")))
+  }
+
   test("bucketed tables join without a shuffle") {
     val d = "/root/testdata/sf0.001"
     // the shared-session warehouse may hold leftover dirs from earlier
