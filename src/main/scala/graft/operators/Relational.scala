@@ -87,6 +87,9 @@ object Relational {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightPayload: Seq[String]): DataFrame = {
+    require(!rightPayload.exists(left.columns.contains),
+      s"rightPayload collides with left columns: " +
+        rightPayload.filter(left.columns.contains).mkString(", "))
     val lTagged = left.select(
       (col(key) +: col(ts) +: lit(1).as("__isLeft") +:
         left.columns.filter(c => c != key && c != ts).map(col) ++:
@@ -122,6 +125,9 @@ object Relational {
                 startTs: String, endTs: String,
                 bucketMicros: Long = 3600L * 1000000L): DataFrame = {
     require(bucketMicros >= 1, s"bucketMicros must be positive")
+    require(points.columns.intersect(intervals.columns).isEmpty,
+      "points and intervals must not share column names: " +
+        points.columns.intersect(intervals.columns).mkString(", "))
     val p = points.withColumn("__b", floor(unix_micros(col(ptTs)) / bucketMicros))
     val iv = intervals.filter(col(endTs) > col(startTs))
       .withColumn("__b", explode(sequence(
