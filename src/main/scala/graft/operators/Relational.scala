@@ -84,29 +84,46 @@ object Relational {
     * matching the `>=` (inclusive) ASOF convention. Returns every left
     * column plus `rightPayload` columns prefixed `asof_` (null when no
     * right row precedes).
+    *
+    * The payload travels as ONE struct carried by a single
+    * `last(_, ignoreNulls = true)` — the struct is non-null for every
+    * right row even when its fields are null, so all `asof_*` values
+    * (including nulls) come from the same matched right row; per-column
+    * carries would skip a null field and leak an older row's value.
+    *
+    * Skew bound: the window partitions by `key` only, so one key's full
+    * event stream flows through one reducer — inherent to per-key ASOF
+    * ordering (same bound as sessionization). Pre-filter or time-slice
+    * a mega-key (one user with 10⁹ events) before calling.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightPayload: Seq[String]): DataFrame = {
     require(!rightPayload.exists(left.columns.contains),
       s"rightPayload collides with left columns: " +
         rightPayload.filter(left.columns.contains).mkString(", "))
+    require(!rightPayload.exists(c => left.columns.contains(s"asof_$c")),
+      s"left already has columns shadowing the output: " +
+        rightPayload.filter(c => left.columns.contains(s"asof_$c"))
+          .map(c => s"asof_$c").mkString(", "))
+    val payStruct = struct(rightPayload.map(col): _*)
+    val payType = right.select(payStruct).schema.head.dataType
     val lTagged = left.select(
       (col(key) +: col(ts) +: lit(1).as("__isLeft") +:
-        left.columns.filter(c => c != key && c != ts).map(col) ++:
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))): _*)
+        left.columns.filter(c => c != key && c != ts).map(col) :+
+        lit(null).cast(payType).as("__rpay")): _*)
     val rTagged = right.select(
       (col(key) +: col(ts) +: lit(0).as("__isLeft") +:
         left.columns.filter(c => c != key && c != ts)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
-        rightPayload.map(c => col(c).as(s"__r_$c"))): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payStruct.as("__rpay")): _*)
     val w = Window.partitionBy(key)
       .orderBy(col(ts), col("__isLeft")) // right (0) before left (1) on ties
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightPayload.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__isLeft") === 1)
-      .select((left.columns.map(col) ++ rightPayload.map(c => col(s"asof_$c"))): _*)
+    lTagged.unionByName(rTagged)
+      .withColumn("__rpay", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__isLeft") === 1)
+      .select((left.columns.map(col) ++
+        rightPayload.map(c => col("__rpay")(c).as(s"asof_$c"))): _*)
   }
 
   /** Range (interval) join: match each point row to every interval

@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DecimalType, StringType}
+import org.apache.spark.sql.types.{DataType, DecimalType}
 import org.apache.spark.sql.types.Decimal
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -29,18 +29,24 @@ case class SimHash64(child: Expression) extends UnaryExpression
   override def dataType: DataType = DecimalType(20, 0)
   override def nullIntolerant: Boolean = true
 
+  /** Interpreted path: the SAME byte loop as the generated code —
+    * tokenize/hash the raw UTF-8 bytes, never round-tripping through
+    * String (which would fold invalid sequences to U+FFFD and make the
+    * two paths disagree on malformed input).
+    */
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+    val bts = input.asInstanceOf[UTF8String].getBytes
     val votes = new Array[Int](64)
     var i = 0
-    val len = s.length
+    val len = bts.length
     while (i < len) {
-      while (i < len && isWs(s.charAt(i))) i += 1
+      while (i < len && isWs(bts(i))) i += 1
       val start = i
-      while (i < len && !isWs(s.charAt(i))) i += 1
+      while (i < len && !isWs(bts(i))) i += 1
       if (i > start) {
-        val h = XxHash64Function.hash(
-          UTF8String.fromString(s.substring(start, i)), StringType, 42L)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bts, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+          i - start, 42L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -51,8 +57,9 @@ case class SimHash64(child: Expression) extends UnaryExpression
     SimHash64.fingerprint(votes)
   }
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  // whitespace bytes: 0x20 and 0x09..0x0D (single-byte in UTF-8;
+  // multi-byte sequences never contain bytes < 0x80)
+  private def isWs(b: Byte): Boolean = b == 32 || (b >= 9 && b <= 13)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {

@@ -240,11 +240,17 @@ object VectorQueries {
         |  FROM embeddings)
         |SELECT vec_id,
         |  CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_ppm,
+        |  -- zero-scale guard mirrors the Spark side: an all-zero vector
+        |  -- quantizes to zeros instead of x*127/0 = NaN (-> cast error)
         |  md5(array_to_string(list_transform(embedding,
-        |      x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127 / scale + 0.5) AS BIGINT) AS VARCHAR)),
+        |      x -> CAST(CASE WHEN scale = 0 THEN 0
+        |                ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / scale + 0.5) AS BIGINT)
+        |                END AS VARCHAR)),
         |      ',')) AS q_hash,
         |  CAST(list_sum(list_transform(embedding,
-        |      x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale + 0.5) AS BIGINT))) AS BIGINT) AS q_sum
+        |      x -> CASE WHEN scale = 0 THEN 0
+        |           ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / scale + 0.5) AS BIGINT)
+        |           END)) AS BIGINT) AS q_sum
         |FROM s""".stripMargin) {
       (s, d) => {
         val withScale = Tables.embeddings(s, d)

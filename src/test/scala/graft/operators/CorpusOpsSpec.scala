@@ -187,6 +187,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHash64 interpreted and codegen paths agree on malformed UTF-8") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    // 0xFF can never appear in well-formed UTF-8; a String round-trip
+    // would fold it to U+FFFD and change the fingerprint
+    val bad = Array[Byte]('a', 0xFF.toByte, 'b', ' ', 0xC3.toByte, ' ', 'c')
+    val interp = graft.plans.SimHash64(
+        Literal(UTF8String.fromBytes(bad),
+          org.apache.spark.sql.types.StringType))
+      .eval(null).asInstanceOf[org.apache.spark.sql.types.Decimal]
+    // binary→string cast wraps the raw bytes (no validation), so the
+    // codegen'd expression sees the same malformed byte stream
+    val viaCodegen = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(bad)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.BinaryType))))
+      .select(graft.plans.SimHash64.simhash64(col("b").cast("string")))
+      .head().getDecimal(0)
+    assert(interp.toJavaBigDecimal === viaCodegen)
+  }
+
   test("LSH ANN candidates agree with brute force where buckets collide") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",

@@ -68,6 +68,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out(13L) === None)       // other user's rows invisible
   }
 
+  test("asof join payload is atomic: nulls and multi-column values come from ONE right row") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val left = Seq((10L, 1L, ts(20))).toDF("event_id", "user_id", "ts")
+    // older right row has values; the LATEST right row has a null tag —
+    // native ASOF semantics return the latest row's null, not "a"
+    val right = Seq(
+        (1L, ts(5), Option("a"), Option(100L)),
+        (1L, ts(15), None: Option[String], Option(200L)))
+      .toDF("user_id", "ts", "tag", "score")
+    val r = Relational.asofJoin(left, right, "user_id", "ts", Seq("tag", "score"))
+      .select("asof_tag", "asof_score").head()
+    assert(r.isNullAt(0), "null field of the matched row must not be skipped")
+    assert(r.getLong(1) === 200L, "both payload columns must come from the same right row")
+  }
+
+  test("asof join rejects left columns that shadow the asof_ output") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0)
+    val left = Seq((1L, ts, "x")).toDF("user_id", "ts", "asof_tag")
+    val right = Seq((1L, ts, "a")).toDF("user_id", "ts", "tag")
+    val e = intercept[IllegalArgumentException] {
+      Relational.asofJoin(left, right, "user_id", "ts", Seq("tag"))
+    }
+    assert(e.getMessage.contains("asof_tag"))
+  }
+
   test("range join matches points to containing intervals, including bucket-straddlers") {
     import spark.implicits._
     val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
