@@ -55,16 +55,21 @@ object Dedup {
     * is per unique pair, not per bucket collision.
     *
     * The plan references the shingled corpus three times (min-hash
-    * aggregate + both sides of the verify join); at corpus scale,
-    * persist/checkpoint the shingled `df` upstream so the shingle
-    * expression runs one scan, not three.
+    * aggregate + both sides of the verify join); `persistShingles`
+    * (default on) caches the shingled projection MEMORY_AND_DISK so
+    * the shingle expression runs one corpus scan, not three — at
+    * 100 TB that difference dominates the operator. The cache is
+    * reclaimed by Spark's ContextCleaner once the returned plan is
+    * dropped (or evicted LRU under memory pressure); pass `false` if
+    * the caller already persists/checkpoints the shingled input.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, text: Column,
                       bands: Int = 16, rows: Int = 4, n: Int = 3,
                       minJaccardPpm: Long = 500000L,
-                      maxBucket: Int = 4096): DataFrame = {
+                      maxBucket: Int = 4096,
+                      persistShingles: Boolean = true): DataFrame = {
     val numHashes = bands * rows
-    val docs = df.select(col(idCol).as("doc_id"), shingles(text, n).as("sh"))
+    val docs = shingled(df, idCol, text, n, persistShingles)
     // hash each shingle ONCE (h1), derive the second hash from it
     // (h2 = xxhash64 of the long h1); every seeded hash is then pure
     // register arithmetic inside the aggregate
@@ -93,9 +98,10 @@ object Dedup {
   def minhashLshPairsMd5(df: DataFrame, idCol: String, text: Column,
                          bands: Int = 8, rows: Int = 2, n: Int = 3,
                          minJaccardPpm: Long = 0L,
-                         maxBucket: Int = 4096): DataFrame = {
+                         maxBucket: Int = 4096,
+                         persistShingles: Boolean = true): DataFrame = {
     val numHashes = bands * rows
-    val docs = df.select(col(idCol).as("doc_id"), shingles(text, n).as("sh"))
+    val docs = shingled(df, idCol, text, n, persistShingles)
     val shingleRows = docs.select(col("doc_id"), explode(col("sh")).as("g"))
     val minAggs = (0 until numHashes).map(s =>
       min(substring(md5(concat(col("g"), lit(s"#$s"))), 1, 16)).as(s"m$s"))
@@ -106,6 +112,17 @@ object Dedup {
     }
     bandJoinVerify(docs, minh.select(col("doc_id") +: bucketCols: _*), bands,
       minJaccardPpm, maxBucket)
+  }
+
+  /** The (doc_id, sh) shingled projection both LSH variants fan out
+    * from, optionally cached so its three consumers (min-hash agg +
+    * both sides of the verify join) share one corpus scan.
+    */
+  private def shingled(df: DataFrame, idCol: String, text: Column, n: Int,
+                       persist: Boolean): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), shingles(text, n).as("sh"))
+    if (persist) docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else docs
   }
 
   /** Shared LSH tail: explode band buckets, equi-join on (band, bucket),
@@ -185,8 +202,11 @@ object Dedup {
     * with `localCheckpoint` truncating the lineage so round N's plan
     * doesn't replan rounds 1..N-1 (on a cluster with dynamic
     * allocation prefer reliable `checkpoint()` + a checkpoint dir —
-    * localCheckpoint blocks die with their executor); the convergence
-    * check is a count.
+    * localCheckpoint blocks die with their executor). The round runs
+    * as ONE Spark job: the checkpoint is lazy and the convergence
+    * count is the action that materializes it — the old label rides
+    * along in the checkpointed rows, so change detection is a free
+    * column compare, not a separate join against the previous labels.
     * At extreme scale the alternating large-star/small-star variant
     * [Kiveris et al.] tightens constants; the per-round plan shape is
     * the same.
@@ -206,17 +226,22 @@ object Dedup {
         .join(labels.select(col("v").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
         .groupBy("src").agg(min("nlbl").as("nmin"))
         .withColumnRenamed("src", "v")
+      // carry the previous label ("old") through the round so the
+      // convergence check is a column compare on the round's own
+      // output — not a third join back against the previous labels
       val cand = labels.join(nbrMin, Seq("v"), "left_outer")
-        .select(col("v"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("c"))
+        .select(col("v"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("c"))
       // pointer jump: follow the candidate label to ITS label
       val updated = cand
         .join(labels.select(col("v").as("c"), col("lbl").as("clbl")), Seq("c"), "left_outer")
-        .select(col("v"), least(col("c"), coalesce(col("clbl"), col("c"))).as("lbl"))
-        .localCheckpoint(true)
-      changed = updated
-        .join(labels.select(col("v"), col("lbl").as("old")), Seq("v"))
-        .filter(col("lbl") =!= col("old")).count()
-      labels = updated
+        .select(col("v"), least(col("c"), coalesce(col("clbl"), col("c"))).as("lbl"),
+          col("old"))
+        .localCheckpoint(false) // lazy: the count below is the ONE action
+                                // that both materializes the checkpoint
+                                // blocks and returns the changed count
+      changed = updated.filter(col("lbl") =!= col("old")).count()
+      labels = updated.select("v", "lbl")
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")

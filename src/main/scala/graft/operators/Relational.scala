@@ -137,19 +137,33 @@ object Relational {
     * ceil(length / bucketMicros) rows — pick `bucketMicros` around the
     * median interval length (default 1 hour). Empty/negative intervals
     * are dropped.
+    *
+    * `maxSpanBuckets` hard-fails any interval covering more buckets
+    * (default 10⁴) — a degenerate open-ended interval (year 9999 end
+    * sentinel) would otherwise silently explode to millions of rows.
+    * Raise the cap, widen `bucketMicros`, or clamp the sentinel ends
+    * before joining.
     */
   def rangeJoin(points: DataFrame, ptTs: String, intervals: DataFrame,
                 startTs: String, endTs: String,
-                bucketMicros: Long = 3600L * 1000000L): DataFrame = {
+                bucketMicros: Long = 3600L * 1000000L,
+                maxSpanBuckets: Long = 10000L): DataFrame = {
     require(bucketMicros >= 1, s"bucketMicros must be positive")
+    require(maxSpanBuckets >= 1, s"maxSpanBuckets must be positive")
     require(points.columns.intersect(intervals.columns).isEmpty,
       "points and intervals must not share column names: " +
         points.columns.intersect(intervals.columns).mkString(", "))
     val p = points.withColumn("__b", floor(unix_micros(col(ptTs)) / bucketMicros))
+    val bStart = floor(unix_micros(col(startTs)) / bucketMicros)
+    val bEnd = floor((unix_micros(col(endTs)) - 1) / bucketMicros)
     val iv = intervals.filter(col(endTs) > col(startTs))
-      .withColumn("__b", explode(sequence(
-        floor(unix_micros(col(startTs)) / bucketMicros),
-        floor((unix_micros(col(endTs)) - 1) / bucketMicros))))
+      .withColumn("__b", explode(sequence(bStart,
+        when(bEnd - bStart < maxSpanBuckets, bEnd).otherwise(
+          raise_error(concat(lit(s"rangeJoin: interval spans >= $maxSpanBuckets" +
+            s" buckets of $bucketMicros us (start="), col(startTs).cast("string"),
+            lit(", end="), col(endTs).cast("string"),
+            lit(s"); widen bucketMicros or clamp sentinel end timestamps"))
+            .cast("string")).cast("long")))))
     p.join(iv, Seq("__b"))
       .filter(col(ptTs) >= col(startTs) && col(ptTs) < col(endTs))
       .drop("__b")

@@ -114,9 +114,14 @@ object Load {
     * invalidates everything instead of silently emitting a planet for
     * the old dump. `resume = false` (the reference's default posture)
     * always starts from scratch — it WIPES `staging/` and `tables/`, so
-    * a non-resume run requires exclusive ownership of `workDir`
-    * (concurrent callers sharing a workDir are only safe when every one
-    * of them passes `resume = true` against the same dump file).
+    * a non-resume run takes an exclusive `workDir/.lock` for its whole
+    * duration and FAILS FAST if one is already present (reference
+    * posture: one process owns the dump dirs) — a second concurrent
+    * non-resume run aborts instead of wiping in-flight staging.
+    * Concurrent callers sharing a workDir are only safe when every one
+    * of them passes `resume = true` against the same dump file. A lock
+    * left behind by a crashed run must be removed manually (the file
+    * records pid + start time).
     *
     * `maxConcurrency` caps how many tables are staged / submitted at
     * once (the reference's `--max-concurrency` semaphore over writer
@@ -129,53 +134,74 @@ object Load {
           maxConcurrency: Option[Int] = None): Option[java.sql.Timestamp] = {
     val staging = s"$workDir/staging"
     val tablesDir = s"$workDir/tables"
-    val id = dumpId(dumpFile)
-    val idPath = Paths.get(workDir, "_dump_id")
-    val prior =
-      if (Files.exists(idPath))
-        Some(new String(Files.readAllBytes(idPath), java.nio.charset.StandardCharsets.UTF_8))
-      else None
-    if (!resume || !prior.contains(id)) {
-      deleteRecursively(Paths.get(staging))
-      deleteRecursively(Paths.get(tablesDir))
-    }
     Files.createDirectories(Paths.get(workDir))
-    Files.write(idPath, id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val pool = maxConcurrency.map { n =>
-      require(n >= 1, s"maxConcurrency must be positive, got $n")
-      new java.util.concurrent.ForkJoinPool(n)
-    }
-    def bounded[T](xs: Seq[T]): scala.collection.parallel.ParSeq[T] = {
-      val p = xs.par
-      pool.foreach(fj => p.tasksupport =
-        new scala.collection.parallel.ForkJoinTaskSupport(fj))
-      p
-    }
-    val maxTimes = try {
-      // driver-side staging in parallel — one subprocess per table, like
-      // the reference's 12 extraction threads (capped at maxConcurrency)
-      bounded(Schema.all).foreach(t => stage(dumpFile, t.name, staging))
-      // decode→sort→parquet jobs are independent per table: submit them
-      // concurrently (Spark schedules across the 12 jobs' stages) instead
-      // of draining the cluster between tables
-      bounded(Schema.all).map { t =>
-        val out = s"$tablesDir/${t.name}"
-        if (!Files.exists(Paths.get(s"$out/_SUCCESS"))) {
-          val df = decodeTable(spark, t, s"$staging/${t.name}.txt")
-          val sortCols = t.sortKeys.map(col)
-          df.repartitionByRange(sortCols: _*)
-            .sortWithinPartitions(sortCols: _*)
-            .write.mode("overwrite").parquet(out)
+    // exclusive ownership for destructive (non-resume) runs:
+    // Files.createFile is atomic (O_CREAT|O_EXCL) — exactly one of two
+    // concurrent non-resume runs wins; the loser aborts BEFORE wiping
+    val lockPath = Paths.get(workDir, ".lock")
+    val lock =
+      if (resume) None
+      else
+        try Some(Files.createFile(lockPath))
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new IllegalStateException(
+              s"$lockPath exists: another non-resume run owns this workDir " +
+                s"(or crashed and left the lock — " +
+                s"${new String(Files.readAllBytes(lockPath)).trim}); " +
+                "remove the lock file to proceed")
         }
-        t.maxTimeCol.map { c =>
-          spark.read.parquet(out).agg(max(col(c))).head.getTimestamp(0)
-        }
-      }.seq
-    } finally pool.foreach(_.shutdown())
-    maxTimes.flatten.filter(_ != null) match {
-      case Nil => None
-      case ts => Some(ts.maxBy(_.getTime))
-    }
+    lock.foreach(p => Files.write(p,
+      s"pid=${ProcessHandle.current().pid()} start=${java.time.Instant.now()}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    try {
+      val id = dumpId(dumpFile)
+      val idPath = Paths.get(workDir, "_dump_id")
+      val prior =
+        if (Files.exists(idPath))
+          Some(new String(Files.readAllBytes(idPath), java.nio.charset.StandardCharsets.UTF_8))
+        else None
+      if (!resume || !prior.contains(id)) {
+        deleteRecursively(Paths.get(staging))
+        deleteRecursively(Paths.get(tablesDir))
+      }
+      Files.write(idPath, id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val pool = maxConcurrency.map { n =>
+        require(n >= 1, s"maxConcurrency must be positive, got $n")
+        new java.util.concurrent.ForkJoinPool(n)
+      }
+      def bounded[T](xs: Seq[T]): scala.collection.parallel.ParSeq[T] = {
+        val p = xs.par
+        pool.foreach(fj => p.tasksupport =
+          new scala.collection.parallel.ForkJoinTaskSupport(fj))
+        p
+      }
+      val maxTimes = try {
+        // driver-side staging in parallel — one subprocess per table, like
+        // the reference's 12 extraction threads (capped at maxConcurrency)
+        bounded(Schema.all).foreach(t => stage(dumpFile, t.name, staging))
+        // decode→sort→parquet jobs are independent per table: submit them
+        // concurrently (Spark schedules across the 12 jobs' stages) instead
+        // of draining the cluster between tables
+        bounded(Schema.all).map { t =>
+          val out = s"$tablesDir/${t.name}"
+          if (!Files.exists(Paths.get(s"$out/_SUCCESS"))) {
+            val df = decodeTable(spark, t, s"$staging/${t.name}.txt")
+            val sortCols = t.sortKeys.map(col)
+            df.repartitionByRange(sortCols: _*)
+              .sortWithinPartitions(sortCols: _*)
+              .write.mode("overwrite").parquet(out)
+          }
+          t.maxTimeCol.map { c =>
+            spark.read.parquet(out).agg(max(col(c))).head.getTimestamp(0)
+          }
+        }.seq
+      } finally pool.foreach(_.shutdown())
+      maxTimes.flatten.filter(_ != null) match {
+        case Nil => None
+        case ts => Some(ts.maxBy(_.getTime))
+      }
+    } finally lock.foreach(Files.deleteIfExists(_))
   }
 }
 

@@ -27,33 +27,39 @@ object TextQueries {
   private val XxBands = 16
   private val XxRows = 4
 
-  /** Oracle for q29: the COMPLETE xxhash64 MinHash+LSH pipeline — the
-    * same shingles, the per-shingle xxhash64 (h1) and its re-hash
-    * (h2), the Carter-Wegman seeded family `h1 + s·h2` mod 2^64
-    * (signed-long min order), the per-band chained-hash buckets, the
-    * bucket join and the exact-Jaccard verify — rebuilt on the oracle
-    * engine from [[XxHash64Sql]]'s bit-exact XXH64.
+  /** CTE chain reproducing the COMPLETE xxhash64 MinHash+LSH pipeline
+    * over `src` (any relation with doc_id, text) — the same shingles,
+    * the per-shingle xxhash64 (h1) and its re-hash (h2), the
+    * Carter-Wegman seeded family `h1 + s·h2` mod 2^64 (signed-long min
+    * order), the per-band chained-hash buckets, the bucket join and the
+    * exact-Jaccard verify — rebuilt on the oracle engine from
+    * [[XxHash64Sql]]'s bit-exact XXH64. Ends with CTE
+    * `lshpairs(id_a, id_b, jaccard_ppm)` (unthresholded); intermediate
+    * CTE names (toks, sh, hb…, mins, banded, cand, …) are fixed, so the
+    * chain can appear once per statement. q29 consumes it directly;
+    * q65 splices it into the curation-pipeline composition.
     */
-  private val minhashXxOracleSql: String = {
+  private[queries] def minhashXxPairCtes(src: String, bands: Int = XxBands,
+                                         rows: Int = XxRows): String = {
     import XxHash64Sql._
-    val numHashes = XxBands * XxRows
+    val numHashes = bands * rows
     // h2 = xxhash64 of the LONG h1 (seed 42), exactly Spark's
     // xxhash64(h1) long path
     val (hlSteps, h2) = hashLongSteps("xxh", "42", "HL")
     val (hlCtes, hlLast) = chainCtes("hb", hlSteps, "hlc")
     var bSteps = Seq.empty[(String, String)]
     var bSeed = "42"
-    (0 until XxRows).foreach { j =>
+    (0 until rows).foreach { j =>
       val (sj, out) = hashLongSteps(s2u(s"mv$j"), bSeed, s"B${j}_")
       bSteps ++= sj; bSeed = out
     }
     val (bCtes, bLast) = chainCtes("bandpivot", bSteps, "bkc")
-    val pivots = (0 until XxRows)
-      .map(j => s"min(CASE WHEN s % $XxRows = $j THEN mv END) AS mv$j").mkString(", ")
-    s"""WITH toks AS (
+    val pivots = (0 until rows)
+      .map(j => s"min(CASE WHEN s % $rows = $j THEN mv END) AS mv$j").mkString(", ")
+    s"""toks AS (
        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
        |                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
-       |  FROM documents),
+       |  FROM $src),
        |sh AS (
        |  SELECT DISTINCT doc_id,
        |         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
@@ -71,7 +77,7 @@ object TextQueries {
        |       generate_series(0, ${numHashes - 1}) ss(s)
        |  GROUP BY 1, 2),
        |bandpivot AS (
-       |  SELECT doc_id, s // $XxRows AS band, $pivots
+       |  SELECT doc_id, s // $rows AS band, $pivots
        |  FROM mins GROUP BY 1, 2),
        |$bCtes,
        |banded AS (SELECT doc_id, band, $bSeed AS bucket FROM $bLast),
@@ -85,15 +91,23 @@ object TextQueries {
        |  JOIN sh sa ON sa.doc_id = c.id_a
        |  JOIN sh sb ON sb.doc_id = c.id_b AND sa.g = sb.g
        |  GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
-       |SELECT c.id_a, c.id_b,
-       |       CAST(round(coalesce(i.inter, 0) * 1000000.0
-       |            / (sa.n_sh + sb.n_sh - coalesce(i.inter, 0))) AS BIGINT) AS jaccard_ppm
-       |FROM cand c
-       |LEFT JOIN inters i ON i.id_a = c.id_a AND i.id_b = c.id_b
-       |JOIN sizes sa ON sa.doc_id = c.id_a
-       |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |lshpairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(round(coalesce(i.inter, 0) * 1000000.0
+       |              / (sa.n_sh + sb.n_sh - coalesce(i.inter, 0))) AS BIGINT) AS jaccard_ppm
+       |  FROM cand c
+       |  LEFT JOIN inters i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  JOIN sizes sa ON sa.doc_id = c.id_a
+       |  JOIN sizes sb ON sb.doc_id = c.id_b)""".stripMargin
   }
+
+  /** Oracle for q29: the MinHash+LSH chain over the whole documents
+    * table, candidates unthresholded.
+    */
+  private val minhashXxOracleSql: String =
+    s"""WITH ${minhashXxPairCtes("documents")}
+       |SELECT id_a, id_b, jaccard_ppm FROM lshpairs""".stripMargin
 
   /** Oracle for q30: the xxhash64 SimHash — per-token XXH64 rebuilt
     * bit-exact, 64 bit-vote sums, sign fingerprint as DECIMAL(20,0) and
