@@ -633,6 +633,45 @@ object CoreQueries {
             |              WHERE o.o_custkey = c.c_custkey
             |                AND o.o_orderpriority = '1-URGENT')""".stripMargin)
       }
+    },
+
+    // TPC-H Q18 (large-volume customers): the HAVING aggregate over
+    // the biggest table, joined back to orders/customer. The Spark
+    // plan computes the per-order quantity aggregate ONCE — it serves
+    // both the HAVING filter and the final sum (the output grouping
+    // keys are functionally determined by o_orderkey), so lineitem is
+    // scanned and shuffled exactly once; the surviving order set is
+    // tiny (~0.3% of orders) and BROADCASTS into orders, then that
+    // result broadcasts into customer. At 100 TB: one lineitem shuffle
+    // on l_orderkey, zero customer/orders shuffles, top-100 via
+    // TakeOrderedAndProject.
+    QueryDef.sql("q66_tpch_q18",
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""".stripMargin) {
+      (s, d) => {
+        val perOrder = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(round(sum("l_quantity")).cast("long").as("sum_qty"))
+          .filter(col("sum_qty") > 300)
+        val o = Tables.orders(s, d)
+          .join(broadcast(perOrder), col("o_orderkey") === col("l_orderkey"))
+        Tables.customer(s, d)
+          .join(broadcast(o), col("c_custkey") === col("o_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"),
+            round(col("o_totalprice") * 100).cast("long").as("totalprice_cents"),
+            col("sum_qty"))
+          .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+          .limit(100)
+      }
     }
   )
 }
