@@ -27,6 +27,45 @@ object Dedup {
   def normalized(df: DataFrame, idCol: String, text: Column): DataFrame =
     exact(df, idCol, trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** C4/RefinedWeb-style boilerplate segment removal: drop every
+    * line (text split on the literal `sep`) whose exact content
+    * occurs at least `minOccurrences` times across the WHOLE corpus —
+    * nav bars, cookie banners, licence headers — then reassemble each
+    * document's surviving lines in original order. Returns
+    * (doc_id, clean_text, n_kept); a document whose every line is
+    * boilerplate survives with empty text (drop it with a quality
+    * floor downstream, not here — the caller decides).
+    *
+    * Scale shape: lines explode map-side, ONE map-side-combinable
+    * count per distinct line, and the over-threshold boilerplate set
+    * — by construction a tiny fraction of distinct lines — BROADCASTS
+    * into the anti-join, so the corpus never shuffles on line text;
+    * the only corpus-wide shuffle is the final per-doc ordered
+    * reassembly on doc_id. If the boilerplate set ever outgrows
+    * broadcast, hash lines to 64 bits and let the anti-join shuffle —
+    * the rest of the plan is unchanged.
+    */
+  def lineDedup(df: DataFrame, idCol: String, text: Column,
+                minOccurrences: Long = 2, sep: String = "\n"): DataFrame = {
+    require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
+    val lines = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(text, java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__line")
+    val hot = lines.groupBy("__line").count()
+      .filter(col("count") >= minOccurrences).select("__line")
+    val kept = lines.join(broadcast(hot), Seq("__line"), "left_anti")
+    val perDoc = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(sep, transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        x => x("__line"))).as("clean_text"))
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Word n-gram shingles (distinct), the unit set for Jaccard.
     * Custom Catalyst expression — the composed built-in form
     * (split → transform/slice → array_distinct) runs as interpreted

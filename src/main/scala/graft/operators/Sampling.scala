@@ -36,4 +36,57 @@ object Sampling {
       .filter(col("sample_rank") <= n)
       .select(col(idCol), col(groupCol), col("sample_rank"))
   }
+
+  /** Deterministic training-order shuffle: a reproducible pseudorandom
+    * permutation of the corpus, sharded for parallel writers. shard =
+    * first md5 byte mod `numShards`; within a shard rows order by the
+    * full md5 (id tie-break) and get a contiguous 1-based sequence.
+    * Returns (doc_id, shard, seq) — writing each shard's rows in seq
+    * order yields the same global shuffle on any cluster, any run.
+    *
+    * The per-shard window streams one shard through one reducer BY
+    * DESIGN (a shard is one output file's write order); `numShards`
+    * sizes that stream at ~corpus/numShards rows. The md5 sort key is
+    * uncorrelated with every data attribute, which is the property
+    * training-order shuffling exists for.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, numShards: Int = 8): DataFrame = {
+    require(numShards >= 1 && numShards <= 256,
+      s"numShards must be in [1,256], got $numShards")
+    val h = md5(col(idCol).cast("string"))
+    df.select(col(idCol).as("doc_id"), h.as("__h"),
+        (conv(substring(h, 1, 2), 16, 10).cast("int") % numShards).as("shard"))
+      .withColumn("seq", row_number()
+        .over(Window.partitionBy("shard").orderBy(col("__h"), col("doc_id")))
+        .cast("long"))
+      .select("doc_id", "shard", "seq")
+  }
+
+  /** Token-budget source mixing: cap each source's contribution at
+    * `budgetTokens` whitespace tokens, taking docs in deterministic
+    * pseudorandom (md5) order until the budget is exhausted — the
+    * mixture-rebalancing step that turns per-source weights into an
+    * actual subset, reproducibly. A doc is kept while the running
+    * per-source token sum INCLUDING it stays ≤ budget. Returns
+    * (doc_id, source, n_tokens, cum_tokens) for kept docs.
+    *
+    * One shuffle on source; the per-source running sum streams a
+    * source through one reducer (same bound as sessionization —
+    * inherent to an ordered cumulative sum). Mixing runs on the
+    * already-curated corpus where per-source volume is a deliberate
+    * knob; pre-split a mega-source upstream if one source dwarfs the
+    * rest.
+    */
+  def mixByBudget(df: DataFrame, idCol: String, text: Column, sourceCol: String,
+                  budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be non-negative")
+    val base = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      graft.functions.TextFunctions.tokenCount(text).as("n_tokens"),
+      md5(col(idCol).cast("string")).as("__h"))
+    val w = Window.partitionBy("source").orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+  }
 }

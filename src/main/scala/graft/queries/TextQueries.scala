@@ -722,6 +722,70 @@ object TextQueries {
           .select(col("doc_id"), md5(col("text")).as("text_hash"),
             col("quality_milli"), col("split"))
       }
+    },
+
+    // C4/RefinedWeb-style boilerplate segment removal: any segment
+    // occurring >= 2 times corpus-wide is dropped from every document,
+    // survivors reassembled in order. The corpus is single-line, so
+    // the gate segments on a frequent literal token ('table') instead
+    // of '\n' — the operator is separator-agnostic and the semantics
+    // (corpus-wide census, broadcast hot set, ordered reassembly,
+    // empty-survivor docs) are exactly the newline case. At sf0.01
+    // this drops 189 of 1408 segment instances and empties 2 docs.
+    QueryDef.sql("q67_line_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text, 'table') AS l FROM documents),
+        |idx AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS ord FROM t),
+        |lines AS (SELECT doc_id, ord, l[ord] AS line FROM idx),
+        |hot AS (SELECT line FROM lines GROUP BY 1 HAVING count(*) >= 2),
+        |kept AS (SELECT doc_id, ord, line FROM lines
+        |         WHERE line NOT IN (SELECT line FROM hot)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |               string_agg(line, 'table' ORDER BY ord) AS clean_text
+        |        FROM kept GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin) {
+      (s, d) =>
+        Dedup.lineDedup(Tables.documents(s, d), "doc_id", col("text"),
+          minOccurrences = 2, sep = "table")
+    },
+
+    // Deterministic training-order shuffle: md5-derived shard + within-
+    // shard sequence — the reproducible global permutation a training
+    // run reads shards in.
+    QueryDef.sql("q68_shuffle_order",
+      """WITH r AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |         CAST(('0x' || md5(CAST(doc_id AS VARCHAR))[1:2]) AS INTEGER) % 8 AS shard
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS seq
+        |FROM r""".stripMargin) {
+      (s, d) =>
+        graft.operators.Sampling.shuffleOrder(Tables.documents(s, d), "doc_id")
+    },
+
+    // Token-budget source mixing: each source contributes docs in
+    // deterministic md5 order until a 400-token budget is exhausted —
+    // per-source mixture weights turned into an actual reproducible
+    // subset (~half of each source's ~750 tokens at sf0.01).
+    QueryDef.sql("q69_mix_by_budget",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |             sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |      FROM t)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 400""".stripMargin) {
+      (s, d) =>
+        graft.operators.Sampling.mixByBudget(Tables.documents(s, d),
+          "doc_id", col("text"), "source", budgetTokens = 400L)
     }
   )
 }

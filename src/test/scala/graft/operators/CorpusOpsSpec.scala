@@ -406,4 +406,65 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
     assert(frames.forall(_.getAs[Long]("frame_bytes") <= 32))
   }
+
+  test("line dedup drops corpus-wide boilerplate, keeps order, empties all-boilerplate docs") {
+    val df = docs(
+      1L -> "COOKIE BANNER\nreal content one\nNAV BAR",
+      2L -> "COOKIE BANNER\nunique insight two\nNAV BAR",
+      3L -> "COOKIE BANNER\nNAV BAR",
+      4L -> "standalone document")
+    val out = Dedup.lineDedup(df, "doc_id", col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"))).toMap
+    assert(out(1L) === ("real content one", 1L))
+    assert(out(2L) === ("unique insight two", 1L))
+    assert(out(3L) === ("", 0L)) // every line boilerplate -> survives empty
+    assert(out(4L) === ("standalone document", 1L))
+  }
+
+  test("line dedup threshold: lines below minOccurrences survive everywhere") {
+    val df = docs(1L -> "twice\na", 2L -> "twice\nb", 3L -> "c")
+    val out = Dedup.lineDedup(df, "doc_id", col("text"), minOccurrences = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(out(1L) === "twice\na") // 2 occurrences < 3: kept
+    assert(out(2L) === "twice\nb")
+    assert(out(3L) === "c")
+  }
+
+  test("shuffle order is a permutation: contiguous per-shard sequences, every doc once") {
+    val df = docs((1L to 100L).map(i => i -> s"doc $i"): _*)
+    val out = Sampling.shuffleOrder(df, "doc_id", numShards = 4).collect()
+    assert(out.length === 100)
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === (1L to 100L).toSet)
+    out.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      val seqs = rows.map(_.getAs[Long]("seq")).sorted
+      assert(seqs === (1L to rows.length).toArray.toSeq) // contiguous, 1-based
+    }
+    // deterministic: a second run produces the identical assignment
+    val again = Sampling.shuffleOrder(df, "doc_id", numShards = 4).collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+      === again.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1))
+  }
+
+  test("mix by budget respects the per-source token cap and is a prefix in hash order") {
+    val df = {
+      import spark.implicits._
+      (1L to 30L).map(i => (i, s"w1 w2 w3 w4 w5", if (i <= 20) "big" else "small"))
+        .toDF("doc_id", "text", "source")
+    }
+    val out = Sampling.mixByBudget(df, "doc_id", col("text"), "source",
+      budgetTokens = 25L).collect()
+    // 5 tokens per doc -> exactly 5 docs fit per source
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    assert(bySource("big").length === 5)
+    assert(bySource("small").length === 5)
+    assert(out.forall(_.getAs[Long]("cum_tokens") <= 25L))
+    // kept set is the md5-order prefix: max kept hash < min dropped hash
+    val keptIds = out.map(_.getAs[Long]("doc_id")).toSet
+    def h(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val (keptH, dropH) = (1L to 20L).map(i => (h(i), keptIds.contains(i)))
+      .partition(_._2)
+    assert(keptH.map(_._1).max < dropH.map(_._1).min)
+  }
 }
