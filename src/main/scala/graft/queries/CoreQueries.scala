@@ -672,6 +672,148 @@ object CoreQueries {
           .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
           .limit(100)
       }
+    },
+
+    // TPC-H Q4 (order priority checking, adapted: this schema has no
+    // l_commitdate/l_receiptdate, so "late" = any line shipped >60
+    // days after the order date). The EXISTS compiles to ONE left-semi
+    // join with the non-equi ship-date predicate evaluated inside the
+    // join — lineitem is never aggregated or deduplicated first, and
+    // the quarter filter prunes orders at the scan. At 100 TB: one
+    // shuffle each side on orderkey, semi-join short-circuits per
+    // order at the first qualifying line.
+    QueryDef.sql("q70_tpch_q4",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
+            && col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        o.join(l, col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+      }
+    },
+
+    // TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    // whose filter lives in the JOIN CONDITION, not WHERE (a WHERE
+    // would silently turn the outer join inner and drop zero-order
+    // customers), then a two-level aggregate. count(o_orderkey)
+    // counts non-null matches, so customers with no surviving orders
+    // land in the c_count=0 bucket. Both aggregates partial map-side;
+    // the second input is at most |customers| rows.
+    QueryDef.sql("q71_tpch_q13",
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |      FROM customer c
+        |      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |        AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY 1) t
+        |GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        Tables.customer(s, d).select("c_custkey")
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderpriority") =!= "1-URGENT")
+              .select("o_custkey", "o_orderkey"),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+    },
+
+    // TPC-H Q21 (suppliers who kept orders waiting, adapted: the
+    // "fault" marker is l_returnflag = 'R' since this schema carries
+    // no receipt/commit dates): the hardest decorrelation shape in
+    // the suite — a semi-join AND an anti-join against the SAME big
+    // table, both correlated on orderkey with a supplier inequality.
+    // Through the SQL front door so Catalyst plans it: both rewrite
+    // to orderkey-keyed shuffles of a 2-column lineitem projection
+    // (no pre-aggregation, no cartesian). At 100 TB lineitem is
+    // scanned 3× but each scan prunes to 2-3 columns.
+    QueryDef.sql("q72_tpch_q21",
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) {
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("supplier")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT s_name, count(*) AS numwait
+            |FROM supplier s
+            |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+            |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+            |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+            |  AND EXISTS (SELECT 1 FROM lineitem l2
+            |              WHERE l2.l_orderkey = l1.l_orderkey
+            |                AND l2.l_suppkey <> l1.l_suppkey)
+            |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+            |                  WHERE l3.l_orderkey = l1.l_orderkey
+            |                    AND l3.l_suppkey <> l1.l_suppkey
+            |                    AND l3.l_returnflag = 'R')
+            |GROUP BY s_name
+            |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+      }
+    },
+
+    // TPC-H Q22 (global sales opportunity, adapted: nationkey stands
+    // in for the phone country code, "inactive" = no order since
+    // 2000): scalar aggregate subquery (the corpus-wide average
+    // balance, one tiny broadcast) + correlated NOT EXISTS (anti-join
+    // on custkey). Balances compare as exact cents so the threshold
+    // predicate is engine-deterministic — a raw double avg would
+    // differ in the last ULP between engines and flip boundary rows.
+    QueryDef.sql("q73_tpch_q22",
+      """WITH bal AS (SELECT c_custkey, c_nationkey,
+        |                    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |             FROM customer WHERE c_acctbal > 0.0),
+        |thr AS (SELECT CAST(floor(avg(bal_cents)) AS BIGINT) AS t FROM bal)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM bal CROSS JOIN thr
+        |WHERE bal_cents > t
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = bal.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(
+          """WITH bal AS (SELECT c_custkey, c_nationkey,
+            |                    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+            |             FROM customer WHERE c_acctbal > 0.0),
+            |thr AS (SELECT CAST(floor(avg(bal_cents)) AS BIGINT) AS t FROM bal)
+            |SELECT c_nationkey, count(*) AS numcust,
+            |       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+            |FROM bal CROSS JOIN thr
+            |WHERE bal_cents > t
+            |  AND NOT EXISTS (SELECT 1 FROM orders o
+            |                  WHERE o.o_custkey = bal.c_custkey
+            |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            |GROUP BY 1""".stripMargin)
+      }
     }
   )
 }
