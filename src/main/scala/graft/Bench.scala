@@ -25,6 +25,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_ISOLATE=1: additionally clear the whole catalog
+    // cache between queries so per-query numbers are order-independent
+    // (default off — keeps continuity with the r1-r5 artifacts)
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
+
     def execute(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
@@ -33,14 +38,28 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // release operator-internal caches (LSH shingles, curate's exact
+      // prefix, CC label checkpoints) once the action is done — round 5
+      // showed stale blocks from q65 taxing the next four queries; the
+      // release is OUTSIDE the timed window (it is session hygiene, not
+      // part of the query)
+      graft.operators.CacheRegistry.releaseAll()
+      if (isolate) spark.catalog.clearCache()
+      (elapsed, ok)
     }
 
-    val names = SparkEntry.allQueries.map(_.name)
-    // warmup: run the cheapest scan-shaped query once, untimed
+    // SPARK_GRAFT_BENCH_FILTER=<regex>: run only matching queries (dev
+    // iteration / standalone per-query measurement; driver never sets it)
+    val allNames = SparkEntry.allQueries.map(_.name)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(f => allNames.filter(_.matches(f))).getOrElse(allNames)
+    // warmup: run the cheapest scan-shaped query once, untimed; drop any
+    // caches it registered so the timed run of the same query is honest
     try SparkEntry.queries(names.head)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+    graft.operators.CacheRegistry.releaseAll()
 
     val results = names.map(n => n -> execute(n))
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

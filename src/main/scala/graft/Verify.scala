@@ -29,6 +29,10 @@ object Verify {
             .forEach(f => java.nio.file.Files.delete(f))
         }
       }
+      // operator-internal caches (shingles / curate prefix / CC
+      // checkpoints) are per-query scratch — drop them after the write
+      // so 75 queries don't accumulate 75 queries' worth of blocks
+      graft.operators.CacheRegistry.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -47,10 +47,27 @@ object CurationPipeline {
     val scored = scrubbed
       .withColumn("quality_milli", qualityScoreMilli(col("text"), cfg.stopwords))
       .filter(col("quality_milli") >= cfg.minQualityMilli)
-    // exact dedup: keep each content hash's min doc_id
-    val exactKeep = Dedup.exact(scored, "doc_id", col("text"))
-      .select(col("keep_id").as("doc_id"))
-    val exact = scored.join(exactKeep, Seq("doc_id"), "left_semi")
+    // exact dedup: keep each content hash's min doc_id. The surviving
+    // (doc_id, text, quality) projection is the pipeline's expensive
+    // prefix — NFC + two regex scrubs + scoring over the whole corpus
+    // — and the plan references it four times (the near-dup pair
+    // graph, the cluster anti-join, the decontamination scan, the
+    // final select). PERSIST it so the prefix runs one corpus pass,
+    // not four (round 5 measured the unpersisted form re-deriving it
+    // 3-4× = most of the composed query's 17.9 s). The keeper is
+    // picked with a min-over-hash-partition window rather than
+    // [[Dedup.exact]]'s agg + semi-join so the CACHE BUILD itself
+    // runs the prefix once, not once per join side — same shuffle
+    // (by content hash), same keep-min-id semantics, one pass. The
+    // cache is registered with [[CacheRegistry]]; it must outlive
+    // this call (the returned DataFrame reads it), so the CALLER
+    // releases it — CacheRegistry.releaseAll() after the action.
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    val exact = CacheRegistry.register(
+      scored
+        .withColumn("__keep", min("doc_id").over(byHash))
+        .filter(col("doc_id") === col("__keep")).drop("__keep")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // near-dedup: pair graph -> clusters -> drop every non-keeper
     val pairs = Dedup.minhashLshPairs(exact, "doc_id", col("text"),
       minJaccardPpm = cfg.nearDupJaccardPpm)

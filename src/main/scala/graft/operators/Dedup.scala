@@ -36,25 +36,35 @@ object Dedup {
     * boilerplate survives with empty text (drop it with a quality
     * floor downstream, not here — the caller decides).
     *
-    * Scale shape: lines explode map-side, ONE map-side-combinable
-    * count per distinct line, and the over-threshold boilerplate set
-    * — by construction a tiny fraction of distinct lines — BROADCASTS
-    * into the anti-join, so the corpus never shuffles on line text;
-    * the only corpus-wide shuffle is the final per-doc ordered
-    * reassembly on doc_id. If the boilerplate set ever outgrows
-    * broadcast, hash lines to 64 bits and let the anti-join shuffle —
-    * the rest of the plan is unchanged.
+    * Scale shape: lines explode map-side and are hashed to 64 bits
+    * (`xxhash64`) immediately — the census is ONE map-side-combinable
+    * count per distinct line HASH (8-byte keys, not line text), and
+    * the over-threshold set anti-joins back on the same hash. The
+    * hot-line set is data-dependent: at a high threshold it is a few
+    * nav-bars, but at the default `minOccurrences = 2` on a web-scale
+    * corpus it is every twice-occurring line — billions of rows — so
+    * the anti-join is a SHUFFLE join by default and AQE converts it
+    * to broadcast at runtime only when the set's measured size
+    * actually fits. `broadcastHotSet = true` forces the broadcast
+    * hint for callers who KNOW the set is tiny (high threshold,
+    * bounded domain) and want to skip the corpus-side shuffle; the
+    * per-doc ordered reassembly on doc_id shuffles either way. The
+    * 64-bit hash admits a ~2^-64 per-pair collision (an innocent line
+    * counted with a hot one) — the standard production trade.
     */
   def lineDedup(df: DataFrame, idCol: String, text: Column,
-                minOccurrences: Long = 2, sep: String = "\n"): DataFrame = {
+                minOccurrences: Long = 2, sep: String = "\n",
+                broadcastHotSet: Boolean = false): DataFrame = {
     require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
     val lines = df
       .select(col(idCol).as("doc_id"),
         posexplode(split(text, java.util.regex.Pattern.quote(sep))))
       .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__line")
-    val hot = lines.groupBy("__line").count()
-      .filter(col("count") >= minOccurrences).select("__line")
-    val kept = lines.join(broadcast(hot), Seq("__line"), "left_anti")
+      .withColumn("__lh", xxhash64(col("__line")))
+    val hot = lines.groupBy("__lh").count()
+      .filter(col("count") >= minOccurrences).select("__lh")
+    val hotSide = if (broadcastHotSet) broadcast(hot) else hot
+    val kept = lines.join(hotSide, Seq("__lh"), "left_anti")
     val perDoc = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
       concat_ws(sep, transform(
@@ -98,9 +108,11 @@ object Dedup {
     * (default on) caches the shingled projection MEMORY_AND_DISK so
     * the shingle expression runs one corpus scan, not three — at
     * 100 TB that difference dominates the operator. The cache is
-    * reclaimed by Spark's ContextCleaner once the returned plan is
-    * dropped (or evicted LRU under memory pressure); pass `false` if
-    * the caller already persists/checkpoints the shingled input.
+    * registered with [[CacheRegistry]] — call
+    * `CacheRegistry.releaseAll()` once the consuming action completes
+    * (Bench/Verify do this per query; round 5 measured unreleased
+    * shingle blocks taxing unrelated queries 1.6-3.8×). Pass `false`
+    * if the caller already persists/checkpoints the shingled input.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, text: Column,
                       bands: Int = 16, rows: Int = 4, n: Int = 3,
@@ -160,7 +172,9 @@ object Dedup {
   private def shingled(df: DataFrame, idCol: String, text: Column, n: Int,
                        persist: Boolean): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), shingles(text, n).as("sh"))
-    if (persist) docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (persist)
+      CacheRegistry.register(
+        docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else docs
   }
 
@@ -253,11 +267,35 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                           maxIters: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val sc = pairs.sparkSession.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // both directions from ONE scan of the pair plan: explode each pair
+    // to (a,b)+(b,a) instead of union(fwd, fwd.swapped) — the union form
+    // evaluates the input lineage TWICE when it isn't cached, and the
+    // input here is typically the whole LSH band-join/verify tail
+    // (measured: the double evaluation was ~2/3 of this operator's cost
+    // in the composed q65 pipeline)
+    val edges = fwd
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the edge cache (and anything upstream of it, e.g. a
+    // caller's shingle cache) BEFORE the first label checkpoint, so the
+    // per-round persistent-RDD diff below sees ONLY that round's
+    // checkpoint blocks and never misattributes a long-lived cache
+    edges.count()
+    val base = persistedIds
     var labels = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lbl")).localCheckpoint(true)
+    // blocks backing the PREVIOUS round's labels; a localCheckpoint's
+    // blocks ARE its data (lineage truncated), so they are freed only
+    // once the NEXT round's checkpoint is materialized — each round
+    // frees its predecessor instead of letting O(rounds) label
+    // snapshots pile up in executor storage for the whole run
+    var prevCkpt = persistedIds -- base
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -272,6 +310,7 @@ object Dedup {
         .select(col("v"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("c"))
       // pointer jump: follow the candidate label to ITS label
+      val before = persistedIds
       val updated = cand
         .join(labels.select(col("v").as("c"), col("lbl").as("clbl")), Seq("c"), "left_outer")
         .select(col("v"), least(col("c"), coalesce(col("clbl"), col("c"))).as("lbl"),
@@ -280,11 +319,19 @@ object Dedup {
                                 // that both materializes the checkpoint
                                 // blocks and returns the changed count
       changed = updated.filter(col("lbl") =!= col("old")).count()
+      // this round's checkpoint is materialized — its predecessor's
+      // blocks are no longer reachable from any future plan; free them
+      val thisCkpt = persistedIds -- before
+      prevCkpt.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      prevCkpt = thisCkpt
       labels = updated.select("v", "lbl")
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
     edges.unpersist()
+    // the FINAL checkpoint backs the returned labels — it must outlive
+    // this call; the caller releases it after consuming the result
+    CacheRegistry.registerRddIds(sc, prevCkpt)
     labels
   }
 

@@ -113,15 +113,17 @@ object Load {
     * `workDir/_dump_id`. Pointing the same workDir at a different dump
     * invalidates everything instead of silently emitting a planet for
     * the old dump. `resume = false` (the reference's default posture)
-    * always starts from scratch — it WIPES `staging/` and `tables/`, so
-    * a non-resume run takes an exclusive `workDir/.lock` for its whole
-    * duration and FAILS FAST if one is already present (reference
-    * posture: one process owns the dump dirs) — a second concurrent
-    * non-resume run aborts instead of wiping in-flight staging.
-    * Concurrent callers sharing a workDir are only safe when every one
-    * of them passes `resume = true` against the same dump file. A lock
-    * left behind by a crashed run must be removed manually (the file
-    * records pid + start time).
+    * always starts from scratch — it WIPES `staging/` and `tables/`.
+    * The wipe decision is made FIRST, and EVERY wiping run — non-resume
+    * OR a resume pointed at a different dump than `_dump_id` records —
+    * takes an exclusive `workDir/.lock` for its whole duration and
+    * FAILS FAST if one is already present (reference posture: one
+    * process owns the dump dirs) — a second concurrent destructive run
+    * aborts instead of wiping in-flight staging. Concurrent callers
+    * sharing a workDir are only safe when every one of them passes
+    * `resume = true` against the SAME dump file (those runs neither
+    * wipe nor lock). A lock left behind by a crashed run must be
+    * removed manually (the file records pid + start time).
     *
     * `maxConcurrency` caps how many tables are staged / submitted at
     * once (the reference's `--max-concurrency` semaphore over writer
@@ -135,18 +137,28 @@ object Load {
     val staging = s"$workDir/staging"
     val tablesDir = s"$workDir/tables"
     Files.createDirectories(Paths.get(workDir))
-    // exclusive ownership for destructive (non-resume) runs:
-    // Files.createFile is atomic (O_CREAT|O_EXCL) — exactly one of two
-    // concurrent non-resume runs wins; the loser aborts BEFORE wiping
+    // decide the wipe FIRST: non-resume always wipes; a resume run
+    // wipes too when its dump differs from the recorded _dump_id —
+    // either way the run is destructive and must own the workDir
+    val id = dumpId(dumpFile)
+    val idPath = Paths.get(workDir, "_dump_id")
+    val prior =
+      if (Files.exists(idPath))
+        Some(new String(Files.readAllBytes(idPath), java.nio.charset.StandardCharsets.UTF_8))
+      else None
+    val wipe = !resume || !prior.contains(id)
+    // exclusive ownership for destructive runs: Files.createFile is
+    // atomic (O_CREAT|O_EXCL) — exactly one of two concurrent
+    // destructive runs wins; the loser aborts BEFORE wiping
     val lockPath = Paths.get(workDir, ".lock")
     val lock =
-      if (resume) None
+      if (!wipe) None
       else
         try Some(Files.createFile(lockPath))
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             throw new IllegalStateException(
-              s"$lockPath exists: another non-resume run owns this workDir " +
+              s"$lockPath exists: another destructive run owns this workDir " +
                 s"(or crashed and left the lock — " +
                 s"${new String(Files.readAllBytes(lockPath)).trim}); " +
                 "remove the lock file to proceed")
@@ -155,13 +167,7 @@ object Load {
       s"pid=${ProcessHandle.current().pid()} start=${java.time.Instant.now()}\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     try {
-      val id = dumpId(dumpFile)
-      val idPath = Paths.get(workDir, "_dump_id")
-      val prior =
-        if (Files.exists(idPath))
-          Some(new String(Files.readAllBytes(idPath), java.nio.charset.StandardCharsets.UTF_8))
-        else None
-      if (!resume || !prior.contains(id)) {
+      if (wipe) {
         deleteRecursively(Paths.get(staging))
         deleteRecursively(Paths.get(tablesDir))
       }

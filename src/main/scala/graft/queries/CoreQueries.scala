@@ -657,10 +657,14 @@ object CoreQueries {
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""".stripMargin) {
       (s, d) => {
+        // filter on the UNROUNDED sum — the HAVING in the oracle sees
+        // sum(l_quantity) > 300, so a fractional sum in (300, 300.5]
+        // must pass here too; rounding is output formatting only
         val perOrder = Tables.lineitem(s, d)
           .groupBy(col("l_orderkey"))
-          .agg(round(sum("l_quantity")).cast("long").as("sum_qty"))
-          .filter(col("sum_qty") > 300)
+          .agg(sum("l_quantity").as("qty_sum"))
+          .filter(col("qty_sum") > 300)
+          .select(col("l_orderkey"), round(col("qty_sum")).cast("long").as("sum_qty"))
         val o = Tables.orders(s, d)
           .join(broadcast(perOrder), col("o_orderkey") === col("l_orderkey"))
         Tables.customer(s, d)
@@ -781,14 +785,21 @@ object CoreQueries {
     // in for the phone country code, "inactive" = no order since
     // 2000): scalar aggregate subquery (the corpus-wide average
     // balance, one tiny broadcast) + correlated NOT EXISTS (anti-join
-    // on custkey). Balances compare as exact cents so the threshold
-    // predicate is engine-deterministic — a raw double avg would
-    // differ in the last ULP between engines and flip boundary rows.
+    // on custkey). The threshold floor(avg(bal_cents)) is computed
+    // ENTIRELY in integer arithmetic — sum(cents) DIV count — never
+    // through a double avg: avg's double accumulation is summation-
+    // order-dependent, and past 2^53 total cents a 1-ULP difference
+    // between engines shifts the floor by one cent and flips boundary
+    // customers. Integer sums are order-independent and exact
+    // (balances are bounded, so even 10^10 customers × 10^6 cents
+    // stays far under the 2^63 BIGINT ceiling; DuckDB sums in
+    // int128), and both operands are positive so truncating division
+    // IS floor.
     QueryDef.sql("q73_tpch_q22",
       """WITH bal AS (SELECT c_custkey, c_nationkey,
         |                    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
         |             FROM customer WHERE c_acctbal > 0.0),
-        |thr AS (SELECT CAST(floor(avg(bal_cents)) AS BIGINT) AS t FROM bal)
+        |thr AS (SELECT CAST(sum(bal_cents) // count(*) AS BIGINT) AS t FROM bal)
         |SELECT c_nationkey, count(*) AS numcust,
         |       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
         |FROM bal CROSS JOIN thr
@@ -804,7 +815,7 @@ object CoreQueries {
           """WITH bal AS (SELECT c_custkey, c_nationkey,
             |                    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
             |             FROM customer WHERE c_acctbal > 0.0),
-            |thr AS (SELECT CAST(floor(avg(bal_cents)) AS BIGINT) AS t FROM bal)
+            |thr AS (SELECT sum(bal_cents) DIV count(*) AS t FROM bal)
             |SELECT c_nationkey, count(*) AS numcust,
             |       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
             |FROM bal CROSS JOIN thr
@@ -813,6 +824,46 @@ object CoreQueries {
             |                  WHERE o.o_custkey = bal.c_custkey
             |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
             |GROUP BY 1""".stripMargin)
+      }
+    },
+
+    // TPC-H Q17 (small-quantity-order revenue): the classic CORRELATED
+    // SCALAR SUBQUERY — each lineitem compares its quantity against an
+    // aggregate over its OWN part's lineitems. Through the SQL front
+    // door so Catalyst's decorrelation (RewriteCorrelatedScalarSubquery)
+    // does the rewrite: the subquery becomes ONE per-partkey aggregate
+    // over lineitem joined back to the outer scan — one lineitem
+    // shuffle for the aggregate, whose |parts|-sized result then
+    // BROADCASTS into the outer side (AQE size-based), so lineitem is
+    // never shuffled twice. The Q17 predicate l_quantity < 0.2 *
+    // avg(l_quantity) is restated in EXACT integer arithmetic:
+    // qty < sum/(5*cnt)  ⟺  qty <= (sum-1) div (5*cnt) for integer
+    // qty and positive sums (quantities are >= 1) — no double avg, no
+    // 0.2 rounding, engine-deterministic at any scale. Revenue sums
+    // per-row cents (BIGINT), not doubles, for the same reason.
+    QueryDef.sql("q74_tpch_q17",
+      """WITH lq AS (SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+        |                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |            FROM lineitem)
+        |SELECT CAST(sum(price_cents) AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_lines
+        |FROM lq l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#4'
+        |  AND l.qty <= (SELECT (sum(qty) - 1) // (5 * count(*))
+        |                FROM lq l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin) {
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        Tables.part(s, d).createOrReplaceTempView("part")
+        s.sql(
+          """WITH lq AS (SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+            |                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+            |            FROM lineitem)
+            |SELECT CAST(sum(price_cents) AS BIGINT) AS revenue_cents,
+            |       count(*) AS n_lines
+            |FROM lq l JOIN part p ON p.p_partkey = l.l_partkey
+            |WHERE p.p_brand = 'Brand#4'
+            |  AND l.qty <= (SELECT (sum(qty) - 1) DIV (5 * count(*))
+            |                FROM lq l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
       }
     }
   )

@@ -422,6 +422,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(4L) === ("standalone document", 1L))
   }
 
+  test("line dedup default plan has no forced broadcast (scale-safe anti-join)") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // a web-scale hot-line set cannot broadcast: with broadcasts
+    // disabled session-wide, a surviving broadcast join can only come
+    // from a hard-coded hint — the round-5 driver-OOM shape
+    val df = docs(1L -> "a\nb", 2L -> "a\nc")
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val priorThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def broadcasts(d: org.apache.spark.sql.DataFrame) =
+        d.queryExecution.executedPlan.collect { case b: BroadcastHashJoinExec => b }
+      assert(broadcasts(Dedup.lineDedup(df, "doc_id", col("text"))).isEmpty,
+        "default lineDedup must shuffle the anti-join, not force a broadcast")
+      assert(broadcasts(
+          Dedup.lineDedup(df, "doc_id", col("text"), broadcastHotSet = true)).nonEmpty,
+        "broadcastHotSet = true must force the broadcast hint")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThr)
+    }
+  }
+
   test("line dedup threshold: lines below minOccurrences survive everywhere") {
     val df = docs(1L -> "twice\na", 2L -> "twice\nb", 3L -> "c")
     val out = Dedup.lineDedup(df, "doc_id", col("text"), minOccurrences = 3)

@@ -55,4 +55,30 @@ class PlanLintSpec extends AnyFunSuite {
       assert(offenders.isEmpty, offenders.mkString("; "))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
+
+  test("cache hygiene: every gate query leaves zero persistent RDDs after release") {
+    // Round 5's bench showed operator-internal caches (LSH shingles,
+    // curate's prefix, CC label checkpoints) outliving their query and
+    // taxing the next four — this turns that bench symptom into a CI
+    // invariant: run each query's action, release through the
+    // CacheRegistry (exactly what Bench/Verify do), and require the
+    // session to be block-free afterwards.
+    val sc = spark.sparkContext
+    // drop leftovers from the lint test above (it builds executedPlans,
+    // which for the looped queries registers caches it never releases)
+    graft.operators.CacheRegistry.releaseAll(blocking = true)
+    sc.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val leaks = graft.SparkEntry.allQueries.flatMap { q =>
+      q.fn(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.CacheRegistry.releaseAll(blocking = true)
+      val left = sc.getPersistentRDDs
+      if (left.nonEmpty) {
+        // clean up so one offender doesn't cascade into every query after it
+        left.values.foreach(_.unpersist(true))
+        Some(s"${q.name}: ${left.size} persistent RDD(s) left")
+      } else None
+    }
+    assert(leaks.isEmpty, leaks.mkString("; "))
+  }
 }
