@@ -76,6 +76,38 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** C4-style INTRA-document repetition removal: within each document,
+    * keep only the FIRST occurrence of every line (text split on the
+    * literal `sep`) and reassemble survivors in original order —
+    * repeated boilerplate inside one page (nav repeated top+bottom,
+    * duplicated paragraphs from scraper glitches) collapses to its
+    * first appearance. Complements [[lineDedup]] (corpus-wide census):
+    * this one needs no cross-document state at all.
+    *
+    * Scale shape: explode map-side, first-occurrence = min(pos) per
+    * (doc_id, line) in ONE map-side-combinable aggregate, then the
+    * per-doc ordered reassembly — two shuffles, both keyed by (or
+    * prefixed by) doc_id, no skew beyond single-document size, no
+    * driver state. Returns (doc_id, clean_text, n_kept); every input
+    * doc survives (a doc's first line is always kept).
+    */
+  def intraDocLineDedup(df: DataFrame, idCol: String, text: Column,
+                        sep: String = "\n"): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(text, java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__line")
+    lines.groupBy(col("doc_id"), col("__line"))
+      .agg(min(col("__pos")).as("__pos"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x("__line"))).as("clean_text"))
+      .select(col("doc_id"), col("clean_text"), col("n_kept"))
+  }
+
   /** Word n-gram shingles (distinct), the unit set for Jaccard.
     * Custom Catalyst expression — the composed built-in form
     * (split → transform/slice → array_distinct) runs as interpreted

@@ -865,6 +865,29 @@ object CoreQueries {
             |  AND l.qty <= (SELECT (sum(qty) - 1) DIV (5 * count(*))
             |                FROM lq l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
       }
+    },
+
+    // GROUPING SETS beyond rollup (q20) and cube (q44): the two
+    // one-dimension margins of (priority, status) plus the grand total
+    // WITHOUT the full cross product — Catalyst plans ONE Expand (3
+    // replicas per row) into one partial-aggregating hash agg, the
+    // same single-shuffle shape as rollup/cube, just a sparser grid.
+    // Money sums are per-row cents (BIGINT) before aggregation.
+    QueryDef.sql("q76_grouping_sets",
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin) {
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+            |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            |         AS total_cents
+            |FROM orders
+            |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin)
+      }
     }
   )
 }

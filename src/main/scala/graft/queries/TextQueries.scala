@@ -786,6 +786,24 @@ object TextQueries {
       (s, d) =>
         graft.operators.Sampling.mixByBudget(Tables.documents(s, d),
           "doc_id", col("text"), "source", budgetTokens = 400L)
+    },
+
+    // C4-style INTRA-document repetition removal: first occurrence of
+    // each segment kept, later repeats dropped, survivors reassembled
+    // in order — no cross-document state (contrast q67's corpus-wide
+    // census). Same 'table' separator trick as q67 (the corpus is
+    // single-line).
+    QueryDef.sql("q75_intradoc_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text, 'table') AS l FROM documents),
+        |idx AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS ord FROM t),
+        |lines AS (SELECT doc_id, ord, l[ord] AS line FROM idx),
+        |firsts AS (SELECT doc_id, line, min(ord) AS ord FROM lines GROUP BY 1, 2)
+        |SELECT doc_id, string_agg(line, 'table' ORDER BY ord) AS clean_text,
+        |       CAST(count(*) AS BIGINT) AS n_kept
+        |FROM firsts GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        Dedup.intraDocLineDedup(Tables.documents(s, d), "doc_id", col("text"),
+          sep = "table")
     }
   )
 }

@@ -422,6 +422,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(4L) === ("standalone document", 1L))
   }
 
+  test("intra-doc line dedup keeps first occurrence, preserves order, no cross-doc state") {
+    val df = docs(
+      1L -> "nav\nreal one\nnav\nreal two\nreal one",
+      2L -> "nav\nonly here") // "nav" repeats across docs but not within doc 2
+    val out = Dedup.intraDocLineDedup(df, "doc_id", col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"))).toMap
+    assert(out(1L) === ("nav\nreal one\nreal two", 3L))
+    assert(out(2L) === ("nav\nonly here", 2L)) // intra-doc only: doc 2 untouched
+  }
+
   test("line dedup default plan has no forced broadcast (scale-safe anti-join)") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     // a web-scale hot-line set cannot broadcast: with broadcasts

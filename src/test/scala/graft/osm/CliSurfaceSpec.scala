@@ -33,6 +33,27 @@ class CliSurfaceSpec extends AnyFunSuite {
     (d, maxTime, OsmDb(spark, s"$d/work/tables"))
   }
 
+  test("destructive runs honor the workDir lock: non-resume AND dump-switching resume") {
+    val d = Files.createTempDirectory("lock-test")
+    Files.writeString(d.resolve(".lock"), "pid=999 start=test\n")
+    val dump = s"$refTest/liechtenstein-2013-08-03.dmp"
+    // non-resume always wipes -> must fail fast on a held lock
+    val e1 = intercept[IllegalStateException](
+      Load.run(spark, dump, d.toString, resume = false))
+    assert(e1.getMessage.contains(".lock"))
+    // resume pointed at a DIFFERENT dump than _dump_id wipes too ->
+    // must honor the same lock (the round-5 advisory gap: this path
+    // used to wipe lock-blind)
+    Files.writeString(d.resolve("_dump_id"), "some-other-dump-identity")
+    Files.createDirectories(d.resolve("staging"))
+    Files.writeString(d.resolve("staging").resolve("inflight.txt"), "x")
+    val e2 = intercept[IllegalStateException](
+      Load.run(spark, dump, d.toString, resume = true))
+    assert(e2.getMessage.contains(".lock"))
+    // both aborted BEFORE wiping: the in-flight staging file survives
+    assert(Files.exists(d.resolve("staging").resolve("inflight.txt")))
+  }
+
   test("non-dense PBF is structurally identical to dense (and actually non-dense)") {
     val (d, maxTime, db) = loaded
     val (n, w, r) = (Assemble.nodes(db), Assemble.ways(db), Assemble.relations(db))
