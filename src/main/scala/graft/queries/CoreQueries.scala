@@ -888,6 +888,86 @@ object CoreQueries {
             |FROM orders
             |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin)
       }
+    },
+
+    // RECURSIVE CTE (Spark 4's WITH RECURSIVE): a generated weekly
+    // date spine LEFT-joined against weekly order counts — the
+    // standard gap-filling pattern that exposes zero-activity periods
+    // a bare GROUP BY silently drops (the spine deliberately extends
+    // 6 months past the filtered data so the coalesce(0) path is
+    // real: ~26 empty weeks). The recursion is a 78-step linear chain
+    // (UNION ALL + strictly-advancing date guard, under Spark's
+    // default 100-level limit); the join side is one ordinary
+    // aggregate. Note Spark executes the spine as its UnionLoop plan
+    // on the driver-side single row — the DATA path (orders) stays a
+    // normal distributed agg, which is the right split at 100 TB:
+    // recursion over a 78-row spine, never over the corpus (cyclic
+    // reachability at scale is Dedup.connectedComponents, q55 —
+    // Spark's recursive CTE is UNION ALL-only and cannot terminate
+    // on cycles).
+    QueryDef.sql("q77_recursive_spine",
+      """WITH RECURSIVE weeks(d) AS (
+        |  SELECT DATE '1996-01-01'
+        |  UNION ALL
+        |  SELECT d + INTERVAL 7 DAY FROM weeks
+        |  WHERE d + INTERVAL 7 DAY < DATE '1997-07-01')
+        |SELECT CAST(d AS DATE) AS week_start,
+        |       CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        |FROM weeks LEFT JOIN (
+        |  SELECT DATE '1996-01-01' + INTERVAL (7 * CAST(floor(
+        |           date_diff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) / 7)
+        |           AS INTEGER)) DAY AS wk,
+        |         count(*) AS n
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1) t ON t.wk = weeks.d""".stripMargin) {
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(
+          """WITH RECURSIVE weeks(d) AS (
+            |  SELECT DATE '1996-01-01'
+            |  UNION ALL
+            |  SELECT date_add(d, 7) FROM weeks WHERE date_add(d, 7) < DATE '1997-07-01')
+            |SELECT d AS week_start, CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+            |FROM weeks LEFT JOIN (
+            |  SELECT date_add(DATE '1996-01-01',
+            |           7 * CAST(floor(datediff(CAST(o_orderdate AS DATE),
+            |                                   DATE '1996-01-01') / 7) AS INT)) AS wk,
+            |         count(*) AS n
+            |  FROM orders
+            |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            |    AND o_orderdate < TIMESTAMP '1997-01-01'
+            |  GROUP BY 1) t ON t.wk = weeks.d""".stripMargin)
+      }
+    },
+
+    // LATERAL correlated subquery with ORDER BY + LIMIT: top-2
+    // highest-value orders per customer — the per-key top-k shape
+    // expressed through the SQL front door instead of a window
+    // (Catalyst decorrelates the lateral into a per-customer
+    // rank-and-filter; customers with no orders drop out, inner
+    // lateral semantics on both engines). Ties break on orderkey so
+    // the LIMIT cut is engine-deterministic; money compares as exact
+    // cents.
+    QueryDef.sql("q78_lateral_topk",
+      """SELECT c.c_custkey, l.o_orderkey, l.totalprice_cents
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey,
+        |                CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+        |         FROM orders o WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY totalprice_cents DESC, o_orderkey LIMIT 2) l""".stripMargin) {
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT c.c_custkey, l.o_orderkey, l.totalprice_cents
+            |FROM customer c,
+            |LATERAL (SELECT o_orderkey,
+            |                CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+            |         FROM orders o WHERE o.o_custkey = c.c_custkey
+            |         ORDER BY totalprice_cents DESC, o_orderkey LIMIT 2) l""".stripMargin)
+      }
     }
   )
 }
