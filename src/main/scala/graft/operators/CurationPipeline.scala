@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   * Stage order matters and is the standard one:
   *  1. NFC-normalize (byte-canonical text BEFORE any hashing),
   *  2. PII scrub (never hash/emit raw PII),
-  *  3. quality floor (cheap filters first — shrink before the
+  *  3. optional line-level cleanup (C4 posture: fix text BEFORE
+  *     doc-level scoring/hashing sees it) — intra-document repetition
+  *     removal and/or corpus-wide boilerplate line removal,
+  *  4. quality floor (cheap filters first — shrink before the
   *     expensive pairwise stages),
-  *  4. exact dedup (md5 — removes the bulk duplicates cheaply),
-  *  5. near-dedup (MinHash-LSH pairs → connected components → keep
+  *  5. exact dedup (md5 — removes the bulk duplicates cheaply),
+  *  6. near-dedup (MinHash-LSH pairs → connected components → keep
   *     each cluster's min id),
-  *  6. benchmark decontamination (drop docs overlapping the eval set),
-  *  7. deterministic train/val split (hash bucket).
+  *  7. benchmark decontamination (drop docs overlapping the eval set),
+  *  8. deterministic train/val split (hash bucket).
   *
   * Every stage is a narrow DataFrame transform: nothing here collects,
   * and the only shuffles are the ones the underlying operators
@@ -26,12 +29,22 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
+  /** `intraDocDedup`: drop repeated lines WITHIN each document
+    * ([[Dedup.intraDocLineDedup]]). `lineDedupMinOccurrences`: when
+    * set, drop every line occurring at least that often corpus-wide
+    * ([[Dedup.lineDedup]], scale-safe shuffle anti-join default).
+    * Both default off — line-level cleanup is corpus-dependent
+    * (prose yes, code/poetry no).
+    */
   final case class Config(
       minQualityMilli: Long = 400,
       stopwords: Seq[String] = Seq("the", "and", "of", "to", "is"),
       nearDupJaccardPpm: Long = 800000L,
       contaminationMaxHits: Long = 0,
-      valPercent: Int = 10)
+      valPercent: Int = 10,
+      intraDocDedup: Boolean = false,
+      lineDedupMinOccurrences: Option[Long] = None,
+      lineSep: String = "\n")
 
   /** Run the full pipeline. `benchmark` is the eval set to
     * decontaminate against (None = skip the stage). Returns the kept
@@ -44,7 +57,20 @@ object CurationPipeline {
     val base = docs.select(col(idCol).as("doc_id"),
       graft.plans.NfcNormalize.nfc_normalize(col(textCol)).as("text"))
     val scrubbed = base.withColumn("text", redactPii(col("text")))
-    val scored = scrubbed
+    // optional line-level cleanup, in C4 order: in-page repeats first,
+    // then the corpus-wide boilerplate census — both BEFORE quality
+    // scoring and hashing so downstream stages see the cleaned text
+    val intraClean =
+      if (!cfg.intraDocDedup) scrubbed
+      else Dedup.intraDocLineDedup(scrubbed, "doc_id", col("text"), cfg.lineSep)
+        .select(col("doc_id"), col("clean_text").as("text"))
+    val lineClean = cfg.lineDedupMinOccurrences match {
+      case None => intraClean
+      case Some(m) =>
+        Dedup.lineDedup(intraClean, "doc_id", col("text"), m, cfg.lineSep)
+          .select(col("doc_id"), col("clean_text").as("text"))
+    }
+    val scored = lineClean
       .withColumn("quality_milli", qualityScoreMilli(col("text"), cfg.stopwords))
       .filter(col("quality_milli") >= cfg.minQualityMilli)
     // exact dedup: keep each content hash's min doc_id. The surviving

@@ -109,6 +109,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again === kept)
   }
 
+  test("curation pipeline line-level stages clean text before scoring/dedup") {
+    val body = "the " + (1 to 60).map(i => s"w$i").mkString(" ") + " of"
+    val zBody = "the " + (1 to 60).map(i => s"z$i").mkString(" ") + " of"
+    val yBody = "the " + (1 to 60).map(i => s"y$i").mkString(" ") + " of"
+    // long enough that raw doc 1 is NOT a near-dup of doc 2 (the
+    // boilerplate dilutes Jaccard below the 0.8 threshold); the line
+    // stages are what turn them into exact duplicates
+    val boiler = "the cookie banner of this site is here and it stays " +
+      "on every single page with the same privacy notice and the same " +
+      "accept button and the same legal text of the operator"
+    // doc 1 differs from doc 2 ONLY by 3x-corpus-wide boilerplate plus
+    // an in-document repeat: with both line stages ON it cleans to
+    // exactly doc 2's text, so the exact-dedup stage drops doc 2
+    // (min-id keeper); with the stages OFF all four raw texts are
+    // distinct and every doc survives
+    val df = docs(
+      1L -> s"$boiler\n$body\n$body",
+      2L -> body,
+      3L -> s"$boiler\n$zBody",
+      4L -> s"$boiler\n$yBody")
+    val on = CurationPipeline.curate(df, "doc_id", "text",
+        cfg = CurationPipeline.Config(
+          intraDocDedup = true, lineDedupMinOccurrences = Some(3L)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(on.keySet === Set(1L, 3L, 4L)) // 2 deduped against cleaned 1
+    assert(!on.values.exists(_.contains("cookie banner"))) // boilerplate gone
+    assert(on(1L) === body) // in-doc repeat collapsed, order kept
+    val off = CurationPipeline.curate(df, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(off === Set(1L, 2L, 3L, 4L)) // raw texts distinct -> all survive
+  }
+
   test("curation pipeline runs end-to-end on the real documents table") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = CurationPipeline.curate(d, "doc_id", "text")
