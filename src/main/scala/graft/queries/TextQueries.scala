@@ -804,6 +804,57 @@ object TextQueries {
       (s, d) =>
         Dedup.intraDocLineDedup(Tables.documents(s, d), "doc_id", col("text"),
           sep = "table")
+    },
+
+    // Sketches, hash-gated through their ACCURACY CONTRACT: the HLL++
+    // estimate itself differs by engine, but it is DETERMINISTIC for
+    // fixed data (register maxima are order-independent), so
+    // |approx - exact| <= 5%·exact is a stable boolean both engines
+    // agree on — the oracle asserts the exact count and `true`. The
+    // subject is n-gram shingle cardinality, the number that sizes
+    // dedup/LSH memory at 100 TB (where the exact count-distinct
+    // needs a corpus-wide shuffle and the HLL needs one small-state
+    // partial agg). Measured HLL error at rsd=0.01: under 1% on all
+    // three SFs — the 5% gate bound is a wide margin, not a coin flip.
+    QueryDef.sql("q79_hll_shingles",
+      """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                  ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT
+        |         unnest(CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+        |                WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |                ELSE list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS g
+        |       FROM t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS hll_ok FROM sh""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(Dedup.shingles(col("text"), 3)).as("g"))
+          .agg(
+            countDistinct(col("g")).cast("long").as("n_exact"),
+            (abs(approx_count_distinct(col("g"), 0.01) - countDistinct(col("g")))
+              <= countDistinct(col("g")) * 0.05).as("hll_ok"))
+    },
+
+    // Approximate median via the same contract: approx_percentile's
+    // GK summary guarantees rank error <= N/accuracy, so with
+    // accuracy=10000 the returned value must lie between the exact
+    // 45th and 55th percentiles (monotonicity) — a deterministic
+    // boolean. At 100 TB the exact-percentile form (q42) costs a full
+    // sort; the sketch is one bounded-state partial aggregate.
+    QueryDef.sql("q80_approx_median_contract",
+      """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS v
+        |           FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS p50_ok FROM t""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(tokenCount(col("text")).as("v"))
+          .agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            expr("approx_percentile(v, 0.5, 10000)")
+              .between(expr("percentile(v, 0.45)"), expr("percentile(v, 0.55)"))
+              .as("p50_ok"))
     }
   )
 }
