@@ -833,9 +833,15 @@ object CoreQueries {
     // door so Catalyst's decorrelation (RewriteCorrelatedScalarSubquery)
     // does the rewrite: the subquery becomes ONE per-partkey aggregate
     // over lineitem joined back to the outer scan — one lineitem
-    // shuffle for the aggregate, whose |parts|-sized result then
-    // BROADCASTS into the outer side (AQE size-based), so lineitem is
-    // never shuffled twice. The Q17 predicate l_quantity < 0.2 *
+    // shuffle for the aggregate, whose |parts|-sized result AQE then
+    // broadcasts into the outer side (verified in the sf plan), so
+    // lineitem is never shuffled twice here. Honest scale note: at a
+    // part count where the aggregate outgrows broadcast, AQE keeps a
+    // partkey-partitioned shuffle join — two lineitem shuffles; the
+    // one-shuffle alternative at that extreme is the window form
+    // (sum/count over partkey partitions, the q09/q10 shape). The
+    // engine picks per stats; both are skew-safe on partkey. The Q17
+    // predicate l_quantity < 0.2 *
     // avg(l_quantity) is restated in EXACT integer arithmetic:
     // qty < sum/(5*cnt)  ⟺  qty <= (sum-1) div (5*cnt) for integer
     // qty and positive sums (quantities are >= 1) — no double avg, no

@@ -135,4 +135,71 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected no join-side shuffles, plan:\n$plan")
     assert(joined.agg(sum("count")).head.getLong(0) === 6000L)
   }
+
+  test("AQE splits a skewed join partition (the docstrings' skew posture, demonstrated)") {
+    // The driver provides no sf1 skew dataset, so the skew claims are
+    // exercised here at spec scale: thresholds scaled down so the same
+    // OptimizeSkewedJoin rule that fires on a 100 TB hot key fires on a
+    // synthetic one (one key carrying ~90% of rows)
+    import spark.implicits._
+    val withConfs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = withConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    withConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // no explicit repartition: skew splitting only rewrites the
+      // join's OWN ensure-requirements shuffles (a user-requested
+      // partitioning must be preserved, so AQE leaves it alone)
+      val hot = (1 to 20000).map(i => (1L, s"payload-$i")) ++
+        (1 to 2000).map(i => (1L + i % 50, s"cold-$i"))
+      val left = hot.toDF("k", "v")
+      val right = (1L to 51L).map(k => (k, s"dim-$k")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      // collect THIS DataFrame so its own AQE execution finalizes
+      assert(joined.collect().length === 22000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected a skew-split join in the adaptive plan:\n$finalPlan")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("runtime bloom filter prunes the big side of a selective join") {
+    // Row-level runtime filtering (Spark's bloom-filter join pruning):
+    // a selective dimension filter injects a bloom_filter_agg subquery
+    // that drops non-matching fact rows BEFORE the join shuffle — at
+    // 100 TB that is the difference between shuffling the whole fact
+    // table and shuffling the ~matching fraction. Size thresholds
+    // scaled to spec data.
+    val withConfs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = withConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    withConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val d = "/root/testdata/sf0.001"
+      val sel = graft.Tables.orders(spark, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val joined = graft.Tables.lineitem(spark, d)
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").count()
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter"),
+        s"expected an injected bloom filter on the fact side:\n$plan")
+      assert(joined.agg(sum("count")).head.getLong(0) > 0L)
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
