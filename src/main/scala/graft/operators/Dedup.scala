@@ -151,11 +151,18 @@ object Dedup {
                       minJaccardPpm: Long = 500000L,
                       maxBucket: Int = 4096,
                       persistShingles: Boolean = true): DataFrame = {
-    val numHashes = bands * rows
     val docs = shingled(df, idCol, text, n, persistShingles)
-    // hash each shingle ONCE (h1), derive the second hash from it
-    // (h2 = xxhash64 of the long h1); every seeded hash is then pure
-    // register arithmetic inside the aggregate
+    bandJoinVerify(docs, xxBanded(docs, bands, rows), bands, minJaccardPpm, maxBucket)
+  }
+
+  /** (doc_id, bk0..bk{bands-1}) band buckets from Carter-Wegman seeded
+    * xxhash64 min-hashes — the fast-path signature builder. Each
+    * shingle is hashed ONCE (h1), the second hash derives from it
+    * (h2 = xxhash64 of the long h1); every seeded hash is then pure
+    * register arithmetic inside one codegen'd aggregate.
+    */
+  private def xxBanded(docs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val numHashes = bands * rows
     val shingleRows = docs.select(col("doc_id"), explode(col("sh")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h1"))
       .withColumn("h2", xxhash64(col("h1")))
@@ -166,8 +173,24 @@ object Dedup {
     val bucketCols = (0 until bands).map { bnd =>
       xxhash64((bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i")): _*).as(s"bk$bnd")
     }
-    bandJoinVerify(docs, minh.select(col("doc_id") +: bucketCols: _*), bands,
-      minJaccardPpm, maxBucket)
+    minh.select(col("doc_id") +: bucketCols: _*)
+  }
+
+  /** md5 twin of [[xxBanded]]: seeded family = first 16 hex chars of
+    * md5(shingle + "#seed") — lexicographic min on fixed-width hex IS
+    * unsigned numeric min, so every engine with md5 replicates it.
+    */
+  private def md5Banded(docs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val numHashes = bands * rows
+    val shingleRows = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val minAggs = (0 until numHashes).map(s =>
+      min(substring(md5(concat(col("g"), lit(s"#$s"))), 1, 16)).as(s"m$s"))
+    val minh = shingleRows.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bucketCols = (0 until bands).map { bnd =>
+      md5(concat_ws("|", (bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i")): _*))
+        .as(s"bk$bnd")
+    }
+    minh.select(col("doc_id") +: bucketCols: _*)
   }
 
   /** Oracle-verifiable MinHash+LSH twin: the same banding + bucket-join
@@ -183,18 +206,66 @@ object Dedup {
                          minJaccardPpm: Long = 0L,
                          maxBucket: Int = 4096,
                          persistShingles: Boolean = true): DataFrame = {
-    val numHashes = bands * rows
     val docs = shingled(df, idCol, text, n, persistShingles)
-    val shingleRows = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-    val minAggs = (0 until numHashes).map(s =>
-      min(substring(md5(concat(col("g"), lit(s"#$s"))), 1, 16)).as(s"m$s"))
-    val minh = shingleRows.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-    val bucketCols = (0 until bands).map { bnd =>
-      md5(concat_ws("|", (bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i")): _*))
-        .as(s"bk$bnd")
-    }
-    bandJoinVerify(docs, minh.select(col("doc_id") +: bucketCols: _*), bands,
-      minJaccardPpm, maxBucket)
+    bandJoinVerify(docs, md5Banded(docs, bands, rows), bands, minJaccardPpm, maxBucket)
+  }
+
+  /** INCREMENTAL exact dedup — the daily-snapshot pattern: keep only
+    * the `incoming` docs whose content hash does not already exist in
+    * `existing` (yesterday's curated corpus). Never re-curates the
+    * existing corpus; both sides reduce to 32-hex content hashes
+    * before any shuffle, so the anti-join moves hashes, not text.
+    * At 100 TB the existing-hash side is a hash-partitioned anti-join
+    * build (AQE broadcasts it only when it fits) and Spark's runtime
+    * bloom filter prunes non-matching incoming rows before the
+    * shuffle (demonstrated in ScaleOpsSpec).
+    */
+  def incrementalExact(incoming: DataFrame, existing: DataFrame,
+                       idCol: String, text: Column): DataFrame = {
+    val exH = existing.select(md5(text).as("__h")).distinct()
+    incoming.withColumn("__h", md5(text))
+      .join(exH, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
+  /** INCREMENTAL near-dup candidates — `incoming` docs banded AGAINST
+    * `existing`'s band buckets (never incoming-vs-incoming or
+    * existing-vs-existing), verified with exact n-gram Jaccard.
+    * Returns (inc_id, ex_id, jaccard_ppm): the incoming docs to drop
+    * (or link) because yesterday's corpus already contains a
+    * near-duplicate. The existing side's signatures are the natural
+    * thing to PRECOMPUTE and store between snapshots — this operator
+    * recomputes them from text, which is the correctness contract;
+    * persisting `existing`'s banded projection across runs is a
+    * storage-format choice layered on top (same columns).
+    * xxhash64 fast path; [[minhashLshPairsAcrossMd5]] is the
+    * oracle-replicable twin proving the algorithm.
+    */
+  def minhashLshPairsAcross(incoming: DataFrame, existing: DataFrame,
+                            idCol: String, text: Column,
+                            bands: Int = 16, rows: Int = 4, n: Int = 3,
+                            minJaccardPpm: Long = 500000L,
+                            maxBucket: Int = 4096,
+                            persistShingles: Boolean = true): DataFrame = {
+    val docsI = shingled(incoming, idCol, text, n, persistShingles)
+    val docsE = shingled(existing, idCol, text, n, persistShingles)
+    bandJoinVerifyAcross(docsI, xxBanded(docsI, bands, rows),
+      docsE, xxBanded(docsE, bands, rows), bands, minJaccardPpm, maxBucket)
+  }
+
+  /** md5 twin of [[minhashLshPairsAcross]] (same banding, engine-
+    * replicable hash family) — the correctness gate's version.
+    */
+  def minhashLshPairsAcrossMd5(incoming: DataFrame, existing: DataFrame,
+                               idCol: String, text: Column,
+                               bands: Int = 8, rows: Int = 2, n: Int = 3,
+                               minJaccardPpm: Long = 0L,
+                               maxBucket: Int = 4096,
+                               persistShingles: Boolean = true): DataFrame = {
+    val docsI = shingled(incoming, idCol, text, n, persistShingles)
+    val docsE = shingled(existing, idCol, text, n, persistShingles)
+    bandJoinVerifyAcross(docsI, md5Banded(docsI, bands, rows),
+      docsE, md5Banded(docsE, bands, rows), bands, minJaccardPpm, maxBucket)
   }
 
   /** The (doc_id, sh) shingled projection both LSH variants fan out
@@ -228,10 +299,7 @@ object Dedup {
   private def bandJoinVerify(docs: DataFrame, bucketed: DataFrame, bands: Int,
                              minJaccardPpm: Long, maxBucket: Int): DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be positive, got $maxBucket")
-    val allBanded = bucketed
-      .select(col("doc_id"),
-        posexplode(array((0 until bands).map(bnd => col(s"bk$bnd")): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val allBanded = explodeBanded(persistedSignatures(bucketed), bands)
     val hot = allBanded.groupBy("band", "bucket").count()
       .filter(col("count") > maxBucket).select("band", "bucket")
     val banded = allBanded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
@@ -240,10 +308,61 @@ object Dedup {
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val shA = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val shB = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    candidates.join(shA, "id_a").join(shB, "id_b")
-      .select(col("id_a"), col("id_b"),
+    jaccardVerify(candidates, docs, docs, "id_a", "id_b", minJaccardPpm)
+  }
+
+  /** Cross-corpus LSH tail: incoming band buckets equi-join EXISTING
+    * band buckets only — no same-side pairs are ever generated. The
+    * hot-bucket cap censuses the two sides TOGETHER (a bucket
+    * degenerate on either side makes the cross product explode), same
+    * posture as the self-join tail.
+    */
+  private def bandJoinVerifyAcross(docsInc: DataFrame, bucketedInc: DataFrame,
+                                   docsEx: DataFrame, bucketedEx: DataFrame,
+                                   bands: Int, minJaccardPpm: Long,
+                                   maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be positive, got $maxBucket")
+    val bi = explodeBanded(persistedSignatures(bucketedInc), bands)
+    val be = explodeBanded(persistedSignatures(bucketedEx), bands)
+    val hot = bi.select("band", "bucket").unionAll(be.select("band", "bucket"))
+      .groupBy("band", "bucket").count()
+      .filter(col("count") > maxBucket).select("band", "bucket")
+    val candidates = bi.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      .select(col("band"), col("bucket"), col("doc_id").as("inc_id"))
+      .join(be.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+        .select(col("band"), col("bucket"), col("doc_id").as("ex_id")),
+        Seq("band", "bucket"))
+      .select("inc_id", "ex_id").distinct()
+    jaccardVerify(candidates, docsInc, docsEx, "inc_id", "ex_id", minJaccardPpm)
+  }
+
+  /** One row per (doc, band): (doc_id, band, bucket). */
+  private def explodeBanded(bucketed: DataFrame, bands: Int): DataFrame =
+    bucketed
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(bnd => col(s"bk$bnd")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /** The banded-signature projection (one narrow row per doc) is
+    * referenced three times downstream — hot-bucket census plus both
+    * join sides — and computing it means re-running the full min-hash
+    * aggregate over every shingle. Persist it (registered with
+    * [[CacheRegistry]], caller releases after its action) so the
+    * aggregate runs once per corpus scan, not three times.
+    */
+  private def persistedSignatures(bucketed: DataFrame): DataFrame =
+    CacheRegistry.register(
+      bucketed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Exact n-gram Jaccard over a candidate pair set: one shingle-array
+    * join per side, score in ppm, threshold filter.
+    */
+  private def jaccardVerify(candidates: DataFrame, docsA: DataFrame, docsB: DataFrame,
+                            aCol: String, bCol: String, minJaccardPpm: Long): DataFrame = {
+    val shA = docsA.select(col("doc_id").as(aCol), col("sh").as("sh_a"))
+    val shB = docsB.select(col("doc_id").as(bCol), col("sh").as("sh_b"))
+    candidates.join(shA, aCol).join(shB, bCol)
+      .select(col(aCol), col(bCol),
         round(size(array_intersect(col("sh_a"), col("sh_b"))) * 1000000.0 /
           size(array_union(col("sh_a"), col("sh_b")))).cast("long").as("jaccard_ppm"))
       .filter(col("jaccard_ppm") >= minJaccardPpm)

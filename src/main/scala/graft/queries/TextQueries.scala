@@ -191,6 +191,56 @@ object TextQueries {
        |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin
   }
 
+  /** Oracle for q82: the md5 MinHash+LSH pipeline ACROSS a snapshot
+    * split — incoming (doc_id < 100) banded against existing
+    * (100 <= doc_id < 300), never same-side. Signatures computed over
+    * the union are identical to per-side computation (a signature
+    * depends only on the doc's own shingles), so one minh CTE serves
+    * both sides and the split lives in the candidate join predicate.
+    */
+  private val minhashMd5AcrossOracleSql: String = {
+    val bands = Md5Bands
+    val rows = Md5Rows
+    val mins = (0 until bands * rows)
+      .map(s => s"min(substr(md5(g || '#$s'), 1, 16)) AS m$s").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val bk = (b * rows until (b + 1) * rows).map(i => s"m$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($bk) AS bucket FROM minh"
+    }.mkString(" UNION ALL ")
+    s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+       |toks AS (
+       |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |  FROM docs),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+       |                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |                     ELSE list_transform(generate_series(1, len(t) - 2),
+       |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+       |  FROM toks),
+       |minh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS ex_id
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.doc_id < 100 AND b.doc_id >= 100),
+       |inters AS (
+       |  SELECT c.inc_id, c.ex_id, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.inc_id
+       |  JOIN sh sb ON sb.doc_id = c.ex_id AND sa.g = sb.g
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+       |SELECT c.inc_id, c.ex_id,
+       |       CAST(round(coalesce(i.inter, 0) * 1000000.0
+       |            / (sa.n_sh + sb.n_sh - coalesce(i.inter, 0))) AS BIGINT) AS jaccard_ppm
+       |FROM cand c
+       |LEFT JOIN inters i ON i.inc_id = c.inc_id AND i.ex_id = c.ex_id
+       |JOIN sizes sa ON sa.doc_id = c.inc_id
+       |JOIN sizes sb ON sb.doc_id = c.ex_id""".stripMargin
+  }
+
   /** Oracle for q30b: md5 SimHash bit votes + sign fingerprint as two
     * int64 halves, generated to keep the 64 vote terms in sync with
     * Dedup.simhashMd5.
@@ -804,6 +854,41 @@ object TextQueries {
       (s, d) =>
         Dedup.intraDocLineDedup(Tables.documents(s, d), "doc_id", col("text"),
           sep = "table")
+    },
+
+    // INCREMENTAL exact dedup — the daily-snapshot pattern: keep only
+    // incoming docs whose content hash is absent from the existing
+    // (already-curated) corpus. Existing = even ids, incoming = the
+    // whole table, so exactly the odd-id docs survive (every even
+    // incoming doc matches its own content in existing) — a real
+    // 50% drop through the hash anti-join.
+    QueryDef.sql("q81_incremental_exact",
+      """SELECT doc_id, source FROM documents
+        |WHERE md5(text) NOT IN
+        |      (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.incrementalExact(docs.select("doc_id", "source", "text"),
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", col("text"))
+          .select("doc_id", "source")
+      }
+    },
+
+    // INCREMENTAL near-dup — incoming (doc_id < 100) LSH-banded
+    // AGAINST the existing corpus (100 <= doc_id < 300), md5 twin so
+    // the whole cross-corpus pipeline (shared seeded hash family,
+    // cross-only candidate join, joint hot-bucket census, Jaccard
+    // verify) replicates on the oracle engine. xxhash64 fast path =
+    // Dedup.minhashLshPairsAcross (spec-covered).
+    QueryDef.sql("q82_incremental_neardup", minhashMd5AcrossOracleSql) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.minhashLshPairsAcrossMd5(
+          docs.filter(col("doc_id") < 100),
+          docs.filter(col("doc_id") >= 100 && col("doc_id") < 300),
+          "doc_id", col("text"),
+          bands = Md5Bands, rows = Md5Rows, minJaccardPpm = 0L)
+      }
     },
 
     // Sketches, hash-gated through their ACCURACY CONTRACT: the HLL++

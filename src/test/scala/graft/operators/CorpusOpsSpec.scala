@@ -28,6 +28,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("keep_id") === 1L)
   }
 
+  test("incremental exact dedup keeps only content absent from the existing corpus") {
+    val incoming = docs(10L -> "brand new text", 11L -> "already curated", 12L -> "also new")
+    val existing = docs(1L -> "already curated", 2L -> "other old text")
+    val kept = Dedup.incrementalExact(incoming, existing, "doc_id", col("text"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(10L, 12L)) // 11 matches existing content -> dropped
+  }
+
+  test("cross-corpus LSH pairs link incoming to existing only, never same-side") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    // incoming: near-dup of an existing doc + an unrelated doc +
+    //           a near-dup of ANOTHER INCOMING doc (must NOT pair)
+    val incoming = docs(
+      10L -> base.replace("w7", "changed"),
+      11L -> (1 to 40).map(i => s"q$i").mkString(" "),
+      12L -> base.replace("w7", "changed").replace("w9", "also"))
+    val existing = docs(1L -> base, 2L -> other)
+    val pairs = Dedup.minhashLshPairsAcross(incoming, existing, "doc_id", col("text"),
+        minJaccardPpm = 500000L)
+      .collect().map(r => (r.getAs[Long]("inc_id"), r.getAs[Long]("ex_id")))
+    assert(pairs.contains((10L, 1L)))
+    assert(pairs.forall { case (i, e) => i >= 10L && e < 10L }) // cross only
+    assert(!pairs.exists(p => p._1 == 11L)) // unrelated stays unlinked
+  }
+
   test("minhash LSH finds near-duplicates, not unrelated docs") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = base.replace("w7", "changed")
