@@ -100,7 +100,47 @@ object CurationPipeline {
     val losers = Dedup.connectedComponents(pairs)
       .filter(col("v") =!= col("lbl")).select(col("v").as("doc_id"))
     val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
-    // decontamination: drop docs with benchmark n-gram overlap
+    decontaminateAndSplit(deduped, benchmark, textCol, cfg)
+  }
+
+  /** INCREMENTAL daily run: curate only the `incoming` increment
+    * against an `existing` ALREADY-CURATED corpus — the existing
+    * 100 TB is never re-read beyond its content hashes and LSH
+    * signatures. Contract: `existing`'s text column holds curate's
+    * output text (already NFC-normalized and scrubbed), so content
+    * comparison is byte-meaningful; `incoming` is raw and gets the
+    * full prefix. Stages after the shared prefix:
+    *  5a. exact dedup WITHIN the increment (min-id keeper),
+    *  5b. exact anti-join AGAINST existing ([[Dedup.incrementalExact]]),
+    *  6a. near-dedup WITHIN the increment (LSH -> CC -> keep min),
+    *  6b. near-dedup AGAINST existing ([[Dedup.minhashLshPairsAcross]]
+    *      — drop any incoming doc with an existing near-duplicate),
+    *  7-8. decontamination + split, same as [[curate]].
+    * Within-increment dedup runs BEFORE the cross-corpus stages so
+    * the (usually much larger) existing side joins against an
+    * already-shrunk increment.
+    */
+  def curateIncremental(incoming: DataFrame, existing: DataFrame,
+                        idCol: String, textCol: String,
+                        benchmark: Option[DataFrame] = None,
+                        cfg: Config = Config()): DataFrame = {
+    val deduped = curate(incoming, idCol, textCol, benchmark = None, cfg)
+      .select(col("doc_id"), col("text"), col("quality_milli"))
+    val ex = existing.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val freshExact = Dedup.incrementalExact(deduped, ex, "doc_id", col("text"))
+    val crossDup = Dedup.minhashLshPairsAcross(freshExact, ex, "doc_id", col("text"),
+        minJaccardPpm = cfg.nearDupJaccardPpm)
+      .select(col("inc_id").as("doc_id")).distinct()
+    decontaminateAndSplit(freshExact.join(crossDup, Seq("doc_id"), "left_anti"),
+      benchmark, textCol, cfg)
+  }
+
+  /** Shared tail: benchmark decontamination (optional) + the
+    * deterministic train/val hash split.
+    */
+  private def decontaminateAndSplit(deduped: DataFrame,
+                                    benchmark: Option[DataFrame],
+                                    textCol: String, cfg: Config): DataFrame = {
     val clean = benchmark match {
       case Some(b) =>
         val contaminated = Dedup

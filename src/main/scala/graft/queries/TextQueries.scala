@@ -856,6 +856,96 @@ object TextQueries {
           sep = "table")
     },
 
+    // Per-source quality PERCENTILE rank (FineWeb-style domain-balanced
+    // filtering): an absolute quality floor biases against whole
+    // domains whose style scores low; ranking WITHIN source and
+    // cutting at a per-source percentile keeps the best X% of every
+    // source. percent_rank ties break on doc_id so the milli-rank is
+    // engine-deterministic. One shuffle (by source); skew bound = the
+    // largest single source, same documented posture as shuffleOrder.
+    QueryDef.sql("q83_per_source_quality_rank",
+      """WITH q AS (SELECT doc_id, source,
+        |  CAST(round(
+        |    (CASE WHEN length(text) < 50 THEN length(text) / 50.0
+        |          WHEN length(text) > 2000 THEN 2000.0 / length(text)
+        |          ELSE 1.0 END)
+        |    * (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |            / greatest(CAST(length(text) AS DOUBLE), 1.0) > 0.1 THEN 0.5 ELSE 1.0 END)
+        |    * (CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                                 x -> x IN ('the','and','of','to','is'))) > 0
+        |            THEN 1.0 ELSE 0.5 END)
+        |    * 1000) AS BIGINT) AS quality_milli
+        |  FROM documents)
+        |SELECT doc_id, source, quality_milli,
+        |       CAST(round(percent_rank() OVER (
+        |         PARTITION BY source ORDER BY quality_milli, doc_id) * 1000) AS BIGINT)
+        |         AS pr_milli
+        |FROM q""".stripMargin) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            qualityScoreMilli(col("text"), enStop).as("quality_milli"))
+          .withColumn("pr_milli",
+            round(percent_rank().over(
+              Window.partitionBy("source").orderBy("quality_milli", "doc_id")) * 1000)
+              .cast("long"))
+      }
+    },
+
+    // The data-mixture report (dataset card): per source — docs,
+    // total tokens, exact median tokens-per-doc, mean quality in
+    // milli (exact integer div, positive operands). ONE grouped
+    // aggregate; at 100 TB this is the report every training run
+    // starts from. Median via floor((n+1)/2)-th order statistic so
+    // both engines pick the same element (percentile_disc semantics
+    // restated rank-exactly).
+    QueryDef.sql("q84_mixture_report",
+      """WITH t AS (SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    CAST(round(
+        |      (CASE WHEN length(text) < 50 THEN length(text) / 50.0
+        |            WHEN length(text) > 2000 THEN 2000.0 / length(text)
+        |            ELSE 1.0 END)
+        |      * (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |              / greatest(CAST(length(text) AS DOUBLE), 1.0) > 0.1 THEN 0.5 ELSE 1.0 END)
+        |      * (CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                                   x -> x IN ('the','and','of','to','is'))) > 0
+        |              THEN 1.0 ELSE 0.5 END)
+        |      * 1000) AS BIGINT) AS quality_milli
+        |  FROM documents),
+        |r AS (SELECT source, n_tokens, quality_milli,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY n_tokens, quality_milli) AS rn,
+        |             count(*) OVER (PARTITION BY source) AS n
+        |      FROM t)
+        |SELECT source,
+        |       CAST(max(n) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END) AS BIGINT)
+        |         AS median_tokens,
+        |       CAST(sum(quality_milli) // count(*) AS BIGINT) AS mean_quality_milli
+        |FROM r GROUP BY source""".stripMargin) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.documents(s, d)
+          .select(col("source"),
+            tokenCount(col("text")).as("n_tokens"),
+            qualityScoreMilli(col("text"), enStop).as("quality_milli"))
+        val w = Window.partitionBy("source").orderBy("n_tokens", "quality_milli")
+        t.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+          .groupBy("source")
+          .agg(
+            max("n").cast("long").as("n_docs"),
+            sum("n_tokens").cast("long").as("total_tokens"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("n_tokens")))
+              .cast("long").as("median_tokens"),
+            expr("sum(quality_milli) div count(1)").as("mean_quality_milli"))
+      }
+    },
+
     // INCREMENTAL exact dedup — the daily-snapshot pattern: keep only
     // incoming docs whose content hash is absent from the existing
     // (already-curated) corpus. Existing = even ids, incoming = the

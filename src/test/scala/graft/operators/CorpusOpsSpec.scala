@@ -167,6 +167,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(off === Set(1L, 2L, 3L, 4L)) // raw texts distinct -> all survive
   }
 
+  test("incremental curation drops what the existing corpus already covers") {
+    def text(tag: String) = "the " + (1 to 60).map(i => s"$tag$i").mkString(" ") + " of"
+    val a = text("w")
+    val existing = docs(1L -> a, 2L -> text("z"))
+    val incoming = docs(
+      10L -> a,                       // exact copy of existing -> dropped
+      11L -> a.replace("w7", "near"), // near-dup of existing -> dropped
+      12L -> text("c"),               // new -> kept
+      13L -> text("c"),               // exact dup WITHIN increment -> dropped (12 kept)
+      14L -> text("d"))               // new -> kept
+    val out = CurationPipeline.curateIncremental(incoming, existing, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out === Set(12L, 14L))
+  }
+
   test("curation pipeline runs end-to-end on the real documents table") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = CurationPipeline.curate(d, "doc_id", "text")
