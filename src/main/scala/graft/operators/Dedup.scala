@@ -324,7 +324,7 @@ object Dedup {
     require(maxBucket >= 1, s"maxBucket must be positive, got $maxBucket")
     val bi = explodeBanded(persistedSignatures(bucketedInc), bands)
     val be = explodeBanded(persistedSignatures(bucketedEx), bands)
-    val hot = bi.select("band", "bucket").unionAll(be.select("band", "bucket"))
+    val hot = bi.select("band", "bucket").union(be.select("band", "bucket"))
       .groupBy("band", "bucket").count()
       .filter(col("count") > maxBucket).select("band", "bucket")
     val candidates = bi.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
