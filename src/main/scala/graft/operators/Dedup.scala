@@ -88,8 +88,10 @@ object Dedup {
     * (doc_id, line) in ONE map-side-combinable aggregate, then the
     * per-doc ordered reassembly — two shuffles, both keyed by (or
     * prefixed by) doc_id, no skew beyond single-document size, no
-    * driver state. Returns (doc_id, clean_text, n_kept); every input
-    * doc survives (a doc's first line is always kept).
+    * driver state. Returns (doc_id, clean_text, n_kept); every doc
+    * with non-null text survives (its first line is always kept) —
+    * NULL text explodes to no rows, so such docs produce no output
+    * row (the SQL-engine behavior too).
     */
   def intraDocLineDedup(df: DataFrame, idCol: String, text: Column,
                         sep: String = "\n"): DataFrame = {
@@ -218,7 +220,9 @@ object Dedup {
     * At 100 TB the existing-hash side is a hash-partitioned anti-join
     * build (AQE broadcasts it only when it fits) and Spark's runtime
     * bloom filter prunes non-matching incoming rows before the
-    * shuffle (demonstrated in ScaleOpsSpec).
+    * shuffle (demonstrated in ScaleOpsSpec). NULL-text incoming docs
+    * are KEPT (a null hash equals nothing, so the anti-join finds no
+    * match) — mirror an oracle with NOT EXISTS, not NOT IN.
     */
   def incrementalExact(incoming: DataFrame, existing: DataFrame,
                        idCol: String, text: Column): DataFrame = {

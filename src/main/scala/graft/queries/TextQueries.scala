@@ -952,10 +952,13 @@ object TextQueries {
     // whole table, so exactly the odd-id docs survive (every even
     // incoming doc matches its own content in existing) — a real
     // 50% drop through the hash anti-join.
+    // NOT EXISTS (not NOT IN): equality never matches a NULL hash, so
+    // a null-text incoming doc is KEPT — exactly Spark's left_anti
+    // semantics; NOT IN would silently drop it on the oracle side.
     QueryDef.sql("q81_incremental_exact",
-      """SELECT doc_id, source FROM documents
-        |WHERE md5(text) NOT IN
-        |      (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""".stripMargin) {
+      """SELECT d.doc_id, d.source FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents e
+        |                  WHERE e.doc_id % 2 = 0 AND md5(e.text) = md5(d.text))""".stripMargin) {
       (s, d) => {
         val docs = Tables.documents(s, d)
         Dedup.incrementalExact(docs.select("doc_id", "source", "text"),
