@@ -974,6 +974,26 @@ object CoreQueries {
             |         FROM orders o WHERE o.o_custkey = c.c_custkey
             |         ORDER BY totalprice_cents DESC, o_orderkey LIMIT 2) l""".stripMargin)
       }
+    },
+
+    // The SKEW-RESISTANT ordered collect, oracle-gated (q04 gates the
+    // plain form; the spec proves salted ≡ plain — this gates the
+    // salted path itself against the engine-independent semantics).
+    // Phase 1 spreads each hot key across `salts` reducers (salt =
+    // order-column mod salts), phase 2 flattens + sorts per key — no
+    // single reducer ever receives a viral key's full row stream.
+    QueryDef.sql("q85_collect_ordered_salted",
+      """SELECT l_orderkey AS okey,
+        |       string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey) AS parts,
+        |       count(*) AS n_items
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin) {
+      (s, d) =>
+        collectOrderedSalted(Tables.lineitem(s, d), Seq("l_orderkey"),
+            "l_linenumber", Seq("l_partkey"), "arr", salts = 8)
+          .select(col("l_orderkey").as("okey"),
+            concat_ws(",", transform(col("arr"),
+              x => x.getField("l_partkey").cast("string"))).as("parts"),
+            size(col("arr")).cast("long").as("n_items"))
     }
   )
 }
