@@ -994,6 +994,59 @@ object CoreQueries {
             concat_ws(",", transform(col("arr"),
               x => x.getField("l_partkey").cast("string"))).as("parts"),
             size(col("arr")).cast("long").as("n_items"))
+    },
+
+    // TPC-H Q7 (volume shipping): the deepest join tree in the suite —
+    // lineitem ⋈ supplier ⋈ orders ⋈ customer ⋈ nation ×2, revenue by
+    // (supplier nation, customer nation, year) for one nation pair in
+    // both directions. The nation filter prunes BEFORE the big joins
+    // (two tiny nation dims broadcast into supplier/customer, which
+    // then broadcast into the fact scans), so at 100 TB lineitem
+    // shuffles only for its orderkey join with the surviving orders —
+    // and AQE broadcasts even that when the pair filter is selective.
+    // Money is per-row cents (BIGINT) before the sum.
+    QueryDef.sql("q86_tpch_q7",
+      """SELECT supp_nation, cust_nation, yr,
+        |       CAST(sum(vol_cents) AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_lines
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |           AS vol_cents
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) t
+        |GROUP BY 1, 2, 3""".stripMargin) {
+      (s, d) => {
+        Seq("lineitem" -> Tables.lineitem(s, d), "supplier" -> Tables.supplier(s, d),
+          "orders" -> Tables.orders(s, d), "customer" -> Tables.customer(s, d),
+          "nation" -> Tables.nation(s, d))
+          .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+        s.sql(
+          """SELECT supp_nation, cust_nation, yr,
+            |       CAST(sum(vol_cents) AS BIGINT) AS revenue_cents,
+            |       count(*) AS n_lines
+            |FROM (
+            |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            |         CAST(year(l_shipdate) AS BIGINT) AS yr,
+            |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+            |           AS vol_cents
+            |  FROM lineitem l
+            |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+            |  JOIN customer c ON c.c_custkey = o.o_custkey
+            |  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+            |  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+            |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) t
+            |GROUP BY 1, 2, 3""".stripMargin)
+      }
     }
   )
 }
