@@ -15,7 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only: SPARK_GRAFT_VERIFY_FILTER='q8[789].*' dumps a subset for
+    // fast iteration with selfcheck.py; the driver never sets it.
+    val nameFilter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER").map(_.r)
+    SparkEntry.queries
+      .filter { case (name, _) => nameFilter.forall(_.matches(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1047,6 +1047,130 @@ object CoreQueries {
             |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) t
             |GROUP BY 1, 2, 3""".stripMargin)
       }
+    },
+
+    // TPC-H Q6 (forecast revenue change): the pure-scan aggregate.
+    // Every predicate (shipdate year, discount band, quantity cap) is a
+    // parquet-pushable comparison and the projection prunes to three
+    // columns, so at 100 TB the scan skips row groups on min/max stats
+    // and reads ~3/11 of the bytes; the only exchange is the single
+    // partial→final agg. Revenue is per-row cents (BIGINT) pre-sum.
+    QueryDef.sql("q87_tpch_q6",
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+        |            AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+          .agg(sum(round(col("l_extendedprice") * col("l_discount") * 100).cast("long"))
+                 .cast("long").as("revenue_cents"),
+               count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q10 (returned-item losses): the join-then-top-k shape.
+    // lineitem keeps only returnflag='R' rows before its one shuffle on
+    // orderkey against the date-windowed orders; customer and nation are
+    // broadcast into the per-customer agg, and the final top-20 compiles
+    // to TakeOrderedAndProject — no global sort is ever materialized.
+    // Ties at the cut break on custkey so the LIMIT is deterministic.
+    QueryDef.sql("q88_tpch_q10",
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |            AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders   ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON n_nationkey = c_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).cast("long").as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("c_custkey"))
+          .limit(20)
+    },
+
+    // TPC-H Q14 (promotion effect): conditional aggregation over a
+    // broadcast part⋈lineitem join on a one-month shipdate slice. The
+    // headline ratio is reported in integer basis points
+    // (promo*10000 DIV total) so both engines divide exact BIGINTs —
+    // no floating ratio crosses the oracle boundary.
+    QueryDef.sql("q89_tpch_q14",
+      """WITH j AS (
+        |  SELECT p_type,
+        |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS v
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01')
+        |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN v ELSE 0 END) AS BIGINT)
+        |         AS promo_cents,
+        |       CAST(sum(v) AS BIGINT) AS total_cents,
+        |       CAST(sum(CASE WHEN p_type = 'PROMO' THEN v ELSE 0 END) * 10000
+        |            // sum(v) AS BIGINT) AS promo_bps
+        |FROM j""".stripMargin) {
+      (s, d) => {
+        val j = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+          .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+          .select(col("p_type"),
+            round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("long").as("v"))
+        j.agg(
+          sum(when(col("p_type") === "PROMO", col("v")).otherwise(0L)).cast("long")
+            .as("promo_cents"),
+          sum(col("v")).cast("long").as("total_cents"))
+         .select(col("promo_cents"), col("total_cents"),
+           expr("promo_cents * 10000 DIV total_cents").as("promo_bps"))
+      }
+    },
+
+    // TPC-H Q19 (discounted revenue): the OR-of-ANDs disjunction that
+    // classically defeats naive pushdown. Spark splits the common
+    // conjuncts (the join key) from the disjunction, broadcasts the
+    // filtered part side, and evaluates the residual OR as one codegen'd
+    // predicate after the join — l_quantity bounds (the only
+    // single-table conjunct derivable from the OR: qty between 1 and 30)
+    // are NOT hand-hoisted; the gate checks the engine handles the
+    // disjunction as written.
+    QueryDef.sql("q90_tpch_q19",
+      """SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |            AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 50
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 50) &&
+              col("l_quantity").between(20, 30)))
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+                 .cast("long")).cast("long").as("revenue_cents"),
+               count(lit(1)).as("n_lines"))
     }
   )
 }
