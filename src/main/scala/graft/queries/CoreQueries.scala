@@ -1171,6 +1171,168 @@ object CoreQueries {
           .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
                  .cast("long")).cast("long").as("revenue_cents"),
                count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q15 (top supplier): scalar subquery over an aggregate —
+    // the per-supplier revenue view is referenced twice (once joined,
+    // once under max()). Catalyst plans the max as a one-row broadcast
+    // ReusedExchange/subquery over the SAME shuffled agg, so lineitem
+    // is scanned and shuffled once; at 100 TB the second reference
+    // costs only the tiny per-supplier rollup. Exact-cents revenue
+    // makes the "equals max" cut engine-deterministic (double revenue
+    // here would make ties engine-dependent — the classic Q15 trap).
+    QueryDef.sql("q91_tpch_q15",
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |              AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM supplier JOIN rev ON l_suppkey = s_suppkey
+        |WHERE total_cents = (SELECT max(total_cents) FROM rev)""".stripMargin) {
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        Tables.supplier(s, d).createOrReplaceTempView("supplier")
+        s.sql(
+          """WITH rev AS (
+            |  SELECT l_suppkey,
+            |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            |              AS BIGINT) AS total_cents
+            |  FROM lineitem
+            |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+            |  GROUP BY l_suppkey)
+            |SELECT s_suppkey, s_name, total_cents
+            |FROM supplier JOIN rev ON l_suppkey = s_suppkey
+            |WHERE total_cents = (SELECT max(total_cents) FROM rev)""".stripMargin)
+      }
+    },
+
+    // TPC-H Q11 (important stock, adapted — the testdata has no
+    // partsupp, so "inventory value" is per-part shipped value from
+    // lineitem): a filter against global scalar subqueries. The
+    // per-part agg is one lineitem shuffle; the global total and part
+    // count are the same agg rolled up once more, broadcast as one-row
+    // scalars. The cut is "value > 1.2× the average part's value"
+    // (value × n_parts × 10 > total × 12) — relative to the average,
+    // NOT a fixed fraction of the total, so selectivity is scale-free
+    // (~16% at sf0.01 AND sf0.1; a fixed total-fraction cut
+    // degenerates as the part count grows). All-integer compare; at
+    // true 100 TB the product nears int64 range, so the production
+    // form would widen to DECIMAL(38,0) — same plan shape.
+    QueryDef.sql("q92_tpch_q11",
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS value_cents
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey AS partkey, value_cents
+        |FROM v
+        |WHERE value_cents * (SELECT count(*) FROM v) * 10
+        |      > (SELECT CAST(sum(value_cents) AS BIGINT) FROM v) * 12""".stripMargin) {
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(
+          """WITH v AS (
+            |  SELECT l_partkey,
+            |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+            |           AS value_cents
+            |  FROM lineitem GROUP BY l_partkey)
+            |SELECT l_partkey AS partkey, value_cents
+            |FROM v
+            |WHERE value_cents * (SELECT count(*) FROM v) * 10
+        |      > (SELECT CAST(sum(value_cents) AS BIGINT) FROM v) * 12""".stripMargin)
+      }
+    },
+
+    // TPC-H Q12 (shipping priority, adapted — no shipmode/receiptdate
+    // columns, so the class is l_linestatus and "late" is shipped ≥60
+    // days after the order date): the conditional two-way count split.
+    // The date lag compares DATE + integer days (exact calendar
+    // arithmetic on both engines — no interval-literal dialect drift),
+    // and the orderkey join is the one shuffle; the year filter prunes
+    // the lineitem scan before it.
+    QueryDef.sql("q93_tpch_q12",
+      """SELECT l_linestatus AS ship_class,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE) + 60
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus""".stripMargin) {
+      (s, d) => {
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate").cast("date") >=
+            date_add(col("o_orderdate").cast("date"), 60))
+          .groupBy(col("l_linestatus").as("ship_class"))
+          .agg(sum(when(high, 1).otherwise(0)).cast("long").as("high_line_count"),
+               sum(when(high, 0).otherwise(1)).cast("long").as("low_line_count"))
+      }
+    },
+
+    // TPC-H Q8 (national market share): the widest join tree in the
+    // suite — lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region (demand
+    // side) ⋈ part ⋈ supplier ⋈ nation (supply side), 7 joins. Region +
+    // part-type filters prune the dims BEFORE broadcast, so only the
+    // lineitem⋈orders edge shuffles at scale. Share is integer basis
+    // points (cents × 10000 DIV total) — no float ratio in the gate;
+    // HAVING total > 0 guards the division identically on both engines.
+    QueryDef.sql("q94_tpch_q8",
+      """SELECT yr,
+        |       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END) AS BIGINT)
+        |         AS nation_cents,
+        |       CAST(sum(v) AS BIGINT) AS total_cents,
+        |       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END) * 10000
+        |            // sum(v) AS BIGINT) AS share_bps
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS v,
+        |         n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        |  JOIN region   ON r_regionkey = n1.n_regionkey
+        |  JOIN part     ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        |  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD') t
+        |GROUP BY yr HAVING sum(v) > 0""".stripMargin) {
+      (s, d) => {
+        Seq("lineitem" -> Tables.lineitem(s, d), "orders" -> Tables.orders(s, d),
+          "customer" -> Tables.customer(s, d), "nation" -> Tables.nation(s, d),
+          "region" -> Tables.region(s, d), "part" -> Tables.part(s, d),
+          "supplier" -> Tables.supplier(s, d))
+          .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+        s.sql(
+          """SELECT yr,
+            |       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END) AS BIGINT)
+            |         AS nation_cents,
+            |       CAST(sum(v) AS BIGINT) AS total_cents,
+            |       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END) * 10000
+            |            DIV sum(v) AS BIGINT) AS share_bps
+            |FROM (
+            |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+            |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS v,
+            |         n2.n_name AS supp_nation
+            |  FROM lineitem
+            |  JOIN orders   ON o_orderkey = l_orderkey
+            |  JOIN customer ON c_custkey = o_custkey
+            |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+            |  JOIN region   ON r_regionkey = n1.n_regionkey
+            |  JOIN part     ON p_partkey = l_partkey
+            |  JOIN supplier ON s_suppkey = l_suppkey
+            |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+            |  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD') t
+            |GROUP BY yr HAVING sum(v) > 0""".stripMargin)
+      }
     }
   )
 }
