@@ -1333,6 +1333,266 @@ object CoreQueries {
             |  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD') t
             |GROUP BY yr HAVING sum(v) > 0""".stripMargin)
       }
+    },
+
+    // TPC-H Q3 (shipping priority): the date-split join — orders before
+    // the cutoff, lineitems shipped after it. Customer is broadcast
+    // into the orders scan (mktsegment filter prunes it first), the
+    // only shuffle is lineitem⋈orders on orderkey, and the top-10 by
+    // revenue compiles to TakeOrderedAndProject (no global sort
+    // materialized). Revenue sums per-row cents; ties at the cut break
+    // on orderkey so the LIMIT is engine-deterministic.
+    QueryDef.sql("q95_tpch_q3",
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |            AS BIGINT) AS revenue_cents,
+        |       CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+        |FROM customer
+        |JOIN orders   ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-01'
+        |  AND l_shipdate  > TIMESTAMP '1996-06-01'
+        |GROUP BY l_orderkey, odate, o_orderpriority
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1996-06-01").cast("timestamp"))
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
+              .join(broadcast(Tables.customer(s, d)
+                  .filter(col("c_mktsegment") === "BUILDING")),
+                col("o_custkey") === col("c_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"),
+            col("o_orderpriority"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).cast("long").as("revenue_cents"))
+          .select("l_orderkey", "revenue_cents", "odate", "o_orderpriority")
+          .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+          .limit(10)
+    },
+
+    // TPC-H Q5 (local supplier volume): the suite's signature
+    // "cycle-closing" join — supplier joins lineitem on suppkey AND
+    // customer's nation on nationkey, so revenue only counts when the
+    // supplier and the ordering customer share a nation. All dims
+    // (supplier, nation, region, customer) broadcast after the region
+    // filter prunes them; lineitem⋈orders on orderkey is the one
+    // shuffle, same as Q3/Q7/Q8 — at 100 TB the whole tree is one fact
+    // shuffle plus map-side hash joins.
+    QueryDef.sql("q96_tpch_q5",
+      """SELECT n_name, CAST(sum(v) AS BIGINT) AS revenue_cents, count(*) AS n_lines
+        |FROM (
+        |  SELECT n_name,
+        |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS v
+        |  FROM customer
+        |  JOIN orders   ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |  JOIN nation   ON n_nationkey = s_nationkey
+        |  JOIN region   ON r_regionkey = n_regionkey
+        |  WHERE r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01') t
+        |GROUP BY n_name""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("s_suppkey") === col("l_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+          .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("r_regionkey") === col("n_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+                 .cast("long")).cast("long").as("revenue_cents"),
+               count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q9 (product type profit, adapted — the testdata has no
+    // partsupp/ps_supplycost, so cost is the part's list price ×
+    // quantity): profit by supplier nation and order year for parts
+    // matching a name substring. The LIKE filter prunes part BEFORE its
+    // broadcast; supplier+nation broadcast too; lineitem⋈orders on
+    // orderkey is the one shuffle. Profit is exact integer cents:
+    // revenue cents minus retail-cents × integer quantity — no double
+    // subtraction crosses the gate.
+    QueryDef.sql("q97_tpch_q9",
+      """SELECT nation, yr, CAST(sum(amount_cents) AS BIGINT) AS profit_cents,
+        |       count(*) AS n_lines
+        |FROM (
+        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |         - CAST(round(p_retailprice * 100) AS BIGINT)
+        |           * CAST(round(l_quantity) AS BIGINT) AS amount_cents
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN part     ON p_partkey = l_partkey
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN nation   ON n_nationkey = s_nationkey
+        |  WHERE p_name LIKE '%gear%') t
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).filter(col("p_name").like("%gear%"))),
+            col("p_partkey") === col("l_partkey"))
+          .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
+          .select(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            (round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
+              - round(col("p_retailprice") * 100).cast("long")
+                * round(col("l_quantity")).cast("long")).as("amount_cents"))
+          .groupBy("nation", "yr")
+          .agg(sum("amount_cents").cast("long").as("profit_cents"),
+               count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q2 (minimum-cost supplier, adapted — no partsupp, so the
+    // supplier-part offer relation is DERIVED from lineitem: per
+    // (part, supplier), cost = the cheapest observed unit price in
+    // exact cents via integer division). The correlated min subquery is
+    // Q2's defining shape; through the SQL front door Catalyst
+    // decorrelates it into a per-part min aggregate joined back — the
+    // derived `ps` relation is computed ONCE for both references
+    // (shuffle on (partkey, suppkey)), the region-filtered supplier dim
+    // broadcasts into both, and the final LIMIT is deterministic on
+    // (p_partkey, s_suppkey). At 100 TB `ps` would be a materialized
+    // table and both branches become scans of it — same plan below the
+    // decorrelation either way.
+    QueryDef.sql("q98_tpch_q2",
+      """WITH ps AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |         CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                  // CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS cost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p_partkey, s_suppkey, s_name, n_name, cost
+        |FROM ps
+        |JOIN part ON p_partkey = pk
+        |JOIN supplier ON s_suppkey = sk
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20
+        |  AND p_type IN ('LARGE', 'MEDIUM')
+        |  AND cost = (SELECT min(ps2.cost) FROM ps ps2
+        |              JOIN supplier s2 ON s2.s_suppkey = ps2.sk
+        |              JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |              JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        |              WHERE r2.r_name = 'EUROPE' AND ps2.pk = p_partkey)
+        |ORDER BY p_partkey, s_suppkey LIMIT 100""".stripMargin) {
+      (s, d) => {
+        Seq("lineitem" -> Tables.lineitem(s, d), "part" -> Tables.part(s, d),
+          "supplier" -> Tables.supplier(s, d), "nation" -> Tables.nation(s, d),
+          "region" -> Tables.region(s, d))
+          .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+        s.sql(
+          """WITH ps AS (
+            |  SELECT l_partkey AS pk, l_suppkey AS sk,
+            |         CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)
+            |                  DIV CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS cost
+            |  FROM lineitem GROUP BY 1, 2)
+            |SELECT p_partkey, s_suppkey, s_name, n_name, cost
+            |FROM ps
+            |JOIN part ON p_partkey = pk
+            |JOIN supplier ON s_suppkey = sk
+            |JOIN nation ON n_nationkey = s_nationkey
+            |JOIN region ON r_regionkey = n_regionkey
+            |WHERE r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20
+            |  AND p_type IN ('LARGE', 'MEDIUM')
+            |  AND cost = (SELECT min(ps2.cost) FROM ps ps2
+            |              JOIN supplier s2 ON s2.s_suppkey = ps2.sk
+            |              JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+            |              JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+            |              WHERE r2.r_name = 'EUROPE' AND ps2.pk = p_partkey)
+            |ORDER BY p_partkey, s_suppkey LIMIT 100""".stripMargin)
+      }
+    },
+
+    // TPC-H Q16 (parts/supplier relationship, adapted — the offer
+    // relation is the DISTINCT (part, supplier) pairs observed in
+    // lineitem, and the "complaints" exclusion list is suppliers with
+    // negative balance): count(DISTINCT supplier) per part attribute
+    // triple with a NOT-IN anti-join. The distinct-pairs projection
+    // shuffles once on the pair; the exclusion list is tiny →
+    // broadcast anti-join; the distinct count re-shuffles only the
+    // surviving pairs. s_suppkey is never NULL so NOT IN ≡ anti-join
+    // on both engines (the NULL trap q81 documents is avoided by
+    // construction).
+    QueryDef.sql("q99_tpch_q16",
+      """SELECT p_brand, p_type, p_size, count(DISTINCT sk) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem) ps
+        |JOIN part ON p_partkey = pk
+        |WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND sk NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d).select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .distinct()
+          .join(broadcast(Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+              .select(col("s_suppkey"))),
+            col("sk") === col("s_suppkey"), "left_anti")
+          .join(broadcast(Tables.part(s, d)
+              .filter(col("p_brand") =!= "Brand#4" && col("p_type") =!= "PROMO" &&
+                col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))),
+            col("p_partkey") === col("pk"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("sk")).as("supplier_cnt"))
+    },
+
+    // TPC-H Q20 (potential part promotion, adapted — no
+    // partsupp.availqty, so "excess" is scale-free: suppliers whose
+    // shipped quantity of the name-filtered parts in the year beats the
+    // average per-supplier quantity, the q92-style relative cut):
+    // nested IN subqueries through the SQL front door. Catalyst turns
+    // the part IN-list into a broadcast semi-join into the lineitem
+    // scan, aggregates per supplier (one shuffle of the pruned slice),
+    // compares against one-row scalar subqueries over the SAME
+    // aggregate (ReusedExchange), and semi-joins the winners into the
+    // nation-filtered supplier dim. Quantities are integer-exact; the
+    // relative cut keeps selectivity stable across SFs.
+    QueryDef.sql("q100_tpch_q20",
+      """WITH sq AS (
+        |  SELECT l_suppkey AS sk,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |WHERE n_name IN ('NATION_1', 'NATION_3')
+        |  AND s_suppkey IN (SELECT sk FROM sq
+        |                    WHERE qty * (SELECT count(*) FROM sq)
+        |                          > (SELECT sum(qty) FROM sq))""".stripMargin) {
+      (s, d) => {
+        Seq("lineitem" -> Tables.lineitem(s, d), "part" -> Tables.part(s, d),
+          "supplier" -> Tables.supplier(s, d), "nation" -> Tables.nation(s, d))
+          .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+        s.sql(
+          """WITH sq AS (
+            |  SELECT l_suppkey AS sk,
+            |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+            |  FROM lineitem
+            |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+            |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+            |    AND l_shipdate <  TIMESTAMP '1997-01-01'
+            |  GROUP BY 1)
+            |SELECT s_suppkey, s_name, n_name
+            |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+            |WHERE n_name IN ('NATION_1', 'NATION_3')
+            |  AND s_suppkey IN (SELECT sk FROM sq
+            |                    WHERE qty * (SELECT count(*) FROM sq)
+            |                          > (SELECT sum(qty) FROM sq))""".stripMargin)
+      }
     }
   )
 }
