@@ -1458,15 +1458,17 @@ object CoreQueries {
     // TPC-H Q2 (minimum-cost supplier, adapted — no partsupp, so the
     // supplier-part offer relation is DERIVED from lineitem: per
     // (part, supplier), cost = the cheapest observed unit price in
-    // exact cents via integer division). The correlated min subquery is
-    // Q2's defining shape; through the SQL front door Catalyst
-    // decorrelates it into a per-part min aggregate joined back — the
-    // derived `ps` relation is computed ONCE for both references
-    // (shuffle on (partkey, suppkey)), the region-filtered supplier dim
-    // broadcasts into both, and the final LIMIT is deterministic on
-    // (p_partkey, s_suppkey). At 100 TB `ps` would be a materialized
-    // table and both branches become scans of it — same plan below the
-    // decorrelation either way.
+    // exact cents via integer division). The oracle keeps Q2's defining
+    // correlated-min-subquery form; the Spark plan does NOT — fed the
+    // same SQL, Catalyst decorrelates but computes the derived `ps`
+    // aggregate TWICE (once per reference, two full lineitem shuffles —
+    // verified in the sf plan). The window form below is the
+    // 100 TB-correct plan: ONE lineitem aggregate on (partkey,
+    // suppkey), the EUROPE supplier dim broadcast into it, then
+    // min-per-part as a window over the pruned ps slice — the second
+    // shuffle moves |ps| rows, never lineitem. partkey salting is
+    // unnecessary: ps is already one row per (part, supplier). The
+    // final LIMIT is deterministic on (p_partkey, s_suppkey).
     QueryDef.sql("q98_tpch_q2",
       """WITH ps AS (
         |  SELECT l_partkey AS pk, l_suppkey AS sk,
@@ -1488,30 +1490,28 @@ object CoreQueries {
         |              WHERE r2.r_name = 'EUROPE' AND ps2.pk = p_partkey)
         |ORDER BY p_partkey, s_suppkey LIMIT 100""".stripMargin) {
       (s, d) => {
-        Seq("lineitem" -> Tables.lineitem(s, d), "part" -> Tables.part(s, d),
-          "supplier" -> Tables.supplier(s, d), "nation" -> Tables.nation(s, d),
-          "region" -> Tables.region(s, d))
-          .foreach { case (n, df) => df.createOrReplaceTempView(n) }
-        s.sql(
-          """WITH ps AS (
-            |  SELECT l_partkey AS pk, l_suppkey AS sk,
-            |         CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)
-            |                  DIV CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS cost
-            |  FROM lineitem GROUP BY 1, 2)
-            |SELECT p_partkey, s_suppkey, s_name, n_name, cost
-            |FROM ps
-            |JOIN part ON p_partkey = pk
-            |JOIN supplier ON s_suppkey = sk
-            |JOIN nation ON n_nationkey = s_nationkey
-            |JOIN region ON r_regionkey = n_regionkey
-            |WHERE r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20
-            |  AND p_type IN ('LARGE', 'MEDIUM')
-            |  AND cost = (SELECT min(ps2.cost) FROM ps ps2
-            |              JOIN supplier s2 ON s2.s_suppkey = ps2.sk
-            |              JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
-            |              JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
-            |              WHERE r2.r_name = 'EUROPE' AND ps2.pk = p_partkey)
-            |ORDER BY p_partkey, s_suppkey LIMIT 100""".stripMargin)
+        val euroSupp = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("n_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+            col("r_regionkey") === col("n_regionkey"))
+          .select("s_suppkey", "s_name", "n_name")
+        val ps = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+              " DIV CAST(round(l_quantity) AS BIGINT)"))
+            .cast("long").as("cost"))
+        val w = Window.partitionBy("pk")
+        ps.join(broadcast(euroSupp), col("sk") === col("s_suppkey"))
+          .withColumn("min_cost", min(col("cost")).over(w))
+          .filter(col("cost") === col("min_cost"))
+          .join(broadcast(Tables.part(s, d)
+              .filter(col("p_size").between(10, 20) &&
+                col("p_type").isin("LARGE", "MEDIUM"))),
+            col("p_partkey") === col("pk"))
+          .select("p_partkey", "s_suppkey", "s_name", "n_name", "cost")
+          .orderBy(col("p_partkey"), col("s_suppkey"))
+          .limit(100)
       }
     },
 
@@ -1550,14 +1550,17 @@ object CoreQueries {
     // TPC-H Q20 (potential part promotion, adapted — no
     // partsupp.availqty, so "excess" is scale-free: suppliers whose
     // shipped quantity of the name-filtered parts in the year beats the
-    // average per-supplier quantity, the q92-style relative cut):
-    // nested IN subqueries through the SQL front door. Catalyst turns
-    // the part IN-list into a broadcast semi-join into the lineitem
-    // scan, aggregates per supplier (one shuffle of the pruned slice),
-    // compares against one-row scalar subqueries over the SAME
-    // aggregate (ReusedExchange), and semi-joins the winners into the
-    // nation-filtered supplier dim. Quantities are integer-exact; the
-    // relative cut keeps selectivity stable across SFs.
+    // average per-supplier quantity, the q92-style relative cut). The
+    // oracle keeps Q20's nested-IN-subquery form; fed the same SQL,
+    // Catalyst plans each scalar subquery as its OWN recomputation of
+    // the per-supplier aggregate — three lineitem passes (verified in
+    // the sf plan). The form below computes `sq` once: part IN-list →
+    // broadcast semi-join into the pruned lineitem scan, ONE
+    // per-supplier aggregate, its one-row (count, total) rollup
+    // broadcast back as a cross join (ReuseExchange dedups the shared
+    // scan+aggregate), winners semi-joined into the nation-filtered
+    // supplier dim. Quantities are integer-exact; the relative cut
+    // keeps selectivity stable across SFs.
     QueryDef.sql("q100_tpch_q20",
       """WITH sq AS (
         |  SELECT l_suppkey AS sk,
@@ -1574,24 +1577,24 @@ object CoreQueries {
         |                    WHERE qty * (SELECT count(*) FROM sq)
         |                          > (SELECT sum(qty) FROM sq))""".stripMargin) {
       (s, d) => {
-        Seq("lineitem" -> Tables.lineitem(s, d), "part" -> Tables.part(s, d),
-          "supplier" -> Tables.supplier(s, d), "nation" -> Tables.nation(s, d))
-          .foreach { case (n, df) => df.createOrReplaceTempView(n) }
-        s.sql(
-          """WITH sq AS (
-            |  SELECT l_suppkey AS sk,
-            |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
-            |  FROM lineitem
-            |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
-            |    AND l_shipdate >= TIMESTAMP '1996-01-01'
-            |    AND l_shipdate <  TIMESTAMP '1997-01-01'
-            |  GROUP BY 1)
-            |SELECT s_suppkey, s_name, n_name
-            |FROM supplier JOIN nation ON n_nationkey = s_nationkey
-            |WHERE n_name IN ('NATION_1', 'NATION_3')
-            |  AND s_suppkey IN (SELECT sk FROM sq
-            |                    WHERE qty * (SELECT count(*) FROM sq)
-            |                          > (SELECT sum(qty) FROM sq))""".stripMargin)
+        val sq = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .join(broadcast(Tables.part(s, d).filter(col("p_name").like("small%"))
+              .select("p_partkey")),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_suppkey").as("sk"))
+          .agg(sum(round(col("l_quantity")).cast("long")).cast("long").as("qty"))
+        val thr = sq.agg(count(lit(1)).as("n_sup"), sum("qty").as("tot"))
+        val winners = sq.crossJoin(broadcast(thr))
+          .filter(col("qty") * col("n_sup") > col("tot"))
+          .select("sk")
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+              .filter(col("n_name").isin("NATION_1", "NATION_3"))),
+            col("n_nationkey") === col("s_nationkey"))
+          .join(winners, col("s_suppkey") === col("sk"), "left_semi")
+          .select("s_suppkey", "s_name", "n_name")
       }
     }
   )
