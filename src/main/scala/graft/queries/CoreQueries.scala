@@ -1173,14 +1173,17 @@ object CoreQueries {
                count(lit(1)).as("n_lines"))
     },
 
-    // TPC-H Q15 (top supplier): scalar subquery over an aggregate —
-    // the per-supplier revenue view is referenced twice (once joined,
-    // once under max()). Catalyst plans the max as a one-row broadcast
-    // ReusedExchange/subquery over the SAME shuffled agg, so lineitem
-    // is scanned and shuffled once; at 100 TB the second reference
-    // costs only the tiny per-supplier rollup. Exact-cents revenue
-    // makes the "equals max" cut engine-deterministic (double revenue
-    // here would make ties engine-dependent — the classic Q15 trap).
+    // TPC-H Q15 (top supplier): the per-supplier revenue view is
+    // referenced twice — once joined, once under max(). The oracle
+    // keeps the scalar-subquery form; fed the same SQL, Catalyst plans
+    // the subquery as its OWN scan+aggregate of lineitem (two full
+    // passes, verified in the sf plan — the subquery channel does not
+    // reuse the main plan's exchange). The form below computes `rev`
+    // once and broadcasts its one-row max back as a cross join, so
+    // lineitem is scanned and shuffled once and the second reference
+    // costs only the tiny rollup. Exact-cents revenue makes the
+    // "equals max" cut engine-deterministic (double revenue here would
+    // make ties engine-dependent — the classic Q15 trap).
     QueryDef.sql("q91_tpch_q15",
       """WITH rev AS (
         |  SELECT l_suppkey,
@@ -1193,28 +1196,29 @@ object CoreQueries {
         |FROM supplier JOIN rev ON l_suppkey = s_suppkey
         |WHERE total_cents = (SELECT max(total_cents) FROM rev)""".stripMargin) {
       (s, d) => {
-        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-        Tables.supplier(s, d).createOrReplaceTempView("supplier")
-        s.sql(
-          """WITH rev AS (
-            |  SELECT l_suppkey,
-            |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-            |              AS BIGINT) AS total_cents
-            |  FROM lineitem
-            |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
-            |  GROUP BY l_suppkey)
-            |SELECT s_suppkey, s_name, total_cents
-            |FROM supplier JOIN rev ON l_suppkey = s_suppkey
-            |WHERE total_cents = (SELECT max(total_cents) FROM rev)""".stripMargin)
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy("l_suppkey")
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).cast("long").as("total_cents"))
+        val mx = rev.agg(max("total_cents").as("mx"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("total_cents") === col("mx"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("s_suppkey") === col("l_suppkey"))
+          .select("s_suppkey", "s_name", "total_cents")
       }
     },
 
     // TPC-H Q11 (important stock, adapted — the testdata has no
     // partsupp, so "inventory value" is per-part shipped value from
-    // lineitem): a filter against global scalar subqueries. The
-    // per-part agg is one lineitem shuffle; the global total and part
-    // count are the same agg rolled up once more, broadcast as one-row
-    // scalars. The cut is "value > 1.2× the average part's value"
+    // lineitem): a filter against global aggregates. The oracle keeps
+    // the scalar-subquery form; fed the same SQL, Catalyst recomputed
+    // the per-part agg once per subquery (three lineitem passes,
+    // verified in the sf plan). The form below runs the per-part agg
+    // ONCE, rolls its (count, total) up into one broadcast row, and
+    // filters against it. The cut is "value > 1.2× the average part's value"
     // (value × n_parts × 10 > total × 12) — relative to the average,
     // NOT a fixed fraction of the total, so selectivity is scale-free
     // (~16% at sf0.01 AND sf0.1; a fixed total-fraction cut
@@ -1232,17 +1236,15 @@ object CoreQueries {
         |WHERE value_cents * (SELECT count(*) FROM v) * 10
         |      > (SELECT CAST(sum(value_cents) AS BIGINT) FROM v) * 12""".stripMargin) {
       (s, d) => {
-        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-        s.sql(
-          """WITH v AS (
-            |  SELECT l_partkey,
-            |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-            |           AS value_cents
-            |  FROM lineitem GROUP BY l_partkey)
-            |SELECT l_partkey AS partkey, value_cents
-            |FROM v
-            |WHERE value_cents * (SELECT count(*) FROM v) * 10
-        |      > (SELECT CAST(sum(value_cents) AS BIGINT) FROM v) * 12""".stripMargin)
+        val v = Tables.lineitem(s, d)
+          .groupBy("l_partkey")
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .cast("long").as("value_cents"))
+        val t = v.agg(count(lit(1)).as("n_parts"),
+          sum("value_cents").as("tot"))
+        v.crossJoin(broadcast(t))
+          .filter(col("value_cents") * col("n_parts") * 10 > col("tot") * 12)
+          .select(col("l_partkey").as("partkey"), col("value_cents"))
       }
     },
 
