@@ -1598,6 +1598,73 @@ object CoreQueries {
           .join(winners, col("s_suppkey") === col("sk"), "left_semi")
           .select("s_suppkey", "s_name", "n_name")
       }
+    },
+
+    // SQL set operations with SET semantics: INTERSECT and EXCEPT
+    // (customers active in both 1996 halves vs only the first), tagged
+    // and unioned into one gate. Dataset.intersect/except compile to
+    // left-semi / left-anti joins over a distinct aggregate — each
+    // branch is two pruned orders scans plus one shuffle on the key;
+    // no row payload ever moves, only the distinct custkeys. At 100 TB
+    // both branches share the same two date-pruned scans, and the semi
+    // side is an aggregate small enough for AQE to broadcast.
+    QueryDef.sql("q101_set_ops",
+      """SELECT 'both' AS cohort, ck FROM (
+        |  SELECT o_custkey AS ck FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  INTERSECT
+        |  SELECT o_custkey AS ck FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1997-01-01') t1
+        |UNION ALL
+        |SELECT 'h1_only' AS cohort, ck FROM (
+        |  SELECT o_custkey AS ck FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  EXCEPT
+        |  SELECT o_custkey AS ck FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1997-01-01') t2""".stripMargin) {
+      (s, d) => {
+        def half(from: String, to: String) =
+          Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+              col("o_orderdate") < lit(to).cast("timestamp"))
+            .select(col("o_custkey").as("ck"))
+        val h1 = half("1996-01-01", "1996-07-01")
+        val h2 = half("1996-07-01", "1997-01-01")
+        h1.intersect(h2).select(lit("both").as("cohort"), col("ck"))
+          .unionAll(h1.except(h2).select(lit("h1_only").as("cohort"), col("ck")))
+      }
+    },
+
+    // FULL OUTER join: per-nation count of high-balance customers vs
+    // overdrawn suppliers, keeping nations present on EITHER side
+    // (at sf0.01 all three match paths are populated: both, left-only,
+    // right-only). Both inputs aggregate BEFORE the join — the outer
+    // join moves one row per nation, never raw customers/suppliers,
+    // which is the 100 TB-correct order (outer-joining the raw tables
+    // then aggregating would shuffle the full fact rows). coalesce
+    // fills the missing side with 0 identically on both engines.
+    QueryDef.sql("q102_full_outer",
+      """SELECT coalesce(cn, sn) AS nationkey,
+        |       CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+        |       CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+        |FROM (SELECT c_nationkey AS cn, count(*) AS n_cust FROM customer
+        |      WHERE c_acctbal > 9900 GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS sn, count(*) AS n_supp FROM supplier
+        |      WHERE s_acctbal < -500 GROUP BY 1) s
+        |ON cn = sn""".stripMargin) {
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_acctbal") > 9900)
+          .groupBy(col("c_nationkey").as("cn"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sp = Tables.supplier(s, d).filter(col("s_acctbal") < -500)
+          .groupBy(col("s_nationkey").as("sn"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(sp, col("cn") === col("sn"), "full_outer")
+          .select(coalesce(col("cn"), col("sn")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).cast("long").as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).cast("long").as("n_supp"))
+      }
     }
   )
 }
