@@ -1715,6 +1715,100 @@ object CoreQueries {
             sum("n_ev").cast("long").as("n_events"),
             max("n_ev").cast("long").as("max_session_events"))
       }
+    },
+
+    // CONVERSION FUNNEL: ordered step matching — first view, first
+    // click within 24h AFTER that view, first purchase within 24h
+    // after that click. Three sequential window mins over the SAME
+    // user_id partitioning (each step's threshold feeds the next), so
+    // like q103 the whole funnel is ONE fact shuffle; the final
+    // one-row rollup counts distinct users per stage. Time bounds
+    // compare exact integer µs; min() skips NULLs identically on both
+    // engines, so a user with no qualifying step propagates NULL down
+    // the funnel. The streaming twin is EventStreams.clickToPurchase
+    // (stateful per-user step tracking, incremental).
+    QueryDef.sql("q104_funnel",
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |         min(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id) AS t_view
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view
+        |                      AND epoch_us(ts) - epoch_us(t_view) < 86400000000
+        |                     THEN ts END)
+        |              OVER (PARTITION BY user_id) AS t_click
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click
+        |                      AND epoch_us(ts) - epoch_us(t_click) < 86400000000
+        |                     THEN ts END)
+        |              OVER (PARTITION BY user_id) AS t_purch
+        |  FROM s2)
+        |SELECT CAST(count(DISTINCT CASE WHEN t_view  IS NOT NULL THEN user_id END)
+        |            AS BIGINT) AS n_view,
+        |       CAST(count(DISTINCT CASE WHEN t_click IS NOT NULL THEN user_id END)
+        |            AS BIGINT) AS n_click,
+        |       CAST(count(DISTINCT CASE WHEN t_purch IS NOT NULL THEN user_id END)
+        |            AS BIGINT) AS n_purchase
+        |FROM s3""".stripMargin) {
+      (s, d) => {
+        val dayUs = 86400000000L
+        val w = Window.partitionBy("user_id")
+        Tables.events(s, d)
+          .withColumn("t_view",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t_click",
+            min(when(col("event_type") === "click" && col("ts") > col("t_view") &&
+              unix_micros(col("ts")) - unix_micros(col("t_view")) < dayUs,
+              col("ts"))).over(w))
+          .withColumn("t_purch",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t_click") &&
+              unix_micros(col("ts")) - unix_micros(col("t_click")) < dayUs,
+              col("ts"))).over(w))
+          .agg(
+            countDistinct(when(col("t_view").isNotNull, col("user_id")))
+              .as("n_view"),
+            countDistinct(when(col("t_click").isNotNull, col("user_id")))
+              .as("n_click"),
+            countDistinct(when(col("t_purch").isNotNull, col("user_id")))
+              .as("n_purchase"))
+      }
+    },
+
+    // COHORT RETENTION: customers bucketed by first-order month, then
+    // counted per (cohort, month-offset) across their later activity —
+    // the standard retention triangle (51 cohorts × offsets at
+    // sf0.01). Both inputs reduce BEFORE the join: the cohort map is a
+    // per-customer min (one orders shuffle on custkey), activity is a
+    // distinct (custkey, month) projection, and AQE broadcasts the
+    // cohort side into the activity join at any realistic cohort
+    // cardinality. Month arithmetic is calendar-exact on both engines
+    // (months_between on month-start dates is integral).
+    QueryDef.sql("q105_cohort_retention",
+      """WITH f AS (
+        |  SELECT o_custkey AS ck, CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort
+        |  FROM orders GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT o_custkey AS ck, CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+        |  FROM orders)
+        |SELECT cohort, CAST(date_diff('month', cohort, m) AS BIGINT) AS month_offset,
+        |       count(*) AS n_active
+        |FROM f JOIN a USING (ck)
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, d) => {
+        val f = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(date_trunc("month", min(col("o_orderdate"))).cast("date").as("cohort"))
+        val a = Tables.orders(s, d)
+          .select(col("o_custkey").as("ck"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+          .distinct()
+        a.join(broadcast(f), Seq("ck"))
+          .groupBy(col("cohort"),
+            months_between(col("m"), col("cohort")).cast("long").as("month_offset"))
+          .agg(count(lit(1)).as("n_active"))
+      }
     }
   )
 }
