@@ -1337,86 +1337,6 @@ object CoreQueries {
       }
     },
 
-    // TPC-H Q3 (shipping priority): the date-split join — orders before
-    // the cutoff, lineitems shipped after it. Customer is broadcast
-    // into the orders scan (mktsegment filter prunes it first), the
-    // only shuffle is lineitem⋈orders on orderkey, and the top-10 by
-    // revenue compiles to TakeOrderedAndProject (no global sort
-    // materialized). Revenue sums per-row cents; ties at the cut break
-    // on orderkey so the LIMIT is engine-deterministic.
-    QueryDef.sql("q95_tpch_q3",
-      """SELECT l_orderkey,
-        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-        |            AS BIGINT) AS revenue_cents,
-        |       CAST(o_orderdate AS DATE) AS odate, o_orderpriority
-        |FROM customer
-        |JOIN orders   ON o_custkey = c_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1996-06-01'
-        |  AND l_shipdate  > TIMESTAMP '1996-06-01'
-        |GROUP BY l_orderkey, odate, o_orderpriority
-        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin) {
-      (s, d) =>
-        Tables.lineitem(s, d)
-          .filter(col("l_shipdate") > lit("1996-06-01").cast("timestamp"))
-          .join(Tables.orders(s, d)
-              .filter(col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
-              .join(broadcast(Tables.customer(s, d)
-                  .filter(col("c_mktsegment") === "BUILDING")),
-                col("o_custkey") === col("c_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"),
-            col("o_orderpriority"))
-          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
-            .cast("long")).cast("long").as("revenue_cents"))
-          .select("l_orderkey", "revenue_cents", "odate", "o_orderpriority")
-          .orderBy(col("revenue_cents").desc, col("l_orderkey"))
-          .limit(10)
-    },
-
-    // TPC-H Q5 (local supplier volume): the suite's signature
-    // "cycle-closing" join — supplier joins lineitem on suppkey AND
-    // customer's nation on nationkey, so revenue only counts when the
-    // supplier and the ordering customer share a nation. All dims
-    // (supplier, nation, region, customer) broadcast after the region
-    // filter prunes them; lineitem⋈orders on orderkey is the one
-    // shuffle, same as Q3/Q7/Q8 — at 100 TB the whole tree is one fact
-    // shuffle plus map-side hash joins.
-    QueryDef.sql("q96_tpch_q5",
-      """SELECT n_name, CAST(sum(v) AS BIGINT) AS revenue_cents, count(*) AS n_lines
-        |FROM (
-        |  SELECT n_name,
-        |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS v
-        |  FROM customer
-        |  JOIN orders   ON o_custkey = c_custkey
-        |  JOIN lineitem ON l_orderkey = o_orderkey
-        |  JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
-        |  JOIN nation   ON n_nationkey = s_nationkey
-        |  JOIN region   ON r_regionkey = n_regionkey
-        |  WHERE r_name = 'ASIA'
-        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
-        |    AND o_orderdate <  TIMESTAMP '1997-01-01') t
-        |GROUP BY n_name""".stripMargin) {
-      (s, d) =>
-        Tables.lineitem(s, d)
-          .join(Tables.orders(s, d)
-              .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-                col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
-            col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(Tables.supplier(s, d)),
-            col("s_suppkey") === col("l_suppkey") &&
-              col("s_nationkey") === col("c_nationkey"))
-          .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
-          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
-            col("r_regionkey") === col("n_regionkey"))
-          .groupBy("n_name")
-          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
-                 .cast("long")).cast("long").as("revenue_cents"),
-               count(lit(1)).as("n_lines"))
-    },
-
     // TPC-H Q9 (product type profit, adapted — the testdata has no
     // partsupp/ps_supplycost, so cost is the part's list price ×
     // quantity): profit by supplier nation and order year for parts
