@@ -1587,61 +1587,11 @@ object CoreQueries {
       }
     },
 
-    // SESSIONIZATION: the canonical event-analytics shape — split each
-    // user's clickstream into sessions at >30-minute gaps (lag + gap
-    // flag + running sum), then roll up per-user session stats. ONE
-    // shuffle on user_id serves both windows AND the two aggregates
-    // (they all key on user_id — Catalyst reuses the partitioning), so
-    // at 100 TB the cost is a single fact shuffle, same as any
-    // groupBy(user). Gap compare is exact integer µs (unix_micros /
-    // epoch_us on both engines — the ns→µs parquet truncation is
-    // engine-identical, q02's contract); window order ties break on
-    // event_id so session boundaries are deterministic. The streaming
-    // twin of this batch shape is mapGroupsWithState (streaming/
-    // EventStreams.scala) — same per-user state, incremental.
-    QueryDef.sql("q103_sessionize",
-      """WITH g AS (
-        |  SELECT user_id, ts, event_id,
-        |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-        |              THEN 1 ELSE 0 END AS is_new
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT user_id,
-        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                           ROWS UNBOUNDED PRECEDING) AS sess
-        |  FROM g),
-        |per_sess AS (
-        |  SELECT user_id, sess, count(*) AS n_ev FROM s GROUP BY 1, 2)
-        |SELECT user_id, count(*) AS n_sessions,
-        |       CAST(sum(n_ev) AS BIGINT) AS n_events,
-        |       CAST(max(n_ev) AS BIGINT) AS max_session_events
-        |FROM per_sess GROUP BY user_id""".stripMargin) {
-      (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.events(s, d)
-          .withColumn("prev", lag(col("ts"), 1).over(w))
-          .withColumn("is_new",
-            when(col("prev").isNull ||
-              unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1)
-              .otherwise(0))
-          .withColumn("sess", sum(col("is_new")).over(run))
-          .groupBy("user_id", "sess")
-          .agg(count(lit(1)).as("n_ev"))
-          .groupBy("user_id")
-          .agg(count(lit(1)).as("n_sessions"),
-            sum("n_ev").cast("long").as("n_events"),
-            max("n_ev").cast("long").as("max_session_events"))
-      }
-    },
-
     // CONVERSION FUNNEL: ordered step matching — first view, first
     // click within 24h AFTER that view, first purchase within 24h
     // after that click. Three sequential window mins over the SAME
     // user_id partitioning (each step's threshold feeds the next), so
-    // like q103 the whole funnel is ONE fact shuffle; the final
+    // like q57's sessionization the whole funnel is ONE fact shuffle; the final
     // one-row rollup counts distinct users per stage. Time bounds
     // compare exact integer µs; min() skips NULLs identically on both
     // engines, so a user with no qualifying step propagates NULL down
