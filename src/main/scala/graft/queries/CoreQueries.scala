@@ -740,10 +740,18 @@ object CoreQueries {
     // no receipt/commit dates): the hardest decorrelation shape in
     // the suite — a semi-join AND an anti-join against the SAME big
     // table, both correlated on orderkey with a supplier inequality.
-    // Through the SQL front door so Catalyst plans it: both rewrite
-    // to orderkey-keyed shuffles of a 2-column lineitem projection
-    // (no pre-aggregation, no cartesian). At 100 TB lineitem is
-    // scanned 3× but each scan prunes to 2-3 columns.
+    // The oracle keeps that classic form; fed the same SQL, Catalyst
+    // rewrites both subqueries to orderkey-keyed joins but scans and
+    // shuffles lineitem THREE times (verified in the sf plan). The
+    // window form below is the one-pass algebra: per order,
+    //   EXISTS(other supplier)       ⟺ |distinct suppliers| ≥ 2,
+    //   NOT EXISTS(other R-supplier) ⟺ |distinct R-suppliers| = 1
+    // (the candidate line is itself R, so its supplier is in the set),
+    // both computed as collect_set windows over ONE orderkey
+    // partitioning — one lineitem scan, one fact shuffle, and the
+    // orders join lands on the already-partitioned key. Per-order
+    // supplier sets are naturally tiny (≤7 in TPC-H), so the
+    // collect_set state is bounded.
     QueryDef.sql("q72_tpch_q21",
       """SELECT s_name, count(*) AS numwait
         |FROM supplier s
@@ -760,24 +768,23 @@ object CoreQueries {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) {
       (s, d) => {
-        Tables.supplier(s, d).createOrReplaceTempView("supplier")
-        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-        Tables.orders(s, d).createOrReplaceTempView("orders")
-        s.sql(
-          """SELECT s_name, count(*) AS numwait
-            |FROM supplier s
-            |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
-            |JOIN orders o ON o.o_orderkey = l1.l_orderkey
-            |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
-            |  AND EXISTS (SELECT 1 FROM lineitem l2
-            |              WHERE l2.l_orderkey = l1.l_orderkey
-            |                AND l2.l_suppkey <> l1.l_suppkey)
-            |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-            |                  WHERE l3.l_orderkey = l1.l_orderkey
-            |                    AND l3.l_suppkey <> l1.l_suppkey
-            |                    AND l3.l_returnflag = 'R')
-            |GROUP BY s_name
-            |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+        val byOrder = Window.partitionBy("l_orderkey")
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_returnflag")
+          .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(byOrder)))
+          .withColumn("n_supp_r", size(collect_set(
+            when(col("l_returnflag") === "R", col("l_suppkey"))).over(byOrder)))
+          .filter(col("l_returnflag") === "R" &&
+            col("n_supp") >= 2 && col("n_supp_r") === 1)
+          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+              .select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("s_suppkey") === col("l_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
       }
     },
 
