@@ -102,11 +102,18 @@ object Similarity {
       s"bands*rowsPerBand must be in [1,62], got $bands*$rowsPerBand")
     require(maxBucket >= 1, s"maxBucket must be positive, got $maxBucket")
     val mask = (1L << rowsPerBand) - 1
-    val banded = vectors
+    // PERSIST the banded projection (CacheRegistry lifecycle, same as
+    // Dedup's shingles): it feeds the hot-bucket census AND both sides
+    // of the candidate self-join — without the cache the vector column
+    // (the table's expensive bytes) is re-scanned and re-signed three
+    // times per query. The cached rows are (vid, band, bucket) — ~20 B
+    // each, orders of magnitude smaller than the vectors.
+    val banded = CacheRegistry.register(vectors
       .select(col(idCol).as("vid"), lshSignature(col(vecCol), planes).as("__sig"))
       .select(col("vid"), posexplode(array((0 until bands).map(bnd =>
         shiftrightunsigned(col("__sig"), bnd * rowsPerBand).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hot = banded.groupBy("band", "bucket").count()
       .filter(col("count") > maxBucket).select("band", "bucket")
     banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
@@ -226,7 +233,12 @@ object Similarity {
     // and keeps its top nProbe. No row multiplication, no window, no
     // shuffle until the cell-keyed join itself — the round-1 form
     // shuffled nLists×N rows through two window sorts.
-    val ranked = nearestCells(v, centroids, nProbe)
+    // PERSIST the ranked projection (CacheRegistry lifecycle): it is
+    // read twice — once as the cell assignment, once exploded into the
+    // probe list — and without the cache each read re-scans the vector
+    // table and re-scores all nLists centroids per row.
+    val ranked = CacheRegistry.register(nearestCells(v, centroids, nProbe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val assigned = ranked.select(col("vid"), col("vec"),
       element_at(col("__cells"), 1).as("cell"))
     // each query probes its nProbe nearest cells
