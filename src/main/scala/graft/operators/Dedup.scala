@@ -51,16 +51,29 @@ object Dedup {
     * per-doc ordered reassembly on doc_id shuffles either way. The
     * 64-bit hash admits a ~2^-64 per-pair collision (an innocent line
     * counted with a hot one) — the standard production trade.
+    *
+    * `persistLines = true` (default) caches the exploded
+    * (doc_id, pos, line, hash) projection under the [[CacheRegistry]]
+    * lifecycle: it feeds the census AND the anti-join side, and
+    * without the cache the corpus text is re-read and re-split twice.
+    * The cache is corpus-scale — callers whose storage budget cannot
+    * hold it pass false and take the second scan instead.
     */
   def lineDedup(df: DataFrame, idCol: String, text: Column,
                 minOccurrences: Long = 2, sep: String = "\n",
-                broadcastHotSet: Boolean = false): DataFrame = {
+                broadcastHotSet: Boolean = false,
+                persistLines: Boolean = true): DataFrame = {
     require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
-    val lines = df
+    val linesRaw = df
       .select(col(idCol).as("doc_id"),
         posexplode(split(text, java.util.regex.Pattern.quote(sep))))
       .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__line")
       .withColumn("__lh", xxhash64(col("__line")))
+    val lines =
+      if (persistLines)
+        CacheRegistry.register(linesRaw
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else linesRaw
     val hot = lines.groupBy("__lh").count()
       .filter(col("count") >= minOccurrences).select("__lh")
     val hotSide = if (broadcastHotSet) broadcast(hot) else hot
@@ -376,7 +389,12 @@ object Dedup {
     * the verification step of LSH, usable standalone at test scale.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, text: Column, n: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"), explode(shingles(text, n)).as("g"))
+    // PERSIST the exploded shingle projection ([[CacheRegistry]]
+    // lifecycle): it feeds both self-join sides AND the per-doc size
+    // census — three corpus scans without the cache.
+    val sh = CacheRegistry.register(
+      df.select(col(idCol).as("doc_id"), explode(shingles(text, n)).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
