@@ -436,9 +436,26 @@ object Dedup {
     * At extreme scale the alternating large-star/small-star variant
     * [Kiveris et al.] tightens constants; the per-round plan shape is
     * the same.
+    *
+    * ADAPTIVE SMALL-GRAPH PATH: the pair graph is the output of the
+    * LSH + verify funnel — usually orders of magnitude smaller than
+    * the corpus — and the edge count is already materialized to build
+    * the edge cache. When it is at most `driverMaxEdges` (and the ids
+    * are integral), the labels are computed with a driver-side
+    * union-find instead: one collect of the (tiny, deduped) edge
+    * list, exact min-label semantics, zero iterative rounds. Each
+    * distributed round costs 2 shuffle joins + a count regardless of
+    * size — on a few-hundred-edge graph the rounds ARE the cost
+    * (measured: ~4 s of pure round overhead in the composed q65 at
+    * sf0.1, vs ~0.1 s via union-find). The default cap collects at
+    * most ~16 MB of longs; graphs beyond it — or with non-integral
+    * ids — take the distributed path unchanged. This is the same
+    * adaptive posture as AQE's runtime broadcast: pick the driver
+    * path only when the measured size proves it safe.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                          maxIters: Int = 50): DataFrame = {
+                          maxIters: Int = 50,
+                          driverMaxEdges: Long = 1L << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val sc = pairs.sparkSession.sparkContext
     def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
@@ -459,7 +476,41 @@ object Dedup {
     // caller's shingle cache) BEFORE the first label checkpoint, so the
     // per-round persistent-RDD diff below sees ONLY that round's
     // checkpoint blocks and never misattributes a long-lived cache
-    edges.count()
+    val edgeCount = edges.count()
+    val integralIds = edges.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (edgeCount <= driverMaxEdges && integralIds) {
+      // union-find with min-root invariant: the root of every set is
+      // its minimum member, so find(v) IS the min reachable id
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val it = edges.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val a = row.get(0).asInstanceOf[Number].longValue()
+        val b = row.get(1).asInstanceOf[Number].longValue()
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.foreachKey(v => out += ((v, find(v))))
+      edges.unpersist()
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return out.toSeq.toDF("v", "lbl")
+        .select(col("v").cast(fwd.schema("src").dataType),
+          col("lbl").cast(fwd.schema("src").dataType))
+        .toDF("v", "lbl")
+    }
     val base = persistedIds
     var labels = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lbl")).localCheckpoint(true)

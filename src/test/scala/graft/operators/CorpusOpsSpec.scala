@@ -203,6 +203,24 @@ class CorpusOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: driver union-find path equals the distributed path") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: 300 edges over ~200 vertices,
+    // long chains + dense clumps + self-contained pairs
+    val rnd = new scala.util.Random(42)
+    val edges = (Seq.tabulate(100)(i => (i.toLong, (i + 1).toLong)) ++ // one long chain
+      Seq.tabulate(100)(_ => { val a = 200 + rnd.nextInt(50); (a.toLong, (200 + rnd.nextInt(50)).toLong) }) ++
+      Seq.tabulate(100)(i => (1000L + 2 * i, 1001L + 2 * i)))            // isolated pairs
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaRounds = Dedup.connectedComponents(pairs, driverMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.operators.CacheRegistry.releaseAll()
+    assert(viaDriver === viaRounds)
+  }
+
   test("ngram contamination flags docs overlapping the benchmark set") {
     val corpus = docs(
       1L -> "alpha beta gamma delta epsilon", // contains benchmark 3-grams
