@@ -39,11 +39,11 @@ object Relational {
     * `version` must totally order rows within a key.
     */
   def latestVersionAgg(df: DataFrame, keys: Seq[String], version: Seq[Column]): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val ord = struct(version: _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, ord).as("__row"))
-      .select(df.columns.map(c => col(s"__row.$c")): _*)
+      .select(df.columns.toIndexedSeq.map(c => col(s"__row.$c")): _*)
   }
 
   /** J1–J3 (reference `src/copy_elements.cpp:166-235`): 1:N child rows
@@ -109,11 +109,11 @@ object Relational {
     val payType = right.select(payStruct).schema.head.dataType
     val lTagged = left.select(
       (col(key) +: col(ts) +: lit(1).as("__isLeft") +:
-        left.columns.filter(c => c != key && c != ts).map(col) :+
+        left.columns.toIndexedSeq.filter(c => c != key && c != ts).map(col) :+
         lit(null).cast(payType).as("__rpay")): _*)
     val rTagged = right.select(
       (col(key) +: col(ts) +: lit(0).as("__isLeft") +:
-        left.columns.filter(c => c != key && c != ts)
+        left.columns.toIndexedSeq.filter(c => c != key && c != ts)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         payStruct.as("__rpay")): _*)
     val w = Window.partitionBy(key)
@@ -122,7 +122,7 @@ object Relational {
     lTagged.unionByName(rTagged)
       .withColumn("__rpay", last(col("__rpay"), ignoreNulls = true).over(w))
       .filter(col("__isLeft") === 1)
-      .select((left.columns.map(col) ++
+      .select((left.columns.toIndexedSeq.map(col) ++
         rightPayload.map(c => col("__rpay")(c).as(s"asof_$c"))): _*)
   }
 

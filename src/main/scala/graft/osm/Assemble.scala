@@ -145,10 +145,10 @@ object Assemble {
     * plan vs. a row_number window (see operators.Relational).
     */
   def current(history: DataFrame): DataFrame = {
-    val payload = struct(history.columns.map(col): _*)
+    val payload = struct(history.columns.toIndexedSeq.map(col): _*)
     history.groupBy(col("id"))
       .agg(max_by(payload, col("version")).as("r"))
-      .select(history.columns.map(c => col(s"r.$c")): _*)
+      .select(history.columns.toIndexedSeq.map(c => col(s"r.$c")): _*)
       .filter(col("visible"))
   }
 }

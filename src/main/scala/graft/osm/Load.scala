@@ -199,7 +199,7 @@ object Load {
               .write.mode("overwrite").parquet(out)
           }
           t.maxTimeCol.map { c =>
-            spark.read.parquet(out).agg(max(col(c))).head.getTimestamp(0)
+            spark.read.parquet(out).agg(max(col(c))).head().getTimestamp(0)
           }
         }.seq
       } finally pool.foreach(_.shutdown())
