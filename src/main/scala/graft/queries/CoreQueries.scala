@@ -1686,6 +1686,33 @@ object CoreQueries {
             months_between(col("m"), col("cohort")).cast("long").as("month_offset"))
           .agg(count(lit(1)).as("n_active"))
       }
+    },
+
+    // RANGE window frame (value-based, not row-based): per event, the
+    // user's event count and value sum over the PRECEDING HOUR by
+    // timestamp — the rolling-rate shape behind alerting and
+    // rate-limiting analytics. ROWS frames (q22/q57) bound by row
+    // counts; a RANGE frame bounds by the ORDER-BY value, so sparse
+    // and dense hours behave correctly. Both engines order by exact
+    // integer epoch-µs with the same 3.6e9 lower bound — value-based
+    // peer semantics are identical, no float time anywhere. Same
+    // single-shuffle story as every user_id-keyed window here.
+    QueryDef.sql("q106_range_frame",
+      """SELECT user_id, event_id,
+        |       count(*) OVER w AS n_last_hour,
+        |       CAST(round(sum(value) OVER w * 100) AS BIGINT) AS cents_last_hour
+        |FROM events
+        |WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin) {
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        Tables.events(s, d).filter(col("user_id") < 30)
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("n_last_hour"),
+            round(sum("value").over(w) * 100).cast("long").as("cents_last_hour"))
+      }
     }
   )
 }
