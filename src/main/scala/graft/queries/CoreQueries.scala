@@ -1713,6 +1713,32 @@ object CoreQueries {
             count(lit(1)).over(w).as("n_last_hour"),
             round(sum("value").over(w) * 100).cast("long").as("cents_last_hour"))
       }
+    },
+
+    // grouping() disambiguation: in a CUBE/ROLLUP result a NULL group
+    // key is ambiguous — real NULL data or a subtotal row? grouping()
+    // answers (1 = aggregated-over, 0 = real value). The gate
+    // synthesizes genuine NULLs (nullif maps status 'P' to NULL) so
+    // BOTH kinds of NULL rows appear and the flag is load-bearing:
+    // at sf0.01 the cube has 6 real-NULL groups AND 6 subtotal rows.
+    // Same one-Expand single-shuffle plan as q44's cube.
+    QueryDef.sql("q107_grouping_flag",
+      """SELECT o_orderpriority AS pri, nullif(o_orderstatus, 'P') AS st,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+        |       CAST(grouping(nullif(o_orderstatus, 'P')) AS BIGINT) AS g_st,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, nullif(o_orderstatus, 'P'))""".stripMargin) {
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT o_orderpriority AS pri, nullif(o_orderstatus, 'P') AS st,
+            |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+            |       CAST(grouping(nullif(o_orderstatus, 'P')) AS BIGINT) AS g_st,
+            |       count(*) AS n
+            |FROM orders
+            |GROUP BY CUBE (o_orderpriority, nullif(o_orderstatus, 'P'))""".stripMargin)
+      }
     }
   )
 }
