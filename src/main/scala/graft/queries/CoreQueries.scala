@@ -1739,6 +1739,30 @@ object CoreQueries {
             |FROM orders
             |GROUP BY CUBE (o_orderpriority, nullif(o_orderstatus, 'P'))""".stripMargin)
       }
+    },
+
+    // NULL-SAFE join equality (<=> / IS NOT DISTINCT FROM): plain `=`
+    // silently drops NULL-keyed rows from a join — the classic merge
+    // pipeline trap when a "cleaned" key column has genuine NULLs.
+    // The gate joins a NULL-bearing aggregate to its own distinct key
+    // set: with `=` the NULL group (5k rows at sf0.01) vanishes; with
+    // the null-safe operator it survives on both engines. Plan-wise
+    // <=> keys hash/shuffle like any equi-join (NULL is just another
+    // key value) — no nested-loop fallback.
+    QueryDef.sql("q108_null_safe_join",
+      """WITH a AS (SELECT nullif(o_orderstatus, 'P') AS st, count(*) AS n
+        |           FROM orders GROUP BY 1),
+        |b AS (SELECT DISTINCT nullif(o_orderstatus, 'P') AS st FROM orders)
+        |SELECT a.st, CAST(a.n AS BIGINT) AS n
+        |FROM a JOIN b ON a.st IS NOT DISTINCT FROM b.st""".stripMargin) {
+      (s, d) => {
+        val st = expr("nullif(o_orderstatus, 'P')")
+        val a = Tables.orders(s, d).groupBy(st.as("st"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        val b = Tables.orders(s, d).select(st.as("st_b")).distinct()
+        a.join(b, col("st") <=> col("st_b"))
+          .select(col("st"), col("n"))
+      }
     }
   )
 }
