@@ -1033,6 +1033,38 @@ object TextQueries {
             expr("approx_percentile(v, 0.5, 10000)")
               .between(expr("percentile(v, 0.45)"), expr("percentile(v, 0.55)"))
               .as("p50_ok"))
+    },
+
+    // FUZZY KEY MATCH (blocked edit distance): near-identical document
+    // prefixes found by blocking on a cheap key (first token) and
+    // verifying candidates with levenshtein — the record-linkage /
+    // fuzzy-dedup shape for titles, URLs, author strings. The blocking
+    // join is the scale story: the quadratic edit-distance DP runs
+    // only WITHIN blocks (same partitioning as any equi-join, skew
+    // bounded by block size), never as a cross join — the same
+    // block-then-verify discipline as the LSH pipelines (q29/q36),
+    // with levenshtein as the verifier instead of Jaccard/cosine.
+    // Both engines implement the same unit-cost DP, so distances are
+    // integers and hash-exact.
+    QueryDef.sql("q110_fuzzy_match",
+      """WITH k AS (SELECT doc_id, split_part(text, ' ', 1) AS blk,
+        |                  substr(text, 1, 30) AS key FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+        |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.key, b.key) <= 8""".stripMargin) {
+      (s, d) => {
+        val k = Tables.documents(s, d)
+          .select(col("doc_id"), split_part(col("text"), lit(" "), lit(1)).as("blk"),
+            substring(col("text"), 1, 30).as("key"))
+        k.select(col("doc_id").as("id_a"), col("blk"), col("key").as("key_a"))
+          .join(k.select(col("doc_id").as("id_b"), col("blk"), col("key").as("key_b")),
+            Seq("blk"))
+          .filter(col("id_a") < col("id_b") &&
+            levenshtein(col("key_a"), col("key_b")) <= 8)
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("key_a"), col("key_b")).cast("long").as("dist"))
+      }
     }
   )
 }
