@@ -638,4 +638,79 @@ object Dedup {
         .reduce(_ + _)
     votes.select(col("doc_id"), half(32).as("fp_hi"), half(0).as("fp_lo"))
   }
+
+  /** Exact duplicated-SUBSTRING detection (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): find every maximal
+    * token span that participates in a `k`-token sequence occurring at
+    * least `minOccurrences` times anywhere in the corpus — templated
+    * paragraphs, licence blocks, quoted chunks that whole-document and
+    * whole-line dedup both miss. Returns one row per MERGED span:
+    * (doc_id, span_start, span_end, span_tokens), 1-based inclusive
+    * token positions; overlapping and adjacent duplicated k-grams
+    * coalesce into one interval (the gaps-and-islands merge). Callers
+    * cut `[span_start, span_end]` from the token stream to reproduce
+    * the paper's removal step; the spans themselves are the gate-able
+    * artifact.
+    *
+    * The reference implementation is a suffix array — a global sort of
+    * every suffix, inherently single-machine-unfriendly. The relational
+    * equivalent used here: explode each doc into its positioned
+    * k-grams, census the k-gram multiset (map-side-combinable count on
+    * the 64-bit gram hash — 8-byte shuffle keys, the lineDedup
+    * discipline), mark positions whose gram clears the threshold via a
+    * SHUFFLE semi-join (the duplicated-gram set is data-dependent; AQE
+    * broadcasts it only when its measured size fits), then merge
+    * positions into intervals with two doc-partitioned windows (prior
+    * running max-end flags island starts, a running sum numbers the
+    * islands) and one aggregate — every stage keyed by doc_id after the
+    * census, no skew beyond single-document length. The 64-bit gram
+    * hash admits a ~2^-64 per-pair collision (an innocent span marked
+    * duplicated) — the standard production trade.
+    *
+    * `persistGrams` caches the exploded (doc, pos, gramhash) projection
+    * under the [[CacheRegistry]] lifecycle: it feeds the census AND the
+    * mark join; without it the corpus is re-split twice. Corpus-scale —
+    * callers without the storage budget pass false.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, text: Column, k: Int = 8,
+                     minOccurrences: Long = 2,
+                     persistGrams: Boolean = true): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.functions.TextFunctions.tokens(text)
+    val gramsRaw = df
+      .select(col(idCol).as("doc_id"), toks.as("__a"))
+      // sequence(a, b) runs DESCENDING when b < a — guard short docs
+      // explicitly or they explode into phantom positions
+      .withColumn("__start",
+        explode(when(size(col("__a")) >= k,
+          sequence(lit(1), size(col("__a")) - (k - 1))).otherwise(array())))
+      .select(col("doc_id"), col("__start"),
+        xxhash64(concat_ws(" ", slice(col("__a"), col("__start"), lit(k)))).as("__gh"))
+    val grams =
+      if (persistGrams)
+        CacheRegistry.register(gramsRaw
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else gramsRaw
+    val dup = grams.groupBy("__gh").count()
+      .filter(col("count") >= minOccurrences).select("__gh")
+    val marked = grams.join(dup, Seq("__gh"), "left_semi")
+      .select(col("doc_id"), col("__start"),
+        (col("__start") + (k - 1)).as("__end"))
+    val byStart = Window.partitionBy("doc_id").orderBy("__start")
+    val flagged = marked.withColumn("__new",
+      when(col("__start") >
+        coalesce(max("__end").over(
+          byStart.rowsBetween(Window.unboundedPreceding, -1)), lit(-1L)) + 1,
+        1L).otherwise(0L))
+    flagged
+      .withColumn("__island",
+        sum("__new").over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min("__start").cast("long").as("span_start"),
+        max("__end").cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
 }

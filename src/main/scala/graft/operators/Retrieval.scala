@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus-level lexical retrieval — the classic IR scoring path a
+  * training-data pipeline uses for targeted corpus slicing (pulling
+  * topical subsets, seeding classifier training sets, eval-set
+  * retrieval baselines).
+  */
+object Retrieval {
+
+  /** BM25 top-k retrieval (Okapi, k1 = 1.2, b = 0.75) of `queryTerms`
+    * over a corpus, with EXACT integer arithmetic end to end.
+    *
+    * Floating-point BM25 is not portable across engines (libm `ln`
+    * differs in ULPs and a parallel double sum is order-dependent), so
+    * every factor here is rational and the per-term score is quantized
+    * to milli-units with integer division BEFORE the per-doc sum —
+    * integer addition commutes, so the result is bit-identical on any
+    * partitioning, any engine. With k1 = 6/5 and b = 3/4, multiplying
+    * the classic term through by 20·Σdl clears all denominators:
+    *
+    *   tf_part  = 44·tf·Σdl / (20·tf·Σdl + 6·Σdl + 18·dl·N)
+    *   idf      = (N − df + ½)/(df + ½) = (2N − 2df + 1)/(2df + 1)
+    *   s_milli  = ⌊1000 · tf_part · idf⌋   (one integer div)
+    *
+    * idf is the log-free Robertson–Spärck-Jones odds ratio — more
+    * rare-term-skewed than the usual ln form, monotone in the same df,
+    * and exactly representable. Intermediate products stay under 2^63
+    * for corpora up to ~10^6 docs × 10^3-token averages per scoring
+    * shard; beyond that, quantize Σdl (cap the precision, not the
+    * corpus).
+    *
+    * Scale shape: ONE explode of the corpus into a (doc, term) count
+    * aggregate — map-side combinable, the single wide shuffle. Every
+    * downstream stat derives from that projection: dl and Σdl from its
+    * per-doc sums (no re-scan of text), tf/df from its query-term
+    * subset (filter first, then aggregate — the subset is tiny). The
+    * per-doc length table joins the scored subset on doc_id; the
+    * query-term df table is broadcast-sized by construction. The final
+    * top-k is TakeOrdered (no global sort). `persistCounts` caches the
+    * (doc, term) projection under the [[CacheRegistry]] lifecycle
+    * because two branches (dl and tf) consume it; callers whose
+    * storage budget cannot hold the distinct (doc, term) set pass
+    * false and take a second explode instead.
+    *
+    * Returns (doc_id, bm25_milli) — the k highest-scoring docs that
+    * contain at least one query term, score-descending, doc_id
+    * ascending on ties.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, text: Column,
+               queryTerms: Seq[String], k: Int,
+               persistCounts: Boolean = true): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be positive, got $k")
+    val cntRaw = df
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(text)).as("__term"))
+      .groupBy(col("doc_id"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val cnt =
+      if (persistCounts)
+        CacheRegistry.register(cntRaw.persist(StorageLevel.MEMORY_AND_DISK))
+      else cntRaw
+    val dl = cnt.groupBy("doc_id").agg(sum("__tf").as("__dl"))
+    // One-row corpus stats (N over ALL docs incl. token-less; Σdl over
+    // the token counts), rolled into a single broadcast row — the
+    // single-pass scalar rule: never a scalar subquery per reference.
+    val stats = df.select(col(idCol).as("doc_id"))
+      .join(dl, Seq("doc_id"), "left_outer")
+      .agg(count(lit(1)).as("__n"), sum(coalesce(col("__dl"), lit(0L))).as("__sdl"))
+    val terms = cnt.filter(col("__term").isin(queryTerms: _*))
+    val dfreq = terms.groupBy("__term").agg(count(lit(1)).as("__df"))
+    terms
+      .join(broadcast(dfreq), Seq("__term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s_milli", expr(
+        """(1000 * (44 * __tf * __sdl) * (2 * __n - 2 * __df + 1))
+          | div ((20 * __tf * __sdl + 6 * __sdl + 18 * __dl * __n)
+          |      * (2 * __df + 1))""".stripMargin))
+      .groupBy("doc_id")
+      .agg(sum("s_milli").cast("long").as("bm25_milli"))
+      .orderBy(col("bm25_milli").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -89,4 +89,39 @@ object Sampling {
       .filter(col("cum_tokens") <= budgetTokens)
       .select("doc_id", "source", "n_tokens", "cum_tokens")
   }
+
+  /** Deterministic importance (weighted Poisson) sampling: keep each
+    * row independently with probability min(1, k·w/Σw) — quality- or
+    * length-weighted subsampling where the expected sample size is `k`
+    * and every run, every cluster size, every engine selects the SAME
+    * rows. The coin is pmod(xxhash64(id), 10^6) compared against the
+    * inclusion threshold CROSS-MULTIPLIED into integers — keep iff
+    * u·Σw < w·k·10^6 — so no floating-point division ever happens and
+    * the decision is exact (u is uniform on [0, 10^6) up to the
+    * negligible 2^64 mod bias). Rows with w·k ≥ Σw are kept always
+    * (true min(1, ·) semantics, no coin needed — the comparison does
+    * it naturally).
+    *
+    * Scale shape: ONE aggregate for Σw rolled into a one-row broadcast
+    * (the single-pass scalar rule), then a stateless map-side filter —
+    * no shuffle of the corpus at all, the cheapest possible sampling
+    * plan. Integer bounds: u·Σw < 10^6·Σw needs Σw < 2^43 (≈8·10^12
+    * total weight) — document counts × token weights at 100 TB fit;
+    * rescale weights (divide by a constant) past that.
+    *
+    * Returns (id, weight, u) for kept rows — `u` exposes the coin so
+    * downstream audits can re-verify inclusion.
+    */
+  def weightedByHash(df: DataFrame, idCol: String, weightCol: Column,
+                     expectedK: Long): DataFrame = {
+    require(expectedK >= 1, s"expectedK must be positive, got $expectedK")
+    val M = 1000000L
+    val base = df.select(col(idCol).as("doc_id"),
+      weightCol.cast("long").as("weight"),
+      pmod(xxhash64(col(idCol)), lit(M)).as("u"))
+    val total = base.agg(sum("weight").as("__sumw"))
+    base.crossJoin(broadcast(total))
+      .filter(col("u") * col("__sumw") < col("weight") * lit(expectedK) * lit(M))
+      .select("doc_id", "weight", "u")
+  }
 }

@@ -1799,6 +1799,62 @@ object CoreQueries {
             h1.intersectAll(h2).groupBy("pk").agg(count(lit(1)).as("n"))
               .select(lit("common").as("op"), col("pk"), col("n")))
       }
+    },
+
+    // PIVOT (long→wide): per-source language distribution as one row
+    // per source with a column per language — the cross-tab shape every
+    // mixture report ends in. Spark's relational pivot with an EXPLICIT
+    // value list compiles to ONE pass (a single aggregate with one
+    // conditional count per pivot value — no per-value scans, no
+    // two-phase distinct-discovery job, which is why the value list
+    // matters at scale); absent (source, lang) combos are real zeros
+    // via na.fill, matching the oracle's FILTER counts. src6/fr,
+    // src14/de, src18/zh are absent in the data, so the zero path is
+    // genuinely exercised.
+    QueryDef.sql("q114_pivot",
+      """SELECT source,
+        |       count(*) FILTER (WHERE lang = 'de') AS de,
+        |       count(*) FILTER (WHERE lang = 'en') AS en,
+        |       count(*) FILTER (WHERE lang = 'es') AS es,
+        |       count(*) FILTER (WHERE lang = 'fr') AS fr,
+        |       count(*) FILTER (WHERE lang = 'zh') AS zh
+        |FROM documents GROUP BY source""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("source")
+          .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))
+    },
+
+    // UNPIVOT / MELT (wide→long): the inverse reshape over the same
+    // cross-tab — Spark's native unpivot (ids=source, variable column
+    // lang, value column n_docs) restores the long form INCLUDING the
+    // zero rows the pivot materialized, which a plain GROUP BY never
+    // had; the oracle builds them with a source × lang spine left-join.
+    // unpivot is a zero-shuffle row-expansion (each wide row emits its
+    // value columns locally), so the only exchange in the plan is the
+    // pivot aggregate it consumes.
+    QueryDef.sql("q115_unpivot",
+      """WITH counts AS (
+        |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT DISTINCT d.source, l.lang
+        |  FROM documents d CROSS JOIN (
+        |    SELECT unnest(['de','en','es','fr','zh']) AS lang) l)
+        |SELECT spine.source, spine.lang,
+        |       coalesce(counts.n, 0) AS n_docs
+        |FROM spine LEFT JOIN counts USING (source, lang)""".stripMargin) {
+      (s, d) => {
+        val wide = Tables.documents(s, d)
+          .groupBy("source")
+          .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))
+        wide.unpivot(Array(col("source")),
+          Array(col("de"), col("en"), col("es"), col("fr"), col("zh")),
+          "lang", "n_docs")
+      }
     }
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal}
+import graft.operators.{Dedup, Multimodal, Retrieval, Sampling}
 import org.apache.spark.sql.functions._
 
 /** Training-data text operators over the documents table: dedup
@@ -1065,6 +1065,111 @@ object TextQueries {
           .select(col("id_a"), col("id_b"),
             levenshtein(col("key_a"), col("key_b")).cast("long").as("dist"))
       }
+    },
+
+    // BM25 TOP-K RETRIEVAL (Okapi k1=1.2 b=0.75, integer-exact): the
+    // lexical-retrieval path for targeted corpus slicing. Floating BM25
+    // is not hash-portable (libm ln ULPs + order-dependent double
+    // sums), so the operator clears all denominators with k1=6/5,
+    // b=3/4 rationals, uses the log-free Robertson–Spärck-Jones odds
+    // idf, and quantizes each TERM's score to milli-units via integer
+    // division BEFORE the per-doc sum — integer adds commute, so any
+    // partitioning hashes identically. One corpus explode into a
+    // (doc, term) count agg feeds everything: dl/Σdl derive from its
+    // per-doc sums, tf/df from its (tiny) query-term subset; df and
+    // the one-row corpus stats broadcast; top-k is TakeOrdered.
+    QueryDef.sql("q111_bm25_topk",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                             ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+        |  FROM documents),
+        |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+        |              (SELECT count(*) FROM toks) AS sdl),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |       WHERE token IN ('spark','merge','vector') GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |ts AS (
+        |  SELECT tf.doc_id,
+        |         (1000 * (44 * tf.tf * st.sdl) * (2*st.n - 2*df.df + 1))
+        |           // ((20 * tf.tf * st.sdl + 6 * st.sdl + 18 * dl.dl * st.n)
+        |              * (2*df.df + 1)) AS s_milli
+        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st)
+        |SELECT doc_id, CAST(sum(s_milli) AS BIGINT) AS bm25_milli
+        |FROM ts GROUP BY doc_id
+        |ORDER BY bm25_milli DESC, doc_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", col("text"),
+          Seq("spark", "merge", "vector"), 10)
+    },
+
+    // DUPLICATED-SPAN DETECTION (exact-substring dedup, Lee et al.):
+    // maximal token intervals covered by any 8-gram occurring >= 2
+    // times corpus-wide — the templated-paragraph duplication that
+    // document- and line-level dedup both miss. The operator is the
+    // relational stand-in for the paper's suffix array: positioned
+    // k-gram explode, 64-bit-hash census (8-byte shuffle keys), shuffle
+    // semi-join mark (AQE broadcasts the dup set only when measured
+    // small), then a gaps-and-islands interval merge in two
+    // doc-partitioned windows sharing one exchange. The oracle censuses
+    // the gram STRINGS — agreement additionally witnesses that xxhash64
+    // produced no collision on this corpus.
+    QueryDef.sql("q112_dup_spans",
+      """WITH arr AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i AS start_pos, array_to_string(a[i:i+7], ' ') AS gram
+        |  FROM arr, unnest(generate_series(1, len(a) - 7)) AS g(i)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |marked AS (SELECT doc_id, start_pos, start_pos + 7 AS end_pos
+        |           FROM grams WHERE gram IN (SELECT gram FROM dup)),
+        |flagged AS (
+        |  SELECT doc_id, start_pos, end_pos,
+        |         CASE WHEN start_pos > coalesce(max(end_pos) OVER (
+        |                PARTITION BY doc_id ORDER BY start_pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |              THEN 1 ELSE 0 END AS new_island
+        |  FROM marked),
+        |islands AS (
+        |  SELECT doc_id, start_pos, end_pos,
+        |         sum(new_island) OVER (PARTITION BY doc_id ORDER BY start_pos
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged)
+        |SELECT doc_id, CAST(min(start_pos) AS BIGINT) AS span_start,
+        |       CAST(max(end_pos) AS BIGINT) AS span_end,
+        |       CAST(max(end_pos) - min(start_pos) + 1 AS BIGINT) AS span_tokens
+        |FROM islands GROUP BY doc_id, island""".stripMargin) {
+      (s, d) =>
+        Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", col("text"), k = 8)
+    },
+
+    // DETERMINISTIC WEIGHTED (importance) SAMPLING: keep each doc with
+    // probability min(1, k·w/Σw), w = n_chars, expected size k=50 —
+    // and make the coin reproducible AND engine-exact by comparing
+    // pmod(xxhash64(doc_id), 10^6) against the threshold
+    // cross-multiplied into integers (u·Σw < w·k·10^6): no float
+    // division on either engine. Σw is ONE aggregate rolled into a
+    // broadcast row (single-pass scalar rule); the filter itself is
+    // map-side stateless — the cheapest possible sampling plan (zero
+    // corpus shuffle). Oracle rebuilds the exact XXH64 long path.
+    QueryDef.sql("q113_weighted_sample", {
+      import XxHash64Sql._
+      val (steps, h) = hashLongSteps(s2u("doc_id"), "42", "WS")
+      val (ctes, last) = chainCtes("documents", steps, "wsc")
+      s"""WITH $ctes,
+         |base AS (SELECT doc_id, n_chars AS weight,
+         |                ((${u2s(h)} % 1000000) + 1000000) % 1000000 AS u
+         |         FROM $last),
+         |t AS (SELECT sum(weight) AS sumw FROM base)
+         |SELECT doc_id, CAST(weight AS BIGINT) AS weight, CAST(u AS BIGINT) AS u
+         |FROM base CROSS JOIN t
+         |WHERE u * sumw < weight * 50 * 1000000""".stripMargin
+    }) {
+      (s, d) =>
+        Sampling.weightedByHash(Tables.documents(s, d), "doc_id",
+          col("n_chars"), expectedK = 50)
     }
   )
 }

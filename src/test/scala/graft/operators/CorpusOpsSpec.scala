@@ -593,4 +593,79 @@ class CorpusOpsSpec extends AnyFunSuite {
       .partition(_._2)
     assert(keptH.map(_._1).max < dropH.map(_._1).min)
   }
+
+  test("duplicateSpans merges overlapping k-grams into maximal intervals") {
+    val shared = (1 to 10).map(i => s"c$i").mkString(" ") // 10 shared tokens
+    val df = docs(
+      1L -> s"$shared tail1 tail2",        // shared at positions 1..10
+      2L -> s"pre1 pre2 $shared post1",    // shared at positions 3..12
+      3L -> "too short")                   // < k tokens: no grams at all
+    val out = Dedup.duplicateSpans(df, "doc_id", col("text"), k = 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
+          r.getAs[Long]("span_tokens")))).toMap
+    // three overlapping duplicated 8-grams per doc merge into ONE span
+    // covering the whole shared run
+    assert(out === Map(1L -> ((1L, 10L, 10L)), 2L -> ((3L, 12L, 10L))))
+  }
+
+  test("duplicateSpans leaves disjoint duplicated regions as separate spans") {
+    val runA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val gap = (1 to 5).map(i => s"g$i").mkString(" ") // unique separator
+    val df = docs(
+      1L -> s"$runA $gap $runB", // spans 1..8 and 14..21, gap 9..13 unique
+      2L -> runA,
+      3L -> runB)
+    val spans = Dedup.duplicateSpans(df, "doc_id", col("text"), k = 8)
+      .filter(col("doc_id") === 1L).collect()
+      .map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"))).toSet
+    assert(spans === Set((1L, 8L), (14L, 21L)))
+  }
+
+  test("bm25TopK scores exact integer milli-units (hand-computed corpus)") {
+    val df = docs(
+      1L -> "apple banana cherry",
+      2L -> "apple apple date",
+      3L -> "kiwi lime mango")
+    // N=3, sdl=9, df(apple)=2, idf=(2*3-2*2+1)/(2*2+1)=3/5
+    // d1 tf=1: 1000*44*1*9*3 div ((180+54+162)*5) = 1188000/1980 = 600
+    // d2 tf=2: 1000*44*2*9*3 div ((360+54+162)*5) = 2376000/2880 = 825
+    val out = Retrieval.bm25TopK(df, "doc_id", col("text"), Seq("apple"), 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bm25_milli")))
+    assert(out.toSeq === Seq(2L -> 825L, 1L -> 600L))
+  }
+
+  test("bm25TopK ranks the rarer term above the common one at equal tf") {
+    import spark.implicits._
+    // "common" in 8 docs, "rare" in 1; probe docs have equal length
+    val filler = (1 to 7).map(i => (100L + i, s"common pad$i x y z"))
+    val df = (filler :+ (1L, "common a b c d") :+ (2L, "rare a b c d"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(df, "doc_id", col("text"),
+      Seq("common", "rare"), 10).collect()
+    val score = out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bm25_milli"))).toMap
+    assert(score(2L) > score(1L))
+  }
+
+  test("weightedByHash is deterministic and always keeps saturated weights") {
+    import spark.implicits._
+    // one heavy row whose w*k >= sum(w): inclusion probability 1
+    val df = ((1L to 10L).map(i => (i, 1L)) :+ (99L, 1000L)).toDF("doc_id", "w")
+    val run1 = Sampling.weightedByHash(df, "doc_id", col("w"), expectedK = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val run2 = Sampling.weightedByHash(df, "doc_id", col("w"), expectedK = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(run1 === run2)
+    assert(run1.contains(99L))
+    // coin matches Spark's own xxhash64: recompute u for every kept row
+    val coins = df.select(col("doc_id"),
+        pmod(xxhash64(col("doc_id")), lit(1000000L)).as("u"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("u")).toMap
+    val sumw = 1010L
+    val expected = coins.collect {
+      case (id, u) if u * sumw < (if (id == 99L) 1000L else 1L) * 5L * 1000000L => id
+    }.toSet
+    assert(run1 === expected)
+  }
 }
