@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling (Deequ-style): the audit pass a pipeline
+  * runs before trusting 100 TB of input.
+  */
+object Profiling {
+
+  /** Per-column profile — row count, null count, distinct count,
+    * min/max (rendered as strings so heterogeneous columns share one
+    * schema) — computed in ONE aggregate over ONE scan: the per-column
+    * stats are parallel aggregate expressions, and the wide result row
+    * is reshaped long (one row per column) with a local inline — no
+    * second pass, no per-column scans.
+    *
+    * `approxDistinct = false` (default) uses exact count(DISTINCT):
+    * Spark plans the multi-distinct aggregate with an Expand that
+    * multiplies scanned rows by the number of profiled columns — exact
+    * answers, #cols × the shuffle volume. At 100 TB pass `true`:
+    * approx_count_distinct (HLL++, ±5%) keeps the plan a plain
+    * single-pass partial aggregate with bounded state, the same
+    * accuracy contract the sketch gates (q79/q80) verify.
+    *
+    * Returns (col_name, n_rows, n_null, n_distinct, min_val, max_val).
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String],
+                    approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    def nd(c: String): Column =
+      if (approxDistinct) approx_count_distinct(col(c)) else countDistinct(col(c))
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"), nd(c).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").cast("long").as("n_distinct"),
+        col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val"))
+    }
+    wide.select(inline(array(rows: _*)))
+  }
+}

@@ -1855,6 +1855,94 @@ object CoreQueries {
           Array(col("de"), col("en"), col("es"), col("fr"), col("zh")),
           "lang", "n_docs")
       }
+    },
+
+    // PAGERANK (integer-exact, 4 fixed iterations, damping 0.85) over
+    // the customer→supplier trade graph (distinct (o_custkey,
+    // l_suppkey) pairs; node ids disambiguated as cust·2 / supp·2+1).
+    // Iterative graph analytics beyond connected components: ranks are
+    // micro-mass integers, per-edge contributions and damping use
+    // integer division, so an inherently iterative float metric
+    // becomes bit-portable across engines. The oracle unrolls the same
+    // four iterations as chained CTEs from the same templated SQL the
+    // Spark loop mirrors. Top 20 by rank (node tie-break).
+    QueryDef.sql("q116_pagerank", {
+      def it(i: Int): String =
+        s"""r${i + 1} AS (
+           |  SELECT n.node, st.base + (85 * coalesce(inf.s, 0)) // 100 AS r
+           |  FROM nodes n CROSS JOIN st
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r$i.r // od.c) AS s
+           |    FROM edges e JOIN r$i ON e.src = r$i.node
+           |    JOIN outdeg od ON e.src = od.src
+           |    GROUP BY e.dst) inf ON n.node = inf.node)""".stripMargin
+      s"""WITH edges AS (
+         |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |st AS (SELECT (15 * (1000000000000 // count(*))) // 100 AS base,
+         |              1000000000000 // count(*) AS r0 FROM nodes),
+         |outdeg AS (SELECT src, count(*) AS c FROM edges GROUP BY src),
+         |r0 AS (SELECT node, st.r0 AS r FROM nodes CROSS JOIN st),
+         |${(0 until 4).map(it).mkString(",\n")}
+         |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r4
+         |ORDER BY rank_micro DESC, node LIMIT 20""".stripMargin
+    }) {
+      (s, d) => {
+        val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        graft.operators.Graphs.pageRankMicro(edges, iterations = 4)
+          .orderBy(col("rank_micro").desc, col("node")).limit(20)
+      }
+    },
+
+    // COLUMN PROFILING (Deequ-style audit): rows/nulls/distincts/
+    // min/max for four orders columns in ONE aggregate over ONE scan,
+    // reshaped long with a local inline — the input-validation pass a
+    // pipeline runs before trusting a new snapshot. Exact distincts
+    // here (the multi-distinct Expand is the documented cost; the
+    // operator's approxDistinct flag is the 100 TB path, accuracy-
+    // gated separately by q79/q80). The oracle computes each column's
+    // stats as its own SELECT — per-column scans are fine for DuckDB,
+    // the single-pass shape is the Spark side's contract.
+    QueryDef.sql("q117_column_profile", {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |       count(*) - count($c) AS n_null,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_val,
+           |       CAST(max($c) AS VARCHAR) AS max_val FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(one).mkString("\nUNION ALL\n")
+    }) {
+      (s, d) =>
+        graft.operators.Profiling.columnProfile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    },
+
+    // Z-ORDER (Morton) layout key: interleave the low 20 bits of
+    // (l_partkey, l_suppkey) into one clustering value — sorting a
+    // written table by it gives min/max pruning on EITHER dimension
+    // from one layout (the Delta/Iceberg Z-ORDER mechanism). The key
+    // is a stateless codegen'd shift/mask fold; the oracle rebuilds it
+    // with pure integer arithmetic ((x // 2^i) % 2 weights), so the
+    // gate witnesses bit-exactness of the interleave itself.
+    QueryDef.sql("q118_zorder_key", {
+      val terms = (0 until 20).flatMap { i =>
+        Seq(s"((l_partkey // ${1L << i}) % 2) * ${BigInt(1) << (2 * i)}",
+          s"((l_suppkey // ${1L << i}) % 2) * ${BigInt(1) << (2 * i + 1)}")
+      }
+      s"""SELECT l_orderkey, l_linenumber,
+         |       CAST(${terms.mkString(" + ")} AS BIGINT) AS zval
+         |FROM lineitem""".stripMargin
+    }) {
+      (s, d) =>
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.zValue(col("l_partkey"), col("l_suppkey"), 20)
+            .as("zval"))
     }
   )
 }

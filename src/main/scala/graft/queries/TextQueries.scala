@@ -1170,6 +1170,31 @@ object TextQueries {
       (s, d) =>
         Sampling.weightedByHash(Tables.documents(s, d), "doc_id",
           col("n_chars"), expectedK = 50)
+    },
+
+    // ORDER-INDEPENDENT TABLE CHECKSUM: xxhash64(doc_id, lang) per row
+    // (the seed-chained multi-column path: the long hash of doc_id
+    // seeds the byte hash of lang), summed EXACTLY in decimal(38,0) —
+    // integer addition commutes, so any partitioning/order gives the
+    // same value — folded to a BIGINT mod 2^63−1. The cross-snapshot
+    // "did anything change" primitive: one scan, map-side-combinable
+    // sum, no sort, no row diff. The oracle rebuilds the full chained
+    // XXH64 (long path seeding the byte path) and sums in HUGEINT.
+    QueryDef.sql("q119_table_checksum", {
+      import XxHash64Sql._
+      val (steps, h) = hashLongSteps(s2u("doc_id"), "42", "CK")
+      val (ctes, last) = chainCtes("documents", steps, "ckc")
+      val p = "9223372036854775807"
+      s"""WITH $ctes,
+         |${hashBytesCtes(last, "lang", h)}
+         |SELECT count(*) AS n_rows,
+         |       CAST(((sum(CAST(${u2s("xxh")} AS HUGEINT)) % $p) + $p) % $p
+         |            AS BIGINT) AS checksum
+         |FROM hb""".stripMargin
+    }) {
+      (s, d) =>
+        graft.operators.Integrity.tableChecksum(Tables.documents(s, d),
+          Seq(col("doc_id"), col("lang")))
     }
   )
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the engine-utility operators: PageRank, profiling,
+  * z-order layout keys, table checksums.
+  */
+class EngineOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("engine-ops")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("pageRankMicro: star graph ranks the hub above the spokes, mass conserved at teleport floor") {
+    import spark.implicits._
+    // spokes 1..4 all point at hub 0; hub points at node 1
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L))
+      .toDF("src", "dst")
+    val r = Graphs.pageRankMicro(edges, iterations = 4)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("rank_micro")).toMap
+    assert(r.size === 5)
+    // the 0<->1 cycle oscillates between iterations (finite fixed
+    // iteration count, by contract) — so compare each of the cycle
+    // nodes against the teleport-only spokes, not against each other
+    assert(r(0L) > r(2L))                    // hub gets 4 in-links
+    assert(r(1L) > r(2L))                    // node 1 gets the hub's mass
+    assert(r(2L) === r(3L) && r(3L) === r(4L)) // symmetric spokes tie exactly
+    CacheRegistry.releaseAll()
+  }
+
+  test("pageRankMicro is deterministic across runs and partitionings") {
+    import spark.implicits._
+    val edges = (1L to 50L).map(i => (i, i % 7)).toDF("src", "dst")
+    val a = Graphs.pageRankMicro(edges, iterations = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+    CacheRegistry.releaseAll()
+    val b = Graphs.pageRankMicro(edges.repartition(13), iterations = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+    CacheRegistry.releaseAll()
+    assert(a === b)
+  }
+
+  test("columnProfile counts nulls and distincts per column in one row each") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
+      .toDF("id", "s")
+    val out = Profiling.columnProfile(df, Seq("id", "s"))
+      .collect().map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_null"),
+          r.getAs[Long]("n_distinct"), r.getAs[String]("min_val"),
+          r.getAs[String]("max_val"))).toMap
+    assert(out("id") === ((4L, 0L, 4L, "1", "4")))
+    assert(out("s") === ((4L, 1L, 2L, "a", "b")))
+  }
+
+  test("columnProfile approxDistinct avoids the Expand and stays within HLL tolerance") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("id")
+    val exact = Profiling.columnProfile(df, Seq("id"))
+    val approx = Profiling.columnProfile(df, Seq("id"), approxDistinct = true)
+    val expands = approx.queryExecution.executedPlan.toString()
+    assert(!expands.contains("Expand"),
+      "approx profile must be a plain single-pass aggregate")
+    val nd = approx.collect().head.getAs[Long]("n_distinct")
+    assert(math.abs(nd - 1000L) <= 50L) // HLL++ default rsd 5%
+    assert(exact.collect().head.getAs[Long]("n_distinct") === 1000L)
+  }
+
+  test("zValue interleaves bits exactly (hand example) and orders locally") {
+    import spark.implicits._
+    // x=0b11, y=0b01 -> bits: x0->1, y0->2, x1->4, y1->0 => z=7
+    val out = Seq((3L, 1L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 4).as("z")).collect()
+    assert(out.head.getLong(0) === 7L)
+    // z of (x,y) and (x+1,y) in a 2x2 quad share the high bits
+    val z00 = Seq((4L, 4L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 4)).collect().head.getLong(0)
+    val z11 = Seq((5L, 5L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 4)).collect().head.getLong(0)
+    assert(z11 - z00 === 3L) // quad-local: (4,4)..(5,5) span exactly one quad
+  }
+
+  test("tableChecksum is order-independent and detects single-row changes") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val a = Integrity.tableChecksum(df, Seq(col("id"), col("v"))).collect().head
+    val b = Integrity.tableChecksum(df.orderBy(rand(7)).repartition(11),
+      Seq(col("id"), col("v"))).collect().head
+    assert(a.getAs[Long]("checksum") === b.getAs[Long]("checksum"))
+    assert(a.getAs[Long]("n_rows") === 100L)
+    val mutated = df.withColumn("v",
+      when(col("id") === 42L, lit("changed")).otherwise(col("v")))
+    val c = Integrity.tableChecksum(mutated, Seq(col("id"), col("v"))).collect().head
+    assert(c.getAs[Long]("checksum") !== a.getAs[Long]("checksum"))
+  }
+}
