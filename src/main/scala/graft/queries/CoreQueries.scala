@@ -1801,37 +1801,13 @@ object CoreQueries {
       }
     },
 
-    // PIVOT (long→wide): per-source language distribution as one row
-    // per source with a column per language — the cross-tab shape every
-    // mixture report ends in. Spark's relational pivot with an EXPLICIT
-    // value list compiles to ONE pass (a single aggregate with one
-    // conditional count per pivot value — no per-value scans, no
-    // two-phase distinct-discovery job, which is why the value list
-    // matters at scale); absent (source, lang) combos are real zeros
-    // via na.fill, matching the oracle's FILTER counts. src6/fr,
-    // src14/de, src18/zh are absent in the data, so the zero path is
-    // genuinely exercised.
-    QueryDef.sql("q114_pivot",
-      """SELECT source,
-        |       count(*) FILTER (WHERE lang = 'de') AS de,
-        |       count(*) FILTER (WHERE lang = 'en') AS en,
-        |       count(*) FILTER (WHERE lang = 'es') AS es,
-        |       count(*) FILTER (WHERE lang = 'fr') AS fr,
-        |       count(*) FILTER (WHERE lang = 'zh') AS zh
-        |FROM documents GROUP BY source""".stripMargin) {
-      (s, d) =>
-        Tables.documents(s, d)
-          .groupBy("source")
-          .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
-          .agg(count(lit(1)))
-          .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))
-    },
-
-    // UNPIVOT / MELT (wide→long): the inverse reshape over the same
-    // cross-tab — Spark's native unpivot (ids=source, variable column
-    // lang, value column n_docs) restores the long form INCLUDING the
-    // zero rows the pivot materialized, which a plain GROUP BY never
-    // had; the oracle builds them with a source × lang spine left-join.
+    // UNPIVOT / MELT (wide→long): the inverse reshape of q58's pivot —
+    // Spark's native unpivot (ids=source, variable column lang, value
+    // column n_docs) over a per-source language cross-tab restores the
+    // long form INCLUDING the zero rows the pivot materialized, which
+    // a plain GROUP BY never had; the oracle builds them with a
+    // source × lang spine left-join (src6/fr, src14/de, src18/zh are
+    // absent in the data, so the zero path is genuinely exercised).
     // unpivot is a zero-shuffle row-expansion (each wide row emits its
     // value columns locally), so the only exchange in the plan is the
     // pivot aggregate it consumes.
