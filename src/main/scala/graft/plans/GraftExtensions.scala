@@ -56,7 +56,14 @@ object GraftExtensions {
     NfcNormalize(exprs.head)
   }
 
+  private[plans] val cmSketchBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 3, "cm_sketch(x, depth, width)")
+    CountMinSketchAgg(exprs.head, intLiteral(exprs(1), "cm_sketch depth"),
+      intLiteral(exprs(2), "cm_sketch width")).toAggregateExpression()
+  }
+
   private val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("cm_sketch", classOf[CountMinSketchAgg], cmSketchBuilder),
     ("word_shingles", classOf[WordShingles], wordShinglesBuilder),
     ("simhash64", classOf[SimHash64], simhash64Builder),
     ("cosine_sim", classOf[CosineSimilarity], cosineSimBuilder),

@@ -1919,6 +1919,76 @@ object CoreQueries {
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
           graft.operators.Layout.zValue(col("l_partkey"), col("l_suppkey"), 20)
             .as("zval"))
+    },
+
+    // COUNT-MIN SKETCH as a custom Catalyst TypedImperativeAggregate
+    // (plans.CountMinSketchAgg, SQL-registered as cm_sketch): the
+    // approximate-frequency path for heavy-hitter questions where an
+    // exact per-key count would shuffle every distinct key. The hash
+    // family is the engine's own seed-chained xxhash64(i, x), and cell
+    // adds commute, so the 3×256 sketch is BIT-IDENTICAL under any
+    // partitioning — the oracle rebuilds the whole sketch relationally
+    // from the bit-exact XXH64 chains (width 256 is a power of two, so
+    // the oracle's unsigned bucket mod equals Spark's signed pmod) and
+    // answers the same point queries: five probes incl. one absent key,
+    // est = min over rows, alongside the exact counts (est >= exact is
+    // the CM guarantee, visible in the gated rows).
+    QueryDef.sql("q120_count_min", {
+      import XxHash64Sql._
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.sql.types.LongType
+      val depth = 3; val width = 256
+      val probeVals = Seq(1L, 2L, 3L, 500L, 999999L)
+      def seedU64(i: Int): String = {
+        val sgn = XxHash64Function.hash(i.toLong, LongType, 42L)
+        (if (sgn < 0) BigInt(sgn) + (BigInt(1) << 64) else BigInt(sgn)).toString
+      }
+      var rowCtes = List.empty[String]
+      var rowSrc = "lineitem"
+      val rowH = (0 until depth).map { i =>
+        val (steps, h) = hashLongSteps(s2u("l_partkey"), seedU64(i), s"R$i")
+        val (c, last) = chainCtes(rowSrc, steps, s"rc$i")
+        rowCtes :+= c; rowSrc = last; h
+      }
+      var prCtes = List.empty[String]
+      var prSrc = "pr"
+      val prH = (0 until depth).map { i =>
+        val (steps, h) = hashLongSteps(s2u("pk"), seedU64(i), s"P$i")
+        val (c, last) = chainCtes(prSrc, steps, s"pc$i")
+        prCtes :+= c; prSrc = last; h
+      }
+      val cells = (0 until depth).map(i =>
+        s"cells$i AS (SELECT (((${rowH(i)}) % $width) + $width) % $width AS b, " +
+          s"count(*) AS c FROM $rowSrc GROUP BY 1)")
+      val pb = s"pb AS (SELECT pk, " +
+        (0 until depth).map(i =>
+          s"(((${prH(i)}) % $width) + $width) % $width AS b$i").mkString(", ") +
+        s" FROM $prSrc)"
+      val joins = (0 until depth).map(i =>
+        s"LEFT JOIN cells$i c$i ON pb.b$i = c$i.b").mkString(" ")
+      s"""WITH pr AS (SELECT CAST(unnest([${probeVals.mkString(", ")}]) AS BIGINT) AS pk),
+         |${rowCtes.mkString(",\n")},
+         |${prCtes.mkString(",\n")},
+         |${cells.mkString(",\n")},
+         |$pb,
+         |exact AS (SELECT l_partkey AS pk, count(*) AS n FROM lineitem GROUP BY 1)
+         |SELECT pb.pk, coalesce(e.n, 0) AS exact_n,
+         |       least(${(0 until depth).map(i => s"coalesce(c$i.c, 0)").mkString(", ")}) AS cm_est
+         |FROM pb $joins LEFT JOIN exact e ON pb.pk = e.pk""".stripMargin
+    }) {
+      (s, d) => {
+        import s.implicits._
+        val sk = Tables.lineitem(s, d).agg(
+          graft.plans.CountMinSketch.sketch(col("l_partkey"), 3, 256).as("sk"))
+        val probes = Seq(1L, 2L, 3L, 500L, 999999L).toDF("pk")
+        val exact = Tables.lineitem(s, d).groupBy(col("l_partkey").as("pk"))
+          .agg(count(lit(1)).as("n"))
+        probes.join(exact, Seq("pk"), "left_outer")
+          .crossJoin(broadcast(sk))
+          .select(col("pk"), coalesce(col("n"), lit(0L)).as("exact_n"),
+            graft.plans.CountMinSketch.estimate(col("sk"), col("pk"), 3, 256)
+              .as("cm_est"))
+      }
     }
   )
 }

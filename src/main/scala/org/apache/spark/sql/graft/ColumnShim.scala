@@ -32,6 +32,7 @@ object ColumnShim {
 object TypeShim {
   import org.apache.spark.sql.types._
   val oneString: Seq[AbstractDataType] = Seq(StringType)
+  val oneLong: Seq[AbstractDataType] = Seq(LongType)
   val oneFloatArray: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   val twoFloatArrays: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))

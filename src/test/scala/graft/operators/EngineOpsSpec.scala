@@ -99,4 +99,35 @@ class EngineOpsSpec extends AnyFunSuite {
     val c = Integrity.tableChecksum(mutated, Seq(col("id"), col("v"))).collect().head
     assert(c.getAs[Long]("checksum") !== a.getAs[Long]("checksum"))
   }
+
+  test("cm_sketch: identical under repartitioning, est >= exact, mass conserved per row") {
+    import spark.implicits._
+    import graft.plans.CountMinSketch
+    val df = (1L to 500L).flatMap(i => Seq.fill((i % 7 + 1).toInt)(i)).toDF("k")
+    val a = df.agg(CountMinSketch.sketch(col("k"), 3, 64)).collect()
+      .head.getSeq[Long](0)
+    val b = df.repartition(17).agg(CountMinSketch.sketch(col("k"), 3, 64))
+      .collect().head.getSeq[Long](0)
+    assert(a === b) // commutative cell adds: partitioning-proof
+    val total = df.count()
+    (0 until 3).foreach { r =>
+      assert(a.slice(r * 64, (r + 1) * 64).sum === total) // each row sees every item
+    }
+    val sk = df.agg(CountMinSketch.sketch(col("k"), 3, 64).as("sk"))
+    val est = df.groupBy("k").agg(count(lit(1)).as("exact"))
+      .crossJoin(broadcast(sk))
+      .select(col("k"), col("exact"),
+        CountMinSketch.estimate(col("sk"), col("k"), 3, 64).as("est"))
+      .collect()
+    assert(est.forall(r => r.getAs[Long]("est") >= r.getAs[Long]("exact")))
+  }
+
+  test("cm_sketch is SQL-callable after runtime registration") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    (1L to 100L).toDF("id").createOrReplaceTempView("cm_ids")
+    val arr = spark.sql("SELECT cm_sketch(id, 2, 32) AS sk FROM cm_ids")
+      .collect().head.getSeq[Long](0)
+    assert(arr.length === 64 && arr.sum === 200L)
+  }
 }
