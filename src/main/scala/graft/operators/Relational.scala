@@ -177,6 +177,35 @@ object Relational {
     * The phase-2 array sort is in-memory per group; the win is that no
     * single reducer receives the hot key's full row stream.
     */
+  /** Apply a CDC batch to a base snapshot (Delta-style MERGE: upsert +
+    * delete): `changes` carries the base's columns plus `opCol` with
+    * 'U' (insert-or-replace) or 'D' (delete tombstone), ONE row per
+    * key — reduce a raw CDC stream with [[latestVersion]] first (the
+    * streaming twin of this operator is
+    * `streaming.EventStreams.currentView`). Result = base rows whose
+    * key has no change, plus the 'U' payloads.
+    *
+    * Scale shape: ONE anti-join of base against the change keys (base
+    * shuffles once on the key — or not at all when AQE measures the
+    * change batch broadcast-small, the common nightly-CDC case) and a
+    * shuffle-free union with the filtered changes. No full-outer join,
+    * no coalesce-per-column: the per-column merge is unnecessary when
+    * 'U' rows carry whole replacement rows, which is what log-compacted
+    * CDC feeds deliver. Unknown ops fail the job (an in-plan
+    * raise_error guard, not a driver-side pre-scan) rather than
+    * silently dropping rows.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
+               opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val checkedOp = when(col(opCol).isin("U", "D"), col(opCol))
+      .otherwise(raise_error(concat(lit("applyCdc: unknown op "), col(opCol))))
+    val untouched = base.join(
+      changes.select(keys.map(col): _*), keys, "left_anti")
+    untouched.unionByName(
+      changes.filter(checkedOp === "U").drop(opCol))
+  }
+
   def collectOrderedSalted(child: DataFrame, keys: Seq[String], ord: String,
                            payload: Seq[String], colName: String,
                            salts: Int = 32): DataFrame = {

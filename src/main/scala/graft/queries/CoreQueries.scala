@@ -1989,6 +1989,51 @@ object CoreQueries {
             graft.plans.CountMinSketch.estimate(col("sk"), col("pk"), 3, 256)
               .as("cm_est"))
       }
+    },
+
+    // CDC APPLY / MERGE (Delta-style upsert+delete): a change batch —
+    // 'U' rows replacing every orderkey ≡ 5 (mod 10) at doubled price,
+    // 'D' tombstones for every orderkey ≡ 0 (mod 10) — applied to the
+    // orders snapshot via `Relational.applyCdc`: ONE anti-join of base
+    // against change keys (AQE broadcasts the batch when it measures
+    // small — the nightly-CDC case) + a shuffle-free unionByName of the
+    // 'U' payloads. No full-outer join, no per-column coalesce: whole-
+    // row 'U' payloads are what log-compacted CDC feeds deliver. The
+    // streaming twin (tombstoned current view) is
+    // `EventStreams.currentView`, spec-gated.
+    QueryDef.sql("q121_cdc_apply",
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice * 2 AS o_totalprice, o_orderdate,
+        |         o_orderpriority, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 10 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, 'D' AS op
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |merged AS (
+        |  SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderstatus
+        |  FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM changes c
+        |                    WHERE c.o_orderkey = o.o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |  FROM changes WHERE op = 'U')
+        |SELECT o_orderkey, o_custkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |       o_orderstatus
+        |FROM merged""".stripMargin) {
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val ups = o.filter(col("o_orderkey") % 10 === 5)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("op", lit("U"))
+        val dels = o.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("op", lit("D"))
+        applyCdc(o, ups.unionByName(dels), Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            cents(col("o_totalprice")).as("price_cents"), col("o_orderstatus"))
+      }
     }
   )
 }

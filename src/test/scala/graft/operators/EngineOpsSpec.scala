@@ -130,4 +130,49 @@ class EngineOpsSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0)
     assert(arr.length === 64 && arr.sum === 200L)
   }
+
+  test("z-ordered layout bounds per-file min/max on BOTH dimensions from one sort key") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val n = 1 << 14
+    val df = (0L until n).map(i => (i % 128, i / 128)).toDF("x", "y")
+      .withColumn("z", Layout.zValue(col("x"), col("y"), 7))
+    // one range-sort by z = the layout write; 16 files
+    df.repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(dir)
+    // per-file [min,max] of each dimension — exactly the footer stats
+    // parquet min/max skipping consults. A z-contiguous file covers a
+    // LOCAL region of the (x,y) plane, so a tight range on EITHER
+    // dimension intersects only a minority of files; a plain x-sort
+    // would bound x but leave every file spanning all of y.
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    assert(files.size === 16)
+    val stats = files.map { f =>
+      spark.read.parquet(f)
+        .agg(min("x"), max("x"), min("y"), max("y")).collect().head
+    }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def overlapX(lo: Long, hi: Long) =
+      stats.count { case (xl, xh, _, _) => xh >= lo && xl < hi }
+    def overlapY(lo: Long, hi: Long) =
+      stats.count { case (_, _, yl, yh) => yh >= lo && yl < hi }
+    // width-8 slices (1/16 of each 128-wide domain)
+    assert(overlapX(8, 16) <= 8, s"x slice hits ${overlapX(8, 16)}/16 files")
+    assert(overlapY(8, 16) <= 8, s"y slice hits ${overlapY(8, 16)}/16 files")
+  }
+
+  test("applyCdc upserts, deletes, and rejects unknown ops") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq((2L, "B", "U"), (3L, "c", "D"), (4L, "d", "U"))
+      .toDF("id", "v", "op")
+    val out = Relational.applyCdc(base, changes, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "a", 2L -> "B", 4L -> "d")) // 3 deleted, 2 replaced, 4 inserted
+    val badOps = Seq((9L, "x", "Z")).toDF("id", "v", "op")
+    val ex = intercept[Exception] {
+      Relational.applyCdc(base, badOps, Seq("id")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
