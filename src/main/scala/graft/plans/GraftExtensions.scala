@@ -62,8 +62,15 @@ object GraftExtensions {
       intLiteral(exprs(2), "cm_sketch width")).toAggregateExpression()
   }
 
+  private[plans] val hllRegistersBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 2, "hll_registers(x, m)")
+    HllRegistersAgg(exprs.head, intLiteral(exprs(1), "hll_registers m"))
+      .toAggregateExpression()
+  }
+
   private val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("cm_sketch", classOf[CountMinSketchAgg], cmSketchBuilder),
+    ("hll_registers", classOf[HllRegistersAgg], hllRegistersBuilder),
     ("word_shingles", classOf[WordShingles], wordShinglesBuilder),
     ("simhash64", classOf[SimHash64], simhash64Builder),
     ("cosine_sim", classOf[CosineSimilarity], cosineSimBuilder),

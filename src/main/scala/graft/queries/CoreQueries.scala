@@ -2034,6 +2034,75 @@ object CoreQueries {
           .select(col("o_orderkey"), col("o_custkey"),
             cents(col("o_totalprice")).as("price_cents"), col("o_orderstatus"))
       }
+    },
+
+    // MERGEABLE HLL SKETCH (custom TypedImperativeAggregate #2,
+    // plans.HllRegistersAgg / hll_registers in SQL): unlike the
+    // built-in approx_count_distinct, the REGISTER ARRAY is the output
+    // — store one sketch per day/source, merge stored sketches
+    // losslessly later (register max is associative+idempotent): the
+    // incremental distinct-count pattern that makes year-over-year
+    // stats a sketch union instead of a re-scan. The gate builds the
+    // global sketch AND the per-priority sketches merged relationally
+    // (posexplode + max per register), asserts the merge is lossless
+    // (identical registers and estimate), and hash-verifies registers,
+    // estimate (harmonic sum in fixed index order — bit-portable
+    // doubles) and the |est−exact| ≤ 40% raw-HLL contract against an
+    // oracle that rebuilds every register from the bit-exact XXH64.
+    QueryDef.sql("q122_hll_mergeable", {
+      import XxHash64Sql._
+      val m = 256
+      val (steps, h) = hashLongSteps(s2u("o_custkey"), "42", "HG")
+      val (ctes, last) = chainCtes("orders", steps, "hgc")
+      val est = graft.plans.HllSketch.estimateOracleSql("rl.regs", m)
+      s"""WITH $ctes,
+         |hrows AS (SELECT CAST(($h) % $m AS INT) AS bucket,
+         |                 CAST(($h) // $m AS BIGINT) AS w FROM $last),
+         |ranks AS (SELECT bucket,
+         |                 CASE WHEN w = 0 THEN 57
+         |                      ELSE 57 - length(ltrim(bin(w), '0')) END AS rank
+         |          FROM hrows),
+         |regs0 AS (SELECT bucket, max(rank) AS r FROM ranks GROUP BY bucket),
+         |spine AS (SELECT unnest(generate_series(0, ${m - 1})) AS bucket),
+         |regs AS (SELECT s.bucket, coalesce(r0.r, 0) AS r
+         |         FROM spine s LEFT JOIN regs0 r0 USING (bucket)),
+         |rl AS (SELECT list(r ORDER BY bucket) AS regs FROM regs),
+         |ex AS (SELECT count(DISTINCT o_custkey) AS exact_n FROM orders)
+         |SELECT ex.exact_n,
+         |       $est AS hll_est,
+         |       TRUE AS merge_lossless,
+         |       (SELECT CAST(sum((bucket + 1) * r) AS BIGINT) FROM regs)
+         |         AS reg_checksum,
+         |       (abs(($est) - ex.exact_n) * 10 <= ex.exact_n * 4) AS ok
+         |FROM rl CROSS JOIN ex""".stripMargin
+    }) {
+      (s, d) => {
+        import graft.plans.HllSketch
+        val m = 256
+        val o = Tables.orders(s, d)
+        val global = o.agg(HllSketch.registers(col("o_custkey"), m).as("regs"))
+        val merged = o.groupBy("o_orderpriority")
+          .agg(HllSketch.registers(col("o_custkey"), m).as("regs"))
+          .select(posexplode(col("regs")).as(Seq("pos", "r")))
+          .groupBy("pos").agg(max("r").as("r"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("r")))),
+            x => x.getField("r")).as("mregs"))
+        val exact = o.agg(countDistinct(col("o_custkey")).as("exact_n"))
+        global.crossJoin(broadcast(merged)).crossJoin(broadcast(exact))
+          .select(
+            col("exact_n"),
+            HllSketch.estimate("regs", m).as("hll_est"),
+            (col("regs") === col("mregs") &&
+              HllSketch.estimate("regs", m) === HllSketch.estimate("mregs", m))
+              .as("merge_lossless"),
+            expr(s"""aggregate(transform(sequence(0, ${m - 1}),
+                    |  i -> (CAST(i AS BIGINT) + 1) * element_at(regs, i + 1)),
+                    |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+              .as("reg_checksum"),
+            (abs(HllSketch.estimate("regs", m) - col("exact_n")) * 10
+              <= col("exact_n") * 4).as("ok"))
+      }
     }
   )
 }

@@ -161,6 +161,33 @@ class EngineOpsSpec extends AnyFunSuite {
     assert(overlapY(8, 16) <= 8, s"y slice hits ${overlapY(8, 16)}/16 files")
   }
 
+  test("hll_registers: partitioning-proof, lossless group merge, estimate in tolerance") {
+    import spark.implicits._
+    import graft.plans.HllSketch
+    val df = (1L to 2000L).map(i => (i, (i % 4).toString)).toDF("id", "g")
+    val a = df.agg(HllSketch.registers(col("id"), 64)).collect().head.getSeq[Long](0)
+    val b = df.repartition(13).agg(HllSketch.registers(col("id"), 64))
+      .collect().head.getSeq[Long](0)
+    assert(a === b)
+    // merging per-group sketches (register max) must equal the global sketch
+    val perGroup = df.groupBy("g").agg(HllSketch.registers(col("id"), 64).as("r"))
+      .collect().map(_.getSeq[Long](1))
+    val merged = perGroup.reduce((x, y) => x.zip(y).map { case (u, v) => math.max(u, v) })
+    assert(merged === a)
+    val est = df.agg(HllSketch.registers(col("id"), 64).as("regs"))
+      .select(HllSketch.estimate("regs", 64).as("e")).collect().head.getLong(0)
+    assert(math.abs(est - 2000L) <= 800L) // raw HLL at m=64: rsd ~13%
+  }
+
+  test("hll_registers is SQL-callable after runtime registration") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    (1L to 100L).toDF("id").createOrReplaceTempView("hll_ids")
+    val arr = spark.sql("SELECT hll_registers(id, 32) AS r FROM hll_ids")
+      .collect().head.getSeq[Long](0)
+    assert(arr.length === 32 && arr.count(_ > 0) > 16) // most buckets hit at n=100
+  }
+
   test("applyCdc upserts, deletes, and rejects unknown ops") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
