@@ -2103,6 +2103,24 @@ object CoreQueries {
             (abs(HllSketch.estimate("regs", m) - col("exact_n")) * 10
               <= col("exact_n") * 4).as("ok"))
       }
+    },
+
+    // SKETCH-PRUNED EXACT HEAVY HITTERS (Sketches.heavyHitters): keys
+    // with true frequency >= 650, found by broadcasting a count-min
+    // sketch back over the stream and exactly counting ONLY rows whose
+    // estimate clears the bar — CM never underestimates, so the prune
+    // has zero false negatives, and the final exact re-filter makes
+    // collisions cost candidates, never correctness. The aggregate
+    // shuffle carries candidate-key rows only (at a billion-key long
+    // tail: orders of magnitude under the full HAVING groupBy); the
+    // oracle states the SEMANTIC contract — a plain HAVING — which the
+    // exotic plan must reproduce exactly.
+    QueryDef.sql("q123_heavy_hitters",
+      """SELECT l_suppkey AS key, count(*) AS n
+        |FROM lineitem GROUP BY 1 HAVING count(*) >= 650""".stripMargin) {
+      (s, d) =>
+        graft.operators.Sketches.heavyHitters(
+          Tables.lineitem(s, d), col("l_suppkey"), threshold = 650)
     }
   )
 }

@@ -188,6 +188,21 @@ class EngineOpsSpec extends AnyFunSuite {
     assert(arr.length === 32 && arr.count(_ > 0) > 16) // most buckets hit at n=100
   }
 
+  test("heavyHitters equals the exact HAVING answer on a long-tailed stream") {
+    import spark.implicits._
+    // 5 heavy keys (150..400 occurrences) over a 2000-key long tail
+    val heavy = (1L to 5L).flatMap(k => Seq.fill((100 * k + 50).toInt)(k))
+    val tail = (100L until 2100L).flatMap(k => Seq.fill(3)(k))
+    val df = scala.util.Random.shuffle(heavy ++ tail).toDF("k")
+    val got = Sketches.heavyHitters(df, col("k"), threshold = 100, width = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.groupBy("k").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want) // exact despite the tiny, collision-heavy 3x64 sketch
+    assert(want.size === 5)
+  }
+
   test("applyCdc upserts, deletes, and rejects unknown ops") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
