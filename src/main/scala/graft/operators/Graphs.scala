@@ -83,4 +83,52 @@ object Graphs {
     }
     r.select(col("node"), col("r").cast("long").as("rank_micro"))
   }
+
+  /** Exact triangle count of an undirected simple graph (edge list
+    * with a ≠ b, one row per edge in either order) — the clustering /
+    * community-density primitive. Wedge-join algorithm with DEGREE
+    * ORIENTATION: each edge is directed from its (degree, id)-smaller
+    * endpoint to the larger, which caps every node's out-degree at
+    * O(√m) on any graph — the per-node wedge count, and therefore the
+    * join's intermediate size, is bounded by m^1.5 instead of
+    * Σ deg² (quadratic in the hubs' degrees on a skewed graph: the
+    * difference between feasible and not at 100 TB). A triangle
+    * a–b–c with a<b<c in orientation order is found exactly once: as
+    * the wedge (b, c) at a, closed by the oriented edge b→c — one
+    * equi-join, no OR conditions, no double counting.
+    *
+    * Shuffle shape: degree count (one agg), two broadcast-or-shuffle
+    * joins to attach degrees, the wedge self-join on src, the closing
+    * left-semi equi-join on (b, c). The oriented edge list is consumed
+    * three times and persists under the [[CacheRegistry]] lifecycle.
+    * Returns one row (n_edges, n_triangles).
+    */
+  def triangleCount(edges: DataFrame, aCol: String = "a",
+                    bCol: String = "b"): DataFrame = {
+    val e = CacheRegistry.register(
+      edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val flip = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = CacheRegistry.register(
+      e.join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+        .select(when(flip, col("a")).otherwise(col("b")).as("src"),
+          when(flip, col("b")).otherwise(col("a")).as("dst"),
+          when(flip, col("db")).otherwise(col("da")).as("dd"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val wedges = o.as("o1").join(o.as("o2"),
+        col("o1.src") === col("o2.src") &&
+          (col("o1.dd") < col("o2.dd") ||
+            (col("o1.dd") === col("o2.dd") && col("o1.dst") < col("o2.dst"))))
+      .select(col("o1.dst").as("wb"), col("o2.dst").as("wc"))
+    val closed = wedges.join(
+      o.select(col("src").as("wb"), col("dst").as("wc")), Seq("wb", "wc"),
+      "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_triangles"))))
+  }
 }

@@ -2121,6 +2121,54 @@ object CoreQueries {
       (s, d) =>
         graft.operators.Sketches.heavyHitters(
           Tables.lineitem(s, d), col("l_suppkey"), threshold = 650)
+    },
+
+    // TRIANGLE COUNTING (graph analytics #3, after connected
+    // components q55 and PageRank q116): exact triangles of the
+    // supplier co-occurrence graph (suppliers sharing ≥ 5 orders —
+    // the threshold keeps the co-occurrence graph a strong-tie graph
+    // rather than a near-clique). Degree orientation caps every
+    // node's out-degree at O(√m), so the wedge self-join's
+    // intermediate is m^1.5-bounded instead of hub-degree-quadratic —
+    // the skew-proofing that makes triangle counting feasible on
+    // power-law graphs at scale; the closing edge is ONE equi-join
+    // (orientation makes b→c deterministic), no OR predicates.
+    // Sanity anchor: at sf0.01 the graph is the complete K100, whose
+    // count must be exactly C(100,3) = 161700.
+    QueryDef.sql("q124_triangles",
+      """WITH e AS (
+        |  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |    AND l1.l_suppkey < l2.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) t
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+        |              THEN e.a ELSE e.b END AS src,
+        |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+        |              THEN e.b ELSE e.a END AS dst,
+        |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+        |              THEN db.d ELSE da.d END AS dd
+        |  FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+        |    AND ((o1.dd < o2.dd) OR (o1.dd = o2.dd AND o1.dst < o2.dst))
+        |  JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst)
+        |SELECT (SELECT count(*) FROM e) AS n_edges, n_triangles FROM tri""".stripMargin) {
+      (s, d) => {
+        val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val edges = l.select(col("l_orderkey"), col("l_suppkey").as("a"))
+          .join(l.select(col("l_orderkey"), col("l_suppkey").as("b")),
+            Seq("l_orderkey"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 5).select("a", "b")
+        graft.operators.Graphs.triangleCount(edges)
+      }
     }
   )
 }

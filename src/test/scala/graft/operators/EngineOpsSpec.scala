@@ -203,6 +203,21 @@ class EngineOpsSpec extends AnyFunSuite {
     assert(want.size === 5)
   }
 
+  test("triangleCount: hand graphs (K4, diagonal square, star) count exactly") {
+    import spark.implicits._
+    def count(edges: Seq[(Long, Long)]): (Long, Long) = {
+      val r = Graphs.triangleCount(edges.toDF("a", "b")).collect().head
+      CacheRegistry.releaseAll()
+      (r.getAs[Long]("n_edges"), r.getAs[Long]("n_triangles"))
+    }
+    // K4: C(4,3) = 4 triangles
+    assert(count(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))) === ((6L, 4L)))
+    // square + one diagonal: two triangles
+    assert(count(Seq((1L,2L),(2L,3L),(3L,4L),(4L,1L),(1L,3L))) === ((5L, 2L)))
+    // star: no triangles at all (hub degree 5, orientation must not blow up or miscount)
+    assert(count(Seq((9L,1L),(9L,2L),(9L,3L),(9L,4L),(9L,5L))) === ((5L, 0L)))
+  }
+
   test("applyCdc upserts, deletes, and rejects unknown ops") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
