@@ -206,6 +206,50 @@ object Relational {
       changes.filter(checkedOp === "U").drop(opCol))
   }
 
+  /** Build an SCD-2 (slowly-changing-dimension, type 2) version history
+    * from an append-only change log: one row per VERSION of each key's
+    * state, with `valid_from` / `valid_to` bounds, a 1-based `version`
+    * number and an `is_current` flag — the time-travel twin of
+    * [[applyCdc]] (which keeps only the latest state). Consecutive log
+    * rows that repeat the same state are collapsed into the open
+    * version; a state only opens a new version when it DIFFERS
+    * (null-safely) from the key's previous state.
+    *
+    * `ordCol` must be a numeric/orderable column (e.g. epoch-µs) — it
+    * becomes the validity bound; `tieCols` break equal-`ordCol` ties
+    * deterministically (same-instant changes produce zero-width
+    * versions in tie order, never nondeterminism). `valid_to` is the
+    * next version's `valid_from` (half-open intervals, NULL while
+    * current).
+    *
+    * Scale shape: both windows partition by the SAME keys, and the
+    * change-collapse filter between them preserves distribution, so
+    * the whole history builds on ONE exchange of the log (the second
+    * window re-sorts within partitions, it does not re-shuffle). No
+    * self-join: lag-compare finds the change rows, lead closes the
+    * intervals.
+    */
+  def scd2Historize(log: DataFrame, keys: Seq[String], ordCol: String,
+                    stateCols: Seq[String],
+                    tieCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(stateCols.nonEmpty, "stateCols must be non-empty")
+    val ord = (ordCol +: tieCols).map(col)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val state = struct(stateCols.map(col): _*)
+    val changes = log
+      .withColumn("__open", !(state <=> lag(state, 1).over(w)))
+      .filter(col("__open")).drop("__open")
+    changes
+      .withColumn("valid_from", col(ordCol))
+      .withColumn("valid_to", lead(col(ordCol), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keys ++ stateCols).map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("version"),
+          col("is_current")): _*)
+  }
+
   def collectOrderedSalted(child: DataFrame, keys: Seq[String], ord: String,
                            payload: Seq[String], colName: String,
                            salts: Int = 32): DataFrame = {

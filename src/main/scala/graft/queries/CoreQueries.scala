@@ -2169,6 +2169,44 @@ object CoreQueries {
           .filter(col("c") >= 5).select("a", "b")
         graft.operators.Graphs.triangleCount(edges)
       }
+    },
+
+    // SCD-2 HISTORIZATION (the time-travel twin of q121's CDC apply):
+    // build the full versioned state history of each user's
+    // event_type from the append-only event log — one row per
+    // VERSION, half-open [valid_from, valid_to) epoch-µs intervals,
+    // consecutive same-state rows collapsed, 1-based version numbers,
+    // is_current on the open interval. Both windows share ONE
+    // exchange: the change-collapse filter preserves the user_id
+    // partitioning, so the lead/row_number pass re-sorts without
+    // re-shuffling. Ties on ts break by event_id (deterministic
+    // zero-width versions, never engine-dependent order).
+    QueryDef.sql("q125_scd2_history",
+      """WITH s AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+        |         lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |ch AS (
+        |  SELECT user_id, event_type, t, event_id FROM s
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, t AS valid_from_us,
+        |       lead(t) OVER w2 AS valid_to_us,
+        |       row_number() OVER w2 AS version,
+        |       (lead(t) OVER w2 IS NULL) AS is_current
+        |FROM ch
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id)""".stripMargin) {
+      (s, d) => {
+        val log = Tables.events(s, d).select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("t_us"),
+          col("event_id"))
+        graft.operators.Relational.scd2Historize(log, Seq("user_id"),
+            "t_us", Seq("event_type"), tieCols = Seq("event_id"))
+          .select(col("user_id"), col("event_type"),
+            col("valid_from").as("valid_from_us"),
+            col("valid_to").as("valid_to_us"),
+            col("version").cast("long").as("version"), col("is_current"))
+      }
     }
   )
 }

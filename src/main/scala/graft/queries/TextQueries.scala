@@ -1195,6 +1195,46 @@ object TextQueries {
       (s, d) =>
         graft.operators.Integrity.tableChecksum(Tables.documents(s, d),
           Seq(col("doc_id"), col("lang")))
+    },
+
+    // BIGRAM-LM SURPRISAL (CCNet-style perplexity filtering, the LM
+    // quality signal the heuristic scores q26/q47 can't express):
+    // train an add-one-smoothed bigram model ON the corpus, score
+    // every doc by total/average surprisal. EXACT integer end to end —
+    // per-bigram −log2 P quantized to whole bits via the
+    // length(bin(x))−1 floor-log2 and an integer shift compare (both
+    // engine-portable), summed as integers: bit-identical on any
+    // partitioning. ONE explode of the text (per-doc bigram counts,
+    // map-side combinable, persisted); model tables c12/c1/V all
+    // derive from that projection — no second scan of the corpus.
+    QueryDef.sql("q126_lm_surprisal",
+      """WITH arr AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2
+        |  FROM arr WHERE len(a) >= 2),
+        |bc AS (SELECT doc_id, w1, w2, count(*) AS c FROM bi GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c12 FROM bc GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |sc AS (
+        |  SELECT bc.doc_id, bc.c,
+        |         (length(bin(c1.c1 + v.v)) - length(bin(c12.c12 + 1))) AS k0,
+        |         (c1.c1 + v.v) AS a, (c12.c12 + 1) AS b
+        |  FROM bc JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        |bits AS (
+        |  SELECT doc_id, c,
+        |         CASE WHEN a >= (b << k0) THEN k0 ELSE k0 - 1 END AS bits
+        |  FROM sc)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(bits * c) AS BIGINT) AS surprisal_bits,
+        |       CAST((1000 * sum(bits * c)) // sum(c) AS BIGINT) AS avg_millibits
+        |FROM bits GROUP BY doc_id""".stripMargin) {
+      (s, d) =>
+        graft.operators.LanguageModel.bigramSurprisal(
+          Tables.documents(s, d), "doc_id", col("text"))
     }
   )
 }

@@ -20,6 +20,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  test("bigramSurprisal: hand-computed add-one bigram bits") {
+    // Corpus: "a b", "a b", "a c" → context counts c1(a)=3, V=1.
+    // P(b|a) = (2+1)/(3+1) = 3/4 → −log2 ≈ 0.415 → 0 bits.
+    // P(c|a) = (1+1)/(3+1) = 1/2 → −log2 = 1 exactly  → 1 bit.
+    val out = LanguageModel.bigramSurprisal(
+        docs(1L -> "a b", 2L -> "a b", 3L -> "a c"), "doc_id", col("text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("surprisal_bits"),
+          r.getAs[Long]("avg_millibits")))).toMap
+    CacheRegistry.releaseAll()
+    assert(out === Map(1L -> ((1L, 0L, 0L)), 2L -> ((1L, 0L, 0L)),
+      3L -> ((1L, 1L, 1000L))))
+
+    // Rare vs dominant transition: "p q" + 9 × "p r" → c1(p)=10, V=1.
+    // P(q|p) = 2/11 → −log2 ≈ 2.46 → 2 bits; P(r|p) = 10/11 → 0 bits.
+    val skew = docs((1L -> "p q") +: (2L to 10L).map(_ -> "p r"): _*)
+    val out2 = LanguageModel.bigramSurprisal(skew, "doc_id", col("text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("surprisal_bits"))
+      .toMap
+    CacheRegistry.releaseAll()
+    assert(out2(1L) === 2L)
+    assert((2L to 10L).forall(out2(_) === 0L))
+
+    // Sub-2-token docs carry no bigram evidence and are not scored.
+    val short = LanguageModel.bigramSurprisal(
+      docs(1L -> "only", 2L -> "", 3L -> "x y"), "doc_id", col("text"))
+      .collect()
+    CacheRegistry.releaseAll()
+    assert(short.map(_.getAs[Long]("doc_id")).toSeq === Seq(3L))
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val df = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
     val out = Dedup.exact(df, "doc_id", col("text")).collect()

@@ -218,6 +218,29 @@ class EngineOpsSpec extends AnyFunSuite {
     assert(count(Seq((9L,1L),(9L,2L),(9L,3L),(9L,4L),(9L,5L))) === ((5L, 0L)))
   }
 
+  test("scd2Historize collapses repeats, versions changes, flags current") {
+    import spark.implicits._
+    // user 1: a a b a (4 events, 3 versions); user 2: x (1 version);
+    // user 1 has a same-instant tie at t=30 broken by event_id.
+    val log = Seq(
+      (1L, "a", 10L, 100L), (1L, "a", 20L, 101L),
+      (1L, "c", 30L, 103L), (1L, "b", 30L, 102L),
+      (2L, "x", 5L, 104L)
+    ).toDF("user_id", "state", "t", "event_id")
+    val h = Relational.scd2Historize(log, Seq("user_id"), "t",
+        Seq("state"), tieCols = Seq("event_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("state"),
+        r.getAs[Long]("valid_from"), Option(r.getAs[Any]("valid_to")),
+        r.getAs[Int]("version"), r.getAs[Boolean]("is_current")))
+      .sortBy(r => (r._1, r._5))
+    assert(h === Seq(
+      (1L, "a", 10L, Some(30L), 1, false), // repeat at t=20 collapsed
+      (1L, "b", 30L, Some(30L), 2, false), // tie: id 102 before 103 — zero-width
+      (1L, "c", 30L, None, 3, true),
+      (2L, "x", 5L, None, 1, true)))
+  }
+
   test("applyCdc upserts, deletes, and rejects unknown ops") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
