@@ -1,10 +1,40 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout keys for write-side data clustering. */
 object Layout {
+
+  /** Write `df` as a BUCKETED table: hash-partitioned into `buckets`
+    * files per partition on `keys`, optionally sorted within each
+    * bucket. Bucketing is the write-once/join-forever layout: two
+    * tables bucketed on their join key with the same bucket count
+    * join WITHOUT any exchange (EnsureRequirements sees the
+    * HashPartitioning already satisfied by the scan), and groupBy on
+    * the bucket key skips its shuffle the same way. At 100 TB this is
+    * the difference between re-shuffling a fact table on every query
+    * and shuffling it once at ingest — the Spark-native equivalent of
+    * the reference's pre-sorted on-disk runs (SURVEY.md §2 O2/O3,
+    * `planet-dump-ng` sorts each table once and every consumer reads
+    * the sorted run). Sorted buckets additionally give merge-join
+    * without a sort step.
+    *
+    * The table lands in the session catalog (`spark.table(name)` to
+    * read it back, bucket metadata intact). Overwrites any previous
+    * table of the same name — bucketed layouts are rebuilt, not
+    * appended to, when the bucket spec changes.
+    */
+  def writeBucketed(df: DataFrame, name: String, buckets: Int,
+                    keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+             else w
+    ws.format("parquet").saveAsTable(name)
+  }
 
   /** Z-order (Morton) key: interleave the low `bits` bits of two
     * non-negative dimensions — x in the even output bits, y in the
