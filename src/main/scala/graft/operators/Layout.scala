@@ -23,12 +23,26 @@ object Layout {
     * The table lands in the session catalog (`spark.table(name)` to
     * read it back, bucket metadata intact). Overwrites any previous
     * table of the same name — bucketed layouts are rebuilt, not
-    * appended to, when the bucket spec changes.
+    * appended to, when the bucket spec changes. A warehouse location
+    * left behind by a FORGOTTEN table (session catalogs die with the
+    * session; the filesystem does not) is removed first — without
+    * this, the second session to ever run the job dies on
+    * LOCATION_ALREADY_EXISTS. `name` must be a simple (unqualified)
+    * table identifier.
     */
   def writeBucketed(df: DataFrame, name: String, buckets: Int,
                     keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty, "keys must be non-empty")
     require(buckets >= 1, s"buckets must be positive, got $buckets")
+    require(!name.contains(".") && !name.contains("`"),
+      s"name must be a simple table identifier, got $name")
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(name)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val w = df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
     val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)

@@ -218,37 +218,6 @@ class EngineOpsSpec extends AnyFunSuite {
     assert(count(Seq((9L,1L),(9L,2L),(9L,3L),(9L,4L),(9L,5L))) === ((5L, 0L)))
   }
 
-  test("bucketed co-located join and bucket-key groupBy plan without a shuffle") {
-    import spark.implicits._
-    val warehouse = new java.io.File("spark-warehouse")
-    val a = (1L to 1000L).map(i => (i, i * 3)).toDF("k", "va")
-    val b = (1L to 1000L).map(i => (i, s"n$i")).toDF("k", "vb")
-    val bcast = "spark.sql.autoBroadcastJoinThreshold"
-    val prev = spark.conf.get(bcast)
-    try {
-      Layout.writeBucketed(a, "bkt_spec_a", 8, Seq("k"), Seq("k"))
-      Layout.writeBucketed(b, "bkt_spec_b", 8, Seq("k"), Seq("k"))
-      spark.conf.set(bcast, "-1") // force the sort-merge path; no broadcast escape hatch
-      val j = spark.table("bkt_spec_a").join(spark.table("bkt_spec_b"), "k")
-      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
-        "bucketed equi-join must not shuffle")
-      assert(j.count() === 1000L)
-      val g = spark.table("bkt_spec_a").groupBy("k").count()
-      assert(!g.queryExecution.executedPlan.toString.contains("Exchange"),
-        "bucket-key aggregate must not shuffle")
-      assert(g.count() === 1000L)
-      // a NON-bucket-key join still shuffles — the assertion above is
-      // about the layout, not a property of small plans in general
-      val off = spark.table("bkt_spec_a")
-        .join(spark.table("bkt_spec_b").withColumnRenamed("k", "va"), "va")
-      assert(off.queryExecution.executedPlan.toString.contains("Exchange"))
-    } finally {
-      spark.conf.set(bcast, prev)
-      spark.sql("DROP TABLE IF EXISTS bkt_spec_a")
-      spark.sql("DROP TABLE IF EXISTS bkt_spec_b")
-    }
-  }
-
   test("scd2Historize collapses repeats, versions changes, flags current") {
     import spark.implicits._
     // user 1: a a b a (4 events, 3 versions); user 2: x (1 version);

@@ -111,21 +111,12 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("bucketed tables join without a shuffle") {
     val d = "/root/testdata/sf0.001"
-    // the shared-session warehouse may hold leftover dirs from earlier
-    // runs whose in-memory catalog has forgotten them — clear both
-    Seq("orders_b", "lineitem_b").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = java.nio.file.Paths.get(
-        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
-      if (java.nio.file.Files.exists(loc)) {
-        java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.delete(f))
-      }
-    }
-    graft.Tables.orders(spark, d).write.mode("overwrite")
-      .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
-    graft.Tables.lineitem(spark, d).write.mode("overwrite")
-      .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+    // writeBucketed itself clears catalog-forgotten warehouse leftovers
+    // from earlier JVMs — that behavior is under test here too
+    Layout.writeBucketed(graft.Tables.orders(spark, d), "orders_b", 4,
+      Seq("o_orderkey"), sortCols = Seq("o_orderkey"))
+    Layout.writeBucketed(graft.Tables.lineitem(spark, d), "lineitem_b", 4,
+      Seq("l_orderkey"), sortCols = Seq("l_orderkey"))
     val joined = spark.table("lineitem_b")
       .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus").count()
@@ -134,6 +125,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 1, s"expected no join-side shuffles, plan:\n$plan")
     assert(joined.agg(sum("count")).head.getLong(0) === 6000L)
+    // a bucket-key aggregate skips its shuffle the same way
+    val g = spark.table("lineitem_b").groupBy("l_orderkey").count()
+    assert(!g.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bucket-key aggregate must not shuffle")
+    // negative control: joining on a NON-bucket column still shuffles —
+    // the assertions above are about the layout, not small-plan luck
+    val off = spark.table("lineitem_b")
+      .join(spark.table("orders_b"), col("l_partkey") === col("o_custkey"))
+    assert(off.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
   test("AQE splits a skewed join partition (the docstrings' skew posture, demonstrated)") {
