@@ -241,6 +241,56 @@ class EngineOpsSpec extends AnyFunSuite {
       (2L, "x", 5L, None, 1, true)))
   }
 
+  test("scd2Historize: current versions agree with latestVersion on random logs") {
+    import spark.implicits._
+    // deterministic pseudo-random log: 40 keys × 30 events, state drawn
+    // from 4 values so runs both collapse and change
+    val rnd = new scala.util.Random(7)
+    val log = (for { k <- 1L to 40L; i <- 1L to 30L } yield
+      (k, s"s${rnd.nextInt(4)}", i * 10 + rnd.nextInt(3), k * 1000 + i))
+      .toDF("k", "state", "t", "seq")
+    val hist = Relational.scd2Historize(log, Seq("k"), "t",
+      Seq("state"), tieCols = Seq("seq"))
+    // every key has exactly one open (is_current) version...
+    val cur = hist.filter(col("is_current"))
+      .select("k", "state").as[(Long, String)].collect().toMap
+    assert(cur.size === 40)
+    // ...and it matches the independent latest-per-key view
+    val latest = Relational.latestVersion(log, Seq("k"),
+        Seq(col("t"), col("seq")))
+      .select("k", "state").as[(Long, String)].collect().toMap
+    assert(cur === latest)
+    // intervals chain: each non-current valid_to equals the next valid_from
+    val bad = hist.as("a").join(hist.as("b"),
+        col("a.k") === col("b.k") &&
+          col("a.version") + 1 === col("b.version") &&
+          !(col("a.valid_to") <=> col("b.valid_from")))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("triangleCount agrees with a brute-force count on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = (for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.25
+      } yield (a.toLong, b.toLong)).toSeq
+      val adj = edges.toSet
+      val expect = (for {
+        a <- 1 to n; b <- (a + 1) to n; c <- (b + 1) to n
+        if adj((a.toLong, b.toLong)) && adj((b.toLong, c.toLong)) &&
+          adj((a.toLong, c.toLong))
+      } yield 1).size.toLong
+      val r = Graphs.triangleCount(edges.toDF("a", "b")).collect().head
+      CacheRegistry.releaseAll()
+      assert(r.getAs[Long]("n_edges") === edges.size.toLong)
+      assert(r.getAs[Long]("n_triangles") === expect,
+        s"seed $seed: got ${r.getAs[Long]("n_triangles")}, want $expect")
+    }
+  }
+
   test("applyCdc upserts, deletes, and rejects unknown ops") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
