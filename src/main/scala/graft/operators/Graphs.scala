@@ -84,6 +84,50 @@ object Graphs {
     r.select(col("node"), col("r").cast("long").as("rank_micro"))
   }
 
+  /** Co-occurrence (association) graph construction from (basket,
+    * item) rows — the market-basket / co-citation / shared-order
+    * primitive that feeds [[triangleCount]], [[pageRankMicro]] and
+    * [[Dedup.connectedComponents]]. Emits one undirected edge
+    * (a, b, n_shared) per item pair appearing together in at least
+    * `minShared` DISTINCT baskets (duplicate (basket, item) rows count
+    * once — "shared baskets", not "shared rows").
+    *
+    * The scale hazard of any co-occurrence build is the per-basket
+    * pair fan-out: a basket of k items emits C(k,2) pairs, so ONE
+    * viral basket (a 100k-item order, a bot's session) emits billions
+    * of rows into the self-join. `maxBasketSize` drops over-cap
+    * baskets WHOLE before pairing — the same hot-bucket blacklist
+    * discipline as the LSH band join (`Dedup.bandJoinVerify`); a
+    * basket that large is uninformative for association anyway
+    * (its pairs are noise, exactly like an every-doc LSH bucket).
+    * Bounded fan-out: ≤ C(maxBasketSize, 2) pairs per basket, on any
+    * skew.
+    *
+    * Shuffle shape: one distinct on (basket, item) — the projection
+    * persists under the [[CacheRegistry]] lifecycle because sizes and
+    * pairing both consume it — one size aggregate reusing that
+    * partitioning, the pair self-join on basket, and the map-side-
+    * combinable pair-count aggregate that the `minShared` filter
+    * prunes before it leaves the reducers.
+    */
+  def cooccurrenceEdges(df: DataFrame, keyCol: String, itemCol: String,
+                        minShared: Long = 2,
+                        maxBasketSize: Long = 10000): DataFrame = {
+    require(minShared >= 1, s"minShared must be positive, got $minShared")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val items = CacheRegistry.register(
+      df.select(col(keyCol).as("k"), col(itemCol).as("i")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val kept = items.join(
+      items.groupBy("k").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBasketSize).select("k"), Seq("k"))
+    kept.as("x").join(kept.as("y"),
+        col("x.k") === col("y.k") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("a"), col("y.i").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact triangle count of an undirected simple graph (edge list
     * with a ≠ b, one row per edge in either order) — the clustering /
     * community-density primitive. Wedge-join algorithm with DEGREE

@@ -2125,21 +2125,32 @@ object CoreQueries {
 
     // TRIANGLE COUNTING (graph analytics #3, after connected
     // components q55 and PageRank q116): exact triangles of the
-    // supplier co-occurrence graph (suppliers sharing ≥ 5 orders —
-    // the threshold keeps the co-occurrence graph a strong-tie graph
-    // rather than a near-clique). Degree orientation caps every
-    // node's out-degree at O(√m), so the wedge self-join's
-    // intermediate is m^1.5-bounded instead of hub-degree-quadratic —
-    // the skew-proofing that makes triangle counting feasible on
+    // supplier co-occurrence graph (suppliers sharing ≥ 5 DISTINCT
+    // orders — the threshold keeps the co-occurrence graph a
+    // strong-tie graph rather than a near-clique). The edge build is
+    // `Graphs.cooccurrenceEdges`: distinct (order, supplier) baskets,
+    // a hot-basket cap bounding per-order pair fan-out at C(cap, 2)
+    // (the LSH hot-bucket discipline — one viral basket would
+    // otherwise emit quadratic pairs), pair counts map-side
+    // combinable. Degree orientation then caps every node's
+    // out-degree at O(√m), so the wedge self-join's intermediate is
+    // m^1.5-bounded instead of hub-degree-quadratic — the
+    // skew-proofing that makes triangle counting feasible on
     // power-law graphs at scale; the closing edge is ONE equi-join
     // (orientation makes b→c deterministic), no OR predicates.
     // Sanity anchor: at sf0.01 the graph is the complete K100, whose
     // count must be exactly C(100,3) = 161700.
     QueryDef.sql("q124_triangles",
-      """WITH e AS (
-        |  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b
-        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-        |    AND l1.l_suppkey < l2.l_suppkey
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_suppkey AS i FROM lineitem),
+        |kept AS (
+        |  SELECT items.k, items.i FROM items
+        |  JOIN (SELECT k, count(*) AS n FROM items GROUP BY 1) sz
+        |    ON items.k = sz.k
+        |  WHERE sz.n <= 1000),
+        |e AS (
+        |  SELECT x.i AS a, y.i AS b
+        |  FROM kept x JOIN kept y ON x.k = y.k AND x.i < y.i
         |  GROUP BY 1, 2 HAVING count(*) >= 5),
         |deg AS (
         |  SELECT node, count(*) AS d FROM (
@@ -2160,13 +2171,10 @@ object CoreQueries {
         |  JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst)
         |SELECT (SELECT count(*) FROM e) AS n_edges, n_triangles FROM tri""".stripMargin) {
       (s, d) => {
-        val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-        val edges = l.select(col("l_orderkey"), col("l_suppkey").as("a"))
-          .join(l.select(col("l_orderkey"), col("l_suppkey").as("b")),
-            Seq("l_orderkey"))
-          .filter(col("a") < col("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 5).select("a", "b")
+        val edges = graft.operators.Graphs.cooccurrenceEdges(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          "l_orderkey", "l_suppkey", minShared = 5, maxBasketSize = 1000)
+          .select("a", "b")
         graft.operators.Graphs.triangleCount(edges)
       }
     },

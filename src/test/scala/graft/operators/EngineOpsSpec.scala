@@ -203,6 +203,22 @@ class EngineOpsSpec extends AnyFunSuite {
     assert(want.size === 5)
   }
 
+  test("cooccurrenceEdges: distinct-basket counts, minShared, hot-basket drop") {
+    import spark.implicits._
+    // baskets: 10{1,2,3}, 11{1,2}, 12{1,2} (item 1 duplicated in 11 —
+    // must count once), 13{1..6} over the cap of 5 — dropped whole
+    val rows = Seq((10L,1L),(10L,2L),(10L,3L),(11L,1L),(11L,1L),(11L,2L),
+      (12L,1L),(12L,2L)) ++ (1L to 6L).map(i => (13L, i))
+    val e = Graphs.cooccurrenceEdges(rows.toDF("b", "it"), "b", "it",
+        minShared = 2, maxBasketSize = 5)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("n_shared"))).toSet
+    CacheRegistry.releaseAll()
+    // without the cap-drop, the hot basket would lift (1,2) to 4 and
+    // admit pairs like (4,5); without distinct, (1,2) would be 4 too
+    assert(e === Set((1L, 2L, 3L)))
+  }
+
   test("triangleCount: hand graphs (K4, diagonal square, star) count exactly") {
     import spark.implicits._
     def count(edges: Seq[(Long, Long)]): (Long, Long) = {
