@@ -203,6 +203,42 @@ object EventStreams {
       }
   }
 
+  /** foreachBatch CDC bridge — the streaming-to-warehouse sink twin of
+    * [[currentView]]: where currentView keeps the latest state IN
+    * stream state, this maintains it in an external batch SNAPSHOT
+    * (parquet dir, Delta/Iceberg table, JDBC — whatever the supplied
+    * `read`/`write` address). Each micro-batch is first compacted to
+    * ONE row per key (last-writer-wins by `ordCols`, via the
+    * partial-aggregatable [[graft.operators.Relational.latestVersionAgg]])
+    * and then MERGEd with [[graft.operators.Relational.applyCdc]] —
+    * so a batch of a billion CDC rows touching a million keys shuffles
+    * a million compacted rows into the merge, and the snapshot scan
+    * anti-joins once per trigger.
+    *
+    * Plug the result into `stream.writeStream.foreachBatch(...)`.
+    * foreachBatch gives at-least-once batch delivery on restart; the
+    * compact+merge is idempotent for replayed batches (re-applying the
+    * same 'U'/'D' rows converges to the same snapshot), which is the
+    * standard exactly-once-effect recipe for this sink shape. The
+    * caller's `write` must land the new snapshot atomically (temp dir
+    * + rename, or a transactional table format) — this helper
+    * deliberately does not pick a storage format.
+    */
+  def cdcForeachBatch(keys: Seq[String], ordCols: Seq[String],
+                      opCol: String = "op")(
+      read: () => DataFrame,
+      write: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(ordCols.nonEmpty, "ordCols must be non-empty")
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val compacted = graft.operators.Relational.latestVersionAgg(
+          batch, keys, ordCols.map(col))
+        write(graft.operators.Relational.applyCdc(
+          read(), compacted, keys, opCol))
+      }
+  }
+
   /** Streaming exact dedup: drop events whose `event_id` was already
     * seen, keeping state only within the watermark horizon — the
     * streaming form of Dedup.exact for at-least-once sources

@@ -179,6 +179,35 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cdcForeachBatch maintains an external snapshot across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (id, v, payload, op) CDC rows; snapshot held in a driver var for
+    // the spec — production supplies atomic read/write of a real store
+    var snapshot = Seq.empty[(Long, Long, String)].toDF("id", "v", "payload")
+    val input = MemoryStream[(Long, Long, String, String)]
+    val sink = EventStreams.cdcForeachBatch(Seq("id"), Seq("v"))(
+      () => snapshot,
+      merged => snapshot = merged.collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toDF("id", "v", "payload"))
+    val q = input.toDF().toDF("id", "v", "payload", "op")
+      .writeStream.foreachBatch(sink).outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: two inserts, with an in-batch stale duplicate for id 1
+      // that last-writer-wins compaction must drop
+      input.addData((1L, 2L, "a2", "U"), (1L, 1L, "a1", "U"), (2L, 1L, "b", "U"))
+      q.processAllAvailable()
+      assert(snapshot.orderBy("id").collect().map(r => (r.getLong(0), r.getString(2)))
+        .toSeq === Seq(1L -> "a2", 2L -> "b"))
+      // batch 2: update id 1, delete id 2, insert id 3
+      input.addData((1L, 3L, "a3", "U"), (2L, 2L, "b", "D"), (3L, 1L, "c", "U"))
+      q.processAllAvailable()
+      assert(snapshot.orderBy("id").collect().map(r => (r.getLong(0), r.getString(2)))
+        .toSeq === Seq(1L -> "a3", 3L -> "c"))
+    } finally q.stop()
+  }
+
   test("file-source readStream over events parquet") {
     val dir = java.nio.file.Files.createTempDirectory("evt-stream").toString
     // stage a copy of the events table as the stream source directory
