@@ -50,6 +50,61 @@ object Layout {
     ws.format("parquet").saveAsTable(name)
   }
 
+  /** Small-file compaction (the lakehouse OPTIMIZE primitive): rewrite
+    * a parquet directory into ≈`targetBytes` files. Streaming ingest,
+    * per-trigger CDC snapshots and fine-grained partition writes all
+    * accumulate kilobyte files; at 100 TB the resulting
+    * task-per-tiny-file scheduling and footer-read overhead dominate
+    * scan cost long before the data does, so compaction is a
+    * first-class maintenance operator, not a nicety.
+    *
+    * File count = ceil(current bytes / targetBytes) (parquet re-encodes
+    * so this over-estimates output size — conservative in the safe
+    * direction). With `sortCols` the rewrite range-partitions + sorts
+    * within files instead of hash-scattering, so each output file owns
+    * a tight min/max envelope on the sort key — combine with
+    * [[zValue]] for two-dimensional stats pruning. The rewrite lands
+    * in `<dir>.compact.tmp` first and swaps in with two renames —
+    * atomic on HDFS-like filesystems; on rename-as-copy object stores
+    * run it under the table format's transaction (this operator
+    * deliberately owns only the plain-directory case).
+    *
+    * Returns (files_before, files_after, bytes).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetBytes: Long = 128L << 20,
+              sortCols: Seq[String] = Nil): (Long, Long, Long) = {
+    require(targetBytes >= 1, s"targetBytes must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    val parts = fs.listStatus(path).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    require(parts.nonEmpty, s"compact: no data files under $dir")
+    val bytes = parts.map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(dir)
+    val out =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(n, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(n)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact.tmp")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(dir + ".compact.old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(path, bak) || !fs.rename(tmp, path))
+      throw new java.io.IOException(s"compact: swap failed for $dir")
+    fs.delete(bak, true)
+    val after = fs.listStatus(path).count { s =>
+      val nm = s.getPath.getName
+      s.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+    }
+    (parts.length.toLong, after.toLong, bytes)
+  }
+
   /** Z-order (Morton) key: interleave the low `bits` bits of two
     * non-negative dimensions — x in the even output bits, y in the
     * odd — so that sorting by the single z value keeps rows close in

@@ -203,6 +203,28 @@ class EngineOpsSpec extends AnyFunSuite {
     assert(want.size === 5)
   }
 
+  test("compact rewrites a many-small-file dir to few files, content-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact-test").toString + "/t"
+    (1L to 5000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(40).write.parquet(dir)
+    val before = graft.operators.Integrity.tableChecksum(
+      spark.read.parquet(dir), Seq(col("id"), col("v"))).collect().head
+    val (nb, na, bytes) = Layout.compact(spark, dir, targetBytes = 1L << 30,
+      sortCols = Seq("id"))
+    assert(nb === 40L && na === 1L && bytes > 0L)
+    // order-independent checksum: identical rows survived the rewrite
+    val after = graft.operators.Integrity.tableChecksum(
+      spark.read.parquet(dir), Seq(col("id"), col("v"))).collect().head
+    assert(after === before)
+    // sorted rewrite: the single file's min/max envelope is the full range
+    assert(spark.read.parquet(dir).agg(min("id"), max("id")).head ===
+      org.apache.spark.sql.Row(1L, 5000L))
+    // leftovers from the swap are gone
+    assert(!new java.io.File(dir + ".compact.tmp").exists)
+    assert(!new java.io.File(dir + ".compact.old").exists)
+  }
+
   test("cooccurrenceEdges: distinct-basket counts, minShared, hot-basket drop") {
     import spark.implicits._
     // baskets: 10{1,2,3}, 11{1,2}, 12{1,2} (item 1 duplicated in 11 —
