@@ -136,6 +136,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(off.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("directory-partitioned write prunes non-matching partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("part-prune").toString + "/t"
+    graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .write.partitionBy("event_type").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = one.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning),
+    // not PushedFilters (row-group stats) and not a post-scan Filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_type"),
+      s"expected event_type in PartitionFilters:\n$plan")
+    val total = spark.read.parquet(dir).count()
+    val clicks = one.count()
+    assert(clicks > 0 && clicks < total)
+    // pruned scan reads strictly fewer files than the full scan —
+    // collect() on the SAME QueryExecution so its scan metrics populate
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves().flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    }
+    assert(filesRead(one) < filesRead(spark.read.parquet(dir)))
+  }
+
   test("AQE splits a skewed join partition (the docstrings' skew posture, demonstrated)") {
     // The driver provides no sf1 skew dataset, so the skew claims are
     // exercised here at spec scale: thresholds scaled down so the same
