@@ -104,11 +104,13 @@ object Graphs {
     * skew.
     *
     * Shuffle shape: one distinct on (basket, item) — the projection
-    * persists under the [[CacheRegistry]] lifecycle because sizes and
-    * pairing both consume it — one size aggregate reusing that
-    * partitioning, the pair self-join on basket, and the map-side-
-    * combinable pair-count aggregate that the `minShared` filter
-    * prunes before it leaves the reducers.
+    * persists under the [[CacheRegistry]] lifecycle because the size
+    * aggregate and the pairing both consume it (no re-scan of the
+    * input) — then a size aggregate of that cached projection (its
+    * own small shuffle on basket; AQE broadcasts the kept-basket set
+    * back when it measures small), the pair self-join on basket, and
+    * the map-side-combinable pair-count aggregate that the
+    * `minShared` filter prunes before it leaves the reducers.
     */
   def cooccurrenceEdges(df: DataFrame, keyCol: String, itemCol: String,
                         minShared: Long = 2,
