@@ -206,6 +206,49 @@ object Relational {
       changes.filter(checkedOp === "U").drop(opCol))
   }
 
+  /** Generate the CDC batch BETWEEN two snapshots — the producer side
+    * of [[applyCdc]] (which consumes one): emits 'U' rows for keys
+    * inserted or whose payload changed (carrying the NEW payload) and
+    * 'D' tombstones for keys that vanished (carrying the OLD payload,
+    * so downstreams can audit what was deleted). Unchanged keys emit
+    * NOTHING — the point of shipping a diff instead of the snapshot.
+    * Algebraic contract (spec-enforced):
+    * `applyCdc(old, snapshotDiff(old, new), keys) == new`.
+    *
+    * This is how a 100 TB incremental pipeline avoids re-shipping the
+    * corpus: diff yesterday's curated snapshot against today's, ship
+    * the (typically tiny) batch, apply downstream. Scale shape: ONE
+    * full-outer join on the key (each snapshot shuffles once — or
+    * pre-bucket both sides on the key via [[Layout.writeBucketed]]
+    * and it plans with no exchange at all), a null-safe struct
+    * compare, no windows. Both snapshots must share the key + payload
+    * schema.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String], opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(oldSnap.columns.toSeq == newSnap.columns.toSeq,
+      s"snapshots must share a schema: ${oldSnap.columns.toSeq} vs " +
+        s"${newSnap.columns.toSeq}")
+    val payload = oldSnap.columns.toIndexedSeq.filterNot(keys.contains)
+    require(payload.nonEmpty,
+      "snapshots need at least one non-key column (use a semi/anti join " +
+        "for pure key-set diffs)")
+    val o = oldSnap.select(keys.map(col) :+
+      struct(payload.map(col): _*).as("__old"): _*)
+    val n = newSnap.select(keys.map(col) :+
+      struct(payload.map(col): _*).as("__new"): _*)
+    o.join(n, keys, "full_outer")
+      .filter(!(col("__old") <=> col("__new")))
+      .select(keys.map(col) ++
+        // pick the side by WHOLE-STRUCT presence, never per column — a
+        // changed row may legitimately null a column, and coalesce
+        // would resurrect the old value
+        payload.map(c => when(col("__new").isNotNull, col(s"__new.$c"))
+          .otherwise(col(s"__old.$c")).as(c)) :+
+        when(col("__new").isNotNull, lit("U")).otherwise(lit("D")).as(opCol): _*)
+  }
+
   /** Build an SCD-2 (slowly-changing-dimension, type 2) version history
     * from an append-only change log: one row per VERSION of each key's
     * state, with `valid_from` / `valid_to` bounds, a 1-based `version`

@@ -2251,6 +2251,43 @@ object CoreQueries {
             sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
               * 100).cast("long")).cast("long").as("revenue_cents"))
       }
+    },
+
+    // SNAPSHOT DIFF / CDC GENERATION (the producer side of q121's
+    // applyCdc — diff two snapshots into the minimal 'U'/'D' batch;
+    // how an incremental pipeline ships a delta instead of the
+    // corpus). ONE full-outer join on the key + a null-safe
+    // whole-struct payload compare; unchanged keys emit nothing. The
+    // spec additionally enforces the algebraic contract
+    // applyCdc(old, snapshotDiff(old, new)) == new. The synthetic new
+    // snapshot deletes keys %10=0, doubles prices on %10=5, and
+    // inserts key+10^8 copies of %10=7.
+    QueryDef.sql("q128_snapshot_diff",
+      """WITH old AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |neu AS (
+        |  SELECT k, st, CASE WHEN k % 10 = 5 THEN cents * 2 ELSE cents END AS cents
+        |  FROM old WHERE k % 10 <> 0
+        |  UNION ALL
+        |  SELECT k + 100000000, st, cents FROM old WHERE k % 10 = 7)
+        |SELECT coalesce(n.k, o.k) AS o_orderkey,
+        |       CASE WHEN n.k IS NOT NULL THEN n.st ELSE o.st END AS o_orderstatus,
+        |       CASE WHEN n.k IS NOT NULL THEN n.cents ELSE o.cents END AS price_cents,
+        |       CASE WHEN n.k IS NOT NULL THEN 'U' ELSE 'D' END AS op
+        |FROM old o FULL OUTER JOIN neu n ON o.k = n.k
+        |WHERE o.k IS NULL OR n.k IS NULL
+        |   OR (o.st, o.cents) IS DISTINCT FROM (n.st, n.cents)""".stripMargin) {
+      (s, d) => {
+        val old = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+        val neu = old.filter(col("o_orderkey") % 10 =!= 0)
+          .withColumn("price_cents", when(col("o_orderkey") % 10 === 5,
+            col("price_cents") * 2).otherwise(col("price_cents")))
+          .unionByName(old.filter(col("o_orderkey") % 10 === 7)
+            .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+        graft.operators.Relational.snapshotDiff(old, neu, Seq("o_orderkey"))
+      }
     }
   )
 }

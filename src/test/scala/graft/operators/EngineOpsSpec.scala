@@ -329,6 +329,31 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff emits U/D/changed only, and applyCdc round-trips it") {
+    import spark.implicits._
+    val old = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, Some("c"), 30L), (4L, None: Option[String], 40L))
+      .toDF("id", "v", "n")
+    val neu = Seq((1L, Some("a"), 10L),              // unchanged -> no row
+      (2L, Some("B"), 20L),                          // changed   -> U
+      (4L, Some("d"), 40L),                          // null -> value: U
+      (5L, None: Option[String], 50L))               // inserted (null v): U
+      .toDF("id", "v", "n")                          // 3 deleted -> D
+    val diff = Relational.snapshotDiff(old, neu, Seq("id"))
+    val got = diff.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got === Set(
+      (2L, Some("B"), 20L, "U"), (4L, Some("d"), 40L, "U"),
+      (5L, None, 50L, "U"), (3L, Some("c"), 30L, "D")))
+    // algebraic contract: applying the diff to old reproduces new
+    val applied = Relational.applyCdc(old, diff, Seq("id")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    val want = neu.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(applied === want)
+  }
+
   test("applyCdc upserts, deletes, and rejects unknown ops") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
