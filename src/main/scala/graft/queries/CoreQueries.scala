@@ -2279,8 +2279,13 @@ object CoreQueries {
         |WHERE o.k IS NULL OR n.k IS NULL
         |   OR (o.st, o.cents) IS DISTINCT FROM (n.st, n.cents)""".stripMargin) {
       (s, d) => {
-        val old = Tables.orders(s, d).select(col("o_orderkey"),
-          col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+        // the synthetic new snapshot derives from old twice and the
+        // diff reads old again — persist the projection so the gate
+        // scans orders ONCE (real-world old/new are distinct tables)
+        val old = graft.operators.CacheRegistry.register(
+          Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val neu = old.filter(col("o_orderkey") % 10 =!= 0)
           .withColumn("price_cents", when(col("o_orderkey") % 10 === 5,
             col("price_cents") * 2).otherwise(col("price_cents")))
