@@ -78,7 +78,14 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(conf)
-    val parts = fs.listStatus(path).filter { s =>
+    val entries = fs.listStatus(path)
+    val subdirs = entries.filter(s => s.isDirectory &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    require(subdirs.isEmpty,
+      s"compact: $dir is directory-partitioned (${subdirs.head.getPath.getName}, " +
+        s"...) — compact each leaf partition directory instead, or the " +
+        "rewrite would fold partition columns into the data files")
+    val parts = entries.filter { s =>
       val n = s.getPath.getName
       s.isFile && !n.startsWith("_") && !n.startsWith(".")
     }

@@ -223,6 +223,14 @@ class EngineOpsSpec extends AnyFunSuite {
     // leftovers from the swap are gone
     assert(!new java.io.File(dir + ".compact.tmp").exists)
     assert(!new java.io.File(dir + ".compact.old").exists)
+    // a directory-partitioned table is refused, not silently flattened
+    val pdir = java.nio.file.Files.createTempDirectory("compact-part").toString + "/p"
+    (1L to 10L).map(i => (i, i % 2)).toDF("id", "part")
+      .write.partitionBy("part").parquet(pdir)
+    val ex = intercept[IllegalArgumentException] {
+      Layout.compact(spark, pdir)
+    }
+    assert(ex.getMessage.contains("partitioned"))
   }
 
   test("cooccurrenceEdges: distinct-basket counts, minShared, hot-basket drop") {
