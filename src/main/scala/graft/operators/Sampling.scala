@@ -124,4 +124,58 @@ object Sampling {
       .filter(col("u") * col("__sumw") < col("weight") * lit(expectedK) * lit(M))
       .select("doc_id", "weight", "u")
   }
+
+  /** Temperature-scaled mixture allocation (the XLM-R/mT5 α=0.5
+    * upsampling rule): given per-source sizes, derive sampling weights
+    * w_s = ⌊√size_s⌋ and apportion an integer token `budget` across
+    * sources proportionally — the step BEFORE [[mixByBudget]], which
+    * takes the per-source budgets as given. √-scaling damps the
+    * head (a 100× larger source gets only 10× the weight) so
+    * low-resource sources aren't drowned; the integer square root is
+    * EXACT (floor(√n) from the double estimate, then a ±1
+    * cross-multiplication correction — no FP boundary can misplace
+    * it), and the division uses largest-remainder apportionment:
+    * every source gets ⌊B·w/W⌋, and the B − Σ⌊·⌋ leftover units go to
+    * the largest remainders (ties broken by source name). Result sums
+    * to EXACTLY `budget`, deterministically, on any engine.
+    *
+    * Scale shape: `perSource` is the output of a map-side-combinable
+    * groupBy (one row per source — dozens, not billions); everything
+    * after is a one-row broadcast total plus a window over dozens of
+    * rows. The corpus itself is never touched here.
+    *
+    * Input: (sourceCol, sizeCol) one row per source, sizes ≥ 0.
+    * Returns (source, <sizeCol>, weight, alloc) with Σalloc = budget.
+    */
+  def allocateBudget(perSource: DataFrame, sourceCol: String, sizeCol: String,
+                     budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val isqrt = {
+      val s0 = floor(sqrt(col(sizeCol).cast("double"))).cast("long")
+      when((s0 + 1) * (s0 + 1) <= col(sizeCol), s0 + 1)
+        .when(s0 * s0 > col(sizeCol), s0 - 1)
+        .otherwise(s0)
+    }
+    val weighted = perSource
+      .select(col(sourceCol).as("source"), col(sizeCol), isqrt.as("weight"))
+    val total = weighted.agg(sum("weight").as("__wtot"))
+    val quotas = weighted.crossJoin(broadcast(total))
+      // `div`, not `/`: Spark's / on BIGINT is fractional (double) and
+      // a 1-ULP boundary error would break Σalloc = budget exactness
+      .withColumn("__quota",
+        expr(s"CAST($budget AS BIGINT) * weight div __wtot"))
+      .withColumn("__rem", (lit(budget) * col("weight")) % col("__wtot"))
+    val leftover = quotas.agg((lit(budget) - sum("__quota")).as("__leftover"))
+    quotas.crossJoin(broadcast(leftover))
+      // partitioned by __leftover — one value for every row, so the
+      // rank is global, through a real (non-foldable) column: the
+      // single partition is bounded by contract (one row per source —
+      // dozens), not a corpus-scale reducer
+      .withColumn("__rnk", row_number().over(Window
+        .partitionBy(col("__leftover"))
+        .orderBy(col("__rem").desc, col("source"))))
+      .select(col("source"), col(sizeCol), col("weight"),
+        (col("__quota") + when(col("__rnk") <= col("__leftover"), 1L)
+          .otherwise(0L)).as("alloc"))
+  }
 }

@@ -2293,6 +2293,45 @@ object CoreQueries {
             .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
         graft.operators.Relational.snapshotDiff(old, neu, Seq("o_orderkey"))
       }
+    },
+
+    // TIME-SERIES GAP-FILL + LOCF RESAMPLE (irregular events → a
+    // regular per-user hourly grid carrying the last observed value —
+    // the feature-store / monitoring-join regularization step). The
+    // Spark side and the oracle DERIVE the same series two different
+    // ways: Spark uses the spine-free lead()+explode(sequence)
+    // formulation (agg shuffle + key window, ZERO joins — see
+    // TimeSeries.resampleLocf); the oracle builds the classic per-key
+    // calendar spine, left-joins observations, and forward-fills with
+    // last_value IGNORE NULLS — agreeing output is evidence for both.
+    // Within-bucket winner is the max-event_id row (deterministic);
+    // values in exact cents.
+    QueryDef.sql("q129_gapfill_locf",
+      """WITH obs AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+        |         arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS value_cents
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, min(bucket_ts) AS h0, max(bucket_ts) AS h1
+        |  FROM obs GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket_ts
+        |  FROM bounds),
+        |joined AS (
+        |  SELECT s.user_id, s.bucket_ts, o.value_cents,
+        |         o.user_id IS NOT NULL AS observed
+        |  FROM spine s LEFT JOIN obs o
+        |    ON s.user_id = o.user_id AND s.bucket_ts = o.bucket_ts)
+        |SELECT user_id, bucket_ts,
+        |       last_value(value_cents IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY bucket_ts
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_cents,
+        |       observed
+        |FROM joined""".stripMargin) {
+      (s, d) =>
+        graft.operators.TimeSeries.resampleLocf(
+          Tables.events(s, d), "user_id", "ts",
+          cents(col("value")), "value_cents", "event_id")
     }
   )
 }

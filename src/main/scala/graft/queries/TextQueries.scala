@@ -1235,6 +1235,46 @@ object TextQueries {
       (s, d) =>
         graft.operators.LanguageModel.bigramSurprisal(
           Tables.documents(s, d), "doc_id", col("text"))
+    },
+
+    // TEMPERATURE-SCALED MIXTURE ALLOCATION (XLM-R/mT5 α=0.5 source
+    // upsampling — derive the per-source token budgets that q69's
+    // mixByBudget consumes). Weights are EXACT integer √size (double
+    // estimate + cross-multiplied ±1 correction, so no FP boundary
+    // can misplace the floor), apportioned by largest remainder:
+    // ⌊B·w/W⌋ each, leftover units to the biggest remainders
+    // (source-name tie-break). Σalloc = B exactly on both engines —
+    // the spec asserts it structurally, this gate asserts it
+    // value-for-value. B = 1,000,000.
+    QueryDef.sql("q130_mixture_allocation",
+      """WITH sz AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |  FROM documents GROUP BY 1),
+        |sq AS (SELECT source, n_chars_total,
+        |              CAST(floor(sqrt(CAST(n_chars_total AS DOUBLE))) AS BIGINT) AS s0
+        |       FROM sz),
+        |w AS (SELECT source, n_chars_total,
+        |             CASE WHEN (s0+1)*(s0+1) <= n_chars_total THEN s0+1
+        |                  WHEN s0*s0 > n_chars_total THEN s0-1 ELSE s0 END AS weight
+        |      FROM sq),
+        |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wtot FROM w),
+        |q AS (SELECT source, n_chars_total, weight,
+        |             (1000000 * weight) // wtot AS quota,
+        |             (1000000 * weight) % wtot AS rem
+        |      FROM w, tot),
+        |l AS (SELECT CAST(1000000 - sum(quota) AS BIGINT) AS leftover FROM q),
+        |rk AS (SELECT q.*, l.leftover,
+        |              row_number() OVER (ORDER BY rem DESC, source) AS rnk
+        |       FROM q, l)
+        |SELECT source, n_chars_total, CAST(weight AS BIGINT) AS weight,
+        |       CAST(quota + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+        |            AS BIGINT) AS alloc
+        |FROM rk""".stripMargin) {
+      (s, d) =>
+        graft.operators.Sampling.allocateBudget(
+          Tables.documents(s, d).groupBy(col("source"))
+            .agg(sum("n_chars").cast("long").as("n_chars_total")),
+          "source", "n_chars_total", 1000000L)
     }
   )
 }

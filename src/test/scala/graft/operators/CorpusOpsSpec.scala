@@ -701,4 +701,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     }.toSet
     assert(run1 === expected)
   }
+
+  test("allocateBudget: hand-computed largest-remainder apportionment") {
+    import spark.implicits._
+    // sizes 4,4,1 → weights 2,2,1, W=5, B=7: quotas 2,2,1 (Σ=5),
+    // remainders 4,4,2 → the two leftover units go to a and b
+    val out = Sampling.allocateBudget(
+        Seq(("a", 4L), ("b", 4L), ("c", 1L)).toDF("source", "sz"),
+        "source", "sz", budget = 7L)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("weight"), r.getAs[Long]("alloc")))).toMap
+    assert(out === Map("a" -> ((2L, 3L)), "b" -> ((2L, 3L)),
+      "c" -> ((1L, 1L))))
+  }
+
+  test("allocateBudget: Σalloc = budget exactly, monotone in size") {
+    import spark.implicits._
+    val sizes = Seq(("s1", 7949L), ("s2", 8570L), ("s3", 1L), ("s4", 0L),
+      ("s5", 999999937L), ("s6", 123456789L))
+    val out = Sampling.allocateBudget(sizes.toDF("source", "sz"),
+        "source", "sz", budget = 1000000L)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("sz"),
+        r.getAs[Long]("alloc")))
+    assert(out.map(_._3).sum === 1000000L)
+    // √-damped but monotone: a larger source never gets less
+    for (pair <- out.sortBy(_._2).sliding(2) if pair.length == 2)
+      assert(pair(0)._3 <= pair(1)._3, s"${pair(0)} vs ${pair(1)}")
+  }
+
+  test("allocateBudget: integer square root is exact at double-rounding traps") {
+    import spark.implicits._
+    // sqrt(10^16 − 1) rounds UP to 10^8 in double; the cross-multiplied
+    // correction must floor it back. Same trap on both sides of k².
+    val k = 100000000L
+    val out = Sampling.allocateBudget(
+        Seq(("exact", k * k), ("below", k * k - 1), ("above", k * k + 1))
+          .toDF("source", "sz"),
+        "source", "sz", budget = 1000L)
+      .collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("weight")).toMap
+    assert(out === Map("exact" -> k, "below" -> (k - 1), "above" -> k))
+  }
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TimeSeriesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("timeseries-ops")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  private def events(rows: (Long, Long, Timestamp, Long)*) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "ts", "v")
+  }
+
+  private def run(df: org.apache.spark.sql.DataFrame, maxFill: Int = 100000) =
+    TimeSeries
+      .resampleLocf(df, "user_id", "ts", col("v"), "v", "event_id",
+        maxFillPerObs = maxFill)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("bucket_ts"),
+        r.getAs[Long]("v"), r.getAs[Boolean]("observed")))
+      .sortBy(t => (t._1, t._2.getTime))
+
+  test("gaps fill forward with the last observed value, per key") {
+    // user 1: hours 0 and 3 → 2 observed + 2 carried; user 2: one obs
+    val out = run(events(
+      (1L, 1L, ts(0, 10), 10L), (2L, 1L, ts(3, 5), 20L),
+      (3L, 2L, ts(1, 0), 7L)))
+    assert(out === Seq(
+      (1L, ts(0), 10L, true), (1L, ts(1), 10L, false),
+      (1L, ts(2), 10L, false), (1L, ts(3), 20L, true),
+      (2L, ts(1), 7L, true)))
+  }
+
+  test("within a bucket the max-order event wins deterministically") {
+    val out = run(events(
+      (5L, 1L, ts(0, 1), 111L), (9L, 1L, ts(0, 59), 222L),
+      (7L, 1L, ts(0, 30), 333L)))
+    assert(out === Seq((1L, ts(0), 222L, true)))
+  }
+
+  test("maxFillPerObs truncates a silent key's run and resumes at the next obs") {
+    val out = run(events(
+      (1L, 1L, ts(0), 1L), (2L, 1L, ts(10), 2L)), maxFill = 3)
+    assert(out === Seq(
+      (1L, ts(0), 1L, true), (1L, ts(1), 1L, false),
+      (1L, ts(2), 1L, false), (1L, ts(3), 1L, false),
+      (1L, ts(10), 2L, true)))
+  }
+
+  test("cross-check: lead+explode formulation equals the spine-join+LOCF plan") {
+    // A deterministic irregular series (37 events, 3 users, varying
+    // gaps) pushed through BOTH derivations: the operator's
+    // spine-free lead()+explode, and the classic per-key calendar
+    // spine left-joined to observations with last(ignoreNulls) fill.
+    val rows = (1 to 37).map { i =>
+      (i.toLong, (i % 3 + 1).toLong, ts((i * 7) % 24, (i * 13) % 60),
+        (i * 31 % 97).toLong)
+    }
+    val df = events(rows: _*)
+    val fast = run(df)
+
+    val obs = df
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket_ts"))
+      .agg(max_by(col("v"), col("event_id")).as("v"))
+    val spine = obs.groupBy("user_id")
+      .agg(min("bucket_ts").as("h0"), max("bucket_ts").as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, INTERVAL '1' hour)")).as("bucket_ts"))
+    val w = Window.partitionBy("user_id").orderBy("bucket_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val slow = spine.join(obs, Seq("user_id", "bucket_ts"), "left")
+      .select(col("user_id"), col("bucket_ts"),
+        last("v", ignoreNulls = true).over(w).as("v"),
+        col("v").isNotNull.as("observed"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("bucket_ts"),
+        r.getAs[Long]("v"), r.getAs[Boolean]("observed")))
+      .sortBy(t => (t._1, t._2.getTime))
+    assert(fast === slow)
+  }
+}
