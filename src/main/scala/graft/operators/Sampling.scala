@@ -142,7 +142,13 @@ object Sampling {
     * Scale shape: `perSource` is the output of a map-side-combinable
     * groupBy (one row per source — dozens, not billions); everything
     * after is a one-row broadcast total plus a window over dozens of
-    * rows. The corpus itself is never touched here.
+    * rows. The weighted projection is persisted (via [[CacheRegistry]]
+    * — callers release after their action) because the total and
+    * leftover scalars reach the plan as independent broadcast
+    * subqueries: without the cache each one re-executes `perSource`'s
+    * lineage, i.e. FOUR corpus scans for a dozens-of-rows result
+    * (ScanAudit caught exactly that). With it the corpus is scanned
+    * once and every scalar derives from the cached rows.
     *
     * Input: (sourceCol, sizeCol) one row per source, sizes ≥ 0.
     * Returns (source, <sizeCol>, weight, alloc) with Σalloc = budget.
@@ -156,8 +162,10 @@ object Sampling {
         .when(s0 * s0 > col(sizeCol), s0 - 1)
         .otherwise(s0)
     }
-    val weighted = perSource
-      .select(col(sourceCol).as("source"), col(sizeCol), isqrt.as("weight"))
+    val weighted = CacheRegistry.register(
+      perSource
+        .select(col(sourceCol).as("source"), col(sizeCol), isqrt.as("weight"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val total = weighted.agg(sum("weight").as("__wtot"))
     val quotas = weighted.crossJoin(broadcast(total))
       // `div`, not `/`: Spark's / on BIGINT is fractional (double) and
