@@ -1,0 +1,183 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-scale tokenizer training — byte-pair encoding (Sennrich et
+  * al. 2016), the vocabulary-building step of an LLM data pipeline.
+  *
+  * Scale design: BPE never iterates over the corpus. ONE pass builds
+  * the word-frequency table (map-side-combinable groupBy); every merge
+  * round then runs over that compact table — distinct words are
+  * ~millions at 100 TB vs trillions of corpus tokens, a ~10^6
+  * reduction, and `minWordCount` bounds it further (hapax web garbage
+  * dominates the distinct-word tail but cannot influence early
+  * merges). Per round: one pair-count aggregate + a 1-row argmax
+  * collect (the algorithm's inherent sync point — same adjudication
+  * as Lloyd iterations and the CC convergence count), then a NARROW
+  * per-word merge map (no shuffle). The word table rides
+  * round-to-round as localCheckpoint blocks (lineage would otherwise
+  * grow linearly in merges); each round's argmax action materializes
+  * its checkpoint and frees the predecessor's blocks — the same
+  * lifecycle [[Dedup.connectedComponents]] uses.
+  *
+  * Symbols are Unicode code points (`(?s).` in Java regex is
+  * code-point aware — surrogate pairs stay one symbol), i.e.
+  * character-level BPE; a byte-level variant is a representation
+  * choice on top of the same machinery.
+  */
+object Tokenization {
+
+  /** One BPE merge: at `rank`, (left, right) fused with corpus-weighted
+    * adjacent-pair count `pairN`. */
+  final case class Merge(rank: Int, left: String, right: String, pairN: Long)
+
+  /** Corpus word-frequency table: (word, n). The only corpus-wide
+    * job in tokenizer training — everything downstream is per-word. */
+  def wordCounts(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(TextFunctions.tokens(text)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  private def symbols(word: Column): Column =
+    regexp_extract_all(word, lit("(?s)."), lit(0))
+
+  /** Round-0 pair census: top `k` adjacent symbol pairs by
+    * corpus-weighted count, (left_sym, right_sym, pair_n), with a
+    * total-order tie-break (count desc, then pair) so the cut at `k`
+    * is deterministic on any engine. */
+  def bpePairStats(df: DataFrame, text: Column, k: Int = 100): DataFrame =
+    pairCounts(wordCounts(df, text).select(symbols(col("word")).as("s"), col("n")))
+      .orderBy(col("pair_n").desc, col("left_sym"), col("right_sym"))
+      .limit(k)
+
+  /** (s: array&lt;symbol&gt;, n) → corpus-weighted adjacent-pair counts.
+    * The zip-of-slices form emits each adjacent pair exactly once per
+    * word and the groupBy partial-aggregates map-side. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words.filter(size(col("s")) >= 2)
+      .select(col("n"),
+        explode(arrays_zip(
+          slice(col("s"), lit(1), size(col("s")) - 1).as("l"),
+          slice(col("s"), lit(2), size(col("s")) - 1).as("r"))).as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum("n").as("pair_n"))
+
+  /** Greedy leftmost non-overlapping application of ONE merge — the
+    * standard BPE training step ("aaa" + merge(a,a) → ["aa","a"]). */
+  private[operators] def mergeOnce(s: Seq[String], l: String, r: String): Seq[String] = {
+    val out = new ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += (l + r); i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Train `numMerges` BPE merges on the corpus. Stops early when the
+    * best remaining pair's weighted count falls below `minPairCount`
+    * (a merge seen once is noise, and the classic stop condition).
+    * `minWordCount` drops rare words from the frequency table before
+    * training — the standard vocabulary-bounding knob.
+    *
+    * Returns the ranked merge table (a local Seq: `numMerges` is
+    * hundreds to tens of thousands — driver-side by nature, like a
+    * k-means centroid array). All internal checkpoint blocks are
+    * freed before returning.
+    */
+  def trainBpe(df: DataFrame, text: Column, numMerges: Int,
+               minPairCount: Long = 2L, minWordCount: Long = 1L): Seq[Merge] = {
+    require(numMerges >= 0, s"numMerges must be non-negative, got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
+    val base0 = persistedIds
+    var words = wordCounts(df, text)
+      .filter(col("n") >= minWordCount)
+      .select(symbols(col("word")).as("s"), col("n"))
+      .localCheckpoint(true) // eager: the corpus is scanned once, HERE
+    var liveCkpt = persistedIds -- base0 // blocks backing `words`
+    var prevCkpt = Set.empty[Int]        // last round's blocks, freed
+                                         // once the current round's are live
+    val merges = ArrayBuffer.empty[Merge]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("pair_n").desc, col("left_sym"), col("right_sym"))
+        .limit(1).collect()
+      // that collect materialized the current checkpoint (first action
+      // on it) — the predecessor is unreachable from any future plan
+      free(prevCkpt); prevCkpt = Set.empty
+      if (top.isEmpty || top(0).getAs[Long]("pair_n") < minPairCount) done = true
+      else {
+        val (l, r) = (top(0).getAs[String]("left_sym"), top(0).getAs[String]("right_sym"))
+        merges += Merge(i, l, r, top(0).getAs[Long]("pair_n"))
+        val before = persistedIds
+        val next = words.as[(Seq[String], Long)]
+          .map { case (s, n) => (mergeOnce(s, l, r), n) }
+          .toDF("s", "n")
+          .localCheckpoint(false) // lazy: next round's argmax is the action
+        prevCkpt = liveCkpt
+        liveCkpt = persistedIds -- before
+        words = next
+      }
+      i += 1
+    }
+    free(prevCkpt); free(liveCkpt) // result is local — nothing else lives
+    merges.toSeq
+  }
+
+  /** Tokenize with a trained merge table: per word, repeatedly apply
+    * the lowest-rank merge present (the standard BPE encode loop —
+    * training-order replay guarantees an encode that saw the training
+    * corpus reproduces its final word segmentations). Narrow per-row
+    * transform, merge ranks broadcast. Returns (idCol, bpe_tokens). */
+  def applyBpe(df: DataFrame, idCol: String, text: Column,
+               merges: Seq[Merge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rankB = spark.sparkContext.broadcast(
+      merges.map(m => (m.left, m.right) -> m.rank).toMap)
+    df.select(col(idCol).cast("long").as("id"), TextFunctions.tokens(text).as("w"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ws) =>
+        val rank = rankB.value
+        val toks = ws.flatMap { w =>
+          // split into code points — mirrors symbols() on the training side
+          val cp = new ArrayBuffer[String]()
+          var ci = 0
+          while (ci < w.length) {
+            val cc = Character.charCount(w.codePointAt(ci))
+            cp += w.substring(ci, ci + cc); ci += cc
+          }
+          var cur: Seq[String] = cp.toSeq
+          var improved = true
+          while (improved && cur.length >= 2) {
+            var bestRank = Int.MaxValue
+            var bi = -1
+            var j = 0
+            while (j < cur.length - 1) {
+              rank.get((cur(j), cur(j + 1))).foreach { rk =>
+                if (rk < bestRank) { bestRank = rk; bi = j }
+              }
+              j += 1
+            }
+            if (bi < 0) improved = false
+            else cur = mergeOnce(cur, cur(bi), cur(bi + 1))
+          }
+          cur
+        }
+        (id, toks)
+      }
+      .toDF(idCol, "bpe_tokens")
+  }
+}

@@ -1275,6 +1275,35 @@ object TextQueries {
           Tables.documents(s, d).groupBy(col("source"))
             .agg(sum("n_chars").cast("long").as("n_chars_total")),
           "source", "n_chars_total", 1000000L)
+    },
+
+    // BPE TOKENIZER-TRAINING PAIR CENSUS (Sennrich et al. — the
+    // vocabulary-building step). This gates the SQL-expressible slice:
+    // the corpus-weighted adjacent-symbol-pair statistics every merge
+    // decision is made from (word-frequency table → zip-of-slices pair
+    // explode → weighted count), top 100 under a total order (count
+    // desc, then pair) so the cut is deterministic on both engines.
+    // The iterative trainer (Tokenization.trainBpe) and encoder
+    // (applyBpe) are spec-verified — merge rounds aggregate over the
+    // recursive term, which SQL recursion can't express; the spec
+    // cross-checks round-0 of the trainer against THIS gated census.
+    QueryDef.sql("q131_bpe_pair_stats",
+      """WITH words AS (
+        |  SELECT word, count(*) AS n FROM (
+        |    SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                       ELSE regexp_split_to_array(trim(text), '\s+') END) AS word
+        |    FROM documents) GROUP BY 1),
+        |sym AS (SELECT n, string_split(word, '') AS s FROM words),
+        |pairs AS (
+        |  SELECT n, unnest(list_zip(s[1:-2], s[2:-1])) AS p
+        |  FROM sym WHERE len(s) >= 2)
+        |SELECT p[1] AS left_sym, p[2] AS right_sym,
+        |       CAST(sum(n) AS BIGINT) AS pair_n
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY pair_n DESC, left_sym, right_sym LIMIT 100""".stripMargin) {
+      (s, d) =>
+        graft.operators.Tokenization.bpePairStats(
+          Tables.documents(s, d), col("text"), 100)
     }
   )
 }
