@@ -24,13 +24,14 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read it as raw Long ns (legacy conf) and convert to
-    * TimestampType at µs precision. NOTE the data carries real sub-µs
-    * components — truncation matches what a DuckDB-1.0 oracle reading
-    * the same file produces (it also truncates ns→µs), which is the
-    * contract the correctness gate checks. The legacy conf is restored
-    * after schema resolution (it is read eagerly at `read.parquet`).
+  /** `events.ts` has shipped in two parquet physical forms across
+    * driver data generations: TIMESTAMP(NANOS) (which Spark surfaces
+    * as raw Long ns under the legacy conf) and plain TIMESTAMP(MICROS)
+    * (surfaced as TIMESTAMP_NTZ). Normalize BOTH to session-zone
+    * TimestampType at µs precision so every downstream operator and
+    * oracle sees one shape. ns→µs truncation matches what a DuckDB
+    * oracle reading the same file produces; under the UTC session zone
+    * the NTZ cast is value-identical to the old timestamp_micros path.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
@@ -38,8 +39,15 @@ object Tables {
     s.conf.set(key, "true")
     try {
       import org.apache.spark.sql.functions._
-      apply(s, d, "events")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = apply(s, d, "events")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ => // TIMESTAMP_NTZ (micros files read natively)
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     } finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
