@@ -713,4 +713,28 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_tokens"))
   }
+
+  /** Canonical-document selection over near-duplicate clusters: run
+    * [[connectedComponents]] on the pair set, join each member's
+    * quality attribute, and keep ONE document per cluster — the
+    * highest `qualityCol`, lowest id on ties (the "keep the best
+    * copy" policy real dedup pipelines apply where q55's min-id
+    * keeper is just a placeholder). Returns one row per cluster:
+    * (cluster_id, kept_id, kept_quality, n_docs).
+    *
+    * Scale shape: the argmax is ONE map-side-combinable max_by hash
+    * aggregate over the (member, quality) join — no per-cluster sort,
+    * no window; `attrs` joins on the (already-shuffled-small) member
+    * list, not the full corpus.
+    */
+  def canonicalPerCluster(pairs: DataFrame, attrs: DataFrame,
+                          idCol: String, qualityCol: String): DataFrame = {
+    val members = connectedComponents(pairs)
+      .join(attrs.select(col(idCol).as("v"), col(qualityCol).as("__q")), Seq("v"))
+    members.groupBy(col("lbl").as("cluster_id"))
+      .agg(
+        max_by(col("v"), struct(col("__q"), (-col("v")).as("__negid"))).as("kept_id"),
+        max(col("__q")).as("kept_quality"),
+        count(lit(1)).cast("long").as("n_docs"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -85,5 +86,41 @@ object Retrieval {
       .agg(sum("s_milli").cast("long").as("bm25_milli"))
       .orderBy(col("bm25_milli").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Reciprocal-rank fusion of several candidate rankings (the hybrid
+    * lexical + semantic retrieval combiner): each ranking contributes
+    * ⌊10⁶ / (kRrf + rank)⌋ per doc, ranks derived from its own
+    * (score desc, doc_id) order; docs absent from a ranking contribute
+    * nothing. Integer division keeps the fused score engine-exact.
+    *
+    * Input rankings are (name, df) where df has `idCol` and
+    * `scoreCol`; each is expected to be an already-truncated top-k
+    * candidate list (the operator re-ranks but does not re-truncate,
+    * so feed it TakeOrdered outputs, not whole corpora). The
+    * per-ranking rank window partitions on the ranking tag — one
+    * bounded partition per ranking, never a corpus-wide single
+    * reducer. Returns (doc_id, rrf_micro, n_rankers) for the fused
+    * top `topK`, (rrf_micro desc, doc_id) ordered.
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String, scoreCol: String,
+              topK: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rankings must be non-empty")
+    require(kRrf >= 1 && topK >= 1, s"kRrf/topK must be positive, got $kRrf/$topK")
+    val tagged = rankings.map { case (nm, df) =>
+      df.select(col(idCol).as("doc_id"), col(scoreCol).cast("long").as("__score"),
+        lit(nm).as("__ranker"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("__ranker")
+      .orderBy(col("__score").desc, col("doc_id"))
+    tagged
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      // integer div (Column./ on longs widens to double)
+      .withColumn("__contrib", expr(s"1000000L div (${kRrf}L + __rn)"))
+      .groupBy("doc_id")
+      .agg(sum(col("__contrib")).cast("long").as("rrf_micro"),
+        count(lit(1)).cast("long").as("n_rankers"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(topK)
   }
 }

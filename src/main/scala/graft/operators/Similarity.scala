@@ -323,4 +323,47 @@ object Similarity {
       .filter(col("cosine_ppm") >= minCosinePpm)
       .select("id_a", "id_b", "cosine_ppm")
   }
+
+  /** SemDeDup-style semantic deduplication: partition the corpus into
+    * IVF cells by nearest centroid, compare vectors ONLY within a
+    * cell, and for every within-cell pair above `minCosinePpm` drop
+    * the higher id (the lower id is the cluster's surviving
+    * representative — the deterministic stand-in for the paper's
+    * keep-one-per-ε-ball rule). Returns one row per input vector:
+    * (vid, cell, is_kept).
+    *
+    * Scale shape: centroid assignment is the same broadcast array
+    * expression as [[ivfTopK]] (no shuffle), the quadratic compare is
+    * confined to cell-keyed equi-join partitions, and `maxCell` caps
+    * the join fan-out the way lshCandidates' maxBucket does — a cell
+    * over the cap contributes no pairs (its members all survive)
+    * rather than an O(cap²) straggler; size nLists ~ √N so expected
+    * cell populations stay bounded. The assignment projection is read
+    * twice (pair build + output spine), so it persists under the
+    * [[CacheRegistry]] lifecycle.
+    */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    minCosinePpm: Long, nLists: Int = 16,
+                    maxCell: Int = 1 << 20): DataFrame = {
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val centroids = v.orderBy(md5(col("vid").cast("string")), col("vid"))
+      .limit(nLists)
+      .select(col("vid").as("cid"), col("vec").as("cvec"))
+    val assigned = CacheRegistry.register(
+      nearestCells(v, centroids, 1)
+        .select(col("vid"), col("vec"), element_at(col("__cells"), 1).as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val wCell = Window.partitionBy("cell")
+    val capped = assigned.withColumn("__n", count(lit(1)).over(wCell))
+      .filter(col("__n") <= maxCell)
+    val dup = capped.select(col("cell"), col("vid").as("id_a"), col("vec").as("__a"))
+      .join(capped.select(col("cell"), col("vid").as("id_b"), col("vec").as("__b")),
+        Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("__a"), col("__b")) * 1e6).cast("long") >= minCosinePpm)
+      .select(col("id_b").as("vid")).distinct()
+    assigned.select(col("vid"), col("cell"))
+      .join(dup.withColumn("__dup", lit(true)), Seq("vid"), "left_outer")
+      .select(col("vid"), col("cell"), col("__dup").isNull.as("is_kept"))
+  }
 }

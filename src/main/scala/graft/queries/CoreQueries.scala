@@ -2332,6 +2332,51 @@ object CoreQueries {
         graft.operators.TimeSeries.resampleLocf(
           Tables.events(s, d), "user_id", "ts",
           cents(col("value")), "value_cents", "event_id")
+    },
+
+    // ROLLING Z-SCORE ANOMALY DETECTION, integer-exact: flag events
+    // whose value deviates > 3σ from the user's trailing 20-event
+    // window (window excludes the current row — anomaly vs HISTORY).
+    // The z² > 9 test clears every denominator: with n/s/q the
+    // trailing count/Σcents/Σcents², flag when
+    // (n·v − s)² > 9·(n·q − s²) — all BIGINT (cents ≤ 5·10⁴, n ≤ 20
+    // keeps every product < 10¹⁴), so both engines agree bit-for-bit
+    // where double mean/stddev would differ in ULPs. One shuffle on
+    // user_id serves all three window sums; ≥ 8 prior events required
+    // before a row may flag (variance of a near-empty window is
+    // noise).
+    QueryDef.sql("q135_rolling_zscore",
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, cents,
+        |         count(*)  OVER win AS n,
+        |         sum(cents) OVER win AS s,
+        |         sum(cents * cents) OVER win AS q
+        |  FROM v
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, cents, CAST(n AS BIGINT) AS n_prev
+        |FROM w
+        |WHERE n >= 8
+        |  AND (n*cents - s) * (n*cents - s) > 9 * (n*q - s*s)""".stripMargin) {
+      (s, d) => {
+        val v = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            cents(col("value")).as("cents"))
+        val win = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-20, -1)
+        v.withColumn("n", count(lit(1)).over(win))
+          .withColumn("s", sum(col("cents")).over(win))
+          .withColumn("q", sum(col("cents") * col("cents")).over(win))
+          .filter(col("n") >= 8 &&
+            (col("n") * col("cents") - col("s")) * (col("n") * col("cents") - col("s"))
+              > lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+          .select(col("event_id"), col("user_id"), col("cents"),
+            col("n").cast("long").as("n_prev"))
+      }
     }
   )
 }

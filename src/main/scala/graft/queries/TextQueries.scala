@@ -1304,6 +1304,71 @@ object TextQueries {
       (s, d) =>
         graft.operators.Tokenization.bpePairStats(
           Tables.documents(s, d), col("text"), 100)
+    },
+
+    // HYBRID RETRIEVAL FUSION (RRF, Cormack et al.): the lexical BM25
+    // top-20 (q111's integer-exact scorer) and a semantic cosine
+    // top-20 against one query embedding fuse by reciprocal rank —
+    // ⌊10⁶/(60+rank)⌋ per list, integer division so the fused score
+    // is engine-exact. Rank windows partition per ranker over
+    // already-truncated candidate lists (bounded partitions); the
+    // semantic scan is a broadcast one-row nested-loop, TakeOrdered
+    // top-20 — no corpus shuffle anywhere.
+    QueryDef.sql("q133_rrf_fusion",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                             ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+        |  FROM documents),
+        |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+        |              (SELECT count(*) FROM toks) AS sdl),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |       WHERE token IN ('spark','merge','vector') GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |ts AS (
+        |  SELECT tf.doc_id,
+        |         (1000 * (44 * tf.tf * st.sdl) * (2*st.n - 2*df.df + 1))
+        |           // ((20 * tf.tf * st.sdl + 6 * st.sdl + 18 * dl.dl * st.n)
+        |              * (2*df.df + 1)) AS s_milli
+        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st),
+        |lexs AS (SELECT doc_id, CAST(sum(s_milli) AS BIGINT) AS score
+        |         FROM ts GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+        |lexr AS (SELECT doc_id,
+        |                row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        |         FROM lexs),
+        |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 1),
+        |sems AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    CAST(round(
+        |      list_sum(list_transform(list_zip(e.embedding, qv.q),
+        |               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(qv.q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      * 1000000.0) AS BIGINT) AS score
+        |  FROM embeddings e, qv WHERE e.vec_id <> 1
+        |  ORDER BY score DESC, doc_id LIMIT 20),
+        |semr AS (SELECT doc_id,
+        |                row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        |         FROM sems),
+        |u AS (SELECT doc_id, 1000000 // (60 + rn) AS c FROM lexr
+        |      UNION ALL SELECT doc_id, 1000000 // (60 + rn) FROM semr)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+        |       CAST(count(*) AS BIGINT) AS n_rankers
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin) {
+      (s, d) => {
+        val lex = Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", col("text"),
+          Seq("spark", "merge", "vector"), 20)
+          .select(col("doc_id"), col("bm25_milli").as("score"))
+        val emb = Tables.embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 1).select(col("embedding").as("__qv"))
+        val sem = emb.crossJoin(broadcast(qv)).filter(col("vec_id") =!= 1)
+          .select(col("vec_id").as("doc_id"),
+            round(graft.operators.Similarity.cosine(col("embedding"), col("__qv")) * 1e6)
+              .cast("long").as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+        Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "doc_id", "score", topK = 10)
+      }
     }
   )
 }

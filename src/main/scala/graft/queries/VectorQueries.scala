@@ -295,6 +295,83 @@ object VectorQueries {
         Similarity.centroidCosine(j, "doc_id", "source", "embedding")
           .withColumnRenamed("grp", "source")
       }
+    },
+
+    // SemDeDup-style SEMANTIC DEDUP: IVF-cell partitioning (q38's
+    // md5-seeded centroids) confines the quadratic cosine compare to
+    // within-cell joins; any pair over 0.35 drops its higher id. One
+    // row per vector with its cell and survival flag — the embedding
+    // analogue of q24's exact dedup, pruning paraphrases exact hashes
+    // miss. The oracle replays centroid choice, assignment, and the
+    // within-cell pair scan.
+    QueryDef.sql("q132_semantic_dedup",
+      s"""WITH v AS (SELECT vec_id AS vid, embedding AS vec FROM embeddings),
+         |cent AS (SELECT vid AS cid, vec AS cvec FROM v
+         |         ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT 16),
+         |sims AS (
+         |  SELECT v.vid, v.vec, c.cid,
+         |    CAST(round(
+         |      list_sum(list_transform(list_zip(v.vec, c.cvec),
+         |               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(v.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         |      * 1000000.0) AS BIGINT) AS sim
+         |  FROM v, cent c),
+         |cells AS (
+         |  SELECT vid, vec, cid,
+         |         row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cid) AS r
+         |  FROM sims),
+         |assigned AS (SELECT vid, vec, cid AS cell FROM cells WHERE r = 1),
+         |capped AS (SELECT * FROM assigned
+         |           QUALIFY count(*) OVER (PARTITION BY cell) <= 1048576),
+         |dup AS (
+         |  SELECT DISTINCT b.vid
+         |  FROM capped a JOIN capped b ON a.cell = b.cell AND a.vid < b.vid
+         |  WHERE $cosPpm >= 350000)
+         |SELECT s.vid AS vec_id, s.cell, d.vid IS NULL AS is_kept
+         |FROM assigned s LEFT JOIN dup d ON d.vid = s.vid""".stripMargin) {
+      (s, d) =>
+        Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          minCosinePpm = 350000L)
+          .select(col("vid").as("vec_id"), col("cell"), col("is_kept"))
+    },
+
+    // CANONICAL DOC PER NEAR-DUP CLUSTER: q55's clusters, but the
+    // keeper is chosen by QUALITY (longest doc wins, lowest id ties)
+    // instead of min-id — the policy real pipelines ship. Spark side
+    // is one max_by hash agg over the member-attribute join; the
+    // oracle extends the recursive min-label CTE with a per-cluster
+    // argmax window.
+    QueryDef.sql("q134_canonical_doc",
+      s"""WITH RECURSIVE ${lshBandCtes(2, 6, 4096)},
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b, $cosPpm AS cosine_ppm
+         |  FROM cand c JOIN sigs a ON a.vid = c.id_a JOIN sigs b ON b.vid = c.id_b
+         |  WHERE c.id_a < c.id_b),
+         |thr AS (SELECT id_a, id_b FROM pairs WHERE cosine_ppm >= 350000),
+         |e AS (SELECT id_a AS a, id_b AS b FROM thr
+         |      UNION SELECT id_b, id_a FROM thr),
+         |nodes AS (SELECT DISTINCT a AS v FROM e),
+         |reach AS (
+         |  SELECT v, v AS m FROM nodes
+         |  UNION
+         |  SELECT e.b AS v, r.m FROM reach r JOIN e ON e.a = r.v),
+         |lab AS (SELECT v, min(m) AS cluster_id FROM reach GROUP BY v),
+         |j AS (SELECT l.v, l.cluster_id, d.n_chars
+         |      FROM lab l JOIN documents d ON d.doc_id = l.v),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |                 ORDER BY n_chars DESC, v) AS rn FROM j)
+         |SELECT cluster_id,
+         |       max(CASE WHEN rn = 1 THEN v END) AS kept_id,
+         |       max(CASE WHEN rn = 1 THEN n_chars END) AS kept_quality,
+         |       CAST(count(*) AS BIGINT) AS n_docs
+         |FROM rk GROUP BY cluster_id""".stripMargin) {
+      (s, d) => {
+        val pairs = Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", minCosinePpm = 350000L)
+        graft.operators.Dedup.canonicalPerCluster(pairs,
+          Tables.documents(s, d), "doc_id", "n_chars")
+      }
     }
   )
 }
