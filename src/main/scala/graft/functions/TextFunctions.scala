@@ -164,4 +164,55 @@ object TextFunctions {
     }
     terms.reduce(_ + _).cast("decimal(20,0)")
   }
+
+  /** Strip HTML/XML markup down to text — the extraction step between
+    * a raw web crawl and every downstream curation operator. Removes
+    * comments, whole script/style elements (their content is code, not
+    * text), then all remaining tags; decodes the six entities that
+    * dominate real pages (&lt; &gt; &quot; &#39; &nbsp; and &amp;
+    * LAST, so "&amp;lt;" decodes one level per pass — the standard
+    * single-pass approximation, deterministic on any engine); collapses
+    * whitespace runs and trims. Every pattern is RE2-compatible (no
+    * backreferences, no lookaround) so external SQL engines replicate
+    * it exactly; one codegen'd regexp chain per row, no UDF.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noComment = regexp_replace(text, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Canonicalize a URL for crawl-level dedup and domain analytics:
+    * lowercase scheme and host, strip the scheme's default port
+    * (:80 http / :443 https), drop the fragment, drop tracking
+    * parameters (utm_*, fbclid, gclid) and empty parameters, sort the
+    * surviving query parameters bytewise, and normalize an empty path
+    * to "/". Two raw URLs that differ only in these ways are the same
+    * fetch — canonical-form equality is THE join/dedup key for
+    * crawl frontier dedup and per-site aggregation. Userinfo and
+    * percent-encoding normalization are intentionally out of scope
+    * (flag, don't rewrite, credentials-bearing URLs). Pure regexp +
+    * array ops — codegen'd, engine-replicable.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val rawPath = regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=.*)?$"))
+    val canonQ = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
+  }
 }

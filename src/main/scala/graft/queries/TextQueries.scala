@@ -1369,6 +1369,93 @@ object TextQueries {
           .orderBy(col("score").desc, col("doc_id")).limit(20)
         Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "doc_id", "score", topK = 10)
       }
+    },
+
+    // MARKUP STRIPPING — the crawl-to-text extraction step. The gate
+    // wraps each document in deterministic HTML (comment, script,
+    // style, entities) and strips it back; the oracle replays the same
+    // RE2-compatible regexp chain independently. Real pages go through
+    // the identical code path — the wrapper just gives the testdata
+    // markup to strip.
+    QueryDef.sql("q137_markup_strip",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    '<html><!-- doc ' || doc_id || ' --><body class="doc"><h1>' || source ||
+        |    '</h1><script type="text/javascript">var x = 1 < 2;</script><p>' || text ||
+        |    '</p><style media="all">p { color: red; }</style>&amp;amp; &lt;escaped&gt;&nbsp;ok</body></html>'
+        |    AS raw
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(raw, '(?s)<!--.*?-->', ' ', 'g') AS t FROM m),
+        |s2 AS (SELECT doc_id,
+        |         regexp_replace(t, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |         regexp_replace(t, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id,
+        |         replace(replace(replace(replace(replace(replace(t,
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |           '&nbsp;', ' '), '&amp;', '&') AS t FROM s4)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text
+        |FROM s5""".stripMargin) {
+      (s, d) => {
+        val markup = concat(
+          lit("<html><!-- doc "), col("doc_id").cast("string"),
+          lit(" --><body class=\"doc\"><h1>"), col("source"),
+          lit("</h1><script type=\"text/javascript\">var x = 1 < 2;</script><p>"),
+          col("text"),
+          lit("</p><style media=\"all\">p { color: red; }</style>&amp;amp; &lt;escaped&gt;&nbsp;ok</body></html>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), stripMarkup(markup).as("clean_text"))
+      }
+    },
+
+    // URL CANONICALIZATION — crawl-frontier dedup's join key. The gate
+    // synthesizes messy URLs (upper-case scheme/host, default ports,
+    // tracking params, unsorted query, fragments, empty paths) and
+    // canonicalizes; the oracle re-implements every normalization step
+    // independently in SQL.
+    QueryDef.sql("q138_url_canonicalize",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'HTTPS://WWW.' END)
+        |    || upper(source) || '.Example.COM'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '' ELSE '/Docs/' || doc_id END)
+        |    || '?z=' || doc_id || '&utm_source=feed&b=2&a=1&gclid=x&#sec' AS raw
+        |  FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(raw, '#.*$', '') AS nofrag FROM u),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nofrag, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+        |    regexp_extract(nofrag, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(nofrag, '\?([^#]*)', 1) AS q
+        |  FROM nf),
+        |canon AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         ELSE hostport END AS host,
+        |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?$'))),
+        |      '&') AS cq
+        |  FROM parts)
+        |SELECT doc_id, scheme || '://' || host || path ||
+        |  (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS url_canon
+        |FROM canon""".stripMargin) {
+      (s, d) => {
+        val raw = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP://WWW.")).otherwise(lit("HTTPS://WWW.")),
+          upper(col("source")), lit(".Example.COM"),
+          when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
+          when(col("doc_id") % 3 === 0, lit(""))
+            .otherwise(concat(lit("/Docs/"), col("doc_id").cast("string"))),
+          lit("?z="), col("doc_id").cast("string"),
+          lit("&utm_source=feed&b=2&a=1&gclid=x&#sec"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), canonicalizeUrl(raw).as("url_canon"))
+      }
     }
   )
 }

@@ -372,6 +372,93 @@ object VectorQueries {
         graft.operators.Dedup.canonicalPerCluster(pairs,
           Tables.documents(s, d), "doc_id", "n_chars")
       }
+    },
+
+    // HARD-NEGATIVE MINING for contrastive training: per anchor, the
+    // top-5 most-similar vectors with a DIFFERENT label — the broadcast
+    // anchor batch streams the corpus once (BroadcastNestedLoopJoin,
+    // not a cartesian); hardNegativesLsh is the corpus×corpus path
+    // (recall-gated in SimilaritySpec). The oracle is q35's brute-force
+    // SQL with the cross-label predicate.
+    QueryDef.sql("q136_hard_negatives",
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS query_label
+        |           FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT query_id, query_label, v.vec_id AS neighbor_id, v.label AS neighbor_label,
+        |    CAST(round(
+        |      list_sum(list_transform(list_zip(qe, v.embedding),
+        |               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      * 1000000.0) AS BIGINT) AS cosine_ppm
+        |  FROM q, embeddings v WHERE v.label <> q.query_label),
+        |ranked AS (
+        |  SELECT query_id, query_label, neighbor_id, neighbor_label, cosine_ppm,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine_ppm DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, query_label, neighbor_id, neighbor_label, rank, cosine_ppm
+        |FROM ranked WHERE rank <= 5""".stripMargin) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.hardNegatives(e, "vec_id", "embedding", "label",
+          e.filter(col("vec_id") < 8), "vec_id", "embedding", "label", k = 5)
+      }
+    },
+
+    // PRODUCT-QUANTIZATION ANN (ADC): 64-dim vectors compress to 4
+    // codeword ids (one 8-codeword book per 16-dim subspace, md5-seeded
+    // like q38's centroids so the whole train/encode/search pipeline
+    // replays in SQL); anchors score codeword RECONSTRUCTIONS — the
+    // relational form of the ADC lookup-table sum. The oracle replays
+    // seeding, per-subspace argmin encode, reconstruction, and the
+    // re-rank.
+    QueryDef.sql("q139_pq_ann",
+      """WITH v AS (SELECT vec_id AS vid, embedding AS vec FROM embeddings),
+        |seeds AS (SELECT vid AS cid, vec FROM v
+        |          ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT 8),
+        |books AS (
+        |  SELECT g.sub, s.cid, list_slice(s.vec, g.sub*16+1, g.sub*16+16) AS cvec
+        |  FROM seeds s, generate_series(0, 3) g(sub)),
+        |subrows AS (
+        |  SELECT v.vid, g.sub, list_slice(v.vec, g.sub*16+1, g.sub*16+16) AS svec
+        |  FROM v, generate_series(0, 3) g(sub)),
+        |dists AS (
+        |  SELECT r.vid, r.sub, b.cid,
+        |    CAST(round(list_sum(list_transform(list_zip(r.svec, b.cvec),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) * 1000000.0) AS BIGINT) AS d
+        |  FROM subrows r JOIN books b ON b.sub = r.sub),
+        |codes AS (
+        |  SELECT vid, sub, cid FROM dists
+        |  QUALIFY row_number() OVER (PARTITION BY vid, sub ORDER BY d, cid) = 1),
+        |recon AS (
+        |  SELECT c.vid, flatten(list(b.cvec ORDER BY c.sub)) AS rvec
+        |  FROM codes c JOIN books b ON b.sub = c.sub AND b.cid = c.cid
+        |  GROUP BY c.vid),
+        |q AS (SELECT vid AS query_id, vec AS qe FROM v WHERE vid < 8),
+        |scored AS (
+        |  SELECT q.query_id, r.vid AS neighbor_id,
+        |    CAST(round(
+        |      list_sum(list_transform(list_zip(q.qe, r.rvec),
+        |               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(r.rvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      * 1000000.0) AS BIGINT) AS cosine_ppm
+        |  FROM q, recon r WHERE r.vid <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine_ppm,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine_ppm DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, cosine_ppm
+        |FROM ranked WHERE rank <= 5""".stripMargin) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.pqTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, subspaces = 4, codebookSize = 8, dim = 64)
+      }
     }
   )
 }
