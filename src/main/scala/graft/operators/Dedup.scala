@@ -727,6 +727,28 @@ object Dedup {
     * no window; `attrs` joins on the (already-shuffled-small) member
     * list, not the full corpus.
     */
+  /** Train/eval SPLIT LEAKAGE detection: near-duplicate pairs whose
+    * members landed in DIFFERENT splits — the document-level
+    * contamination a per-document hash split cannot prevent (two
+    * near-identical pages hash independently, so ~2·p·(1−p) of dup
+    * pairs straddle the boundary and the eval set silently contains
+    * paraphrases of training data). `pairs` is any near-dup pair set
+    * ([[minhashLshPairs]], [[graft.operators.Similarity.cosineNearDupPairs]]);
+    * `splits` maps id → split label. Returns the pair rows that cross,
+    * with both labels attached — the kill-list for eval-side removal.
+    *
+    * Scale shape: two equi-joins of the (post-LSH-funnel, small) pair
+    * set against the split projection — the pair side is typically
+    * orders of magnitude under corpus size, so AQE broadcasts it; no
+    * corpus-side shuffle beyond the split projection read.
+    */
+  def crossSplitLeakage(pairs: DataFrame, idA: String, idB: String,
+                        splits: DataFrame, idCol: String, splitCol: String): DataFrame =
+    pairs
+      .join(splits.select(col(idCol).as(idA), col(splitCol).as("split_a")), idA)
+      .join(splits.select(col(idCol).as(idB), col(splitCol).as("split_b")), idB)
+      .filter(col("split_a") =!= col("split_b"))
+
   def canonicalPerCluster(pairs: DataFrame, attrs: DataFrame,
                           idCol: String, qualityCol: String): DataFrame = {
     val members = connectedComponents(pairs)

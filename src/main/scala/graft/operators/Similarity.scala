@@ -432,6 +432,42 @@ object Similarity {
         "cosine_ppm")
   }
 
+  /** Contrastive TRIPLET mining: per anchor, the best same-label
+    * neighbor (the positive) AND the best cross-label neighbor (the
+    * hard negative) in ONE corpus pass — the (anchor, positive,
+    * negative) rows a triplet/InfoNCE loss consumes directly. Anchors
+    * broadcast and the corpus streams once; a single window over
+    * (query_id, same-label?) ranks both branches without a second
+    * scan, then one pivot agg pairs them. Anchors lacking either side
+    * (no other same-label vector, or no cross-label vector) produce no
+    * row — a triplet needs both. Returns (query_id, query_label,
+    * pos_id, pos_ppm, neg_id, neg_ppm).
+    */
+  def contrastiveTriplets(vectors: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String,
+                          queries: DataFrame, qIdCol: String, qVecCol: String,
+                          qLabelCol: String): DataFrame = {
+    val anchors = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__q"),
+      col(qLabelCol).as("query_label"))
+    val scored = vectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"),
+        col(labelCol).as("neighbor_label"))
+      .crossJoin(broadcast(anchors))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__same", col("query_label") === col("neighbor_label"))
+      .withColumn("cosine_ppm", round(cosine(col("__q"), col("__v")) * 1e6).cast("long"))
+    val w = Window.partitionBy("query_id", "__same")
+      .orderBy(col("cosine_ppm").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .groupBy(col("query_id"), col("query_label"))
+      .agg(
+        max(when(col("__same"), col("neighbor_id"))).as("pos_id"),
+        max(when(col("__same"), col("cosine_ppm"))).as("pos_ppm"),
+        max(when(!col("__same"), col("neighbor_id"))).as("neg_id"),
+        max(when(!col("__same"), col("cosine_ppm"))).as("neg_ppm"))
+      .filter(col("pos_id").isNotNull && col("neg_id").isNotNull)
+  }
+
   /** Product-quantization codebooks [Jégou et al., PAMI 2011]: the
     * embedding splits into `subspaces` contiguous sub-vectors of
     * dim/subspaces components; each subspace gets its own

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Retrieval, Sampling}
+import graft.operators.{Dedup, Multimodal, Retrieval, Sampling, Sketches}
 import org.apache.spark.sql.functions._
 
 /** Training-data text operators over the documents table: dedup
@@ -149,7 +149,11 @@ object TextQueries {
     * artifact, not the fast path, so the gate pays 8 md5 evals per
     * shingle over 200 docs instead of 500 (same scoping as q30b).
     */
-  private val minhashMd5OracleSql: String = {
+  /** The q29b pipeline as a reusable CTE chain ending in
+    * `pairs(id_a, id_b, jaccard_ppm)` — shared by the q29b gate and
+    * the q140 split-leakage gate so the two can never drift.
+    */
+  private val minhashMd5PairsCtes: String = {
     val bands = Md5Bands
     val rows = Md5Rows
     val mins = (0 until bands * rows)
@@ -158,7 +162,7 @@ object TextQueries {
       val bk = (b * rows until (b + 1) * rows).map(i => s"m$i").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($bk) AS bucket FROM minh"
     }.mkString(" UNION ALL ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
        |                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
        |  FROM documents WHERE doc_id < 200),
@@ -181,15 +185,20 @@ object TextQueries {
        |  JOIN sh sa ON sa.doc_id = c.id_a
        |  JOIN sh sb ON sb.doc_id = c.id_b AND sa.g = sb.g
        |  GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
-       |SELECT c.id_a, c.id_b,
-       |       CAST(round(coalesce(i.inter, 0) * 1000000.0
-       |            / (sa.n_sh + sb.n_sh - coalesce(i.inter, 0))) AS BIGINT) AS jaccard_ppm
-       |FROM cand c
-       |LEFT JOIN inters i ON i.id_a = c.id_a AND i.id_b = c.id_b
-       |JOIN sizes sa ON sa.doc_id = c.id_a
-       |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(round(coalesce(i.inter, 0) * 1000000.0
+       |              / (sa.n_sh + sb.n_sh - coalesce(i.inter, 0))) AS BIGINT) AS jaccard_ppm
+       |  FROM cand c
+       |  LEFT JOIN inters i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  JOIN sizes sa ON sa.doc_id = c.id_a
+       |  JOIN sizes sb ON sb.doc_id = c.id_b)""".stripMargin
   }
+
+  private val minhashMd5OracleSql: String =
+    s"""WITH $minhashMd5PairsCtes
+       |SELECT id_a, id_b, jaccard_ppm FROM pairs""".stripMargin
 
   /** Oracle for q82: the md5 MinHash+LSH pipeline ACROSS a snapshot
     * split — incoming (doc_id < 100) banded against existing
@@ -1456,6 +1465,58 @@ object TextQueries {
         Tables.documents(s, d)
           .select(col("doc_id"), canonicalizeUrl(raw).as("url_canon"))
       }
+    },
+
+    // TRAIN/EVAL SPLIT LEAKAGE: near-dup pairs (q29b's md5-LSH
+    // pipeline, shared CTEs) whose members hash into DIFFERENT splits
+    // — the eval contamination a per-doc hash split cannot prevent.
+    // The 50/50 md5 split is the engine-replicable twin of q46's
+    // xxhash64 split (same semantics, simpler oracle).
+    QueryDef.sql("q140_split_leakage",
+      s"""WITH $minhashMd5PairsCtes,
+         |spl AS (SELECT doc_id,
+         |        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+         |             THEN 'train' ELSE 'val' END AS split
+         |        FROM documents),
+         |x AS (SELECT p.id_a, p.id_b, p.jaccard_ppm,
+         |             sa.split AS split_a, sb.split AS split_b
+         |      FROM pairs p JOIN spl sa ON sa.doc_id = p.id_a
+         |                   JOIN spl sb ON sb.doc_id = p.id_b
+         |      WHERE sa.split <> sb.split)
+         |SELECT id_a, id_b, jaccard_ppm, split_a, split_b FROM x""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minhashLshPairsMd5(docs.filter(col("doc_id") < 200),
+          "doc_id", col("text"), bands = Md5Bands, rows = Md5Rows, minJaccardPpm = 0L)
+        val splits = docs.select(col("doc_id"),
+          when(substring(md5(col("doc_id").cast("string")), 1, 2) < "80", "train")
+            .otherwise("val").as("split"))
+        Dedup.crossSplitLeakage(pairs, "id_a", "id_b", splits, "doc_id", "split")
+          .select("id_a", "id_b", "jaccard_ppm", "split_a", "split_b")
+      }
+    },
+
+    // DETERMINISTIC SAMPLED QUANTILE: per-source median of n_chars
+    // estimated from the k=16 smallest-md5(id) rows — an
+    // order-independent, mergeable, bounded-state sample whose
+    // estimate (unlike GK/t-digest) replays EXACTLY in the oracle.
+    QueryDef.sql("q141_sampled_quantile",
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |         count(*) OVER (PARTITION BY source) AS n_rows,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents),
+        |g AS (SELECT source, max(n_rows) AS n_rows, count(*) AS sample_n,
+        |             list_sort(list(n_chars)) AS sv
+        |      FROM r WHERE rn <= 16 GROUP BY source)
+        |SELECT source, n_rows, sample_n,
+        |       sv[CAST(greatest(1, (500 * sample_n + 999) // 1000) AS INT)] AS est
+        |FROM g""".stripMargin) {
+      (s, d) =>
+        Sketches.hashSampleQuantile(Tables.documents(s, d),
+          "source", "doc_id", "n_chars", k = 16, qPermille = 500)
+          .withColumnRenamed("grp", "source")
     }
   )
 }

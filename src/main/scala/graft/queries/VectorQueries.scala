@@ -459,6 +459,41 @@ object VectorQueries {
           e.filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, subspaces = 4, codebookSize = 8, dim = 64)
       }
+    },
+
+    // CONTRASTIVE TRIPLETS: per anchor, best same-label neighbor
+    // (positive) + best cross-label neighbor (hard negative) in one
+    // corpus pass — one window over (query_id, same?), one pivot agg.
+    QueryDef.sql("q142_contrastive_triplets",
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS query_label
+        |           FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT query_id, query_label, v.vec_id AS neighbor_id,
+        |         v.label = q.query_label AS same,
+        |    CAST(round(
+        |      list_sum(list_transform(list_zip(qe, v.embedding),
+        |               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      * 1000000.0) AS BIGINT) AS cosine_ppm
+        |  FROM q, embeddings v WHERE v.vec_id <> q.query_id),
+        |top AS (
+        |  SELECT * FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY query_id, same
+        |                             ORDER BY cosine_ppm DESC, neighbor_id) = 1)
+        |SELECT query_id, query_label,
+        |       max(CASE WHEN same THEN neighbor_id END) AS pos_id,
+        |       max(CASE WHEN same THEN cosine_ppm END) AS pos_ppm,
+        |       max(CASE WHEN NOT same THEN neighbor_id END) AS neg_id,
+        |       max(CASE WHEN NOT same THEN cosine_ppm END) AS neg_ppm
+        |FROM top GROUP BY 1, 2
+        |HAVING max(CASE WHEN same THEN neighbor_id END) IS NOT NULL
+        |   AND max(CASE WHEN NOT same THEN neighbor_id END) IS NOT NULL""".stripMargin) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.contrastiveTriplets(e, "vec_id", "embedding", "label",
+          e.filter(col("vec_id") < 8), "vec_id", "embedding", "label")
+      }
     }
   )
 }

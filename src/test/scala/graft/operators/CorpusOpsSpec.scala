@@ -853,6 +853,62 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"Lloyd training did not reduce reconstruction error: $trained >= $untrained")
   }
 
+  test("crossSplitLeakage keeps only pairs straddling the split") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 900000L), (3L, 4L, 800000L), (5L, 6L, 700000L))
+      .toDF("id_a", "id_b", "jaccard_ppm")
+    val splits = Seq(1L -> "train", 2L -> "val", 3L -> "train", 4L -> "train",
+      5L -> "val", 6L -> "train").toDF("doc_id", "split")
+    val out = Dedup.crossSplitLeakage(pairs, "id_a", "id_b", splits, "doc_id", "split")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[String]("split_a"), r.getAs[String]("split_b"))).toSet
+    assert(out === Set((1L, 2L, "train", "val"), (5L, 6L, "val", "train")))
+  }
+
+  test("hashSampleQuantile: full-group sample is the exact nearest-rank quantile; order-independent") {
+    import spark.implicits._
+    // k >= group size → the sample IS the group → exact order statistic
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L),
+      ("b", 4L, 5L), ("b", 5L, 7L)).toDF("grp", "id", "v")
+    val out = Sketches.hashSampleQuantile(df, "grp", "id", "v", k = 10, qPermille = 500)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("sample_n"), r.getAs[Long]("est")))).toMap
+    // ceil(0.5·3)=2nd of [10,20,30]=20; ceil(0.5·2)=1st of [5,7]=5
+    assert(out === Map("a" -> ((3L, 3L, 20L)), "b" -> ((2L, 2L, 5L))))
+    // k below group size: deterministic under arbitrary repartitioning
+    val big = (1L to 100L).map(i => ("g", i, i * 3 % 97)).toDF("grp", "id", "v")
+    val e1 = Sketches.hashSampleQuantile(big, "grp", "id", "v", 16, 500).collect()
+    val e2 = Sketches.hashSampleQuantile(big.repartition(7), "grp", "id", "v", 16, 500)
+      .collect()
+    assert(e1.map(_.toSeq).toSeq === e2.map(_.toSeq).toSeq)
+    assert(e1.head.getAs[Long]("sample_n") === 16L)
+    // p1000 (max) of the sample == sorted sample's last element ≥ p500
+    val p50 = e1.head.getAs[Long]("est")
+    val p100 = Sketches.hashSampleQuantile(big, "grp", "id", "v", 16, 1000)
+      .collect().head.getAs[Long]("est")
+    assert(p100 >= p50)
+  }
+
+  test("contrastiveTriplets pairs best positive with best hard negative; incomplete anchors drop") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0), // anchor
+      (2L, Array(0.9f, 0.1f), 0), // its positive
+      (3L, Array(0.8f, 0.2f), 1), // nearest cross-label → negative
+      (4L, Array(0f, 1f), 2)) // lone label → no positive exists
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.contrastiveTriplets(vecs, "vec_id", "embedding", "label",
+        vecs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("pos_id"), r.getAs[Long]("neg_id")))).toMap
+    // anchors 3 and 4 have no same-label peer → no triplet; anchors
+    // 1/2 pick each other as positives and 3 (nearest cross-label,
+    // beating 4) as the hard negative
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((2L, 3L)))
+    assert(out(2L) === ((1L, 3L)))
+  }
+
   test("stripMarkup: comments, script/style bodies, tags and entities all go") {
     import spark.implicits._
     val out = Seq(
