@@ -408,6 +408,88 @@ object Dedup {
           .as("jaccard_ppm"))
   }
 
+  /** EXACT all-pairs similarity join via PREFIX FILTERING (SSJoin /
+    * PPJoin, Chaudhuri et al. / Xiao et al.): every pair of documents
+    * whose word n-gram Jaccard is ≥ `minJaccardPpm/10^6` — with NO
+    * false negatives (unlike MinHash-LSH, which trades recall for
+    * speed) and without the quadratic inverted-index join of
+    * [[ngramJaccardPairs]].
+    *
+    * The filter: order the shingle vocabulary globally by (document
+    * frequency asc, shingle asc) — rare first. If Jaccard(A,B) ≥ t
+    * then |A∩B| ≥ ⌈t·|A|⌉, and two sets with overlap ≥ α MUST share a
+    * token inside their first (|·| − α + 1) tokens under any shared
+    * total order — so candidates are generated ONLY from each doc's
+    * prefix of length |d| − ⌈t·|d|⌉ + 1. Rare-first ordering makes
+    * those prefixes nearly collision-free: the join fan-out is driven
+    * by document frequency of the RAREST tokens, not the hottest. A
+    * length filter (t·max(|A|,|B|) ≤ min(|A|,|B|), cross-multiplied
+    * in ppm) prunes size-incompatible survivors before the verify.
+    *
+    * The threshold test is EXACT rational arithmetic —
+    * `inter·10^6 ≥ tPpm·union` — never the rounded display ppm, so
+    * candidate-generation completeness and the final filter agree for
+    * any data (a rounded filter would admit pairs fractionally below
+    * t that prefix filtering correctly never generates). Returns
+    * (id_a, id_b, jaccard_ppm) with id_a < id_b.
+    *
+    * Scale shape: one shingle explode (cached array projection shared
+    * with the verify join), a map-side-combinable document-frequency
+    * census, a doc-partitioned window for prefix positions, an
+    * equi-join on prefix tokens only, then per-unique-pair verify.
+    * At 100 TB the prefix join is the scale path for EXACT similarity
+    * (the LSH operators remain the approximate one): candidate count
+    * grows with rare-token collisions, not vocabulary heat. Hot-token
+    * residue at low thresholds is bounded by the census itself — the
+    * prefix of a large doc at t=0.9 is ~10% of its tokens, all rare.
+    */
+  def jaccardPrefixJoin(df: DataFrame, idCol: String, text: Column,
+                        n: Int = 3, minJaccardPpm: Long = 300000L,
+                        persistShingles: Boolean = true): DataFrame = {
+    require(minJaccardPpm >= 1 && minJaccardPpm <= 1000000L,
+      s"minJaccardPpm must be in [1, 1000000], got $minJaccardPpm")
+    import org.apache.spark.sql.expressions.Window
+    val docs = shingled(df, idCol, text, n, persistShingles)
+    val sh = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val gdf = sh.groupBy("g").agg(count(lit(1)).as("__gdf"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("__gdf"), col("g"))
+    val wholeDoc = Window.partitionBy("doc_id")
+    val positioned = sh.join(gdf, Seq("g"))
+      .select(col("doc_id"), col("g"),
+        row_number().over(byRarity).as("__pos"),
+        count(lit(1)).over(wholeDoc).as("__n"))
+    // ⌈t·|d|⌉ exactly: (tPpm·|d| + 10^6 − 1) div 10^6
+    val prefix = positioned.filter(
+      col("__pos") <=
+        col("__n") - expr(s"(${minJaccardPpm}L * __n + 999999L) div 1000000L")
+          + lit(1L))
+    val a = prefix.select(col("g"), col("doc_id").as("id_a"), col("__n").as("__na"))
+    val b = prefix.select(col("g"), col("doc_id").as("id_b"), col("__n").as("__nb"))
+    val candidates = a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        lit(minJaccardPpm) * greatest(col("__na"), col("__nb")) <=
+          lit(1000000L) * least(col("__na"), col("__nb")))
+      .select("id_a", "id_b").distinct()
+    jaccardVerifyRational(candidates, docs, minJaccardPpm)
+  }
+
+  /** Exact-threshold verify: like [[jaccardVerify]] but the keep
+    * decision is the cross-multiplied rational `inter·10^6 ≥ t·union`
+    * (bit-exact on any engine); the rounded ppm column is display-only.
+    */
+  private def jaccardVerifyRational(candidates: DataFrame, docs: DataFrame,
+                                    minJaccardPpm: Long): DataFrame = {
+    val shA = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val shB = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("__i"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("__u"))
+      .filter(col("__i") * lit(1000000L) >= lit(minJaccardPpm) * col("__u"))
+      .select(col("id_a"), col("id_b"),
+        round(col("__i") * 1000000.0 / col("__u")).cast("long").as("jaccard_ppm"))
+  }
+
   /** Duplicate-cluster formation: connected components over a near-dup
     * pair set (the output of [[minhashLshPairs]] /
     * [[graft.operators.Similarity.cosineNearDupPairs]]), returning

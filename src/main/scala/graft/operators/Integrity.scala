@@ -30,4 +30,78 @@ object Integrity {
       .select(col("n_rows"),
         expr(s"CAST(((__s % $p) + $p) % $p AS BIGINT)").as("checksum"))
   }
+
+  /** Declarative data-quality expectation suite (the Deequ/
+    * great-expectations pattern): evaluate a set of constraints
+    * against a table and return one row per constraint —
+    * (check_name, n_violations, pass). Three constraint families:
+    *
+    *  - `rowChecks`: (name, violation predicate) — completeness
+    *    (`col.isNull`), bounds (`col <= 0`), set membership
+    *    (`!col.isin(...)`), pattern conformance, … Any Boolean column.
+    *  - `uniqueChecks`: (name, key columns) — duplicate key rows.
+    *    Rows with a NULL in any key column are excluded from BOTH
+    *    counts (null-key completeness is a rowCheck concern);
+    *    violations = n_valid_rows − n_distinct_keys.
+    *  - `refChecks`: (name, child key, parent table, parent key) —
+    *    referential integrity; violations = child rows (non-null key)
+    *    whose key has no parent. NULL child keys are not orphans.
+    *
+    * Scale shape: EVERY row-level and uniqueness metric computes in
+    * ONE pass over the table — row checks are map-side-combinable
+    * conditional counts; the distinct-count aggregates share the same
+    * scan (Catalyst plans multi-distinct via Expand: the input
+    * multiplies in-flight by the number of distinct keys, not by
+    * re-scanning — keep uniqueness keys few on very wide suites).
+    * Each referential check is its own anti-join job (AQE broadcasts
+    * the deduped parent-key side when it fits); results union as
+    * one-row frames. No collect, no driver state: the report is
+    * itself a DataFrame, so a 100 TB audit emits a handful of rows.
+    */
+  def expectations(df: DataFrame,
+                   rowChecks: Seq[(String, Column)],
+                   uniqueChecks: Seq[(String, Seq[String])] = Nil,
+                   refChecks: Seq[(String, Column, DataFrame, Column)] = Nil): DataFrame = {
+    require(rowChecks.nonEmpty || uniqueChecks.nonEmpty || refChecks.nonEmpty,
+      "at least one check required")
+    val names = rowChecks.map(_._1) ++ uniqueChecks.map(_._1) ++ refChecks.map(_._1)
+    require(names.distinct.size == names.size, s"duplicate check names in $names")
+
+    val rowAggs = rowChecks.zipWithIndex.map { case ((_, viol), i) =>
+      sum(when(viol, 1L).otherwise(0L)).as(s"__r$i")
+    }
+    val uniqAggs = uniqueChecks.zipWithIndex.flatMap { case ((_, keys), i) =>
+      val valid = keys.map(col(_).isNotNull).reduce(_ && _)
+      Seq(
+        sum(when(valid, 1L).otherwise(0L)).as(s"__uv$i"),
+        countDistinct(when(valid,
+          if (keys.size == 1) col(keys.head) else struct(keys.map(col): _*))).as(s"__ud$i"))
+    }
+    val aggs = rowAggs ++ uniqAggs
+    val scanned: Option[DataFrame] =
+      if (aggs.isEmpty) None
+      else {
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        val metrics =
+          rowChecks.zipWithIndex.map { case ((nm, _), i) =>
+            struct(lit(nm).as("check_name"),
+              coalesce(col(s"__r$i"), lit(0L)).as("n_violations"))
+          } ++
+          uniqueChecks.zipWithIndex.map { case ((nm, _), i) =>
+            struct(lit(nm).as("check_name"),
+              (coalesce(col(s"__uv$i"), lit(0L)) - col(s"__ud$i")).as("n_violations"))
+          }
+        Some(one.select(explode(array(metrics: _*)).as("m"))
+          .select(col("m.check_name"), col("m.n_violations")))
+      }
+    val refs = refChecks.map { case (nm, childKey, parent, parentKey) =>
+      df.select(childKey.as("__k")).filter(col("__k").isNotNull)
+        .join(parent.select(parentKey.as("__k")).distinct(), Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(nm).as("check_name"), col("n_violations"))
+    }
+    (scanned.toSeq ++ refs).reduce(_.unionAll(_))
+      .select(col("check_name"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
 }

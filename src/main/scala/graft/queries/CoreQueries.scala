@@ -2377,6 +2377,68 @@ object CoreQueries {
           .select(col("event_id"), col("user_id"), col("cents"),
             col("n").cast("long").as("n_prev"))
       }
+    },
+
+    // DATA-QUALITY EXPECTATION SUITE (Deequ/great-expectations
+    // pattern): completeness, bounds, set membership, key uniqueness
+    // and referential integrity over orders/lineitem/customer — every
+    // row-level metric from ONE scan per table, each referential
+    // check one anti-join. The floor-1000 bound deliberately FAILS
+    // (cheap orders exist), proving violation counting end-to-end.
+    QueryDef.sql("q144_expectations",
+      """WITH om AS (
+        |  SELECT
+        |    count(CASE WHEN o_custkey IS NULL THEN 1 END) AS v_complete,
+        |    count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS v_pos,
+        |    count(CASE WHEN o_totalprice < 1000 THEN 1 END) AS v_floor,
+        |    count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS v_status,
+        |    count(CASE WHEN o_orderkey IS NOT NULL THEN 1 END)
+        |      - count(DISTINCT CASE WHEN o_orderkey IS NOT NULL THEN o_orderkey END) AS v_uniq
+        |  FROM orders),
+        |lm AS (
+        |  SELECT count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS v_range
+        |  FROM lineitem),
+        |rc AS (
+        |  SELECT count(*) AS v FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL),
+        |rl AS (
+        |  SELECT count(*) AS v FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL),
+        |rep AS (
+        |  SELECT 'orders.o_custkey complete' AS check_name, v_complete AS n_violations FROM om
+        |  UNION ALL SELECT 'orders.o_totalprice positive', v_pos FROM om
+        |  UNION ALL SELECT 'orders.o_totalprice floor1000', v_floor FROM om
+        |  UNION ALL SELECT 'orders.o_orderstatus known', v_status FROM om
+        |  UNION ALL SELECT 'orders.o_orderkey unique', v_uniq FROM om
+        |  UNION ALL SELECT 'orders.o_custkey in customer', v FROM rc
+        |  UNION ALL SELECT 'lineitem.l_quantity in [1,50]', v_range FROM lm
+        |  UNION ALL SELECT 'lineitem.l_orderkey in orders', v FROM rl)
+        |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+        |       n_violations = 0 AS pass
+        |FROM rep ORDER BY check_name""".stripMargin) {
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val suiteO = graft.operators.Integrity.expectations(orders,
+          rowChecks = Seq(
+            "orders.o_custkey complete" -> col("o_custkey").isNull,
+            "orders.o_totalprice positive" -> (col("o_totalprice") <= 0),
+            "orders.o_totalprice floor1000" -> (col("o_totalprice") < 1000),
+            "orders.o_orderstatus known" ->
+              !col("o_orderstatus").isin("O", "F", "P")),
+          uniqueChecks = Seq("orders.o_orderkey unique" -> Seq("o_orderkey")),
+          refChecks = Seq(("orders.o_custkey in customer",
+            col("o_custkey"), Tables.customer(s, d), col("c_custkey"))))
+        val suiteL = graft.operators.Integrity.expectations(Tables.lineitem(s, d),
+          rowChecks = Seq("lineitem.l_quantity in [1,50]" ->
+            (col("l_quantity") < 1 || col("l_quantity") > 50)),
+          refChecks = Seq(("lineitem.l_orderkey in orders",
+            col("l_orderkey"), orders, col("o_orderkey"))))
+        suiteO.unionAll(suiteL).orderBy("check_name")
+      }
     }
   )
 }

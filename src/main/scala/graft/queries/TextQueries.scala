@@ -1517,6 +1517,42 @@ object TextQueries {
         Sketches.hashSampleQuantile(Tables.documents(s, d),
           "source", "doc_id", "n_chars", k = 16, qPermille = 500)
           .withColumnRenamed("grp", "source")
+    },
+
+    // EXACT similarity join via PREFIX FILTERING (SSJoin/PPJoin): all
+    // pairs with 3-shingle Jaccard >= 0.3, NO false negatives — the
+    // exact-recall complement of the LSH gates. Candidates come only
+    // from each doc's rare-token prefix (|d| − ⌈t·|d|⌉ + 1 under
+    // global rare-first order); the oracle is the BRUTE-FORCE
+    // all-pairs join with the same exact rational threshold
+    // (inter·10^6 ≥ t·union — never the rounded ppm), so the gate
+    // proves the filter loses nothing.
+    QueryDef.sql("q143_jaccard_prefix_join",
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+        |                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                     ELSE list_transform(generate_series(1, len(t) - 2),
+        |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+        |SELECT id_a, id_b,
+        |       CAST(round(inter * 1000000.0 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS jaccard_ppm
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE inter * 1000000 >= 300000 * (sa.n_sh + sb.n_sh - inter)""".stripMargin) {
+      (s, d) =>
+        Dedup.jaccardPrefixJoin(Tables.documents(s, d),
+          "doc_id", col("text"), n = 3, minJaccardPpm = 300000L)
     }
   )
 }

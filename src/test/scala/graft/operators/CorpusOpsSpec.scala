@@ -61,6 +61,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("keep_id") === 1L)
   }
 
+  test("jaccardPrefixJoin: exact recall vs brute force, threshold respected") {
+    // Deterministic corpus: clusters of near-dup docs (high Jaccard),
+    // plus unrelated docs — similarities spread across the threshold.
+    val rnd = new scala.util.Random(42)
+    val base = (1 to 40).map(i => s"tok$i")
+    val rows = (0 until 24).map { i =>
+      val cluster = i / 4
+      // each cluster shares a base vocabulary slice; members differ in
+      // a few positions so pair Jaccard lands both above and below 0.3
+      val mut = base.map(t =>
+        if (rnd.nextInt(10) < (i % 4)) s"c${cluster}_${rnd.nextInt(100)}"
+        else s"c${cluster}_$t")
+      (i.toLong, mut.mkString(" "))
+    }
+    val df = docs(rows: _*)
+    val t = 300000L
+    val got = Dedup.jaccardPrefixJoin(df, "doc_id", col("text"),
+        n = 3, minJaccardPpm = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    CacheRegistry.releaseAll()
+    // brute force over ALL pairs with the same exact rational filter
+    val want = Dedup.ngramJaccardPairs(df, "doc_id", col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .filter { case (_, ppm) => ppm >= t }.toMap
+    CacheRegistry.releaseAll()
+    // ngramJaccardPairs reports the same rounded ppm; its >= filter on
+    // the rounded value can only DISAGREE within half a ppm of t — the
+    // synthetic vocab has no pair that close, so exact set equality
+    assert(got === want, s"prefix join ${got.size} pairs vs brute ${want.size}")
+    assert(got.nonEmpty && got.keys.forall { case (a, b) => a < b })
+    assert(got.values.forall(_ >= t))
+  }
+
   test("incremental exact dedup keeps only content absent from the existing corpus") {
     val incoming = docs(10L -> "brand new text", 11L -> "already curated", 12L -> "also new")
     val existing = docs(1L -> "already curated", 2L -> "other old text")

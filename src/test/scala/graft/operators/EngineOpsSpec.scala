@@ -17,6 +17,40 @@ class EngineOpsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("expectations: violation counts per family, pass flags, null-key semantics") {
+    import spark.implicits._
+    // id 4 duplicates key 3; id NULL row; price -5 bound breach; one orphan dept
+    val emp = Seq(
+      (Some(1L), Some("a"), 10L, Some(100L)),
+      (Some(2L), Some("b"), 20L, Some(-5L)),
+      (Some(3L), Some("a"), 10L, Some(30L)),
+      (Some(3L), Some("c"), 99L, Some(40L)),   // dup id + orphan dept 99
+      (None, Some("d"), 20L, None))            // null id, null salary
+      .toDF("id", "name", "dept", "salary")
+    val dept = Seq(10L, 20L).toDF("dept_id")
+    val rep = Integrity.expectations(emp,
+      rowChecks = Seq(
+        "id complete" -> col("id").isNull,
+        "salary positive" -> (col("salary") <= 0)),
+      uniqueChecks = Seq("id unique" -> Seq("id")),
+      refChecks = Seq(("dept in depts", col("dept"), dept, col("dept_id"))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(rep("id complete") === ((1L, false)))
+    // NULL salary is not a bound violation (unknown, not broken)
+    assert(rep("salary positive") === ((1L, false)))
+    // 4 non-null-id rows, 3 distinct ids -> 1 duplicate; NULL id excluded
+    assert(rep("id unique") === ((1L, false)))
+    assert(rep("dept in depts") === ((1L, false)))
+
+    // all-green suite: every check passes on clean data
+    val clean = Seq((1L, 5L), (2L, 6L)).toDF("id", "v")
+    val ok = Integrity.expectations(clean,
+      rowChecks = Seq("v positive" -> (col("v") <= 0)),
+      uniqueChecks = Seq("id unique" -> Seq("id")))
+      .collect()
+    assert(ok.forall(_.getBoolean(2)), ok.mkString(","))
+  }
+
   test("pageRankMicro: star graph ranks the hub above the spokes, mass conserved at teleport floor") {
     import spark.implicits._
     // spokes 1..4 all point at hub 0; hub points at node 1
