@@ -87,4 +87,72 @@ object LanguageModel {
       .withColumn("avg_millibits",
         expr("(1000 * surprisal_bits) div n_bigrams"))
   }
+
+  /** COLLOCATION MINING by pointwise mutual information: the corpus's
+    * top-k adjacent word pairs whose co-occurrence beats chance —
+    * "new york", "machine learning" — the classic phrase-discovery
+    * signal (tokenizer vocab seeding, quality probes, n-gram
+    * blocklists). PMI(x,y) = log2( P(xy) / (P(x·)·P(·y)) ) with all
+    * probabilities from the corpus bigram table: P(xy) = c12/N,
+    * P(x·) = c1/N (x as first element), P(·y) = c2/N — so
+    * PMI = log2( c12·N / (c1·c2) ).
+    *
+    * Engine-exact like [[bigramSurprisal]]: the score is quantized to
+    * whole bits with the integer floor-log2 (length(bin(·)) + one
+    * shift compare) over the EXACT integer products a = c12·N,
+    * b = c1·c2; only positive-PMI pairs (a ≥ b) are kept — negative
+    * association is noise for collocation mining and keeps the shift
+    * argument non-negative. Sound while N < ~3·10^9 bigrams (both
+    * products must fit a signed 64-bit long); beyond that, mine per
+    * shard/source and merge, or widen the products to decimal and
+    * replace bin() with a decimal floor-log2.
+    *
+    * Scale shape: one corpus explode into ONE map-side-combinable
+    * (w1, w2) count — the single wide shuffle; the persisted pair
+    * table (vocabulary²-bounded, far smaller than the corpus) then
+    * derives both marginals, N, and the scored join (4 consumers —
+    * [[CacheRegistry]] lifecycle); `minPairCount` prunes the hapax
+    * tail BEFORE the marginal joins; the final top-k is a
+    * TakeOrdered under the strict total order
+    * (pmi_bits desc, n_pair desc, w1, w2) — no global sort
+    * materializes. Returns (w1, w2, n_pair, pmi_bits).
+    */
+  def pmiCollocations(df: DataFrame, text: Column,
+                      minPairCount: Long = 5, topK: Int = 100,
+                      persistCounts: Boolean = true): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = graft.functions.TextFunctions.tokens(text)
+    val bi = df
+      .select(toks.as("__a"))
+      .filter(size(col("__a")) >= 2)
+      .withColumn("__h", slice(col("__a"), lit(1), size(col("__a")) - 1))
+      .withColumn("__t", slice(col("__a"), lit(2), size(col("__a")) - 1))
+      .select(explode(arrays_zip(col("__h"), col("__t"))).as("__p"))
+      .select(col("__p.__h").as("__w1"), col("__p.__t").as("__w2"))
+    val c12Raw = bi.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+    val c12 =
+      if (persistCounts)
+        CacheRegistry.register(c12Raw.persist(StorageLevel.MEMORY_AND_DISK))
+      else c12Raw
+    val c1 = c12.groupBy("__w1").agg(sum("__c12").as("__c1"))
+    val c2 = c12.groupBy("__w2").agg(sum("__c12").as("__c2"))
+    val n = c12.agg(sum("__c12").as("__n"))
+    c12.filter(col("__c12") >= minPairCount)
+      .join(c1, Seq("__w1")).join(c2, Seq("__w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("__1a", col("__c12") * col("__n"))
+      .withColumn("__1b", col("__c1") * col("__c2"))
+      .filter(col("__1a") >= col("__1b")) // PMI >= 0 only
+      .withColumn("pmi_bits", expr(
+        """CASE WHEN __1a >= shiftleft(__1b, length(bin(__1a)) - length(bin(__1b)))
+          |     THEN length(bin(__1a)) - length(bin(__1b))
+          |     ELSE length(bin(__1a)) - length(bin(__1b)) - 1
+          |END""".stripMargin))
+      .select(col("__w1").as("w1"), col("__w2").as("w2"),
+        col("__c12").cast("long").as("n_pair"),
+        col("pmi_bits").cast("long").as("pmi_bits"))
+      .orderBy(col("pmi_bits").desc, col("n_pair").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

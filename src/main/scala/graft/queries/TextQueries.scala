@@ -1553,6 +1553,41 @@ object TextQueries {
       (s, d) =>
         Dedup.jaccardPrefixJoin(Tables.documents(s, d),
           "doc_id", col("text"), n = 3, minJaccardPpm = 300000L)
+    },
+
+    // PMI COLLOCATION MINING: top-100 adjacent word pairs by
+    // pointwise mutual information, quantized to whole bits with the
+    // exact integer floor-log2 (q126's discipline) over
+    // a = c12·N, b = c1·c2 — engine-identical on any partitioning;
+    // strict total order (bits, count, w1, w2) makes the top-k
+    // deterministic.
+    QueryDef.sql("q145_pmi_collocations",
+      """WITH arr AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+        |  FROM documents),
+        |bi AS (
+        |  SELECT unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2
+        |  FROM arr WHERE len(a) >= 2),
+        |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM bi GROUP BY 1, 2),
+        |m1 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM pc GROUP BY 1),
+        |m2 AS (SELECT w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM pc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM pc),
+        |sc AS (
+        |  SELECT pc.w1, pc.w2, pc.cnt AS n_pair,
+        |         pc.cnt * tot.n AS a, m1.c1 * m2.c2 AS b
+        |  FROM pc JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+        |  WHERE pc.cnt >= 5 AND pc.cnt * tot.n >= m1.c1 * m2.c2)
+        |SELECT w1, w2, n_pair,
+        |       CAST(CASE WHEN a >= (b << (length(bin(a)) - length(bin(b))))
+        |            THEN length(bin(a)) - length(bin(b))
+        |            ELSE length(bin(a)) - length(bin(b)) - 1 END AS BIGINT) AS pmi_bits
+        |FROM sc
+        |ORDER BY pmi_bits DESC, n_pair DESC, w1, w2
+        |LIMIT 100""".stripMargin) {
+      (s, d) =>
+        graft.operators.LanguageModel.pmiCollocations(
+          Tables.documents(s, d), col("text"), minPairCount = 5, topK = 100)
     }
   )
 }

@@ -53,6 +53,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(short.map(_.getAs[Long]("doc_id")).toSeq === Seq(3L))
   }
 
+  test("pmiCollocations: hand-computed bits, negative PMI excluded, deterministic order") {
+    // bigrams: (x,y)×4, (x,z)×1, (w,z)×3 → N=8; c1: x=5, w=3; c2: y=4, z=4.
+    // PMI(w,z) = log2(3·8/(3·4)) = 1 exactly → 1 bit.
+    // PMI(x,y) = log2(4·8/(5·4)) = log2(1.6) → 0 bits.
+    // PMI(x,z) = log2(8/20) < 0 → excluded.
+    val df = docs(
+      (1L -> "x y") +: (2L -> "x y") +: (3L -> "x y") +: (4L -> "x y") +:
+      (5L -> "x z") +: (6L to 8L).map(_ -> "w z"): _*)
+    val out = LanguageModel.pmiCollocations(df, col("text"), minPairCount = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    CacheRegistry.releaseAll()
+    assert(out.toSeq === Seq(("w", "z", 3L, 1L), ("x", "y", 4L, 0L)))
+
+    // minPairCount prunes the hapax tail before scoring
+    val pruned = LanguageModel.pmiCollocations(df, col("text"), minPairCount = 4, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    CacheRegistry.releaseAll()
+    assert(pruned.toSeq === Seq(("x", "y")))
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val df = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
     val out = Dedup.exact(df, "doc_id", col("text")).collect()
