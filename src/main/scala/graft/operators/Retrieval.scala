@@ -103,6 +103,49 @@ object Retrieval {
     * reducer. Returns (doc_id, rrf_micro, n_rankers) for the fused
     * top `topK`, (rrf_micro desc, doc_id) ordered.
     */
+  /** Inverted-index CONSTRUCTION: index unit → (document frequency,
+    * sorted posting list) — the storable artifact behind
+    * [[bm25TopK]]-style retrieval, dictionary-based slicing, and
+    * boolean corpus queries. `units` is any array column (word
+    * tokens, n-gram shingles for phrase indexing, normalized terms).
+    * Returns (term, df, postings) with postings ascending by doc id.
+    *
+    * `minDf`/`maxDf` bound the emitted vocabulary: the hapax floor
+    * drops the long noise tail, and the stopword CEILING is the scale
+    * guard — a corpus-frequent term's posting list is one row holding
+    * a corpus-sized array (the single-row skew that kills collect
+    * aggregates), so production indexes exclude or chunk it.
+    * The cap is enforced from the df census BEFORE collecting
+    * postings: the census is a map-side-combinable count, a left-semi
+    * filter keeps only in-range terms, and only those terms' postings
+    * are ever collected (two aggregates over the same exploded
+    * projection, one shuffle each, no oversized rows).
+    *
+    * Scale shape: distinct (doc, term) explode → df census →
+    * in-range filter (left-semi, AQE-broadcast when the surviving
+    * vocabulary is small) → per-term ordered collect. At 100 TB,
+    * partition the OUTPUT by term range/bucket for serving; the
+    * build itself has no driver state.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, units: Column,
+                    minDf: Long = 1, maxDf: Long = Long.MaxValue,
+                    persistTerms: Boolean = true): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, s"need 1 <= minDf <= maxDf, got [$minDf,$maxDf]")
+    val termsRaw = df
+      .select(col(idCol).as("doc_id"), explode(units).as("term"))
+      .distinct()
+    val terms =
+      if (persistTerms)
+        CacheRegistry.register(termsRaw.persist(StorageLevel.MEMORY_AND_DISK))
+      else termsRaw
+    val inRange = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    terms.join(inRange, Seq("term"), "left_semi")
+      .groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+  }
+
   def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String, scoreCol: String,
               topK: Int, kRrf: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rankings must be non-empty")

@@ -1588,6 +1588,36 @@ object TextQueries {
       (s, d) =>
         graft.operators.LanguageModel.pmiCollocations(
           Tables.documents(s, d), col("text"), minPairCount = 5, topK = 100)
+    },
+
+    // INVERTED INDEX construction over 3-gram SHINGLES (phrase
+    // index): unit -> (df, ascending postings) for the df-band
+    // [2, 20] — the hapax floor drops noise, the frequency CEILING is
+    // the scale guard (a corpus-frequent phrase's postings are one
+    // corpus-sized row; the census excludes it BEFORE any posting
+    // list is collected).
+    QueryDef.sql("q146_inverted_index",
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |dt AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+        |                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                     ELSE list_transform(generate_series(1, len(t) - 2),
+        |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS term
+        |  FROM toks),
+        |g AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |             array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |      FROM dt GROUP BY 1)
+        |SELECT term, df, postings FROM g WHERE df BETWEEN 2 AND 20""".stripMargin) {
+      (s, d) =>
+        graft.operators.Retrieval.invertedIndex(
+          Tables.documents(s, d), "doc_id",
+          Dedup.shingles(col("text"), 3), minDf = 2, maxDf = 20)
+          .select(col("term"), col("df"),
+            array_join(col("postings"), ",").as("postings"))
     }
   )
 }
