@@ -44,4 +44,36 @@ object Profiling {
     }
     wide.select(inline(array(rows: _*)))
   }
+
+  /** EQUI-DEPTH binning per group (the quantile bucketizer of feature
+    * engineering, the histogram q43's equi-WIDTH bins can't give on
+    * skewed data): split each group's rows into `numBins` rank bins of
+    * near-equal population via ntile over the strict total order
+    * (value, tie), and report each bin's population and value range.
+    * The bin boundaries double as exact per-group quantile estimates
+    * (bin k's max ≈ the k/numBins quantile).
+    *
+    * Deterministic: ntile's larger-bins-first remainder rule is ANSI
+    * fixed, and the (value, tie) order is strict — identical output
+    * on any engine/partitioning. One shuffle (the group window); the
+    * per-bin aggregate reuses the same partitioning prefix. A group
+    * is one window partition — the same per-key size bound as any
+    * sessionization; for a GLOBAL binning at 100 TB, range-partition
+    * first and bin within ranges, or use approx_percentile cutpoints.
+    *
+    * Returns (group, bin, n_rows, lo, hi).
+    */
+  def equiDepthBins(df: DataFrame, groupCol: String, value: Column,
+                    tieCol: String, numBins: Int = 10): DataFrame = {
+    require(numBins >= 2, s"numBins must be >= 2, got $numBins")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col("__v"), col(tieCol))
+    df.select(col(groupCol), value.as("__v"), col(tieCol))
+      .withColumn("bin", ntile(numBins).over(w))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+      .select(col(groupCol), col("bin").cast("long").as("bin"),
+        col("n_rows"), col("lo"), col("hi"))
+  }
 }

@@ -54,4 +54,40 @@ object TimeSeries {
       .select(col(keyCol), col("fill_ts").as("bucket_ts"), col(valueAlias),
         (col("fill_ts") === col("__obs_ts")).as("observed"))
   }
+
+  /** TIME-WEIGHTED AVERAGE per key (the TWAP of finance, the
+    * duration-correct mean of any step-function telemetry): each
+    * observation's value holds from its timestamp until the NEXT
+    * observation, so the mean weights each value by how long it was
+    * in force — an event-frequency-biased plain avg over-counts
+    * bursts. The key's final observation has no horizon and
+    * contributes nothing (standard closed-interval TWAP; feed a
+    * query-time "now" row upstream to include it).
+    *
+    * EXACT integer arithmetic: `valueCents` (integer-quantized) ×
+    * µs-durations sum as longs — commutative, so bit-identical on
+    * any partitioning/engine — and one final integer division:
+    * twap_cents = ⌊Σ(c·Δ) / ΣΔ⌋. Sound while Σ(c·Δ) < 2^63 (~10^4
+    * cents over ~30 years of µs per key). Keys whose observations all
+    * share one timestamp have zero total duration and are dropped
+    * (no interval to average; the ANSI div would error).
+    *
+    * One shuffle: the lead() window on (key | ts, tie) feeds a
+    * map-side-combinable aggregate that reuses the same partitioning.
+    * Returns (key, n_intervals, twap_cents).
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsUs: Column,
+                      valueCents: Column, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("__t"), col(tieCol))
+    df.select(col(keyCol), tsUs.as("__t"), valueCents.as("__c"), col(tieCol))
+      .withColumn("__next", lead("__t", 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__next") - col("__t")).as("__dur"),
+        sum(col("__c") * (col("__next") - col("__t"))).as("__wsum"))
+      .filter(col("__dur") > 0)
+      .select(col(keyCol), col("n_intervals"),
+        expr("__wsum div __dur").as("twap_cents"))
+  }
 }

@@ -2439,6 +2439,29 @@ object CoreQueries {
             col("l_orderkey"), orders, col("o_orderkey"))))
         suiteO.unionAll(suiteL).orderBy("check_name")
       }
+    },
+
+    // TIME-WEIGHTED AVERAGE per user (TWAP): each event's value holds
+    // until the next event, so the mean weights values by µs held —
+    // the duration-correct aggregate a plain avg gets wrong on bursty
+    // streams. Integer-exact: cents × µs-durations sum as longs
+    // (commutative), one final integer division; both engines agree
+    // bit-for-bit where a double TWAP would drift.
+    QueryDef.sql("q148_time_weighted_avg",
+      """WITH s AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |       CAST(sum(c * (nxt - t)) // sum(nxt - t) AS BIGINT) AS twap_cents
+        |FROM s WHERE nxt IS NOT NULL
+        |GROUP BY user_id HAVING sum(nxt - t) > 0""".stripMargin) {
+      (s, d) =>
+        graft.operators.TimeSeries.timeWeightedAvg(
+          Tables.events(s, d), "user_id", unix_micros(col("ts")),
+          cents(col("value")), "event_id")
     }
   )
 }

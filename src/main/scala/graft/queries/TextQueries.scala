@@ -1618,6 +1618,27 @@ object TextQueries {
           Dedup.shingles(col("text"), 3), minDf = 2, maxDf = 20)
           .select(col("term"), col("df"),
             array_join(col("postings"), ",").as("postings"))
+    },
+
+    // EQUI-DEPTH BINNING per source (quantile bucketizer): 4 rank
+    // bins of near-equal population over the strict (n_chars, doc_id)
+    // order; bin boundaries double as exact per-source quartile
+    // estimates. ntile's larger-bins-first remainder rule is ANSI
+    // fixed — engine-identical.
+    QueryDef.sql("q147_equidepth_bins",
+      """WITH b AS (
+        |  SELECT source, n_chars,
+        |         ntile(4) OVER (PARTITION BY source
+        |                        ORDER BY n_chars, doc_id) AS bin
+        |  FROM documents)
+        |SELECT source, CAST(bin AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM b GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        graft.operators.Profiling.equiDepthBins(
+          Tables.documents(s, d), "source", col("n_chars"), "doc_id",
+          numBins = 4)
     }
   )
 }

@@ -25,6 +25,44 @@ class TimeSeriesSpec extends AnyFunSuite {
     rows.toDF("event_id", "user_id", "ts", "v")
   }
 
+  test("timeWeightedAvg: hand-computed weights, last event excluded, zero-duration key dropped") {
+    // user 1: v=10 held 2h, v=40 held 1h, final v=99 has no horizon
+    //   → twap = (10·2 + 40·1)/3 = 20
+    // user 2: both events at the same instant → zero duration → dropped
+    val df = events(
+      (1L, 1L, ts(0), 10L), (2L, 1L, ts(2), 40L), (3L, 1L, ts(3), 99L),
+      (4L, 2L, ts(5), 7L), (5L, 2L, ts(5), 8L))
+    val out = TimeSeries.timeWeightedAvg(df, "user_id",
+        unix_micros(col("ts")), col("v"), "event_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> ((2L, 20L))))
+
+    // equal durations degenerate to the plain mean (floor)
+    val even = events((1L, 9L, ts(0), 1L), (2L, 9L, ts(1), 2L), (3L, 9L, ts(2), 99L))
+    val m = TimeSeries.timeWeightedAvg(even, "user_id",
+        unix_micros(col("ts")), col("v"), "event_id")
+      .collect().head
+    assert((m.getLong(1), m.getLong(2)) === ((2L, 1L))) // (1+2)/2 floored
+  }
+
+  test("equiDepthBins: ntile remainder rule, contiguous ranges, per-group independence") {
+    import spark.implicits._
+    // group a: 10 rows into 4 bins → sizes 3,3,2,2 (larger first);
+    // group b: 2 rows into 4 bins → ntile assigns bins 1 and 2
+    val df = ((1 to 10).map(i => ("a", i.toLong, i.toLong)) ++
+      Seq(("b", 5L, 100L), ("b", 6L, 101L))).toDF("g", "id", "v")
+    val out = Profiling.equiDepthBins(df, "g", col("v"), "id", numBins = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("a", 1L)) === ((3L, 1L, 3L)))
+    assert(out(("a", 2L)) === ((3L, 4L, 6L)))
+    assert(out(("a", 3L)) === ((2L, 7L, 8L)))
+    assert(out(("a", 4L)) === ((2L, 9L, 10L)))
+    assert(out(("b", 1L)) === ((1L, 100L, 100L)))
+    assert(out(("b", 2L)) === ((1L, 101L, 101L)))
+    assert(out.size === 6)
+  }
+
   private def run(df: org.apache.spark.sql.DataFrame, maxFill: Int = 100000) =
     TimeSeries
       .resampleLocf(df, "user_id", "ts", col("v"), "v", "event_id",
