@@ -104,4 +104,27 @@ object Integrity {
       .select(col("check_name"), col("n_violations"),
         (col("n_violations") === 0L).as("pass"))
   }
+
+  /** K-ANONYMITY audit over a set of quasi-identifier columns (the
+    * re-identification risk check run before releasing or training on
+    * user-adjacent data): every quasi-identifier combination that
+    * appears, its population, and whether it satisfies k-anonymity —
+    * a group smaller than `k` means those rows are re-identifiable by
+    * joining the quasi-identifiers against any outside dataset.
+    * Returns the quasi columns plus (n_rows, at_risk); feed `at_risk`
+    * groups to suppression/generalization upstream.
+    *
+    * ONE map-side-combinable aggregate — group count is the whole
+    * computation; no skew concern beyond the quasi-group sizes
+    * themselves (the audit's own subject). NULL quasi-values form
+    * their own group (SQL GROUP BY semantics — NULLs equal for
+    * grouping on every engine).
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("at_risk", col("n_rows") < k)
+  }
 }

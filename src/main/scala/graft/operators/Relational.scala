@@ -169,6 +169,57 @@ object Relational {
       .drop("__b")
   }
 
+  /** INTERVAL-OVERLAP join: every (a, b) pair whose half-open µs
+    * intervals `[start, end)` intersect — no shared key, so the naive
+    * form is a quadratic theta-join. Same grid trick as [[rangeJoin]],
+    * extended to interval×interval: BOTH sides explode to the coarse
+    * buckets they cover, plausible pairs meet in the bucket equi-join,
+    * the exact predicate (a.start < b.end ∧ b.start < a.end) filters,
+    * and a distinct collapses pairs that met in several buckets (an
+    * overlapping pair meets in every bucket their spans share — the
+    * dedup key is the id pair, and `overlap_us` is functionally
+    * determined by it, so the distinct is exact). Returns
+    * (a_id, b_id, overlap_us) with overlap_us = min(ends) − max(starts).
+    *
+    * Scale shape: explode cost is ceil(len/bucket)+1 rows per
+    * interval — pick `bucketMicros` near the typical interval length
+    * (amplification ≈ 2, the classic interval-tree-vs-grid trade);
+    * the bucket join shuffles 8-byte keys and AQE splits hot buckets
+    * (rush-hour pileups). Same `maxSpanBuckets` guard as rangeJoin:
+    * an open-ended sentinel interval must fail loudly, not explode.
+    * Ids must be non-null and unique per side (they key the dedup).
+    */
+  def intervalOverlapJoin(a: DataFrame, aId: String, aStart: String, aEnd: String,
+                          b: DataFrame, bId: String, bStart: String, bEnd: String,
+                          bucketMicros: Long = 3600L * 1000000L,
+                          maxSpanBuckets: Long = 10000L): DataFrame = {
+    require(bucketMicros >= 1, "bucketMicros must be positive")
+    require(maxSpanBuckets >= 1, "maxSpanBuckets must be positive")
+    def bucketed(df: DataFrame, id: String, s: String, e: String,
+                 outId: String, outS: String, outE: String): DataFrame = {
+      val bS = floor(col(s) / bucketMicros)
+      val bE = floor((col(e) - 1) / bucketMicros)
+      df.filter(col(e) > col(s))
+        .select(col(id).as(outId), col(s).as(outS), col(e).as(outE),
+          explode(sequence(bS,
+            when(bE - bS < maxSpanBuckets, bE).otherwise(
+              raise_error(concat(
+                lit(s"intervalOverlapJoin: interval spans >= $maxSpanBuckets " +
+                  s"buckets of $bucketMicros us (start="), col(s).cast("string"),
+                lit(", end="), col(e).cast("string"),
+                lit("); widen bucketMicros or clamp sentinel ends"))
+                .cast("string")).cast("long")))).as("__b"))
+    }
+    val av = bucketed(a, aId, aStart, aEnd, "a_id", "__as", "__ae")
+    val bv = bucketed(b, bId, bStart, bEnd, "b_id", "__bs", "__be")
+    av.join(bv, Seq("__b"))
+      .filter(col("__as") < col("__be") && col("__bs") < col("__ae"))
+      .select(col("a_id"), col("b_id"),
+        (least(col("__ae"), col("__be")) -
+          greatest(col("__as"), col("__bs"))).as("overlap_us"))
+      .distinct()
+  }
+
   /** Skew-resistant two-phase ordered collect: identical result to
     * [[collectOrdered]], but a hot key's rows first combine under
     * (keys, salt) — spreading one giant group (a mega-relation's 100k

@@ -2462,6 +2462,51 @@ object CoreQueries {
         graft.operators.TimeSeries.timeWeightedAvg(
           Tables.events(s, d), "user_id", unix_micros(col("ts")),
           cents(col("value")), "event_id")
+    },
+
+    // K-ANONYMITY audit: every (nation, segment) quasi-identifier
+    // group, its population, and the k=8 re-identification flag —
+    // the privacy check before releasing or training on
+    // user-adjacent rows. One map-side-combinable aggregate.
+    QueryDef.sql("q149_k_anonymity",
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       count(*) < 8 AS at_risk
+        |FROM customer GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        graft.operators.Integrity.kAnonymity(
+          Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"), k = 8)
+    },
+
+    // INTERVAL-OVERLAP JOIN without a shared key: purchase windows
+    // [t, t+10min) × error windows [t, t+10min) that intersect —
+    // the grid-bucketed equi-join replaces the quadratic theta-join
+    // (both sides explode to 10-min buckets ≈ 2 rows each, pairs
+    // meet only in shared buckets, exact predicate + pair-distinct
+    // finish). Oracle is the brute-force non-equi join.
+    QueryDef.sql("q150_interval_overlap_join",
+      """WITH a AS (
+        |  SELECT event_id AS a_id, epoch_us(ts) AS s,
+        |         epoch_us(ts) + 600000000 AS e
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT event_id AS b_id, epoch_us(ts) AS s,
+        |         epoch_us(ts) + 600000000 AS e
+        |  FROM events WHERE event_type = 'error')
+        |SELECT a_id, b_id,
+        |       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+        |FROM a JOIN b ON a.s < b.e AND b.s < a.e""".stripMargin) {
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def side(t: String, id: String, st: String, en: String) =
+          ev.filter(col("event_type") === t)
+            .select(col("event_id").as(id), unix_micros(col("ts")).as(st),
+              (unix_micros(col("ts")) + 600000000L).as(en))
+        graft.operators.Relational.intervalOverlapJoin(
+          side("purchase", "pid", "ps", "pe"), "pid", "ps", "pe",
+          side("error", "eid", "es", "ee"), "eid", "es", "ee",
+          bucketMicros = 600000000L)
+      }
     }
   )
 }

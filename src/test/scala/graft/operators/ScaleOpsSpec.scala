@@ -109,6 +109,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out === Set((1L, "A"), (2L, "A"), (2L, "C"), (4L, "A"), (4L, "C")))
   }
 
+  test("interval overlap join: half-open semantics, multi-bucket dedup, empty intervals dropped") {
+    import spark.implicits._
+    val M = 1000000L // seconds -> us
+    // a1 [0,100s) spans 2 60s-buckets; a2 [200,210s); a3 empty
+    val a = Seq((1L, 0L, 100L * M), (2L, 200L * M, 210L * M), (3L, 50L * M, 50L * M))
+      .toDF("aid", "as_us", "ae_us")
+    // b1 [90,150s) overlaps a1 in bucket 1 AND 2 (dedup to one row);
+    // b2 [100,110s) touches a1's end exactly -> NO overlap (half-open);
+    // b3 [205,300s) overlaps a2 by 5s
+    val b = Seq((10L, 90L * M, 150L * M), (20L, 100L * M, 110L * M),
+        (30L, 205L * M, 300L * M))
+      .toDF("bid", "bs_us", "be_us")
+    val out = Relational.intervalOverlapJoin(
+        a, "aid", "as_us", "ae_us", b, "bid", "bs_us", "be_us",
+        bucketMicros = 60L * M)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((1L, 10L) -> 10L * M, (2L, 30L) -> 5L * M))
+
+    // sentinel interval fails loudly instead of exploding
+    val sentinel = Seq((9L, 0L, 10000L * 3600L * M)).toDF("bid", "bs_us", "be_us")
+    val e = intercept[Exception] {
+      Relational.intervalOverlapJoin(a, "aid", "as_us", "ae_us",
+        sentinel, "bid", "bs_us", "be_us", bucketMicros = 60L * M).collect()
+    }
+    assert(e.getMessage.contains("intervalOverlapJoin") ||
+      e.getCause != null && e.getCause.getMessage.contains("intervalOverlapJoin"))
+  }
+
   test("bucketed tables join without a shuffle") {
     val d = "/root/testdata/sf0.001"
     // writeBucketed itself clears catalog-forgotten warehouse leftovers
