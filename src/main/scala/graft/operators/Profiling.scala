@@ -76,4 +76,41 @@ object Profiling {
       .select(col(groupCol), col("bin").cast("long").as("bin"),
         col("n_rows"), col("lo"), col("hi"))
   }
+
+  /** CATEGORICAL DISTRIBUTION DRIFT between two snapshots (training-
+    * data shift detection — "did this source's language/topic/label
+    * mix move since the last crawl"): per-category counts on both
+    * sides plus each category's contribution to the total-variation
+    * distance, all in EXACT integer arithmetic over the common
+    * denominator n_a·n_b:
+    *
+    *   TVD = ½ Σ_c |p_a(c) − p_b(c)|
+    *   tvd_contrib_ppm(c) = (10^6 · |c_a·n_b − c_b·n_a|) div (2·n_a·n_b)
+    *
+    * Integer sums commute → bit-identical on any engine/partitioning;
+    * Σ contributions recovers the (floor-quantized) corpus TVD.
+    * Sound for snapshots up to ~10^6 rows per side with the 10^6 ppm
+    * scale (10^6·n_a·n_b < 2^63); beyond that, divide counts by a
+    * common power of 10 first — TVD is scale-invariant.
+    *
+    * Scale shape: one map-side-combinable count per side, a
+    * full-outer join on the category (absent categories count 0 —
+    * their mass is pure drift), two broadcast scalar totals. Returns
+    * one row per category in either snapshot:
+    * (category, n_a, n_b, tvd_contrib_ppm).
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame, category: Column): DataFrame = {
+    val ca = a.select(category.as("category")).groupBy("category")
+      .agg(count(lit(1)).as("n_a"))
+    val cb = b.select(category.as("category")).groupBy("category")
+      .agg(count(lit(1)).as("n_b"))
+    val ta = ca.agg(sum("n_a").as("__ta"))
+    val tb = cb.agg(sum("n_b").as("__tb"))
+    ca.join(cb, Seq("category"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("category"), col("n_a"), col("n_b"),
+        expr("(1000000 * abs(n_a * __tb - n_b * __ta)) div (2 * __ta * __tb)")
+          .as("tvd_contrib_ppm"))
+  }
 }

@@ -90,4 +90,44 @@ object TimeSeries {
       .select(col(keyCol), col("n_intervals"),
         expr("__wsum div __dur").as("twap_cents"))
   }
+
+  /** Per-key LINEAR TREND (OLS slope) of a value over time — the
+    * "is this metric drifting" detector (billing creep, sensor decay,
+    * engagement decline) as one aggregate, no window:
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * with x = the epoch-`hour` index (t_us div 3600·10^6 — the hour
+    * truncation is the DEFINED model, making x a small exact integer)
+    * and y = `valueCents`. Everything is integer: the five sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx²) are ONE map-side-combinable
+    * aggregate — commutative sums, bit-identical on any partitioning
+    * — and the slope is scaled to milli-cents/hour with a final
+    * integer division. Truncation is toward zero on BOTH engines by
+    * construction: the division runs on |numerator| and the sign is
+    * re-applied (floor-vs-trunc divergence on negatives is the
+    * classic cross-engine trap). Keys whose observations all fall in
+    * one hour have zero x-variance and are dropped (no trend is
+    * estimable). Sound for ~10^6 rows/key at 10^4-cent values
+    * (n·Σxy < 2^63 with 2024-era hour indexes ≈ 4.7·10^5).
+    *
+    * Returns (key, n_obs, slope_milli) — milli-cents per hour.
+    */
+  def groupTrend(df: DataFrame, keyCol: String, tsUs: Column,
+                 valueCents: Column): DataFrame = {
+    val base = df.select(col(keyCol), tsUs.cast("long").as("__tus"),
+        valueCents.cast("long").as("__y"))
+      .withColumn("__x", expr("__tus div 3600000000L"))
+    base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum("__x").as("__sx"),
+        sum("__y").as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .withColumn("__num", col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__den", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .filter(col("__den") > 0)
+      .select(col(keyCol), col("__n").as("n_obs"),
+        (signum(col("__num")).cast("long") *
+          expr("(1000 * abs(__num)) div __den")).as("slope_milli"))
+  }
 }

@@ -2507,6 +2507,62 @@ object CoreQueries {
           side("error", "eid", "es", "ee"), "eid", "es", "ee",
           bucketMicros = 600000000L)
       }
+    },
+
+    // PER-USER LINEAR TREND (OLS slope in milli-cents/hour): five
+    // integer sufficient statistics in ONE map-side-combinable
+    // aggregate, slope by |num|-division with the sign re-applied —
+    // floor-vs-trunc divergence on negatives is the cross-engine
+    // trap this construction dodges. x = epoch-hour index (the
+    // defined model), so every product stays in int64.
+    QueryDef.sql("q151_group_trend",
+      """WITH s AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS x,
+        |         CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x*y) AS BIGINT) AS sxy,
+        |         CAST(sum(x*x) AS BIGINT) AS sxx
+        |  FROM s GROUP BY 1),
+        |t AS (SELECT user_id, n_obs, n_obs*sxy - sx*sy AS num,
+        |             n_obs*sxx - sx*sx AS den FROM g)
+        |SELECT user_id, n_obs,
+        |       CAST(CASE WHEN num < 0 THEN -((1000 * (-num)) // den)
+        |                 ELSE (1000 * num) // den END AS BIGINT) AS slope_milli
+        |FROM t WHERE den > 0""".stripMargin) {
+      (s, d) =>
+        graft.operators.TimeSeries.groupTrend(
+          Tables.events(s, d), "user_id", unix_micros(col("ts")),
+          cents(col("value")))
+    },
+
+    // CATEGORICAL DISTRIBUTION DRIFT (training-data shift audit):
+    // event-type mix of the first half-month vs the second, each
+    // category's exact-integer contribution to the total-variation
+    // distance in ppm over the common denominator n_a·n_b.
+    QueryDef.sql("q152_distribution_drift",
+      """WITH a AS (SELECT event_type AS category, count(*) AS n_a
+        |           FROM events WHERE epoch_us(ts) < 1705363200000000 GROUP BY 1),
+        |b AS (SELECT event_type AS category, count(*) AS n_b
+        |      FROM events WHERE epoch_us(ts) >= 1705363200000000 GROUP BY 1),
+        |j AS (SELECT coalesce(a.category, b.category) AS category,
+        |             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |      FROM a FULL OUTER JOIN b ON a.category = b.category),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |             CAST(sum(n_b) AS BIGINT) AS tb FROM j)
+        |SELECT category, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       CAST((1000000 * abs(n_a * tb - n_b * ta)) // (2 * ta * tb)
+        |            AS BIGINT) AS tvd_contrib_ppm
+        |FROM j CROSS JOIN t""".stripMargin) {
+      (s, d) => {
+        val ev = Tables.events(s, d).withColumn("__us", unix_micros(col("ts")))
+        val cut = 1705363200000000L // 2024-01-16T00:00Z
+        graft.operators.Profiling.distributionDrift(
+          ev.filter(col("__us") < cut), ev.filter(col("__us") >= cut),
+          col("event_type"))
+      }
     }
   )
 }

@@ -17,6 +17,26 @@ class EngineOpsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("distributionDrift: exact TVD contributions, absent categories are pure drift") {
+    import spark.implicits._
+    // A: x×6, y×2, z×2 (n=10); B: x×2, y×2, w×1 (n=5)
+    // |p_a − p_b|: x |0.6−0.4|=0.2, y |0.2−0.4|=0.2, z 0.2, w 0.2 → TVD=0.4
+    val a = (Seq.fill(6)("x") ++ Seq.fill(2)("y") ++ Seq.fill(2)("z")).toDF("c")
+    val b = (Seq.fill(2)("x") ++ Seq.fill(2)("y") ++ Seq("w")).toDF("c")
+    val out = Profiling.distributionDrift(a, b, col("c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("x") === ((6L, 2L, 100000L)))
+    assert(out("y") === ((2L, 2L, 100000L)))
+    assert(out("z") === ((2L, 0L, 100000L))) // only in A
+    assert(out("w") === ((0L, 1L, 100000L))) // only in B
+    assert(out.values.map(_._3).sum === 400000L) // corpus TVD = 0.4
+
+    // identical snapshots → zero drift everywhere
+    val same = Profiling.distributionDrift(a, a, col("c")).collect()
+    assert(same.forall(_.getLong(3) === 0L))
+  }
+
   test("expectations: violation counts per family, pass flags, null-key semantics") {
     import spark.implicits._
     // id 4 duplicates key 3; id NULL row; price -5 bound breach; one orphan dept

@@ -45,6 +45,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert((m.getLong(1), m.getLong(2)) === ((2L, 1L))) // (1+2)/2 floored
   }
 
+  test("groupTrend: hand-computed slopes, sign handling, zero-variance keys dropped") {
+    // user 1: y = 10, 20, 30 at hours 0,1,2 → slope exactly +10 c/h = 10000 milli
+    // user 2: y = 30, 20, 10 at hours 0,1,2 → −10000 milli (sign path)
+    // user 3: all obs in one hour → zero x-variance → dropped
+    val df = events(
+      (1L, 1L, ts(0), 10L), (2L, 1L, ts(1), 20L), (3L, 1L, ts(2), 30L),
+      (4L, 2L, ts(0), 30L), (5L, 2L, ts(1), 20L), (6L, 2L, ts(2), 10L),
+      (7L, 3L, ts(5, 10), 1L), (8L, 3L, ts(5, 20), 99L))
+    val out = TimeSeries.groupTrend(df, "user_id",
+        unix_micros(col("ts")), col("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> ((3L, 10000L)), 2L -> ((3L, -10000L))))
+  }
+
   test("equiDepthBins: ntile remainder rule, contiguous ranges, per-group independence") {
     import spark.implicits._
     // group a: 10 rows into 4 bins → sizes 3,3,2,2 (larger first);
