@@ -458,11 +458,15 @@ object Dedup {
       .select(col("doc_id"), col("g"),
         row_number().over(byRarity).as("__pos"),
         count(lit(1)).over(wholeDoc).as("__n"))
-    // ⌈t·|d|⌉ exactly: (tPpm·|d| + 10^6 − 1) div 10^6
-    val prefix = positioned.filter(
+    // ⌈t·|d|⌉ exactly: (tPpm·|d| + 10^6 − 1) div 10^6.
+    // The prefix projection (df-census join + two windows) feeds BOTH
+    // sides of the candidate self-join — persist it so that pipeline
+    // runs once, not twice (CacheRegistry lifecycle, caller releases).
+    val prefix = CacheRegistry.register(positioned.filter(
       col("__pos") <=
         col("__n") - expr(s"(${minJaccardPpm}L * __n + 999999L) div 1000000L")
           + lit(1L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = prefix.select(col("g"), col("doc_id").as("id_a"), col("__n").as("__na"))
     val b = prefix.select(col("g"), col("doc_id").as("id_b"), col("__n").as("__nb"))
     val candidates = a.join(b, Seq("g"))
@@ -794,6 +798,47 @@ object Dedup {
         max("__end").cast("long").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
+
+  /** The REMOVAL step of exact-substring dedup (Lee et al.):
+    * [[duplicateSpans]] finds the duplicated token intervals; this
+    * operator CUTS them and reassembles each document from its
+    * surviving tokens, whitespace-joined in original order. Returns
+    * (doc_id, clean_text, n_kept) for every doc with non-null text —
+    * a fully-duplicated document survives with empty text (the
+    * caller's quality floor decides, same contract as [[lineDedup]]).
+    *
+    * Scale shape: the span set is the (small) output of the k-gram
+    * funnel; tokens anti-join it on doc_id with the containment
+    * predicate inside the join condition — merged spans are disjoint,
+    * so the anti-join is exact, shuffles on doc_id only, and the
+    * per-doc ordered reassembly reuses that partitioning. No state
+    * beyond single-document size.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, text: Column,
+                           k: Int = 8, minOccurrences: Long = 2,
+                           persistGrams: Boolean = true): DataFrame = {
+    val spans = duplicateSpans(df, idCol, text, k, minOccurrences, persistGrams)
+      .select(col("doc_id").as("__sdoc"), col("span_start"), col("span_end"))
+    val toks = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(text)))
+      .withColumnRenamed("pos", "__pos0").withColumnRenamed("col", "__tok")
+      .withColumn("__pos", col("__pos0") + 1) // spans are 1-based
+    val kept = toks.join(spans,
+      toks("doc_id") === spans("__sdoc") &&
+        col("__pos") >= col("span_start") && col("__pos") <= col("span_end"),
+      "left_anti")
+    val perDoc = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+        x => x("__tok"))).as("clean_text"))
+    df.filter(text.isNotNull).select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
   /** Canonical-document selection over near-duplicate clusters: run

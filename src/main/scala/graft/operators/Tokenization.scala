@@ -32,6 +32,39 @@ import graft.functions.TextFunctions
   */
 object Tokenization {
 
+  /** FEATURE HASHING (the "hashing trick", Weinberger et al.): map
+    * each document's tokens into a fixed `dims`-bucket sparse count
+    * vector via xxhash64(token) mod dims — the unbounded-vocabulary-
+    * free featurizer for corpus-scale classifiers (quality models,
+    * language ID, topic filters). Returns
+    * (doc_id, n_dims, features) with features rendered as the sparse
+    * "bucket:count" pairs in bucket order (the storable/hashable
+    * form; parse back to a vector at train time).
+    *
+    * `dims` must be a power of two: the low bits of the SIGNED
+    * xxhash64 equal the unsigned residue, so pmod(h, dims) is
+    * engine-replicable without 64-bit-unsigned arithmetic. Shape:
+    * explode → ONE map-side-combinable (doc, bucket) count → per-doc
+    * ordered collect — two shuffles, both doc-keyed after the first
+    * aggregate, no vocabulary table at all (that absence is the
+    * operator's point). Docs with no tokens produce no row.
+    */
+  def featureHash(df: DataFrame, idCol: String, text: Column,
+                  dims: Int = 64): DataFrame = {
+    require(dims >= 2 && (dims & (dims - 1)) == 0,
+      s"dims must be a power of two, got $dims")
+    df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(text)).as("__t"))
+      .select(col("doc_id"), pmod(xxhash64(col("__t")), lit(dims.toLong)).as("__b"))
+      .groupBy("doc_id", "__b").agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_dims"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__b"), col("__c")))),
+          x => concat(x("__b").cast("string"), lit(":"),
+            x("__c").cast("string")))).as("features"))
+  }
+
   /** One BPE merge: at `rank`, (left, right) fused with corpus-weighted
     * adjacent-pair count `pairN`. */
   final case class Merge(rank: Int, left: String, right: String, pairN: Long)

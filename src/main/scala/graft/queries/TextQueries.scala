@@ -1639,6 +1639,80 @@ object TextQueries {
         graft.operators.Profiling.equiDepthBins(
           Tables.documents(s, d), "source", col("n_chars"), "doc_id",
           numBins = 4)
+    },
+
+    // FEATURE HASHING (the hashing trick): 64-bucket sparse token-
+    // count vectors via xxhash64(token) mod 64 — no vocabulary table
+    // at all. The oracle rebuilds Spark's XXH64 bit-exact
+    // (XxHash64Sql), so even the bucket assignment is hash-verified;
+    // power-of-two dims make the signed pmod equal the unsigned
+    // residue on any engine. Scoped to doc_id < 200 for oracle cost
+    // (the SQL XXH64 is the expensive twin, not the operator).
+    QueryDef.sql("q153_feature_hash",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |                             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t
+         |  FROM documents WHERE doc_id < 200),
+         |${XxHash64Sql.hashBytesCtes("toks", "t")},
+         |bk AS (SELECT doc_id, CAST(xxh % 64 AS BIGINT) AS b, count(*) AS c
+         |       FROM hb GROUP BY 1, 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dims,
+         |       string_agg(b || ':' || c, ' ' ORDER BY b) AS features
+         |FROM bk GROUP BY doc_id""".stripMargin) {
+      (s, d) =>
+        graft.operators.Tokenization.featureHash(
+          Tables.documents(s, d).filter(col("doc_id") < 200),
+          "doc_id", col("text"), dims = 64)
+    },
+
+    // EXACT-SUBSTRING REMOVAL (the Lee et al. cut step — closes the
+    // loop q112 opened): duplicated >= 8-gram spans are cut and each
+    // doc reassembled from its surviving tokens; fully-duplicated
+    // docs survive empty (caller's quality floor decides). The
+    // oracle replays the whole chain — span formation AND the cut —
+    // with the string-census spans.
+    QueryDef.sql("q154_remove_dup_spans",
+      """WITH arr AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+        |  FROM documents WHERE text IS NOT NULL),
+        |grams AS (
+        |  SELECT doc_id, i AS start_pos, array_to_string(a[i:i+7], ' ') AS gram
+        |  FROM arr, unnest(generate_series(1, len(a) - 7)) AS g(i)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |marked AS (SELECT doc_id, start_pos, start_pos + 7 AS end_pos
+        |           FROM grams WHERE gram IN (SELECT gram FROM dup)),
+        |flagged AS (
+        |  SELECT doc_id, start_pos, end_pos,
+        |         CASE WHEN start_pos > coalesce(max(end_pos) OVER (
+        |                PARTITION BY doc_id ORDER BY start_pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |              THEN 1 ELSE 0 END AS new_island
+        |  FROM marked),
+        |islands AS (
+        |  SELECT doc_id, start_pos, end_pos,
+        |         sum(new_island) OVER (PARTITION BY doc_id ORDER BY start_pos
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged),
+        |spans AS (SELECT doc_id, min(start_pos) AS s, max(end_pos) AS e
+        |          FROM islands GROUP BY doc_id, island),
+        |tok AS (SELECT doc_id, i AS pos, a[i] AS tok
+        |        FROM arr, unnest(generate_series(1, len(a))) AS g(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |                    WHERE sp.doc_id = t.doc_id
+        |                      AND t.pos BETWEEN sp.s AND sp.e)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+        |       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+        |LEFT JOIN agg USING (doc_id)""".stripMargin) {
+      (s, d) =>
+        Dedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id",
+          col("text"), k = 8)
     }
   )
 }

@@ -53,6 +53,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(short.map(_.getAs[Long]("doc_id")).toSeq === Seq(3L))
   }
 
+  test("removeDuplicateSpans: cuts only duplicated spans, keeps order, empty survivors kept") {
+    // docs 1 and 2 share an 8-token run (the duplicated span);
+    // doc 3 is fully unique; doc 4 IS the shared run exactly (fully cut)
+    val run = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val df = docs(
+      1L -> s"alpha $run omega",
+      2L -> s"start $run finish extra",
+      3L -> "totally unique words only here now",
+      4L -> run)
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", col("text"), k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    CacheRegistry.releaseAll()
+    assert(out(1L) === (("alpha omega", 2L)))
+    assert(out(2L) === (("start finish extra", 3L)))
+    assert(out(3L) === (("totally unique words only here now", 6L)))
+    assert(out(4L) === (("", 0L)))
+    assert(out.size === 4)
+  }
+
+  test("featureHash: bucket counts match a driver-side xxhash64 replay, power-of-two enforced") {
+    val df = docs(1L -> "a b a", 2L -> "c")
+    val out = Tokenization.featureHash(df, "doc_id", col("text"), dims = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // replay buckets with Spark's own xxhash64 (seed 42) via a tiny query
+    import spark.implicits._
+    val bk = Seq("a", "b", "c").toDF("t")
+      .select(col("t"), pmod(xxhash64(col("t")), lit(64L)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d1 = Seq(bk("a") -> 2L, bk("b") -> 1L).sortBy(_._1)
+      .map { case (b, c) => s"$b:$c" }.mkString(" ")
+    assert(out(1L) === ((2L, d1)))
+    assert(out(2L) === ((1L, s"${bk("c")}:1")))
+    intercept[IllegalArgumentException] {
+      Tokenization.featureHash(df, "doc_id", col("text"), dims = 48)
+    }
+  }
+
   test("pmiCollocations: hand-computed bits, negative PMI excluded, deterministic order") {
     // bigrams: (x,y)×4, (x,z)×1, (w,z)×3 → N=8; c1: x=5, w=3; c2: y=4, z=4.
     // PMI(w,z) = log2(3·8/(3·4)) = 1 exactly → 1 bit.
