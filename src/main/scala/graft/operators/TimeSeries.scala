@@ -130,4 +130,76 @@ object TimeSeries {
         (signum(col("__num")).cast("long") *
           expr("(1000 * abs(__num)) div __den")).as("slope_milli"))
   }
+
+  /** MAD-based ROBUST outlier detection per key — the
+    * median-absolute-deviation complement to the rolling z-score
+    * (q135): mean/σ are themselves dragged by the outliers they
+    * should flag; the median and MAD are 50%-breakdown-robust. A row
+    * is an outlier when |v − median| > `k`·MAD.
+    *
+    * EXACT order statistics, no floats: the per-key median is the
+    * ((n+1) div 2)-th smallest value (the rank-exact lower median,
+    * q84's convention — an actual data value, so every derived
+    * quantity stays integer), and MAD is the same order statistic of
+    * |v − median|. A key where over half the values are identical
+    * has MAD = 0; the `> k·0` test then flags every value not equal
+    * to the median — the documented degenerate-MAD behavior
+    * (robust-stats convention: zero spread means any deviation is
+    * infinite in MAD units).
+    *
+    * Shape: two rank windows and two joins, ALL keyed by `keyCol` —
+    * one exchange establishes the partitioning, the rest reuse it.
+    * Ties rank by `tieCol` for a strict total order. Returns the
+    * flagged rows: (tie, key, cents, med, mad).
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valueCents: Column,
+                  tieCol: String, k: Long = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = df.select(col(tieCol), col(keyCol), valueCents.as("cents"))
+    val w1 = Window.partitionBy(keyCol).orderBy(col("cents"), col(tieCol))
+    val med = base
+      .withColumn("__rn", row_number().over(w1))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keyCol)))
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col(keyCol), col("cents").as("med"))
+    val dev = base.join(med, Seq(keyCol))
+      .withColumn("__d", abs(col("cents") - col("med")))
+    val w2 = Window.partitionBy(keyCol).orderBy(col("__d"), col(tieCol))
+    val mad = dev
+      .withColumn("__rn", row_number().over(w2))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keyCol)))
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col(keyCol), col("__d").as("mad"))
+    dev.join(mad, Seq(keyCol))
+      .filter(col("__d") > lit(k) * col("mad"))
+      .select(col(tieCol), col(keyCol), col("cents"), col("med"), col("mad"))
+  }
+
+  /** First-order MARKOV TRANSITION MATRIX over per-key event
+    * sequences: corpus-wide (from_state, to_state) counts and
+    * milli-probabilities — the behavioral fingerprint behind funnel
+    * design, bot detection (impossible transition rates), and
+    * session simulation. Transitions are consecutive within a key's
+    * (ts, tie) order; the last event of each key emits none.
+    *
+    * Shape: one key-window lead() (the only wide shuffle of raw
+    * rows) feeding a map-side-combinable pair count; row
+    * probabilities normalize with a self-aggregate join on
+    * from_state (states ≪ rows — AQE broadcasts it). p_milli =
+    * (1000·n) div Σn per from_state — exact integer, rows sum to
+    * ≤ 1000 with the floor remainder (use n for exact work).
+    * Returns (from_state, to_state, n, p_milli).
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsUs: Column,
+                       state: Column, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("__t"), col(tieCol))
+    val t = df.select(col(keyCol), tsUs.as("__t"), state.as("from_state"), col(tieCol))
+      .withColumn("to_state", lead("from_state", 1).over(w))
+      .filter(col("to_state").isNotNull)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+    val tot = t.groupBy("from_state").agg(sum("n").as("__tn"))
+    t.join(tot, Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        expr("(1000 * n) div __tn").as("p_milli"))
+  }
 }

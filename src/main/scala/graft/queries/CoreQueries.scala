@@ -2563,6 +2563,59 @@ object CoreQueries {
           ev.filter(col("__us") < cut), ev.filter(col("__us") >= cut),
           col("event_type"))
       }
+    },
+
+    // MAD ROBUST OUTLIERS per user: |v − median| > 3·MAD with EXACT
+    // rank order statistics (the lower median, q84's convention) —
+    // the robust complement to q135's rolling z-score (mean/σ are
+    // dragged by the outliers they should flag; median/MAD have 50%
+    // breakdown). All integer; both rank windows and both joins are
+    // user-keyed.
+    QueryDef.sql("q155_mad_outliers",
+      """WITH v AS (SELECT event_id, user_id,
+        |                 CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                  ORDER BY cents, event_id) AS rn,
+        |             count(*) OVER (PARTITION BY user_id) AS n FROM v),
+        |med AS (SELECT user_id, cents AS med FROM r WHERE rn = (n + 1) // 2),
+        |dv AS (SELECT v.event_id, v.user_id, v.cents, med.med,
+        |              abs(v.cents - med.med) AS d
+        |       FROM v JOIN med USING (user_id)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                   ORDER BY d, event_id) AS rn,
+        |              count(*) OVER (PARTITION BY user_id) AS n FROM dv),
+        |mad AS (SELECT user_id, d AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT dv.event_id, dv.user_id, dv.cents, dv.med, mad.mad
+        |FROM dv JOIN mad USING (user_id)
+        |WHERE dv.d > 3 * mad.mad""".stripMargin) {
+      (s, d) =>
+        graft.operators.TimeSeries.madOutliers(
+          Tables.events(s, d), "user_id", cents(col("value")), "event_id", k = 3)
+    },
+
+    // MARKOV TRANSITION MATRIX: corpus-wide event-type transition
+    // counts + milli-probabilities from per-user (ts, event_id)
+    // sequences — one lead() window, one pair count, broadcast row
+    // normalization. 25 rows (5×5 state space), every one exact.
+    QueryDef.sql("q156_transition_matrix",
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events),
+        |t AS (SELECT event_type AS from_state, nxt AS to_state,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS tn
+        |        FROM t GROUP BY 1)
+        |SELECT from_state, to_state, n,
+        |       CAST((1000 * n) // tn AS BIGINT) AS p_milli
+        |FROM t JOIN tot USING (from_state)""".stripMargin) {
+      (s, d) =>
+        graft.operators.TimeSeries.transitionMatrix(
+          Tables.events(s, d), "user_id", unix_micros(col("ts")),
+          col("event_type"), "event_id")
     }
   )
 }

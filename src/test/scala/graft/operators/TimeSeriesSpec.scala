@@ -45,6 +45,42 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert((m.getLong(1), m.getLong(2)) === ((2L, 1L))) // (1+2)/2 floored
   }
 
+  test("madOutliers: exact medians, k·MAD threshold, zero-MAD degeneracy") {
+    // user 1: values 10,12,11,13,100 → med=12, devs {2,0,1,1,88} → MAD=1
+    //   → only 100 flagged (88 > 3)
+    // user 2: values 5,5,5,9 → med=5, devs {0,0,0,4} → MAD=0
+    //   → 9 flagged (4 > 0), the documented zero-MAD behavior
+    val df = events(
+      (1L, 1L, ts(0), 10L), (2L, 1L, ts(1), 12L), (3L, 1L, ts(2), 11L),
+      (4L, 1L, ts(3), 13L), (5L, 1L, ts(4), 100L),
+      (6L, 2L, ts(0), 5L), (7L, 2L, ts(1), 5L), (8L, 2L, ts(2), 5L),
+      (9L, 2L, ts(3), 9L))
+    val out = TimeSeries.madOutliers(df, "user_id", col("v"), "event_id", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      5L -> ((1L, 100L, 12L, 1L)),
+      9L -> ((2L, 9L, 5L, 0L))))
+  }
+
+  test("transitionMatrix: per-key sequences, exact milli rows, last event emits nothing") {
+    import spark.implicits._
+    // user 1: a→b→a→b ; user 2: a→a→c
+    val df = Seq(
+      (1L, 1L, ts(0), "a"), (2L, 1L, ts(1), "b"), (3L, 1L, ts(2), "a"),
+      (4L, 1L, ts(3), "b"), (5L, 2L, ts(0), "a"), (6L, 2L, ts(1), "a"),
+      (7L, 2L, ts(2), "c"))
+      .toDF("event_id", "user_id", "ts", "state")
+    val out = TimeSeries.transitionMatrix(df, "user_id",
+        unix_micros(col("ts")), col("state"), "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // from a: a→b ×2, a→a ×1, a→c ×1 (4 total); from b: b→a ×1
+    assert(out === Map(
+      ("a", "b") -> ((2L, 500L)), ("a", "a") -> ((1L, 250L)),
+      ("a", "c") -> ((1L, 250L)), ("b", "a") -> ((1L, 1000L))))
+  }
+
   test("groupTrend: hand-computed slopes, sign handling, zero-variance keys dropped") {
     // user 1: y = 10, 20, 30 at hours 0,1,2 → slope exactly +10 c/h = 10000 milli
     // user 2: y = 30, 20, 10 at hours 0,1,2 → −10000 milli (sign path)
