@@ -6,6 +6,41 @@ import org.apache.spark.sql.functions._
 /** Physical-layout keys for write-side data clustering. */
 object Layout {
 
+  /** Export a corpus as DETERMINISTIC JSONL training shards — the
+    * terminal stage of a curation pipeline (trainers consume
+    * newline-delimited JSON shards, not parquet): every row becomes
+    * one JSON line (`to_json` of the full row struct, schema order),
+    * rows land in `numShards` shards by the md5 of `idCol` and are
+    * ordered INSIDE each shard by that same hash — the
+    * [[Sampling.shuffleOrder]] discipline, so the byte content of
+    * every shard is a pure function of the data: re-exports diff
+    * clean, resumed jobs overwrite identically, and two clusters
+    * produce the same artifact.
+    *
+    * Layout: `outDir/shard=N/part-*.txt[.gz]`. Scale shape: one
+    * shuffle (repartition on the shard id), a within-partition sort,
+    * one file per (task, shard) — shard count IS the writer
+    * parallelism, so size `numShards` to the trainer's reader count
+    * (the shuffleOrder sizing rule). `compression = "gzip"` for the
+    * classic jsonl.gz feed; None for plain text.
+    */
+  def exportJsonl(df: DataFrame, idCol: String, outDir: String,
+                  numShards: Int, compression: Option[String] = None): Unit = {
+    require(numShards >= 1, s"numShards must be positive, got $numShards")
+    val keyed = df
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 15), 16, 10).cast("long"),
+          lit(numShards.toLong)))
+    val lines = keyed
+      .withColumn("line", to_json(struct(df.columns.map(col): _*)))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
+      .select(col("line"), col("shard"))
+    val w = lines.write.mode("overwrite").partitionBy("shard")
+    compression.fold(w)(c => w.option("compression", c)).text(outDir)
+  }
+
   /** Write `df` as a BUCKETED table: hash-partitioned into `buckets`
     * files per partition on `keys`, optionally sorted within each
     * bucket. Bucketing is the write-once/join-forever layout: two

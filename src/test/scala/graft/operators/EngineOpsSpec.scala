@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** Specs for the engine-utility operators: PageRank, profiling,
   * z-order layout keys, table checksums.
@@ -16,6 +17,44 @@ class EngineOpsSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  test("exportJsonl: every row once, md5 shard order, byte-deterministic re-export") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val df = (1L to 50L).map(i => (i, s"text $i", i * 10L))
+      .toDF("doc_id", "text", "n_chars")
+    def export(dir: String): Map[Long, Array[Byte]] = {
+      Layout.exportJsonl(df, "doc_id", dir, numShards = 4)
+      (0L until 4L).map { sh =>
+        val d = Paths.get(dir, s"shard=$sh")
+        val parts = Files.list(d).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
+        sh -> parts.flatMap(p => Files.readAllBytes(p).toSeq).toArray
+      }.toMap
+    }
+    val a = export("/tmp/jsonl-export-a")
+    // all 50 rows exactly once, JSON round-trips the values
+    val back = spark.read.json("/tmp/jsonl-export-a/shard=*/")
+    assert(back.count() === 50L)
+    assert(back.select("doc_id").distinct().count() === 50L)
+    assert(back.filter(col("doc_id") === 7L).head.getAs[Long]("n_chars") === 70L)
+    // within each shard file, lines follow the md5(doc_id) order
+    val lines = new String(a(0L), "UTF-8").split("\n").filter(_.nonEmpty)
+    val ids = lines.map(l => ujsonId(l))
+    val md5s = df.filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ids.toSeq === ids.sortBy(md5s).toSeq, "shard 0 not in md5 order")
+    // re-export is byte-identical
+    val b = export("/tmp/jsonl-export-b")
+    assert((0L until 4L).forall(sh => java.util.Arrays.equals(a(sh), b(sh))),
+      "re-export must produce identical bytes")
+  }
+
+  private def ujsonId(line: String): Long = {
+    val m = """"doc_id":(\d+)""".r.findFirstMatchIn(line)
+    m.get.group(1).toLong
+  }
 
   test("distributionDrift: exact TVD contributions, absent categories are pure drift") {
     import spark.implicits._
