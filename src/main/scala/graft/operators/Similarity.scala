@@ -265,6 +265,32 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__pm"))
       .select(col("grp"), transform(col("__pm"), x => x.getField("m")).as("cvec"))
 
+  /** EMBEDDING-SPACE DRIFT between two snapshots: per group, the
+    * cosine between snapshot A's and snapshot B's mean embedding —
+    * the semantic complement to [[graft.operators.Profiling.distributionDrift]]
+    * (categorical mixes can hold steady while the CONTENT of a source
+    * moves under them; the centroid cosine catches that). 10^6 ppm =
+    * no drift; flag groups below a threshold. Groups present in only
+    * one snapshot produce no row (no pair to compare — their drift is
+    * categorical, q152's job).
+    *
+    * Shape: one (group, dim) aggregate per side ([[groupCentroids]]),
+    * then a group-keyed join of two group-sized frames — nothing
+    * vector-sized ever shuffles twice. ppm rounding absorbs partial-
+    * aggregation float ordering (the q52 contract: double noise
+    * ~1e-14 vs 1e-6 resolution).
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame,
+                    groupCol: String, vecCol: String): DataFrame = {
+    val ca = groupCentroids(a, groupCol, vecCol).withColumnRenamed("cvec", "__ca")
+    val cb = groupCentroids(b, groupCol, vecCol).withColumnRenamed("cvec", "__cb")
+    ca.join(cb, Seq("grp"))
+      .select(col("grp"),
+        round(dot(col("__ca"), col("__cb"))
+          / (norm(col("__ca")) * norm(col("__cb"))) * 1e6).cast("long")
+          .as("centroid_cos_ppm"))
+  }
+
   /** Cosine of each vector to its group's centroid — the
     * prototypicality score cluster-based curation uses (SemDeDup-style
     * pruning keeps prototypical members, drops far outliers; diversity

@@ -494,6 +494,38 @@ object VectorQueries {
         Similarity.contrastiveTriplets(e, "vec_id", "embedding", "label",
           e.filter(col("vec_id") < 8), "vec_id", "embedding", "label")
       }
+    },
+
+    // EMBEDDING-SPACE DRIFT per label between two snapshot halves:
+    // cosine of the halves' mean embeddings — the semantic complement
+    // to q152's categorical TVD (a stable label mix can still move in
+    // content). ppm rounding absorbs partial-aggregation float
+    // ordering (q52's contract).
+    QueryDef.sql("q157_centroid_drift",
+      """WITH da AS (
+        |  SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+        |  FROM embeddings, generate_series(1, 64) g(i)
+        |  WHERE vec_id < 250 GROUP BY 1, 2),
+        |ca AS (SELECT label, list(m ORDER BY pos) AS cvec FROM da GROUP BY label),
+        |db AS (
+        |  SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+        |  FROM embeddings, generate_series(1, 64) g(i)
+        |  WHERE vec_id >= 250 GROUP BY 1, 2),
+        |cb AS (SELECT label, list(m ORDER BY pos) AS cvec FROM db GROUP BY label)
+        |SELECT ca.label, CAST(round(
+        |    list_sum(list_transform(generate_series(1, 64),
+        |             i -> ca.cvec[i] * cb.cvec[i]))
+        |    / (sqrt(list_sum(list_transform(ca.cvec, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(cb.cvec, x -> x * x))))
+        |    * 1000000.0) AS BIGINT) AS centroid_cos_ppm
+        |FROM ca JOIN cb USING (label)""".stripMargin) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.centroidDrift(
+          e.filter(col("vec_id") < 250), e.filter(col("vec_id") >= 250),
+          "label", "embedding")
+          .withColumnRenamed("grp", "label")
+      }
     }
   )
 }
