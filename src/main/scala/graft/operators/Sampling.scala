@@ -37,6 +37,37 @@ object Sampling {
       .select(col(idCol), col(groupCol), col("sample_rank"))
   }
 
+  /** EXACT-PROPORTION STRATIFIED SPLIT (sklearn's
+    * train_test_split(stratify=…) at corpus scale): within every
+    * stratum, exactly ⌊trainPermille·n_s / 1000⌋ rows go to 'train'
+    * and the rest to 'val' — unlike the per-document hash split
+    * (q46), which only hits the proportion in expectation and can
+    * starve a small stratum entirely. Membership is the md5(id) rank
+    * within the stratum, so the split is reproducible, order- and
+    * partitioning-independent, and stable under re-runs; adding rows
+    * to a stratum reassigns only rows near the cut (the hash-rank
+    * prefix property — same discipline as [[mixByBudget]]).
+    *
+    * Shape: one stratum-keyed rank window + the stratum count over
+    * the same partition (one exchange total), a stateless cut.
+    * Returns (id, stratum, split). The per-stratum window bounds
+    * state by stratum size — the same contract as every grouped
+    * ranking here; pre-shard enormous strata with
+    * [[stratifiedByHash]]'s two-phase trick if one stratum dominates.
+    */
+  def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
+                      trainPermille: Int): DataFrame = {
+    require(trainPermille >= 0 && trainPermille <= 1000,
+      s"trainPermille must be in [0, 1000], got $trainPermille")
+    df.select(col(idCol), col(strataCol).as("stratum"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("stratum")
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("stratum")))
+      .select(col(idCol), col("stratum"),
+        when(col("__rn") <= expr(s"($trainPermille * __n) div 1000"), "train")
+          .otherwise("val").as("split"))
+  }
+
   /** Deterministic training-order shuffle: a reproducible pseudorandom
     * permutation of the corpus, sharded for parallel writers. shard =
     * first md5 byte mod `numShards`; within a shard rows order by the

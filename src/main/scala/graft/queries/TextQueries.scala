@@ -1713,6 +1713,25 @@ object TextQueries {
       (s, d) =>
         Dedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id",
           col("text"), k = 8)
+    },
+
+    // EXACT-PROPORTION STRATIFIED SPLIT: per source, exactly
+    // ⌊0.8·n_s⌋ docs to train by md5(id) rank — the guarantee the
+    // Bernoulli hash split (q46) only hits in expectation (and can
+    // starve a small stratum entirely).
+    QueryDef.sql("q158_stratified_split",
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source AS stratum,
+        |       CASE WHEN rn <= (800 * n) // 1000 THEN 'train' ELSE 'val' END AS split
+        |FROM r""".stripMargin) {
+      (s, d) =>
+        Sampling.stratifiedSplit(Tables.documents(s, d), "doc_id", "source",
+          trainPermille = 800)
     }
   )
 }

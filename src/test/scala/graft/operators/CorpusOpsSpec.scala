@@ -695,6 +695,25 @@ class CorpusOpsSpec extends AnyFunSuite {
       === again.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1))
   }
 
+  test("stratifiedSplit: exact floor proportions per stratum, deterministic, tiny strata go all-val") {
+    import spark.implicits._
+    // strata: a=10 rows, b=7 rows, c=1 row; 800‰ → train 8, 5, 0
+    val df = ((1L to 10L).map(i => (i, "a")) ++ (11L to 17L).map(i => (i, "b")) ++
+      Seq((18L, "c"))).toDF("doc_id", "source")
+    val out = Sampling.stratifiedSplit(df, "doc_id", "source", trainPermille = 800)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.length === 18)
+    val counts = out.groupBy(x => (x._2, x._3)).view.mapValues(_.length).toMap
+    assert(counts(("a", "train")) === 8)
+    assert(counts(("b", "train")) === 5)
+    assert(counts.getOrElse(("c", "train"), 0) === 0) // ⌊0.8·1⌋ = 0
+    assert(counts(("c", "val")) === 1)
+    // deterministic re-run
+    val again = Sampling.stratifiedSplit(df, "doc_id", "source", trainPermille = 800)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("mix by budget respects the per-source token cap and is a prefix in hash order") {
     val df = {
       import spark.implicits._
