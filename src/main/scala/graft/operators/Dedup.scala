@@ -270,6 +270,65 @@ object Dedup {
       docsE, xxBanded(docsE, bands, rows), bands, minJaccardPpm, maxBucket)
   }
 
+  /** The xxhash64 banded-signature projection as a PUBLIC, storable
+    * artifact: (doc_id, bk0..bk{bands-1}) — one narrow row per doc.
+    * Write this per snapshot and feed it back through
+    * [[minhashLshPairsAcrossStored]] to skip re-hashing yesterday's
+    * corpus on every incremental run (at 100 TB the existing side's
+    * shingle explode + min-hash aggregate IS the dominant cost of
+    * [[minhashLshPairsAcross]]; the stored table is doc-count-sized).
+    * Parameters must match the consuming call exactly — store them
+    * alongside the table (a signature is meaningless without its
+    * (bands, rows, n, seed-family) identity).
+    */
+  def bandedSignatures(df: DataFrame, idCol: String, text: Column,
+                       bands: Int = 16, rows: Int = 4, n: Int = 3,
+                       persistShingles: Boolean = true): DataFrame =
+    xxBanded(shingled(df, idCol, text, n, persistShingles), bands, rows)
+
+  /** [[minhashLshPairsAcross]] with the EXISTING side's signatures
+    * read from a prior [[bandedSignatures]] store instead of
+    * recomputed from text. `existing` (the text table) is still
+    * needed — but only for the exact-Jaccard verify of the candidate
+    * pairs, which touches the few docs the band join surfaced, not
+    * the whole corpus. Same banding/cap/verify semantics; a spec
+    * asserts pair-for-pair parity with the recompute path.
+    */
+  def minhashLshPairsAcrossStored(incoming: DataFrame, idCol: String, text: Column,
+                                  existing: DataFrame, existingSignatures: DataFrame,
+                                  bands: Int = 16, rows: Int = 4, n: Int = 3,
+                                  minJaccardPpm: Long = 500000L,
+                                  maxBucket: Int = 4096,
+                                  persistShingles: Boolean = true): DataFrame = {
+    require(existingSignatures.columns.toSet ==
+      (Set("doc_id") ++ (0 until bands).map(b => s"bk$b")),
+      s"existingSignatures must carry (doc_id, bk0..bk${bands - 1}) — " +
+        s"got ${existingSignatures.columns.mkString(", ")}")
+    require(maxBucket >= 1, s"maxBucket must be positive, got $maxBucket")
+    val docsI = shingled(incoming, idCol, text, n, persistShingles)
+    val bi = explodeBanded(persistedSignatures(xxBanded(docsI, bands, rows)), bands)
+    val be = explodeBanded(persistedSignatures(existingSignatures), bands)
+    val hot = bi.select("band", "bucket").union(be.select("band", "bucket"))
+      .groupBy("band", "bucket").count()
+      .filter(col("count") > maxBucket).select("band", "bucket")
+    // candidates feed BOTH the existing-side prune and the verify —
+    // persist so the band join runs once (CacheRegistry lifecycle)
+    val candidates = CacheRegistry.register(
+      bi.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+        .select(col("band"), col("bucket"), col("doc_id").as("inc_id"))
+        .join(be.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+          .select(col("band"), col("bucket"), col("doc_id").as("ex_id")),
+          Seq("band", "bucket"))
+        .select("inc_id", "ex_id").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // only the surfaced existing docs are ever re-shingled: the verify
+    // side semi-joins the candidate ex_ids BEFORE the text explode
+    val exNeeded = existing.join(
+      candidates.select(col("ex_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val docsE = shingled(exNeeded, idCol, text, n, persistShingles)
+    jaccardVerify(candidates, docsI, docsE, "inc_id", "ex_id", minJaccardPpm)
+  }
+
   /** md5 twin of [[minhashLshPairsAcross]] (same banding, engine-
     * replicable hash family) — the correctness gate's version.
     */

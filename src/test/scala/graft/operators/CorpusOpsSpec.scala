@@ -118,6 +118,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("keep_id") === 1L)
   }
 
+  test("stored-signature incremental LSH matches the recompute path pair-for-pair") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val incoming = docs(
+      10L -> base.replace("w7", "changed"),
+      11L -> (1 to 40).map(i => s"q$i").mkString(" "))
+    val existing = docs(
+      1L -> base,
+      2L -> (1 to 40).map(i => s"z$i").mkString(" "))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val live = pairs(Dedup.minhashLshPairsAcross(incoming, existing,
+      "doc_id", col("text"), minJaccardPpm = 0L))
+    CacheRegistry.releaseAll()
+    // store signatures (as a real run would: write + read back)
+    val sigs = Dedup.bandedSignatures(existing, "doc_id", col("text"))
+    sigs.write.mode("overwrite").parquet("/tmp/lsh-sig-store")
+    CacheRegistry.releaseAll()
+    val stored = pairs(Dedup.minhashLshPairsAcrossStored(incoming, "doc_id",
+      col("text"), existing, spark.read.parquet("/tmp/lsh-sig-store"),
+      minJaccardPpm = 0L))
+    CacheRegistry.releaseAll()
+    assert(live === stored)
+    assert(stored.nonEmpty && stored.contains((10L, 1L))) // the near-dup links
+  }
+
   test("jaccardPrefixJoin: exact recall vs brute force, threshold respected") {
     // Deterministic corpus: clusters of near-dup docs (high Jaccard),
     // plus unrelated docs — similarities spread across the threshold.
