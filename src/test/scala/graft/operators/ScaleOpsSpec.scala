@@ -137,6 +137,32 @@ class ScaleOpsSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("intervalOverlapJoin"))
   }
 
+  test("interval overlap join equals driver-side brute force over randomized corpora") {
+    import spark.implicits._
+    val M = 1000000L
+    for (round <- 0 until 4) {
+      val rnd = new scala.util.Random(1000 + round)
+      // lengths from sub-bucket to multi-bucket; starts over ~3h
+      def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+        val s = rnd.nextInt(3 * 3600).toLong * M
+        val len = (1L + rnd.nextInt(7200)) * M
+        (idBase + i, s, s + len)
+      }
+      val as = mk(80, 1000L)
+      val bs = mk(80, 2000L)
+      val expected = (for {
+        (ai, s1, e1) <- as; (bi, s2, e2) <- bs
+        if s1 < e2 && s2 < e1
+      } yield (ai, bi) -> (math.min(e1, e2) - math.max(s1, s2))).toMap
+      val got = Relational.intervalOverlapJoin(
+          as.toDF("aid", "as_us", "ae_us"), "aid", "as_us", "ae_us",
+          bs.toDF("bid", "bs_us", "be_us"), "bid", "bs_us", "be_us",
+          bucketMicros = 1800L * M)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === expected, s"round $round: ${got.size} vs ${expected.size}")
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     val d = "/root/testdata/sf0.001"
     // writeBucketed itself clears catalog-forgotten warehouse leftovers
