@@ -823,16 +823,18 @@ object Dedup {
     require(k >= 2, s"k must be >= 2, got $k")
     require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
     import org.apache.spark.sql.expressions.Window
-    val toks = graft.functions.TextFunctions.tokens(text)
+    // one custom-expression pass emits the 8-byte gram hashes BEFORE
+    // the explode ([[graft.plans.PositionedGramHashes]]) — the
+    // composed explode-then-slice form carried a full copy of the
+    // token array through every exploded position row (O(n²) bytes
+    // per document); hashes are bit-identical to
+    // xxhash64(concat_ws(' ', slice(tokens, pos, k)))
     val gramsRaw = df
-      .select(col(idCol).as("doc_id"), toks.as("__a"))
-      // sequence(a, b) runs DESCENDING when b < a — guard short docs
-      // explicitly or they explode into phantom positions
-      .withColumn("__start",
-        explode(when(size(col("__a")) >= k,
-          sequence(lit(1), size(col("__a")) - (k - 1))).otherwise(array())))
-      .select(col("doc_id"), col("__start"),
-        xxhash64(concat_ws(" ", slice(col("__a"), col("__start"), lit(k)))).as("__gh"))
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.plans.PositionedGramHashes
+          .positioned_gram_hashes(text, k)))
+      .select(col("doc_id"), (col("pos") + 1).as("__start"),
+        col("col").as("__gh"))
     val grams =
       if (persistGrams)
         CacheRegistry.register(gramsRaw

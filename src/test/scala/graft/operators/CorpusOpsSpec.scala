@@ -118,6 +118,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("keep_id") === 1L)
   }
 
+  test("PositionedGramHashes matches the composed slice+concat_ws+xxhash64 form bit-for-bit") {
+    val texts = docs(
+      1L -> "a b c d e",                       // plain
+      2L -> "  a\tb\nc   de  ",          // every \s form + padding
+      3L -> "one two",                         // fewer than k tokens
+      4L -> "",                                // empty
+      5L -> (1 to 30).map(i => s"t$i").mkString("  "))
+    val k = 3
+    val viaExpr = texts.select(col("doc_id"),
+        posexplode(graft.plans.PositionedGramHashes
+          .positioned_gram_hashes(col("text"), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val viaComposed = texts.select(col("doc_id"), toks.as("a"))
+      .withColumn("p", explode(when(size(col("a")) >= k,
+        sequence(lit(1), size(col("a")) - (k - 1))).otherwise(array())))
+      .select(col("doc_id"), col("p"),
+        xxhash64(concat_ws(" ", slice(col("a"), col("p"), lit(k)))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaExpr === viaComposed)
+    assert(viaExpr.count(_._1 == 1L) === 3) // 5 tokens, k=3 → 3 grams
+    assert(!viaExpr.exists(t => t._1 == 3L || t._1 == 4L)) // short/empty: none
+  }
+
+  test("duplicateSpans handles a book-length document (the linear-gram-hash path)") {
+    // 30k tokens with a repeated 8-gram planted at two far-apart
+    // offsets — the composed explode-then-slice form would carry
+    // ~30k copies of the 30k-token array (≈ 7 GB) through this
+    val run = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val filler = (1 to 15000).map(i => s"u$i").mkString(" ")
+    val filler2 = (1 to 15000).map(i => s"v$i").mkString(" ")
+    val df = docs(1L -> s"$run $filler", 2L -> s"$filler2 $run")
+    val spans = Dedup.duplicateSpans(df, "doc_id", col("text"), k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    CacheRegistry.releaseAll()
+    assert(spans.toSet === Set((1L, 1L, 8L), (2L, 15001L, 15008L)))
+  }
+
   test("stored-signature incremental LSH matches the recompute path pair-for-pair") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val incoming = docs(
