@@ -112,6 +112,63 @@ object Graphs {
     * the map-side-combinable pair-count aggregate that the
     * `minShared` filter prunes before it leaves the reducers.
     */
+  /** Bounded MULTI-SOURCE BFS: minimum hop distance from any seed
+    * node, capped at `maxHops` rounds — reachability tiers over the
+    * directed edge list (influence radii, contamination spread from
+    * flagged docs through a link graph, dependency closure depth).
+    * Symmetrize edges upstream for undirected semantics. Returns
+    * (node, dist) for every node within `maxHops` of a seed; the
+    * distance is exactly the BFS level the node was first reached at,
+    * so the result is deterministic regardless of partitioning.
+    *
+    * Shape: classic frontier expansion — per round, ONE join of the
+    * frontier to the edge list (the Pregel shuffle; the frontier is
+    * usually far smaller than the graph and AQE broadcasts it), a
+    * distinct, and an anti-join against the settled set. Each round's
+    * frontier is localCheckpoint'ed (lazy — the convergence count is
+    * the materializing action, one job per round, the
+    * [[Dedup.connectedComponents]] discipline) and every checkpoint
+    * backs the returned union: all are registered with
+    * [[CacheRegistry]]; the caller releases after consuming. Rounds
+    * are bounded by `maxHops`, not diameter — this is the bounded
+    * variant by contract (unbounded reachability is
+    * [[Dedup.connectedComponents]]' job).
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+                   srcCol: String = "src", dstCol: String = "dst",
+                   seedCol: String = "node", maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 1000, s"maxHops out of range: $maxHops")
+    val sc = edges.sparkSession.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize before the checkpoint bookkeeping below
+    val base = persistedIds
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    var hop = 1L
+    var growing = true
+    while (growing && hop <= maxHops) {
+      val reached = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(false) // lazy: the count below materializes it
+      growing = reached.count() > 0
+      if (growing) {
+        dist = dist.unionByName(reached)
+        frontier = reached
+        hop += 1
+      }
+    }
+    e.unpersist()
+    // every round's checkpoint backs a branch of the returned union —
+    // all must outlive this call; the caller releases after consuming
+    CacheRegistry.registerRddIds(sc, persistedIds -- base)
+    dist
+  }
+
   def cooccurrenceEdges(df: DataFrame, keyCol: String, itemCol: String,
                         minShared: Long = 2,
                         maxBasketSize: Long = 10000): DataFrame = {

@@ -68,6 +68,11 @@ object GraftExtensions {
       .toAggregateExpression()
   }
 
+  private[plans] val gramHashesBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 2, "positioned_gram_hashes(text, k)")
+    PositionedGramHashes(exprs.head, intLiteral(exprs(1), "positioned_gram_hashes k"))
+  }
+
   private val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("cm_sketch", classOf[CountMinSketchAgg], cmSketchBuilder),
     ("hll_registers", classOf[HllRegistersAgg], hllRegistersBuilder),
@@ -76,7 +81,8 @@ object GraftExtensions {
     ("cosine_sim", classOf[CosineSimilarity], cosineSimBuilder),
     ("lsh_signature", classOf[LshSignature], lshSignatureBuilder),
     ("seeded_mix", classOf[SeededMix], seededMixBuilder),
-    ("nfc_normalize", classOf[NfcNormalize], nfcNormalizeBuilder))
+    ("nfc_normalize", classOf[NfcNormalize], nfcNormalizeBuilder),
+    ("positioned_gram_hashes", classOf[PositionedGramHashes], gramHashesBuilder))
 
   /** Register into an already-running session (extensions only apply at
     * session construction; this covers notebooks / shared sessions).

@@ -2616,6 +2616,41 @@ object CoreQueries {
         graft.operators.TimeSeries.transitionMatrix(
           Tables.events(s, d), "user_id", unix_micros(col("ts")),
           col("event_type"), "event_id")
+    },
+
+    // BOUNDED MULTI-SOURCE BFS: hop tiers from the first ten
+    // customers through the symmetrized customer↔supplier graph
+    // (q116's node encoding) within 3 hops — frontier expansion, one
+    // edge join per round, one job per round (lazy checkpoint + the
+    // convergence count, the connected-components discipline). The
+    // oracle is a recursive UNION CTE (distinct (node, dist) rows, so
+    // cycles cannot explode it) reduced by min(dist).
+    QueryDef.sql("q159_bfs_distances",
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT src, dst FROM base
+        |          UNION SELECT dst, src FROM base),
+        |seeds AS (SELECT DISTINCT o_custkey * 2 AS node
+        |          FROM orders WHERE o_custkey < 10),
+        |d(node, dist) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, d.dist + 1
+        |  FROM d JOIN edges e ON e.src = d.node WHERE d.dist < 3)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM d GROUP BY node""".stripMargin) {
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+        val edges = base.unionByName(
+          base.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = Tables.orders(s, d).filter(col("o_custkey") < 10)
+          .select((col("o_custkey") * 2).as("node")).distinct()
+        graft.operators.Graphs.bfsDistances(edges, seeds, maxHops = 3)
+      }
     }
   )
 }

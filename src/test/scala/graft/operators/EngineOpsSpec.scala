@@ -110,6 +110,22 @@ class EngineOpsSpec extends AnyFunSuite {
     assert(ok.forall(_.getBoolean(2)), ok.mkString(","))
   }
 
+  test("bfsDistances: hop tiers on a chain, maxHops cap, multi-seed min, unreachable absent") {
+    import spark.implicits._
+    // chain 1→2→3→4→5, plus island 10→11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val out = Graphs.bfsDistances(edges, Seq(1L).toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheRegistry.releaseAll()
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)) // 5 beyond cap
+    // two seeds: distance is the MIN over seeds; seed overrides reachability
+    val multi = Graphs.bfsDistances(edges, Seq(1L, 4L).toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheRegistry.releaseAll()
+    assert(multi === Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 5L -> 1L, 3L -> 2L))
+  }
+
   test("pageRankMicro: star graph ranks the hub above the spokes, mass conserved at teleport floor") {
     import spark.implicits._
     // spokes 1..4 all point at hub 0; hub points at node 1

@@ -44,6 +44,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT seeded_mix(9223372036854775807L, 9223372036854775807L, 3) AS m")
         .head.getLong(0)
       assert(mix === (Long.MaxValue + 3L * Long.MaxValue))
+      // positioned_gram_hashes agrees with xxhash64 of the joined gram
+      val gh = spark.sql("SELECT positioned_gram_hashes('a b c d', 3) AS g")
+        .head.getAs[scala.collection.Seq[Long]]("g")
+      val want = spark.sql("SELECT xxhash64('a b c') AS x, xxhash64('b c d') AS y").head
+      assert(gh === Seq(want.getLong(0), want.getLong(1)))
     } finally () // session may be shared with other suites — don't stop it
   }
 }
