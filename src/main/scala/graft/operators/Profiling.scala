@@ -77,6 +77,24 @@ object Profiling {
         col("n_rows"), col("lo"), col("hi"))
   }
 
+  /** CONFUSION MATRIX of a categorical prediction against truth — the
+    * evaluation primitive for the pipeline's own classifiers
+    * (language ID, quality tiers, topic labels): per (label, pred)
+    * cell, the count and its share of the label's row (= the recall
+    * decomposition; column shares give precision — derive from the
+    * same cells). One map-side-combinable count + a label-keyed
+    * normalization join; exact integer milli shares. Returns
+    * (label, pred, n, row_frac_milli).
+    */
+  def confusionMatrix(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val cells = df.groupBy(col(labelCol).as("label"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy("label").agg(sum("n").as("__rt"))
+    cells.join(rows, Seq("label"))
+      .select(col("label"), col("pred"), col("n"),
+        expr("(1000 * n) div __rt").as("row_frac_milli"))
+  }
+
   /** CATEGORICAL DISTRIBUTION DRIFT between two snapshots (training-
     * data shift detection — "did this source's language/topic/label
     * mix move since the last crawl"): per-category counts on both

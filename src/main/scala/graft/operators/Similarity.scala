@@ -265,6 +265,29 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__pm"))
       .select(col("grp"), transform(col("__pm"), x => x.getField("m")).as("cvec"))
 
+  /** MUTUAL (reciprocal) NEAREST NEIGHBORS: pairs of vectors that are
+    * each other's top-1 neighbor — the high-precision linking signal
+    * of embedding entity resolution (one-directional nearest is
+    * noisy near cluster boundaries; reciprocity filters asymmetric
+    * attractions). Returns (id_a, id_b, cosine_ppm) with id_a < id_b.
+    *
+    * This form ranks via [[bruteForceTopK]] (exact, quadratic — the
+    * declared baseline); at corpus scale generate each side's top-1
+    * with [[lshTopK]]/[[ivfTopK]] instead and reuse the same mutual
+    * join, which is all this adds: one self-join of the top-1
+    * projection on the reversed pair (id-keyed, row count = corpus
+    * size, AQE-broadcastable).
+    */
+  def mutualNearestNeighbors(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val top1 = bruteForceTopK(df, idCol, vecCol, df, idCol, vecCol, k = 1)
+    val fwd = top1.select(col("query_id").as("id_a"),
+      col("neighbor_id").as("id_b"), col("cosine_ppm"))
+    val rev = top1.select(col("query_id").as("__qb"), col("neighbor_id").as("__nb"))
+    fwd.join(rev, col("id_b") === col("__qb") && col("__nb") === col("id_a"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "cosine_ppm")
+  }
+
   /** EMBEDDING-SPACE DRIFT between two snapshots: per group, the
     * cosine between snapshot A's and snapshot B's mean embedding —
     * the semantic complement to [[graft.operators.Profiling.distributionDrift]]

@@ -10,6 +10,32 @@ import org.apache.spark.sql.functions._
   * fingerprinting, multimodal plumbing.
   */
 object TextQueries {
+  /** The q27 language-ID chain as a reusable CTE block ending in
+    * `pred(doc_id, lang_pred)` — shared by the q27 gate and the q161
+    * confusion matrix so the two can never drift.
+    */
+  private val langIdPredCtes: String =
+    """toks AS (
+      |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+      |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id, l.lang,
+      |         len(list_filter(t, x -> list_contains(l.words, x))) AS h
+      |  FROM toks, (VALUES
+      |    ('de', ['der','die','das','und','nicht']),
+      |    ('en', ['the','and','of','to','is']),
+      |    ('es', ['el','la','los','que','y']),
+      |    ('fr', ['le','la','les','et','est']),
+      |    ('zh', ['的','是','了','在','我'])) AS l(lang, words)),
+      |best AS (
+      |  SELECT doc_id, lang, h,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) AS rn
+      |  FROM hits),
+      |pred AS (
+      |  SELECT doc_id, CASE WHEN h = 0 THEN 'und' ELSE lang END AS lang_pred
+      |  FROM best WHERE rn = 1)""".stripMargin
+
 
   private val enStop = Seq("the", "and", "of", "to", "is")
 
@@ -316,25 +342,8 @@ object TextQueries {
     },
 
     QueryDef.sql("q27_lang_id",
-      """WITH toks AS (
-        |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
-        |  FROM documents),
-        |hits AS (
-        |  SELECT doc_id, l.lang,
-        |         len(list_filter(t, x -> list_contains(l.words, x))) AS h
-        |  FROM toks, (VALUES
-        |    ('de', ['der','die','das','und','nicht']),
-        |    ('en', ['the','and','of','to','is']),
-        |    ('es', ['el','la','los','que','y']),
-        |    ('fr', ['le','la','les','et','est']),
-        |    ('zh', ['的','是','了','在','我'])) AS l(lang, words)),
-        |best AS (
-        |  SELECT doc_id, lang, h,
-        |         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) AS rn
-        |  FROM hits)
-        |SELECT doc_id, CASE WHEN h = 0 THEN 'und' ELSE lang END AS lang_pred
-        |FROM best WHERE rn = 1""".stripMargin) {
+      s"""WITH $langIdPredCtes
+         |SELECT doc_id, lang_pred FROM pred""".stripMargin) {
       (s, d) =>
         langIdRelational(Tables.documents(s, d), "doc_id", col("text"))
     },
@@ -1732,6 +1741,28 @@ object TextQueries {
       (s, d) =>
         Sampling.stratifiedSplit(Tables.documents(s, d), "doc_id", "source",
           trainPermille = 800)
+    },
+
+    // CONFUSION MATRIX of the q27 language-ID heuristic against the
+    // corpus's lang labels — the evaluation primitive for the
+    // pipeline's own classifiers. Cells + exact milli recall shares;
+    // the oracle reuses q27's CTE chain verbatim (shared constant).
+    QueryDef.sql("q161_confusion_matrix",
+      s"""WITH $langIdPredCtes,
+         |j AS (SELECT d.lang AS label, p.lang_pred AS pred
+         |      FROM documents d JOIN pred p ON p.doc_id = d.doc_id),
+         |cells AS (SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+         |          FROM j GROUP BY 1, 2),
+         |rt AS (SELECT label, CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY 1)
+         |SELECT c.label, c.pred, c.n,
+         |       CAST((1000 * c.n) // rt.t AS BIGINT) AS row_frac_milli
+         |FROM cells c JOIN rt USING (label)""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val joined = docs.select(col("doc_id"), col("lang"))
+          .join(langIdRelational(docs, "doc_id", col("text")), Seq("doc_id"))
+        graft.operators.Profiling.confusionMatrix(joined, "lang", "lang_pred")
+      }
     }
   )
 }

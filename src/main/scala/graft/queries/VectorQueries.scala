@@ -526,6 +526,38 @@ object VectorQueries {
           "label", "embedding")
           .withColumnRenamed("grp", "label")
       }
+    },
+
+    // MUTUAL (reciprocal) NEAREST NEIGHBORS: pairs that are each
+    // other's top-1 — the high-precision linking signal of embedding
+    // entity resolution. Exact brute-force ranking over a 200-vector
+    // slice (the declared baseline; the mutual join is what the
+    // operator adds, and reuses unchanged over LSH/IVF top-1s at
+    // scale).
+    QueryDef.sql("q160_mutual_nn",
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        |sc AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    CAST(round(
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(b.embedding,
+        |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      * 1000000.0) AS BIGINT) AS cosine_ppm
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |top AS (
+        |  SELECT * FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |                             ORDER BY cosine_ppm DESC, nid) = 1)
+        |SELECT f.qid AS id_a, f.nid AS id_b, f.cosine_ppm
+        |FROM top f JOIN top r ON f.nid = r.qid AND r.nid = f.qid
+        |WHERE f.qid < f.nid""".stripMargin) {
+      (s, d) =>
+        Similarity.mutualNearestNeighbors(
+          Tables.embeddings(s, d).filter(col("vec_id") < 200),
+          "vec_id", "embedding")
     }
   )
 }
