@@ -239,6 +239,32 @@ object EventStreams {
       }
   }
 
+  /** foreachBatch DRIFT MONITOR: per micro-batch, score the batch's
+    * categorical mix against a fixed reference distribution with
+    * [[graft.operators.Profiling.distributionDrift]] and emit the
+    * per-category TVD contributions to `sink` — the live "did the
+    * upstream feed change under us" alarm (schema drifts loudly;
+    * DISTRIBUTION drift is silent until eval drops). The reference is
+    * read once per trigger through `reference` (a view over
+    * yesterday's profile, a broadcast-small parquet) so a repaired
+    * reference takes effect without a stream restart; alerting policy
+    * (threshold, paging) belongs to the sink.
+    *
+    * Per-trigger cost: one map-side-combinable category count over
+    * the batch + a category-sized join — no stream state at all,
+    * which is the point: drift needs no watermark, no timers, and
+    * restarts are trivially safe (each batch scores independently;
+    * re-scored batches overwrite idempotently if the sink keys on
+    * batch id, which it receives).
+    */
+  def driftForeachBatch(category: String)(
+      reference: () => DataFrame,
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        sink(graft.operators.Profiling.distributionDrift(
+          reference(), batch, col(category)), id)
+
   /** Streaming exact dedup: drop events whose `event_id` was already
     * seen, keeping state only within the watermark horizon — the
     * streaming form of Dedup.exact for at-least-once sources

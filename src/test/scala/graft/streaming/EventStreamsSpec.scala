@@ -42,6 +42,38 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch drift monitor scores each micro-batch against the reference mix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference mix: click×2, view×2 (50/50)
+    val reference = Seq("click", "click", "view", "view").toDF("event_type")
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[String, Long])]
+    val input = MemoryStream[EventStreams.Event]
+    val q = input.toDF().writeStream
+      .foreachBatch(EventStreams.driftForeachBatch("event_type")(
+        () => reference,
+        (drift, id) => seen.synchronized {
+          seen += id -> drift.collect()
+            .map(r => r.getString(0) -> r.getLong(3)).toMap
+        }))
+      .start()
+    try {
+      // batch: click×3, error×1 — vs 50/50 click/view reference:
+      // |p|: click |0.5−0.75|=0.25, view 0.5, error 0.25 → contribs
+      // 125000/250000/125000 ppm
+      input.addData(
+        EventStreams.Event(1, ts("2024-01-01T00:00:00Z"), 1, "click", 1.0),
+        EventStreams.Event(2, ts("2024-01-01T00:01:00Z"), 1, "click", 1.0),
+        EventStreams.Event(3, ts("2024-01-01T00:02:00Z"), 2, "click", 1.0),
+        EventStreams.Event(4, ts("2024-01-01T00:03:00Z"), 2, "error", 1.0))
+      q.processAllAvailable()
+      val drift = seen.synchronized(seen.last._2)
+      assert(drift === Map("click" -> 125000L, "view" -> 250000L,
+        "error" -> 125000L))
+    } finally q.stop()
+  }
+
   test("stateful sessionization accumulates per-user state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
