@@ -1,13 +1,14 @@
 package graft
 
-import graft.queries.{CoreQueries, QueryDef, TextQueries, VectorQueries}
+import graft.queries.{CoreQueries, EvalQueries, QueryDef, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All capability queries, one per implemented operator (SURVEY.md §2). */
-  def allQueries: Seq[QueryDef] = CoreQueries.all ++ TextQueries.all ++ VectorQueries.all
+  def allQueries: Seq[QueryDef] =
+    CoreQueries.all ++ TextQueries.all ++ VectorQueries.all ++ EvalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

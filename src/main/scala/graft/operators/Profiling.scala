@@ -131,4 +131,51 @@ object Profiling {
         expr("(1000000 * abs(n_a * __tb - n_b * __ta)) div (2 * __ta * __tb)")
           .as("tvd_contrib_ppm"))
   }
+
+  /** 2-D Pareto frontier (skyline): the distinct (x, y) points not
+    * DOMINATED by any other — `p` dominates `q` iff p.x ≥ q.x ∧
+    * p.y ≥ q.y with at least one strict — the multi-criteria selection
+    * primitive ("newest AND highest-value", "highest-quality AND
+    * longest") that no single ORDER BY can express. Both columns are
+    * maximized; negate a column to minimize it.
+    *
+    * Scale shape — NOT the quadratic NOT-EXISTS self-join:
+    *
+    *  1. distinct (x, y) census with per-point row count (one agg);
+    *  2. LOCAL prune: a window partitioned by a hash bucket, ordered
+    *     (x desc, y desc) — a point beaten by the running y-max of its
+    *     bucket is dominated by that earlier point (its x is ≥ by the
+    *     sort) and exits. Pruning against a SUBSET of points only
+    *     removes truly-dominated points, so this is lossless; with B
+    *     buckets the survivors are ≤ B × |frontier| — tiny.
+    *  3. GLOBAL pass: same window over the survivors without the
+    *     bucket — for distinct pairs, "y strictly above every earlier
+    *     y" under (x desc, y desc) order IS the skyline: an earlier
+    *     equal-x point has higher y (dominates), an earlier higher-x
+    *     point with y ≥ yours dominates, ties on both are impossible
+    *     after the census.
+    *
+    * The single-reducer global window touches only step-2 survivors.
+    * Returns (x, y, n_rows) for each frontier point.
+    */
+  def paretoFrontier(df: DataFrame, xCol: Column, yCol: Column,
+                     buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_rows"))
+    val localW = Window.partitionBy("__b")
+      .orderBy(col("x").desc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = pts
+      .withColumn("__b", pmod(xxhash64(col("x"), col("y")), lit(buckets.toLong)))
+      .withColumn("__m", max("y").over(localW))
+      .filter(col("__m").isNull || col("y") > col("__m"))
+    val globalW = Window.orderBy(col("x").desc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    local
+      .withColumn("__g", max("y").over(globalW))
+      .filter(col("__g").isNull || col("y") > col("__g"))
+      .select("x", "y", "n_rows")
+  }
 }

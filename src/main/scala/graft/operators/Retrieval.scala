@@ -166,4 +166,70 @@ object Retrieval {
       .orderBy(col("rrf_micro").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Graded discount table for [[rankingMetrics]]: rank r (1-based) →
+    * ⌊10⁶ / log₂(r+1) + ½⌋. The constants are computed ONCE here in
+    * driver Scala and baked into the plan as literals (and into the
+    * oracle as a VALUES list), so the inherently-irrational log₂
+    * discounts become a FIXED integer contract both engines share —
+    * the same quantize-then-agree discipline as the BM25 milli scores.
+    */
+  def ndcgDiscountMicro(k: Int): Seq[(Int, Long)] =
+    (1 to k).map(r => r -> math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Offline ranking-quality evaluation — the measurement layer for
+    * the engine's own retrieval operators (BM25, cosine/ANN top-k,
+    * RRF). Inputs: `ranked` = (query_id, doc_id, rank) with rank
+    * 1-based and ≤ k per query; `truth` = (query_id, doc_id) RELEVANT
+    * pairs (binary gains). Per query:
+    *
+    *   - `dcg_micro`   = Σ_{hits} discount(rank)        (micro units)
+    *   - `idcg_micro`  = Σ_{r ≤ min(k, n_rel)} discount(r) — the
+    *     ideal: every top slot relevant
+    *   - `ndcg_ppm`    = 10⁶·dcg DIV idcg
+    *   - `rr_micro`    = 10⁶ DIV first relevant rank (0 if none) — MRR
+    *   - `hits_at_k`, `n_rel`, `recall_ppm` = 10⁶·hits DIV n_rel
+    *
+    * Queries with NO relevant documents are excluded (every metric is
+    * undefined there — standard IR-eval practice). All arithmetic is
+    * integer over the fixed discount table, so results are bit-portable
+    * across engines and partitionings.
+    *
+    * Shuffle shape: ranked⋈truth on (query, doc) — both sides already
+    * ≤ k·|queries| and |relevant| — one groupBy query for the DCG/MRR
+    * side, one for n_rel, one broadcast-sized join of the two
+    * per-query frames. The discount map enters as a literal
+    * `map_from_arrays` lookup: zero extra scans.
+    */
+  def rankingMetrics(ranked: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val disc = ndcgDiscountMicro(k)
+    val discMap = map_from_arrays(
+      array(disc.map(d => lit(d._1.toLong)): _*),
+      array(disc.map(d => lit(d._2)): _*))
+    // cumulative ideal DCG for n_rel = 1..k (n_rel > k saturates)
+    val cumIdeal = disc.scanLeft(0L)(_ + _._2).tail
+    val idealMap = map_from_arrays(
+      array((1 to k).map(i => lit(i.toLong)): _*),
+      array(cumIdeal.map(lit(_)): _*))
+    val rel = truth.select(col("query_id"), col("doc_id"), lit(1L).as("__rel"))
+    val perQ = ranked.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("__rel").isNotNull,
+          element_at(discMap, col("rank").cast("long"))).otherwise(0L))
+          .as("dcg_micro"),
+        min(when(col("__rel").isNotNull, col("rank"))).as("__first"),
+        sum(when(col("__rel").isNotNull, 1L).otherwise(0L)).as("hits_at_k"))
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    perQ.join(nRel, Seq("query_id"))
+      .select(col("query_id"), col("dcg_micro"),
+        element_at(idealMap, least(col("n_rel"), lit(k.toLong)))
+          .as("idcg_micro"),
+        col("hits_at_k"), col("n_rel"),
+        coalesce(expr("1000000L div __first"), lit(0L)).as("rr_micro"))
+      .withColumn("ndcg_ppm", expr("(1000000 * dcg_micro) div idcg_micro"))
+      .withColumn("recall_ppm", expr("(1000000 * hits_at_k) div n_rel"))
+  }
 }

@@ -64,6 +64,67 @@ object Sketches {
     * use a constant group — the window then runs on one reducer and
     * the right form is `orderBy(hash).limit(k)` (TakeOrdered) instead.
     */
+  /** Build a Bloom filter over a long key column as a STORABLE
+    * DataFrame artifact: `numBits` bits packed into `numBits/64`
+    * longs, one row per 64-bit word — (word INT, bits BIGINT). Bit
+    * positions come from `numHashes` seed-chained engine hashes
+    * (`xxhash64(i, key)`, the q120/q122 family), and `numBits` must be
+    * a power of two so the signed `pmod` equals the unsigned low-bits
+    * residue on every engine.
+    *
+    * This is the persistable membership summary for don't-re-shuffle
+    * questions: write the words table once per corpus snapshot
+    * (kilobytes for millions of keys), then prune any incoming batch
+    * against it with [[bloomProbe]] — no false negatives, tunable
+    * false-positive rate (m/n = 10 bits/key, k = 7 ≈ 0.8%). Unlike
+    * the runtime bloom AQE injects into a single join, the artifact
+    * outlives the job — the batch dedup pattern of
+    * `Dedup.incrementalExact` without re-reading yesterday's hashes.
+    *
+    * Shuffle shape: one explode (×k) + one ≤`numBits/64`-group
+    * aggregate; `bit_or` partials commute, so the words are
+    * bit-identical under any partitioning.
+    */
+  def bloomBuild(df: DataFrame, keyCol: Column,
+                 numBits: Int, numHashes: Int): DataFrame = {
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two >= 64, got $numBits")
+    require(numHashes >= 1, s"numHashes must be positive, got $numHashes")
+    val pos = df.select(keyCol.cast("long").as("key"))
+      .select(explode(array((0 until numHashes).map(i =>
+        pmod(xxhash64(lit(i.toLong), col("key")), lit(numBits.toLong))): _*))
+        .as("pos"))
+    pos.groupBy((col("pos") / 64).cast("int").as("word"))
+      .agg(bit_or(expr("shiftleft(1L, CAST(pos % 64 AS INT))")).as("bits"))
+  }
+
+  /** Probe a [[bloomBuild]] words table: for each key in `probes`,
+    * true iff ALL `numHashes` bit positions are set. Parameters must
+    * match the build call. The words side is at most `numBits/64` rows
+    * — it always broadcasts; the probe side streams with zero
+    * shuffle until the final per-key ALL-bits aggregate (map-side
+    * combinable `min`). Returns `probes` plus a `bloom_hit` column.
+    */
+  def bloomProbe(words: DataFrame, probes: DataFrame, keyCol: String,
+                 numBits: Int, numHashes: Int): DataFrame = {
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two >= 64, got $numBits")
+    val checked = probes
+      .select(col(keyCol).cast("long").as(keyCol))
+      .select(col(keyCol), explode(array((0 until numHashes).map(i =>
+        pmod(xxhash64(lit(i.toLong), col(keyCol)), lit(numBits.toLong))): _*))
+        .as("pos"))
+      .withColumn("word", (col("pos") / 64).cast("int"))
+      .join(broadcast(words), Seq("word"), "left_outer")
+      .select(col(keyCol),
+        // & 1, not % 2: a zero shift keeps the sign bit, and Spark's %
+        // follows the dividend's sign — a negative word would read -1
+        expr("shiftrightunsigned(coalesce(bits, 0L), CAST(pos % 64 AS INT)) & 1")
+          .as("bit"))
+    checked.groupBy(keyCol)
+      .agg((min(col("bit")) === 1L).as("bloom_hit"))
+  }
+
   def hashSampleQuantile(df: DataFrame, groupCol: String, idCol: String,
                          valueCol: String, k: Int, qPermille: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
