@@ -937,6 +937,39 @@ object Dedup {
       .join(splits.select(col(idCol).as(idB), col(splitCol).as("split_b")), idB)
       .filter(col("split_a") =!= col("split_b"))
 
+  /** SOFT deduplication (the keep-but-downweight alternative to
+    * dropping duplicates): every document gets a sampling weight
+    * 10⁶ DIV |its near-dup cluster| — duplicated content contributes
+    * one document's worth of probability mass in total, unique
+    * documents keep full weight. The "data-diet without deletion"
+    * knob: repetition studies show a few duplicates help and many
+    * hurt; soft weights expose that trade-off to the sampler
+    * ([[graft.operators.Sampling.weightedByHash]] consumes exactly
+    * this column) without destroying data.
+    *
+    * `ids` is the full corpus id projection; `pairs` any near-dup pair
+    * set. Cluster structure comes from [[connectedComponents]]; ids in
+    * no pair are their own singleton cluster (weight 10⁶).
+    *
+    * Scale shape: CC runs only on the (funnel-reduced) pair nodes; the
+    * corpus side sees two id-keyed joins against frames bounded by the
+    * pair-node count — AQE broadcasts them in the common
+    * pairs ≪ corpus regime. Returns
+    * (id, cluster_id, cluster_size, weight_micro).
+    */
+  def softDedupWeights(ids: DataFrame, idCol: String, pairs: DataFrame,
+                       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, idA, idB)
+    val sizes = cc.groupBy("lbl").agg(count(lit(1)).as("__sz"))
+    ids.select(col(idCol))
+      .join(cc.withColumnRenamed("v", idCol), Seq(idCol), "left_outer")
+      .join(sizes, Seq("lbl"), "left_outer")
+      .select(col(idCol),
+        coalesce(col("lbl"), col(idCol)).as("cluster_id"),
+        coalesce(col("__sz"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_micro", expr("1000000L div cluster_size"))
+  }
+
   def canonicalPerCluster(pairs: DataFrame, attrs: DataFrame,
                           idCol: String, qualityCol: String): DataFrame = {
     val members = connectedComponents(pairs)

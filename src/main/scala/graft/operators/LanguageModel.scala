@@ -155,4 +155,82 @@ object LanguageModel {
       .orderBy(col("pmi_bits").desc, col("n_pair").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** Multinomial Naive Bayes TRAINED AND APPLIED relationally — the
+    * classifier tier of a curation pipeline (language ID, quality
+    * tiers, topic routing: the fastText-classifier role) where the
+    * n-gram heuristics top out. Add-one smoothing over the train
+    * vocabulary; every log-probability is quantized to whole BITS with
+    * the exact integer floor-log2 ([[bigramSurprisal]]'s discipline),
+    * so scores and argmins are bit-identical across engines and
+    * partitionings:
+    *
+    *   score(d, c) = ⌊log2 N/N_c⌋ + Σ_w m_w·⌊log2 (tot_c+V)/(c_cw+1)⌋
+    *
+    * (negated log-probs: the PREDICTED class minimizes bits; ties
+    * break to the lexicographically smallest class). Out-of-vocabulary
+    * test words carry no class evidence and are skipped — the standard
+    * practical choice, and the deterministic one.
+    *
+    * Scale shape: one explode per side into map-side-combinable count
+    * aggregates; the model tables (per-class word counts — vocab×|C|
+    * bounded, AQE-broadcast when small; per-class totals and priors —
+    * |C| rows, broadcast) join the test word counts, which expand
+    * |C|-fold for the per-class scores — the inherent NB cost, linear
+    * in test tokens × classes. The argmin is a per-doc min_by, no
+    * window. Docs whose every token is OOV (or empty) produce no score
+    * row and are absent from the result — route them through a
+    * fallback, don't silently default.
+    *
+    * Returns (id, pred_class, score_bits).
+    */
+  def naiveBayesClassify(train: DataFrame, classCol: Column, trainText: Column,
+                         test: DataFrame, idCol: String, testText: Column,
+                         persistModel: Boolean = true): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens _
+    val cwRaw = train
+      .select(classCol.as("__c"), explode(toks(trainText)).as("__w"))
+      .groupBy("__c", "__w").agg(count(lit(1)).as("__cw"))
+    val cw =
+      if (persistModel)
+        CacheRegistry.register(cwRaw.persist(StorageLevel.MEMORY_AND_DISK))
+      else cwRaw
+    val totc = cw.groupBy("__c").agg(sum("__cw").as("__tot"))
+    val vocab = cw.select("__w").distinct()
+    val v = vocab.agg(count(lit(1)).as("__v"))
+    val nc = train.select(classCol.as("__c")).groupBy("__c")
+      .agg(count(lit(1)).as("__nc"))
+    val n = nc.agg(sum("__nc").as("__n"))
+    // (class, tot_c, prior_bits): |C| rows, broadcast into the grid
+    val classes = totc.join(nc, Seq("__c"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(v))
+      .withColumn("__pbits", expr(
+        """CASE WHEN __n >= shiftleft(__nc, length(bin(__n)) - length(bin(__nc)))
+          |     THEN length(bin(__n)) - length(bin(__nc))
+          |     ELSE length(bin(__n)) - length(bin(__nc)) - 1
+          |END""".stripMargin))
+      .select(col("__c"), col("__tot"), col("__v"), col("__pbits"))
+    val testWords = test
+      .select(col(idCol), explode(toks(testText)).as("__w"))
+      .groupBy(idCol, "__w").agg(count(lit(1)).as("__m"))
+      .join(vocab, Seq("__w"), "left_semi") // OOV words carry no evidence
+    testWords
+      .crossJoin(broadcast(classes))
+      .join(cw, Seq("__c", "__w"), "left_outer")
+      .withColumn("__a", col("__tot") + col("__v"))
+      .withColumn("__b", coalesce(col("__cw"), lit(0L)) + 1)
+      .withColumn("__bits", expr(
+        """CASE WHEN __a >= shiftleft(__b, length(bin(__a)) - length(bin(__b)))
+          |     THEN length(bin(__a)) - length(bin(__b))
+          |     ELSE length(bin(__a)) - length(bin(__b)) - 1
+          |END""".stripMargin))
+      .groupBy(idCol, "__c")
+      .agg((sum(col("__m") * col("__bits")) + max(col("__pbits")))
+        .cast("long").as("__score"))
+      .groupBy(idCol)
+      .agg(min_by(struct(col("__c").as("pred_class"), col("__score").as("score_bits")),
+        struct(col("__score"), col("__c"))).as("__best"))
+      .select(col(idCol), col("__best.pred_class").as("pred_class"),
+        col("__best.score_bits").as("score_bits"))
+  }
 }

@@ -132,6 +132,67 @@ object Profiling {
           .as("tvd_contrib_ppm"))
   }
 
+  /** SKEW DIAGNOSIS — the operational pre-flight for any join or
+    * aggregation key at 100 TB: which keys are hot, how hot relative
+    * to the mean, and what salt factor would level them. Per top key:
+    *
+    *   - `share_ppm`    = 10⁶·n DIV total rows
+    *   - `skew_x_milli` = 10³·n DIV mean rows-per-key (1000 = average)
+    *   - `salt_factor`  = ⌈n / mean⌉ — the number of salt buckets that
+    *     brings this key's per-bucket share back to the mean (feed it
+    *     to a salted-join/[[graft.operators.Relational]] salted
+    *     collect, or trust AQE's skew split and use this as evidence)
+    *
+    * All integer arithmetic over one map-side-combinable count
+    * aggregate; the report is a TakeOrdered top-k — no global sort,
+    * no second scan. Returns (key, n_rows, share_ppm, skew_x_milli,
+    * salt_factor), heaviest first.
+    */
+  def skewReport(df: DataFrame, keyCol: Column, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val counts = df.select(keyCol.as("key")).groupBy("key")
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum("n_rows").as("__t"), count(lit(1)).as("__k"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("key"), col("n_rows"),
+        expr("(1000000 * n_rows) div __t").as("share_ppm"),
+        expr("(1000 * n_rows * __k) div __t").as("skew_x_milli"),
+        expr("(n_rows * __k + __t - 1) div __t").as("salt_factor"))
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(topK)
+  }
+
+  /** Pairwise Jaccard overlap of per-group item SETS — corpus-level
+    * similarity audit ("how much vocabulary do two sources share",
+    * "which two crawls cover the same hosts"): the group-granularity
+    * complement of the per-document dedup operators. Returns one row
+    * per unordered group pair (a < b):
+    * (group_a, group_b, n_a, n_b, n_inter, jaccard_ppm).
+    *
+    * Scale shape: one distinct projection; the intersection self-join
+    * keys on the ITEM, and each item's fan-out is bounded by the
+    * number of groups it appears in (≤ |groups|, a small constant) —
+    * so the intermediate is ≤ |distinct links| × |groups|, never
+    * item-frequency-quadratic. Sizes broadcast; no row of raw data is
+    * shuffled twice.
+    */
+  def groupSetOverlap(df: DataFrame, groupCol: Column, itemCol: Column): DataFrame = {
+    val links = df.select(groupCol.as("g"), itemCol.as("i")).distinct()
+    val sizes = links.groupBy("g").agg(count(lit(1)).as("n"))
+    val inter = links.as("x").join(links.as("y"),
+        col("x.i") === col("y.i") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("group_a"), col("y.g").as("group_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("g").as("group_a"), col("n").as("n_a"))),
+        Seq("group_a"))
+      .join(broadcast(sizes.select(col("g").as("group_b"), col("n").as("n_b"))),
+        Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        expr("(1000000 * n_inter) div (n_a + n_b - n_inter)").as("jaccard_ppm"))
+  }
+
   /** 2-D Pareto frontier (skyline): the distinct (x, y) points not
     * DOMINATED by any other — `p` dominates `q` iff p.x ≥ q.x ∧
     * p.y ≥ q.y with at least one strict — the multi-criteria selection

@@ -201,6 +201,128 @@ object EvalQueries {
               col("l_partkey").as("u")),
             "ent", "u", minCommon = 2, maxUnitDegree = 1000)
           .orderBy(col("ra_micro").desc, col("a"), col("b")).limit(50)
+    },
+
+    // NAIVE BAYES language classifier — trained on 4/5 of the corpus
+    // (add-one multinomial over whitespace tokens), applied to the
+    // held-out 1/5. Every log-prob is whole-bit floor-log2 integers
+    // (q126's discipline), so the scores AND the argmin are
+    // bit-portable; ties break to the lexicographically smallest
+    // class. OOV test words carry no evidence on either engine.
+    QueryDef.sql("q167_naive_bayes",
+      """WITH tra AS (
+        |  SELECT lang AS c,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+        |  FROM documents WHERE doc_id % 5 != 0),
+        |cw AS (SELECT c, w, count(*) AS cw
+        |       FROM (SELECT c, unnest(a) AS w FROM tra) GROUP BY 1, 2),
+        |totc AS (SELECT c, CAST(sum(cw) AS BIGINT) AS tot FROM cw GROUP BY 1),
+        |vocab AS (SELECT DISTINCT w FROM cw),
+        |v AS (SELECT count(*) AS v FROM vocab),
+        |nc AS (SELECT lang AS c, count(*) AS nc FROM documents
+        |       WHERE doc_id % 5 != 0 GROUP BY 1),
+        |n AS (SELECT CAST(sum(nc) AS BIGINT) AS n FROM nc),
+        |classes AS (
+        |  SELECT totc.c, tot, v.v,
+        |         CASE WHEN n.n >= (nc.nc << (length(bin(n.n)) - length(bin(nc.nc))))
+        |              THEN length(bin(n.n)) - length(bin(nc.nc))
+        |              ELSE length(bin(n.n)) - length(bin(nc.nc)) - 1
+        |         END AS pbits
+        |  FROM totc JOIN nc USING (c) CROSS JOIN v CROSS JOIN n),
+        |tea AS (
+        |  SELECT doc_id, lang AS true_lang,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tw AS (SELECT doc_id, w, count(*) AS m
+        |       FROM (SELECT doc_id, unnest(a) AS w FROM tea) GROUP BY 1, 2),
+        |twv AS (SELECT tw.* FROM tw JOIN vocab USING (w)),
+        |grid AS (
+        |  SELECT t.doc_id, t.m, cl.c, cl.pbits,
+        |         (cl.tot + cl.v) AS ga, (coalesce(cw.cw, 0) + 1) AS gb
+        |  FROM twv t CROSS JOIN classes cl
+        |  LEFT JOIN cw ON cw.c = cl.c AND cw.w = t.w),
+        |bits AS (
+        |  SELECT doc_id, c, m, pbits,
+        |         CASE WHEN ga >= (gb << (length(bin(ga)) - length(bin(gb))))
+        |              THEN length(bin(ga)) - length(bin(gb))
+        |              ELSE length(bin(ga)) - length(bin(gb)) - 1
+        |         END AS b
+        |  FROM grid),
+        |scores AS (
+        |  SELECT doc_id, c, CAST(sum(m * b) + max(pbits) AS BIGINT) AS score
+        |  FROM bits GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, c, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score, c) AS rn
+        |  FROM scores)
+        |SELECT p.doc_id, te.true_lang, p.c AS pred_lang, p.score AS score_bits
+        |FROM pred p JOIN (SELECT DISTINCT doc_id, true_lang FROM tea) te
+        |  USING (doc_id)
+        |WHERE rn = 1""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val preds = graft.operators.LanguageModel.naiveBayesClassify(
+          docs.filter(col("doc_id") % 5 =!= 0), col("lang"), col("text"),
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", col("text"))
+        preds.join(docs.select(col("doc_id"), col("lang").as("true_lang")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("true_lang"),
+            col("pred_class").as("pred_lang"), col("score_bits"))
+      }
+    },
+
+    // SKEW DIAGNOSIS report over the events user dimension: the top-20
+    // hottest keys with exact share, ×-mean skew, and the salt factor
+    // that would level each — the evidence a pipeline gathers BEFORE
+    // keying a 100 TB join. Pure integer arithmetic over one count
+    // aggregate; the oracle recomputes every ratio from scratch.
+    QueryDef.sql("q168_skew_report",
+      """WITH c AS (SELECT user_id AS key, count(*) AS n_rows
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t,
+        |             count(*) AS k FROM c)
+        |SELECT key, n_rows,
+        |       (1000000 * n_rows) // t.t AS share_ppm,
+        |       (1000 * n_rows * t.k) // t.t AS skew_x_milli,
+        |       (n_rows * t.k + t.t - 1) // t.t AS salt_factor
+        |FROM c CROSS JOIN t
+        |ORDER BY n_rows DESC, key LIMIT 20""".stripMargin) {
+      (s, d) =>
+        Profiling.skewReport(Tables.events(s, d), col("user_id"), topK = 20)
+    },
+
+    // SOURCE VOCABULARY OVERLAP: pairwise Jaccard of per-source token
+    // sets — the corpus-level similarity audit (which sources are
+    // near-mirrors, where a new crawl actually adds coverage). The
+    // intersection self-join keys on the word, fan-out bounded by
+    // |sources| — never word-frequency-quadratic.
+    QueryDef.sql("q169_source_vocab_overlap",
+      """WITH arr AS (
+        |  SELECT source,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+        |  FROM documents),
+        |links AS (SELECT DISTINCT source AS g, unnest(a) AS i FROM arr),
+        |sizes AS (SELECT g, count(*) AS n FROM links GROUP BY 1),
+        |inter AS (
+        |  SELECT x.g AS group_a, y.g AS group_b, count(*) AS n_inter
+        |  FROM links x JOIN links y ON x.i = y.i AND x.g < y.g
+        |  GROUP BY 1, 2)
+        |SELECT i.group_a, i.group_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+        |       (1000000 * i.n_inter) // (sa.n + sb.n - i.n_inter) AS jaccard_ppm
+        |FROM inter i
+        |JOIN sizes sa ON sa.g = i.group_a
+        |JOIN sizes sb ON sb.g = i.group_b""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Profiling.groupSetOverlap(
+          docs.select(col("source"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("__w")),
+          col("source"), col("__w"))
+      }
     }
   )
 }

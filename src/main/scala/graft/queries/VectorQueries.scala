@@ -558,6 +558,44 @@ object VectorQueries {
         Similarity.mutualNearestNeighbors(
           Tables.embeddings(s, d).filter(col("vec_id") < 200),
           "vec_id", "embedding")
+    },
+
+    // SOFT DEDUPLICATION (keep-but-downweight): every vector gets a
+    // sampling weight 10⁶ DIV |its q55 near-dup cluster|; singletons
+    // (no near-dup pair) keep full weight 10⁶. The weights feed the
+    // deterministic weighted sampler (q113) — duplicates survive but
+    // contribute one document's worth of mass. Oracle = q55's
+    // recursive min-reachable CTE + cluster sizes, left-joined to the
+    // full id space.
+    QueryDef.sql("q166_soft_dedup_weights",
+      s"""WITH RECURSIVE ${lshBandCtes(2, 6, 4096)},
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b, $cosPpm AS cosine_ppm
+         |  FROM cand c JOIN sigs a ON a.vid = c.id_a JOIN sigs b ON b.vid = c.id_b
+         |  WHERE c.id_a < c.id_b),
+         |thr AS (SELECT id_a, id_b FROM pairs WHERE cosine_ppm >= 350000),
+         |e AS (SELECT id_a AS a, id_b AS b FROM thr
+         |      UNION SELECT id_b, id_a FROM thr),
+         |nodes AS (SELECT DISTINCT a AS v FROM e),
+         |reach AS (
+         |  SELECT v, v AS m FROM nodes
+         |  UNION
+         |  SELECT e.b AS v, r.m FROM reach r JOIN e ON e.a = r.v),
+         |cc AS (SELECT v, min(m) AS lbl FROM reach GROUP BY v),
+         |sz AS (SELECT lbl, count(*) AS sz FROM cc GROUP BY lbl)
+         |SELECT em.vec_id,
+         |       coalesce(cc.lbl, em.vec_id) AS cluster_id,
+         |       coalesce(sz.sz, 1) AS cluster_size,
+         |       CAST(1000000 // coalesce(sz.sz, 1) AS BIGINT) AS weight_micro
+         |FROM embeddings em
+         |LEFT JOIN cc ON cc.v = em.vec_id
+         |LEFT JOIN sz ON sz.lbl = cc.lbl""".stripMargin) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+          minCosinePpm = 350000L)
+        graft.operators.Dedup.softDedupWeights(e, "vec_id", pairs)
+      }
     }
   )
 }

@@ -96,6 +96,66 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(q2.getAs[Long]("rr_micro") === 1000000L)
   }
 
+  test("softDedupWeights: cluster downweighting, singletons keep full weight") {
+    import spark.implicits._
+    // chain 1-2-3 (one cluster of 3), pair 10-11, singletons 20, 21
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.softDedupWeights(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((1L, 3L, 333333L)))
+    assert(got(2L) === ((1L, 3L, 333333L)))
+    assert(got(3L) === ((1L, 3L, 333333L)))
+    assert(got(10L) === ((10L, 2L, 500000L)))
+    assert(got(11L) === ((10L, 2L, 500000L)))
+    assert(got(20L) === ((20L, 1L, 1000000L)))
+    assert(got(21L) === ((21L, 1L, 1000000L)))
+  }
+
+  test("naiveBayesClassify: hand-computed bits, OOV skipped, tie to smallest class") {
+    import spark.implicits._
+    // class a: tokens {x x y}; class b: tokens {z z y} → V = 3
+    val train = Seq(("a", "x x y"), ("b", "z z y")).toDF("cls", "text")
+    // doc 1 "x x": cw(a,x)=2 → bits ⌊log2 6/3⌋=1 ×2 = 2 + prior 1 = 3
+    //              cw(b,x)=0 → bits ⌊log2 6/1⌋=2 ×2 = 4 + prior 1 = 5 → a
+    // doc 2 "z":   a: ⌊log2 6/1⌋=2 +1 = 3; b: ⌊log2 6/3⌋=1 +1 = 2 → b
+    // doc 3 "y":   both ⌊log2 6/2⌋=1 +1 = 2 — tie → a
+    // doc 4 "q q": all OOV → absent
+    val test0 = Seq((1L, "x x"), (2L, "z"), (3L, "y"), (4L, "q q"))
+      .toDF("id", "text")
+    val got = LanguageModel.naiveBayesClassify(
+        train, col("cls"), col("text"), test0, "id", col("text"),
+        persistModel = false)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> (("a", 3L)), 2L -> (("b", 2L)), 3L -> (("a", 2L))))
+  }
+
+  test("skewReport: exact shares and salt factors") {
+    import spark.implicits._
+    // keys: a ×6, b ×2, c ×1, d ×1 → total 10, 4 keys, mean 2.5
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")).toDF("k")
+    val got = Profiling.skewReport(df, col("k"), topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // a: share 600000 ppm, skew 6/2.5 = 2.4x → 2400 milli, salt ⌈2.4⌉ = 3
+    assert(got(0) === (("a", 6L, 600000L, 2400L, 3L)))
+    assert(got(1) === (("b", 2L, 200000L, 800L, 1L)))
+  }
+
+  test("groupSetOverlap: pairwise Jaccard of per-group sets") {
+    import spark.implicits._
+    // A = {1,2,3}, B = {2,3,4}, C = {9}; duplicates collapse
+    val df = Seq(("A", 1), ("A", 2), ("A", 3), ("A", 3),
+      ("B", 2), ("B", 3), ("B", 4), ("C", 9)).toDF("g", "i")
+    val got = Profiling.groupSetOverlap(df, col("g"), col("i"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // A∩B = {2,3} → 2/4 = 500000 ppm; C shares nothing → absent
+    assert(got === Map(("A", "B") -> ((3L, 3L, 2L, 500000L))))
+  }
+
   test("resourceAllocationLinks: shared-unit scoring, hub cap, minCommon") {
     import spark.implicits._
     // unit u1 shared by a,b,c (deg 3); u2 by a,b (deg 2); hub by all 4
