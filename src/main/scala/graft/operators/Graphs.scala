@@ -235,6 +235,110 @@ object Graphs {
       .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_triangles"))))
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own label; each round, every node adopts the most
+    * frequent label among its neighbors — ties break to the SMALLEST
+    * label, nodes with no neighbors keep theirs — for a FIXED number
+    * of rounds. Fixed rounds + total-order tie-break make an
+    * inherently heuristic algorithm fully deterministic (same answer
+    * on any engine/partitioning), which is what lets communities be
+    * hash-gated at all; classic async LPA converges faster but is
+    * run-order-dependent — useless for reproducible pipelines.
+    *
+    * Where [[graft.operators.Dedup.connectedComponents]] answers
+    * "reachable at all?" (one giant component on any connected graph),
+    * LPA finds DENSE regions — near-dup neighborhoods, co-purchase
+    * cliques — inside a connected graph.
+    *
+    * Scale shape per round: one edge⋈labels join (labels keyed by
+    * node), one (node, label) count, one min_by argmax — all
+    * shuffle-on-node-id; rounds are few (communities stabilize in
+    * 3-5), so the lineage stays shallow — no checkpoint needed at the
+    * default depth (adopt the CC localCheckpoint discipline if you
+    * raise `rounds` past ~10). Pass edges ONE row per undirected edge;
+    * both directions are derived inside. Returns (node, community).
+    */
+  def labelPropagation(edges: DataFrame, aCol: String = "a", bCol: String = "b",
+                       rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    val e = CacheRegistry.register(
+      edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val nodes = e.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("community", col("node"))
+    for (_ <- 1 to rounds) {
+      val counts = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("community"))
+        .agg(count(lit(1)).as("__n"))
+      val winners = counts.groupBy("node")
+        .agg(min_by(col("community"), struct((-col("__n")).as("__neg"),
+          col("community"))).as("community"))
+      labels = winners
+    }
+    // e backs every round of the returned lazy plan — the caller (or
+    // the CacheRegistry lifecycle) releases it after consuming
+    labels
+  }
+
+  /** Association-rule mining over (basket, item) pairs — the
+    * market-basket signal (co-purchase recommendations, tag
+    * co-occurrence, query co-click): for each ordered item pair
+    * a → b with enough shared baskets,
+    *
+    *   support_ppm    = 10⁶·n_ab DIV N          (pair prevalence)
+    *   confidence_ppm = 10⁶·n_ab DIV n_a        (P(b | a))
+    *   lift_ppm       = 10⁶·n_ab·N DIV n_a·n_b  (× over independence)
+    *
+    * — all exact integers. Rules are emitted in BOTH directions
+    * (confidence is asymmetric). `maxBasketSize` caps the quadratic
+    * per-basket pair fan-out (a degenerate basket holding the whole
+    * catalog would otherwise dominate the join — the hub-cap
+    * discipline); `minShared` prunes the noise tail before the
+    * marginal joins. Top-k under the strict
+    * (lift desc, support desc, a, b) order via TakeOrdered.
+    *
+    * lift·n products must fit a long: sound while n_ab·N < 2^63 —
+    * at larger N, mine per shard and merge, or widen to decimal.
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minShared: Long = 2, maxBasketSize: Long = 10000,
+                       topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val links = CacheRegistry.register(
+      df.select(col(basketCol).as("k"), col(itemCol).as("i")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    // marginals, N and pairs ALL derive from the capped basket set, so
+    // dropping a degenerate basket is one uniform data filter, not a
+    // denominators-disagree special case
+    val kept = CacheRegistry.register(
+      links.join(
+        links.groupBy("k").agg(count(lit(1)).as("__bs"))
+          .filter(col("__bs") <= maxBasketSize).select("k"), Seq("k"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val nBaskets = kept.select("k").distinct().agg(count(lit(1)).as("__nb"))
+    val itemN = kept.groupBy("i").agg(count(lit(1)).as("__ni"))
+    val pairs = kept.as("x").join(kept.as("y"),
+        col("x.k") === col("y.k") && col("x.i") =!= col("y.i"))
+      .groupBy(col("x.i").as("a"), col("y.i").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minShared)
+    pairs
+      .join(itemN.select(col("i").as("a"), col("__ni").as("n_a")), Seq("a"))
+      .join(itemN.select(col("i").as("b"), col("__ni").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(1000000 * n_ab) div __nb").as("support_ppm"),
+        expr("(1000000 * n_ab) div n_a").as("confidence_ppm"),
+        expr("(1000000 * n_ab * __nb) div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("support_ppm").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Link prediction over a bipartite graph (entity, unit): score an
     * UNLINKED entity pair by the units they share, weighting each
     * shared unit by the inverse of its popularity — the

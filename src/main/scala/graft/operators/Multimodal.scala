@@ -75,6 +75,63 @@ object Multimodal {
     }(enc)
   }
 
+  /** Binary near-duplicate pairs by ALIGNED CHUNK FINGERPRINTS — the
+    * storage-dedup move (fixed-size chunking + per-chunk hash) applied
+    * to opaque media columns: two blobs are near-dups when ≥
+    * `minShared` of their position-aligned `chunkBytes` chunks are
+    * byte-identical (re-encoded copies, watermarked variants, padded
+    * twins). Text-side dedup can't see these — the payload is binary.
+    *
+    * Scale shape (the duplicateSpans discipline, on bytes):
+    *
+    *   1. chunks explode ONCE; each chunk immediately becomes its
+    *      8-byte `xxhash64` — chunk BYTES never shuffle;
+    *   2. a (idx, hash) census drops chunks shared by more than
+    *      `maxDocsPerChunk` blobs (all-zero padding blocks, shared
+    *      headers: quadratic cost, zero dedup signal — the hot-bucket
+    *      blacklist);
+    *   3. the surviving 8-byte keys self-join on (idx, hash), one
+    *      (a, b) count, two id-keyed joins attach chunk totals.
+    *
+    * overlap_ppm is against the SMALLER blob (containment — a short
+    * clip fully inside a long one scores 10⁶). A 64-bit collision
+    * would fabricate a pair; the gate's content-equality oracle
+    * witnesses zero collisions on real data. Returns
+    * (id_a, id_b, n_shared, n_chunks_a, n_chunks_b, overlap_ppm).
+    */
+  def chunkHashPairs(blobs: DataFrame, idCol: String, blobCol: String,
+                     chunkBytes: Int = 64, minShared: Long = 2,
+                     maxDocsPerChunk: Long = 1000): DataFrame = {
+    require(chunkBytes >= 1, s"chunkBytes must be positive, got $chunkBytes")
+    require(minShared >= 1, s"minShared must be positive, got $minShared")
+    val nChunks = ceil(length(col(blobCol)).cast("double") / chunkBytes).cast("long")
+    val chunks = blobs
+      .select(col(idCol).as("__id"), col(blobCol).as("__b"), nChunks.as("__nc"))
+      .filter(col("__nc") > 0)
+      .select(col("__id"), col("__nc"),
+        posexplode(transform(sequence(lit(0L), col("__nc") - 1),
+          i => xxhash64(substring(col("__b"),
+            (i * chunkBytes + 1).cast("int"), lit(chunkBytes))))))
+      .select(col("__id"), col("__nc"), col("pos").as("__idx"), col("col").as("__h"))
+    val hot = chunks.groupBy("__idx", "__h").agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") > maxDocsPerChunk)
+      .select("__idx", "__h")
+    val kept = chunks.join(broadcast(hot), Seq("__idx", "__h"), "left_anti")
+    val pairs = kept.as("x").join(kept.as("y"),
+        col("x.__idx") === col("y.__idx") && col("x.__h") === col("y.__h") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
+        col("x.__nc").as("n_chunks_a"), col("y.__nc").as("n_chunks_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"),
+        max("n_chunks_a").as("n_chunks_a"), max("n_chunks_b").as("n_chunks_b"))
+      .filter(col("n_shared") >= minShared)
+    pairs.select(col("id_a"), col("id_b"), col("n_shared"),
+      col("n_chunks_a"), col("n_chunks_b"),
+      expr("(1000000 * n_shared) div least(n_chunks_a, n_chunks_b)")
+        .as("overlap_ppm"))
+  }
+
   /** Frame-sample analogue: take every `stride`-th chunk of the blob as
     * a "frame" (binary slices with an index — the video-frame shape).
     */

@@ -43,6 +43,41 @@ object Sketches {
       .filter(col("n") >= threshold)
   }
 
+  /** Equi-join output-size ESTIMATE from two count-min sketches — the
+    * optimizer-statistics question ("how big is A ⋈ B on this key?")
+    * answered without executing the join or shuffling either table:
+    * |A ⋈ B| = Σ_k a_k·b_k, and the count-min inner product
+    * min_i Σ_w cmA[i][w]·cmB[i][w] upper-bounds it (each cell product
+    * adds only non-negative collision cross-terms; the min over rows
+    * takes the tightest). The estimate is EXACT-deterministic: both
+    * sketches are order-independent under the seed-chained engine hash
+    * family, so the bound is a value contract, not a sample.
+    *
+    * Use it to pick join strategies up front (broadcast vs shuffle vs
+    * pre-aggregate) or to refuse a query that would explode: two
+    * single-pass fixed-state aggregates (no shuffle of data rows),
+    * one crossJoin of two 1-row frames. Accuracy: tight while distinct
+    * keys ≲ width (collision terms add ~(n_distinct/width)·|A|·|B|/width
+    * in expectation); size `width` to the key cardinality you can
+    * afford to be wrong about. Returns one row
+    * (cm_join_size) — compare against the exact Σ a_k·b_k for the
+    * contract test.
+    */
+  def joinSizeEstimate(a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,
+                       depth: Int = 3, width: Int = 4096): DataFrame = {
+    val ska = a.agg(graft.plans.CountMinSketch.sketch(keyA, depth, width).as("__ska"))
+    val skb = b.agg(graft.plans.CountMinSketch.sketch(keyB, depth, width).as("__skb"))
+    val dots = (0 until depth).map { i =>
+      aggregate(
+        zip_with(slice(col("__ska"), i * width + 1, width),
+          slice(col("__skb"), i * width + 1, width), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+    }
+    ska.crossJoin(broadcast(skb))
+      .select((if (dots.size == 1) dots.head else least(dots: _*))
+        .as("cm_join_size"))
+  }
+
   /** Deterministic bounded-sample quantile estimate per group: the
     * sample is the `k` rows with the lexicographically smallest
     * `md5(id)` (id tie-break) — a uniform pseudo-random sample that is

@@ -323,6 +323,174 @@ object EvalQueries {
             explode(graft.functions.TextFunctions.tokens(col("text"))).as("__w")),
           col("source"), col("__w"))
       }
+    },
+
+    // JOIN-SIZE ESTIMATION from two count-min sketches — optimizer
+    // statistics without executing the join: |orders ⋈ customer| is
+    // upper-bounded by the min-over-rows inner product of the two
+    // sketches (collision cross-terms only ever ADD). Both the exact
+    // size and the deterministic estimate are in the gated row, so the
+    // contract est ≥ exact is itself hash-verified; the oracle rebuilds
+    // every sketch cell from the bit-exact XXH64 chains (q120's
+    // machinery) and takes the same per-row dot products.
+    QueryDef.sql("q170_join_size_estimate", {
+      import XxHash64Sql._
+      val depth = 3; val width = 4096
+      def cellCtes(table: String, keyCol: String, tag: String): (Seq[String], Seq[String]) = {
+        var ctes = List.empty[String]
+        var src = table
+        val cellNames = (0 until depth).map { i =>
+          val (steps, h) = hashLongSteps(s2u(keyCol), seedU64(i), s"${tag}H$i")
+          val (c, last) = chainCtes(src, steps, s"${tag}c$i")
+          ctes :+= c; src = last
+          val cn = s"${tag}cells$i"
+          ctes :+= s"$cn AS (SELECT (($h) % $width) AS b, count(*) AS c FROM $last GROUP BY 1)"
+          cn
+        }
+        (ctes, cellNames)
+      }
+      val (aCtes, aCells) = cellCtes("orders", "o_custkey", "A")
+      val (bCtes, bCells) = cellCtes("customer", "c_custkey", "B")
+      val dots = (0 until depth).map(i =>
+        s"d$i AS (SELECT coalesce(sum(a.c * b.c), 0) AS v " +
+          s"FROM ${aCells(i)} a JOIN ${bCells(i)} b USING (b))")
+      s"""WITH ${(aCtes ++ bCtes ++ dots).mkString(",\n")},
+         |ex AS (SELECT count(*) AS exact_size
+         |       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+         |SELECT ex.exact_size,
+         |       CAST(least(${(0 until depth).map(i => s"(SELECT v FROM d$i)").mkString(", ")})
+         |            AS BIGINT) AS cm_est
+         |FROM ex""".stripMargin
+    }) {
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val est = Sketches.joinSizeEstimate(o, col("o_custkey"),
+          c, col("c_custkey"), depth = 3, width = 4096)
+        val exact = o.join(c, col("o_custkey") === col("c_custkey"))
+          .agg(count(lit(1)).as("exact_size"))
+        exact.crossJoin(broadcast(est))
+          .select(col("exact_size"), col("cm_join_size").as("cm_est"))
+      }
+    },
+
+    // LABEL PROPAGATION community detection (3 synchronous rounds,
+    // min-label tie-break) over the part co-occurrence graph — parts
+    // bought together in ≥ 2 orders (sparse: real community structure,
+    // unlike the near-clique supplier graph). Fixed rounds + total-
+    // order tie-break make the heuristic bit-deterministic; the oracle
+    // unrolls the same three rounds as chained CTEs.
+    QueryDef.sql("q171_label_propagation", {
+      def round(i: Int): String =
+        s"""c${i + 1} AS (
+           |  SELECT e.b AS node, l$i.community, count(*) AS n
+           |  FROM e JOIN l$i ON e.a = l$i.node GROUP BY 1, 2),
+           |l${i + 1} AS (
+           |  SELECT node, community FROM c${i + 1}
+           |  QUALIFY row_number() OVER (PARTITION BY node
+           |                             ORDER BY n DESC, community) = 1)""".stripMargin
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+         |kept AS (
+         |  SELECT items.k, items.i FROM items
+         |  JOIN (SELECT k, count(*) AS n FROM items GROUP BY 1) sz
+         |    ON items.k = sz.k
+         |  WHERE sz.n <= 1000),
+         |e0 AS (
+         |  SELECT x.i AS a, y.i AS b
+         |  FROM kept x JOIN kept y ON x.k = y.k AND x.i < y.i
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |nodes AS (SELECT DISTINCT a AS node FROM e),
+         |l0 AS (SELECT node, node AS community FROM nodes),
+         |${(0 until 3).map(round).mkString(",\n")}
+         |SELECT node, community FROM l3""".stripMargin
+    }) {
+      (s, d) => {
+        val edges = Graphs.cooccurrenceEdges(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minShared = 2, maxBasketSize = 1000)
+          .select("a", "b")
+        Graphs.labelPropagation(edges, rounds = 3)
+      }
+    },
+
+    // ASSOCIATION RULES (market basket) over order→part baskets:
+    // directional confidence, exact-integer support/lift in ppm, rules
+    // pruned by shared-basket count, top-100 under the strict
+    // (lift, support, a, b) order. The hub cap and the marginals share
+    // ONE capped basket set, so a degenerate basket is one uniform
+    // filter on both sides of every ratio.
+    QueryDef.sql("q172_association_rules",
+      """WITH links AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+        |kept AS (
+        |  SELECT links.k, links.i FROM links
+        |  JOIN (SELECT k, count(*) AS n FROM links GROUP BY 1) sz
+        |    ON links.k = sz.k
+        |  WHERE sz.n <= 1000),
+        |nb AS (SELECT count(DISTINCT k) AS nb FROM kept),
+        |itn AS (SELECT i, count(*) AS ni FROM kept GROUP BY 1),
+        |p AS (
+        |  SELECT x.i AS a, y.i AS b, count(*) AS n_ab
+        |  FROM kept x JOIN kept y ON x.k = y.k AND x.i != y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT a, b, n_ab, na.ni AS n_a, nbb.ni AS n_b,
+        |       (1000000 * n_ab) // nb.nb AS support_ppm,
+        |       (1000000 * n_ab) // na.ni AS confidence_ppm,
+        |       (1000000 * n_ab * nb.nb) // (na.ni * nbb.ni) AS lift_ppm
+        |FROM p JOIN itn na ON p.a = na.i JOIN itn nbb ON p.b = nbb.i
+        |CROSS JOIN nb
+        |ORDER BY lift_ppm DESC, support_ppm DESC, a, b LIMIT 100""".stripMargin) {
+      (s, d) =>
+        Graphs.associationRules(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minShared = 2, maxBasketSize = 1000,
+          topK = 100)
+    },
+
+    // BINARY CHUNK-FINGERPRINT near-dup over the multimodal blob
+    // column (storage-dedup applied to opaque media): blobs sharing
+    // ≥ 2 position-aligned 64-byte chunks. Spark shuffles only 8-byte
+    // xxhash64 fingerprints; the oracle joins on the chunk CONTENT
+    // (hex slices) — an independent derivation that also witnesses
+    // zero 64-bit collisions on this corpus.
+    QueryDef.sql("q173_chunk_neardup",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+        |  WHERE octet_length(encode(text)) > 0),
+        |ch0 AS (
+        |  SELECT doc_id, hx,
+        |         CAST(ceil((length(hx) / 2) / 64.0) AS BIGINT) AS nc
+        |  FROM b),
+        |ch1 AS (
+        |  SELECT doc_id, nc, hx,
+        |         unnest(generate_series(0, CAST(nc - 1 AS INT))) AS idx
+        |  FROM ch0),
+        |c2 AS (
+        |  SELECT doc_id, nc, idx,
+        |         substring(hx, CAST(1 + idx * 128 AS BIGINT), 128) AS c
+        |  FROM ch1),
+        |hot AS (SELECT idx, c FROM c2 GROUP BY 1, 2 HAVING count(*) > 100),
+        |kept AS (
+        |  SELECT c2.* FROM c2
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+        |                    WHERE h.idx = c2.idx AND h.c = c2.c)),
+        |p AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared,
+        |         max(x.nc) AS n_chunks_a, max(y.nc) AS n_chunks_b
+        |  FROM kept x JOIN kept y
+        |    ON x.idx = y.idx AND x.c = y.c AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT id_a, id_b, n_shared, n_chunks_a, n_chunks_b,
+        |       (1000000 * n_shared) // least(n_chunks_a, n_chunks_b)
+        |         AS overlap_ppm
+        |FROM p""".stripMargin) {
+      (s, d) =>
+        graft.operators.Multimodal.chunkHashPairs(
+          graft.operators.Multimodal.packBlobs(Tables.documents(s, d)),
+          "doc_id", "blob", chunkBytes = 64, minShared = 2,
+          maxDocsPerChunk = 100)
     }
   )
 }

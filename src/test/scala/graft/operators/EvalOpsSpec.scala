@@ -156,6 +156,84 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(got === Map(("A", "B") -> ((3L, 3L, 2L, 500000L))))
   }
 
+  test("joinSizeEstimate: upper bound, exact on collision-free keys") {
+    import spark.implicits._
+    // side A: key 1 ×3, key 2 ×2; side B: key 1 ×2, key 2 ×1, key 9 ×4
+    // exact join size = 3·2 + 2·1 = 8
+    val a = Seq(1L, 1L, 1L, 2L, 2L).toDF("k")
+    val b = Seq(1L, 1L, 2L, 9L, 9L, 9L, 9L).toDF("k")
+    val est = Sketches.joinSizeEstimate(a, col("k"), b, col("k"),
+      depth = 3, width = 4096).head.getLong(0)
+    // 3 keys in 4096 cells: no collisions → the bound is tight
+    assert(est === 8L)
+    // width 2 forces collisions: the estimate stays an upper bound of
+    // the exact size, capped by the all-one-cell worst case 5·7 = 35
+    val coarse = Sketches.joinSizeEstimate(a, col("k"), b, col("k"),
+      depth = 2, width = 2).head.getLong(0)
+    assert(coarse >= 8L && coarse <= 35L, s"coarse=$coarse")
+  }
+
+  test("labelPropagation: two cliques bridged, min-label tie-break") {
+    import spark.implicits._
+    // triangle {1,2,3} + triangle {10,11,12} + bridge 3-10
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("a", "b")
+    val got = Graphs.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheRegistry.releaseAll()
+    // round 1: every node takes its min neighbor (all neighbor counts
+    // are 1): 1→2, 2→1, 3→1, 10→3, 11→10, 12→10; subsequent rounds
+    // propagate 1 through the left triangle and into the bridge while
+    // the right triangle's majority keeps the smaller labels moving —
+    // the invariant we pin: deterministic labels, and the two
+    // triangles do NOT collapse to one community by round 3
+    assert(got.size === 6)
+    assert(got.values.toSet.size >= 2, s"cliques collapsed: $got")
+    // determinism: a second run yields identical labels
+    val again = Graphs.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheRegistry.releaseAll()
+    assert(again === got)
+  }
+
+  test("associationRules: hand-computed support/confidence/lift, directionality") {
+    import spark.implicits._
+    // baskets: {x,y} ×3, {x} ×1, {y,z} ×1 → N = 5 baskets
+    val df = Seq((1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "y"),
+      (4, "x"), (5, "y"), (5, "z")).toDF("k", "i")
+    val got = Graphs.associationRules(df, "k", "i", minShared = 2,
+        maxBasketSize = 10, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    CacheRegistry.releaseAll()
+    // x→y: n_ab=3, n_x=4, n_y=4 → support 600000, conf 750000,
+    // lift = 3·5/(4·4) = 937500
+    assert(got(("x", "y")) === ((3L, 600000L, 750000L, 937500L)))
+    assert(got(("y", "x")) === ((3L, 600000L, 750000L, 937500L)))
+    assert(!got.contains(("y", "z")), "n_ab=1 pair must be pruned")
+  }
+
+  test("chunkHashPairs: aligned chunk overlap, hot-chunk blacklist") {
+    import spark.implicits._
+    val blk = "A" * 64
+    val doc1 = blk + ("B" * 64) + ("C" * 64) // chunks A B C
+    val doc2 = blk + ("B" * 64) + ("D" * 64) // shares A B at idx 0,1
+    val doc3 = ("E" * 64) + ("B" * 64)       // shares only B with 1,2
+    val blobs = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("id", "t")
+      .select(col("id"), encode(col("t"), "UTF-8").as("blob"))
+    val got = Multimodal.chunkHashPairs(blobs, "id", "blob",
+        chunkBytes = 64, minShared = 2, maxDocsPerChunk = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(5)))).toMap
+    // only (1,2): 2 shared of 3 chunks → 666666 ppm
+    assert(got === Map((1L, 2L) -> ((2L, 666666L))))
+    // a blacklist at maxDocsPerChunk = 2 kills the B chunk (3 docs),
+    // leaving (1,2) with only chunk A → below minShared → no pairs
+    val pruned = Multimodal.chunkHashPairs(blobs, "id", "blob",
+      chunkBytes = 64, minShared = 2, maxDocsPerChunk = 2)
+    assert(pruned.count() === 0L)
+  }
+
   test("resourceAllocationLinks: shared-unit scoring, hub cap, minCommon") {
     import spark.implicits._
     // unit u1 shared by a,b,c (deg 3); u2 by a,b (deg 2); hub by all 4
