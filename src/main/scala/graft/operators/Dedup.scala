@@ -937,6 +937,36 @@ object Dedup {
       .join(splits.select(col(idCol).as(idB), col(splitCol).as("split_b")), idB)
       .filter(col("split_a") =!= col("split_b"))
 
+  /** Pair-set comparison — the config-evaluation harness for the dedup
+    * funnels: given a TRUTH pair set (e.g. [[jaccardPrefixJoin]], exact
+    * by construction) and a CANDIDATE pair set (e.g.
+    * [[minhashLshPairs]] at some banding), one row of confusion
+    * metrics: (n_truth, n_cand, n_common, recall_ppm, precision_ppm).
+    * This is how a banding/threshold choice is validated on a sample
+    * BEFORE committing a 100 TB run to it — measured recall, not the
+    * r-row S-curve formula's promise.
+    *
+    * Both inputs must already be canonical (id_a < id_b, distinct).
+    * Empty sets make the corresponding ratio 10⁶ by convention (a
+    * vacuous truth is perfectly recalled). One inner join + three
+    * 1-row aggregates; the pair frames are funnel outputs, orders of
+    * magnitude under corpus size.
+    */
+  def pairSetComparison(truth: DataFrame, candidates: DataFrame,
+                        idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val t = truth.select(col(idA), col(idB))
+    val c = candidates.select(col(idA), col(idB))
+    val nT = t.agg(count(lit(1)).as("n_truth"))
+    val nC = c.agg(count(lit(1)).as("n_cand"))
+    val nB = t.join(c, Seq(idA, idB)).agg(count(lit(1)).as("n_common"))
+    nT.crossJoin(broadcast(nC)).crossJoin(broadcast(nB))
+      .select(col("n_truth"), col("n_cand"), col("n_common"),
+        expr("CASE WHEN n_truth = 0 THEN 1000000 " +
+          "ELSE (1000000 * n_common) div n_truth END").as("recall_ppm"),
+        expr("CASE WHEN n_cand = 0 THEN 1000000 " +
+          "ELSE (1000000 * n_common) div n_cand END").as("precision_ppm"))
+  }
+
   /** SOFT deduplication (the keep-but-downweight alternative to
     * dropping duplicates): every document gets a sampling weight
     * 10⁶ DIV |its near-dup cluster| — duplicated content contributes

@@ -285,6 +285,53 @@ object Graphs {
     labels
   }
 
+  /** k-CORE decomposition by synchronous peeling: `rounds` iterations
+    * of "drop every node with degree < k, with all its edges" — the
+    * graph-robustness primitive (a node in the k-core has k neighbors
+    * that THEMSELVES survive the same test: spam rings and genuine
+    * dense communities pass, chains and stars of any size don't —
+    * degree alone can't make that distinction). Fixed `rounds` keeps
+    * the result a deterministic value contract on every engine
+    * (equal to the true k-core once peeling converges — one round
+    * with no drops; size `rounds` generously, convergence is
+    * typically fast and extra rounds are no-ops on a fixpoint).
+    *
+    * Scale shape per round: one degree aggregate + two node-keyed
+    * left-semi joins; each round's edge set is `localCheckpoint`ed
+    * (lazily — materialized once by the final action, each level
+    * cached before the next consumes it twice: without the
+    * checkpoint the dual consumption doubles work per level,
+    * 2^rounds overall). Checkpoint blocks live under the
+    * [[CacheRegistry]] lifecycle. Pass one row per undirected edge.
+    * Returns the surviving (node, degree).
+    */
+  def kCore(edges: DataFrame, aCol: String = "a", bCol: String = "b",
+            k: Int = 3, rounds: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    val sc = edges.sparkSession.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val base = persistedIds
+    var e = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select("src")
+      e = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(false)
+    }
+    CacheRegistry.registerRddIds(sc, persistedIds -- base)
+    e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+  }
+
   /** Association-rule mining over (basket, item) pairs — the
     * market-basket signal (co-purchase recommendations, tag
     * co-occurrence, query co-click): for each ordered item pair

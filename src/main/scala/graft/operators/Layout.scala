@@ -168,4 +168,37 @@ object Layout {
         shiftleft(shiftrightunsigned(y.cast("long"), i).bitwiseAND(1), 2 * i + 1)
     }.reduce(_ + _)
   }
+
+  /** ZONE MAP (file-level min/max statistics): per file/bucket, the
+    * (min, max, count) of each listed column — the metadata a lakehouse
+    * writer records per parquet file and the scan planner prunes with
+    * ("skip every file whose [min,max] misses the predicate"). Building
+    * it is one map-side-combinable aggregate over the file-assignment
+    * column; the map itself is files × columns rows — kilobytes for a
+    * 100 TB table, the whole point. Values render as strings so
+    * heterogeneous columns share one schema (columnProfile's contract).
+    * Returns (file_id, col_name, n_rows, min_val, max_val).
+    *
+    * Pruning effectiveness is a plain filter over this frame: count
+    * the files whose [min,max] intersects the predicate range — the
+    * q176 gate does exactly that for a z-ordered vs a hash layout.
+    */
+  def zoneMap(df: DataFrame, fileCol: Column, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    val wide = df.groupBy(fileCol.as("file_id"))
+      .agg(allAggs.head, allAggs.tail: _*)
+    val entries = cols.map(c =>
+      struct(lit(c).as("col_name"), col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val")))
+    wide.select(col("file_id"), col("n_rows"),
+        explode(array(entries: _*)).as("__e"))
+      .select(col("file_id"), col("__e.col_name").as("col_name"),
+        col("n_rows"), col("__e.min_val").as("min_val"),
+        col("__e.max_val").as("max_val"))
+  }
 }

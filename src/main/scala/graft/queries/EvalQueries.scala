@@ -491,6 +491,143 @@ object EvalQueries {
           graft.operators.Multimodal.packBlobs(Tables.documents(s, d)),
           "doc_id", "blob", chunkBytes = 64, minShared = 2,
           maxDocsPerChunk = 100)
+    },
+
+    // k-CORE (k=3, 4 peeling rounds) of the part co-occurrence graph:
+    // the dense-core extraction degree alone can't do — a surviving
+    // part has ≥ 3 co-purchase partners that THEMSELVES survive.
+    // Fixed synchronous rounds make the peel a value contract; the
+    // oracle unrolls the identical four rounds.
+    QueryDef.sql("q175_kcore", {
+      def round(i: Int): String =
+        s"""k${i + 1} AS (SELECT src FROM e$i GROUP BY src HAVING count(*) >= 3),
+           |e${i + 1} AS (
+           |  SELECT e.src, e.dst FROM e$i e
+           |  JOIN k${i + 1} a ON e.src = a.src
+           |  JOIN k${i + 1} b ON e.dst = b.src)""".stripMargin
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+         |kept AS (
+         |  SELECT items.k, items.i FROM items
+         |  JOIN (SELECT k, count(*) AS n FROM items GROUP BY 1) sz
+         |    ON items.k = sz.k
+         |  WHERE sz.n <= 1000),
+         |ex AS (
+         |  SELECT x.i AS a, y.i AS b
+         |  FROM kept x JOIN kept y ON x.k = y.k AND x.i < y.i
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e0 AS (SELECT a AS src, b AS dst FROM ex UNION SELECT b, a FROM ex),
+         |${(0 until 4).map(round).mkString(",\n")}
+         |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+         |FROM e4 GROUP BY 1""".stripMargin
+    }) {
+      (s, d) => {
+        val edges = Graphs.cooccurrenceEdges(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minShared = 2, maxBasketSize = 1000)
+          .select("a", "b")
+        Graphs.kCore(edges, k = 3, rounds = 4)
+      }
+    },
+
+    // ZONE-MAP FILE SKIPPING: per-file min/max stats (Layout.zoneMap)
+    // under a partkey-CLUSTERED layout vs a modulo-SCATTERED layout,
+    // probed with the predicate l_partkey BETWEEN 100 AND 199 — the
+    // lakehouse scan-planning mechanism as a measurable value: the
+    // clustered layout's map prunes all but the overlapping range
+    // files, the scattered layout scans everything. rows_matched
+    // (identical on both rows) anchors that pruning loses nothing.
+    QueryDef.sql("q176_zone_map_skipping",
+      """WITH mx AS (SELECT max(l_partkey) AS m FROM lineitem),
+        |assigned AS (
+        |  SELECT l_partkey,
+        |         (l_partkey * 32) // (mx.m + 1) AS f_clustered,
+        |         l_partkey % 32 AS f_scattered
+        |  FROM lineitem CROSS JOIN mx),
+        |zc AS (SELECT f_clustered AS f, count(*) AS n, min(l_partkey) AS lo,
+        |              max(l_partkey) AS hi FROM assigned GROUP BY 1),
+        |zh AS (SELECT f_scattered AS f, count(*) AS n, min(l_partkey) AS lo,
+        |              max(l_partkey) AS hi FROM assigned GROUP BY 1),
+        |matched AS (SELECT count(*) AS rm FROM lineitem
+        |            WHERE l_partkey BETWEEN 100 AND 199)
+        |SELECT 'clustered' AS layout, count(*) AS n_files,
+        |       CAST(sum(CASE WHEN lo <= 199 AND hi >= 100 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS hit_files,
+        |       CAST(sum(CASE WHEN lo <= 199 AND hi >= 100 THEN n ELSE 0 END)
+        |            AS BIGINT) AS rows_scanned,
+        |       (SELECT rm FROM matched) AS rows_matched
+        |FROM zc
+        |UNION ALL
+        |SELECT 'scattered', count(*),
+        |       CAST(sum(CASE WHEN lo <= 199 AND hi >= 100 THEN 1 ELSE 0 END)
+        |            AS BIGINT),
+        |       CAST(sum(CASE WHEN lo <= 199 AND hi >= 100 THEN n ELSE 0 END)
+        |            AS BIGINT),
+        |       (SELECT rm FROM matched)
+        |FROM zh""".stripMargin) {
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val mx = li.agg(max("l_partkey").as("__m"))
+        val matched = li.filter(col("l_partkey").between(100, 199))
+          .agg(count(lit(1)).as("rows_matched"))
+        def layoutStats(label: String, fileCol: org.apache.spark.sql.Column) = {
+          val zm = graft.operators.Layout.zoneMap(
+            li.crossJoin(broadcast(mx)).withColumn("__f", fileCol),
+            col("__f"), Seq("l_partkey"))
+          val hit = col("__lo") <= 199 && col("__hi") >= 100
+          zm.select(col("file_id"), col("n_rows"),
+              col("min_val").cast("long").as("__lo"),
+              col("max_val").cast("long").as("__hi"))
+            .agg(count(lit(1)).as("n_files"),
+              sum(when(hit, 1L).otherwise(0L)).as("hit_files"),
+              sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+            .select(lit(label).as("layout"), col("n_files"), col("hit_files"),
+              col("rows_scanned"))
+        }
+        layoutStats("clustered",
+            expr("(l_partkey * 32) div (__m + 1)"))
+          .unionByName(layoutStats("scattered",
+            pmod(col("l_partkey"), lit(32))))
+          .crossJoin(broadcast(matched))
+      }
+    },
+
+    // TOKENIZER FERTILITY per language — the tokenizer-fairness audit
+    // (how many subwords a whitespace word costs, bytes per char) that
+    // decides whether a vocabulary under-serves a language. Exact
+    // integer milli ratios over one aggregate of existing engine
+    // functions (q25 tokens / q41 subwords).
+    QueryDef.sql("q177_tokenizer_fertility",
+      """WITH per AS (
+        |  SELECT lang,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+        |         len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS subs,
+        |         length(text) AS chars,
+        |         octet_length(encode(text)) AS bytes
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(toks) AS BIGINT) AS tokens_total,
+        |       CAST(sum(subs) AS BIGINT) AS subwords_total,
+        |       CAST((1000 * sum(subs)) // sum(toks) AS BIGINT) AS subwords_per_token_milli,
+        |       CAST((1000 * sum(bytes)) // sum(chars) AS BIGINT) AS bytes_per_char_milli,
+        |       CAST((1000 * sum(chars)) // sum(toks) AS BIGINT) AS chars_per_token_milli
+        |FROM per GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        import graft.functions.TextFunctions.{subwordCount, tokenCount}
+        Tables.documents(s, d)
+          .select(col("lang"), tokenCount(col("text")).as("__t"),
+            subwordCount(col("text")).as("__s"),
+            length(col("text")).cast("long").as("__c"),
+            length(encode(col("text"), "UTF-8")).cast("long").as("__b"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("__t").as("tokens_total"),
+            sum("__s").as("subwords_total"),
+            expr("(1000 * sum(__s)) div sum(__t)").as("subwords_per_token_milli"),
+            expr("(1000 * sum(__b)) div sum(__c)").as("bytes_per_char_milli"),
+            expr("(1000 * sum(__c)) div sum(__t)").as("chars_per_token_milli"))
+      }
     }
   )
 }

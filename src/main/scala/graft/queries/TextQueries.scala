@@ -1763,6 +1763,47 @@ object TextQueries {
           .join(langIdRelational(docs, "doc_id", col("text")), Seq("doc_id"))
         graft.operators.Profiling.confusionMatrix(joined, "lang", "lang_pred")
       }
+    },
+
+    // DEDUP-CONFIG EVALUATION: the q29 MinHash-LSH banding's MEASURED
+    // recall/precision against the exact prefix-join ground truth at
+    // θ = 0.3 — how a banding choice is validated on a sample before
+    // committing a 100 TB run to it. Truth and candidates share ONE
+    // shingle universe (the chain's own sh/sizes CTEs feed the
+    // brute-force side), so the comparison is apples-to-apples; both
+    // engines build both sets independently and the confusion counts
+    // hash-verify.
+    QueryDef.sql("q174_dedup_config_eval",
+      s"""WITH ${minhashXxPairCtes("documents")},
+         |exactp AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT id_a, id_b FROM exactp
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter * 1000000 >= 300000 * (sa.n_sh + sb.n_sh - inter)),
+         |lcand AS (SELECT id_a, id_b FROM lshpairs WHERE jaccard_ppm >= 300000),
+         |m AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
+         |             (SELECT count(*) FROM lcand) AS n_cand,
+         |             (SELECT count(*) FROM truth t JOIN lcand c
+         |              ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_common)
+         |SELECT n_truth, n_cand, n_common,
+         |       CASE WHEN n_truth = 0 THEN 1000000
+         |            ELSE (1000000 * n_common) // n_truth END AS recall_ppm,
+         |       CASE WHEN n_cand = 0 THEN 1000000
+         |            ELSE (1000000 * n_common) // n_cand END AS precision_ppm
+         |FROM m""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val truth = Dedup.jaccardPrefixJoin(docs, "doc_id", col("text"),
+          n = 3, minJaccardPpm = 300000L)
+        val cand = Dedup.minhashLshPairs(docs, "doc_id", col("text"),
+            bands = XxBands, rows = XxRows, minJaccardPpm = 0L)
+          .filter(col("jaccard_ppm") >= 300000L)
+        Dedup.pairSetComparison(truth, cand)
+      }
     }
   )
 }

@@ -234,6 +234,48 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(pruned.count() === 0L)
   }
 
+  test("pairSetComparison: confusion counts, empty-set conventions") {
+    import spark.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val cand = Seq((1L, 2L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val r = Dedup.pairSetComparison(truth, cand).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 3L, 2L)))
+    assert(r.getLong(3) === 666666L) // recall 2/3
+    assert(r.getLong(4) === 666666L) // precision 2/3
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val e = Dedup.pairSetComparison(empty, cand).head
+    assert(e.getLong(3) === 1000000L, "vacuous truth is perfectly recalled")
+    assert(e.getLong(4) === 0L)
+  }
+
+  test("kCore: chain peels away, clique survives with exact degrees") {
+    import spark.implicits._
+    // K4 {1,2,3,4} + a tail 4-5-6: 5 and 6 never have degree >= 3,
+    // and after they peel node 4 still has 3 in-clique neighbors
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = Graphs.kCore(edges, k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheRegistry.releaseAll()
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the clique degree empties the graph
+    val none = Graphs.kCore(edges, k = 4, rounds = 4).count()
+    CacheRegistry.releaseAll()
+    assert(none === 0L)
+  }
+
+  test("zoneMap: per-file min/max/count in long form") {
+    import spark.implicits._
+    val df = Seq((0, 10L, "x"), (0, 20L, "y"), (1, 5L, "z"))
+      .toDF("f", "v", "s")
+    val got = Layout.zoneMap(df, col("f"), Seq("v", "s"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(got === Map(
+      (0, "v") -> ((2L, "10", "20")), (0, "s") -> ((2L, "x", "y")),
+      (1, "v") -> ((1L, "5", "5")), (1, "s") -> ((1L, "z", "z"))))
+  }
+
   test("resourceAllocationLinks: shared-unit scoring, hub cap, minCommon") {
     import spark.implicits._
     // unit u1 shared by a,b,c (deg 3); u2 by a,b (deg 2); hub by all 4
