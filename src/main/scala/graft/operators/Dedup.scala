@@ -467,6 +467,85 @@ object Dedup {
           .as("jaccard_ppm"))
   }
 
+  /** Near-CONTAINMENT pairs: documents sharing ≥
+    * `minContainmentPpm/10⁶` of the SMALLER side's shingles —
+    * the asymmetric-duplication case Jaccard misses by construction
+    * (a paragraph quoted inside a 100× longer page has tiny Jaccard
+    * but containment ≈ 1; Lee et al.'s motivating case for
+    * exact-substring dedup, here at document granularity).
+    *
+    * Shingles with document frequency > `maxDf` are excluded from the
+    * UNIVERSE (both intersections and sizes): a stopword shingle
+    * contributes quadratic join fan-out and no containment evidence.
+    * That makes the score "containment over informative shingles" — a
+    * deliberate, engine-replicable semantic, not a lossy shortcut:
+    * sizes and intersections use the same filtered universe, so the
+    * ratio stays exact and ≤ 10⁶. Docs with no surviving shingles
+    * produce no pairs.
+    *
+    * Shuffle shape: one shingle explode (persisted — feeds the df
+    * census, both join sides and the size census), a broadcast
+    * hot-shingle blacklist, the shingle-keyed self-join bounded by
+    * maxDf² per shingle, one pair aggregate. Returns
+    * (id_a, id_b, inter, containment_ppm).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, text: Column, n: Int = 3,
+                       minContainmentPpm: Long = 600000,
+                       maxDf: Long = 1000): DataFrame = {
+    require(minContainmentPpm >= 1 && minContainmentPpm <= 1000000,
+      s"minContainmentPpm must be in [1,10^6], got $minContainmentPpm")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val shAll = df.select(col(idCol).as("doc_id"), explode(shingles(text, n)).as("g"))
+      .distinct()
+    val sh = CacheRegistry.register(
+      shAll.join(broadcast(
+          shAll.groupBy("g").agg(count(lit(1)).as("__df"))
+            .filter(col("__df") > maxDf).select("g")),
+          Seq("g"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"),
+        expr("(1000000 * inter) div least(na, nb)").as("containment_ppm"))
+      .filter(col("containment_ppm") >= minContainmentPpm)
+  }
+
+  /** Per-document NOVELTY score against a reference corpus: the
+    * fraction of a document's n-gram shingles never seen in the
+    * reference — the freshness/memorization audit
+    * ([[ngramContamination]]'s boolean gate generalized to a score):
+    * "how much of this new crawl batch is actually new text?" or "how
+    * much of the eval set leaks from training?". novelty_ppm =
+    * 10⁶·|shingles ∉ reference| DIV |shingles|; docs with no shingles
+    * are absent (no evidence — route through a length filter).
+    *
+    * Shuffle shape: one explode per side; the reference projects to
+    * its DISTINCT shingle set and the score is one left join + one
+    * per-doc aggregate — at 100 TB the reference shingle set is the
+    * big side, and the join is plain shuffle-on-shingle (AQE
+    * broadcasts small references). Returns
+    * (doc_id, n_shingles, n_novel, novelty_ppm).
+    */
+  def noveltyScore(docs: DataFrame, idCol: String, text: Column,
+                   reference: DataFrame, refText: Column,
+                   n: Int = 3): DataFrame = {
+    val docSh = docs.select(col(idCol).as("doc_id"), explode(shingles(text, n)).as("g"))
+      .distinct()
+    val refSh = reference.select(explode(shingles(refText, n)).as("g")).distinct()
+      .withColumn("__seen", lit(1L))
+    docSh.join(refSh, Seq("g"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(1000000 * n_novel) div n_shingles"))
+  }
+
   /** EXACT all-pairs similarity join via PREFIX FILTERING (SSJoin /
     * PPJoin, Chaudhuri et al. / Xiao et al.): every pair of documents
     * whose word n-gram Jaccard is ≥ `minJaccardPpm/10^6` — with NO

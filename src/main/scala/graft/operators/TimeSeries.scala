@@ -202,4 +202,42 @@ object TimeSeries {
       .select(col("from_state"), col("to_state"), col("n"),
         expr("(1000 * n) div __tn").as("p_milli"))
   }
+
+  /** INTEGER EWMA per key — exponential smoothing with α = 2⁻ᵏ in
+    * pure integer arithmetic:
+    *
+    *   s₀ = x₀,   sₜ = sₜ₋₁ + ⌊(xₜ − sₜ₋₁) / 2ᵏ⌋
+    *
+    * The floor division is an ARITHMETIC RIGHT SHIFT — the semantic
+    * contract is FLOOR, stated explicitly because integer division
+    * differs across engines (Spark `div` and DuckDB integer `//` both
+    * truncate toward zero; an oracle must add the negative-remainder
+    * correction). The result is the smoothed monitoring value
+    * bit-identical on any engine that honors the floor contract; α
+    * restricted to powers of two is the standard trick (DSP leaky
+    * integrators) and costs nothing for alerting thresholds.
+    *
+    * EWMA is inherently a sequential recurrence — no window frame
+    * expresses it — so each key's series is collected into ONE ordered
+    * array and folded: per-key state is bounded by series length
+    * (monitoring series: thousands of points, fine; do NOT feed
+    * unbounded event streams — resample with [[resampleLocf]] first,
+    * exactly what a production smoother does). One shuffle to the
+    * per-key aggregate; order inside the fold is the strict
+    * (ts, value) sort, so duplicate timestamps cannot flip results.
+    * Returns (key, n_obs, ewma_cents).
+    */
+  def ewmaInteger(df: DataFrame, keyCol: String, tsUs: Column,
+                  valueCents: Column, shiftK: Int = 3): DataFrame = {
+    require(shiftK >= 1 && shiftK <= 30, s"shiftK must be in [1,30], got $shiftK")
+    df.select(col(keyCol), tsUs.as("__t"), valueCents.cast("long").as("__v"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_obs"),
+        sort_array(collect_list(struct(col("__t"), col("__v")))).as("__s"))
+      .select(col(keyCol), col("n_obs"),
+        aggregate(expr("slice(__s, 2, size(__s) - 1)"),
+          element_at(col("__s"), 1).getField("__v"),
+          (acc, x) => acc + shiftright(x.getField("__v") - acc, shiftK))
+          .as("ewma_cents"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Graphs, Profiling, Retrieval, Sketches}
+import graft.operators.{Dedup, Graphs, Profiling, Retrieval, Sketches}
 import graft.operators.Similarity
 import org.apache.spark.sql.functions._
 
@@ -628,6 +628,152 @@ object EvalQueries {
             expr("(1000 * sum(__b)) div sum(__c)").as("bytes_per_char_milli"),
             expr("(1000 * sum(__c)) div sum(__t)").as("chars_per_token_milli"))
       }
+    },
+
+    // NEAR-CONTAINMENT pairs — the asymmetric duplication Jaccard
+    // misses (a short doc quoted inside a long one): ≥ 60% of the
+    // smaller side's shingles shared, over the df ≤ 50 informative-
+    // shingle universe (sizes and intersections share the SAME filter,
+    // so the ratio is exact and ≤ 10⁶). Oracle is the brute-force
+    // join over the identically filtered universe.
+    QueryDef.sql("q178_containment_pairs",
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |shl AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+        |                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                     ELSE list_transform(generate_series(1, len(t) - 2),
+        |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+        |  FROM toks),
+        |sh2 AS (
+        |  SELECT shl.* FROM shl
+        |  WHERE NOT EXISTS (SELECT 1 FROM (SELECT g FROM shl GROUP BY g
+        |                                   HAVING count(*) > 50) h
+        |                    WHERE h.g = shl.g)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |      FROM sh2 a JOIN sh2 b ON a.g = b.g AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |s AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1)
+        |SELECT id_a, id_b, inter,
+        |       (1000000 * inter) // least(sa.n, sb.n) AS containment_ppm
+        |FROM p JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+        |WHERE (1000000 * inter) // least(sa.n, sb.n) >= 600000""".stripMargin) {
+      (s, d) =>
+        Dedup.containmentPairs(Tables.documents(s, d), "doc_id", col("text"),
+          n = 3, minContainmentPpm = 600000, maxDf = 50)
+    },
+
+    // NOVELTY SCORE vs a reference corpus (q48's contamination gate
+    // generalized to a per-doc fraction): what share of each incoming
+    // doc's shingles the reference has never seen — the freshness /
+    // leakage dial. Reference = the doc_id % 50 = 0 slice.
+    QueryDef.sql("q179_novelty_score",
+      """WITH mk AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |shl AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+        |                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                     ELSE list_transform(generate_series(1, len(t) - 2),
+        |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+        |  FROM mk),
+        |ref AS (SELECT DISTINCT g FROM shl WHERE doc_id % 50 = 0),
+        |corpus AS (SELECT * FROM shl WHERE doc_id % 50 != 0)
+        |SELECT c.doc_id, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_novel,
+        |       CAST((1000000 * sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END))
+        |            // count(*) AS BIGINT) AS novelty_ppm
+        |FROM corpus c LEFT JOIN ref r ON c.g = r.g
+        |GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.noveltyScore(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", col("text"),
+          docs.filter(col("doc_id") % 50 === 0), col("text"), n = 3)
+      }
+    },
+
+    // MATRYOSHKA TRUNCATION EVAL: top-1 neighbor agreement between the
+    // full 8-dim embedding and its 4-dim prefix — the measurement that
+    // decides whether a cheaper truncated index is safe. Pure
+    // composition of the exact top-k machinery over sliced vectors.
+    QueryDef.sql("q180_matryoshka_eval",
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+        |full_sc AS (
+        |  SELECT q.vec_id AS query_id, v.vec_id AS nid,
+        |    CAST(round(
+        |      list_sum(list_transform(list_zip(q.embedding, v.embedding),
+        |               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      * 1000000.0) AS BIGINT) AS c
+        |  FROM q, embeddings v WHERE v.vec_id <> q.vec_id),
+        |tr AS (SELECT vec_id, embedding[1:4] AS e FROM embeddings),
+        |tq AS (SELECT vec_id, e FROM tr WHERE vec_id < 50),
+        |tr_sc AS (
+        |  SELECT tq.vec_id AS query_id, v.vec_id AS nid,
+        |    CAST(round(
+        |      list_sum(list_transform(list_zip(tq.e, v.e),
+        |               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(tq.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(v.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      * 1000000.0) AS BIGINT) AS c
+        |  FROM tq, tr v WHERE v.vec_id <> tq.vec_id),
+        |tf AS (SELECT query_id, nid FROM full_sc
+        |       QUALIFY row_number() OVER (PARTITION BY query_id
+        |                                  ORDER BY c DESC, nid) = 1),
+        |tt AS (SELECT query_id, nid FROM tr_sc
+        |       QUALIFY row_number() OVER (PARTITION BY query_id
+        |                                  ORDER BY c DESC, nid) = 1)
+        |SELECT tf.query_id, tf.nid AS top_full, tt.nid AS top_trunc,
+        |       tf.nid = tt.nid AS agree
+        |FROM tf JOIN tt USING (query_id)""".stripMargin) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val tr = e.select(col("vec_id"), slice(col("embedding"), 1, 4).as("embedding"))
+        val full = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+            e.filter(col("vec_id") < 50), "vec_id", "embedding", k = 1)
+          .select(col("query_id"), col("neighbor_id").as("top_full"))
+        val trunc = Similarity.bruteForceTopK(tr, "vec_id", "embedding",
+            tr.filter(col("vec_id") < 50), "vec_id", "embedding", k = 1)
+          .select(col("query_id"), col("neighbor_id").as("top_trunc"))
+        full.join(trunc, Seq("query_id"))
+          .withColumn("agree", col("top_full") === col("top_trunc"))
+      }
+    },
+
+    // INTEGER EWMA (α = 1/8) of event values per type — the smoothed
+    // monitoring signal as a bit-portable recurrence. The engine side
+    // floors via arithmetic shift; DuckDB's integer `//` TRUNCATES
+    // toward zero (unlike its documented float behavior), so the
+    // oracle applies the explicit floor correction for negative
+    // differences — the trunc-vs-floor trap handled where it actually
+    // lives. The fold replays over the identically-ordered list.
+    QueryDef.sql("q181_ewma",
+      """WITH o AS (
+        |  SELECT event_type,
+        |         list(struct_pack(t := epoch_us(ts),
+        |                          v := CAST(round(value * 100) AS BIGINT))
+        |              ORDER BY epoch_us(ts), CAST(round(value * 100) AS BIGINT))
+        |           AS s
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, CAST(len(s) AS BIGINT) AS n_obs,
+        |       CAST(list_reduce(
+        |         list_prepend(s[1].v, list_transform(s[2:len(s)], e -> e.v)),
+        |         (acc, x) -> acc + (x - acc) // 8
+        |                     - CASE WHEN (x - acc) < 0 AND (x - acc) % 8 != 0
+        |                            THEN 1 ELSE 0 END) AS BIGINT) AS ewma_cents
+        |FROM o""".stripMargin) {
+      (s, d) =>
+        graft.operators.TimeSeries.ewmaInteger(Tables.events(s, d),
+          "event_type", unix_micros(col("ts")),
+          round(col("value") * 100), shiftK = 3)
     }
   )
 }

@@ -276,6 +276,67 @@ class EvalOpsSpec extends AnyFunSuite {
       (1, "v") -> ((1L, "5", "5")), (1, "s") -> ((1L, "z", "z"))))
   }
 
+  test("containmentPairs: short-in-long detection Jaccard misses") {
+    import spark.implicits._
+    // doc 2 = a 4-token quote fully inside doc 1's 12 tokens:
+    // containment = 1.0 while Jaccard = 2/10 = 0.2
+    val long = "a b c d e f g h i j k l"
+    val quote = "e f g h"
+    val docs = Seq((1L, long), (2L, quote), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", col("text"),
+        n = 3, minContainmentPpm = 900000, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    CacheRegistry.releaseAll()
+    // quote has 2 3-shingles (e f g, f g h), both inside doc 1
+    assert(got === Map((1L, 2L) -> ((2L, 1000000L))))
+    // the same pair is far below any Jaccard threshold: 2/(10+2-2)
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), n = 3)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .head.getLong(2)
+    CacheRegistry.releaseAll()
+    assert(jac === 200000L)
+  }
+
+  test("noveltyScore: seen/unseen shingle fractions") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    // doc 1: shingles {a b c, b c d} all in ref → novelty 0
+    // doc 2: {a b c, b c x} → 1 of 2 novel
+    // doc 3: all novel
+    val docs = Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "q r s"))
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyScore(docs, "doc_id", col("text"),
+        ref, col("text"), n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 0L, 0L)),
+      2L -> ((2L, 1L, 500000L)),
+      3L -> ((1L, 1L, 1000000L))))
+  }
+
+  test("ewmaInteger: hand-computed fold, floor on negative diffs, order by (ts, v)") {
+    import spark.implicits._
+    // k=2 (α=1/4): s0=100; x=200 → 100+25=125; x=0 → 125+⌊-125/4⌋ =
+    // 125-32 = 93 (floor, not trunc: trunc would give 94)
+    val df = Seq(("a", 1L, 100L), ("a", 2L, 200L), ("a", 3L, 0L))
+      .toDF("k", "t", "v")
+    val got = TimeSeries.ewmaInteger(df, "k", col("t"), col("v"), shiftK = 2)
+      .head
+    assert(got.getLong(1) === 3L)
+    assert(got.getLong(2) === 93L)
+    // duplicate timestamps break ties by value — deterministic under
+    // any input order
+    val dup = Seq(("b", 1L, 50L), ("b", 1L, 10L)).toDF("k", "t", "v")
+    val d1 = TimeSeries.ewmaInteger(dup, "k", col("t"), col("v"), shiftK = 1)
+      .head.getLong(2)
+    val d2 = TimeSeries.ewmaInteger(dup.orderBy(col("v").desc), "k",
+      col("t"), col("v"), shiftK = 1).head.getLong(2)
+    assert(d1 === 30L && d2 === 30L) // 10 then 50: 10 + (50-10)/2
+  }
+
   test("resourceAllocationLinks: shared-unit scoring, hub cap, minCommon") {
     import spark.implicits._
     // unit u1 shared by a,b,c (deg 3); u2 by a,b (deg 2); hub by all 4
