@@ -193,6 +193,50 @@ object Profiling {
         expr("(1000000 * n_inter) div (n_a + n_b - n_inter)").as("jaccard_ppm"))
   }
 
+  /** COMPRESSION-RATIO quality signal (Gopher/FineWeb family): deflate
+    * each document and report compressed/raw in milli — highly
+    * repetitive or templated text compresses far below natural prose,
+    * a cheap single-pass junk signal orthogonal to the heuristic and
+    * LM scores. Runs as `mapPartitions` over the JVM's zlib Deflater
+    * (fixed level + strategy → deterministic bytes for a given zlib
+    * build, which is why this ships as a rows-only gate, not an
+    * oracle-hash one: a non-JVM engine carries a different zlib).
+    *
+    * Scale shape: stateless per-row work, zero shuffle, CPU-bound —
+    * exactly what executors parallelize perfectly; at 100 TB wire it
+    * after the cheap length filters so the Deflater only sees
+    * survivors. Returns (doc_id, n_raw_bytes, n_deflate_bytes,
+    * ratio_milli) with ratio_milli = 1000·deflate DIV raw (0-byte
+    * docs report ratio 0).
+    */
+  def compressionRatio(df: DataFrame, idCol: String, text: Column,
+                       level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, s"level must be in [1,9], got $level")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_raw_bytes", LongType, nullable = false),
+      StructField("n_deflate_bytes", LongType, nullable = false),
+      StructField("ratio_milli", LongType, nullable = false)))
+    df.select(col(idCol).cast("long").as("doc_id"), text.as("__t"))
+      .mapPartitions { it =>
+        // ONE Deflater per partition, reset per row — allocation-free
+        // in the loop, the shape a native codec wrapper would use
+        val d = new java.util.zip.Deflater(level)
+        it.map { r =>
+          val raw = Option(r.getString(1)).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          d.reset(); d.setInput(raw); d.finish()
+          var out = 0L
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) out += d.deflate(buf)
+          val ratio = if (raw.length == 0) 0L else 1000L * out / raw.length
+          Row(r.getLong(0), raw.length.toLong, out, ratio)
+        }
+      }(Encoders.row(schema))
+  }
+
   /** 2-D Pareto frontier (skyline): the distinct (x, y) points not
     * DOMINATED by any other — `p` dominates `q` iff p.x ≥ q.x ∧
     * p.y ≥ q.y with at least one strict — the multi-criteria selection

@@ -774,6 +774,49 @@ object EvalQueries {
         graft.operators.TimeSeries.ewmaInteger(Tables.events(s, d),
           "event_type", unix_micros(col("ts")),
           round(col("value") * 100), shiftK = 3)
+    },
+
+    // SCHEMA-EVOLUTION UNION: merge two snapshot generations whose
+    // schemas drifted (the new one adds discount_cents, the old one
+    // lacks it) by NAME with null back-fill — `unionByName(
+    // allowMissingColumns)` against DuckDB's UNION ALL BY NAME. The
+    // everyday lakehouse ingestion pattern that positional UNION
+    // silently corrupts.
+    QueryDef.sql("q182_schema_evolution_union",
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |       'v1' AS gen
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL BY NAME
+        |SELECT o_orderkey, o_custkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |       CAST(round(o_totalprice) AS BIGINT) AS discount_cents,
+        |       'v2' AS gen
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin) {
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val v1 = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+            lit("v1").as("gen"))
+        val v2 = o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+            round(col("o_totalprice")).cast("long").as("discount_cents"),
+            lit("v2").as("gen"))
+        v1.unionByName(v2, allowMissingColumns = true)
+      }
+    },
+
+    // COMPRESSION-RATIO quality signal (deflate bytes / raw bytes):
+    // rows-only gate — the ratio is a zlib-build contract, not a
+    // cross-engine value (the one operator family where that is the
+    // honest scope); the spec pins determinism and the
+    // repetitive-text-compresses-more ordering.
+    QueryDef.rowsOnly("q183_compression_ratio") {
+      (s, d) =>
+        Profiling.compressionRatio(Tables.documents(s, d), "doc_id",
+          col("text"), level = 6)
     }
   )
 }

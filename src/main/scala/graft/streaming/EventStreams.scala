@@ -265,6 +265,59 @@ object EventStreams {
         sink(graft.operators.Profiling.distributionDrift(
           reference(), batch, col(category)), id)
 
+  /** foreachBatch INCREMENTAL DEDUP — the streaming arm of
+    * `CurationPipeline.curateIncremental`: each document micro-batch is
+    *
+    *   1. within-batch exact-deduped (min-id per content hash),
+    *   2. anti-joined against the STORE's content hashes
+    *      ([[graft.operators.Dedup.incrementalExact]] — hashes
+    *      shuffle, never text),
+    *   3. cross-LSH'd against the store's banded SIGNATURES
+    *      ([[graft.operators.Dedup.minhashLshPairsAcrossStored]] —
+    *      yesterday's corpus is never re-shingled), and
+    *
+    * survivors (plus their own signatures) append to the store through
+    * `writeStore`. The store IS the stream state — durable, shared
+    * with the batch pipeline, no watermark needed (dedup state must
+    * never expire); restarts are safe when `writeStore` is atomic per
+    * batch (idempotent re-append needs sink-side batch-id keying, the
+    * cdcForeachBatch contract). Within-batch NEAR-dups are deliberately
+    * left to the batch pipeline's pair funnel — a micro-batch is small,
+    * and running the full LSH within every trigger buys little.
+    *
+    * `readStore` returns None before the first write; the first batch
+    * then seeds the store.
+    */
+  def incrementalDedupForeachBatch(idCol: String, textCol: String,
+                                   bands: Int = 16, rows: Int = 4,
+                                   minJaccardPpm: Long = 800000L)(
+      readStore: () => Option[(DataFrame, DataFrame)],
+      writeStore: (DataFrame, DataFrame) => Unit): (DataFrame, Long) => Unit = {
+    import graft.operators.Dedup
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val hashed = batch.withColumn("__h", md5(col(textCol)))
+        val keepIds = hashed.groupBy("__h").agg(min(col(idCol)).as(idCol))
+          .select(idCol)
+        val exact = hashed.join(keepIds, Seq(idCol), "left_semi").drop("__h")
+        val survivors = readStore() match {
+          case None => exact
+          case Some((docs, sigs)) =>
+            val afterExact = Dedup.incrementalExact(exact, docs, idCol, col(textCol))
+            val nearDup = Dedup.minhashLshPairsAcrossStored(
+              afterExact, idCol, col(textCol), docs, sigs,
+              bands = bands, rows = rows, minJaccardPpm = minJaccardPpm)
+            afterExact.join(
+              nearDup.select(col("inc_id").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+        }
+        writeStore(survivors,
+          Dedup.bandedSignatures(survivors, idCol, col(textCol), bands, rows))
+        // operator-internal shingle caches are per-trigger scratch
+        graft.operators.CacheRegistry.releaseAll()
+      }
+  }
+
   /** Streaming exact dedup: drop events whose `event_id` was already
     * seen, keeping state only within the watermark horizon — the
     * streaming form of Dedup.exact for at-least-once sources

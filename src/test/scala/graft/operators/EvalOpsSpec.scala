@@ -337,6 +337,25 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(d1 === 30L && d2 === 30L) // 10 then 50: 10 + (50-10)/2
   }
 
+  test("compressionRatio: deterministic, repetition compresses more") {
+    import spark.implicits._
+    val rep = ("abc " * 200).trim
+    val varied = (1 to 200).map(i => s"w${i * 7919 % 1000}").mkString(" ")
+    val df = Seq((1L, rep), (2L, varied), (3L, "")).toDF("doc_id", "text")
+    val got = Profiling.compressionRatio(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L)._1 === rep.length.toLong)
+    assert(got(1L)._3 < got(2L)._3,
+      s"repetitive text must compress better: $got")
+    assert(got(3L) === ((0L, got(3L)._2, 0L))) // empty doc → ratio 0
+    // bit-determinism across runs
+    val again = Profiling.compressionRatio(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again === got)
+  }
+
   test("resourceAllocationLinks: shared-unit scoring, hub cap, minCommon") {
     import spark.implicits._
     // unit u1 shared by a,b,c (deg 3); u2 by a,b (deg 2); hub by all 4

@@ -252,4 +252,42 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(spark.sql("SELECT sum(n) FROM file_counts").head.getLong(0) === 200L)
     } finally q.stop()
   }
+
+  test("incrementalDedupForeachBatch: exact + near dedup against a growing store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // driver-held store for the spec; production supplies parquet dirs
+    var store: Option[(Seq[(Long, String)], org.apache.spark.sql.DataFrame)] = None
+    val sink = EventStreams.incrementalDedupForeachBatch("doc_id", "text",
+      minJaccardPpm = 800000L)(
+      () => store.map { case (docs, sigs) => (docs.toDF("doc_id", "text"), sigs) },
+      (docs, sigs) => {
+        val newDocs = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        val prevDocs = store.map(_._1).getOrElse(Seq.empty)
+        val sigDf = sigs.cache()
+        sigDf.count()
+        val merged = store match {
+          case Some((_, prevSigs)) => prevSigs.unionByName(sigDf)
+          case None => sigDf
+        }
+        store = Some((prevDocs ++ newDocs, merged))
+      })
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append).foreachBatch(sink).start()
+    try {
+      // batch 1: 1 and 2 are exact dups of each other; 3 is unique
+      input.addData((1L, "aaa bbb"), (2L, "aaa bbb"),
+        (3L, "one two three four five six"))
+      q.processAllAvailable()
+      assert(store.get._1.map(_._1).sorted === Seq(1L, 3L))
+      // batch 2: 10 = exact dup of stored 1; 11 = near-dup of stored 3
+      // (shares 4 of 5 shingles → jaccard 800000); 12 = fresh
+      input.addData((10L, "aaa bbb"),
+        (11L, "one two three four five six seven"),
+        (12L, "completely different fresh content here"))
+      q.processAllAvailable()
+      assert(store.get._1.map(_._1).sorted === Seq(1L, 3L, 12L))
+    } finally q.stop()
+  }
 }
