@@ -820,6 +820,65 @@ object Dedup {
     * division alone rounds HALF_UP at the result scale, which can push
     * a fingerprint just below a bucket boundary into the wrong bucket.
     */
+  /** SimHash near-duplicate PAIRS with a GUARANTEED-recall candidate
+    * scheme (Manku et al., WWW'07): split the 64-bit fingerprint into
+    * `maxHamming + 1` blocks — two fingerprints within Hamming
+    * distance `maxHamming` must agree EXACTLY on at least one block
+    * (pigeonhole), so candidates are block-equality joins, and the
+    * `bit_count(xor)` verify runs only on them: zero false negatives
+    * at the pair level, unlike the single-prefix bucketing of
+    * [[simhashBuckets]] (which is the grouping/sharding view).
+    *
+    * Scale shape: one codegen'd fingerprint eval per doc, a
+    * (block_id, block_value) explode (k+1 rows/doc of 8-byte keys),
+    * the hot-block census blacklist (`maxDocsPerBlock` — a block value
+    * shared by everything, e.g. the all-zeros block of empty docs,
+    * costs quadratic joins for no signal), the equality join, one
+    * popcount filter. Fingerprint bytes never shuffle twice. Docs with
+    * NULL text are excluded. Returns (id_a, id_b, hamming),
+    * hamming ≤ maxHamming.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, text: Column,
+                          maxHamming: Int = 3,
+                          maxDocsPerBlock: Long = 1000): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 15,
+      s"maxHamming must be in [1,15], got $maxHamming")
+    require(maxDocsPerBlock >= 2, s"maxDocsPerBlock must be >= 2, got $maxDocsPerBlock")
+    val nBlocks = maxHamming + 1
+    val base = 64 / nBlocks
+    val rem = 64 % nBlocks
+    // block b covers width base (+1 for the first `rem`) bits at its
+    // running offset — as even a split as 64 allows
+    val widths = (0 until nBlocks).map(b => if (b < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val dec = graft.plans.SimHash64.simhash64(text)
+    val signedFp = {
+      val half = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(63))
+      val full = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
+      when(col("__dec") >= lit(half), (col("__dec") - lit(full)).cast("long"))
+        .otherwise(col("__dec").cast("long"))
+    }
+    val fps = df.select(col(idCol).as("doc_id"), dec.as("__dec"))
+      .filter(col("__dec").isNotNull)
+      .select(col("doc_id"), signedFp.as("fp"))
+    val blocks = fps.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until nBlocks).map(b =>
+        expr(s"shiftrightunsigned(fp, ${offsets(b)}) & ${(1L << widths(b)) - 1}")): _*)))
+      .withColumnRenamed("pos", "__bid").withColumnRenamed("col", "__bval")
+    val hot = blocks.groupBy("__bid", "__bval").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxDocsPerBlock).select("__bid", "__bval")
+    val kept = blocks.join(broadcast(hot), Seq("__bid", "__bval"), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        col("a.__bid") === col("b.__bid") && col("a.__bval") === col("b.__bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.fp").as("__fa"), col("b.fp").as("__fb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(__fa ^ __fb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   def simhashBuckets(df: DataFrame, idCol: String, text: Column, prefixBits: Int = 16): DataFrame = {
     require(prefixBits >= 1 && prefixBits <= 32,
       s"prefixBits must be in [1,32], got $prefixBits")

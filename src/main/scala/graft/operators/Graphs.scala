@@ -408,7 +408,12 @@ object Graphs {
                               maxUnitDegree: Long = 1000): DataFrame = {
     require(minCommon >= 1, s"minCommon must be positive, got $minCommon")
     require(maxUnitDegree >= 2, s"maxUnitDegree must be >= 2, got $maxUnitDegree")
-    val links = df.select(col(entityCol).as("ent"), col(unitCol).as("u")).distinct()
+    // the distinct projection feeds the degree census and BOTH wedge
+    // sides — persist it once ([[CacheRegistry]] lifecycle) instead of
+    // recomputing the upstream distinct up to three times
+    val links = CacheRegistry.register(
+      df.select(col(entityCol).as("ent"), col(unitCol).as("u")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val deg = links.groupBy("u").agg(count(lit(1)).as("__deg"))
       .filter(col("__deg") <= maxUnitDegree)
     val kept = links.join(deg, Seq("u"))

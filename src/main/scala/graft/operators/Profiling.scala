@@ -177,7 +177,11 @@ object Profiling {
     * shuffled twice.
     */
   def groupSetOverlap(df: DataFrame, groupCol: Column, itemCol: Column): DataFrame = {
-    val links = df.select(groupCol.as("g"), itemCol.as("i")).distinct()
+    // feeds the size census and both intersection sides — one distinct,
+    // cached under the CacheRegistry lifecycle
+    val links = CacheRegistry.register(
+      df.select(groupCol.as("g"), itemCol.as("i")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = links.groupBy("g").agg(count(lit(1)).as("n"))
     val inter = links.as("x").join(links.as("y"),
         col("x.i") === col("y.i") && col("x.g") < col("y.g"))

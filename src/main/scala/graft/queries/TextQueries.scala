@@ -1804,6 +1804,60 @@ object TextQueries {
           .filter(col("jaccard_ppm") >= 300000L)
         Dedup.pairSetComparison(truth, cand)
       }
+    },
+
+    // SIMHASH NEAR-DUP PAIRS with guaranteed pair recall (Manku
+    // block-split: fingerprints within Hamming 3 must share one of 4
+    // exact 16-bit blocks — pigeonhole, zero false negatives), popcount
+    // verify on candidates only. The oracle rebuilds the fingerprints
+    // from the bit-exact XXH64 votes, replays the block join, the
+    // hot-block cap and the xor/bit_count verify. Scoped to
+    // doc_id < 200 like the other simhash gates.
+    QueryDef.sql("q184_simhash_neardup", {
+      import XxHash64Sql._
+      val votes = (0 until 64)
+        .map(b => s"sum(CASE WHEN (xxh // ${BigInt(1) << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(", ")
+      val fp = (0 until 64)
+        .map(b => s"(CASE WHEN v$b > 0 THEN CAST(${BigInt(1) << b} AS HUGEINT) ELSE 0 END)")
+        .mkString(" + ")
+      val blockSelects = (0 until 4).map { b =>
+        val off = BigInt(1) << (16 * b)
+        s"SELECT doc_id, f, $b AS bid, CAST((f // $off) % 65536 AS BIGINT) AS bval FROM fps"
+      }.mkString(" UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |                             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t
+         |  FROM documents WHERE doc_id < 200),
+         |${hashBytesCtes("toks", "t")},
+         |votes AS (SELECT doc_id, $votes FROM hb GROUP BY doc_id),
+         |fpx AS (SELECT doc_id, $fp AS f FROM votes),
+         |base AS (SELECT doc_id FROM documents
+         |         WHERE doc_id < 200 AND text IS NOT NULL),
+         |fps AS (SELECT b.doc_id, coalesce(f.f, 0) AS f
+         |        FROM base b LEFT JOIN fpx f USING (doc_id)),
+         |blocks AS ($blockSelects),
+         |hot AS (SELECT bid, bval FROM blocks GROUP BY 1, 2
+         |        HAVING count(*) > 100),
+         |kept AS (
+         |  SELECT blocks.* FROM blocks
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+         |                    WHERE h.bid = blocks.bid AND h.bval = blocks.bval)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.f AS fa, b.f AS fb
+         |  FROM kept a JOIN kept b
+         |    ON a.bid = b.bid AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |       CAST(bit_count(xor(${u2s("fa")}, ${u2s("fb")})) AS BIGINT)
+         |         AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(${u2s("fa")}, ${u2s("fb")})) <= 3""".stripMargin
+    }) {
+      (s, d) =>
+        Dedup.simhashNearDupPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 200),
+          "doc_id", col("text"), maxHamming = 3, maxDocsPerBlock = 100)
     }
   )
 }

@@ -337,6 +337,30 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(d1 === 30L && d2 === 30L) // 10 then 50: 10 + (50-10)/2
   }
 
+  test("simhashNearDupPairs: equals brute-force hamming pairs (pigeonhole recall)") {
+    import spark.implicits._
+    val docs = ((1L to 12L).map(i => (i, s"shared prefix tokens alpha beta gamma delta epsilon zeta marker$i"))
+      ++ Seq((20L, "completely different content nothing shared here at all"),
+        (21L, "shared prefix tokens alpha beta gamma delta epsilon zeta marker1")))
+      .toDF("doc_id", "text")
+    // brute-force ground truth from the fingerprints themselves
+    val fps = Dedup.simhashBuckets(docs, "doc_id", col("text"))
+      .select(col("doc_id"), col("simhash").cast("decimal(20,0)"))
+      .collect().map(r => r.getLong(0) ->
+        r.getDecimal(1).toBigInteger.longValue()).toMap
+    val expect = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(expect.nonEmpty, "test corpus must contain hamming<=3 pairs")
+    val got = Dedup.simhashNearDupPairs(docs, "doc_id", col("text"),
+        maxHamming = 3, maxDocsPerBlock = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+    // exact duplicates are hamming 0
+    assert(got.contains((1L, 21L, 0L)))
+  }
+
   test("compressionRatio: deterministic, repetition compresses more") {
     import spark.implicits._
     val rep = ("abc " * 200).trim
