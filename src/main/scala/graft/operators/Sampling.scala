@@ -217,4 +217,23 @@ object Sampling {
         (col("__quota") + when(col("__rnk") <= col("__leftover"), 1L)
           .otherwise(0L)).as("alloc"))
   }
+
+  /** CLUSTER-BALANCED deterministic subsample: at most `maxPerCluster`
+    * rows from each cluster, chosen by md5(id) rank (id tie-break) —
+    * the diversity-preserving leg of a SemDeDup-style pipeline: after
+    * clustering, a uniform sample re-concentrates on the biggest
+    * clusters; capping per cluster keeps the long tail represented.
+    * Deterministic under any partitioning (the md5 order is a value),
+    * and engine-replicable. One cluster-keyed exchange, rank window
+    * inside each cluster. Returns the input rows plus `sample_rank`.
+    */
+  def balancedByCluster(df: DataFrame, idCol: String, clusterCol: String,
+                        maxPerCluster: Int): DataFrame = {
+    require(maxPerCluster >= 1,
+      s"maxPerCluster must be positive, got $maxPerCluster")
+    val w = Window.partitionBy(clusterCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= maxPerCluster)
+  }
 }

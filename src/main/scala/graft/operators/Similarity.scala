@@ -252,6 +252,55 @@ object Similarity {
       .select(col("query_id"), col("vid").as("neighbor_id"), col("rank"), col("cosine_ppm"))
   }
 
+  /** IVF index as a STORABLE artifact — the ANN twin of the stored
+    * LSH signatures ([[graft.operators.Dedup.bandedSignatures]]):
+    * write `centroids` (cid, cvec) and `assignments` (vid, cell) once
+    * per corpus snapshot, then every query batch probes the store with
+    * [[ivfTopKStored]] without re-scoring the corpus against
+    * centroids. Same centroid choice as [[ivfTopK]] (md5-seeded
+    * TakeOrdered; `trainIters` > 0 refines with relational Lloyd).
+    */
+  def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+               nLists: Int = 16, trainIters: Int = 0): (DataFrame, DataFrame) = {
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val centroids =
+      if (trainIters > 0) kmeansCentroids(vectors, idCol, vecCol, nLists, trainIters)
+      else v.orderBy(md5(col("vid").cast("string")), col("vid"))
+        .limit(nLists)
+        .select(col("vid").as("cid"), col("vec").as("cvec"))
+    val assignments = nearestCells(v, centroids, 1)
+      .select(col("vid"), element_at(col("__cells"), 1).as("cell"))
+    (centroids, assignments)
+  }
+
+  /** [[ivfTopK]] against a PRE-BUILT [[ivfIndex]] store: each query
+    * ranks the (broadcast, nLists-row) stored centroids, probes its
+    * `nProbe` nearest cells through the stored assignments, and
+    * exact-cosine re-ranks only the surfaced corpus vectors — the
+    * corpus is touched solely by the final id-keyed vector join, the
+    * don't-recompute-yesterday pattern for ANN serving. A spec pins
+    * pair-for-pair parity with the recompute path through a real
+    * write+read of the store.
+    */
+  def ivfTopKStored(queries: DataFrame, qIdCol: String, qVecCol: String,
+                    corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, assignments: DataFrame,
+                    k: Int, nProbe: Int = 4): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"k/nProbe must be positive, got $k/$nProbe")
+    val q = queries.select(col(qIdCol).as("vid"), col(qVecCol).as("vec"))
+    val probes = nearestCells(q, centroids, nProbe)
+      .select(col("vid").as("query_id"), col("vec").as("__q"),
+        explode(col("__cells")).as("cell"))
+    val corpusV = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val scored = probes.join(assignments, Seq("cell"))
+      .filter(col("query_id") =!= col("vid"))
+      .join(corpusV, Seq("vid"))
+      .withColumn("cosine_ppm", round(cosine(col("__q"), col("vec")) * 1e6).cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_ppm").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("rank"), col("cosine_ppm"))
+  }
+
   /** Elementwise mean embedding per group (the group's centroid):
     * dims exploded once, one partial-aggregating hash agg over
     * (group, dim), centroid rebuilt in dim order. Output is

@@ -808,6 +808,25 @@ object EvalQueries {
       }
     },
 
+    // CLUSTER-BALANCED SAMPLE: ≤ 10 embeddings per label cluster by
+    // md5-rank — the diversity-preserving subsample that keeps tail
+    // clusters represented after clustering (a uniform sample would
+    // re-concentrate on the biggest clusters).
+    QueryDef.sql("q185_balanced_sample",
+      """SELECT vec_id, label, sample_rank FROM (
+        |  SELECT vec_id, label,
+        |         row_number() OVER (PARTITION BY label
+        |                            ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |                                     vec_id) AS sample_rank
+        |  FROM embeddings)
+        |WHERE sample_rank <= 10""".stripMargin) {
+      (s, d) =>
+        graft.operators.Sampling.balancedByCluster(
+            Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+            "vec_id", "label", maxPerCluster = 10)
+          .select(col("vec_id"), col("label"), col("sample_rank"))
+    },
+
     // COMPRESSION-RATIO quality signal (deflate bytes / raw bytes):
     // rows-only gate — the ratio is a zlib-build contract, not a
     // cross-engine value (the one operator family where that is the

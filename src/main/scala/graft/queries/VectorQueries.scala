@@ -78,6 +78,46 @@ object VectorQueries {
       |         * sqrt(list_sum(list_transform(b.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
       |      * 1000000.0) AS BIGINT)""".stripMargin
 
+  /** Oracle for q38 AND q186: the IVF pipeline (md5-seeded centroids,
+    * broadcast assignment, nProbe=4 probes, exact re-rank, k=3). One
+    * string for both gates so the stored-index path can never drift
+    * from the recompute path.
+    */
+  private val ivfOracleSql: String =
+    """WITH v AS (SELECT vec_id AS vid, embedding AS vec FROM embeddings),
+      |cent AS (SELECT vid AS cid, vec AS cvec FROM v
+      |         ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT 16),
+      |sims AS (
+      |  SELECT v.vid, v.vec, c.cid,
+      |    CAST(round(
+      |      list_sum(list_transform(list_zip(v.vec, c.cvec),
+      |               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(v.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |      * 1000000.0) AS BIGINT) AS sim
+      |  FROM v, cent c),
+      |cells AS (
+      |  SELECT vid, vec, cid,
+      |         row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cid) AS r
+      |  FROM sims),
+      |assigned AS (SELECT vid, vec, cid AS cell FROM cells WHERE r = 1),
+      |probes AS (SELECT vid AS query_id, vec AS qe, cid AS cell FROM cells WHERE r <= 4),
+      |scored AS (
+      |  SELECT p.query_id, a.vid AS neighbor_id,
+      |    CAST(round(
+      |      list_sum(list_transform(list_zip(p.qe, a.vec),
+      |               q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(a.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |      * 1000000.0) AS BIGINT) AS cosine_ppm
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.vid),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cosine_ppm,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cosine_ppm DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, rank, cosine_ppm FROM ranked WHERE rank <= 3""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef.sql("q34_embedding_norm",
@@ -145,42 +185,28 @@ object VectorQueries {
     // centroid assignment + cell-keyed join). Centroid choice is
     // md5-ordered (oracle-expressible) and cell ranking uses the
     // ppm-rounded similarity, so the full pipeline hash-verifies.
-    QueryDef.sql("q38_cosine_ann_ivf",
-      """WITH v AS (SELECT vec_id AS vid, embedding AS vec FROM embeddings),
-        |cent AS (SELECT vid AS cid, vec AS cvec FROM v
-        |         ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT 16),
-        |sims AS (
-        |  SELECT v.vid, v.vec, c.cid,
-        |    CAST(round(
-        |      list_sum(list_transform(list_zip(v.vec, c.cvec),
-        |               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(v.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |         * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-        |      * 1000000.0) AS BIGINT) AS sim
-        |  FROM v, cent c),
-        |cells AS (
-        |  SELECT vid, vec, cid,
-        |         row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cid) AS r
-        |  FROM sims),
-        |assigned AS (SELECT vid, vec, cid AS cell FROM cells WHERE r = 1),
-        |probes AS (SELECT vid AS query_id, vec AS qe, cid AS cell FROM cells WHERE r <= 4),
-        |scored AS (
-        |  SELECT p.query_id, a.vid AS neighbor_id,
-        |    CAST(round(
-        |      list_sum(list_transform(list_zip(p.qe, a.vec),
-        |               q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |         * sqrt(list_sum(list_transform(a.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-        |      * 1000000.0) AS BIGINT) AS cosine_ppm
-        |  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.vid),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, cosine_ppm,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY cosine_ppm DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, neighbor_id, rank, cosine_ppm FROM ranked WHERE rank <= 3""".stripMargin) {
+    QueryDef.sql("q38_cosine_ann_ivf", ivfOracleSql) {
       (s, d) =>
         Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
+    },
+
+    // IVF STORED-INDEX serving path: the same ANN answer as q38, but
+    // the centroids + assignments round-trip through a REAL parquet
+    // store (Similarity.ivfIndex → write → read → ivfTopKStored) —
+    // yesterday's corpus is only touched by the final id-keyed vector
+    // join. Sharing q38's oracle pins store-path ≡ recompute-path at
+    // the value level.
+    QueryDef.sql("q186_ivf_stored", ivfOracleSql) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val (cents, assigns) = Similarity.ivfIndex(e, "vec_id", "embedding")
+        val dir = s"/tmp/graft_ivf_store_${new java.io.File(d).getName}"
+        cents.write.mode("overwrite").parquet(s"$dir/centroids")
+        assigns.write.mode("overwrite").parquet(s"$dir/assignments")
+        Similarity.ivfTopKStored(e, "vec_id", "embedding", e, "vec_id", "embedding",
+          s.read.parquet(s"$dir/centroids"), s.read.parquet(s"$dir/assignments"),
+          k = 3)
+      }
     },
 
     // Embedding near-duplicate pairs above 0.35 cosine (this synthetic

@@ -361,6 +361,42 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(got.contains((1L, 21L, 0L)))
   }
 
+  test("ivfTopKStored: pair-for-pair parity with the recompute path via a real store") {
+    import spark.implicits._
+    val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val direct = Similarity.ivfTopK(vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    CacheRegistry.releaseAll()
+    val (cents, assigns) = Similarity.ivfIndex(vecs, "vec_id", "embedding")
+    cents.write.mode("overwrite").parquet("/tmp/ivf-spec-store/centroids")
+    assigns.write.mode("overwrite").parquet("/tmp/ivf-spec-store/assignments")
+    val stored = Similarity.ivfTopKStored(vecs, "vec_id", "embedding",
+        vecs, "vec_id", "embedding",
+        spark.read.parquet("/tmp/ivf-spec-store/centroids"),
+        spark.read.parquet("/tmp/ivf-spec-store/assignments"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stored === direct)
+  }
+
+  test("balancedByCluster: per-cluster cap, md5 order, determinism") {
+    import spark.implicits._
+    // cluster A: 5 members, cluster B: 2, cluster C: 1 — cap 3
+    val df = (Seq.tabulate(5)(i => (i.toLong, "A"))
+      ++ Seq((10L, "B"), (11L, "B"), (20L, "C"))).toDF("id", "cl")
+    val got = Sampling.balancedByCluster(df, "id", "cl", maxPerCluster = 3)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(got.count(_._1 == "A") === 3)
+    assert(got.count(_._1 == "B") === 2)
+    assert(got.count(_._1 == "C") === 1)
+    assert(got.forall(_._3 <= 3))
+    // the chosen A-members are the md5-smallest, independent of input order
+    val expectA = (0L to 4L).sortBy(i =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString, i))
+      .take(3).toSet
+    assert(got.filter(_._1 == "A").map(_._2).toSet === expectA)
+  }
+
   test("compressionRatio: deterministic, repetition compresses more") {
     import spark.implicits._
     val rep = ("abc " * 200).trim
