@@ -170,7 +170,10 @@ object LanguageModel {
     * (negated log-probs: the PREDICTED class minimizes bits; ties
     * break to the lexicographically smallest class). Out-of-vocabulary
     * test words carry no class evidence and are skipped — the standard
-    * practical choice, and the deterministic one.
+    * practical choice, and the deterministic one. `margin_bits` =
+    * runner-up score − best score (0 on a tie, null with one class):
+    * the selective-prediction confidence — route low-margin docs to a
+    * stronger classifier instead of trusting the argmax.
     *
     * Scale shape: one explode per side into map-side-combinable count
     * aggregates; the model tables (per-class word counts — vocab×|C|
@@ -182,7 +185,7 @@ object LanguageModel {
     * row and are absent from the result — route them through a
     * fallback, don't silently default.
     *
-    * Returns (id, pred_class, score_bits).
+    * Returns (id, pred_class, score_bits, margin_bits).
     */
   def naiveBayesClassify(train: DataFrame, classCol: Column, trainText: Column,
                          test: DataFrame, idCol: String, testText: Column,
@@ -227,10 +230,14 @@ object LanguageModel {
       .groupBy(idCol, "__c")
       .agg((sum(col("__m") * col("__bits")) + max(col("__pbits")))
         .cast("long").as("__score"))
+      // the per-doc class list is |C|-bounded — sorting it in one
+      // collected array gives best AND runner-up from one aggregate
       .groupBy(idCol)
-      .agg(min_by(struct(col("__c").as("pred_class"), col("__score").as("score_bits")),
-        struct(col("__score"), col("__c"))).as("__best"))
-      .select(col(idCol), col("__best.pred_class").as("pred_class"),
-        col("__best.score_bits").as("score_bits"))
+      .agg(sort_array(collect_list(struct(col("__score"), col("__c")))).as("__r"))
+      .select(col(idCol),
+        element_at(col("__r"), 1).getField("__c").as("pred_class"),
+        element_at(col("__r"), 1).getField("__score").as("score_bits"),
+        (element_at(col("__r"), 2).getField("__score") -
+          element_at(col("__r"), 1).getField("__score")).as("margin_bits"))
   }
 }

@@ -203,6 +203,50 @@ object TimeSeries {
         expr("(1000 * n) div __tn").as("p_milli"))
   }
 
+  /** TRENDING DETECTION by rank movement: per time bucket, rank keys
+    * by activity; emit each (bucket, key) with its rank, the previous
+    * bucket's rank (null on first appearance) and the signed movement
+    * — "what rose this period" without a magnitude threshold that
+    * breaks when overall volume shifts. Rank ties break by key, so
+    * the movement is a value, not a sample.
+    *
+    * Shuffle shape: one (bucket, key) count aggregate, one
+    * bucket-partitioned rank window, one key-partitioned lag window —
+    * the two windows use different partitionings, so there are two
+    * exchanges of the (buckets × keys)-bounded count frame, never of
+    * raw rows. Returns (bucket, key, n, rank, prev_rank, movement).
+    */
+  def trendingRank(df: DataFrame, bucket: Column, key: Column): DataFrame = {
+    val counts = df.select(bucket.as("bucket"), key.as("key"))
+      .groupBy("bucket", "key").agg(count(lit(1)).as("n"))
+    val rankW = Window.partitionBy("bucket").orderBy(col("n").desc, col("key"))
+    val lagW = Window.partitionBy("key").orderBy(col("bucket"))
+    counts
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .withColumn("prev_rank", lag("rank", 1).over(lagW))
+      .withColumn("movement", col("prev_rank") - col("rank"))
+  }
+
+  /** Ordered event-path TRIGRAMS per key: the 3-step behavioral motifs
+    * ([[transitionMatrix]]'s bigrams one step deeper — funnels and bot
+    * signatures often only show at length 3). Two lead() steps on one
+    * key-partitioned, (ts, tie)-ordered window — ONE exchange serves
+    * both leads — then a map-side-combinable count and a strict-order
+    * TakeOrdered top-k. Returns (s1, s2, s3, n).
+    */
+  def pathTrigrams(df: DataFrame, keyCol: String, tsUs: Column,
+                   state: Column, tieCol: String, topK: Int = 50): DataFrame = {
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val w = Window.partitionBy(keyCol).orderBy(col("__t"), col(tieCol))
+    df.select(col(keyCol), tsUs.as("__t"), state.as("s1"), col(tieCol))
+      .withColumn("s2", lead("s1", 1).over(w))
+      .withColumn("s3", lead("s1", 2).over(w))
+      .filter(col("s3").isNotNull)
+      .groupBy("s1", "s2", "s3").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(topK)
+  }
+
   /** INTEGER EWMA per key — exponential smoothing with α = 2⁻ᵏ in
     * pure integer arithmetic:
     *

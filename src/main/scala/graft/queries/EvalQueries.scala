@@ -257,10 +257,13 @@ object EvalQueries {
         |  SELECT doc_id, c, score,
         |         row_number() OVER (PARTITION BY doc_id
         |                            ORDER BY score, c) AS rn
-        |  FROM scores)
-        |SELECT p.doc_id, te.true_lang, p.c AS pred_lang, p.score AS score_bits
+        |  FROM scores),
+        |second AS (SELECT doc_id, score AS s2 FROM pred WHERE rn = 2)
+        |SELECT p.doc_id, te.true_lang, p.c AS pred_lang, p.score AS score_bits,
+        |       sec.s2 - p.score AS margin_bits
         |FROM pred p JOIN (SELECT DISTINCT doc_id, true_lang FROM tea) te
         |  USING (doc_id)
+        |LEFT JOIN second sec USING (doc_id)
         |WHERE rn = 1""".stripMargin) {
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -270,7 +273,8 @@ object EvalQueries {
         preds.join(docs.select(col("doc_id"), col("lang").as("true_lang")),
             Seq("doc_id"))
           .select(col("doc_id"), col("true_lang"),
-            col("pred_class").as("pred_lang"), col("score_bits"))
+            col("pred_class").as("pred_lang"), col("score_bits"),
+            col("margin_bits"))
       }
     },
 
@@ -806,6 +810,48 @@ object EvalQueries {
             lit("v2").as("gen"))
         v1.unionByName(v2, allowMissingColumns = true)
       }
+    },
+
+    // TRENDING DETECTION by rank movement: per day, event types ranked
+    // by volume, each joined to its previous-day rank — "what rose"
+    // as a volume-shift-proof signal. Two different window
+    // partitionings over the (days × types)-bounded count frame.
+    QueryDef.sql("q187_trending_rank",
+      """WITH c AS (
+        |  SELECT date_trunc('day', ts) AS bucket, event_type AS key,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT bucket, key, n,
+        |             CAST(row_number() OVER (PARTITION BY bucket
+        |                                     ORDER BY n DESC, key) AS BIGINT) AS rank
+        |      FROM c)
+        |SELECT bucket, key, n, rank,
+        |       lag(rank) OVER (PARTITION BY key ORDER BY bucket) AS prev_rank,
+        |       lag(rank) OVER (PARTITION BY key ORDER BY bucket) - rank
+        |         AS movement
+        |FROM r""".stripMargin) {
+      (s, d) =>
+        graft.operators.TimeSeries.trendingRank(Tables.events(s, d),
+          date_trunc("day", col("ts")), col("event_type"))
+    },
+
+    // EVENT PATH TRIGRAMS: the 3-step behavioral motifs per user
+    // (transition bigrams one step deeper) — two leads over ONE
+    // key-partitioned exchange, top-50 under a strict total order.
+    QueryDef.sql("q188_path_trigrams",
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t, event_type AS s1,
+        |                  event_id
+        |           FROM events),
+        |l AS (SELECT s1, lead(s1) OVER w AS s2, lead(s1, 2) OVER w AS s3
+        |      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT s1, s2, s3, count(*) AS n
+        |FROM l WHERE s3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 50""".stripMargin) {
+      (s, d) =>
+        graft.operators.TimeSeries.pathTrigrams(Tables.events(s, d),
+          "user_id", unix_micros(col("ts")), col("event_type"), "event_id",
+          topK = 50)
     },
 
     // CLUSTER-BALANCED SAMPLE: ≤ 10 embeddings per label cluster by

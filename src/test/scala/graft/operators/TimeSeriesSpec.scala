@@ -180,4 +180,37 @@ class TimeSeriesSpec extends AnyFunSuite {
       .sortBy(t => (t._1, t._2.getTime))
     assert(fast === slow)
   }
+
+  test("trendingRank: rank per bucket, movement vs previous bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // day 1: a×3, b×1 → ranks a=1, b=2; day 2: a×1, b×2 → b=1, a=2
+    val df = (Seq.fill(3)((1L, "a")) ++ Seq((1L, "b"))
+      ++ Seq((2L, "a")) ++ Seq.fill(2)((2L, "b"))).toDF("d", "k")
+    val got = TimeSeries.trendingRank(df, col("d"), col("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    assert(got((1L, "a")) === ((1L, None, None)))
+    assert(got((1L, "b")) === ((2L, None, None)))
+    assert(got((2L, "a")) === ((2L, Some(1L), Some(-1L)))) // fell
+    assert(got((2L, "b")) === ((1L, Some(2L), Some(1L))))  // rose
+  }
+
+  test("pathTrigrams: 3-step motifs in event order, short paths excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // user 1: v → c → p → c  (trigrams v-c-p, c-p-c)
+    // user 2: v → c → p      (trigram v-c-p)
+    // user 3: v → c          (too short, no trigram)
+    val df = Seq(
+      (1L, 1L, 1L, "v"), (2L, 1L, 2L, "c"), (3L, 1L, 3L, "p"), (4L, 1L, 4L, "c"),
+      (5L, 2L, 1L, "v"), (6L, 2L, 2L, "c"), (7L, 2L, 3L, "p"),
+      (8L, 3L, 1L, "v"), (9L, 3L, 2L, "c")).toDF("event_id", "user_id", "t", "s")
+    val got = TimeSeries.pathTrigrams(df, "user_id", col("t"), col("s"),
+        "event_id", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(got === Map(("v", "c", "p") -> 2L, ("c", "p", "c") -> 1L))
+  }
 }
