@@ -103,6 +103,78 @@ object CurationPipeline {
     decontaminateAndSplit(deduped, benchmark, textCol, cfg)
   }
 
+  /** DROP-REASON AUDIT — the "why did my document disappear" table:
+    * one row per input document attributing it to the stage that
+    * removed it (`quality`, `exact_dup`, `near_dup`, `contaminated`)
+    * or to its kept split (`kept_train` / `kept_val`). The #1
+    * operational question for a curation pipeline, answered as a
+    * DataFrame the same engine run produces — not by re-running
+    * stages ad hoc. The line-cleanup stages edit text but never drop
+    * documents, so they contribute no audit rows.
+    *
+    * Same lineage as [[curate]] (one persisted expensive prefix, one
+    * persisted exact-dedup projection — [[CacheRegistry]] lifecycle,
+    * caller releases after the action); the extra cost over curate is
+    * one anti-join per labeled stage over funnel-shrunk id sets.
+    * Returns (doc_id, stage).
+    */
+  def curateAudit(docs: DataFrame, idCol: String, textCol: String,
+                  benchmark: Option[DataFrame] = None,
+                  cfg: Config = Config()): DataFrame = {
+    import graft.functions.TextFunctions._
+    val base = docs.select(col(idCol).as("doc_id"),
+      graft.plans.NfcNormalize.nfc_normalize(col(textCol)).as("text"))
+    val scrubbed = base.withColumn("text", redactPii(col("text")))
+    val intraClean =
+      if (!cfg.intraDocDedup) scrubbed
+      else Dedup.intraDocLineDedup(scrubbed, "doc_id", col("text"), cfg.lineSep)
+        .select(col("doc_id"), col("clean_text").as("text"))
+    val lineClean = cfg.lineDedupMinOccurrences match {
+      case None => intraClean
+      case Some(m) =>
+        Dedup.lineDedup(intraClean, "doc_id", col("text"), m, cfg.lineSep)
+          .select(col("doc_id"), col("clean_text").as("text"))
+    }
+    val scoredAll = CacheRegistry.register(lineClean
+      .withColumn("quality_milli", qualityScoreMilli(col("text"), cfg.stopwords))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val lowQ = scoredAll.filter(col("quality_milli") < cfg.minQualityMilli)
+      .select(col("doc_id"), lit("quality").as("stage"))
+    val scored = scoredAll.filter(col("quality_milli") >= cfg.minQualityMilli)
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    val exact = CacheRegistry.register(
+      scored
+        .withColumn("__keep", min("doc_id").over(byHash))
+        .filter(col("doc_id") === col("__keep")).drop("__keep")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val exactDup = scored.join(exact.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("exact_dup").as("stage"))
+    val pairs = Dedup.minhashLshPairs(exact, "doc_id", col("text"),
+      minJaccardPpm = cfg.nearDupJaccardPpm)
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("v") =!= col("lbl")).select(col("v").as("doc_id"))
+    val nearDup = losers.select(col("doc_id"), lit("near_dup").as("stage"))
+    val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
+    val (contamRows, clean) = benchmark match {
+      case Some(b) =>
+        val contaminated = Dedup
+          .ngramContamination(deduped, "doc_id", col("text"), b, col(textCol))
+          .filter(col("n_hit") > cfg.contaminationMaxHits)
+          .select("doc_id")
+        (contaminated.select(col("doc_id"), lit("contaminated").as("stage")),
+          deduped.join(contaminated, Seq("doc_id"), "left_anti"))
+      case None =>
+        (docs.sparkSession.emptyDataFrame
+          .select(lit(0L).as("doc_id"), lit("").as("stage")).limit(0), deduped)
+    }
+    val kept = clean.select(col("doc_id"),
+      concat(lit("kept_"),
+        when(pmod(xxhash64(col("doc_id")), lit(100)) < 100 - cfg.valPercent, "train")
+          .otherwise("val")).as("stage"))
+    lowQ.unionByName(exactDup).unionByName(nearDup)
+      .unionByName(contamRows).unionByName(kept)
+  }
+
   /** INCREMENTAL daily run: curate only the `incoming` increment
     * against an `existing` ALREADY-CURATED corpus — the existing
     * 100 TB is never re-read beyond its content hashes and LSH

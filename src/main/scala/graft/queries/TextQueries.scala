@@ -303,6 +303,72 @@ object TextQueries {
        |FROM votes""".stripMargin
   }
 
+  /** The q65 curation-pipeline oracle chain, shared with the q189
+    * drop-reason audit: CTEs `base scrub qual scored keepers exact
+    * (minhash chain) thr e vnodes reach losers deduped btoks bsh
+    * contaminated clean` plus the split-hash chain. Returns
+    * (with-body, last-cte-name, split-hash-u64-expr).
+    */
+  private def curationOracleParts: (String, String, String) = {
+    import graft.functions.TextFunctions.{EmailPattern, PhonePattern}
+    import XxHash64Sql._
+    val (steps, h) = hashLongSteps(s2u("doc_id"), "42", "CS")
+    val (ctes, last) = chainCtes("clean", steps, "csc")
+    (s"""RECURSIVE base AS (
+         |  SELECT doc_id, nfc_normalize(text) AS t0
+         |  FROM documents WHERE doc_id % 50 != 0),
+         |scrub AS (
+         |  SELECT doc_id,
+         |         regexp_replace(regexp_replace(t0, '$EmailPattern', '<EMAIL>', 'g'),
+         |             '$PhonePattern', '<PHONE>', 'g') AS text
+         |  FROM base),
+         |qual AS (
+         |  SELECT doc_id, text,
+         |    CAST(round(
+         |      (CASE WHEN length(text) < 50 THEN length(text) / 50.0
+         |            WHEN length(text) > 2000 THEN 2000.0 / length(text)
+         |            ELSE 1.0 END)
+         |      * (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+         |              / greatest(CAST(length(text) AS DOUBLE), 1.0) > 0.1 THEN 0.5 ELSE 1.0 END)
+         |      * (CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |                                   x -> x IN ('the','and','of','to','is'))) > 0
+         |              THEN 1.0 ELSE 0.5 END)
+         |      * 1000) AS BIGINT) AS quality_milli
+         |  FROM scrub),
+         |scored AS (SELECT * FROM qual WHERE quality_milli >= 400),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM scored GROUP BY md5(text)),
+         |exact AS (SELECT s.* FROM scored s JOIN keepers k USING (doc_id)),
+         |${minhashXxPairCtes("exact")},
+         |thr AS (SELECT id_a, id_b FROM lshpairs WHERE jaccard_ppm >= 800000),
+         |e AS (SELECT id_a AS a, id_b AS b FROM thr UNION SELECT id_b, id_a FROM thr),
+         |vnodes AS (SELECT DISTINCT a AS v FROM e),
+         |reach AS (
+         |  SELECT v, v AS m FROM vnodes
+         |  UNION
+         |  SELECT e.b AS v, r.m FROM reach r JOIN e ON e.a = r.v),
+         |losers AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING v != min(m)),
+         |deduped AS (
+         |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |btoks AS (
+         |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |              ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |bsh AS (
+         |  SELECT DISTINCT
+         |         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+         |                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |                     ELSE list_transform(generate_series(1, len(t) - 2),
+         |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+         |  FROM btoks),
+         |contaminated AS (
+         |  SELECT DISTINCT s.doc_id FROM sh s JOIN bsh b ON s.g = b.g
+         |  WHERE s.doc_id IN (SELECT doc_id FROM deduped)),
+         |clean AS (
+         |  SELECT * FROM deduped
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |$ctes""".stripMargin, last, h)
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef.sql("q24_exact_dedup",
@@ -720,65 +786,10 @@ object TextQueries {
     // same per-stage oracle fragments. Corpus = doc_id % 50 != 0,
     // benchmark = doc_id % 50 = 0 (q48's split).
     QueryDef.sql("q65_curation_pipeline", {
-      import graft.functions.TextFunctions.{EmailPattern, PhonePattern}
-      import XxHash64Sql._
-      val (steps, h) = hashLongSteps(s2u("doc_id"), "42", "CS")
-      val (ctes, last) = chainCtes("clean", steps, "csc")
-      s"""WITH RECURSIVE base AS (
-         |  SELECT doc_id, nfc_normalize(text) AS t0
-         |  FROM documents WHERE doc_id % 50 != 0),
-         |scrub AS (
-         |  SELECT doc_id,
-         |         regexp_replace(regexp_replace(t0, '$EmailPattern', '<EMAIL>', 'g'),
-         |             '$PhonePattern', '<PHONE>', 'g') AS text
-         |  FROM base),
-         |qual AS (
-         |  SELECT doc_id, text,
-         |    CAST(round(
-         |      (CASE WHEN length(text) < 50 THEN length(text) / 50.0
-         |            WHEN length(text) > 2000 THEN 2000.0 / length(text)
-         |            ELSE 1.0 END)
-         |      * (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-         |              / greatest(CAST(length(text) AS DOUBLE), 1.0) > 0.1 THEN 0.5 ELSE 1.0 END)
-         |      * (CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-         |                                   x -> x IN ('the','and','of','to','is'))) > 0
-         |              THEN 1.0 ELSE 0.5 END)
-         |      * 1000) AS BIGINT) AS quality_milli
-         |  FROM scrub),
-         |scored AS (SELECT * FROM qual WHERE quality_milli >= 400),
-         |keepers AS (SELECT min(doc_id) AS doc_id FROM scored GROUP BY md5(text)),
-         |exact AS (SELECT s.* FROM scored s JOIN keepers k USING (doc_id)),
-         |${minhashXxPairCtes("exact")},
-         |thr AS (SELECT id_a, id_b FROM lshpairs WHERE jaccard_ppm >= 800000),
-         |e AS (SELECT id_a AS a, id_b AS b FROM thr UNION SELECT id_b, id_a FROM thr),
-         |vnodes AS (SELECT DISTINCT a AS v FROM e),
-         |reach AS (
-         |  SELECT v, v AS m FROM vnodes
-         |  UNION
-         |  SELECT e.b AS v, r.m FROM reach r JOIN e ON e.a = r.v),
-         |losers AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING v != min(m)),
-         |deduped AS (
-         |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
-         |btoks AS (
-         |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-         |              ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
-         |  FROM documents WHERE doc_id % 50 = 0),
-         |bsh AS (
-         |  SELECT DISTINCT
-         |         unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
-         |                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-         |                     ELSE list_transform(generate_series(1, len(t) - 2),
-         |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
-         |  FROM btoks),
-         |contaminated AS (
-         |  SELECT DISTINCT s.doc_id FROM sh s JOIN bsh b ON s.g = b.g
-         |  WHERE s.doc_id IN (SELECT doc_id FROM deduped)),
-         |clean AS (
-         |  SELECT * FROM deduped
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-         |$ctes
+      val (chain, last, h) = curationOracleParts
+      s"""WITH $chain
          |SELECT doc_id, md5(text) AS text_hash, quality_milli,
-         |       CASE WHEN ((${u2s(h)} % 100) + 100) % 100 < 90
+         |       CASE WHEN ((${XxHash64Sql.u2s(h)} % 100) + 100) % 100 < 90
          |            THEN 'train' ELSE 'val' END AS split
          |FROM $last""".stripMargin
     }) {
@@ -789,6 +800,35 @@ object TextQueries {
             benchmark = Some(docs.filter(col("doc_id") % 50 === 0)))
           .select(col("doc_id"), md5(col("text")).as("text_hash"),
             col("quality_milli"), col("split"))
+      }
+    },
+
+    // DROP-REASON AUDIT of the composed pipeline: every input doc
+    // attributed to the stage that removed it, or its kept split — the
+    // operational "why did my document disappear" table, sharing the
+    // q65 oracle chain verbatim so audit and pipeline can never drift.
+    QueryDef.sql("q189_curation_audit", {
+      val (chain, last, h) = curationOracleParts
+      s"""WITH $chain
+         |SELECT doc_id, 'quality' AS stage FROM qual WHERE quality_milli < 400
+         |UNION ALL
+         |SELECT doc_id, 'exact_dup' FROM scored
+         |WHERE doc_id NOT IN (SELECT doc_id FROM keepers)
+         |UNION ALL
+         |SELECT doc_id, 'near_dup' FROM losers
+         |UNION ALL
+         |SELECT doc_id, 'contaminated' FROM contaminated
+         |UNION ALL
+         |SELECT doc_id,
+         |       CASE WHEN ((${XxHash64Sql.u2s(h)} % 100) + 100) % 100 < 90
+         |            THEN 'kept_train' ELSE 'kept_val' END AS stage
+         |FROM $last""".stripMargin
+    }) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.CurationPipeline.curateAudit(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          benchmark = Some(docs.filter(col("doc_id") % 50 === 0)))
       }
     },
 

@@ -322,6 +322,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again === kept)
   }
 
+  test("curateAudit partitions the input and agrees with curate") {
+    val good = (1 to 80).map(i => s"the w$i of")
+    val df = docs(
+      1L -> good.mkString(" "),
+      2L -> good.mkString(" "),                       // exact dup of 1
+      3L -> good.updated(7, "changed").mkString(" "), // near dup of 1
+      4L -> ("the contaminated of " + (1 to 60).map(i => s"b$i").mkString(" ")),
+      5L -> "too short",                              // quality floor
+      6L -> ("the clean of " + (1 to 60).map(i => s"c$i").mkString(" ")))
+    val bench = docs(100L -> "contaminated of b1 b2 b3")
+    val audit = CurationPipeline.curateAudit(df, "doc_id", "text", Some(bench))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    CacheRegistry.releaseAll()
+    // exactly one verdict per input document
+    assert(audit.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(audit(2L) === "exact_dup")
+    assert(audit(3L) === "near_dup")
+    assert(audit(4L) === "contaminated")
+    assert(audit(5L) === "quality")
+    assert(audit(1L).startsWith("kept_") && audit(6L).startsWith("kept_"))
+    // the kept set and splits agree with curate itself
+    val kept = CurationPipeline.curate(df, "doc_id", "text", Some(bench))
+      .collect().map(r => r.getLong(0) -> s"kept_${r.getString(3)}").toMap
+    CacheRegistry.releaseAll()
+    assert(audit.filter(_._2.startsWith("kept_")) === kept)
+  }
+
   test("curation pipeline line-level stages clean text before scoring/dedup") {
     val body = "the " + (1 to 60).map(i => s"w$i").mkString(" ") + " of"
     val zBody = "the " + (1 to 60).map(i => s"z$i").mkString(" ") + " of"
