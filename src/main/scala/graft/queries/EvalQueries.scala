@@ -812,6 +812,50 @@ object EvalQueries {
       }
     },
 
+    // PERSONALIZED PageRank (topic-sensitive seed expansion) over the
+    // customer→supplier trade graph, seeded at customers 1-5: restart
+    // mass returns to the seeds, so ranks measure proximity TO THE
+    // SEED SET — the targeted-corpus scorer. Integer micro-mass like
+    // q116; the oracle unrolls the same four seeded iterations.
+    QueryDef.sql("q190_personalized_pagerank", {
+      def it(i: Int): String =
+        s"""r${i + 1} AS (
+           |  SELECT n.node, n.seed * st.base + (85 * coalesce(inf.s, 0)) // 100 AS r
+           |  FROM nodes n CROSS JOIN st
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r$i.r // od.c) AS s
+           |    FROM edges e JOIN r$i ON e.src = r$i.node
+           |    JOIN outdeg od ON e.src = od.src
+           |    GROUP BY e.dst) inf ON n.node = inf.node)""".stripMargin
+      s"""WITH edges AS (
+         |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |sd AS (SELECT unnest([2, 4, 6, 8, 10]) AS node),
+         |nodes AS (
+         |  SELECT node, CASE WHEN node IN (SELECT node FROM sd) THEN 1 ELSE 0 END AS seed
+         |  FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges
+         |        UNION SELECT node FROM sd)),
+         |st AS (SELECT 1000000000000 // (SELECT count(*) FROM sd) AS r0,
+         |              (15 * (1000000000000 // (SELECT count(*) FROM sd))) // 100 AS base),
+         |outdeg AS (SELECT src, count(*) AS c FROM edges GROUP BY src),
+         |r0 AS (SELECT node, seed * st.r0 AS r FROM nodes CROSS JOIN st),
+         |${(0 until 4).map(it).mkString(",\n")}
+         |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r4
+         |ORDER BY rank_micro DESC, node LIMIT 30""".stripMargin
+    }) {
+      (s, d) => {
+        import s.implicits._
+        val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val seeds = Seq(2L, 4L, 6L, 8L, 10L).toDF("node")
+        Graphs.personalizedPageRank(edges, seeds, iterations = 4)
+          .orderBy(col("rank_micro").desc, col("node")).limit(30)
+      }
+    },
+
     // TRENDING DETECTION by rank movement: per day, event types ranked
     // by volume, each joined to its previous-day rank — "what rose"
     // as a volume-shift-proof signal. Two different window

@@ -399,6 +399,25 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(got.filter(_._1 == "A").map(_._2).toSet === expectA)
   }
 
+  test("personalizedPageRank: mass concentrates near the seeds") {
+    import spark.implicits._
+    // path 1→2→3→4 plus an isolated pair 10→11; seed = {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = Graphs.personalizedPageRank(edges, Seq(1L).toDF("node"),
+        srcCol = "a", dstCol = "b", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheRegistry.releaseAll()
+    // the seed keeps the restart mass; rank decays along the path;
+    // the disconnected component gets nothing
+    assert(got(1L) > got(2L), s"seed must outrank its successor: $got")
+    assert(got(2L) > got(3L) && got(3L) > got(4L), s"decay along path: $got")
+    assert(got(10L) === 0L && got(11L) === 0L, s"unreachable ranks 0: $got")
+    // exact steady value for node 2: node 1 holds base = 0.15·10^12
+    // from round 1 on, and node 2 receives 85% of it
+    assert(got(1L) === 150000000000L)
+    assert(got(2L) === 127500000000L)
+  }
+
   test("compressionRatio: deterministic, repetition compresses more") {
     import spark.implicits._
     val rep = ("abc " * 200).trim
