@@ -203,6 +203,37 @@ object TimeSeries {
         expr("(1000 * n) div __tn").as("p_milli"))
   }
 
+  /** INTERVAL COVERAGE per key — merge overlapping/touching half-open
+    * intervals [s, e) and report how much of the timeline each key
+    * actually covers: uptime/SLA computation, sensor-coverage audits,
+    * "how many distinct active spans did this user have". The classic
+    * gaps-and-islands: per key, order by (s, e); an island starts
+    * where s exceeds the running max of all previous ends; islands
+    * aggregate to (min s, max e).
+    *
+    * Both windows (running max, island id) share ONE key-partitioned
+    * exchange; per-key state is the sort, not a collect. Returns
+    * (key, n_intervals, n_islands, covered_us) with covered_us =
+    * Σ island lengths — exact integers.
+    */
+  def intervalCoverage(df: DataFrame, keyCol: String,
+                       startUs: Column, endUs: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("__s"), col("__e"))
+    val prevMax = max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.select(col(keyCol), startUs.as("__s"), endUs.as("__e"))
+      .filter(col("__e") > col("__s"))
+      .withColumn("__newIsland",
+        when(prevMax.isNull || col("__s") > prevMax, 1L).otherwise(0L))
+      .withColumn("__island",
+        sum("__newIsland").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(count(lit(1)).as("__n"), min("__s").as("__is"), max("__e").as("__ie"))
+      .groupBy(keyCol)
+      .agg(sum("__n").cast("long").as("n_intervals"),
+        count(lit(1)).cast("long").as("n_islands"),
+        sum(col("__ie") - col("__is")).cast("long").as("covered_us"))
+  }
+
   /** TRENDING DETECTION by rank movement: per time bucket, rank keys
     * by activity; emit each (bucket, key) with its rank, the previous
     * bucket's rank (null on first appearance) and the signed movement

@@ -812,6 +812,87 @@ object EvalQueries {
       }
     },
 
+    // INTERVAL COVERAGE (gaps-and-islands union of half-open spans):
+    // per user, merge overlapping activity intervals (event start +
+    // value-scaled duration) and report exact covered time — the
+    // uptime/SLA primitive. Both windows share one key-partitioned
+    // exchange; tie order (s, e) makes the island ids a value.
+    QueryDef.sql("q191_interval_coverage",
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |         epoch_us(ts) + CAST(round(value * 1000000) AS BIGINT) AS e
+        |  FROM events),
+        |f AS (SELECT * FROM iv WHERE e > s),
+        |m AS (SELECT user_id, s, e,
+        |             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING) AS pm
+        |      FROM f),
+        |n AS (SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni
+        |      FROM m),
+        |isl AS (SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                AND CURRENT ROW) AS island
+        |        FROM n),
+        |g AS (SELECT user_id, island, count(*) AS n, min(s) AS i_s, max(e) AS i_e
+        |      FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+        |       count(*) AS n_islands,
+        |       CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
+        |FROM g GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        graft.operators.TimeSeries.intervalCoverage(Tables.events(s, d),
+          "user_id", unix_micros(col("ts")),
+          unix_micros(col("ts")) + round(col("value") * 1e6).cast("long"))
+    },
+
+    // DATASET CARD: the one-pass corpus summary a release ships with —
+    // doc/token/char totals, language and source cardinalities, exact
+    // duplicate surplus, integer mean quality, split sizes — as a
+    // (metric, value) frame. ONE scan: parallel aggregate expressions
+    // reshaped long (columnProfile's discipline).
+    QueryDef.sql("q193_dataset_card",
+      """WITH p AS (
+        |  SELECT doc_id, lang, source,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+        |         length(text) AS chars,
+        |         md5(text) AS h
+        |  FROM documents),
+        |a AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |         CAST(sum(chars) AS BIGINT) AS n_chars,
+        |         count(DISTINCT lang) AS n_langs,
+        |         count(DISTINCT source) AS n_sources,
+        |         count(*) - count(DISTINCT h) AS n_exact_dup_docs
+        |  FROM p)
+        |SELECT unnest(['n_docs', 'n_tokens', 'n_chars', 'n_langs',
+        |               'n_sources', 'n_exact_dup_docs']) AS metric,
+        |       unnest([n_docs, n_tokens, n_chars, n_langs,
+        |               n_sources, n_exact_dup_docs]) AS value
+        |FROM a""".stripMargin) {
+      (s, d) => {
+        import graft.functions.TextFunctions.tokenCount
+        val wide = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            tokenCount(col("text")).as("__t"),
+            length(col("text")).cast("long").as("__c"),
+            md5(col("text")).as("__h"))
+          .agg(count(lit(1)).as("n_docs"), sum("__t").as("n_tokens"),
+            sum("__c").as("n_chars"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("source")).as("n_sources"),
+            (count(lit(1)) - countDistinct(col("__h"))).as("n_exact_dup_docs"))
+        val metrics = Seq("n_docs", "n_tokens", "n_chars", "n_langs",
+          "n_sources", "n_exact_dup_docs")
+        wide.select(explode(array(metrics.map(m =>
+            struct(lit(m).as("metric"), col(m).cast("long").as("value"))): _*))
+            .as("__e"))
+          .select(col("__e.metric").as("metric"), col("__e.value").as("value"))
+      }
+    },
+
     // PERSONALIZED PageRank (topic-sensitive seed expansion) over the
     // customer→supplier trade graph, seeded at customers 1-5: restart
     // mass returns to the seeds, so ranks measure proximity TO THE

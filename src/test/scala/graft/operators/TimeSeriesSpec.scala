@@ -197,6 +197,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got((2L, "b")) === ((1L, Some(2L), Some(1L))))  // rose
   }
 
+  test("intervalCoverage: overlap merge, touching merge, gaps split, empty dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // key a: [0,10) ∪ [5,20) ∪ [20,25) merge to [0,25); [40,50) is an
+    // island; [60,60) is empty and dropped → 4 intervals, 2 islands,
+    // covered 25 + 10 = 35
+    // key b: nested [0,100) ⊇ [10,20) → 2 intervals, 1 island, 100
+    val df = Seq(
+      ("a", 0L, 10L), ("a", 5L, 20L), ("a", 20L, 25L), ("a", 40L, 50L),
+      ("a", 60L, 60L),
+      ("b", 0L, 100L), ("b", 10L, 20L)).toDF("k", "s", "e")
+    val got = TimeSeries.intervalCoverage(df, "k", col("s"), col("e"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map("a" -> ((4L, 2L, 35L)), "b" -> ((2L, 1L, 100L))))
+  }
+
   test("pathTrigrams: 3-step motifs in event order, short paths excluded") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
