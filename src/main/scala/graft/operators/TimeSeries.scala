@@ -55,6 +55,67 @@ object TimeSeries {
         (col("fill_ts") === col("__obs_ts")).as("observed"))
   }
 
+  /** LINEAR-INTERPOLATION resample — the numeric twin of
+    * [[resampleLocf]]: irregular per-key observations onto a regular
+    * grid, gaps filled by the straight line between the surrounding
+    * observations instead of carrying the last value. For
+    * continuously-varying telemetry (temperatures, prices, rates)
+    * LOCF introduces a sawtooth bias; linear is the standard
+    * feature-store choice. Values must be integer-quantized (cents):
+    * the interpolated point is
+    *
+    *   v(k) = v₁ + ⌊(v₂ − v₁)·k / n⌋   (k of n grid steps into the gap)
+    *
+    * with an EXPLICIT floor correction for negative slopes (both
+    * Spark's `div` and SQL engines' integer division truncate toward
+    * zero — the EWMA lesson, applied in the formula itself), so every
+    * emitted value is bit-portable. Each observation emits itself plus
+    * its gap's interior points; the NEXT observation emits its own
+    * row, so grid points appear exactly once. The final observation
+    * has no successor and emits only itself (no extrapolation).
+    * `bucket` must be a fixed-width unit (hour/day — not month).
+    *
+    * Same shuffle shape as LOCF: one (key, bucket) aggregate, one
+    * lead() window on the same exchange, one explode; `maxFillPerObs`
+    * bounds zombie-gap amplification. Returns
+    * (key, bucket_ts, <valueAlias>, observed).
+    */
+  def resampleLinear(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCents: Column, valueAlias: String, orderCol: String,
+                     bucket: String = "hour",
+                     maxFillPerObs: Int = 100000): DataFrame = {
+    require(maxFillPerObs >= 1, "maxFillPerObs must be positive")
+    val stepUs = bucket match {
+      case "hour" => 3600000000L
+      case "day" => 86400000000L
+      case "minute" => 60000000L
+      case other => throw new IllegalArgumentException(
+        s"bucket must be a fixed-width unit (minute/hour/day), got $other")
+    }
+    val obs = df
+      .groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket_ts"))
+      .agg(max_by(valueCents, col(orderCol)).cast("long").as("__v"))
+    val w = Window.partitionBy(keyCol).orderBy("bucket_ts")
+    val step = s"INTERVAL '1' $bucket"
+    obs
+      .withColumn("__nts", lead("bucket_ts", 1).over(w))
+      .withColumn("__nv", lead("__v", 1).over(w))
+      .withColumn("__n", expr(s"(unix_micros(__nts) - unix_micros(bucket_ts)) div $stepUs"))
+      .select(col(keyCol), col("bucket_ts"), col("__v"), col("__nv"),
+        col("__n"),
+        explode(expr(
+          s"sequence(0L, least(coalesce(__n - 1, 0L), CAST($maxFillPerObs AS LONG)))"))
+          .as("__k"))
+      .select(col(keyCol),
+        expr(s"bucket_ts + __k * $step").as("bucket_ts"),
+        expr("""__v + CASE WHEN __k = 0 THEN 0L
+               |  ELSE ((__nv - __v) * __k) div __n
+               |       - (CASE WHEN ((__nv - __v) * __k) % __n != 0
+               |                AND (__nv - __v) < 0 THEN 1 ELSE 0 END)
+               |END""".stripMargin).as(valueAlias),
+        (col("__k") === 0).as("observed"))
+  }
+
   /** TIME-WEIGHTED AVERAGE per key (the TWAP of finance, the
     * duration-correct mean of any step-function telemetry): each
     * observation's value holds from its timestamp until the NEXT

@@ -846,6 +846,45 @@ object EvalQueries {
           unix_micros(col("ts")) + round(col("value") * 1e6).cast("long"))
     },
 
+    // LINEAR-INTERPOLATION RESAMPLE (the numeric twin of q129's LOCF):
+    // hourly grid per event type, gaps filled by the integer straight
+    // line between surrounding observations with the explicit
+    // negative-slope floor correction baked into the formula on BOTH
+    // engines (the q181 trunc-vs-floor lesson).
+    QueryDef.sql("q192_resample_linear",
+      """WITH obs AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+        |         CAST(max_by(CAST(round(value * 100) AS BIGINT), event_id)
+        |              AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, bucket_ts, v,
+        |         lead(bucket_ts) OVER w AS nts, lead(v) OVER w AS nv
+        |  FROM obs WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)),
+        |g AS (
+        |  SELECT event_type, bucket_ts, v, nv,
+        |         (epoch_us(nts) - epoch_us(bucket_ts)) // 3600000000 AS n
+        |  FROM l),
+        |e AS (
+        |  SELECT event_type, bucket_ts, v, nv, n,
+        |         unnest(generate_series(0,
+        |           CAST(least(coalesce(n - 1, 0), 100000) AS BIGINT))) AS k
+        |  FROM g)
+        |SELECT event_type,
+        |       bucket_ts + to_microseconds(k * 3600000000) AS bucket_ts,
+        |       CAST(v + CASE WHEN k = 0 THEN 0
+        |                ELSE ((nv - v) * k) // n
+        |                     - (CASE WHEN ((nv - v) * k) % n != 0
+        |                              AND (nv - v) < 0 THEN 1 ELSE 0 END)
+        |                END AS BIGINT) AS value_cents,
+        |       k = 0 AS observed
+        |FROM e""".stripMargin) {
+      (s, d) =>
+        graft.operators.TimeSeries.resampleLinear(Tables.events(s, d),
+          "event_type", "ts", round(col("value") * 100), "value_cents",
+          "event_id", bucket = "hour")
+    },
+
     // DATASET CARD: the one-pass corpus summary a release ships with —
     // doc/token/char totals, language and source cardinalities, exact
     // duplicate surplus, integer mean quality, split sizes — as a

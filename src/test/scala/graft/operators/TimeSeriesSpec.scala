@@ -197,6 +197,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got((2L, "b")) === ((1L, Some(2L), Some(1L))))  // rose
   }
 
+  test("resampleLinear: integer line fill, floor on negative slopes, no extrapolation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, round}
+    // key a: 00:00 → 0 cents, 03:00 → 10 cents (rising: 0,3,6,10)
+    // key b: 00:00 → 10 cents, 03:00 → 0 cents (falling: 10,6,3,0 —
+    //   floor: 10+⌊-10/3⌋ = 10-4 = 6, 10+⌊-20/3⌋ = 10-7 = 3)
+    val df = Seq(
+      (1L, "a", ts(0), 0.0), (2L, "a", ts(3), 0.10),
+      (3L, "b", ts(0), 0.10), (4L, "b", ts(3), 0.0))
+      .toDF("event_id", "k", "ts", "v")
+    val got = TimeSeries.resampleLinear(df, "k", "ts",
+        round(col("v") * 100), "cents", "event_id")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getHours) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(("a", 0)) === ((0L, true)))
+    assert(got(("a", 1)) === ((3L, false)))
+    assert(got(("a", 2)) === ((6L, false)))
+    assert(got(("a", 3)) === ((10L, true)))
+    assert(got(("b", 1)) === ((6L, false)), s"negative slope must floor: $got")
+    assert(got(("b", 2)) === ((3L, false)))
+    // no extrapolation past the last observation
+    assert(!got.contains(("a", 4)))
+    assert(got.size === 8)
+  }
+
   test("intervalCoverage: overlap merge, touching merge, gaps split, empty dropped") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
