@@ -885,6 +885,24 @@ object EvalQueries {
           "event_id", bucket = "hour")
     },
 
+    // PER-SOURCE DEDUP-RATE report: the curation dashboard's first
+    // column — which sources are duplicate-heavy (one md5 census per
+    // source, exact ppm rate), before any expensive near-dup pass.
+    QueryDef.sql("q194_source_dedup_rate",
+      """SELECT source, count(*) AS n_docs,
+        |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs,
+        |       (1000000 * (count(*) - count(DISTINCT md5(text)))) // count(*)
+        |         AS dup_rate_ppm
+        |FROM documents GROUP BY 1""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_docs"),
+            expr("(1000000 * (count(1) - count(DISTINCT md5(text)))) div count(1)")
+              .as("dup_rate_ppm"))
+    },
+
     // DATASET CARD: the one-pass corpus summary a release ships with —
     // doc/token/char totals, language and source cardinalities, exact
     // duplicate surplus, integer mean quality, split sizes — as a

@@ -622,6 +622,56 @@ object VectorQueries {
           minCosinePpm = 350000L)
         graft.operators.Dedup.softDedupWeights(e, "vec_id", pairs)
       }
+    },
+
+    // DEDUP-AWARE SAMPLING end-to-end: q166's soft weights feed q113's
+    // deterministic weighted coin — duplicated clusters contribute one
+    // document's worth of sampling mass in TOTAL, uniques keep full
+    // mass. The whole composition (LSH pairs → CC sizes → weights →
+    // integer cross-multiplied coin on the bit-exact XXH64) replays in
+    // one oracle statement.
+    QueryDef.sql("q195_dedup_aware_sample", {
+      import XxHash64Sql._
+      val (steps, h) = hashLongSteps(s2u("vec_id"), "42", "DW")
+      val (ctes, last) = chainCtes("w", steps, "dwc")
+      s"""WITH RECURSIVE ${lshBandCtes(2, 6, 4096)},
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b, $cosPpm AS cosine_ppm
+         |  FROM cand c JOIN sigs a ON a.vid = c.id_a JOIN sigs b ON b.vid = c.id_b
+         |  WHERE c.id_a < c.id_b),
+         |thr AS (SELECT id_a, id_b FROM pairs WHERE cosine_ppm >= 350000),
+         |e AS (SELECT id_a AS a, id_b AS b FROM thr
+         |      UNION SELECT id_b, id_a FROM thr),
+         |vn AS (SELECT DISTINCT a AS v FROM e),
+         |reach AS (
+         |  SELECT v, v AS m FROM vn
+         |  UNION
+         |  SELECT e.b AS v, r.m FROM reach r JOIN e ON e.a = r.v),
+         |cc AS (SELECT v, min(m) AS lbl FROM reach GROUP BY v),
+         |sz AS (SELECT lbl, count(*) AS sz FROM cc GROUP BY lbl),
+         |w AS (SELECT em.vec_id,
+         |             CAST(1000000 // coalesce(sz.sz, 1) AS BIGINT) AS weight
+         |      FROM embeddings em
+         |      LEFT JOIN cc ON cc.v = em.vec_id
+         |      LEFT JOIN sz ON sz.lbl = cc.lbl),
+         |$ctes,
+         |base AS (SELECT vec_id, weight,
+         |                ((${u2s(h)} % 1000000) + 1000000) % 1000000 AS u
+         |         FROM $last),
+         |t AS (SELECT sum(weight) AS sumw FROM base)
+         |SELECT vec_id AS doc_id, weight, CAST(u AS BIGINT) AS u
+         |FROM base CROSS JOIN t
+         |WHERE u * sumw < weight * 100 * 1000000""".stripMargin
+    }) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+          minCosinePpm = 350000L)
+        val w = graft.operators.Dedup.softDedupWeights(e, "vec_id", pairs)
+          .select(col("vec_id"), col("weight_micro"))
+        graft.operators.Sampling.weightedByHash(w, "vec_id",
+          col("weight_micro"), expectedK = 100)
+      }
     }
   )
 }
