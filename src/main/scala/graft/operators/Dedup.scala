@@ -861,10 +861,14 @@ object Dedup {
     val fps = df.select(col(idCol).as("doc_id"), dec.as("__dec"))
       .filter(col("__dec").isNotNull)
       .select(col("doc_id"), signedFp.as("fp"))
-    val blocks = fps.select(col("doc_id"), col("fp"),
-      posexplode(array((0 until nBlocks).map(b =>
-        expr(s"shiftrightunsigned(fp, ${offsets(b)}) & ${(1L << widths(b)) - 1}")): _*)))
-      .withColumnRenamed("pos", "__bid").withColumnRenamed("col", "__bval")
+    // the block projection feeds the hot census AND both join sides —
+    // persist it so the fingerprint eval runs one corpus pass, not three
+    val blocks = CacheRegistry.register(
+      fps.select(col("doc_id"), col("fp"),
+        posexplode(array((0 until nBlocks).map(b =>
+          expr(s"shiftrightunsigned(fp, ${offsets(b)}) & ${(1L << widths(b)) - 1}")): _*)))
+        .withColumnRenamed("pos", "__bid").withColumnRenamed("col", "__bval")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hot = blocks.groupBy("__bid", "__bval").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxDocsPerBlock).select("__bid", "__bval")
     val kept = blocks.join(broadcast(hot), Seq("__bid", "__bval"), "left_anti")

@@ -105,7 +105,10 @@ object Multimodal {
     require(chunkBytes >= 1, s"chunkBytes must be positive, got $chunkBytes")
     require(minShared >= 1, s"minShared must be positive, got $minShared")
     val nChunks = ceil(length(col(blobCol)).cast("double") / chunkBytes).cast("long")
-    val chunks = blobs
+    // the hashed-chunk projection feeds the hot census AND both join
+    // sides — persist it (CacheRegistry lifecycle) so the blob decode
+    // and hashing run one corpus pass, not three
+    val chunks = CacheRegistry.register(blobs
       .select(col(idCol).as("__id"), col(blobCol).as("__b"), nChunks.as("__nc"))
       .filter(col("__nc") > 0)
       .select(col("__id"), col("__nc"),
@@ -113,6 +116,7 @@ object Multimodal {
           i => xxhash64(substring(col("__b"),
             (i * chunkBytes + 1).cast("int"), lit(chunkBytes))))))
       .select(col("__id"), col("__nc"), col("pos").as("__idx"), col("col").as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hot = chunks.groupBy("__idx", "__h").agg(count(lit(1)).as("__docs"))
       .filter(col("__docs") > maxDocsPerChunk)
       .select("__idx", "__h")
