@@ -218,6 +218,22 @@ object Sampling {
           .otherwise(0L)).as("alloc"))
   }
 
+  /** STRATIFIED k-FOLD assignment — cross-validation folds at corpus
+    * scale: within each stratum, rows take folds round-robin in
+    * md5(id)-rank order, so every fold holds ⌈n_s/k⌉ or ⌊n_s/k⌋ rows
+    * of EVERY stratum (the exact-proportion guarantee
+    * [[stratifiedSplit]] gives for one cut, extended to k disjoint
+    * folds), deterministically under any partitioning. fold is
+    * 0-based. One stratum-keyed exchange, rank window inside.
+    */
+  def stratifiedKFold(df: DataFrame, idCol: String, stratumCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("fold", ((row_number().over(w) - 1) % k).cast("long"))
+  }
+
   /** CLUSTER-BALANCED deterministic subsample: at most `maxPerCluster`
     * rows from each cluster, chosen by md5(id) rank (id tie-break) —
     * the diversity-preserving leg of a SemDeDup-style pipeline: after

@@ -885,6 +885,23 @@ object EvalQueries {
           "event_id", bucket = "hour")
     },
 
+    // STRATIFIED 5-FOLD assignment: round-robin folds in md5-rank
+    // order within each source — every fold carries an exact
+    // ⌈n_s/5⌉/⌊n_s/5⌋ share of every stratum, the cross-validation
+    // guarantee a Bernoulli hash split only hits in expectation.
+    QueryDef.sql("q196_stratified_kfold",
+      """SELECT doc_id, source,
+        |       CAST((row_number() OVER (PARTITION BY source
+        |                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+        |                                         doc_id) - 1) % 5 AS BIGINT)
+        |         AS fold
+        |FROM documents""".stripMargin) {
+      (s, d) =>
+        graft.operators.Sampling.stratifiedKFold(
+          Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id", "source", k = 5)
+    },
+
     // PER-SOURCE DEDUP-RATE report: the curation dashboard's first
     // column — which sources are duplicate-heavy (one md5 census per
     // source, exact ppm rate), before any expensive near-dup pass.

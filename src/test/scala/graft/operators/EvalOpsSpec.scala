@@ -418,6 +418,24 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(got(2L) === 127500000000L)
   }
 
+  test("stratifiedKFold: exact per-stratum fold shares, determinism") {
+    import spark.implicits._
+    // stratum A: 7 rows → folds sized 3/2/2 (round-robin); B: 2 rows
+    val df = ((1L to 7L).map(i => (i, "A")) ++ Seq((10L, "B"), (11L, "B")))
+      .toDF("id", "st")
+    val got = Sampling.stratifiedKFold(df, "id", "st", k = 3)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val aCounts = got.filter(_._1 == "A").groupBy(_._2).view.mapValues(_.size).toMap
+    assert(aCounts === Map(0L -> 3, 1L -> 2, 2L -> 2))
+    assert(got.filter(_._1 == "B").map(_._2).sorted === Seq(0L, 1L))
+    // determinism under input order
+    val again = Sampling.stratifiedKFold(df.orderBy(col("id").desc), "id", "st", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val first = Sampling.stratifiedKFold(df, "id", "st", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again === first)
+  }
+
   test("compressionRatio: deterministic, repetition compresses more") {
     import spark.implicits._
     val rep = ("abc " * 200).trim
