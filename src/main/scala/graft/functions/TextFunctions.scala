@@ -71,6 +71,39 @@ object TextFunctions {
   /** Heuristic language ID: language with the most marker-word hits;
     * ties break to the lexicographically first code; zero hits → "und".
     */
+  /** GOPHER-style repetition/structure quality rules (Rae et al.) as
+    * one integer-exact column bundle — the named filter battery most
+    * curation stacks start from, here the subset expressible without
+    * language resources:
+    *
+    *   R1 word count in [minWords, maxWords]
+    *   R2 mean word length in [3, 10] chars (milli-compared)
+    *   R3 symbol-to-word ratio ≤ 0.1 (hash/ellipsis)
+    *   R4 ≥ 2 stopword hits
+    *
+    * Returns a struct (n_words, mean_word_len_milli, n_symbols,
+    * stopword_hits, passes) — every field an exact integer derived
+    * from whitespace tokens and codegen'd regex counts, so the bundle
+    * hash-verifies cross-engine. `passes` is the conjunction.
+    */
+  def gopherRules(text: Column, stopwords: Seq[String],
+                  minWords: Long = 50, maxWords: Long = 100000): Column = {
+    val n = tokenCount(text)
+    val mwl = meanTokenLenMilli(text)
+    val sym = (length(text) -
+      length(regexp_replace(text, "[#…]|\\.\\.\\.", ""))).cast("long")
+    val stop = stopwordCount(text, stopwords)
+    struct(
+      n.as("n_words"),
+      mwl.as("mean_word_len_milli"),
+      sym.as("n_symbols"),
+      stop.as("stopword_hits"),
+      (n >= minWords && n <= maxWords &&
+        mwl >= 3000 && mwl <= 10000 &&
+        sym * 10 <= n &&
+        stop >= 2).as("passes"))
+  }
+
   def langId(text: Column): Column = {
     // NULL text behaves like empty (zero hits -> "und"), matching
     // langIdRelational's explode_outer path

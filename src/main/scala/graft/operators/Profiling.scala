@@ -241,6 +241,35 @@ object Profiling {
       }(Encoders.row(schema))
   }
 
+  /** GINI CONCENTRATION of a weight across groups — "how skewed is
+    * the corpus across sources/domains/shards" as one exact-integer
+    * number: 0 = perfectly even, →10⁶ = one group holds everything.
+    * The classic rank-sum form G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over
+    * groups ranked ascending by (weight, group), in ppm with floored
+    * integer division — both terms replicate on any engine.
+    *
+    * Ranks come from an inequality SELF-JOIN of the group-sized frame
+    * (n² pairs of a frame that is groups-sized — dozens), NOT a global
+    * window: the frame is bounded by the group cardinality by
+    * contract, and the join keeps the plan lint-clean. Returns one row
+    * (n_groups, total_weight, gini_ppm).
+    */
+  def giniConcentration(df: DataFrame, groupCol: Column, weight: Column): DataFrame = {
+    val s = df.select(groupCol.as("g"), weight.cast("long").as("w"))
+      .groupBy("g").agg(sum("w").as("x"))
+    val ranked = s.as("a").join(s.as("b"),
+        col("b.x") < col("a.x") ||
+          (col("b.x") === col("a.x") && col("b.g") <= col("a.g")))
+      .groupBy(col("a.g").as("g"), col("a.x").as("x"))
+      .agg(count(lit(1)).as("i"))
+    ranked.agg(count(lit(1)).as("n_groups"),
+        sum("x").as("total_weight"),
+        sum(col("i") * col("x")).as("__ix"))
+      .select(col("n_groups"), col("total_weight"),
+        (expr("(2 * __ix * 1000000) div (n_groups * total_weight)")
+          - expr("((n_groups + 1) * 1000000) div n_groups")).as("gini_ppm"))
+  }
+
   /** 2-D Pareto frontier (skyline): the distinct (x, y) points not
     * DOMINATED by any other — `p` dominates `q` iff p.x ≥ q.x ∧
     * p.y ≥ q.y with at least one strict — the multi-criteria selection

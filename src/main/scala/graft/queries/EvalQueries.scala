@@ -902,6 +902,73 @@ object EvalQueries {
           "doc_id", "source", k = 5)
     },
 
+    // GOPHER-STYLE quality rules (Rae et al.) as one integer bundle:
+    // word-count window, mean word length, symbol ratio, stopword
+    // presence, and the conjunction — the named filter battery most
+    // curation stacks start from, hash-verified field by field.
+    QueryDef.sql("q197_gopher_rules",
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |         CASE WHEN len(toks) = 0 THEN 0
+        |              ELSE CAST(round(list_sum(list_transform(toks, x -> length(x)))
+        |                        * 1000.0 / len(toks)) AS BIGINT) END
+        |           AS mean_word_len_milli,
+        |         CAST(length(text) -
+        |              length(regexp_replace(text, '[#…]|\.\.\.', '', 'g'))
+        |           AS BIGINT) AS n_symbols,
+        |         CAST(len(list_filter(toks,
+        |              x -> x IN ('the','and','of','to','is'))) AS BIGINT)
+        |           AS stopword_hits
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len_milli, n_symbols, stopword_hits,
+        |       (n_words >= 50 AND n_words <= 100000
+        |        AND mean_word_len_milli >= 3000 AND mean_word_len_milli <= 10000
+        |        AND n_symbols * 10 <= n_words
+        |        AND stopword_hits >= 2) AS passes
+        |FROM m""".stripMargin) {
+      (s, d) => {
+        import graft.functions.TextFunctions.gopherRules
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            gopherRules(col("text"), Seq("the", "and", "of", "to", "is")).as("g"))
+          .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len_milli"),
+            col("g.n_symbols"), col("g.stopword_hits"), col("g.passes"))
+      }
+    },
+
+    // GINI CONCENTRATION of tokens across sources — "is this corpus a
+    // monoculture" as one exact-integer number; ranks via an
+    // inequality self-join of the source-sized frame (no global
+    // window). 0 ppm = perfectly even.
+    QueryDef.sql("q198_source_gini",
+      """WITH s AS (
+        |  SELECT source,
+        |         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |           AS BIGINT) AS x
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT a.source, a.x, count(*) AS i
+        |  FROM s a JOIN s b
+        |    ON b.x < a.x OR (b.x = a.x AND b.source <= a.source)
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT count(*) AS n_groups, CAST(sum(x) AS BIGINT) AS total_weight,
+        |               CAST(sum(i * x) AS BIGINT) AS ix
+        |        FROM r)
+        |SELECT n_groups, total_weight,
+        |       CAST((2 * ix * 1000000) // (n_groups * total_weight)
+        |            - ((n_groups + 1) * 1000000) // n_groups AS BIGINT) AS gini_ppm
+        |FROM agg""".stripMargin) {
+      (s, d) =>
+        Profiling.giniConcentration(Tables.documents(s, d), col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text")))
+    },
+
     // PER-SOURCE DEDUP-RATE report: the curation dashboard's first
     // column — which sources are duplicate-heavy (one md5 census per
     // source, exact ppm rate), before any expensive near-dup pass.

@@ -418,6 +418,24 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(got(2L) === 127500000000L)
   }
 
+  test("giniConcentration: even is 0, monoculture approaches 1e6, hand case") {
+    import spark.implicits._
+    // perfectly even: 4 groups × 100 → G = 0
+    val even = Seq(("a", 100L), ("b", 100L), ("c", 100L), ("d", 100L))
+      .toDF("g", "w")
+    val g0 = Profiling.giniConcentration(even, col("g"), col("w")).head
+    assert(g0.getLong(2) === 0L, s"even corpus must score 0: $g0")
+    // hand case: weights 1,1,2 ranked 1,2,3 → Σi·x = 1+2+6 = 9;
+    // G = 2·9·10⁶ div 12 − 4·10⁶ div 3 = 1500000 − 1333333 = 166667
+    val skew = Seq(("a", 1L), ("b", 1L), ("c", 2L)).toDF("g", "w")
+    val g1 = Profiling.giniConcentration(skew, col("g"), col("w")).head
+    assert(g1.getLong(2) === 166667L, s"hand case: $g1")
+    // extreme: one group holds everything
+    val mono = Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 1000L)).toDF("g", "w")
+    val g2 = Profiling.giniConcentration(mono, col("g"), col("w")).head
+    assert(g2.getLong(2) === 750000L, s"monoculture of 4 groups → 1−1/n: $g2")
+  }
+
   test("stratifiedKFold: exact per-stratum fold shares, determinism") {
     import spark.implicits._
     // stratum A: 7 rows → folds sized 3/2/2 (round-robin); B: 2 rows
