@@ -78,7 +78,9 @@ object TextFunctions {
     *
     *   R1 word count in [minWords, maxWords]
     *   R2 mean word length in [3, 10] chars (milli-compared)
-    *   R3 symbol-to-word ratio ≤ 0.1 (hash/ellipsis)
+    *   R3 symbol-to-word ratio ≤ 0.1 (hash/ellipsis OCCURRENCES — an
+    *      ASCII "..." counts 1, same as "…", per the Gopher rule;
+    *      counting chars removed would weight them 3:1)
     *   R4 ≥ 2 stopword hits
     *
     * Returns a struct (n_words, mean_word_len_milli, n_symbols,
@@ -90,8 +92,10 @@ object TextFunctions {
                   minWords: Long = 50, maxWords: Long = 100000): Column = {
     val n = tokenCount(text)
     val mwl = meanTokenLenMilli(text)
-    val sym = (length(text) -
-      length(regexp_replace(text, "[#…]|\\.\\.\\.", ""))).cast("long")
+    // occurrence count, not chars-removed: Java and RE2 both match the
+    // alternation leftmost-first, so the counts agree cross-engine
+    val sym = when(text.isNull, lit(null).cast("long"))
+      .otherwise(size(regexp_extract_all(text, lit("[#…]|\\.\\.\\."), lit(0))).cast("long"))
     val stop = stopwordCount(text, stopwords)
     struct(
       n.as("n_words"),

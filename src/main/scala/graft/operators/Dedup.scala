@@ -826,8 +826,13 @@ object Dedup {
     * distance `maxHamming` must agree EXACTLY on at least one block
     * (pigeonhole), so candidates are block-equality joins, and the
     * `bit_count(xor)` verify runs only on them: zero false negatives
-    * at the pair level, unlike the single-prefix bucketing of
-    * [[simhashBuckets]] (which is the grouping/sharding view).
+    * among pairs whose agreeing block survives the hot-block census —
+    * a pair ALL of whose agreeing blocks exceed `maxDocsPerBlock`
+    * (e.g. > cap identical or empty docs, which collide on every
+    * block) is dropped with the blacklisted blocks, the same
+    * recall-for-bounded-reducers trade the other hot-bucket operators
+    * make. Unlike the single-prefix bucketing of [[simhashBuckets]]
+    * (the grouping/sharding view), sub-cap recall is exact.
     *
     * Scale shape: one codegen'd fingerprint eval per doc, a
     * (block_id, block_value) explode (k+1 rows/doc of 8-byte keys),

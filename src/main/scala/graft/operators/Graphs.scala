@@ -115,7 +115,13 @@ object Graphs {
     val outdeg = CacheRegistry.register(
       e.groupBy("src").agg(count(lit(1)).as("__out"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    val sd = seeds.select(col(seedCol).cast("long").as("node"))
+      .filter(col("node").isNotNull).distinct()
+    // fail fast on an empty (or all-null-after-cast) seed set: sum(__seed)
+    // = 0 would turn `massMicro div __ns` NULL and silently propagate
+    // NULL ranks everywhere (one cheap limit-1 probe, not a full count)
+    require(!sd.isEmpty,
+      "personalizedPageRank: seeds must contain at least one non-null node id")
     val nodes = CacheRegistry.register(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .union(sd.select("node"))

@@ -191,9 +191,14 @@ object Retrieval {
     *   - `hits_at_k`, `n_rel`, `recall_ppm` = 10⁶·hits DIV n_rel
     *
     * Queries with NO relevant documents are excluded (every metric is
-    * undefined there — standard IR-eval practice). All arithmetic is
-    * integer over the fixed discount table, so results are bit-portable
-    * across engines and partitionings.
+    * undefined there — standard IR-eval practice). Queries WITH
+    * relevant documents but no ranked rows (a ranker that returned
+    * nothing — e.g. an ANN path whose probed cells were all empty) are
+    * KEPT with dcg/hits/recall/rr = 0: n_rel drives the join, so a
+    * silent ranker shows up as zeros instead of silently inflating the
+    * aggregate averages. All arithmetic is integer over the fixed
+    * discount table, so results are bit-portable across engines and
+    * partitionings.
     *
     * Shuffle shape: ranked⋈truth on (query, doc) — both sides already
     * ≤ k·|queries| and |relevant| — one groupBy query for the DCG/MRR
@@ -223,11 +228,15 @@ object Retrieval {
         min(when(col("__rel").isNotNull, col("rank"))).as("__first"),
         sum(when(col("__rel").isNotNull, 1L).otherwise(0L)).as("hits_at_k"))
     val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
-    perQ.join(nRel, Seq("query_id"))
-      .select(col("query_id"), col("dcg_micro"),
+    // nRel DRIVES (left outer): a query with relevant docs but zero
+    // ranked rows reports zeros, matching the oracle's LEFT JOIN
+    nRel.join(perQ, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
         element_at(idealMap, least(col("n_rel"), lit(k.toLong)))
           .as("idcg_micro"),
-        col("hits_at_k"), col("n_rel"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        col("n_rel"),
         coalesce(expr("1000000L div __first"), lit(0L)).as("rr_micro"))
       .withColumn("ndcg_ppm", expr("(1000000 * dcg_micro) div idcg_micro"))
       .withColumn("recall_ppm", expr("(1000000 * hits_at_k) div n_rel"))

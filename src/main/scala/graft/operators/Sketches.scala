@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Sketch-powered query plans — operators that use the custom sketch
   * aggregates ([[graft.plans.CountMinSketchAgg]],
@@ -133,19 +134,30 @@ object Sketches {
       .agg(bit_or(expr("shiftleft(1L, CAST(pos % 64 AS INT))")).as("bits"))
   }
 
-  /** Probe a [[bloomBuild]] words table: for each key in `probes`,
-    * true iff ALL `numHashes` bit positions are set. Parameters must
-    * match the build call. The words side is at most `numBits/64` rows
-    * — it always broadcasts; the probe side streams with zero
-    * shuffle until the final per-key ALL-bits aggregate (map-side
-    * combinable `min`). Returns `probes` plus a `bloom_hit` column.
+  /** Probe a [[bloomBuild]] words table: for each row of `probes`,
+    * true iff ALL `numHashes` bit positions of its key are set.
+    * Parameters must match the build call; the key column must be an
+    * integral type (the same contract as bloomBuild's long cast — a
+    * string key would silently hash NULL and every probe would agree).
+    * Returns `probes` WITH ALL ITS COLUMNS plus a `bloom_hit` column
+    * (duplicate keys keep their rows; a NULL key gets a NULL hit).
+    *
+    * Shuffle shape: the bit check runs on the DISTINCT key projection
+    * (explode ×k, broadcast join against the ≤ `numBits/64`-row words
+    * side, one map-side-combinable ALL-bits `min`), then one key-equi
+    * join pins the verdict back onto the untouched probes frame.
     */
   def bloomProbe(words: DataFrame, probes: DataFrame, keyCol: String,
                  numBits: Int, numHashes: Int): DataFrame = {
     require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
       s"numBits must be a power of two >= 64, got $numBits")
+    require(numHashes >= 1, s"numHashes must be positive, got $numHashes")
+    val keyType = probes.schema(keyCol).dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(keyType),
+      s"bloom key column '$keyCol' must be integral, got $keyType")
     val checked = probes
-      .select(col(keyCol).cast("long").as(keyCol))
+      .select(col(keyCol).cast("long").as(keyCol)).distinct()
       .select(col(keyCol), explode(array((0 until numHashes).map(i =>
         pmod(xxhash64(lit(i.toLong), col(keyCol)), lit(numBits.toLong))): _*))
         .as("pos"))
@@ -156,8 +168,9 @@ object Sketches {
         // follows the dividend's sign — a negative word would read -1
         expr("shiftrightunsigned(coalesce(bits, 0L), CAST(pos % 64 AS INT)) & 1")
           .as("bit"))
-    checked.groupBy(keyCol)
+    val hits = checked.groupBy(keyCol)
       .agg((min(col("bit")) === 1L).as("bloom_hit"))
+    probes.join(hits, Seq(keyCol), "left_outer")
   }
 
   def hashSampleQuantile(df: DataFrame, groupCol: String, idCol: String,

@@ -918,8 +918,7 @@ object EvalQueries {
         |              ELSE CAST(round(list_sum(list_transform(toks, x -> length(x)))
         |                        * 1000.0 / len(toks)) AS BIGINT) END
         |           AS mean_word_len_milli,
-        |         CAST(length(text) -
-        |              length(regexp_replace(text, '[#…]|\.\.\.', '', 'g'))
+        |         CAST(len(regexp_extract_all(text, '[#…]|\.\.\.'))
         |           AS BIGINT) AS n_symbols,
         |         CAST(len(list_filter(toks,
         |              x -> x IN ('the','and','of','to','is'))) AS BIGINT)

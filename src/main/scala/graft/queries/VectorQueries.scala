@@ -200,7 +200,10 @@ object VectorQueries {
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val (cents, assigns) = Similarity.ivfIndex(e, "vec_id", "embedding")
-        val dir = s"/tmp/graft_ivf_store_${new java.io.File(d).getName}"
+        // per-JVM token: concurrent gate runs on the same dataset must
+        // not race each other's mode("overwrite") store writes
+        val dir = s"/tmp/graft_ivf_store_${new java.io.File(d).getName}_" +
+          java.lang.ProcessHandle.current().pid()
         cents.write.mode("overwrite").parquet(s"$dir/centroids")
         assigns.write.mode("overwrite").parquet(s"$dir/assignments")
         Similarity.ivfTopKStored(e, "vec_id", "embedding", e, "vec_id", "embedding",

@@ -96,6 +96,30 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(q2.getAs[Long]("rr_micro") === 1000000L)
   }
 
+  test("rankingMetrics: query with relevant docs but NO ranked rows reports zeros") {
+    import spark.implicits._
+    // q1 has truth rows but the ranker returned nothing for it (the
+    // empty-probed-cells ANN shape) — it must appear with zero metrics,
+    // not vanish (ADVICE r6: nRel drives the join, like the oracle's
+    // LEFT JOIN)
+    val ranked = Seq(("q2", "d1", 1L)).toDF("query_id", "doc_id", "rank")
+    val truth = Seq(("q1", "d1"), ("q1", "d2"), ("q2", "d1"))
+      .toDF("query_id", "doc_id")
+    val disc = Retrieval.ndcgDiscountMicro(3).toMap
+    val m = Retrieval.rankingMetrics(ranked, truth, k = 3)
+      .collect().map(r => r.getAs[String]("query_id") -> r).toMap
+    assert(m.keySet === Set("q1", "q2"))
+    val q1 = m("q1")
+    assert(q1.getAs[Long]("dcg_micro") === 0L)
+    assert(q1.getAs[Long]("idcg_micro") === disc(1) + disc(2))
+    assert(q1.getAs[Long]("hits_at_k") === 0L)
+    assert(q1.getAs[Long]("n_rel") === 2L)
+    assert(q1.getAs[Long]("rr_micro") === 0L)
+    assert(q1.getAs[Long]("ndcg_ppm") === 0L)
+    assert(q1.getAs[Long]("recall_ppm") === 0L)
+    assert(m("q2").getAs[Long]("ndcg_ppm") === 1000000L)
+  }
+
   test("softDedupWeights: cluster downweighting, singletons keep full weight") {
     import spark.implicits._
     // chain 1-2-3 (one cluster of 3), pair 10-11, singletons 20, 21
