@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
   * processed in partition-sized batches.
   *
-  * The Spark-side shape is real and tested — binary columns, metadata
-  * structs, batched `mapPartitions` with a fixed output schema,
-  * partition-count control — while the actual media decode is STUBBED
-  * with a deterministic fake (this environment ships no image/audio
-  * codecs). Swapping `fakeDecode` for a real codec (JNI/FFI or a
-  * vectorized Python worker) changes no plumbing.
+  * The container-header decode ([[decodeImageHeader]]) is REAL — PNG
+  * IHDR and JPEG SOF parsing are pure byte arithmetic, no codec
+  * library needed — and runs batched inside `mapPartitions`, the call
+  * shape a vectorized pixel decoder (batch in, batch out) uses. Only
+  * the pixel-level FEATURE is a stand-in (a deterministic byte-fold;
+  * this environment ships no image codecs): swapping
+  * [[byteFoldFeature]] for a real embedding model changes no plumbing.
   */
 object Multimodal {
 
@@ -22,7 +23,74 @@ object Multimodal {
     StructField("mime", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bit_depth", IntegerType, nullable = false),
     StructField("feature", ArrayType(FloatType), nullable = false)))
+
+  /** Parsed container metadata: (mime, width, height, channels,
+    * bit_depth); unrecognized payloads report octet-stream with zeros.
+    */
+  final case class ImageMeta(mime: String, width: Int, height: Int,
+                             channels: Int, bitDepth: Int)
+
+  private val UnknownMeta = ImageMeta("application/octet-stream", 0, 0, 0, 0)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** REAL image-container header decode — pure byte arithmetic over the
+    * blob, no codec dependency:
+    *
+    *   - PNG: verify the 8-byte signature, then read the IHDR chunk
+    *     the spec requires first — width/height as big-endian u32 at
+    *     bytes 16/20, bit depth at 24, color type at 25 (channels:
+    *     gray 1, rgb 3, palette 1, gray+α 2, rgba 4).
+    *   - JPEG: verify SOI, then SCAN the marker stream — standalone
+    *     markers skipped, variable-length segments (APPn/COM/DQT/DHT…)
+    *     skipped by their big-endian length field — to the first
+    *     start-of-frame (SOF0-15 minus DHT/JPG/DAC), which carries
+    *     sample precision, height, width, component count.
+    *
+    * Truncated or unrecognized payloads return octet-stream zeros
+    * rather than throwing — at corpus scale a malformed blob must
+    * score, not kill the stage.
+    */
+  private[graft] def decodeImageHeader(blob: Array[Byte]): ImageMeta = {
+    if (blob.length >= 26 && blob.startsWith(PngSig) &&
+        blob(12) == 'I' && blob(13) == 'H' && blob(14) == 'D' && blob(15) == 'R') {
+      val channels = blob(25) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => 0
+      }
+      ImageMeta("image/png", be32(blob, 16), be32(blob, 20), channels,
+        blob(24) & 0xff)
+    } else if (blob.length >= 4 && (blob(0) & 0xff) == 0xff &&
+        (blob(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 1 < blob.length && (blob(i) & 0xff) == 0xff) {
+        val marker = blob(i + 1) & 0xff
+        if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          i += 2 // standalone marker, no length field
+        } else if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          // SOFn: len(2) precision(1) height(2) width(2) ncomp(1)
+          if (i + 9 >= blob.length) return UnknownMeta
+          return ImageMeta("image/jpeg", be16(blob, i + 7), be16(blob, i + 5),
+            blob(i + 9) & 0xff, blob(i + 4) & 0xff)
+        } else {
+          if (i + 3 >= blob.length) return UnknownMeta
+          i += 2 + be16(blob, i + 2)
+        }
+      }
+      UnknownMeta
+    } else UnknownMeta
+  }
 
   /** Build an opaque binary column + metadata from the documents table
     * (stand-in for real image/audio bytes).
@@ -36,16 +104,44 @@ object Multimodal {
         (length(col("text")) % 64 * 16).cast("int").as("width"),
         (length(col("text")) % 48 * 16).cast("int").as("height")).as("meta"))
 
-  /** ??? — real decode goes here. Deterministic fake: "decodes" the
-    * blob into an 8-dim feature from byte statistics. Runs per batch
-    * inside mapPartitions, the same call shape a vectorized decoder
-    * (batch in, batch out) would use.
-    *
-    * Accumulates in double (sequential, ascending index) and narrows to
-    * float once at the end — pure byte arithmetic an oracle engine can
-    * reproduce exactly, which is what makes q33 hash-verifiable.
+  /** Deterministic REAL-IMAGE fixture: every document becomes a valid
+    * image container — PNG for even ids (signature + IHDR with
+    * id-derived dimensions, RGBA/8), JPEG for odd ids (SOI + JFIF APP0
+    * + a VARIABLE-LENGTH comment segment, so the SOF offset differs per
+    * row and a decoder must actually scan the marker stream + SOF0
+    * 3-component/8-bit) — followed by the document's UTF-8 bytes as
+    * payload. Built entirely from codegen'd hex-string expressions +
+    * one `unhex`, and bit-reproducible by an external SQL engine, which
+    * is what lets q199/q33 hash-verify the decoder.
     */
-  private def fakeDecode(blob: Array[Byte]): Array[Float] = {
+  def packImageBlobs(documents: DataFrame): DataFrame = {
+    val pngHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      lpad(hex(pmod(col("doc_id"), lit(512)) + 16), 8, "0"),
+      lpad(hex(pmod(col("doc_id"), lit(384)) + 16), 8, "0"),
+      lit("08" + "06" + "000000" + "00000000"))
+    val commentLen = pmod(col("doc_id"), lit(7))
+    val jpgHex = concat(
+      lit("FFD8" + "FFE000104A46494600010100000100010000"),
+      lit("FFFE"), lpad(hex(commentLen + 2), 4, "0"),
+      repeat(lit("41"), commentLen.cast("int")),
+      lit("FFC0" + "0011" + "08"),
+      lpad(hex(pmod(col("doc_id"), lit(768)) + 16), 4, "0"),
+      lpad(hex(pmod(col("doc_id"), lit(1024)) + 16), 4, "0"),
+      lit("03" + "012200" + "021101" + "031101"))
+    documents.select(col("doc_id"),
+      concat(
+        unhex(when(pmod(col("doc_id"), lit(2)) === 0, pngHex).otherwise(jpgHex)),
+        encode(col("text"), "UTF-8")).as("blob"))
+  }
+
+  /** Pixel-feature STAND-IN (no codecs in this environment): folds the
+    * blob's bytes into an 8-dim feature, double-accumulated in
+    * ascending index order and narrowed to float once — exact byte
+    * arithmetic an oracle engine reproduces bit-for-bit. A real
+    * embedding model drops in here without touching the plumbing.
+    */
+  private def byteFoldFeature(blob: Array[Byte]): Array[Float] = {
     val acc = new Array[Double](8)
     var i = 0
     while (i < blob.length) {
@@ -55,21 +151,23 @@ object Multimodal {
     acc.map(_.toFloat)
   }
 
-  /** Batched feature extraction over the binary column. `batchSize`
-    * models the decoder's batch shape (GPU/vectorized decoders want
-    * fixed-size batches, not row-at-a-time).
+  /** Batched decode + feature extraction over the binary column:
+    * container metadata via the REAL [[decodeImageHeader]], pixel
+    * feature via [[byteFoldFeature]]. `batchSize` models the decoder's
+    * batch shape (GPU/vectorized decoders want fixed-size batches, not
+    * row-at-a-time); the batch boundary is where a real decoder would
+    * submit one call.
     */
   def extractFeatures(blobs: DataFrame, batchSize: Int = 64): DataFrame = {
     val enc = Encoders.row(featureSchema)
-    blobs.select("doc_id", "blob", "meta").mapPartitions { it =>
+    blobs.select("doc_id", "blob").mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // batch boundary = where a real decoder would submit one call
         batch.iterator.map { r =>
           val blob = r.getAs[Array[Byte]]("blob")
-          val meta = r.getAs[Row]("meta")
+          val m = decodeImageHeader(blob)
           Row(r.getAs[Long]("doc_id"), blob.length.toLong,
-            meta.getAs[String]("mime"), meta.getAs[Int]("width"),
-            meta.getAs[Int]("height"), fakeDecode(blob).toSeq)
+            m.mime, m.width, m.height, m.channels, m.bitDepth,
+            byteFoldFeature(blob).toSeq)
         }
       }
     }(enc)

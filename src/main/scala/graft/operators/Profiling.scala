@@ -203,8 +203,10 @@ object Profiling {
     * a cheap single-pass junk signal orthogonal to the heuristic and
     * LM scores. Runs as `mapPartitions` over the JVM's zlib Deflater
     * (fixed level + strategy → deterministic bytes for a given zlib
-    * build, which is why this ships as a rows-only gate, not an
-    * oracle-hash one: a non-JVM engine carries a different zlib).
+    * build — a non-JVM engine carries a different zlib, so this
+    * operator is spec-gated for determinism/ordering while the
+    * hash-gated q183 runs [[byteCompressibility]], the cross-engine-
+    * exact restatement of the same signal).
     *
     * Scale shape: stateless per-row work, zero shuffle, CPU-bound —
     * exactly what executors parallelize perfectly; at 100 TB wire it
@@ -239,6 +241,47 @@ object Profiling {
           Row(r.getLong(0), raw.length.toLong, out, ratio)
         }
       }(Encoders.row(schema))
+  }
+
+  /** BYTE-LEVEL COMPRESSIBILITY PROXY — the cross-engine-exact sibling
+    * of [[compressionRatio]]: run-length and distinct-byte statistics
+    * over the document's UTF-8 bytes, all integer arithmetic, so the
+    * signal hash-verifies against any SQL engine (zlib output is a
+    * library-build contract; these stats are a math contract). Per doc:
+    *
+    *   - `n_raw_bytes`       UTF-8 length
+    *   - `n_runs`            maximal equal-byte runs (the RLE token
+    *                         count — templated/repetitive text has few)
+    *   - `n_distinct_bytes`  alphabet size (≤ 256; low = low entropy)
+    *   - `rle_ratio_milli`   1000·2·n_runs DIV n_raw — the size of a
+    *                         2-bytes-per-run RLE encoding vs raw; the
+    *                         ordering mirrors deflate's on the
+    *                         repetition axis (empty doc → 0)
+    *
+    * Shape: pure per-row codegen'd expressions over a hex projection —
+    * one regexp byte-split, one zip_with run count, one array_distinct;
+    * zero shuffle, embarrassingly parallel at any scale.
+    */
+  def byteCompressibility(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val bytes = regexp_extract_all(hex(encode(text, "UTF-8")), lit(".."), lit(0))
+    val out = df
+      .select(col(idCol).cast("long").as("doc_id"), bytes.as("__ba"))
+      .select(col("doc_id"), col("__ba"),
+        size(col("__ba")).cast("long").as("n_raw_bytes"))
+      .select(col("doc_id"), col("n_raw_bytes"),
+        when(col("n_raw_bytes") === 0, 0L).otherwise(
+          size(filter(
+            zip_with(
+              slice(col("__ba"), lit(1), greatest(size(col("__ba")) - 1, lit(0))),
+              slice(col("__ba"), lit(2), greatest(size(col("__ba")) - 1, lit(0))),
+              (x, y) => x =!= y),
+            b => b)).cast("long") + 1L).as("n_runs"),
+        size(array_distinct(col("__ba"))).cast("long").as("n_distinct_bytes"))
+    out.select(col("doc_id"), col("n_raw_bytes"), col("n_runs"),
+      col("n_distinct_bytes"),
+      when(col("n_raw_bytes") === 0, 0L)
+        .otherwise(expr("(2000 * n_runs) div n_raw_bytes"))
+        .as("rle_ratio_milli"))
   }
 
   /** GINI CONCENTRATION of a weight across groups — "how skewed is

@@ -321,14 +321,38 @@ object Similarity {
     * attractions). Returns (id_a, id_b, cosine_ppm) with id_a < id_b.
     *
     * This form ranks via [[bruteForceTopK]] (exact, quadratic — the
-    * declared baseline); at corpus scale generate each side's top-1
-    * with [[lshTopK]]/[[ivfTopK]] instead and reuse the same mutual
-    * join, which is all this adds: one self-join of the top-1
-    * projection on the reversed pair (id-keyed, row count = corpus
-    * size, AQE-broadcastable).
+    * declared baseline for corpora small enough to cross-join); the
+    * SCALE form is [[mutualNearestNeighborsLsh]], which generates the
+    * same top-1s through the banded-LSH candidate path and reuses the
+    * identical mutual join.
     */
-  def mutualNearestNeighbors(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val top1 = bruteForceTopK(df, idCol, vecCol, df, idCol, vecCol, k = 1)
+  def mutualNearestNeighbors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    mutualJoin(bruteForceTopK(df, idCol, vecCol, df, idCol, vecCol, k = 1))
+
+  /** MUTUAL NEAREST NEIGHBORS at corpus scale: each side's top-1 comes
+    * from [[lshTopK]] (banded candidates, over-cap buckets dropped,
+    * exact cosine re-rank — never all-pairs), then the same reciprocity
+    * join as [[mutualNearestNeighbors]]. Recall < 1 by design on BOTH
+    * legs (a vector whose true nearest neighbor never shares a
+    * surviving bucket reports a different — or no — top-1); `bands` is
+    * the recall knob. A pair only emerges when each member is the
+    * other's top-1 AMONG CANDIDATES, so precision stays the operator's
+    * point.
+    *
+    * Shape: everything up to the top-1s is lshTopK's bounded-join
+    * pipeline; the mutual step adds one self-join of the top-1
+    * projection on the reversed pair — id-keyed, corpus-sized rows,
+    * AQE-broadcastable.
+    */
+  def mutualNearestNeighborsLsh(df: DataFrame, idCol: String, vecCol: String,
+                                bands: Int = 2, rowsPerBand: Int = 8,
+                                maxBucket: Int = 4096): DataFrame =
+    mutualJoin(lshTopK(df, idCol, vecCol, k = 1, bands, rowsPerBand, maxBucket))
+
+  /** The reciprocity join shared by both MNN forms: keep (a, b) iff
+    * a's top-1 is b and b's top-1 is a, normalized to id_a < id_b.
+    */
+  private def mutualJoin(top1: DataFrame): DataFrame = {
     val fwd = top1.select(col("query_id").as("id_a"),
       col("neighbor_id").as("id_b"), col("cosine_ppm"))
     val rev = top1.select(col("query_id").as("__qb"), col("neighbor_id").as("__nb"))

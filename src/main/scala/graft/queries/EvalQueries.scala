@@ -1138,15 +1138,33 @@ object EvalQueries {
           .select(col("vec_id"), col("label"), col("sample_rank"))
     },
 
-    // COMPRESSION-RATIO quality signal (deflate bytes / raw bytes):
-    // rows-only gate — the ratio is a zlib-build contract, not a
-    // cross-engine value (the one operator family where that is the
-    // honest scope); the spec pins determinism and the
-    // repetitive-text-compresses-more ordering.
-    QueryDef.rowsOnly("q183_compression_ratio") {
+    // COMPRESSIBILITY quality signal, hash-gated: zlib's exact output
+    // is a library-build contract (the real deflate operator,
+    // Profiling.compressionRatio, is spec-gated for determinism and
+    // ordering), so the GATE runs the cross-engine-exact restatement —
+    // RLE run count + alphabet size over the UTF-8 bytes, pure integer
+    // arithmetic both engines replicate bit-for-bit.
+    QueryDef.sql("q183_compressibility",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(upper(hex(encode(text))), '..') AS ba
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(ba) AS BIGINT) AS n_raw_bytes,
+        |         CAST(CASE WHEN len(ba) = 0 THEN 0
+        |              ELSE 1 + len(list_filter(generate_series(2, len(ba)),
+        |                           i -> ba[i] <> ba[i-1])) END AS BIGINT) AS n_runs,
+        |         CAST(len(list_distinct(ba)) AS BIGINT) AS n_distinct_bytes
+        |  FROM b)
+        |SELECT doc_id, n_raw_bytes, n_runs, n_distinct_bytes,
+        |       CAST(CASE WHEN n_raw_bytes = 0 THEN 0
+        |            ELSE (2000 * n_runs) // n_raw_bytes END AS BIGINT)
+        |         AS rle_ratio_milli
+        |FROM m""".stripMargin) {
       (s, d) =>
-        Profiling.compressionRatio(Tables.documents(s, d), "doc_id",
-          col("text"), level = 6)
+        Profiling.byteCompressibility(Tables.documents(s, d), "doc_id",
+          col("text"))
     }
   )
 }

@@ -39,6 +39,27 @@ object TextQueries {
 
   private val enStop = Seq("the", "and", "of", "to", "is")
 
+  /** DuckDB hex-string replica of [[Multimodal.packImageBlobs]] — the
+    * deterministic real-PNG/JPEG container bytes, built from (doc_id,
+    * text). Shared by the q199 header-decode and q33 feature gates so
+    * the fixture can never drift between them.
+    */
+  private val imageBlobHexSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN
+      |  '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+      |  lpad(upper(to_hex(doc_id % 512 + 16)), 8, '0') ||
+      |  lpad(upper(to_hex(doc_id % 384 + 16)), 8, '0') ||
+      |  '0806000000' || '00000000'
+      |ELSE
+      |  'FFD8' || 'FFE000104A46494600010100000100010000' ||
+      |  'FFFE' || lpad(upper(to_hex(doc_id % 7 + 2)), 4, '0') ||
+      |  repeat('41', CAST(doc_id % 7 AS INT)) ||
+      |  'FFC0' || '0011' || '08' ||
+      |  lpad(upper(to_hex(doc_id % 768 + 16)), 4, '0') ||
+      |  lpad(upper(to_hex(doc_id % 1024 + 16)), 4, '0') ||
+      |  '03' || '012200' || '021101' || '031101'
+      |END || upper(hex(encode(text))))""".stripMargin
+
   /** q29b banding parameters, shared by the Spark call and the
     * generated oracle so they cannot drift. 4 bands × 2 rows keeps the
     * md5 evaluation count (the twin's dominant cost) at 8 per shingle
@@ -605,27 +626,69 @@ object TextQueries {
       }
     },
 
-    // Batched binary feature extraction (mapPartitions). The decode is
-    // a deterministic fake (no codecs in this env) but is pure byte
-    // arithmetic — double-accumulated in index order, narrowed to float
-    // — so the oracle reproduces it exactly from the blob's hex bytes.
-    QueryDef.sql("q33_multimodal_features",
-      """WITH b AS (
-        |  -- encode(): UTF-8 bytes; CAST(AS BLOB) rejects non-ASCII
-        |  SELECT doc_id, text, hex(encode(text)) AS h,
-        |         octet_length(encode(text)) AS nb
-        |  FROM documents)
-        |SELECT doc_id, nb AS n_bytes, 'application/x-fake' AS mime,
-        |       CAST(length(text) % 64 * 16 AS INTEGER) AS width,
-        |       CAST(length(text) % 48 * 16 AS INTEGER) AS height,
-        |       CAST(round(CAST(coalesce(list_sum(list_transform(
-        |             generate_series(0, CAST(nb AS INTEGER) - 1, 8),
-        |             i -> CAST(('0x' || substr(h, 2*i + 1, 2)) AS BIGINT) / 255.0)), 0.0)
-        |           AS FLOAT) * 1000) AS BIGINT) AS f0_milli
-        |FROM b""".stripMargin) {
+    // REAL IMAGE HEADER DECODE: every doc becomes a valid PNG (even
+    // ids) or JPEG (odd ids) container — the JPEG carries a variable-
+    // length comment segment so the SOF offset differs per row — and
+    // the engine's decodeImageHeader parses dimensions/channels/depth
+    // by pure byte arithmetic (PNG IHDR; JPEG marker-stream scan). The
+    // oracle rebuilds the identical bytes in hex-string space and
+    // re-parses them independently: it reads the COM segment's length
+    // field to locate the SOF, so both sides genuinely decode.
+    QueryDef.sql("q199_image_header",
+      s"""WITH b AS (
+         |  SELECT doc_id, $imageBlobHexSql AS h FROM documents),
+         |p AS (
+         |  SELECT doc_id, h,
+         |         CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+         |              THEN -1
+         |              ELSE 22 + CAST(('0x' || substr(h, 45, 4)) AS BIGINT)
+         |         END AS sof
+         |  FROM b)
+         |SELECT doc_id,
+         |  CASE WHEN sof = -1 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+         |  CAST(CASE WHEN sof = -1 THEN ('0x' || substr(h, 33, 8))::BIGINT
+         |       ELSE ('0x' || substr(h, 2*(sof+7)+1, 4))::BIGINT END AS INTEGER)
+         |    AS width,
+         |  CAST(CASE WHEN sof = -1 THEN ('0x' || substr(h, 41, 8))::BIGINT
+         |       ELSE ('0x' || substr(h, 2*(sof+5)+1, 4))::BIGINT END AS INTEGER)
+         |    AS height,
+         |  CAST(CASE WHEN sof = -1 THEN
+         |         CASE substr(h, 51, 2) WHEN '00' THEN 1 WHEN '02' THEN 3
+         |              WHEN '03' THEN 1 WHEN '04' THEN 2 WHEN '06' THEN 4
+         |              ELSE 0 END
+         |       ELSE ('0x' || substr(h, 2*(sof+9)+1, 2))::BIGINT END AS INTEGER)
+         |    AS channels,
+         |  CAST(CASE WHEN sof = -1 THEN ('0x' || substr(h, 49, 2))::BIGINT
+         |       ELSE ('0x' || substr(h, 2*(sof+4)+1, 2))::BIGINT END AS INTEGER)
+         |    AS bit_depth,
+         |  CAST(length(h) // 2 AS BIGINT) AS n_bytes
+         |FROM p""".stripMargin) {
       (s, d) =>
-        Multimodal.extractFeatures(Multimodal.packBlobs(Tables.documents(s, d)))
-          .select(col("doc_id"), col("n_bytes"), col("mime"), col("width"), col("height"),
+        Multimodal.extractFeatures(Multimodal.packImageBlobs(Tables.documents(s, d)))
+          .select(col("doc_id"), col("mime"), col("width"), col("height"),
+            col("channels"), col("bit_depth"), col("n_bytes"))
+    },
+
+    // Batched binary feature extraction (mapPartitions) over the REAL
+    // image containers of q199: header fields from the engine's byte-
+    // arithmetic decode, pixel feature from the deterministic byte fold
+    // (double-accumulated in index order, narrowed to float once) —
+    // the oracle reproduces both from the blob's hex bytes.
+    QueryDef.sql("q33_multimodal_features",
+      s"""WITH b AS (
+         |  SELECT doc_id, $imageBlobHexSql AS h FROM documents)
+         |SELECT doc_id,
+         |       CAST(length(h) // 2 AS BIGINT) AS n_bytes,
+         |       CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+         |            THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+         |       CAST(round(CAST(coalesce(list_sum(list_transform(
+         |             generate_series(0, CAST(length(h) // 2 AS INTEGER) - 1, 8),
+         |             i -> CAST(('0x' || substr(h, 2*i + 1, 2)) AS BIGINT) / 255.0)), 0.0)
+         |           AS FLOAT) * 1000) AS BIGINT) AS f0_milli
+         |FROM b""".stripMargin) {
+      (s, d) =>
+        Multimodal.extractFeatures(Multimodal.packImageBlobs(Tables.documents(s, d)))
+          .select(col("doc_id"), col("n_bytes"), col("mime"),
             round(element_at(col("feature"), 1) * 1000).cast("long").as("f0_milli"))
     },
 

@@ -589,6 +589,30 @@ object VectorQueries {
           "vec_id", "embedding")
     },
 
+    // MUTUAL NEAREST NEIGHBORS, SCALE FORM: both top-1 legs come from
+    // the banded-LSH candidate path (q36's pipeline at k=1 — bounded
+    // joins, never all-pairs), then the same reciprocity join as q160.
+    // The oracle replays hyperplanes, banding, cap, top-1 and the
+    // mutual join, so the whole composition hash-verifies.
+    QueryDef.sql("q160b_mutual_nn_lsh",
+      s"""WITH ${lshBandCtes(2, 8, 4096)},
+         |scored AS (
+         |  SELECT c.id_a AS query_id, c.id_b AS neighbor_id,
+         |    $cosPpm AS cosine_ppm
+         |  FROM cand c JOIN sigs a ON a.vid = c.id_a JOIN sigs b ON b.vid = c.id_b),
+         |top AS (
+         |  SELECT * FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY cosine_ppm DESC, neighbor_id) = 1)
+         |SELECT f.query_id AS id_a, f.neighbor_id AS id_b, f.cosine_ppm
+         |FROM top f JOIN top r ON f.neighbor_id = r.query_id
+         |                     AND r.neighbor_id = f.query_id
+         |WHERE f.query_id < f.neighbor_id""".stripMargin) {
+      (s, d) =>
+        Similarity.mutualNearestNeighborsLsh(
+          Tables.embeddings(s, d), "vec_id", "embedding")
+    },
+
     // SOFT DEDUPLICATION (keep-but-downweight): every vector gets a
     // sampling weight 10⁶ DIV |its q55 near-dup cluster|; singletons
     // (no near-dup pair) keep full weight 10⁶. The weights feed the

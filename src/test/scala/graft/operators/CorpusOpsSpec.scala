@@ -703,6 +703,92 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.length === 100)
     assert(rows.forall(_.getAs[scala.collection.Seq[Float]]("feature").length == 8))
     assert(rows.forall(_.getAs[Long]("n_bytes") > 0))
+    // packBlobs payloads are bare UTF-8 text, not image containers
+    assert(rows.forall(_.getAs[String]("mime") == "application/octet-stream"))
+  }
+
+  test("decodeImageHeader: PNG IHDR fields for every color type") {
+    def png(w: Int, h: Int, bitDepth: Int, colorType: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(40)
+      bb.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      bb.putInt(w).putInt(h)
+      bb.put(bitDepth.toByte).put(colorType.toByte)
+      bb.put(0.toByte).put(0.toByte).put(0.toByte) // comp/filter/interlace
+      bb.putInt(0) // CRC (decoder ignores)
+      bb.array()
+    }
+    val chan = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
+    for ((ct, ch) <- chan) {
+      val m = Multimodal.decodeImageHeader(png(640, 480, 16, ct))
+      assert(m === Multimodal.ImageMeta("image/png", 640, 480, ch, 16),
+        s"colorType $ct")
+    }
+    // large dims exercise the BE32 path beyond one byte
+    assert(Multimodal.decodeImageHeader(png(70000, 33000, 8, 6)) ===
+      Multimodal.ImageMeta("image/png", 70000, 33000, 4, 8))
+  }
+
+  test("decodeImageHeader: JPEG marker scan skips segments and restart markers to SOF") {
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+    def sof(marker: Int, w: Int, h: Int, ncomp: Int, prec: Int): Array[Byte] =
+      seg(marker, Array(prec.toByte,
+        (h >> 8).toByte, (h & 0xff).toByte, (w >> 8).toByte, (w & 0xff).toByte,
+        ncomp.toByte) ++ Array.fill(3 * ncomp)(0.toByte))
+    val soi = Array(0xff.toByte, 0xd8.toByte)
+    // APP0 + variable COM + DQT + a standalone TEM marker, then baseline SOF0
+    val jpg = soi ++ seg(0xe0, Array.fill(14)(0.toByte)) ++
+      seg(0xfe, "a comment".getBytes("US-ASCII")) ++
+      seg(0xdb, Array.fill(65)(1.toByte)) ++
+      Array(0xff.toByte, 0x01.toByte) ++
+      sof(0xc0, 1024, 768, 3, 8) ++ "payload".getBytes("US-ASCII")
+    assert(Multimodal.decodeImageHeader(jpg) ===
+      Multimodal.ImageMeta("image/jpeg", 1024, 768, 3, 8))
+    // progressive (SOF2), grayscale, 12-bit
+    val prog = soi ++ seg(0xe1, Array.fill(5)(0.toByte)) ++ sof(0xc2, 31, 7, 1, 12)
+    assert(Multimodal.decodeImageHeader(prog) ===
+      Multimodal.ImageMeta("image/jpeg", 31, 7, 1, 12))
+    // DHT (C4) must be skipped as a table segment, NOT read as a SOF
+    val withDht = soi ++ seg(0xc4, Array.fill(10)(2.toByte)) ++ sof(0xc1, 5, 6, 3, 8)
+    assert(Multimodal.decodeImageHeader(withDht) ===
+      Multimodal.ImageMeta("image/jpeg", 5, 6, 3, 8))
+  }
+
+  test("decodeImageHeader: truncated and non-image payloads degrade to octet-stream") {
+    val unk = Multimodal.ImageMeta("application/octet-stream", 0, 0, 0, 0)
+    assert(Multimodal.decodeImageHeader("not an image".getBytes("UTF-8")) === unk)
+    assert(Multimodal.decodeImageHeader(Array[Byte]()) === unk)
+    // PNG signature but truncated before the IHDR dims
+    assert(Multimodal.decodeImageHeader(
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0, 0).map(_.toByte)) === unk)
+    // JPEG SOI but the stream ends mid-segment before any SOF
+    assert(Multimodal.decodeImageHeader(
+      Array(0xff, 0xd8, 0xff, 0xe0, 0x00).map(_.toByte)) === unk)
+  }
+
+  test("packImageBlobs → extractFeatures round-trips id-derived dimensions") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val rows = Multimodal.extractFeatures(Multimodal.packImageBlobs(d))
+      .collect()
+    assert(rows.length === 50)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 2 == 0) {
+        assert(r.getAs[String]("mime") === "image/png")
+        assert(r.getAs[Int]("width") === (id % 512 + 16).toInt)
+        assert(r.getAs[Int]("height") === (id % 384 + 16).toInt)
+        assert(r.getAs[Int]("channels") === 4)
+        assert(r.getAs[Int]("bit_depth") === 8)
+      } else {
+        assert(r.getAs[String]("mime") === "image/jpeg")
+        assert(r.getAs[Int]("width") === (id % 1024 + 16).toInt)
+        assert(r.getAs[Int]("height") === (id % 768 + 16).toInt)
+        assert(r.getAs[Int]("channels") === 3)
+        assert(r.getAs[Int]("bit_depth") === 8)
+      }
+    }
   }
 
   test("frame sampling produces indexed fixed-size frames") {

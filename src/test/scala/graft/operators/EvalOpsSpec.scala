@@ -497,6 +497,22 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("byteCompressibility: hand-computed runs, multibyte UTF-8, empty doc") {
+    import spark.implicits._
+    val df = Seq((1L, "aaabbc"), (2L, "éé"), (3L, ""), (4L, "abab"))
+      .toDF("doc_id", "text")
+    val got = Profiling.byteCompressibility(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // "aaabbc": 6 bytes, runs aaa|bb|c, alphabet {a,b,c}, 2000*3/6
+    assert(got(1L) === ((6L, 3L, 3L, 1000L)))
+    // "éé" = C3 A9 C3 A9: 4 bytes, every byte a run boundary, 2 distinct
+    assert(got(2L) === ((4L, 4L, 2L, 2000L)))
+    assert(got(3L) === ((0L, 0L, 0L, 0L)))
+    // alternation never merges runs: RLE "compresses" to 2× the input
+    assert(got(4L) === ((4L, 4L, 2L, 2000L)))
+  }
+
   test("resourceAllocationLinks: shared-unit scoring, hub cap, minCommon") {
     import spark.implicits._
     // unit u1 shared by a,b,c (deg 3); u2 by a,b (deg 2); hub by all 4

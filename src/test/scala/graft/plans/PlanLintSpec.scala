@@ -1,8 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -25,6 +29,48 @@ class PlanLintSpec extends AnyFunSuite {
 
   /** The declared brute-force baseline: quadratic by definition. */
   private val cartesianAllowed = Set("q35_cosine_topk")
+
+  /** Declared brute-force rankers and bounded-frame self-joins:
+    * bruteForceTopK is the exact quadratic baseline (q35's contract) —
+    * q160/q164/q136/q139/q142/q180 run it over a declared-bounded
+    * query slice (each scaladoc'd as the baseline composition; their
+    * scale twins go through lshTopK/ivfTopK), q133 fuses rankings for
+    * one pinned query vector, and q198's inequality self-join is of
+    * the SOURCE-cardinality frame (bounded by group contract, per the
+    * gini operator's scaladoc). Everything else must justify a
+    * broadcast NLJ structurally.
+    */
+  private val bnljAllowed = Set(
+    "q35_cosine_topk", "q160_mutual_nn", "q164_ranking_metrics",
+    "q133_rrf_fusion", "q136_hard_negatives", "q139_pq_ann",
+    "q142_contrastive_triplets", "q180_matryoshka_eval",
+    "q198_source_gini")
+
+  /** A broadcast nested-loop join is the same O(n·m) compute as a
+    * cartesian — at sf0.1 one side may squeak under the broadcast
+    * threshold and dodge the CartesianProductExec lint, then blow up at
+    * 100×. Accept it only when the BUILD side is bounded by
+    * CONSTRUCTION, independent of data scale: a grouping-free
+    * (scalar) aggregate (≤ 1 row at any corpus size — the stats /
+    * collected-centroid-array pattern) or an explicit limit. Reused
+    * exchanges and cached relations are leaves structurally, so the
+    * probe recurses into what they wrap (the PageRank family hides its
+    * scalar stats frame behind a persist).
+    */
+  private def bounded(p: SparkPlan): Boolean =
+    p.find {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case _: GlobalLimitExec | _: LocalLimitExec => true
+      case r: ReusedExchangeExec => bounded(r.child)
+      case i: InMemoryTableScanExec => bounded(i.relation.cachedPlan)
+      case _ => false
+    }.isDefined
+
+  private def boundedBuildSide(j: BroadcastNestedLoopJoinExec): Boolean =
+    bounded(j.buildSide match {
+      case BuildLeft => j.left
+      case BuildRight => j.right
+    })
 
   /** Declared-bounded global windows: paretoFrontier's phase-2 pass is
     * unpartitioned by design, but its input is the phase-1 survivor
@@ -50,6 +96,9 @@ class PlanLintSpec extends AnyFunSuite {
           case w: WindowExec if w.partitionSpec.isEmpty => w
         }
         val cartesian = plan.collect { case c: CartesianProductExec => c }
+        val nlj = plan.collect {
+          case j: BroadcastNestedLoopJoinExec if !boundedBuildSide(j) => j
+        }
         // NOT linted: Exchange SinglePartition — scalar aggregates
         // (q02/q08/q17/q19) legitimately send their few partial-agg
         // rows to one reducer; the harmful single-partition cases are
@@ -58,7 +107,9 @@ class PlanLintSpec extends AnyFunSuite {
           if (unpartitioned.nonEmpty && !globalWindowAllowed(q.name))
             Some(s"${q.name}: unpartitioned window") else None,
           if (cartesian.nonEmpty && !cartesianAllowed(q.name))
-            Some(s"${q.name}: cartesian product") else None).flatten
+            Some(s"${q.name}: cartesian product") else None,
+          if (nlj.nonEmpty && !bnljAllowed(q.name))
+            Some(s"${q.name}: unbounded broadcast nested-loop join") else None).flatten
         bad
       }
       assert(offenders.isEmpty, offenders.mkString("; "))
