@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.concurrent.TrieMap
+
+/** Scale soak harness (dev-only, not a driver contract): replicates the
+  * sf0.1 documents/embeddings tables K× with per-replica mutations and
+  * runs the flagship dedup operators against the scaled corpora, so
+  * wall-time SCALING EXPONENTS and per-stage TASK SKEW are measured, not
+  * argued. Mutations keep the dedup problem honest at scale:
+  *
+  *   - half of each replica's docs get a replica-tagged token appended
+  *     (near-dups of the base doc — LSH/prefix-join candidate load grows
+  *     superlinearly with K, the worst realistic case);
+  *   - the other half are left byte-identical (exact-dup mass → the
+  *     hot-bucket caps and connected components see real cluster growth);
+  *   - embeddings get a deterministic per-(id, replica, dim) ±1e-3
+  *     jitter, keeping cosine near-dup structure across replicas.
+  *
+  * Usage: runMain graft.Soak [baseSfDir] [outJson]. Writes scaled tables
+  * under /tmp/graft_soak/x{K}/ and prints one JSON line per (scale,
+  * query): seconds, output rows, and the worst stage's max/median task
+  * time ratio (straggler factor).
+  */
+object Soak {
+  /** max task ms / median task ms of the slowest stage (by max task),
+    * over stages with ≥ 4 tasks — the straggler factor the 100×
+    * posture cares about.
+    */
+  private final class SkewListener extends SparkListener {
+    private val stageTasks = TrieMap.empty[Int, List[Long]]
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      if (t.taskInfo != null && t.taskInfo.successful) {
+        val d = t.taskInfo.duration
+        stageTasks.updateWith(t.stageId) {
+          case Some(xs) => Some(d :: xs)
+          case None => Some(List(d))
+        }
+      }
+    }
+    def reset(): Unit = stageTasks.clear()
+    def worstSkew(): (Double, Long) = {
+      val eligible = stageTasks.values.filter(_.size >= 4)
+      if (eligible.isEmpty) (1.0, 0L)
+      else {
+        val worst = eligible.maxBy(_.max)
+        val sorted = worst.sorted
+        val med = math.max(1L, sorted(sorted.size / 2))
+        (worst.max.toDouble / med, worst.max)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outPath = if (args.length > 1) args(1) else "/tmp/graft_soak/soak.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-soak")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val skew = new SkewListener
+    spark.sparkContext.addSparkListener(skew)
+
+    def scaledDir(k: Int): String = s"/tmp/graft_soak/x$k"
+
+    /** Replicate K× with the mutation mix documented above. */
+    def materialize(k: Int): Unit = {
+      val dir = scaledDir(k)
+      if (new java.io.File(s"$dir/documents.parquet").exists()) return
+      val reps = spark.range(k).select(col("id").as("__rep"))
+      Tables.documents(spark, baseDir).crossJoin(broadcast(reps))
+        .select(
+          (col("doc_id") + col("__rep") * 10000000L).as("doc_id"),
+          when(col("__rep") === 0 || pmod(col("doc_id"), lit(2)) === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" soakrep"), col("__rep")))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Tables.embeddings(spark, baseDir).crossJoin(broadcast(reps))
+        .select(
+          (col("vec_id") + col("__rep") * 10000000L).as("vec_id"),
+          when(col("__rep") === 0, col("embedding")).otherwise(
+            transform(col("embedding"), (x, i) =>
+              (x + (pmod(xxhash64(col("vec_id"), col("__rep"), i), lit(2001)) - 1000)
+                .cast("float") / 1000000.0f).cast("float"))).as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+
+    val shapes: Seq[(String, String => DataFrame)] = Seq(
+      "minhash_lsh_pairs" -> { d: String =>
+        operators.Dedup.minhashLshPairs(Tables.documents(spark, d),
+          "doc_id", col("text"), minJaccardPpm = 500000L)
+      },
+      "jaccard_prefix_join" -> { d: String =>
+        operators.Dedup.jaccardPrefixJoin(Tables.documents(spark, d),
+          "doc_id", col("text"), n = 3, minJaccardPpm = 300000L)
+      },
+      "semantic_dedup" -> { d: String =>
+        operators.Similarity.semanticDedup(Tables.embeddings(spark, d),
+          "vec_id", "embedding", minCosinePpm = 350000L)
+      },
+      "dup_clusters_cc" -> { d: String =>
+        val pairs = operators.Similarity.cosineNearDupPairs(
+          Tables.embeddings(spark, d), "vec_id", "embedding",
+          minCosinePpm = 350000L)
+        operators.Dedup.connectedComponents(pairs)
+      })
+
+    val scales = sys.env.get("SPARK_GRAFT_SOAK_SCALES")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 3, 10))
+    val sb = new StringBuilder
+    for (k <- scales) {
+      materialize(k)
+      for ((name, fn) <- shapes) {
+        skew.reset()
+        val t0 = System.nanoTime()
+        val n = fn(scaledDir(k)).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        operators.CacheRegistry.releaseAll()
+        spark.catalog.clearCache()
+        val (ratio, maxMs) = skew.worstSkew()
+        val line = f"""{"scale":$k,"query":"$name","sec":$sec%.2f,"rows":$n,"worst_stage_skew":$ratio%.1f,"max_task_ms":$maxMs}"""
+        println(line)
+        sb.append(line).append('\n')
+      }
+    }
+    new java.io.File(outPath).getParentFile.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

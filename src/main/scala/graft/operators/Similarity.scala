@@ -55,6 +55,31 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine_ppm")
   }
 
+  /** ANN RECALL EVALUATION: per query, how much of the EXACT top-k an
+    * approximate ranker recovered — the acceptance metric every
+    * LSH/IVF/PQ deployment is tuned against. Inputs are two ranked
+    * frames with (query_id, neighbor_id) rows already cut at k (the
+    * [[lshTopK]]/[[ivfTopK]]/[[bruteForceTopK]] output shape). The
+    * EXACT side drives (left outer, the q164 discipline): a query the
+    * approximate ranker returned nothing for reports recall 0 instead
+    * of vanishing and inflating the aggregate. Returns (query_id,
+    * n_exact, n_hits, recall_ppm) in exact integer arithmetic.
+    *
+    * Shape: one (query, neighbor) equi-join of two ≤ k·|queries|-row
+    * frames + one per-query aggregate — evaluation never touches the
+    * vectors again.
+    */
+  def topKRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(a, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_exact"), col("n_hits"),
+        expr("(1000000 * n_hits) div n_exact").as("recall_ppm"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: plane p component i is a
     * zero-mean value derived from splitmix64(p, i); the dimension comes
     * from the vector itself. Signature bit p is the sign of v·plane_p,

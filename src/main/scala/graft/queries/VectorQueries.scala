@@ -181,6 +181,42 @@ object VectorQueries {
         Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
     },
 
+    // ANN RECALL EVALUATION: per query, how much of the exact top-3
+    // the banded-LSH ranker (q36) recovers — the acceptance metric an
+    // ANN deployment is tuned against, with the exact side driving so
+    // queries the ANN missed entirely report 0 rather than vanishing.
+    // The oracle replays BOTH rankers and the recall arithmetic.
+    QueryDef.sql("q200_ann_recall",
+      s"""WITH ${lshBandCtes(2, 8, 4096)},
+         |lsh AS (
+         |  SELECT c.id_a AS query_id, c.id_b AS neighbor_id,
+         |         row_number() OVER (PARTITION BY c.id_a
+         |                            ORDER BY $cosPpm DESC, c.id_b) AS rank
+         |  FROM cand c JOIN sigs a ON a.vid = c.id_a JOIN sigs b ON b.vid = c.id_b),
+         |ex AS (
+         |  SELECT a.vid AS query_id, b.vid AS neighbor_id,
+         |         row_number() OVER (PARTITION BY a.vid
+         |                            ORDER BY $cosPpm DESC, b.vid) AS rank
+         |  FROM sigs a JOIN sigs b ON a.vid <> b.vid)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |       CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_hits,
+         |       CAST((1000000 * sum(CASE WHEN l.neighbor_id IS NOT NULL
+         |                                THEN 1 ELSE 0 END)) // count(*)
+         |            AS BIGINT) AS recall_ppm
+         |FROM (SELECT query_id, neighbor_id FROM ex WHERE rank <= 3) e
+         |LEFT JOIN (SELECT query_id, neighbor_id FROM lsh WHERE rank <= 3) l
+         |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+         |GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.topKRecall(
+          Similarity.lshTopK(e, "vec_id", "embedding", k = 3),
+          Similarity.bruteForceTopK(e, "vec_id", "embedding",
+            e, "vec_id", "embedding", k = 3))
+      }
+    },
+
     // IVF-partitioned ANN (the other scale path besides LSH: broadcast
     // centroid assignment + cell-keyed join). Centroid choice is
     // md5-ordered (oracle-expressible) and cell ranking uses the

@@ -497,6 +497,20 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("topKRecall: exact side drives, ANN-missed queries report zero") {
+    import spark.implicits._
+    val approx = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "neighbor_id")
+    val exact = Seq((1L, 10L), (1L, 12L), (1L, 13L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.topKRecall(approx, exact)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((3L, 1L, 333333L)))
+    // query 2 has exact answers but the ANN returned nothing for it —
+    // it must appear with recall 0, not vanish
+    assert(got(2L) === ((2L, 0L, 0L)))
+  }
+
   test("byteCompressibility: hand-computed runs, multibyte UTF-8, empty doc") {
     import spark.implicits._
     val df = Seq((1L, "aaabbc"), (2L, "éé"), (3L, ""), (4L, "abab"))
