@@ -252,4 +252,123 @@ object TextFunctions {
     concat(scheme, lit("://"), host, path,
       when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
   }
+
+  /** GOPHER REPETITION rules (Rae et al., Table A1) — the
+    * within-document repetition battery that complements
+    * [[gopherRules]]' structural checks, as one exact-integer frame:
+    *
+    *   - `dup_line_ppm` / `dup_line_char_ppm`: fraction of lines (and
+    *     of line characters) that are repeat occurrences of an earlier
+    *     identical line in the same document;
+    *   - `top{2,3,4}_char_ppm`: characters claimed by the single most
+    *     frequent word n-gram (occurrences × gram chars over the
+    *     space-joined doc length; ties break to the lexicographically
+    *     smallest gram, docs shorter than n report 0);
+    *   - `dup{5,10}_char_ppm`: characters COVERED by word n-grams that
+    *     occur ≥ 2 times in the document — overlapping occurrences
+    *     count each position once (coverage, not multiplicity), the
+    *     paper's semantics.
+    *
+    * All ratios are ppm with floored integer division over
+    * `total_chars` = length of the single-space-joined token stream,
+    * so every field hash-verifies cross-engine.
+    *
+    * Scale shape: line metrics are pure array expressions (no explode);
+    * the top-n-gram pass is ONE explode tagged by n ∈ {2,3,4} into a
+    * (doc, n, gram) count + per-(doc, n) top-1 window; the coverage
+    * pass reuses [[graft.plans.PositionedGramHashes]] (gram bytes never
+    * shuffle — 8-byte hashes do) with a doc-keyed census, position
+    * explode, and one char-weight join. Everything is keyed by doc_id
+    * after tokenization — skew is bounded by single-document length,
+    * the same contract as duplicateSpans.
+    */
+  def gopherRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       text: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc_id"), coalesce(text, lit("")).as("__t"))
+      .withColumn("__tk", tokens(col("__t")))
+      .withColumn("__nt", size(col("__tk")))
+      .withColumn("__tc",
+        when(col("__nt") === 0, lit(0L)).otherwise(
+          aggregate(col("__tk"), lit(0L), (a, x) => a + length(x))
+            + col("__nt") - 1L))
+    // ---- line rules: array-only, no explode
+    val lines = split(col("__t"), "\n")
+    val lineStats = base.select(col("doc_id"),
+      size(lines).as("__nl"), size(array_distinct(lines)).as("__nld"),
+      aggregate(lines, lit(0L), (a, x) => a + length(x)).as("__lc"),
+      aggregate(array_distinct(lines), lit(0L), (a, x) => a + length(x)).as("__lcd"))
+      .select(col("doc_id"),
+        when(col("__nl") === 0, 0L)
+          .otherwise(expr("(1000000 * (__nl - __nld)) div __nl")).as("dup_line_ppm"),
+        when(col("__lc") === 0, 0L)
+          .otherwise(expr("(1000000 * (__lc - __lcd)) div __lc")).as("dup_line_char_ppm"))
+    // ---- top n-gram char fraction, n = 2, 3, 4 — one tagged explode
+    val tagged = base.select(col("doc_id"), col("__tc"),
+      explode(flatten(array(Seq(2, 3, 4).map(n =>
+        transform(sequence(lit(1), greatest(col("__nt") - (n - 1), lit(0))),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(col("__tk"), i, lit(n))).as("g")))): _*)))
+        .as("__ng"))
+      .select(col("doc_id"), col("__tc"),
+        col("__ng.n").as("__n"), col("__ng.g").as("__g"))
+    val topW = Window.partitionBy("doc_id", "__n")
+      .orderBy(col("__c").desc, col("__g"))
+    val tops = tagged.groupBy("doc_id", "__tc", "__n", "__g")
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rn", row_number().over(topW))
+      .filter(col("__rn") === 1)
+      .withColumn("__frac",
+        expr("(1000000 * __c * length(__g)) div __tc"))
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("__n") === 2, col("__frac"))).as("top2_char_ppm"),
+        max(when(col("__n") === 3, col("__frac"))).as("top3_char_ppm"),
+        max(when(col("__n") === 4, col("__frac"))).as("top4_char_ppm"))
+    // ---- duplicated n-gram char coverage, n = 5 and 10
+    val tokPos = base.select(col("doc_id"), posexplode(col("__tk")))
+      .select(col("doc_id"), (col("pos") + 1).as("__pos"),
+        length(col("col")).cast("long").as("__len"))
+    def dupCoverage(n: Int, outCol: String): DataFrame = {
+      val starts = base.select(col("doc_id"), col("__tc"),
+        posexplode(graft.plans.PositionedGramHashes
+          .positioned_gram_hashes(col("__t"), n)))
+        .select(col("doc_id"), col("__tc"), (col("pos") + 1).as("__start"),
+          col("col").as("__gh"))
+      val dupGrams = starts.groupBy("doc_id", "__gh")
+        .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
+        .select("doc_id", "__gh")
+      val covered = starts.join(dupGrams, Seq("doc_id", "__gh"), "left_semi")
+        .select(col("doc_id"), col("__tc"),
+          explode(sequence(col("__start"), col("__start") + (n - 1))).as("__pos"))
+        .distinct()
+      // covered chars = covered token lengths + the joining space
+      // between ADJACENT covered positions (islands don't claim the
+      // spaces between them) — the denominator is the same joined
+      // length the top-n rules use, so coverage ≤ 10^6 exactly
+      val adjW = Window.partitionBy("doc_id").orderBy("__pos")
+      covered.join(tokPos, Seq("doc_id", "__pos"))
+        .withColumn("__adj",
+          when(col("__pos") - lag("__pos", 1).over(adjW) === 1, 1L).otherwise(0L))
+        .groupBy("doc_id")
+        .agg(first("__tc").as("__tc"),
+          (sum("__len") + sum("__adj")).as("__cov"))
+        .select(col("doc_id"),
+          expr("(1000000 * __cov) div __tc").as(outCol))
+    }
+    base.select(col("doc_id"))
+      .join(lineStats, Seq("doc_id"), "left_outer")
+      .join(tops, Seq("doc_id"), "left_outer")
+      .join(dupCoverage(5, "dup5_char_ppm"), Seq("doc_id"), "left_outer")
+      .join(dupCoverage(10, "dup10_char_ppm"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("dup_line_ppm"), lit(0L)).as("dup_line_ppm"),
+        coalesce(col("dup_line_char_ppm"), lit(0L)).as("dup_line_char_ppm"),
+        coalesce(col("top2_char_ppm"), lit(0L)).as("top2_char_ppm"),
+        coalesce(col("top3_char_ppm"), lit(0L)).as("top3_char_ppm"),
+        coalesce(col("top4_char_ppm"), lit(0L)).as("top4_char_ppm"),
+        coalesce(col("dup5_char_ppm"), lit(0L)).as("dup5_char_ppm"),
+        coalesce(col("dup10_char_ppm"), lit(0L)).as("dup10_char_ppm"))
+  }
 }

@@ -940,6 +940,96 @@ object EvalQueries {
       }
     },
 
+    // GOPHER REPETITION rules (Rae et al. Table A1): duplicate-line
+    // fractions, top-{2,3,4}-gram character claims, and duplicated
+    // {5,10}-gram character COVERAGE (overlaps counted once), all ppm
+    // integers. The corpus has no intra-doc 5-gram repeats or
+    // newlines, so those fields gate the zero path here; the synthetic
+    // spec exercises them positively (the q49 clean-corpus precedent).
+    QueryDef.sql("q201_gopher_repetition",
+      """WITH base AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |tot AS (
+        |  SELECT doc_id, t, tk, len(tk) AS nt,
+        |         CASE WHEN len(tk) = 0 THEN 0
+        |              ELSE list_sum(list_transform(tk, x -> length(x))) + len(tk) - 1 END AS tc
+        |  FROM base),
+        |lstats AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS ls FROM tot),
+        |lineppm AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ls) = 0 THEN 0
+        |         ELSE (1000000 * (len(ls) - len(list_distinct(ls)))) // len(ls) END AS dup_line_ppm,
+        |    CASE WHEN coalesce(list_sum(list_transform(ls, x -> length(x))), 0) = 0 THEN 0
+        |         ELSE (1000000 * (list_sum(list_transform(ls, x -> length(x)))
+        |               - list_sum(list_transform(list_distinct(ls), x -> length(x)))))
+        |              // list_sum(list_transform(ls, x -> length(x))) END AS dup_line_char_ppm
+        |  FROM lstats),
+        |gr AS (
+        |  SELECT doc_id, tc, n,
+        |         unnest(list_transform(generate_series(1, greatest(nt - (n - 1), 0)),
+        |                i -> array_to_string(tk[i:i+n-1], ' '))) AS g
+        |  FROM tot, (VALUES (2), (3), (4)) AS nn(n)),
+        |gc AS (SELECT doc_id, tc, n, g, count(*) AS c FROM gr GROUP BY ALL),
+        |topg AS (
+        |  SELECT doc_id, n, (1000000 * c * length(g)) // tc AS frac
+        |  FROM gc
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) = 1),
+        |tops AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN n = 2 THEN frac END) AS top2_char_ppm,
+        |    max(CASE WHEN n = 3 THEN frac END) AS top3_char_ppm,
+        |    max(CASE WHEN n = 4 THEN frac END) AS top4_char_ppm
+        |  FROM topg GROUP BY 1),
+        |sg AS (
+        |  SELECT doc_id, tc, n,
+        |         unnest(generate_series(1, greatest(nt - (n - 1), 0))) AS s
+        |  FROM tot, (VALUES (5), (10)) AS nn(n)),
+        |sgg AS (
+        |  SELECT sg.doc_id, sg.tc, sg.n, sg.s, array_to_string(t.tk[sg.s:sg.s+sg.n-1], ' ') AS g
+        |  FROM sg JOIN tot t USING (doc_id)),
+        |dupg AS (
+        |  SELECT doc_id, n, g FROM sgg GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT x.doc_id, x.n, x.tc, unnest(generate_series(x.s, x.s + x.n - 1)) AS p
+        |  FROM sgg x JOIN dupg d ON d.doc_id = x.doc_id AND d.n = x.n AND d.g = x.g),
+        |tokl AS (
+        |  SELECT doc_id, unnest(generate_series(1, nt)) AS p FROM tot),
+        |tokl2 AS (
+        |  SELECT k.doc_id, k.p, length(t.tk[k.p]) AS l FROM tokl k JOIN tot t USING (doc_id)),
+        |covl AS (
+        |  SELECT c.doc_id, c.n, c.tc, c.p, t.l,
+        |         CASE WHEN lag(c.p) OVER (PARTITION BY c.doc_id, c.n ORDER BY c.p) = c.p - 1
+        |              THEN 1 ELSE 0 END AS adj
+        |  FROM cov c JOIN tokl2 t ON t.doc_id = c.doc_id AND t.p = c.p),
+        |covagg AS (
+        |  SELECT doc_id, n, (1000000 * (sum(l) + sum(adj))) // any_value(tc) AS frac
+        |  FROM covl GROUP BY 1, 2),
+        |covp AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN n = 5 THEN frac END) AS dup5_char_ppm,
+        |    max(CASE WHEN n = 10 THEN frac END) AS dup10_char_ppm
+        |  FROM covagg GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(coalesce(l.dup_line_ppm, 0) AS BIGINT) AS dup_line_ppm,
+        |  CAST(coalesce(l.dup_line_char_ppm, 0) AS BIGINT) AS dup_line_char_ppm,
+        |  CAST(coalesce(tp.top2_char_ppm, 0) AS BIGINT) AS top2_char_ppm,
+        |  CAST(coalesce(tp.top3_char_ppm, 0) AS BIGINT) AS top3_char_ppm,
+        |  CAST(coalesce(tp.top4_char_ppm, 0) AS BIGINT) AS top4_char_ppm,
+        |  CAST(coalesce(cv.dup5_char_ppm, 0) AS BIGINT) AS dup5_char_ppm,
+        |  CAST(coalesce(cv.dup10_char_ppm, 0) AS BIGINT) AS dup10_char_ppm
+        |FROM tot b
+        |LEFT JOIN lineppm l USING (doc_id)
+        |LEFT JOIN tops tp USING (doc_id)
+        |LEFT JOIN covp cv USING (doc_id)""".stripMargin) {
+      (s, d) =>
+        graft.functions.TextFunctions.gopherRepetition(
+          Tables.documents(s, d), "doc_id", col("text"))
+    },
+
     // GINI CONCENTRATION of tokens across sources — "is this corpus a
     // monoculture" as one exact-integer number; ranks via an
     // inequality self-join of the source-sized frame (no global

@@ -707,6 +707,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("mime") == "application/octet-stream"))
   }
 
+  test("gopherRepetition: hand-computed line dups, top-gram claims, coverage islands") {
+    // doc 1: duplicate lines + a repeated bigram
+    //   lines ["x y","x y","z"]: 3 lines / 2 distinct → 333333 ppm;
+    //   line chars 7 vs distinct 4 → 428571 ppm
+    //   tokens [x,y,x,y,z], tc = 5 + 4 = 9; top2 "x y"×2 (len 3) →
+    //   666666; top3 tie → lex-first "x y x" (len 5) → 555555;
+    //   top4 "x y x y" (len 7) → 777777; no duplicated 5-gram → 0
+    // doc 2: period-5 stream of 15 tokens — EVERY 5-gram (and the
+    //   1↔6 10-gram pair) duplicates → full coverage 1000000
+    // doc 3: two duplicated 5-gram islands separated by u1 u2 u3 —
+    //   covered = 10 token chars + 8 intra-island spaces = 18 of
+    //   tc = 16 + 12 = 28 → 642857 (the spaces BETWEEN islands are
+    //   not claimed)
+    val d = docs(
+      1L -> "x y\nx y\nz",
+      2L -> "a b c d e a b c d e a b c d e",
+      3L -> "a b c d e u1 u2 u3 a b c d e")
+    val got = TextFunctions.gopherRepetition(d, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("dup_line_ppm") === 333333L)
+    assert(r1.getAs[Long]("dup_line_char_ppm") === 428571L)
+    assert(r1.getAs[Long]("top2_char_ppm") === 666666L)
+    assert(r1.getAs[Long]("top3_char_ppm") === 555555L)
+    assert(r1.getAs[Long]("top4_char_ppm") === 777777L)
+    assert(r1.getAs[Long]("dup5_char_ppm") === 0L)
+    assert(r1.getAs[Long]("dup10_char_ppm") === 0L)
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("dup_line_ppm") === 0L)
+    assert(r2.getAs[Long]("dup5_char_ppm") === 1000000L)
+    assert(r2.getAs[Long]("dup10_char_ppm") === 1000000L)
+    val r3 = got(3L)
+    assert(r3.getAs[Long]("dup5_char_ppm") === 642857L)
+    assert(r3.getAs[Long]("dup10_char_ppm") === 0L)
+  }
+
   test("decodeImageHeader: PNG IHDR fields for every color type") {
     def png(w: Int, h: Int, bitDepth: Int, colorType: Int): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(40)
