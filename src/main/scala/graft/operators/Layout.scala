@@ -41,6 +41,19 @@ object Layout {
     compression.fold(w)(c => w.option("compression", c)).text(outDir)
   }
 
+  /** Schema-PINNED read-back of an [[exportJsonl]] corpus: the reader
+    * side of the jsonl.gz interchange contract. The schema is passed,
+    * never inferred — inference is a full extra scan (at 100 TB the
+    * single most expensive default in `spark.read.json`) and can
+    * widen/narrow types between shards; FAILFAST surfaces a corrupt
+    * line as an error instead of a silent null row (the PERMISSIVE
+    * default quietly nulls whole records). Shard partition directories
+    * come back as a `shard` column via partition discovery.
+    */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, dir: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(dir)
+
   /** Write `df` as a BUCKETED table: hash-partitioned into `buckets`
     * files per partition on `keys`, optionally sorted within each
     * bucket. Bucketing is the write-once/join-forever layout: two

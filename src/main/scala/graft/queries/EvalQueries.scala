@@ -534,6 +534,28 @@ object EvalQueries {
       }
     },
 
+    // JSONL ROUND-TRIP: the LLM-corpus interchange contract end to
+    // end — documents exported as sharded jsonl.gz (Layout.exportJsonl:
+    // to_json escaping, md5-sharded layout, gzip) and read back with
+    // the pinned-schema FAILFAST reader (Layout.readJsonl: no inference
+    // scan, no silent nulls), hash-compared field by field against the
+    // parquet originals. A lossy escape, a compression fault, or a
+    // type-widening parse would all break the md5 column.
+    QueryDef.sql("q202_jsonl_roundtrip",
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = s"/tmp/graft_jsonl_${new java.io.File(d).getName}_" +
+          java.lang.ProcessHandle.current().pid()
+        graft.operators.Layout.exportJsonl(docs, "doc_id", dir,
+          numShards = 4, compression = Some("gzip"))
+        graft.operators.Layout.readJsonl(s, dir, docs.schema)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            md5(col("text")).as("text_md5"))
+      }
+    },
+
     // ZONE-MAP FILE SKIPPING: per-file min/max stats (Layout.zoneMap)
     // under a partkey-CLUSTERED layout vs a modulo-SCATTERED layout,
     // probed with the predicate l_partkey BETWEEN 100 AND 199 — the

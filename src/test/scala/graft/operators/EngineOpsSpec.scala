@@ -56,6 +56,35 @@ class EngineOpsSpec extends AnyFunSuite {
     m.get.group(1).toLong
   }
 
+  test("readJsonl: pinned-schema lossless round trip incl. unicode; FAILFAST on corrupt lines") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "plain ascii", 11L),
+      (2L, "uni é中😀 \"quoted\" \\ back\nslash", 5L),
+      (3L, null.asInstanceOf[String], 0L)).toDF("doc_id", "text", "n_chars")
+    val dir = "/tmp/jsonl-roundtrip-spec"
+    Layout.exportJsonl(df, "doc_id", dir, numShards = 2, compression = Some("gzip"))
+    val back = Layout.readJsonl(spark, dir, df.schema)
+      .select("doc_id", "text", "n_chars")
+    val got = back.collect().map(r => r.getLong(0) ->
+      ((Option(r.getString(1)), r.getLong(2)))).toMap
+    assert(got(1L) === ((Some("plain ascii"), 11L)))
+    // escapes, multibyte, surrogate pair, embedded newline all survive
+    assert(got(2L) === ((Some("uni é中😀 \"quoted\" \\ back\nslash"), 5L)))
+    assert(got(3L) === ((None, 0L)))
+    // FAILFAST: a corrupt line is an error, not a silent null row
+    val badDir = "/tmp/jsonl-corrupt-spec/shard=0"
+    new java.io.File(badDir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(badDir, "part-00000.txt"),
+      "{\"doc_id\":1,\"text\":\"ok\",\"n_chars\":2}\nnot json at all\n"
+        .getBytes("UTF-8"))
+    assertThrows[org.apache.spark.SparkException] {
+      Layout.readJsonl(spark, "/tmp/jsonl-corrupt-spec", df.schema)
+        .select("doc_id").collect()
+    }
+  }
+
   test("distributionDrift: exact TVD contributions, absent categories are pure drift") {
     import spark.implicits._
     // A: x×6, y×2, z×2 (n=10); B: x×2, y×2, w×1 (n=5)
