@@ -471,6 +471,71 @@ object Similarity {
       .select("id_a", "id_b", "cosine_ppm")
   }
 
+  /** CROSS-CORPUS embedding near-dup pairs — the two-table form of
+    * [[cosineNearDupPairs]]: (a_id, b_id, cosine_ppm) for every
+    * A-side/B-side pair above the threshold, found through ONE banded
+    * LSH index over the union (sides tagged by an id-parity encoding,
+    * candidates taken across sides only). The hot-bucket census runs
+    * over the union, so a bucket crowded by EITHER side is capped —
+    * exactly the bound that matters when a small benchmark meets a
+    * 100 TB corpus. Ids on both sides must be non-negative and fit in
+    * 62 bits (the ×2 side encoding). A vector present on both sides
+    * pairs with itself at 10⁶ ppm — for decontamination that is the
+    * point, not a bug.
+    */
+  def crossCosineNearDupPairs(a: DataFrame, aId: String, aVec: String,
+                              b: DataFrame, bId: String, bVec: String,
+                              minCosinePpm: Long, bands: Int = 2,
+                              rowsPerBand: Int = 6,
+                              maxBucket: Int = 4096): DataFrame = {
+    val u = a.select((col(aId).cast("long") * 2).as("__uid"), col(aVec).as("__uvec"))
+      .unionByName(
+        b.select((col(bId).cast("long") * 2 + 1).as("__uid"), col(bVec).as("__uvec")))
+    val banded = bandedBuckets(u, "__uid", "__uvec", bands, rowsPerBand, maxBucket)
+    val av = banded.filter(pmod(col("vid"), lit(2)) === 0)
+      .select(col("band"), col("bucket"), expr("vid div 2").as("a_id"))
+    val bv = banded.filter(pmod(col("vid"), lit(2)) === 1)
+      .select(col("band"), col("bucket"), expr("(vid - 1) div 2").as("b_id"))
+    val cand = av.join(bv, Seq("band", "bucket"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(a.select(col(aId).cast("long").as("a_id"), col(aVec).as("__a")), Seq("a_id"))
+      .join(b.select(col(bId).cast("long").as("b_id"), col(bVec).as("__b")), Seq("b_id"))
+      .withColumn("cosine_ppm", round(cosine(col("__a"), col("__b")) * 1e6).cast("long"))
+      .filter(col("cosine_ppm") >= minCosinePpm)
+      .select("a_id", "b_id", "cosine_ppm")
+  }
+
+  /** SEMANTIC DECONTAMINATION: flag corpus vectors whose embedding is
+    * near-duplicate of any benchmark vector — the embedding-space
+    * complement of the n-gram decontamination in
+    * [[graft.operators.Dedup.decontaminate]] (paraphrased or
+    * re-templated benchmark leakage survives n-gram checks; it does
+    * not survive a cosine check against the benchmark's embeddings).
+    * One row per corpus vector: (idCol, n_bench_hits,
+    * is_contaminated). The corpus spine drives — vectors with no
+    * candidate anywhere still report 0/false.
+    *
+    * Scale shape: [[crossCosineNearDupPairs]]' bounded union index +
+    * one corpus-keyed aggregate; the benchmark side is never
+    * broadcast wholesale and never cross-joined.
+    */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
+                            bench: DataFrame, benchIdCol: String,
+                            benchVecCol: String, minCosinePpm: Long,
+                            bands: Int = 2, rowsPerBand: Int = 6,
+                            maxBucket: Int = 4096): DataFrame = {
+    val hits = crossCosineNearDupPairs(corpus, idCol, vecCol,
+        bench, benchIdCol, benchVecCol, minCosinePpm, bands, rowsPerBand, maxBucket)
+      .groupBy(col("a_id").as(idCol))
+      .agg(count(lit(1)).as("n_bench_hits"))
+    corpus.select(col(idCol).cast("long").as(idCol))
+      .join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+        (coalesce(col("n_bench_hits"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
   /** SemDeDup-style semantic deduplication: partition the corpus into
     * IVF cells by nearest centroid, compare vectors ONLY within a
     * cell, and for every within-cell pair above `minCosinePpm` drop

@@ -593,6 +593,51 @@ object VectorQueries {
       }
     },
 
+    // SEMANTIC DECONTAMINATION: flag corpus embeddings near-duplicate
+    // of any benchmark embedding (vec_id % 10 = 0 plays the benchmark)
+    // — the embedding-space complement of q48's n-gram
+    // decontamination; paraphrased leakage survives n-gram checks but
+    // not a cosine check. One banded LSH index over the tagged union
+    // (census over the union too), candidates across sides only,
+    // exact verify, corpus spine drives. The oracle replays the union
+    // banding, cap, verify, and spine join.
+    QueryDef.sql("q203_semantic_decontamination",
+      s"""WITH ${lshSigCtes(12)},
+         |ub AS (
+         |  SELECT s.vid, 0 AS side, g.band,
+         |         (CAST(s.sig AS BIGINT) >> (g.band * 6)) & 63 AS bucket
+         |  FROM sigs s, generate_series(0, 1) g(band)
+         |  UNION ALL
+         |  SELECT s.vid, 1, g.band,
+         |         (CAST(s.sig AS BIGINT) >> (g.band * 6)) & 63
+         |  FROM sigs s, generate_series(0, 1) g(band)
+         |  WHERE s.vid % 10 = 0),
+         |kept AS (
+         |  SELECT * FROM ub
+         |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 4096),
+         |cand AS (
+         |  SELECT DISTINCT ka.vid AS cand_a, kb.vid AS cand_b
+         |  FROM kept ka JOIN kept kb
+         |    ON ka.band = kb.band AND ka.bucket = kb.bucket
+         |  WHERE ka.side = 0 AND kb.side = 1),
+         |ver AS (
+         |  SELECT c.cand_a, c.cand_b FROM cand c
+         |  JOIN sigs a ON a.vid = c.cand_a JOIN sigs b ON b.vid = c.cand_b
+         |  WHERE $cosPpm >= 350000),
+         |hits AS (SELECT cand_a, count(*) AS n FROM ver GROUP BY 1)
+         |SELECT e.vec_id,
+         |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_bench_hits,
+         |       coalesce(h.n, 0) > 0 AS is_contaminated
+         |FROM embeddings e LEFT JOIN hits h ON h.cand_a = e.vec_id""".stripMargin) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.semanticDecontaminate(
+          e, "vec_id", "embedding",
+          e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          minCosinePpm = 350000L)
+      }
+    },
+
     // MUTUAL (reciprocal) NEAREST NEIGHBORS: pairs that are each
     // other's top-1 — the high-precision linking signal of embedding
     // entity resolution. Exact brute-force ranking over a 200-vector

@@ -497,6 +497,23 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("semanticDecontaminate: exact benchmark member flagged, paraphrase flagged, orthogonal clean") {
+    import spark.implicits._
+    val e1 = Array.fill(8)(1.0f)
+    val near = Array(1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 0.9f)
+    val orth = Array(1.0f, -1.0f, 1.0f, -1.0f, 1.0f, -1.0f, 1.0f, -1.0f)
+    val corpus = Seq((1L, e1), (2L, near), (3L, orth))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((100L, e1)).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", minCosinePpm = 990000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) === ((1L, true)))  // byte-identical to the benchmark
+    assert(got(2L) === ((1L, true)))  // paraphrase: cosine ~0.999
+    assert(got(3L) === ((0L, false))) // orthogonal — spine keeps it at 0
+    assert(got.size === 3)
+  }
+
   test("topKRecall: exact side drives, ANN-missed queries report zero") {
     import spark.implicits._
     val approx = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "neighbor_id")
