@@ -305,11 +305,17 @@ object TextFunctions {
         when(col("__lc") === 0, 0L)
           .otherwise(expr("(1000000 * (__lc - __lcd)) div __lc")).as("dup_line_char_ppm"))
     // ---- top n-gram char fraction, n = 2, 3, 4 — one tagged explode
+    // Guard each per-n gram list on __nt >= n: sequence(1, 0) is a
+    // DESCENDING [1, 0] in Spark, and slice(_, 0, n) then throws
+    // INVALID_PARAMETER_VALUE.START. Short docs must yield zero grams
+    // (and, via the left-outer joins below, all-zero ppm rows).
     val tagged = base.select(col("doc_id"), col("__tc"),
       explode(flatten(array(Seq(2, 3, 4).map(n =>
-        transform(sequence(lit(1), greatest(col("__nt") - (n - 1), lit(0))),
-          i => struct(lit(n).as("n"),
-            concat_ws(" ", slice(col("__tk"), i, lit(n))).as("g")))): _*)))
+        when(col("__nt") >= n,
+          transform(sequence(lit(1), col("__nt") - (n - 1)),
+            i => struct(lit(n).as("n"),
+              concat_ws(" ", slice(col("__tk"), i, lit(n))).as("g"))))
+          .otherwise(expr("array()").cast("array<struct<n:int,g:string>>"))): _*)))
         .as("__ng"))
       .select(col("doc_id"), col("__tc"),
         col("__ng.n").as("__n"), col("__ng.g").as("__g"))

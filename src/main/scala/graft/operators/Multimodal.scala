@@ -74,6 +74,10 @@ object Multimodal {
         (blob(1) & 0xff) == 0xd8) {
       var i = 2
       while (i + 1 < blob.length && (blob(i) & 0xff) == 0xff) {
+        // spec-legal fill: any run of 0xFF bytes may pad before a
+        // marker (ITU-T T.81 §B.1.1.2) — skip to the last 0xFF so the
+        // byte after it is the marker, not another 0xFF
+        while (i + 2 < blob.length && (blob(i + 1) & 0xff) == 0xff) i += 1
         val marker = blob(i + 1) & 0xff
         if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
           i += 2 // standalone marker, no length field

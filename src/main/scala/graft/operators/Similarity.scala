@@ -70,7 +70,11 @@ object Similarity {
     * vectors again.
     */
   def topKRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val a = approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    // distinct: the API accepts ANY ranked frame — duplicate
+    // (query_id, neighbor_id) rows on the approx side would fan out
+    // the exact rows through the left join and inflate n_exact past k
+    val a = approx.select(col("query_id"), col("neighbor_id")).distinct()
+      .withColumn("__hit", lit(1L))
     exact.select(col("query_id"), col("neighbor_id"))
       .join(a, Seq("query_id", "neighbor_id"), "left_outer")
       .groupBy("query_id")

@@ -546,8 +546,9 @@ object EvalQueries {
         |FROM documents""".stripMargin) {
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val dir = s"/tmp/graft_jsonl_${new java.io.File(d).getName}_" +
-          java.lang.ProcessHandle.current().pid()
+        // exit-cleaned, stale-swept per-JVM scratch (see Scratch)
+        val dir = graft.operators.Scratch.dir(
+          s"graft_jsonl_${new java.io.File(d).getName}")
         graft.operators.Layout.exportJsonl(docs, "doc_id", dir,
           numShards = 4, compression = Some("gzip"))
         graft.operators.Layout.readJsonl(s, dir, docs.schema)

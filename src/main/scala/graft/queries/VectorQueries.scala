@@ -237,9 +237,10 @@ object VectorQueries {
         val e = Tables.embeddings(s, d)
         val (cents, assigns) = Similarity.ivfIndex(e, "vec_id", "embedding")
         // per-JVM token: concurrent gate runs on the same dataset must
-        // not race each other's mode("overwrite") store writes
-        val dir = s"/tmp/graft_ivf_store_${new java.io.File(d).getName}_" +
-          java.lang.ProcessHandle.current().pid()
+        // not race each other's mode("overwrite") store writes; the
+        // dir is exit-cleaned and stale pid dirs swept (see Scratch)
+        val dir = graft.operators.Scratch.dir(
+          s"graft_ivf_store_${new java.io.File(d).getName}")
         cents.write.mode("overwrite").parquet(s"$dir/centroids")
         assigns.write.mode("overwrite").parquet(s"$dir/assignments")
         Similarity.ivfTopKStored(e, "vec_id", "embedding", e, "vec_id", "embedding",

@@ -743,6 +743,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r3.getAs[Long]("dup10_char_ppm") === 0L)
   }
 
+  test("gopherRepetition: docs shorter than the gram sizes report all zeros") {
+    // sequence(1, 0) is DESCENDING in Spark — an unguarded per-n gram
+    // transform slices at position 0 and throws. These docs (0-3
+    // tokens, incl. empty and whitespace-only) must both survive and
+    // match the oracle's zeros.
+    val d = docs(
+      1L -> "",
+      2L -> "   ",
+      3L -> "one",
+      4L -> "one two",
+      5L -> "one two three")
+    val got = TextFunctions.gopherRepetition(d, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    val ppmCols = Seq("dup_line_ppm", "dup_line_char_ppm", "top2_char_ppm",
+      "top3_char_ppm", "top4_char_ppm", "dup5_char_ppm", "dup10_char_ppm")
+    for (id <- Seq(1L, 2L, 3L); c <- ppmCols)
+      assert(got(id).getAs[Long](c) === 0L, s"doc $id col $c")
+    // 2 tokens: a top-2 gram exists (count 1) but nothing longer
+    assert(got(4L).getAs[Long]("top2_char_ppm") === 1000000L)
+    assert(got(4L).getAs[Long]("top3_char_ppm") === 0L)
+    assert(got(4L).getAs[Long]("top4_char_ppm") === 0L)
+    // 3 tokens: top-3 exists, top-4 does not
+    assert(got(5L).getAs[Long]("top3_char_ppm") === 1000000L)
+    assert(got(5L).getAs[Long]("top4_char_ppm") === 0L)
+  }
+
   test("decodeImageHeader: PNG IHDR fields for every color type") {
     def png(w: Int, h: Int, bitDepth: Int, colorType: Int): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(40)
@@ -790,6 +817,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     val withDht = soi ++ seg(0xc4, Array.fill(10)(2.toByte)) ++ sof(0xc1, 5, 6, 3, 8)
     assert(Multimodal.decodeImageHeader(withDht) ===
       Multimodal.ImageMeta("image/jpeg", 5, 6, 3, 8))
+    // spec-legal 0xFF fill-byte runs before a marker (T.81 §B.1.1.2):
+    // the marker is the byte after the LAST 0xFF, not the first
+    val padded = soi ++ Array.fill(4)(0xff.toByte) ++
+      seg(0xe0, Array.fill(3)(0.toByte)).drop(1) ++ // fill run ends in seg's own 0xFF
+      Array.fill(7)(0xff.toByte) ++ sof(0xc0, 99, 44, 3, 8).drop(1)
+    assert(Multimodal.decodeImageHeader(padded) ===
+      Multimodal.ImageMeta("image/jpeg", 99, 44, 3, 8))
   }
 
   test("decodeImageHeader: truncated and non-image payloads degrade to octet-stream") {
