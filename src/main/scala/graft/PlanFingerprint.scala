@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.BaseJoinExec
+
+/** Plan-fingerprint regression gate: a structural summary of every
+  * gate query's INITIAL physical plan — per-table scan counts,
+  * shuffle/broadcast exchanges, sorts, aggregates, joins — snapshotted
+  * into a committed JSON (`plan_fingerprints.json`) and asserted
+  * equal in CI (`PlanFingerprintSpec`). A rewrite that silently
+  * doubles a fact scan or adds a shuffle (the q91/q92/q98/q100
+  * scalar-subquery recomputation class, caught by hand in r6) becomes
+  * a failing test; an INTENTIONAL plan change regenerates the file
+  * explicitly with `sbt "runMain graft.PlanFingerprint"` and shows up
+  * as a reviewable diff.
+  *
+  * Fingerprints are pinned to sf0.001 with AQE disabled (the
+  * PlanLintSpec conf): node counts — not partition counts — so they
+  * are independent of master/parallelism, and deterministic for the
+  * read-only testdata.
+  */
+object PlanFingerprint {
+
+  final case class FP(scans: Map[String, Int], shuffles: Int, broadcasts: Int,
+                      sorts: Int, aggs: Int, joins: Int)
+
+  val DataDir = "/root/testdata/sf0.001"
+  val SnapshotPath = "plan_fingerprints.json"
+
+  private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+    case _ => p +: (p.children ++ p.subqueries).flatMap(walk)
+  }
+
+  /** Scan identity = root dir name, with the run-varying parts
+    * normalized away: the `.parquet` suffix and any trailing `_<n>`
+    * (per-pid Scratch dirs, per-trigger store dirs).
+    */
+  private def scanName(s: FileSourceScanExec): String =
+    s.relation.location.rootPaths.headOption.map(_.getName).getOrElse("?")
+      .replaceAll("_\\d+$", "").stripSuffix(".parquet")
+
+  def fingerprint(plan: SparkPlan): FP = {
+    val nodes = walk(plan)
+    FP(
+      nodes.collect { case s: FileSourceScanExec => scanName(s) }
+        .groupBy(identity).view.mapValues(_.size).toMap,
+      nodes.count(_.isInstanceOf[ShuffleExchangeExec]),
+      nodes.count(_.isInstanceOf[BroadcastExchangeExec]),
+      nodes.count(_.isInstanceOf[SortExec]),
+      nodes.count(_.isInstanceOf[BaseAggregateExec]),
+      nodes.count(_.isInstanceOf[BaseJoinExec]))
+  }
+
+  /** All gate fingerprints under the pinned conf. Caches are released
+    * between queries (the Verify/Bench lifecycle) so results are
+    * order-independent.
+    */
+  def computeAll(spark: SparkSession): Seq[(String, FP)] = {
+    val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.allQueries.map { q =>
+      val fp = fingerprint(q.fn(spark, DataDir).queryExecution.executedPlan)
+      graft.operators.CacheRegistry.releaseAll()
+      q.name -> fp
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
+  def toJson(all: Seq[(String, FP)]): String = {
+    def scanJson(m: Map[String, Int]): String =
+      m.toSeq.sorted.map { case (t, n) => s""""$t": $n""" }.mkString("{", ", ", "}")
+    all.sortBy(_._1).map { case (name, f) =>
+      s"""  "$name": {"scans": ${scanJson(f.scans)}, "shuffles": ${f.shuffles}, """ +
+        s""""broadcasts": ${f.broadcasts}, "sorts": ${f.sorts}, """ +
+        s""""aggs": ${f.aggs}, "joins": ${f.joins}}"""
+    }.mkString("{\n", ",\n", "\n}\n")
+  }
+
+  def parseJson(json: String): Map[String, FP] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(json) match {
+      case JObject(fields) => fields.map { case (name, v) =>
+        val o = v.asInstanceOf[JObject].obj.toMap
+        def i(k: String): Int = o(k).asInstanceOf[JInt].num.toInt
+        val scans = o("scans").asInstanceOf[JObject].obj.map {
+          case (t, JInt(n)) => t -> n.toInt
+          case (t, x) => sys.error(s"bad scan count for $t: $x")
+        }.toMap
+        name -> FP(scans, i("shuffles"), i("broadcasts"), i("sorts"),
+          i("aggs"), i("joins"))
+      }.toMap
+      case other => sys.error(s"expected top-level object, got $other")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-fingerprint")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val all = computeAll(spark)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(SnapshotPath), toJson(all))
+    println(s"wrote ${all.size} fingerprints to $SnapshotPath")
+    spark.stop()
+  }
+}
