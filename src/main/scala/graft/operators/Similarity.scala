@@ -368,6 +368,13 @@ object Similarity {
     * other's top-1 AMONG CANDIDATES, so precision stays the operator's
     * point.
     *
+    * Measured (PERF.md r8, sf0.1 fixture — a LOOSE-similarity corpus,
+    * max pairwise cosine ~0.51): pair recall vs exact MNN is 0.065 at
+    * the 2×8 defaults and 0.80 at 8×4 — on loose corpora pick
+    * rowsPerBand ~4 (per-band collision stays useful at θ ≈ 60°) and
+    * spend the plane budget on bands; the 8-row default suits tight
+    * near-dup regimes where per-plane collision is ≳ 0.9.
+    *
     * Shape: everything up to the top-1s is lshTopK's bounded-join
     * pipeline; the mutual step adds one self-join of the top-1
     * projection on the reversed pair — id-keyed, corpus-sized rows,
