@@ -299,14 +299,24 @@ object Dedup {
                                   bands: Int = 16, rows: Int = 4, n: Int = 3,
                                   minJaccardPpm: Long = 500000L,
                                   maxBucket: Int = 4096,
-                                  persistShingles: Boolean = true): DataFrame = {
-    require(existingSignatures.columns.toSet ==
-      (Set("doc_id") ++ (0 until bands).map(b => s"bk$b")),
-      s"existingSignatures must carry (doc_id, bk0..bk${bands - 1}) — " +
-        s"got ${existingSignatures.columns.mkString(", ")}")
+                                  persistShingles: Boolean = true,
+                                  incomingSignatures: Option[DataFrame] = None): DataFrame = {
+    def checkSigShape(sigs: DataFrame, which: String): Unit =
+      require(sigs.columns.toSet ==
+        (Set("doc_id") ++ (0 until bands).map(b => s"bk$b")),
+        s"$which must carry (doc_id, bk0..bk${bands - 1}) — " +
+          s"got ${sigs.columns.mkString(", ")}")
+    checkSigShape(existingSignatures, "existingSignatures")
+    incomingSignatures.foreach(checkSigShape(_, "incomingSignatures"))
     require(maxBucket >= 1, s"maxBucket must be positive, got $maxBucket")
     val docsI = shingled(incoming, idCol, text, n, persistShingles)
-    val bi = explodeBanded(persistedSignatures(xxBanded(docsI, bands, rows)), bands)
+    // incomingSignatures: a caller that ALSO needs the incoming side's
+    // signatures (the incremental-dedup trigger stores survivors')
+    // passes its [[bandedSignatures]] frame here so the min-hash
+    // aggregate over the batch runs ONCE, not once per consumer —
+    // must be built with the same (bands, rows, n) identity
+    val bi = explodeBanded(persistedSignatures(
+      incomingSignatures.getOrElse(xxBanded(docsI, bands, rows))), bands)
     val be = explodeBanded(persistedSignatures(existingSignatures), bands)
     val hot = bi.select("band", "bucket").union(be.select("band", "bucket"))
       .groupBy("band", "bucket").count()

@@ -237,6 +237,13 @@ object Similarity {
     * the assignment is one codegen'd pass and the join shuffles only
     * cell-matched pairs. Returns (query_id, neighbor_id, rank,
     * cosine_ppm); recall < 1 by design, exact within probed cells.
+    *
+    * Sizing: with nLists FIXED, per-cell candidate lists grow
+    * linearly with N and so does total scored work (measured: the r8
+    * soak's ivf_topk T-exponent is 1.0 at 3→10×) — at real corpus
+    * growth size nLists ∝ √N (nProbe fixed) so per-query scored
+    * candidates stay ~√N and total work stays sub-quadratic; the
+    * demo default 16 is gate-corpus-sized, not a production value.
     */
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
               nLists: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {

@@ -300,19 +300,28 @@ object EventStreams {
         val keepIds = hashed.groupBy("__h").agg(min(col(idCol)).as(idCol))
           .select(idCol)
         val exact = hashed.join(keepIds, Seq(idCol), "left_semi").drop("__h")
-        val survivors = readStore() match {
-          case None => exact
+        val (survivors, survivorSigs) = readStore() match {
+          case None =>
+            (exact, Dedup.bandedSignatures(exact, idCol, col(textCol), bands, rows))
           case Some((docs, sigs)) =>
             val afterExact = Dedup.incrementalExact(exact, docs, idCol, col(textCol))
+            // ONE min-hash pass over the batch: the same signature
+            // frame feeds the cross-LSH candidates (the operator
+            // persists it) and, survivor-filtered, the store write —
+            // the incoming side is never re-shingled per consumer
+            val incSigs = Dedup.bandedSignatures(
+              afterExact, idCol, col(textCol), bands, rows)
             val nearDup = Dedup.minhashLshPairsAcrossStored(
               afterExact, idCol, col(textCol), docs, sigs,
-              bands = bands, rows = rows, minJaccardPpm = minJaccardPpm)
-            afterExact.join(
+              bands = bands, rows = rows, minJaccardPpm = minJaccardPpm,
+              incomingSignatures = Some(incSigs))
+            val surv = afterExact.join(
               nearDup.select(col("inc_id").as(idCol)).distinct(),
               Seq(idCol), "left_anti")
+            (surv, incSigs.join(surv.select(col(idCol).as("doc_id")),
+              Seq("doc_id"), "left_semi"))
         }
-        writeStore(survivors,
-          Dedup.bandedSignatures(survivors, idCol, col(textCol), bands, rows))
+        writeStore(survivors, survivorSigs)
         // operator-internal shingle caches are per-trigger scratch
         graft.operators.CacheRegistry.releaseAll()
       }
