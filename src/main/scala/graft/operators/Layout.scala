@@ -33,7 +33,7 @@ object Layout {
         pmod(conv(substring(col("__h"), 1, 15), 16, 10).cast("long"),
           lit(numShards.toLong)))
     val lines = keyed
-      .withColumn("line", to_json(struct(df.columns.map(col): _*)))
+      .withColumn("line", to_json(struct(df.columns.toIndexedSeq.map(col): _*)))
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
       .select(col("line"), col("shard"))
