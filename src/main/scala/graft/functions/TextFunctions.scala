@@ -10,12 +10,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens; empty/blank text → empty array (split of "" is
-    * [""], which must not count as a token).
+  /** Whitespace tokens; blank text → empty array, and — r8 fix —
+    * leading/trailing whitespace yields NO phantom empty tokens.
+    * The old `split(trim(text))` form relied on Spark's `trim`, which
+    * strips ASCII SPACES only: a document starting or ending with a
+    * newline/tab (ubiquitous in real corpora) produced "" tokens that
+    * inflated counts and shifted positions out of alignment with the
+    * custom tokenizers (WordShingles / PositionedGramHashes, which
+    * tokenize all \s correctly). Splitting raw text and removing
+    * empties is whitespace-exact: \s+ interior runs can never produce
+    * "", so only boundary artifacts are removed. NULL text stays NULL.
     */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    array_remove(split(text, "\\s+"), "")
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 

@@ -213,7 +213,7 @@ object EvalQueries {
       """WITH tra AS (
         |  SELECT lang AS c,
         |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+        |              ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS a
         |  FROM documents WHERE doc_id % 5 != 0),
         |cw AS (SELECT c, w, count(*) AS cw
         |       FROM (SELECT c, unnest(a) AS w FROM tra) GROUP BY 1, 2),
@@ -233,7 +233,7 @@ object EvalQueries {
         |tea AS (
         |  SELECT doc_id, lang AS true_lang,
         |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+        |              ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS a
         |  FROM documents WHERE doc_id % 5 = 0),
         |tw AS (SELECT doc_id, w, count(*) AS m
         |       FROM (SELECT doc_id, unnest(a) AS w FROM tea) GROUP BY 1, 2),
@@ -307,7 +307,7 @@ object EvalQueries {
       """WITH arr AS (
         |  SELECT source,
         |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+        |              ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS a
         |  FROM documents),
         |links AS (SELECT DISTINCT source AS g, unnest(a) AS i FROM arr),
         |sizes AS (SELECT g, count(*) AS n FROM links GROUP BY 1),
@@ -628,7 +628,7 @@ object EvalQueries {
       """WITH per AS (
         |  SELECT lang,
         |         CASE WHEN length(trim(text)) = 0 THEN 0
-        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+        |              ELSE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) END AS toks,
         |         len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS subs,
         |         length(text) AS chars,
         |         octet_length(encode(text)) AS bytes
@@ -666,7 +666,7 @@ object EvalQueries {
     QueryDef.sql("q178_containment_pairs",
       """WITH toks AS (
         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |                      ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS t
         |  FROM documents),
         |shl AS (
         |  SELECT DISTINCT doc_id,
@@ -700,7 +700,7 @@ object EvalQueries {
     QueryDef.sql("q179_novelty_score",
       """WITH mk AS (
         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |                      ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS t
         |  FROM documents),
         |shl AS (
         |  SELECT DISTINCT doc_id,
@@ -933,7 +933,7 @@ object EvalQueries {
       """WITH t AS (
         |  SELECT doc_id, text,
         |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |              ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS toks
         |  FROM documents),
         |m AS (
         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
@@ -973,7 +973,7 @@ object EvalQueries {
       """WITH base AS (
         |  SELECT doc_id, coalesce(text, '') AS t,
         |         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
-        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |              ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS tk
         |  FROM documents),
         |tot AS (
         |  SELECT doc_id, t, tk, len(tk) AS nt,
@@ -1061,7 +1061,7 @@ object EvalQueries {
       """WITH s AS (
         |  SELECT source,
         |         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-        |                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |                  ELSE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) END)
         |           AS BIGINT) AS x
         |  FROM documents GROUP BY 1),
         |r AS (
@@ -1108,7 +1108,7 @@ object EvalQueries {
       """WITH p AS (
         |  SELECT doc_id, lang, source,
         |         CASE WHEN length(trim(text)) = 0 THEN 0
-        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+        |              ELSE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) END AS toks,
         |         length(text) AS chars,
         |         md5(text) AS h
         |  FROM documents),

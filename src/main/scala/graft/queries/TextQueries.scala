@@ -17,7 +17,7 @@ object TextQueries {
   private val langIdPredCtes: String =
     """toks AS (
       |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
-      |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      |                      ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS t
       |  FROM documents),
       |hits AS (
       |  SELECT doc_id, l.lang,
@@ -105,7 +105,7 @@ object TextQueries {
       .map(j => s"min(CASE WHEN s % $rows = $j THEN mv END) AS mv$j").mkString(", ")
     s"""toks AS (
        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-       |                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |                      ELSE list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') END AS t
        |  FROM $src),
        |sh AS (
        |  SELECT DISTINCT doc_id,
@@ -174,7 +174,7 @@ object TextQueries {
     // coercion difference in the gate's comparator
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-       |                             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t
+       |                             ELSE list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') END) AS t
        |  FROM documents WHERE doc_id < 200),
        |${XxHash64Sql.hashBytesCtes("toks", "t")},
        |votes AS (SELECT doc_id, $votes FROM hb GROUP BY doc_id),
@@ -211,7 +211,7 @@ object TextQueries {
     }.mkString(" UNION ALL ")
     s"""toks AS (
        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-       |                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |                      ELSE list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') END AS t
        |  FROM documents WHERE doc_id < 200),
        |sh AS (
        |  SELECT DISTINCT doc_id,
@@ -266,7 +266,7 @@ object TextQueries {
     s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
        |toks AS (
        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-       |                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |                      ELSE list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') END AS t
        |  FROM docs),
        |sh AS (
        |  SELECT DISTINCT doc_id,
@@ -312,7 +312,7 @@ object TextQueries {
         .mkString(" + ")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-       |                             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t
+       |                             ELSE list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') END) AS t
        |  FROM documents WHERE doc_id < 200),
        |bits AS (
        |  SELECT doc_id,
@@ -351,7 +351,7 @@ object TextQueries {
          |            ELSE 1.0 END)
          |      * (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
          |              / greatest(CAST(length(text) AS DOUBLE), 1.0) > 0.1 THEN 0.5 ELSE 1.0 END)
-         |      * (CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      * (CASE WHEN len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
          |                                   x -> x IN ('the','and','of','to','is'))) > 0
          |              THEN 1.0 ELSE 0.5 END)
          |      * 1000) AS BIGINT) AS quality_milli
@@ -372,7 +372,7 @@ object TextQueries {
          |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
          |btoks AS (
          |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-         |              ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+         |              ELSE list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') END AS t
          |  FROM documents WHERE doc_id % 50 = 0),
          |bsh AS (
          |  SELECT DISTINCT
@@ -401,7 +401,7 @@ object TextQueries {
     QueryDef.sql("q25_token_count",
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |       ELSE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) END AS n_tokens,
         |  length(text) AS n_chars2
         |FROM documents""".stripMargin) {
       (s, d) =>
@@ -418,7 +418,7 @@ object TextQueries {
         |          ELSE 1.0 END)
         |    * (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
         |            / greatest(CAST(length(text) AS DOUBLE), 1.0) > 0.1 THEN 0.5 ELSE 1.0 END)
-        |    * (CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    * (CASE WHEN len(list_filter(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
         |                                 x -> x IN ('the','and','of','to','is'))) > 0
         |            THEN 1.0 ELSE 0.5 END)
         |    * 1000) AS BIGINT) AS quality_milli
@@ -441,7 +441,7 @@ object TextQueries {
         |  -- [''], len 1, which would fabricate a '' shingle and spurious
         |  -- blank-doc pairs; guard on trimmed length like q25/q40)
         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |                      ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS t
         |  FROM documents WHERE doc_id < 80),
         |sh AS (
         |  -- parity with WordShingles: fewer than n tokens -> ONE shingle
@@ -510,7 +510,7 @@ object TextQueries {
     QueryDef.sql("q45_vocab_topk",
       """WITH toks AS (
         |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                             ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+        |                             ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END) AS token
         |  FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks GROUP BY token
@@ -531,7 +531,7 @@ object TextQueries {
     QueryDef.sql("q47_repetition",
       """WITH toks AS (
         |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                             ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+        |                             ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END) AS token
         |  FROM documents),
         |cnt AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2)
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
@@ -581,8 +581,8 @@ object TextQueries {
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE CAST(round(list_sum(list_transform(
-        |              regexp_split_to_array(trim(text), '\s+'), x -> length(x)))
-        |              * 1000.0 / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |              list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''), x -> length(x)))
+        |              * 1000.0 / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT)
         |  END AS mean_len_milli
         |FROM documents""".stripMargin) {
       (s, d) =>
@@ -699,7 +699,7 @@ object TextQueries {
     QueryDef.sql("q48_decontamination",
       """WITH toks AS (
         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |                      ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS t
         |  FROM documents WHERE doc_id % 50 != 0),
         |sh AS (
         |  SELECT DISTINCT doc_id,
@@ -710,7 +710,7 @@ object TextQueries {
         |  FROM toks),
         |btoks AS (
         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |                      ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS t
         |  FROM documents WHERE doc_id % 50 = 0),
         |bsh AS (
         |  SELECT DISTINCT
@@ -767,7 +767,7 @@ object TextQueries {
          |t AS (
          |  SELECT doc_id,
          |         CASE WHEN length(trim(text)) = 0 THEN 0
-         |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |              ELSE len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) END AS n_tokens,
          |         ((${u2s(h)} % 8) + 8) % 8 AS shard
          |  FROM $last)
          |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -804,7 +804,7 @@ object TextQueries {
     QueryDef.sql("q54_chunking",
       """WITH toks AS (
         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |                      ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS t
         |  FROM documents),
         |nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
         |st AS (SELECT doc_id, t, n,
@@ -944,7 +944,7 @@ object TextQueries {
       """WITH t AS (
         |  SELECT doc_id, source,
         |         CASE WHEN length(trim(text)) = 0 THEN 0
-        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |              ELSE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) END AS n_tokens,
         |         md5(CAST(doc_id AS VARCHAR)) AS h
         |  FROM documents),
         |c AS (SELECT doc_id, source, n_tokens,
@@ -992,7 +992,7 @@ object TextQueries {
         |          ELSE 1.0 END)
         |    * (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
         |            / greatest(CAST(length(text) AS DOUBLE), 1.0) > 0.1 THEN 0.5 ELSE 1.0 END)
-        |    * (CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    * (CASE WHEN len(list_filter(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
         |                                 x -> x IN ('the','and','of','to','is'))) > 0
         |            THEN 1.0 ELSE 0.5 END)
         |    * 1000) AS BIGINT) AS quality_milli
@@ -1024,14 +1024,14 @@ object TextQueries {
     QueryDef.sql("q84_mixture_report",
       """WITH t AS (SELECT doc_id, source,
         |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |         ELSE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) END AS n_tokens,
         |    CAST(round(
         |      (CASE WHEN length(text) < 50 THEN length(text) / 50.0
         |            WHEN length(text) > 2000 THEN 2000.0 / length(text)
         |            ELSE 1.0 END)
         |      * (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
         |              / greatest(CAST(length(text) AS DOUBLE), 1.0) > 0.1 THEN 0.5 ELSE 1.0 END)
-        |      * (CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      * (CASE WHEN len(list_filter(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
         |                                   x -> x IN ('the','and','of','to','is'))) > 0
         |              THEN 1.0 ELSE 0.5 END)
         |      * 1000) AS BIGINT) AS quality_milli
@@ -1117,7 +1117,7 @@ object TextQueries {
     // three SFs — the 5% gate bound is a wide margin, not a coin flip.
     QueryDef.sql("q79_hll_shingles",
       """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                  ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |                  ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS tk
         |           FROM documents),
         |sh AS (SELECT DISTINCT
         |         unnest(CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
@@ -1143,7 +1143,7 @@ object TextQueries {
     // sort; the sketch is one bounded-state partial aggregate.
     QueryDef.sql("q80_approx_median_contract",
       """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
-        |                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS v
+        |                  ELSE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) END AS v
         |           FROM documents)
         |SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS p50_ok FROM t""".stripMargin) {
       (s, d) =>
@@ -1202,7 +1202,7 @@ object TextQueries {
     QueryDef.sql("q111_bm25_topk",
       """WITH toks AS (
         |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                             ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+        |                             ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END) AS token
         |  FROM documents),
         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
         |              (SELECT count(*) FROM toks) AS sdl),
@@ -1238,7 +1238,7 @@ object TextQueries {
     QueryDef.sql("q112_dup_spans",
       """WITH arr AS (
         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+        |                      ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS a
         |  FROM documents),
         |grams AS (
         |  SELECT doc_id, i AS start_pos, array_to_string(a[i:i+7], ' ') AS gram
@@ -1331,7 +1331,7 @@ object TextQueries {
     QueryDef.sql("q126_lm_surprisal",
       """WITH arr AS (
         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+        |                      ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS a
         |  FROM documents),
         |bi AS (
         |  SELECT doc_id, unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2
@@ -1412,7 +1412,7 @@ object TextQueries {
       """WITH words AS (
         |  SELECT word, count(*) AS n FROM (
         |    SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                       ELSE regexp_split_to_array(trim(text), '\s+') END) AS word
+        |                       ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END) AS word
         |    FROM documents) GROUP BY 1),
         |sym AS (SELECT n, string_split(word, '') AS s FROM words),
         |pairs AS (
@@ -1438,7 +1438,7 @@ object TextQueries {
     QueryDef.sql("q133_rrf_fusion",
       """WITH toks AS (
         |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                             ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+        |                             ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END) AS token
         |  FROM documents),
         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
         |              (SELECT count(*) FROM toks) AS sdl),
@@ -1642,7 +1642,7 @@ object TextQueries {
     QueryDef.sql("q143_jaccard_prefix_join",
       """WITH toks AS (
         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |                      ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS t
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id,
@@ -1676,7 +1676,7 @@ object TextQueries {
     QueryDef.sql("q145_pmi_collocations",
       """WITH arr AS (
         |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+        |              ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS a
         |  FROM documents),
         |bi AS (
         |  SELECT unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2
@@ -1711,7 +1711,7 @@ object TextQueries {
     QueryDef.sql("q146_inverted_index",
       """WITH toks AS (
         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |                      ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS t
         |  FROM documents),
         |dt AS (
         |  SELECT DISTINCT doc_id,
@@ -1763,7 +1763,7 @@ object TextQueries {
     QueryDef.sql("q153_feature_hash",
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-         |                             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t
+         |                             ELSE list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') END) AS t
          |  FROM documents WHERE doc_id < 200),
          |${XxHash64Sql.hashBytesCtes("toks", "t")},
          |bk AS (SELECT doc_id, CAST(xxh % 64 AS BIGINT) AS b, count(*) AS c
@@ -1786,7 +1786,7 @@ object TextQueries {
     QueryDef.sql("q154_remove_dup_spans",
       """WITH arr AS (
         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |                      ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+        |                      ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS a
         |  FROM documents WHERE text IS NOT NULL),
         |grams AS (
         |  SELECT doc_id, i AS start_pos, array_to_string(a[i:i+7], ' ') AS gram
@@ -1930,7 +1930,7 @@ object TextQueries {
       }.mkString(" UNION ALL ")
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-         |                             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t
+         |                             ELSE list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') END) AS t
          |  FROM documents WHERE doc_id < 200),
          |${hashBytesCtes("toks", "t")},
          |votes AS (SELECT doc_id, $votes FROM hb GROUP BY doc_id),
