@@ -78,6 +78,39 @@ object VectorQueries {
       |         * sqrt(list_sum(list_transform(b.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
       |      * 1000000.0) AS BIGINT)""".stripMargin
 
+  /** CTEs reproducing plans.RandomProjection exactly in oracle SQL:
+    * `pcomps` = seeded splitmix64-derived direction components (the
+    * LshSignature family on the `(seed+1)·GOLDEN` increment channel),
+    * `pplanes` = per-output-dim component lists (128 components — an
+    * upper bound on input dim; the dot only reads pc[1..len(vec)]),
+    * `pproj` = one (vec_id, dim, v) row per projected component, with
+    * the same sequential double accumulation as the codegen'd loop so
+    * the doubles are bit-identical.
+    */
+  private def projCtes(outDims: Int, seed: Long): String = {
+    val inc = java.lang.Long.toUnsignedString((seed + 1L) * 0x9E3779B97F4A7C15L)
+    s"""pc1 AS (
+       |  SELECT p, i,
+       |    ((CAST(p AS HUGEINT) * 4294967296 + i) + $inc) % 18446744073709551616 AS z1
+       |  FROM generate_series(0, ${outDims - 1}) g1(p),
+       |       generate_series(0, 127) g2(i)),
+       |pc2 AS (SELECT p, i, ${m64mul("xor(z1, z1 >> 30)", "13787848793156543929")} AS z2 FROM pc1),
+       |pc3 AS (SELECT p, i, ${m64mul("xor(z2, z2 >> 27)", "10723151780598845931")} AS z3 FROM pc2),
+       |pc4 AS (SELECT p, i, xor(z3, z3 >> 31) AS z4 FROM pc3),
+       |pcomps AS (
+       |  SELECT p, i,
+       |    CAST(CASE WHEN z4 >= 9223372036854775808 THEN z4 - 18446744073709551616 ELSE z4 END
+       |         AS BIGINT) % 1000001 AS comp
+       |  FROM pc4),
+       |pplanes AS (SELECT p, list(comp ORDER BY i) AS pc FROM pcomps GROUP BY p),
+       |pproj AS (
+       |  SELECT e.vec_id, pl.p AS dim,
+       |         coalesce(list_sum(list_transform(
+       |           generate_series(1, len(e.embedding)),
+       |           j -> CAST(pl.pc[j] AS DOUBLE) * CAST(e.embedding[j] AS DOUBLE))), 0.0) AS v
+       |  FROM embeddings e, pplanes pl)""".stripMargin
+  }
+
   /** Oracle for q38 AND q186: the IVF pipeline (md5-seeded centroids,
     * broadcast assignment, nProbe=4 probes, exact re-rank, k=3). One
     * string for both gates so the stored-index path can never drift
@@ -780,6 +813,75 @@ object VectorQueries {
           .select(col("vec_id"), col("weight_micro"))
         graft.operators.Sampling.weightedByHash(w, "vec_id",
           col("weight_micro"), expectedK = 100)
+      }
+    },
+
+    // JOHNSON–LINDENSTRAUSS RANDOM PROJECTION (64 → 16 dims): the
+    // cheap dimensionality cut in front of ANN — 4× fewer bytes and
+    // FLOPs per downstream distance evaluation, no stored matrix
+    // (directions are splitmix64-derived on seed channel 1, a few ALU
+    // ops per component inside one codegen'd loop). The oracle rebuilds
+    // the seeded component family with 128-bit-safe mod-2^64 arithmetic
+    // and the same sequential double accumulation, then both engines
+    // round the bit-identical doubles — the q36 exactness discipline.
+    QueryDef.sql("q207_random_projection",
+      s"""WITH ${projCtes(16, 1L)}
+         |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+         |       CAST(round(v) AS BIGINT) AS proj_r
+         |FROM pproj""".stripMargin) {
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            posexplode(Similarity.randomProject(col("embedding"), 16, seed = 1L)))
+          .select(col("vec_id"), col("pos").cast("long").as("dim"),
+            round(col("col")).cast("long").as("proj_r"))
+    },
+
+    // PROJECTED-SPACE RECALL: exact top-3 in the 16-dim JL-projected
+    // space vs exact top-3 in the full 64-dim space for a 50-query
+    // batch — the acceptance measurement for using the projection as
+    // an ANN pre-step (what does the 4× compute cut cost in recall?).
+    // The projected frame is cached (it feeds both sides of the ranked
+    // self-join); the brute-force rankers are the declared baselines
+    // (q35's contract) over a bounded query slice. Oracle replays the
+    // projection, the float cast, both rankers, and the recall join.
+    QueryDef.sql("q208_projected_recall",
+      s"""WITH ${projCtes(16, 1L)},
+         |pvec AS (SELECT vec_id, list(CAST(v AS FLOAT) ORDER BY dim) AS vec
+         |         FROM pproj GROUP BY vec_id),
+         |ap AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |                            ORDER BY $cosPpm DESC, b.vec_id) AS rank
+         |  FROM (SELECT vec_id, vec FROM pvec WHERE vec_id < 50) a
+         |  JOIN pvec b ON a.vec_id <> b.vec_id),
+         |ex AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |                            ORDER BY $cosPpm DESC, b.vec_id) AS rank
+         |  FROM (SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id < 50) a
+         |  JOIN (SELECT vec_id, embedding AS vec FROM embeddings) b
+         |    ON a.vec_id <> b.vec_id)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |       CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_hits,
+         |       CAST((1000000 * sum(CASE WHEN l.neighbor_id IS NOT NULL
+         |                                THEN 1 ELSE 0 END)) // count(*)
+         |            AS BIGINT) AS recall_ppm
+         |FROM (SELECT query_id, neighbor_id FROM ex WHERE rank <= 3) e
+         |LEFT JOIN (SELECT query_id, neighbor_id FROM ap WHERE rank <= 3) l
+         |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+         |GROUP BY 1""".stripMargin) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val proj = graft.operators.CacheRegistry.register(e.select(col("vec_id"),
+          transform(Similarity.randomProject(col("embedding"), 16, seed = 1L),
+            _.cast("float")).as("pemb")))
+        Similarity.topKRecall(
+          Similarity.bruteForceTopK(proj, "vec_id", "pemb",
+            proj.filter(col("vec_id") < 50), "vec_id", "pemb", k = 3),
+          Similarity.bruteForceTopK(e, "vec_id", "embedding",
+            e.filter(col("vec_id") < 50), "vec_id", "embedding", k = 3))
       }
     }
   )

@@ -661,6 +661,78 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("sig")).distinct.length > 1)
   }
 
+  test("RandomProjection codegen matches a Scala reference; seeds decorrelate") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    val rows = e.select(col("vec_id"), col("embedding"),
+        Similarity.randomProject(col("embedding"), 16, seed = 1L).as("proj"),
+        Similarity.randomProject(col("embedding"), 16, seed = 2L).as("proj2"))
+      .collect()
+    assert(rows.nonEmpty)
+    val inc1 = 2L * 0x9E3779B97F4A7C15L
+    rows.foreach { r =>
+      val vec = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val proj = r.getAs[scala.collection.Seq[Double]]("proj")
+      assert(proj.length === 16)
+      (0 until 16).foreach { p =>
+        var s = 0.0
+        vec.indices.foreach(i =>
+          s += graft.plans.RandomProjection.component(inc1, p, i) * vec(i).toDouble)
+        assert(proj(p) === s, s"vec ${r.getLong(0)} dim $p")
+      }
+      // a different seed must give a different projection (decorrelated
+      // direction family, not a shifted copy)
+      assert(proj !== r.getAs[scala.collection.Seq[Double]]("proj2"))
+    }
+  }
+
+  test("RandomProjection seed 0 projects onto the LSH hyperplanes (sign == signature bit)") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    val rows = e.select(
+        Similarity.randomProject(col("embedding"), 16, seed = 0L).as("proj"),
+        graft.plans.LshSignature.lsh_signature(col("embedding"), 16).as("sig"))
+      .collect()
+    rows.foreach { r =>
+      val proj = r.getAs[scala.collection.Seq[Double]]("proj")
+      val sig = r.getAs[Long]("sig")
+      (0 until 16).foreach { p =>
+        assert((proj(p) >= 0.0) === (((sig >> p) & 1L) == 1L), s"dim $p")
+      }
+    }
+  }
+
+  test("RandomProjection norm concentration tightens with outDims (JL property)") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // per-row ratio ||proj v||² / ||v||² — a fixed projection scales
+    // norms by a concentrated factor; the spread (max/min over rows)
+    // must SHRINK as outDims grows (JL distortion ~ 1/sqrt(d))
+    def spread(outDims: Int): Double = {
+      val ratios = e.select(col("embedding"),
+          Similarity.randomProject(col("embedding"), outDims, seed = 1L).as("p"))
+        .collect().map { r =>
+          val v = r.getAs[scala.collection.Seq[Float]](0)
+          val p = r.getAs[scala.collection.Seq[Double]](1)
+          p.map(x => x * x).sum / v.map(x => x.toDouble * x).sum
+        }
+      ratios.max / ratios.min
+    }
+    val s8 = spread(8)
+    val s64 = spread(64)
+    assert(s64 < s8, s"concentration did not tighten: spread(64)=$s64 >= spread(8)=$s8")
+    assert(s64 < 4.0, s"64-dim projection norm spread too wide: $s64")
+  }
+
+  test("RandomProjection edge cases: empty vector projects to zeros, null to null") {
+    import spark.implicits._
+    val df = Seq((1L, Some(Seq.empty[Float])), (2L, None))
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+    val out = df.select(col("id"),
+        Similarity.randomProject(col("v"), 4, seed = 1L).as("p"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).get.asInstanceOf[scala.collection.Seq[Double]] === Seq(0.0, 0.0, 0.0, 0.0))
+    assert(out(2L).isEmpty)
+  }
+
   test("q42 plan has no Expand; q38 plan has no unpartitioned window") {
     val d = "/root/testdata/sf0.001"
     val q42 = graft.SparkEntry.queries("q42_percentiles_distinct")(spark, d)

@@ -31,7 +31,8 @@ class PlanLintSpec extends AnyFunSuite {
     * evaluates ANN recall AGAINST the exact baseline, so it inherently
     * runs one).
     */
-  private val cartesianAllowed = Set("q35_cosine_topk", "q200_ann_recall")
+  private val cartesianAllowed = Set("q35_cosine_topk", "q200_ann_recall",
+    "q208_projected_recall")
 
   /** Declared brute-force rankers and bounded-frame self-joins:
     * bruteForceTopK is the exact quadratic baseline (q35's contract) —
@@ -47,7 +48,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q35_cosine_topk", "q160_mutual_nn", "q164_ranking_metrics",
     "q133_rrf_fusion", "q136_hard_negatives", "q139_pq_ann",
     "q142_contrastive_triplets", "q180_matryoshka_eval",
-    "q198_source_gini", "q200_ann_recall")
+    "q198_source_gini", "q200_ann_recall", "q208_projected_recall")
 
   /** A broadcast nested-loop join is the same O(n·m) compute as a
     * cartesian — at sf0.1 one side may squeak under the broadcast
