@@ -252,4 +252,95 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= maxPerCluster)
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed-token features are
+    * under a TARGET corpus's distribution than under the raw corpus's
+    * own — log w(x) = Σ_b c_b(x)·(log p_t(b) − log p_r(b)), the
+    * bucket-level log-likelihood ratio DSIR resamples by. Buckets are
+    * [[Tokenization.featureHash]]'s hashing trick — xxhash64(token)
+    * mod `dims`, power of two so the signed pmod equals the unsigned
+    * residue on any engine — and both distributions are add-one
+    * smoothed over the `dims` buckets.
+    *
+    * EXACT integer arithmetic end to end ([[LanguageModel]]'s
+    * portability discipline, at likelihood-RATIO precision): the
+    * whole-bit floor-log2 that serves surprisal ranking is too coarse
+    * here — λ lives in fractions of a bit (shared vocabulary puts
+    * most buckets within ±1 bit of parity, and a ±1-bit floor grain
+    * collapses the score to a constant at realistic `dims`; measured
+    * on the fixture). Each log term is instead
+    * [[graft.functions.IntMath]]'s fixed-point log2 — a deterministic
+    * integer squaring recurrence to 2^-10-bit grain whose step list
+    * is SHARED with the oracle SQL, so λ_b = log2q(p_t(b)) −
+    * log2q(p_r(b)) is bit-identical on any partitioning or engine.
+    * The score ranks and filters; it is not a calibrated likelihood.
+    *
+    * Scale shape: ONE explode of the raw corpus into a map-side-
+    * combinable (doc, bucket) count, persisted under [[CacheRegistry]]
+    * when `persistFeatures` (it feeds the raw bucket census AND the
+    * score join — without it the corpus tokenizes twice); the target —
+    * typically a small quality corpus — explodes separately; the λ
+    * table is ≤ `dims` rows and broadcasts; the final aggregate is
+    * doc-keyed. No vocabulary table anywhere (the hashing trick's
+    * point). Totals reach the λ table as 1-row broadcasts.
+    *
+    * Returns (doc_id, n_tokens, logw_1024ths, avg_millibits) —
+    * logw_1024ths is Σ c_b·λ_b in 2^-10 bits, avg_millibits =
+    * (1000·logw_1024ths) div (1024·n_tokens) the length-normalized
+    * selection score in millibits/token; `div` truncates toward zero
+    * in Spark and DuckDB alike, so negative weights stay portable.
+    * Docs with no tokens produce no row (no evidence — route them
+    * through a length filter, the [[LanguageModel.bigramSurprisal]]
+    * contract). Counts must stay below 2^61 ([[IntMath]]'s input
+    * bound — ~2.3e18 tokens, past any corpus). Select with
+    * orderBy(desc).limit(k) (greedy top-k) or shift weights positive
+    * into [[weightedByHash]] for sampled selection.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  text: Column, dims: Int = 1024,
+                  persistFeatures: Boolean = true): DataFrame = {
+    require(dims >= 2 && (dims & (dims - 1)) == 0,
+      s"dims must be a power of two, got $dims")
+    def bucket(t: Column): Column = pmod(xxhash64(t), lit(dims.toLong))
+    val docBRaw = raw
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(text)).as("__t"))
+      .select(col("doc_id"), bucket(col("__t")).as("__b"))
+      .groupBy("doc_id", "__b").agg(count(lit(1)).as("__c"))
+    val docB =
+      if (persistFeatures)
+        CacheRegistry.register(docBRaw
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else docBRaw
+    val rawB = docB.groupBy("__b").agg(sum("__c").as("__cr"))
+    val tgtB = target
+      .select(explode(graft.functions.TextFunctions.tokens(text)).as("__t"))
+      .select(bucket(col("__t")).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val nr = rawB.agg(sum("__cr").as("__nr"))
+    val nt = tgtB.agg(coalesce(sum("__ct"), lit(0L)).as("__nt"))
+    // target-only buckets can never join a raw doc's features, so the
+    // λ table only needs rawB's buckets (left join, absent target → 0)
+    val lamBase = rawB
+      .join(tgtB, Seq("__b"), "left_outer")
+      .na.fill(0L, Seq("__ct"))
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .withColumn("__at", col("__ct") + 1)
+      .withColumn("__bt", col("__nt") + dims)
+      .withColumn("__ar", col("__cr") + 1)
+      .withColumn("__br", col("__nr") + dims)
+    val lam = graft.functions.IntMath.fracLog2Col(
+        graft.functions.IntMath.fracLog2Col(lamBase, "__at", "__bt", "__lt"),
+        "__ar", "__br", "__lr")
+      .withColumn("__lam", col("__lt") - col("__lr"))
+      .select("__b", "__lam")
+    docB.join(broadcast(lam), Seq("__b"))
+      .groupBy("doc_id")
+      .agg(sum("__c").cast("long").as("n_tokens"),
+        sum(col("__c") * col("__lam")).cast("long").as("logw_1024ths"))
+      .withColumn("avg_millibits",
+        expr("(1000 * logw_1024ths) div (1024 * n_tokens)"))
+  }
 }

@@ -1961,6 +1961,60 @@ object TextQueries {
         Dedup.simhashNearDupPairs(
           Tables.documents(s, d).filter(col("doc_id") < 200),
           "doc_id", col("text"), maxHamming = 3, maxDocsPerBlock = 100)
+    },
+
+    // DSIR IMPORTANCE WEIGHTS (Xie et al. 2023): score every document
+    // by the hashed-token log-likelihood ratio between a TARGET
+    // distribution (here the lang='en' slice) and the raw corpus —
+    // the data-selection step between heuristic filters and training.
+    // EXACT integer end to end: buckets are xxhash64(token) mod 1024
+    // (the q153 hashing trick, oracle-replayed bit-exact via
+    // XxHash64Sql), both distributions add-one smoothed, each log
+    // term IntMath's fixed-point log2 (2^-10-bit grain — the SAME
+    // generated step list runs here as a lateral-alias CTE chain and
+    // in the Spark plan, so the recurrences cannot drift), and the
+    // per-doc sum/normalization pure integer arithmetic — both
+    // engines agree bit-for-bit, negative weights included (div and
+    // // both truncate toward zero). Scale: one explode of raw
+    // (persisted — census + score join), λ table is ≤1024 rows
+    // broadcast, totals are 1-row broadcasts, final agg doc-keyed.
+    QueryDef.sql("q209_dsir_weights", {
+      import XxHash64Sql._
+      val (tSteps, tOut) = graft.functions.IntMath.duckSteps("at", "bt", "lt_")
+      val (rSteps, rOut) = graft.functions.IntMath.duckSteps("ar", "br", "lr_")
+      val (lamCtes, lamLast) = chainCtes("lam0", tSteps ++ rSteps, "lamc", per = 8)
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |                             ELSE list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') END) AS t
+         |  FROM documents),
+         |${hashBytesCtes("toks", "t")},
+         |db AS (SELECT doc_id, CAST(xxh % 1024 AS BIGINT) AS b,
+         |              CAST(count(*) AS BIGINT) AS c
+         |       FROM hb GROUP BY 1, 2),
+         |rb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM db GROUP BY 1),
+         |tb AS (SELECT CAST(xxh % 1024 AS BIGINT) AS b,
+         |              CAST(count(*) AS BIGINT) AS ct
+         |       FROM hb WHERE lang = 'en' GROUP BY 1),
+         |nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM rb),
+         |nt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM tb),
+         |lam0 AS (
+         |  SELECT rb.b, coalesce(tb.ct, 0) + 1 AS at, nt.nt + 1024 AS bt,
+         |         rb.cr + 1 AS ar, nr.nr + 1024 AS br
+         |  FROM rb LEFT JOIN tb USING (b) CROSS JOIN nr CROSS JOIN nt),
+         |$lamCtes,
+         |lam AS (SELECT b, $tOut - $rOut AS lam FROM $lamLast)
+         |SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_tokens,
+         |       CAST(sum(db.c * lam.lam) AS BIGINT) AS logw_1024ths,
+         |       CAST((1000 * sum(db.c * lam.lam)) // (1024 * sum(db.c)) AS BIGINT)
+         |         AS avg_millibits
+         |FROM db JOIN lam USING (b)
+         |GROUP BY 1""".stripMargin
+    }) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Sampling.dsirWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", col("text"), dims = 1024)
+      }
     }
   )
 }

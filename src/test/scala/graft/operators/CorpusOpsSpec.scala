@@ -1387,4 +1387,51 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(out(i.toLong) === want, s"for $raw")
     }
   }
+
+  test("IntMath.fracLog2Col matches the Scala reference and true log2") {
+    import spark.implicits._
+    import graft.functions.IntMath
+    val rnd = new scala.util.Random(7)
+    val bound = 1L << 61
+    val pairs = Seq(
+      (1L, 1L), (1L, bound - 1), (bound - 1, 1L), (3L, 7L), (7L, 3L),
+      (1L << 31, (1L << 31) - 1), (1000000L, 999999L)) ++
+      Seq.fill(300)((math.abs(rnd.nextLong()) % (bound - 1) + 1,
+        math.abs(rnd.nextLong()) % (bound - 1) + 1))
+    val df = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+    val got = IntMath.fracLog2Col(df, "a", "b", "l")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("l")).toMap
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      val ref = IntMath.fracLog2Ref(a, b)
+      assert(got(i.toLong) === ref, s"($a, $b)")
+      // the recurrence tracks true log2 to the fixed-point grain
+      assert(math.abs(ref / 1024.0 - math.log(a.toDouble / b) / math.log(2))
+        < 0.002, s"($a, $b) drifted from log2")
+    }
+  }
+
+  test("dsirWeights: target-language docs rank first; no row without tokens") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val w = Sampling.dsirWeights(docs, docs.filter(col("lang") === "en"),
+      "doc_id", col("text"))
+    val rows = w.join(docs.select("doc_id", "lang"), "doc_id").collect()
+    graft.operators.CacheRegistry.releaseAll()
+    assert(rows.length === 500) // every fixture doc has tokens
+    val top = rows.sortBy(r => (-r.getAs[Long]("avg_millibits"),
+      r.getAs[Long]("doc_id"))).take(100)
+    val enTop = top.count(_.getAs[String]("lang") == "en")
+    // base rate is 193/500 — selection must clearly enrich the target
+    assert(enTop > 45, s"top-100 only $enTop en docs")
+    def mean(f: Array[org.apache.spark.sql.Row]): Double =
+      f.map(_.getAs[Long]("avg_millibits").toDouble).sum / f.length
+    val (en, rest) = rows.partition(_.getAs[String]("lang") == "en")
+    assert(mean(en) > mean(rest), "en mean weight must exceed the rest")
+    // a doc with no tokens contributes no evidence and no row
+    val toy = Seq((1L, "alpha beta"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    val toyW = Sampling.dsirWeights(toy, toy.filter(col("doc_id") === 1L),
+      "doc_id", col("text"), dims = 4, persistFeatures = false)
+    assert(toyW.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+  }
 }
