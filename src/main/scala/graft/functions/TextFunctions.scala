@@ -231,6 +231,49 @@ object TextFunctions {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** C4 page-cleaning battery (Raffel et al. 2020, the filter set that
+    * built the C4 corpus — the other canonical named rule bundle next
+    * to [[gopherRules]]). Line rule: a line is KEPT iff its trimmed
+    * form ends in a terminal mark (. ! ? ") AND has ≥ 5 whitespace
+    * words AND does not mention "javascript" (case-insensitive —
+    * the paper drops any line with the word Javascript). Page rules
+    * over the kept text: ≥ 3 sentence-final marks (the paper's
+    * ≥ 3 sentences, counted as .!? occurrences — portable exactly as
+    * a length difference under translate), no "lorem ipsum", no curly
+    * brace anywhere on the page.
+    *
+    * Returns a struct (n_lines, n_kept_lines, n_sentences, has_lorem,
+    * has_curly, passes, kept_text) — kept_text is the cleaned page
+    * (kept lines rejoined with \n), the battery's real product.
+    * Every field derives from split/trim/translate/contains — one
+    * codegen'd expression chain, no UDF, engine-replicable (lines
+    * split on \n exactly; \r survives trim in every engine alike).
+    * Counts are exact integers so the bundle hash-verifies
+    * cross-engine; `passes` is the page conjunction.
+    */
+  def c4Rules(text: Column): Column = {
+    val lines = split(text, "\n", -1)
+    val keptArr = filter(lines, l => {
+      val t = trim(l)
+      right(t, lit(1)).isin(".", "!", "?", "\"") &&
+        size(filter(split(t, "\\s+"), w => w =!= "")) >= 5 &&
+        !lower(l).contains("javascript")
+    })
+    val keptText = array_join(keptArr, "\n")
+    val nSent = (length(keptText) -
+      length(translate(keptText, ".!?", ""))).cast("long")
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasCurly = text.contains("{")
+    struct(
+      size(lines).cast("long").as("n_lines"),
+      size(keptArr).cast("long").as("n_kept_lines"),
+      nSent.as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasCurly.as("has_curly"),
+      (nSent >= 3 && !hasLorem && !hasCurly).as("passes"),
+      keptText.as("kept_text"))
+  }
+
   /** Canonicalize a URL for crawl-level dedup and domain analytics:
     * lowercase scheme and host, strip the scheme's default port
     * (:80 http / :443 https), drop the fragment, drop tracking

@@ -2015,6 +2015,71 @@ object TextQueries {
         Sampling.dsirWeights(docs, docs.filter(col("lang") === "en"),
           "doc_id", col("text"), dims = 1024)
       }
+    },
+
+    // C4 PAGE-CLEANING BATTERY (Raffel et al. 2020): the named line/
+    // page filter set next to Gopher's (q197/q201). The fixture corpus
+    // is single-line and unpunctuated, so the gate first BUILDS
+    // structured pages deterministically from the data (the q199
+    // packImageBlobs precedent): every ' line ' token becomes a
+    // sentence break, and doc_id residues append a javascript line
+    // (line rule), a curly-brace line (page rule), and a lorem-ipsum
+    // line (page rule) — both engines replay the construction
+    // (replace/concat are left-to-right and literal in each), then the
+    // whole battery: counts, flags, conjunction, and the cleaned page
+    // itself md5-compared.
+    QueryDef.sql("q210_c4_rules",
+      s"""WITH pg AS (
+         |  SELECT doc_id,
+         |    replace(text, ' line ', '.' || chr(10)) AS p0,
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN p0 || chr(10) || 'javascript is required to view this page here.'
+         |         ELSE p0 END AS p1,
+         |    CASE WHEN doc_id % 11 = 0
+         |         THEN p1 || chr(10) || 'if (x) { return y; }'
+         |         ELSE p1 END AS p2,
+         |    CASE WHEN doc_id % 13 = 0
+         |         THEN p2 || chr(10) || 'lorem ipsum dolor sit amet consectetur.'
+         |         ELSE p2 END AS page
+         |  FROM documents),
+         |l AS (SELECT doc_id, page, string_split(page, chr(10)) AS ls FROM pg),
+         |k AS (SELECT doc_id, page, ls,
+         |        list_filter(ls, x -> right(trim(x), 1) IN ('.', '!', '?', '"')
+         |          AND len(list_filter(regexp_split_to_array(trim(x), '\\s+'), w -> w <> '')) >= 5
+         |          AND NOT contains(lower(x), 'javascript')) AS kl
+         |      FROM l),
+         |j AS (SELECT doc_id, page, len(ls) AS n_lines, len(kl) AS n_kept_lines,
+         |        -- DuckDB's array_to_string of an EMPTY list is NULL;
+         |        -- Spark's array_join gives '' — align on ''
+         |        coalesce(array_to_string(kl, chr(10)), '') AS kt FROM k)
+         |SELECT doc_id,
+         |  CAST(n_lines AS BIGINT) AS n_lines,
+         |  CAST(n_kept_lines AS BIGINT) AS n_kept_lines,
+         |  CAST(length(kt) - length(translate(kt, '.!?', '')) AS BIGINT) AS n_sentences,
+         |  contains(lower(page), 'lorem ipsum') AS has_lorem,
+         |  contains(page, '{') AS has_curly,
+         |  (length(kt) - length(translate(kt, '.!?', '')) >= 3
+         |   AND NOT contains(lower(page), 'lorem ipsum')
+         |   AND NOT contains(page, '{')) AS passes,
+         |  md5(kt) AS kept_md5
+         |FROM j""".stripMargin) {
+      (s, d) => {
+        val page0 = replace(col("text"), lit(" line "), lit(".\n"))
+        val page1 = when(col("doc_id") % 7 === 0,
+          concat(page0, lit("\njavascript is required to view this page here.")))
+          .otherwise(page0)
+        val page2 = when(col("doc_id") % 11 === 0,
+          concat(page1, lit("\nif (x) { return y; }"))).otherwise(page1)
+        val page3 = when(col("doc_id") % 13 === 0,
+          concat(page2, lit("\nlorem ipsum dolor sit amet consectetur.")))
+          .otherwise(page2)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.c4Rules(page3).as("c4"))
+          .select(col("doc_id"), col("c4.n_lines"), col("c4.n_kept_lines"),
+            col("c4.n_sentences"), col("c4.has_lorem"), col("c4.has_curly"),
+            col("c4.passes"), md5(col("c4.kept_text")).as("kept_md5"))
+      }
     }
   )
 }

@@ -1388,6 +1388,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("c4Rules: line rules, page rules, and cleaned text on hand-built pages") {
+    import spark.implicits._
+    val goodPage = Seq(
+      "Good line with five words here.",          // kept
+      "short line.",                              // < 5 words
+      "no terminal punctuation five words here",  // no terminal mark
+      "This javascript line has six words.",      // javascript rule
+      "Another good line with question mark?",    // kept
+      "Quoted line with enough words here.\"").mkString("\n") // kept (end quote)
+    val twoSent = "One fine sentence of five words.\nA second sentence of five words."
+    val curly = goodPage + "\nif (x) { braces } appear."
+    val lorem = goodPage + "\nLorem Ipsum dolor sit amet filler."
+    val df = Seq((1L, goodPage), (2L, twoSent), (3L, curly), (4L, lorem), (5L, ""))
+      .toDF("id", "page")
+      .select(col("id"), TextFunctions.c4Rules(col("page")).as("c4"))
+      .select(col("id"), col("c4.*"))
+    val rows = df.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val g = rows(1L)
+    assert(g.getAs[Long]("n_lines") === 6)
+    assert(g.getAs[Long]("n_kept_lines") === 3)
+    assert(g.getAs[Long]("n_sentences") === 3)
+    assert(g.getAs[Boolean]("passes"))
+    assert(g.getAs[String]("kept_text") ===
+      "Good line with five words here.\nAnother good line with question mark?\nQuoted line with enough words here.\"")
+    assert(!rows(2L).getAs[Boolean]("passes")) // only 2 sentences
+    assert(rows(2L).getAs[Long]("n_kept_lines") === 2)
+    assert(rows(3L).getAs[Boolean]("has_curly") && !rows(3L).getAs[Boolean]("passes"))
+    assert(rows(4L).getAs[Boolean]("has_lorem") && !rows(4L).getAs[Boolean]("passes"))
+    val e = rows(5L)
+    assert(e.getAs[Long]("n_lines") === 1 && e.getAs[Long]("n_kept_lines") === 0
+      && e.getAs[String]("kept_text") === "" && !e.getAs[Boolean]("passes"))
+  }
+
   test("IntMath.fracLog2Col matches the Scala reference and true log2") {
     import spark.implicits._
     import graft.functions.IntMath
