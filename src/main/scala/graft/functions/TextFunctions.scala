@@ -20,6 +20,13 @@ object TextFunctions {
     * tokenize all \s correctly). Splitting raw text and removing
     * empties is whitespace-exact: \s+ interior runs can never produce
     * "", so only boundary artifacts are removed. NULL text stays NULL.
+    *
+    * Cross-engine edge (documented divergence): Java's \s is
+    * [ \t\n\x0B\f\r] while the RE2-class '\s+' the DuckDB oracles use
+    * EXCLUDES vertical tab \x0B — a document containing \x0B would
+    * tokenize differently across engines. The gate corpus contains
+    * none (every oracle row hash-matches); treat \x0B as a token
+    * separator per THIS (Java) contract when porting oracles.
     */
   def tokens(text: Column): Column =
     array_remove(split(text, "\\s+"), "")
