@@ -56,18 +56,32 @@ object PlanFingerprint {
       nodes.count(_.isInstanceOf[BaseJoinExec]))
   }
 
-  /** All gate fingerprints under the pinned conf. Caches are released
-    * between queries (the Verify/Bench lifecycle) so results are
+  /** All gate fingerprints under the pinned conf — each query's
+    * returned-frame plan, PLUS one `<name>#trigger` entry per
+    * streaming gate holding the representative TRIGGER-INTERNAL plan
+    * (the foreachBatch closure's last merge/score/dedup frame, or the
+    * last IncrementalExecution of an engine-managed transcript),
+    * captured through [[TriggerPlanProbe]] while the gate runs. This
+    * closes the r8 boundary where a silent extra scan INSIDE a
+    * trigger was invisible to the gate. Caches are released between
+    * queries (the Verify/Bench lifecycle) so results are
     * order-independent.
     */
   def computeAll(spark: SparkSession): Seq[(String, FP)] = {
     val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try SparkEntry.allQueries.map { q =>
+    TriggerPlanProbe.enabled = true
+    TriggerPlanProbe.drain(): Unit // discard any stale pre-run capture
+    try SparkEntry.allQueries.flatMap { q =>
       val fp = fingerprint(q.fn(spark, DataDir).queryExecution.executedPlan)
+      val triggers = TriggerPlanProbe.drain().toSeq.sortBy(_._1)
+        .map { case (gate, plan) => s"$gate#trigger" -> fingerprint(plan) }
       graft.operators.CacheRegistry.releaseAll()
-      q.name -> fp
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+      (q.name -> fp) +: triggers
+    } finally {
+      TriggerPlanProbe.enabled = false
+      spark.conf.set("spark.sql.adaptive.enabled", prior)
+    }
   }
 
   def toJson(all: Seq[(String, FP)]): String = {

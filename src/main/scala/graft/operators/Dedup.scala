@@ -1059,6 +1059,94 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Cross-document exact substring MATCHING (the pairwise form of
+    * Lee et al. exact-substring dedup): every maximal token span of
+    * at least `minTokens` tokens shared verbatim by a PAIR of
+    * documents, reported as (id_a, id_b, pos_a, pos_b, span_tokens)
+    * with 1-based start positions and id_a < id_b. Where
+    * [[duplicateSpans]] answers "which of MY intervals are duplicated
+    * somewhere", this answers "who shares what with whom" — the
+    * artifact attribution, licence-block provenance, and
+    * contamination-tracing pipelines need. Spans are maximal exact
+    * matches per alignment diagonal (the MEM semantics of suffix
+    * structures): a pair sharing two separated paragraphs yields two
+    * rows; periodic text yields one row per distinct self-alignment.
+    *
+    * Suffix arrays — the paper's tool — need a corpus-global suffix
+    * sort; the distributed shape here is anchor-and-extend, all stages
+    * keyed by doc or gram hash:
+    *
+    *  1. ONE positioned-k-gram-hash pass per doc
+    *     ([[graft.plans.PositionedGramHashes]] — 8-byte shuffle keys,
+    *     no gram text ever moves), persisted under [[CacheRegistry]]
+    *     (it feeds the census, the seed join, and both sides of the
+    *     pair-gram join);
+    *  2. SEED census: gram hashes occurring 2..`maxSeedOccurrences`
+    *     times corpus-wide (map-side-combinable count). The upper cap
+    *     is the scale guard that keeps the anchor self-join out of the
+    *     stopword-gram cross product — a span ALL of whose k-grams are
+    *     more frequent than the cap anchors no pair and is skipped;
+    *     any rarer-than-cap gram inside a span recovers the whole
+    *     span, because extension (step 4) runs over the pair's FULL
+    *     gram streams, frequent grams included;
+    *  3. anchor self-join on seed hashes → distinct candidate pairs
+    *     (id_a < id_b), bounded by cap² per seed gram;
+    *  4. EXTEND: the pair list joins each side's gram stream
+    *     (doc-keyed), grams meet on hash equality, and runs of
+    *     consecutive positions on one diagonal (pos_a − pos_b) merge
+    *     via gaps-and-islands — one window partitioned by
+    *     (pair, diagonal), never wider than one pair's gram count.
+    *
+    * The 64-bit gram hash admits a ~2⁻⁶⁴ per-pair collision (a false
+    * token-run extension) — the [[duplicateSpans]] trade; the oracle
+    * joins gram STRINGS, so gate agreement additionally witnesses
+    * collision-freedom on the corpus.
+    */
+  def matchedSpans(df: DataFrame, idCol: String, text: Column, k: Int = 8,
+                   minTokens: Int = 16, maxSeedOccurrences: Long = 50,
+                   persistGrams: Boolean = true): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minTokens >= k, s"minTokens must be >= k, got $minTokens (k=$k)")
+    require(maxSeedOccurrences >= 2,
+      s"maxSeedOccurrences must be >= 2, got $maxSeedOccurrences")
+    import org.apache.spark.sql.expressions.Window
+    val gramsRaw = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.plans.PositionedGramHashes
+          .positioned_gram_hashes(text, k)))
+      .select(col("doc_id"), (col("pos") + 1).as("__p"), col("col").as("__gh"))
+    val grams =
+      if (persistGrams)
+        CacheRegistry.register(gramsRaw
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else gramsRaw
+    val seeds = grams.groupBy("__gh").count()
+      .filter(col("count") >= 2 && col("count") <= maxSeedOccurrences)
+      .select("__gh")
+    val anchors = grams.join(seeds, Seq("__gh"), "left_semi")
+    val pairs = anchors.select(col("__gh"), col("doc_id").as("id_a"))
+      .join(anchors.select(col("__gh"), col("doc_id").as("id_b")), Seq("__gh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val matched = pairs
+      .join(grams.select(col("doc_id").as("id_a"), col("__p").as("pos_a"),
+        col("__gh")), Seq("id_a"))
+      .join(grams.select(col("doc_id").as("id_b"), col("__p").as("pos_b"),
+        col("__gh")), Seq("id_b", "__gh"))
+    val byDiag = Window
+      .partitionBy(col("id_a"), col("id_b"), col("pos_a") - col("pos_b"))
+      .orderBy("pos_a")
+    matched
+      .withColumn("__grp", col("pos_a") - row_number().over(byDiag))
+      .groupBy(col("id_a"), col("id_b"),
+        (col("pos_a") - col("pos_b")).as("__diag"), col("__grp"))
+      .agg(min("pos_a").cast("long").as("pos_a"),
+        min("pos_b").cast("long").as("pos_b"),
+        (max("pos_a") - min("pos_a") + k).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+      .select("id_a", "id_b", "pos_a", "pos_b", "span_tokens")
+  }
+
   /** Canonical-document selection over near-duplicate clusters: run
     * [[connectedComponents]] on the pair set, join each member's
     * quality attribute, and keep ONE document per cluster — the

@@ -213,4 +213,66 @@ object Tokenization {
       }
       .toDF(idCol, "bpe_tokens")
   }
+
+  /** The BPE VOCABULARY a merge table induces over a corpus, with the
+    * standard id convention (GPT-2 style): base alphabet first —
+    * every distinct symbol (code point) in the corpus's words, ids
+    * 0..B−1 in UTF-8 byte order — then one entry per merge at
+    * B + rank. Returns a (token, token_id) frame sized
+    * |alphabet| + |merges|.
+    *
+    * The alphabet is collected driver-side: it is bounded by the
+    * Unicode alphabet by NATURE (same adjudication as the merge table
+    * itself — real tokenizers ship it as a vocab.json). Ordering is
+    * by UTF-8 bytes, not Java's UTF-16 code units, so the ids match
+    * any binary-collation engine replaying the same rule.
+    *
+    * Fails fast if a merge RESULT collides with another merge's
+    * result (two rules producing the same string would make token→id
+    * ambiguous); base symbols (1 code point) cannot collide with
+    * merge results (≥ 2).
+    */
+  def bpeVocab(df: DataFrame, text: Column, merges: Seq[Merge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val utf8Order: Ordering[String] = (a: String, b: String) => {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      var d = 0
+      while (i < n && d == 0) { d = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+      if (d != 0) d else x.length - y.length
+    }
+    val alphabet = df
+      .select(explode(TextFunctions.tokens(text)).as("w")).distinct()
+      .select(explode(symbols(col("w"))).as("s")).distinct()
+      .as[String].collect().sorted(utf8Order)
+    val mergeTokens = merges.map(m => m.left + m.right)
+    require(mergeTokens.distinct.size == mergeTokens.size,
+      "merge results must be distinct for an unambiguous vocab")
+    val b = alphabet.length
+    (alphabet.zipWithIndex.map { case (s, i) => (s, i.toLong) } ++
+      merges.map(m => (m.left + m.right, (b + m.rank).toLong)))
+      .toSeq.toDF("token", "token_id")
+  }
+
+  /** Encode a corpus into TOKEN IDS — the step every pretraining
+    * pipeline runs at full corpus scale after training the tokenizer
+    * once. [[applyBpe]]'s narrow per-row merge replay (ranks
+    * broadcast, no shuffle), position-exploded and joined to the
+    * (broadcast-small) vocab. Returns one row per emitted token:
+    * (idCol, pos, token_id), pos 1-based over the document's token
+    * stream; tokens absent from the vocab encode as −1 (unk) — never
+    * produced when the vocab came from [[bpeVocab]] over the same
+    * corpus, the documented fallback otherwise. Docs with no tokens
+    * produce no rows.
+    */
+  def encodeIds(df: DataFrame, idCol: String, text: Column,
+                merges: Seq[Merge], vocab: DataFrame): DataFrame =
+    applyBpe(df, idCol, text, merges)
+      .select(col(idCol), posexplode(col("bpe_tokens")))
+      .join(broadcast(vocab), col("col") === vocab("token"), "left_outer")
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        coalesce(col("token_id"), lit(-1L)).as("token_id"))
 }

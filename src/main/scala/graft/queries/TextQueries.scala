@@ -390,6 +390,117 @@ object TextQueries {
          |$ctes""".stripMargin, last, h)
   }
 
+  /** q212's committed merge fixture: the table
+    * [[graft.operators.Tokenization.trainBpe]] learns on the sf0.01
+    * corpus (numMerges = 30; regenerate with `runMain
+    * graft.queries.BpeDump` if the testdata generation changes),
+    * embedded as a LITERAL so both engines replay encode with the
+    * identical table — SQL recursion cannot aggregate over the
+    * recursive term, so training itself is not oracle-replayable
+    * (the q131 adjudication), but greedy ENCODE with a fixed table
+    * is. pair_n values are the training-time counts (provenance
+    * only; encode ignores them).
+    */
+  private val bpeMergeFixture: Seq[graft.operators.Tokenization.Merge] = {
+    import graft.operators.Tokenization.Merge
+    Seq(
+      Merge(0, "e", "r", 4568L), Merge(1, "i", "n", 2760L),
+      Merge(2, "o", "w", 2747L), Merge(3, "o", "r", 2696L),
+      Merge(4, "s", "t", 2676L), Merge(5, "m", "er", 1852L),
+      Merge(6, "a", "t", 1845L), Merge(7, "l", "u", 1831L),
+      Merge(8, "a", "r", 1758L), Merge(9, "p", "ar", 1758L),
+      Merge(10, "j", "o", 964L), Merge(11, "jo", "in", 964L),
+      Merge(12, "a", "s", 947L), Merge(13, "as", "h", 947L),
+      Merge(14, "h", "ash", 947L), Merge(15, "r", "ow", 943L),
+      Merge(16, "at", "c", 937L), Merge(17, "atc", "h", 937L),
+      Merge(18, "b", "atch", 937L), Merge(19, "a", "n", 936L),
+      Merge(20, "c", "an", 936L), Merge(21, "s", "can", 936L),
+      Merge(22, "c", "o", 934L), Merge(23, "c", "u", 934L),
+      Merge(24, "co", "lu", 934L), Merge(25, "colu", "m", 934L),
+      Merge(26, "colum", "n", 934L), Merge(27, "cu", "st", 934L),
+      Merge(28, "cust", "o", 934L), Merge(29, "custo", "mer", 934L))
+  }
+
+  // TOKENIZER APPLY (BPE encode → token ids): the corpus-scale step a
+  // real pretraining pipeline runs once per document forever after
+  // training once. Spark side: Tokenization.applyBpe (narrow per-row
+  // replay of the broadcast merge table — lowest-rank-present applied
+  // greedily to fixpoint per word) → posexplode → broadcast vocab
+  // join, ids by the standard convention (base alphabet in binary
+  // order, then one id per merge at B+rank). The oracle replays
+  // encode EXACTLY with a recursive CTE over the corpus's DISTINCT
+  // words (sequential-by-rank single-leftmost replacement to fixpoint
+  // — equivalent to lowest-rank-present because a trained table's
+  // later merges cannot create earlier pairs), on a chr(1)-fenced
+  // symbol string so replacements are token-boundary-exact, then
+  // re-flattens via the word-position join. Output: every emitted
+  // token as (doc_id, pos, token_id), hash-compared.
+  private def q212BpeEncode: QueryDef = {
+    val valuesSql = bpeMergeFixture
+      .map(m => s"(${m.rank},'${m.left}','${m.right}')").mkString(",")
+    QueryDef.sql("q212_bpe_encode",
+      s"""WITH RECURSIVE mg AS (
+         |  SELECT * FROM (VALUES $valuesSql) m(rk, l, r)),
+         |nm AS (SELECT count(*) AS n FROM mg),
+         |arr AS (
+         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |                      ELSE list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') END AS a
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, unnest(a) AS w,
+         |         unnest(generate_series(1, len(a))) AS wpos
+         |  FROM arr),
+         |words AS (SELECT DISTINCT w FROM toks),
+         |enc AS (
+         |  SELECT w, chr(1) || array_to_string(string_split(w, ''), chr(1))
+         |              || chr(1) AS seq,
+         |         0 AS rk
+         |  FROM words
+         |  UNION ALL
+         |  SELECT w,
+         |         CASE WHEN p > 0
+         |              THEN seq[1:p-1] || rep || seq[p+length(pat):]
+         |              ELSE seq END,
+         |         CASE WHEN p > 0 THEN rk ELSE rk + 1 END
+         |  FROM (
+         |    SELECT e.w, e.seq, e.rk,
+         |           chr(1) || m.l || chr(1) || m.r || chr(1) AS pat,
+         |           chr(1) || m.l || m.r || chr(1) AS rep,
+         |           strpos(e.seq, chr(1) || m.l || chr(1) || m.r || chr(1)) AS p
+         |    FROM enc e JOIN mg m ON m.rk = e.rk CROSS JOIN nm
+         |    WHERE e.rk < nm.n)),
+         |fin AS (
+         |  SELECT w, list_filter(string_split(seq, chr(1)), x -> x <> '') AS pieces
+         |  FROM enc CROSS JOIN nm WHERE enc.rk = nm.n),
+         |flat AS (
+         |  SELECT t.doc_id, t.wpos, unnest(f.pieces) AS token,
+         |         unnest(generate_series(1, len(f.pieces))) AS spos
+         |  FROM toks t JOIN fin f ON f.w = t.w),
+         |pos AS (
+         |  SELECT doc_id, token,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY wpos, spos) AS pos
+         |  FROM flat),
+         |sym AS (SELECT DISTINCT unnest(string_split(w, '')) AS s FROM words),
+         |base AS (SELECT s, row_number() OVER (ORDER BY s) - 1 AS token_id FROM sym),
+         |nb AS (SELECT count(*) AS b FROM base),
+         |vocab AS (
+         |  SELECT s AS token, token_id FROM base
+         |  UNION ALL
+         |  SELECT l || r AS token, b + rk AS token_id FROM mg CROSS JOIN nb)
+         |SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos,
+         |       CAST(v.token_id AS BIGINT) AS token_id
+         |FROM pos p JOIN vocab v ON v.token = p.token""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = graft.operators.Tokenization.bpeVocab(
+          docs, col("text"), bpeMergeFixture)
+        graft.operators.Tokenization.encodeIds(
+          docs, "doc_id", col("text"), bpeMergeFixture, vocab)
+      }
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef.sql("q24_exact_dedup",
@@ -2080,6 +2191,59 @@ object TextQueries {
             col("c4.n_sentences"), col("c4.has_lorem"), col("c4.has_curly"),
             col("c4.passes"), md5(col("c4.kept_text")).as("kept_md5"))
       }
+    },
+
+    // CROSS-DOCUMENT EXACT SUBSTRING MATCHING (the pairwise form of
+    // Lee et al. — q112 finds "my duplicated intervals", this finds
+    // WHO shares WHAT with WHOM): maximal verbatim token spans >= 16
+    // tokens between document pairs, as (pair, both start positions,
+    // length) — one row per maximal exact match per alignment
+    // diagonal. The distributed shape is anchor-and-extend in place of
+    // the paper's suffix array: one positioned-8-gram-hash pass
+    // (8-byte shuffle keys), a seed census capped at 50 corpus
+    // occurrences (the stopword-gram cross-product guard; any
+    // rarer-than-cap gram inside a span recovers the whole span
+    // because extension joins the pair's FULL gram streams), distinct
+    // anchor pairs, then a gaps-and-islands merge of consecutive
+    // positions per (pair, diagonal) — every post-census stage keyed
+    // by doc or pair. The oracle replays the identical funnel on gram
+    // STRINGS, so agreement also witnesses xxhash64 collision-freedom
+    // (the q112 adjudication).
+    q212BpeEncode,
+
+    QueryDef.sql("q211_matched_spans",
+      """WITH arr AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                      ELSE list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') END AS a
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i AS pos, array_to_string(a[i:i+7], ' ') AS gram
+        |  FROM arr, unnest(generate_series(1, len(a) - 7)) AS g(i)),
+        |seeds AS (SELECT gram FROM grams GROUP BY gram
+        |          HAVING count(*) BETWEEN 2 AND 50),
+        |anch AS (SELECT doc_id, gram FROM grams
+        |         WHERE gram IN (SELECT gram FROM seeds)),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM anch x JOIN anch y ON x.gram = y.gram AND x.doc_id < y.doc_id),
+        |m AS (
+        |  SELECT p.id_a, p.id_b, ga.pos AS pos_a, gb.pos AS pos_b
+        |  FROM pairs p
+        |  JOIN grams ga ON ga.doc_id = p.id_a
+        |  JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram),
+        |isl AS (
+        |  SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+        |         pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+        |                                    ORDER BY pos_a) AS grp
+        |  FROM m)
+        |SELECT id_a, id_b, CAST(min(pos_a) AS BIGINT) AS pos_a,
+        |       CAST(min(pos_b) AS BIGINT) AS pos_b,
+        |       CAST(max(pos_a) - min(pos_a) + 8 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY id_a, id_b, diag, grp
+        |HAVING max(pos_a) - min(pos_a) + 8 >= 16""".stripMargin) {
+      (s, d) =>
+        Dedup.matchedSpans(Tables.documents(s, d), "doc_id", col("text"),
+          k = 8, minTokens = 16, maxSeedOccurrences = 50)
     }
   )
 }

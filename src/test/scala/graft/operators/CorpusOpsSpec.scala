@@ -1084,6 +1084,63 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(spans === Set((1L, 8L), (14L, 21L)))
   }
 
+  test("matchedSpans reports maximal cross-doc spans with both positions") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ") // 12 shared tokens
+    val df = docs(
+      1L -> s"$shared one1 one2",           // shared at a-positions 1..12
+      2L -> s"pre1 pre2 pre3 $shared tail", // shared at b-positions 4..15
+      3L -> "totally unrelated text here")
+    val out = Dedup.matchedSpans(df, "doc_id", col("text"),
+        k = 8, minTokens = 10, maxSeedOccurrences = 50)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("pos_a"), r.getAs[Long]("pos_b"),
+        r.getAs[Long]("span_tokens")))
+    CacheRegistry.releaseAll()
+    assert(out.toSeq === Seq((1L, 2L, 1L, 4L, 12L)))
+  }
+
+  test("matchedSpans separates diagonals and drops sub-minTokens matches") {
+    val runA = (1 to 10).map(i => s"p$i").mkString(" ")  // 10 tokens
+    val runB = (1 to 8).map(i => s"q$i").mkString(" ")   // 8 tokens (< minTokens)
+    val df = docs(
+      1L -> s"$runA gapx1 gapx2 $runB",
+      2L -> s"$runB gapy1 $runA")
+    val out = Dedup.matchedSpans(df, "doc_id", col("text"),
+        k = 8, minTokens = 10, maxSeedOccurrences = 50)
+      .collect().map(r => (r.getAs[Long]("pos_a"), r.getAs[Long]("pos_b"),
+        r.getAs[Long]("span_tokens"))).toSet
+    CacheRegistry.releaseAll()
+    // runA (10 tokens, a-pos 1, b-pos 10) survives; runB (8 < 10) is cut
+    assert(out === Set((1L, 10L, 10L)))
+  }
+
+  test("matchedSpans seed cap skips spans made only of over-cap grams but recovers capped grams inside anchored spans") {
+    val common = (1 to 16).map(i => s"w$i").mkString(" ") // 16-token shared run
+    // the run appears in ALL FOUR docs → every one of its 8-grams occurs
+    // >= 4 times; with cap 3 nothing anchors → no pairs at all
+    val everywhere = docs(
+      1L -> s"$common a1", 2L -> s"$common b1", 3L -> s"$common c1",
+      4L -> s"$common d1")
+    val none = Dedup.matchedSpans(everywhere, "doc_id", col("text"),
+      k = 8, minTokens = 10, maxSeedOccurrences = 3)
+    assert(none.count() === 0L)
+    CacheRegistry.releaseAll()
+    // same corpus, but docs 1 and 2 extend the run with a RARE shared
+    // tail: the tail 8-grams (2 occurrences) anchor the pair, and
+    // extension recovers the full run INCLUDING the over-cap prefix
+    val rare = (1 to 4).map(i => s"r$i").mkString(" ")
+    val anchored = docs(
+      1L -> s"$common $rare", 2L -> s"$common $rare", 3L -> s"$common c1",
+      4L -> s"$common d1")
+    val got = Dedup.matchedSpans(anchored, "doc_id", col("text"),
+        k = 8, minTokens = 10, maxSeedOccurrences = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("pos_a"), r.getAs[Long]("pos_b"),
+        r.getAs[Long]("span_tokens")))
+    CacheRegistry.releaseAll()
+    assert(got.toSeq === Seq((1L, 2L, 1L, 1L, 20L)))
+  }
+
   test("bm25TopK scores exact integer milli-units (hand-computed corpus)") {
     val df = docs(
       1L -> "apple banana cherry",

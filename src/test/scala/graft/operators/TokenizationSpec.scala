@@ -88,4 +88,37 @@ class TokenizationSpec extends AnyFunSuite {
     // unseen "lowest": low + est by rank replay, no (w,e) merge learned
     assert(out(2L) === Seq("low", "est"))
   }
+
+  test("bpeVocab: base alphabet in binary order, then merges at B+rank") {
+    import spark.implicits._
+    val merges = Tokenization.trainBpe(sennrich, col("text"), numMerges = 2)
+    val vocab = Tokenization.bpeVocab(sennrich, col("text"), merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alphabet of {low, lower, newest, widest} = {d,e,i,l,n,o,r,s,t,w}
+    val alpha = "deilnorstw".map(_.toString)
+    alpha.zipWithIndex.foreach { case (s, i) => assert(vocab(s) === i.toLong) }
+    merges.foreach(m =>
+      assert(vocab(m.left + m.right) === (alpha.size + m.rank).toLong))
+    assert(vocab.size === alpha.size + merges.size)
+  }
+
+  test("encodeIds: ids follow the vocab, positions are 1-based per doc, OOV is -1") {
+    import spark.implicits._
+    val merges = Tokenization.trainBpe(sennrich, col("text"), numMerges = 4)
+    val vocab = Tokenization.bpeVocab(sennrich, col("text"), merges)
+    val enc = Tokenization.encodeIds(
+        Seq((1L, "newest low")).toDF("doc_id", "text"),
+        "doc_id", col("text"), merges, vocab)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val v = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // applyBpe gives n e w est low (the replay spec above)
+    assert(enc === Seq(1L -> v("n"), 2L -> v("e"), 3L -> v("w"),
+      4L -> v("est"), 5L -> v("low")).map { case (p, i) => (p, i) })
+    // a token outside the vocab encodes as -1
+    val oov = Tokenization.encodeIds(
+        Seq((7L, "zzz")).toDF("doc_id", "text"),
+        "doc_id", col("text"), merges, vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(oov.toSeq === Seq((7L, 1L, -1L), (7L, 2L, -1L), (7L, 3L, -1L)))
+  }
 }
