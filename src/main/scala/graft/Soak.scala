@@ -76,8 +76,8 @@ object Soak {
     def materialize(k: Int): Unit = {
       val dir = scaledDir(k)
       // keyed on the LAST table written, so a dir materialized by an
-      // older Soak (before the graph table existed) is refreshed
-      if (new java.io.File(s"$dir/edges.parquet").exists()) return
+      // older Soak (before the incstore existed) is refreshed
+      if (new java.io.File(s"$dir/incstore/sigs").exists()) return
       val reps = spark.range(k).select(col("id").as("__rep"))
       Tables.documents(spark, baseDir).crossJoin(broadcast(reps))
         .select(
@@ -119,6 +119,18 @@ object Soak {
         .distinct()
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dir/edges.parquet")
+      // incremental-dedup store (the q206 trigger shape at scale):
+      // 2/3 of the scaled corpus is "yesterday's" store — docs plus
+      // their banded signatures, persisted exactly as a production
+      // store would be so the trigger path reads signatures instead
+      // of re-shingling the store
+      val storeDocs = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      storeDocs.write.mode("overwrite").parquet(s"$dir/incstore/docs")
+      operators.Dedup.bandedSignatures(
+          spark.read.parquet(s"$dir/incstore/docs"), "doc_id", col("text"))
+        .write.mode("overwrite").parquet(s"$dir/incstore/sigs")
+      operators.CacheRegistry.releaseAll()
     }
 
     val shapes: Seq[(String, String => DataFrame)] = Seq(
@@ -169,22 +181,64 @@ object Soak {
           operators.Similarity.lshTopK(e, "vec_id", "embedding", k = 3),
           operators.Similarity.bruteForceTopK(e, "vec_id", "embedding",
             e, "vec_id", "embedding", k = 3))
+      },
+      // ---- r8 newcomers (r8 verdict #5: no scale datapoints yet)
+      "dsir_weights" -> { d: String =>
+        // raw = the scaled corpus, target = its wiki-like slice (the
+        // q209 shape: two raw passes + target pass, λ broadcast)
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        operators.Sampling.dsirWeights(docs,
+          docs.filter(pmod(col("doc_id"), lit(7)) === 0), "doc_id",
+          col("text"), dims = 1024)
+      },
+      "c4_rules" -> { d: String =>
+        // one codegen'd line-filter chain per doc — the zero-shuffle
+        // battery; measured to confirm the flat per-row cost
+        spark.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.c4Rules(col("text")).as("c4"))
+          .select(col("doc_id"), col("c4.n_kept_lines"), col("c4.passes"))
+      },
+      "incremental_dedup_trigger" -> { d: String =>
+        // EXACTLY the q206 per-trigger survivor plan (the extracted
+        // closure body), with the store pre-materialized: batch = 1/3
+        // of the scaled corpus, store = the other 2/3 + signatures.
+        // Both batch and store grow with K — the worst case; a real
+        // pipeline's per-trigger batch is constant-sized.
+        val batch = spark.read.parquet(s"$d/documents.parquet")
+          .filter(pmod(col("doc_id"), lit(3)) === 0)
+        graft.streaming.EventStreams.incrementalDedupSurvivors(
+          batch, Some((spark.read.parquet(s"$d/incstore/docs"),
+            spark.read.parquet(s"$d/incstore/sigs"))),
+          "doc_id", "text")._1
       })
 
     val scales = sys.env.get("SPARK_GRAFT_SOAK_SCALES")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 3, 10))
+    // SPARK_GRAFT_SOAK_SHAPES=name,name — restrict (the 30× flagship
+    // run exercises two shapes, not the full battery)
+    val shapeFilter = sys.env.get("SPARK_GRAFT_SOAK_SHAPES")
+      .map(_.split(",").map(_.trim).toSet)
+    val picked = shapes.filter { case (n, _) => shapeFilter.forall(_.contains(n)) }
+    import scala.jdk.CollectionConverters._
+    def heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
     val sb = new StringBuilder
     for (k <- scales) {
       materialize(k)
-      for ((name, fn) <- shapes) {
+      for ((name, fn) <- picked) {
         skew.reset()
+        heapPools.foreach(_.resetPeakUsage())
         val t0 = System.nanoTime()
         val n = fn(scaledDir(k)).count()
         val sec = (System.nanoTime() - t0) / 1e9
         operators.CacheRegistry.releaseAll()
         spark.catalog.clearCache()
         val (ratio, maxMs) = skew.worstSkew()
-        val line = f"""{"scale":$k,"query":"$name","sec":$sec%.2f,"rows":$n,"worst_stage_skew":$ratio%.1f,"max_task_ms":$maxMs}"""
+        // single-JVM local mode: driver + executors share this heap,
+        // so the pool peak IS the query's memory high-water mark
+        val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
+        val line = f"""{"scale":$k,"query":"$name","sec":$sec%.2f,"rows":$n,"worst_stage_skew":$ratio%.1f,"max_task_ms":$maxMs,"peak_heap_mb":$peakMb}"""
         println(line)
         sb.append(line).append('\n')
       }

@@ -46,10 +46,24 @@ object StreamQueries {
       batches: Seq[Seq[T]], mode: OutputMode)(
       pipe: Dataset[T] => DataFrame)(implicit enc: Encoder[T]): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // a stateful streaming query allocates ONE state store per shuffle
+    // partition per stateful operator PER TRIGGER (a stream-stream
+    // join: four per partition) — at the session's 32 partitions the
+    // transcript's handful of micro-batches is pure store-init
+    // overhead (measured: q216's 9-event fixture cost 9.7 s). Four
+    // partitions still exercise multi-partition state + watermark
+    // aggregation across partitions; every gate's output is
+    // partition-count-independent (keyed state, aggregations). The
+    // streaming query CAPTURES the conf at start, so restoring after
+    // start() cannot re-shard a running query mid-transcript.
+    val prior = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     val input = MemoryStream[T]
     val nm = s"${name}_${sinkId.incrementAndGet()}"
-    val q = pipe(input.toDS()).writeStream.format("memory")
-      .queryName(nm).outputMode(mode).start()
+    val q =
+      try pipe(input.toDS()).writeStream.format("memory")
+        .queryName(nm).outputMode(mode).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prior)
     try {
       batches.foreach { b => input.addData(b); q.processAllAvailable() }
       // last trigger's IncrementalExecution → the fingerprint gate

@@ -288,39 +288,55 @@ object EventStreams {
     * `readStore` returns None before the first write; the first batch
     * then seeds the store.
     */
+  /** ONE incremental-dedup trigger's survivor computation, as a pure
+    * frame transform: within-batch exact dedup (min-id per content
+    * hash), store-exact anti-join, cross-LSH against the store's
+    * banded signatures, and the survivor-filtered signature frame for
+    * the store append. Extracted from [[incrementalDedupForeachBatch]]
+    * so the Soak harness measures EXACTLY the per-trigger plan the
+    * closure runs (not a re-derivation that could drift). The batch
+    * is min-hashed ONCE: the same signature frame feeds the cross-LSH
+    * candidates (the operator persists it) and, survivor-filtered,
+    * the store write.
+    */
+  def incrementalDedupSurvivors(batch: DataFrame,
+                                store: Option[(DataFrame, DataFrame)],
+                                idCol: String, textCol: String,
+                                bands: Int = 16, rows: Int = 4,
+                                minJaccardPpm: Long = 800000L): (DataFrame, DataFrame) = {
+    import graft.operators.Dedup
+    val hashed = batch.withColumn("__h", md5(col(textCol)))
+    val keepIds = hashed.groupBy("__h").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val exact = hashed.join(keepIds, Seq(idCol), "left_semi").drop("__h")
+    store match {
+      case None =>
+        (exact, Dedup.bandedSignatures(exact, idCol, col(textCol), bands, rows))
+      case Some((docs, sigs)) =>
+        val afterExact = Dedup.incrementalExact(exact, docs, idCol, col(textCol))
+        val incSigs = Dedup.bandedSignatures(
+          afterExact, idCol, col(textCol), bands, rows)
+        val nearDup = Dedup.minhashLshPairsAcrossStored(
+          afterExact, idCol, col(textCol), docs, sigs,
+          bands = bands, rows = rows, minJaccardPpm = minJaccardPpm,
+          incomingSignatures = Some(incSigs))
+        val surv = afterExact.join(
+          nearDup.select(col("inc_id").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+        (surv, incSigs.join(surv.select(col(idCol).as("doc_id")),
+          Seq("doc_id"), "left_semi"))
+    }
+  }
+
   def incrementalDedupForeachBatch(idCol: String, textCol: String,
                                    bands: Int = 16, rows: Int = 4,
                                    minJaccardPpm: Long = 800000L)(
       readStore: () => Option[(DataFrame, DataFrame)],
       writeStore: (DataFrame, DataFrame) => Unit): (DataFrame, Long) => Unit = {
-    import graft.operators.Dedup
     (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        val hashed = batch.withColumn("__h", md5(col(textCol)))
-        val keepIds = hashed.groupBy("__h").agg(min(col(idCol)).as(idCol))
-          .select(idCol)
-        val exact = hashed.join(keepIds, Seq(idCol), "left_semi").drop("__h")
-        val (survivors, survivorSigs) = readStore() match {
-          case None =>
-            (exact, Dedup.bandedSignatures(exact, idCol, col(textCol), bands, rows))
-          case Some((docs, sigs)) =>
-            val afterExact = Dedup.incrementalExact(exact, docs, idCol, col(textCol))
-            // ONE min-hash pass over the batch: the same signature
-            // frame feeds the cross-LSH candidates (the operator
-            // persists it) and, survivor-filtered, the store write —
-            // the incoming side is never re-shingled per consumer
-            val incSigs = Dedup.bandedSignatures(
-              afterExact, idCol, col(textCol), bands, rows)
-            val nearDup = Dedup.minhashLshPairsAcrossStored(
-              afterExact, idCol, col(textCol), docs, sigs,
-              bands = bands, rows = rows, minJaccardPpm = minJaccardPpm,
-              incomingSignatures = Some(incSigs))
-            val surv = afterExact.join(
-              nearDup.select(col("inc_id").as(idCol)).distinct(),
-              Seq(idCol), "left_anti")
-            (surv, incSigs.join(surv.select(col(idCol).as("doc_id")),
-              Seq("doc_id"), "left_semi"))
-        }
+        val (survivors, survivorSigs) = incrementalDedupSurvivors(
+          batch, readStore(), idCol, textCol, bands, rows, minJaccardPpm)
         writeStore(survivors, survivorSigs)
         // operator-internal shingle caches are per-trigger scratch
         graft.operators.CacheRegistry.releaseAll()
