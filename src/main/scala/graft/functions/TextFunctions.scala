@@ -281,6 +281,56 @@ object TextFunctions {
       keptText.as("kept_text"))
   }
 
+  /** C4's "bad words" page filter (Raffel et al. 2020 drop any page
+    * containing a term from the LDNOOBW list), generalized to any
+    * term table: per-document hit census against a blocklist of words
+    * AND multi-word phrases, matched token-exactly after lowercasing
+    * (word-boundary semantics fall out of matching whole tokens —
+    * "scanner" does not hit "scan"; punctuation-adjacent forms are
+    * out of scope by the same contract as [[tokens]]).
+    *
+    * Spark shape: the blocklist is a DIMENSION (LDNOOBW is ~400
+    * entries) — normalized to space-joined token grams once, its max
+    * phrase length taken driver-side (an alphabet-bounded scalar, the
+    * same adjudication as [[graft.operators.Tokenization.bpeVocab]]'s
+    * alphabet), then the corpus side explodes each document's token
+    * stream into 1..maxN-grams and broadcast-semi-joins the term set:
+    * no shuffle touches the corpus until the per-doc regroup, and the
+    * exploded stream is ≤ maxN × corpus tokens. Returns one row per
+    * input document: (idCol, n_hits, n_terms, kept) — total hit
+    * count, distinct terms hit, and C4's keep verdict (zero hits).
+    */
+  def blocklistFilter(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      text: Column, terms: org.apache.spark.sql.DataFrame,
+                      termCol: String = "term"): org.apache.spark.sql.DataFrame = {
+    val normTerms = terms
+      .select(tokens(lower(col(termCol))).as("tt"))
+      .filter(size(col("tt")) >= 1)
+      .select(array_join(col("tt"), " ").as("gram"), size(col("tt")).as("n"))
+      .distinct()
+    val maxN = normTerms.agg(max("n")).head.getInt(0)
+    val toks = df.select(col(idCol), tokens(lower(text)).as("t"))
+    // ONE corpus pass: every gram size's windows flatten into a single
+    // explode (a per-n union would re-scan the corpus per n), and
+    // explode_outer keeps zero-token documents as a null-gram row so
+    // no second scan is needed to restore them. The `size >= n` guard
+    // matters: Spark's sequence(1, stop) DESCENDS when stop < 1.
+    val grams = toks.select(col(idCol),
+      explode_outer(flatten(array((1 to maxN).map(n =>
+        when(size(col("t")) >= n,
+          transform(sequence(lit(1), size(col("t")) - (n - 1)),
+            i => array_join(slice(col("t"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))): _*))).as("gram"))
+    grams
+      .join(broadcast(normTerms.select(col("gram"), lit(true).as("__hit"))),
+        Seq("gram"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"),
+        countDistinct(when(col("__hit"), col("gram"))).as("n_terms"))
+      .select(col(idCol), col("n_hits"), col("n_terms"),
+        (col("n_hits") === 0L).as("kept"))
+  }
+
   /** Canonicalize a URL for crawl-level dedup and domain analytics:
     * lowercase scheme and host, strip the scheme's default port
     * (:80 http / :443 https), drop the fragment, drop tracking

@@ -54,6 +54,48 @@ object Layout {
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(dir)
 
+  /** Plan a small-file COMPACTION: assign input files to target-sized
+    * output bins by cumulative fill in size-descending order
+    * (deterministic file-id tiebreak), optionally within table
+    * partitions. `bin = (running total BEFORE this file) div target`
+    * — Spark's own file-coalescing strategy writ relational: every
+    * bin fills to ≥ target before the next opens (overshoot bounded
+    * by one file), and a file larger than target lands in a bin of
+    * its own. The small-file problem is THE silent 100 TB lakehouse
+    * tax (a 100 TB table written by 10k reducers at 10 MB a file is
+    * 10M scan tasks until someone compacts), and a deterministic,
+    * oracle-checkable plan is what makes the compaction job itself
+    * idempotent and auditable.
+    *
+    * Input is a file CATALOG — metadata, one row per file (~800k
+    * rows at 100 TB / 128 MB), not data — so the window is the
+    * adjudicated metadata-scale pattern (zone-map discipline); pass
+    * `partitionCols` (the real-world case: compaction runs per table
+    * partition) and the window never concentrates beyond a
+    * partition's file count.
+    *
+    * Returns the input columns plus `bin` (0-based within each
+    * partition group).
+    */
+  def compactionPlan(files: DataFrame, fileIdCol: String, sizeCol: String,
+                     targetBytes: Long,
+                     partitionCols: Seq[String] = Nil): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val base = if (partitionCols.isEmpty)
+      org.apache.spark.sql.expressions.Window.partitionBy()
+    else
+      org.apache.spark.sql.expressions.Window.partitionBy(
+        partitionCols.map(col): _*)
+    val w = base.orderBy(col(sizeCol).desc, col(fileIdCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    files
+      .withColumn("__cum", sum(col(sizeCol)).over(w))
+      .withColumn("bin",
+        expr(s"(__cum - `$sizeCol`) div ${targetBytes}L").cast("long"))
+      .drop("__cum")
+  }
+
   /** Write `df` as a BUCKETED table: hash-partitioned into `buckets`
     * files per partition on `keys`, optionally sorted within each
     * bucket. Bucketing is the write-once/join-forever layout: two

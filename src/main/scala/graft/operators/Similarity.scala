@@ -69,6 +69,65 @@ object Similarity {
     * frames + one per-query aggregate — evaluation never touches the
     * vectors again.
     */
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER
+    * mining objective): score a cross-lingual candidate pair not by
+    * raw cosine but by how far it stands ABOVE each side's own
+    * neighborhood — `margin(x,y) = cos(x,y) / ((avgₖNN(x) +
+    * avgₖNN(y)) / 2)` — which suppresses hubs (vectors cosine-close
+    * to everything) that absolute-threshold mining mis-pairs. The
+    * standard source of parallel-corpus training data at web scale.
+    *
+    * Integer contract: cosines are the q35 ppm convention, and the
+    * margin is `(cos_ppm · 2k · 1000) div (ΣₖNN(x) + ΣₖNN(y))` —
+    * sum-of-top-k instead of mean and integer division keep every
+    * engine bit-identical (both operands positive by the filter, so
+    * floor and truncating division agree). `margin_milli ≥ 1000` is
+    * the paper's "ratio > 1" cut. Only positive-cosine pairs with
+    * positive neighborhood sums are scoreable — a mining no-op for
+    * anti-correlated vectors, by construction.
+    *
+    * Returns the best target per source (`rank 1` by margin desc,
+    * id tiebreak) with `margin_milli ≥ marginMilliMin`. Scale shape:
+    * the all-pairs scoring is the DECLARED bounded brute-force
+    * baseline (the q35 contract — run it per retrieval shard); at
+    * corpus scale feed `src`/`tgt` through [[lshCandidates]]/IVF
+    * pruning first and the three window passes run on the candidate
+    * set only. The scored pair frame is persisted once and feeds
+    * both kNN-sum passes and the final join.
+    */
+  def marginMining(src: DataFrame, srcId: String, srcVec: String,
+                   tgt: DataFrame, tgtId: String, tgtVec: String,
+                   k: Int = 4, marginMilliMin: Long = 1000L): DataFrame = {
+    val pairs = CacheRegistry.register(
+      src.select(col(srcId).as("src_id"), col(srcVec).as("__a"))
+        .crossJoin(tgt.select(col(tgtId).as("tgt_id"), col(tgtVec).as("__b")))
+        .withColumn("cosine_ppm",
+          round(cosine(col("__a"), col("__b")) * 1e6).cast("long"))
+        .select("src_id", "tgt_id", "cosine_ppm")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ws = Window.partitionBy("src_id")
+      .orderBy(col("cosine_ppm").desc, col("tgt_id"))
+    val wt = Window.partitionBy("tgt_id")
+      .orderBy(col("cosine_ppm").desc, col("src_id"))
+    val srcSum = pairs.withColumn("r", row_number().over(ws))
+      .filter(col("r") <= k)
+      .groupBy("src_id").agg(sum("cosine_ppm").as("src_knn_sum"))
+    val tgtSum = pairs.withColumn("r", row_number().over(wt))
+      .filter(col("r") <= k)
+      .groupBy("tgt_id").agg(sum("cosine_ppm").as("tgt_knn_sum"))
+    val margin = pairs
+      .join(srcSum, Seq("src_id")).join(tgtSum, Seq("tgt_id"))
+      .filter(col("cosine_ppm") > 0 &&
+        (col("src_knn_sum") + col("tgt_knn_sum")) > 0)
+      .withColumn("margin_milli",
+        expr(s"(cosine_ppm * ${2L * k * 1000L}) div (src_knn_sum + tgt_knn_sum)"))
+    val best = Window.partitionBy("src_id")
+      .orderBy(col("margin_milli").desc, col("tgt_id"))
+    margin.withColumn("rank", row_number().over(best))
+      .filter(col("rank") === 1 && col("margin_milli") >= marginMilliMin)
+      .select("src_id", "tgt_id", "cosine_ppm", "margin_milli")
+  }
+
   def topKRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
     // distinct: the API accepts ANY ranked frame — duplicate
     // (query_id, neighbor_id) rows on the approx side would fan out

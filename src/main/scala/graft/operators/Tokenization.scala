@@ -275,4 +275,30 @@ object Tokenization {
       .join(broadcast(vocab), col("col") === vocab("token"), "left_outer")
       .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
         coalesce(col("token_id"), lit(-1L)).as("token_id"))
+
+  /** Decode (idCol, pos, token_id) streams back to text — the
+    * round-trip complement of [[encodeIds]]: id→token through the
+    * broadcast vocab, tokens re-assembled in pos order (the ordered-
+    * collect idiom — sorted struct array, no window). Whitespace is
+    * NOT recoverable by design: [[applyBpe]] tokenizes on whitespace
+    * before merging, so decode returns the whitespace-SQUASHED
+    * document — exactly `concat(tokens(text))` — making the contract
+    * "content fidelity through id space", not byte fidelity (GPT-2
+    * byte-level vocabs fold the spaces INTO tokens instead; ours
+    * keeps ids whitespace-free). Ids absent from the vocab (the −1
+    * unk from [[encodeIds]], or a stale vocab) decode as U+FFFD and
+    * are counted in `n_unk` — a nonzero n_unk is the drift alarm a
+    * corpus/vocab version skew trips. One shuffle (the per-doc
+    * regroup); the vocab side never shuffles.
+    */
+  def decodeIds(encoded: DataFrame, idCol: String, vocab: DataFrame): DataFrame =
+    encoded.join(broadcast(vocab), Seq("token_id"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("token"), lit("�")).as("token")))),
+          x => x.getField("token")), "").as("decoded_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token").isNull, 1L).otherwise(0L)).as("n_unk"))
 }

@@ -1278,6 +1278,149 @@ object EvalQueries {
       (s, d) =>
         Profiling.byteCompressibility(Tables.documents(s, d), "doc_id",
           col("text"))
+    },
+
+    // WARC ROUND-TRIP: the Common Crawl ingestion contract end to end.
+    // Documents are exported as sharded per-record-gzip WARC
+    // (Warc.export: warcinfo file head, deterministic urn:uuid record
+    // ids from md5, second-precision WARC-Date, id-ordered records)
+    // and read back through the DSv2 source (format("warc"), one
+    // input partition per file, warc_type filter pushed pre-payload).
+    // The oracle re-derives EVERY read-back field from the documents
+    // table alone — including warc_offset, rebuilt as the window sum
+    // of the exact per-record byte sizes over the in-file order, and
+    // warc_file from the shard expression — so a single byte of
+    // header drift, a lost record, a mis-ordered shard, or an off-by-
+    // one in the parser's offset accounting all hash-mismatch.
+    QueryDef.sql("q219_warc_roundtrip", {
+      // per-record byte size: WARC/1.0(10) + Type(21) + Record-ID(65)
+      // + Date(33) + Target-URI(17+len+2) + Content-Type(26) +
+      // Content-Length(16+digits+2) + blank(2) + payload + sep(4)
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h,
+        |         'http://corpus.example/doc/' || doc_id AS uri,
+        |         TIMESTAMP '2024-01-01 00:00:00'
+        |           + (doc_id % 86400) * INTERVAL 1 SECOND AS d,
+        |         strlen(text) AS len, md5(text) AS pmd5,
+        |         doc_id % 8 AS shard
+        |  FROM documents),
+        |sized AS (
+        |  SELECT *,
+        |         10 + 21 + 65 + 33 + (17 + strlen(uri) + 2) + 26
+        |           + (16 + strlen(CAST(len AS VARCHAR)) + 2) + 2 + len + 4
+        |           AS rec_size
+        |  FROM base)
+        |SELECT 'urn:uuid:' || substr(h, 1, 8) || '-' || substr(h, 9, 4)
+        |         || '-' || substr(h, 13, 4) || '-' || substr(h, 17, 4)
+        |         || '-' || substr(h, 21, 12) AS record_id,
+        |       uri AS target_uri, d AS warc_date,
+        |       'text/plain' AS content_type,
+        |       CAST(len AS BIGINT) AS content_length,
+        |       CAST(250 + COALESCE(SUM(rec_size) OVER (
+        |              PARTITION BY shard ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS BIGINT) AS warc_offset,
+        |       printf('part-%05d.warc.gz', shard) AS warc_file,
+        |       pmd5 AS payload_md5
+        |FROM sized""".stripMargin
+    }) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = graft.operators.Scratch.dir(
+          s"graft_warc_${new java.io.File(d).getName}")
+        val staged = docs.select(col("doc_id"),
+          concat(lit("http://corpus.example/doc/"), col("doc_id")).as("uri"),
+          timestamp_seconds(lit(1704067200L) // 2024-01-01T00:00:00Z
+            + pmod(col("doc_id"), lit(86400L))).as("d"),
+          col("text"))
+        graft.sources.Warc.export(staged, "doc_id", "uri", "d", "text", dir,
+          numShards = 8, compress = true, infoDateSecs = 0L,
+          shardCol = Some(pmod(col("doc_id"), lit(8))))
+        s.read.format("warc").load(dir)
+          .filter(col("warc_type") === "response")
+          .select(col("record_id"), col("target_uri"), col("warc_date"),
+            col("content_type"), col("content_length"), col("warc_offset"),
+            col("warc_file"), md5(col("payload")).as("payload_md5"))
+      }
+    },
+
+    // SMALL-FILE COMPACTION PLAN: the 100 TB lakehouse tax made a
+    // deterministic, auditable assignment (Layout.compactionPlan —
+    // cumulative fill over size-desc order per table partition, bin =
+    // pre-fill div target; Spark's own coalescing strategy writ
+    // relational). File catalog synthesized from lineitem (311
+    // "files" per returnflag partition, integer sizes); the oracle
+    // replays the window fold with both engines' positive-operand
+    // integer division agreeing exactly.
+    QueryDef.sql("q223_compaction_plan",
+      """WITH f AS (
+        |  SELECT l_returnflag AS part, l_orderkey % 311 AS file_id,
+        |         CAST(sum(l_quantity) AS BIGINT) AS size_bytes
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT *, sum(size_bytes) OVER (PARTITION BY part
+        |               ORDER BY size_bytes DESC, file_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM f)
+        |SELECT part, CAST(file_id AS BIGINT) AS file_id, size_bytes,
+        |       CAST((cum - size_bytes) // 5000 AS BIGINT) AS bin
+        |FROM c""".stripMargin) {
+      (s, d) => {
+        val files = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("part"),
+            (col("l_orderkey") % 311).as("file_id"))
+          .agg(sum("l_quantity").cast("long").as("size_bytes"))
+        graft.operators.Layout.compactionPlan(files, "file_id", "size_bytes",
+          targetBytes = 5000L, partitionCols = Seq("part"))
+      }
+    },
+
+    // CDX CAPTURE INDEX: the side index that makes a .warc.gz corpus
+    // randomly accessible (per-record gzip members ⇒ (file, offset)
+    // seeks) — built by composing the WARC source with URL
+    // canonicalization (q138's operator) as the sort key. The export
+    // here writes MESSY URIs (upper-case scheme/host, default port,
+    // tracking params, unsorted query) so the index's url_key proves
+    // the canonicalizer ran; offsets/files replay exactly as q219.
+    QueryDef.sql("q224_warc_cdx_index",
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         'http://corpus.example/doc/' || doc_id || '?a=1&b=2' AS url_key,
+        |         TIMESTAMP '2024-01-01 00:00:00'
+        |           + (doc_id % 86400) * INTERVAL 1 SECOND AS warc_date,
+        |         strlen(text) AS len, md5(text) AS digest,
+        |         doc_id % 4 AS shard,
+        |         53 + strlen(CAST(doc_id AS VARCHAR)) AS uri_len
+        |  FROM documents),
+        |sized AS (
+        |  SELECT *, 10 + 21 + 65 + 33 + (17 + uri_len + 2) + 26
+        |          + (16 + strlen(CAST(len AS VARCHAR)) + 2) + 2 + len + 4
+        |          AS rec_size
+        |  FROM base)
+        |SELECT url_key, warc_date,
+        |       printf('part-%05d.warc.gz', shard) AS warc_file,
+        |       CAST(250 + COALESCE(SUM(rec_size) OVER (
+        |              PARTITION BY shard ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS BIGINT) AS warc_offset,
+        |       CAST(len AS BIGINT) AS content_length, digest
+        |FROM sized""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = graft.operators.Scratch.dir(
+          s"graft_cdx_${new java.io.File(d).getName}")
+        val staged = docs.select(col("doc_id"),
+          concat(lit("HTTP://Corpus.EXAMPLE:80/doc/"), col("doc_id"),
+            lit("?utm_source=feed&b=2&a=1")).as("uri"),
+          timestamp_seconds(lit(1704067200L)
+            + pmod(col("doc_id"), lit(86400L))).as("d"),
+          col("text"))
+        graft.sources.Warc.export(staged, "doc_id", "uri", "d", "text", dir,
+          numShards = 4, compress = true, infoDateSecs = 0L,
+          shardCol = Some(pmod(col("doc_id"), lit(4))))
+        graft.sources.Warc.cdxIndex(s.read.format("warc").load(dir))
+      }
     }
   )
 }

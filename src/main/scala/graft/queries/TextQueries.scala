@@ -501,6 +501,88 @@ object TextQueries {
     }
   }
 
+  // BPE DECODE round trip: ids → text (Tokenization.decodeIds —
+  // broadcast vocab join + ordered re-assembly), closing the q212
+  // loop. The oracle needs NO BPE replay: decode(encode(doc)) is the
+  // whitespace-squashed document by construction (merges concatenate
+  // symbols; applyBpe tokenizes on whitespace), so the expected text
+  // is derivable from the corpus alone — which is exactly what makes
+  // this a round-trip GATE rather than a re-derivation: any encode
+  // bug that loses/duplicates/reorders a token, any vocab id
+  // collision, or any decode mis-ordering breaks the md5. n_unk = 0
+  // is the no-drift contract (vocab and corpus from the same pass).
+  private def q220BpeDecode: QueryDef =
+    QueryDef.sql("q220_bpe_decode_roundtrip",
+      """SELECT doc_id,
+        |       md5(array_to_string(
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+        |         '')) AS decoded_md5,
+        |       CAST(0 AS BIGINT) AS n_unk
+        |FROM documents
+        |WHERE length(trim(text)) > 0""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = graft.operators.Tokenization.bpeVocab(
+          docs, col("text"), bpeMergeFixture)
+        val enc = graft.operators.Tokenization.encodeIds(
+          docs, "doc_id", col("text"), bpeMergeFixture, vocab)
+        graft.operators.Tokenization.decodeIds(enc, "doc_id", vocab)
+          .select(col("doc_id"), md5(col("decoded_text")).as("decoded_md5"),
+            col("n_unk"))
+      }
+    }
+
+  // C4 BADWORDS blocklist filter: the named page-drop step (Raffel et
+  // al. 2020 §2.2 use of the LDNOOBW list), with word AND phrase
+  // terms. Fixture terms deliberately exercise the contract edges:
+  // mixed case + internal double-space normalization ('Hash  Value'),
+  // overlapping sliding-window hits ('batch batch' counts twice in
+  // 'batch batch batch'), a 3-gram, and a never-hits term. Oracle
+  // replays the identical funnel: normalize terms, explode 1..3-gram
+  // windows, join, per-doc census with C4's zero-hit keep verdict.
+  private def q221Blocklist: QueryDef =
+    QueryDef.sql("q221_blocklist_filter",
+      """WITH bl AS (
+        |  SELECT * FROM (VALUES ('customer'), ('Hash  Value'),
+        |                        ('slow query'), ('batch batch'),
+        |                        ('table table key'), ('unobtainium')) b(term)),
+        |norm AS (
+        |  SELECT DISTINCT
+        |         array_to_string(list_filter(
+        |           regexp_split_to_array(lower(term), '\s+'), x -> x <> ''), ' ') AS gram,
+        |         len(list_filter(
+        |           regexp_split_to_array(lower(term), '\s+'), x -> x <> '')) AS n
+        |  FROM bl),
+        |toks AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                               x -> x <> '') END AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |           generate_series(1, len(t) - ns.n + 1),
+        |           i -> array_to_string(t[i:i+ns.n-1], ' '))) AS gram
+        |  FROM toks CROSS JOIN (SELECT DISTINCT n FROM norm) ns
+        |  WHERE len(t) >= ns.n),
+        |hits AS (
+        |  SELECT g.doc_id, count(*) AS n_hits,
+        |         count(DISTINCT g.gram) AS n_terms
+        |  FROM grams g JOIN norm nm ON nm.gram = g.gram
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       CAST(COALESCE(h.n_terms, 0) AS BIGINT) AS n_terms,
+        |       COALESCE(h.n_hits, 0) = 0 AS kept
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val terms = Seq("customer", "Hash  Value", "slow query",
+          "batch batch", "table table key", "unobtainium").toDF("term")
+        blocklistFilter(Tables.documents(s, d), "doc_id", col("text"), terms)
+      }
+    }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef.sql("q24_exact_dedup",
@@ -2210,6 +2292,8 @@ object TextQueries {
     // STRINGS, so agreement also witnesses xxhash64 collision-freedom
     // (the q112 adjudication).
     q212BpeEncode,
+    q220BpeDecode,
+    q221Blocklist,
 
     QueryDef.sql("q211_matched_spans",
       """WITH arr AS (

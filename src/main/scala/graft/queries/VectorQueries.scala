@@ -884,6 +884,66 @@ object VectorQueries {
           Similarity.bruteForceTopK(e, "vec_id", "embedding",
             e.filter(col("vec_id") < 50), "vec_id", "embedding", k = 3))
       }
+    },
+
+    // MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019): candidate
+    // pairs scored by margin over each side's own kNN neighborhood —
+    // the hub-suppressing objective behind LASER/CCMatrix parallel-
+    // corpus mining. Two "languages" = the bounded embedding slice
+    // split by id parity (the q35 brute-force contract); k = 4;
+    // margin in exact integer millis ((cos_ppm · 8000) div Σ-sums,
+    // both operands positive so floor ≡ truncation across engines).
+    // marginMilliMin = 0 so the gate pins EVERY source's best target
+    // and its margin value; the paper's ratio>1 verdict is the
+    // `mined` boolean, hash-gated alongside.
+    QueryDef.sql("q222_margin_bitext_mining",
+      """WITH a AS (SELECT vec_id AS src_id, embedding AS e
+        |           FROM embeddings WHERE vec_id < 200 AND vec_id % 2 = 0),
+        |b AS (SELECT vec_id AS tgt_id, embedding AS e
+        |      FROM embeddings WHERE vec_id < 200 AND vec_id % 2 = 1),
+        |pairs AS (
+        |  SELECT src_id, tgt_id,
+        |    CAST(round(
+        |      list_sum(list_transform(list_zip(a.e, b.e),
+        |               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(b.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      * 1000000.0) AS BIGINT) AS cosine_ppm
+        |  FROM a, b),
+        |ssum AS (
+        |  SELECT src_id, sum(cosine_ppm) AS s FROM (
+        |    SELECT src_id, cosine_ppm,
+        |           row_number() OVER (PARTITION BY src_id
+        |                              ORDER BY cosine_ppm DESC, tgt_id) AS r
+        |    FROM pairs) WHERE r <= 4 GROUP BY 1),
+        |tsum AS (
+        |  SELECT tgt_id, sum(cosine_ppm) AS s FROM (
+        |    SELECT tgt_id, cosine_ppm,
+        |           row_number() OVER (PARTITION BY tgt_id
+        |                              ORDER BY cosine_ppm DESC, src_id) AS r
+        |    FROM pairs) WHERE r <= 4 GROUP BY 1),
+        |m AS (
+        |  SELECT p.src_id, p.tgt_id, p.cosine_ppm,
+        |         (p.cosine_ppm * 8000) // (ss.s + ts.s) AS margin_milli
+        |  FROM pairs p
+        |  JOIN ssum ss USING (src_id) JOIN tsum ts USING (tgt_id)
+        |  WHERE p.cosine_ppm > 0 AND ss.s + ts.s > 0),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY src_id
+        |                               ORDER BY margin_milli DESC, tgt_id) AS r
+        |  FROM m)
+        |SELECT src_id, tgt_id, cosine_ppm,
+        |       CAST(margin_milli AS BIGINT) AS margin_milli,
+        |       margin_milli >= 1000 AS mined
+        |FROM best WHERE r = 1""".stripMargin) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        Similarity.marginMining(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          k = 4, marginMilliMin = 0L)
+          .withColumn("mined", col("margin_milli") >= 1000L)
+      }
     }
   )
 }

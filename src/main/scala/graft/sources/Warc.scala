@@ -1,0 +1,344 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, FileOutputStream, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC (ISO 28500 / WARC 1.0) reading and writing — the Common Crawl
+  * interchange format, i.e. the INPUT side of every web-scale LLM
+  * corpus pipeline (each monthly crawl ships ~90k `.warc.gz` files of
+  * ~1 GiB). The byte format is the public spec: records are
+  *
+  * {{{
+  * WARC/1.0\r\n
+  * <Name>: <value>\r\n ...        (header block)
+  * \r\n
+  * <Content-Length bytes of payload>
+  * \r\n\r\n
+  * }}}
+  *
+  * concatenated back to back; `.warc.gz` files hold ONE gzip member
+  * per record (the Common Crawl convention — lets an indexed reader
+  * seek to a record without decompressing the file prefix, and a
+  * sequential reader just reads the concatenated members).
+  *
+  * Payloads are length-delimited, so a payload containing the literal
+  * bytes `WARC/1.0` cannot desynchronize the parser — we never scan
+  * for magic, we count.
+  *
+  * Scale posture: the unit of read parallelism is the FILE (see
+  * [[WarcSource]]) — gzip members are not byte-range splittable
+  * without a side index, and the format's own convention (many ~1 GiB
+  * files) already yields more splits than executors on any real
+  * cluster. The writer shards deterministically and writes one file
+  * per shard with attempt-unique temp names + atomic rename (task
+  * retries and speculative attempts can never leave a torn file).
+  */
+object Warc {
+
+  /** Read schema. `warc_file`/`warc_offset` are provenance columns
+    * (what a CDX index row records); `warc_offset` is the byte offset
+    * of the record's `WARC/` magic in the UNCOMPRESSED stream (for
+    * `.warc.gz`, the decompressed-stream offset).
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("warc_file", StringType, nullable = false),
+    StructField("warc_offset", LongType, nullable = false),
+    StructField("record_id", StringType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", TimestampType, nullable = false),
+    StructField("content_type", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** One parsed record; `payload` is null when the reader was asked
+    * to skip payload bytes (column pruned).
+    */
+  final case class Record(file: String, offset: Long, id: String,
+                          warcType: String, uri: String, dateMicros: Long,
+                          contentType: String, length: Long,
+                          payload: Array[Byte])
+
+  private val DateFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+
+  /** md5 hex (32 chars) → RFC-4122-shaped `urn:uuid:` id. Purely a
+    * deterministic FORMATTING of the hash — replayable in any SQL
+    * engine from `md5(key)`, which is the point: record ids must be
+    * reproducible for idempotent re-writes and oracle checks.
+    */
+  def uuidUrn(md5Hex: String): String = {
+    require(md5Hex.length == 32, s"md5 hex expected, got '$md5Hex'")
+    s"urn:uuid:${md5Hex.substring(0, 8)}-${md5Hex.substring(8, 12)}-" +
+      s"${md5Hex.substring(12, 16)}-${md5Hex.substring(16, 20)}-${md5Hex.substring(20, 32)}"
+  }
+
+  /** Render one response record (header + payload + record separator)
+    * exactly as the byte layout documented on the object.
+    */
+  private[sources] def renderResponse(id: String, uri: String, dateSecs: Long,
+                                      contentType: String,
+                                      payload: Array[Byte]): Array[Byte] = {
+    val head = new StringBuilder(160 + uri.length)
+    head.append("WARC/1.0\r\n")
+    head.append("WARC-Type: response\r\n")
+    head.append("WARC-Record-ID: <").append(id).append(">\r\n")
+    head.append("WARC-Date: ")
+      .append(DateFmt.format(Instant.ofEpochSecond(dateSecs))).append("\r\n")
+    head.append("WARC-Target-URI: ").append(uri).append("\r\n")
+    head.append("Content-Type: ").append(contentType).append("\r\n")
+    head.append("Content-Length: ").append(payload.length).append("\r\n")
+    head.append("\r\n")
+    val hb = head.toString.getBytes(UTF_8)
+    val out = new Array[Byte](hb.length + payload.length + 4)
+    System.arraycopy(hb, 0, out, 0, hb.length)
+    System.arraycopy(payload, 0, out, hb.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** The file-head `warcinfo` record (Common Crawl convention: every
+    * WARC file opens with one). Deterministic: id from the file's
+    * shard key, date fixed by the caller — a re-export of the same
+    * data is byte-identical.
+    */
+  private[sources] def renderWarcinfo(shard: Long, dateSecs: Long): Array[Byte] = {
+    val payload = "software: graft-warc/1.0\r\nformat: WARC File Format 1.0\r\n"
+      .getBytes(UTF_8)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"warcinfo-$shard".getBytes(UTF_8)).map("%02x".format(_)).mkString
+    val head = new StringBuilder(160)
+    head.append("WARC/1.0\r\n")
+    head.append("WARC-Type: warcinfo\r\n")
+    head.append("WARC-Record-ID: <").append(uuidUrn(md5)).append(">\r\n")
+    head.append("WARC-Date: ")
+      .append(DateFmt.format(Instant.ofEpochSecond(dateSecs))).append("\r\n")
+    head.append("Content-Type: application/warc-fields\r\n")
+    head.append("Content-Length: ").append(payload.length).append("\r\n")
+    head.append("\r\n")
+    val hb = head.toString.getBytes(UTF_8)
+    hb ++ payload ++ Array[Byte]('\r', '\n', '\r', '\n')
+  }
+
+  /** Export `df` as sharded WARC response records.
+    *
+    * Sharding is an explicit COLUMN (default: `pmod(xxhash64(id), n)`)
+    * so a caller who needs oracle-replayable file assignment can pass
+    * a simple expression; rows sort by `idCol` within a shard, so the
+    * record sequence inside every file is deterministic — two exports
+    * of the same frame are byte-identical, which is what makes the
+    * sink idempotent under task retry AND auditable by checksum.
+    *
+    * Layout contract per file: one `warcinfo` record, then the
+    * shard's responses in `idCol` order. `compress=true` writes one
+    * gzip member PER RECORD (`.warc.gz`, the Common Crawl layout).
+    *
+    * Dates are truncated to whole seconds (WARC/1.0 header precision).
+    * The shard column must already be in `[0, numShards)` semantics —
+    * each distinct value becomes one file; all rows with one value
+    * land in one task via the shard repartition (hash partitioning is
+    * value-consistent), so exactly one attempt renames each file.
+    */
+  def export(df: DataFrame, idCol: String, uriCol: String, dateCol: String,
+             payloadCol: String, outDir: String, numShards: Int,
+             compress: Boolean = true, contentType: String = "text/plain",
+             infoDateSecs: Long = 0L, shardCol: Option[Column] = None): Unit = {
+    require(numShards >= 1, s"numShards must be positive, got $numShards")
+    Files.createDirectories(Paths.get(outDir))
+    val shard = shardCol.getOrElse(
+      pmod(xxhash64(col(idCol).cast("string")), lit(numShards.toLong)))
+    val ext = if (compress) "warc.gz" else "warc"
+    val rows = df.select(
+        shard.cast("long").as("__shard"),
+        md5(col(idCol).cast("string")).as("__md5"),
+        col(uriCol).cast("string").as("__uri"),
+        (unix_timestamp(col(dateCol))).as("__secs"),
+        col(payloadCol).cast("binary").as("__payload"),
+        col(idCol).as("__id")) // original type: in-file order = natural id order
+      .repartition(numShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__id"))
+    val written = rows.mapPartitions { it =>
+      val tc = TaskContext.get()
+      var current: Long = -1L
+      var os: OutputStream = null
+      var tmp: java.nio.file.Path = null
+      val done = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def finishFile(): Unit = if (os != null) {
+        os.close()
+        Files.move(tmp, Paths.get(outDir, f"part-$current%05d.$ext"),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        done += current; os = null
+      }
+      def emit(bytes: Array[Byte]): Unit =
+        if (compress) { // one gzip member per record
+          val gz = new GZIPOutputStream(os); gz.write(bytes); gz.finish()
+        } else os.write(bytes)
+      for (r <- it) {
+        val s = r.getLong(0)
+        if (s != current) {
+          finishFile()
+          current = s
+          tmp = Paths.get(outDir,
+            f"part-$current%05d.$ext.tmp-attempt-${tc.taskAttemptId()}")
+          os = new BufferedOutputStream(new FileOutputStream(tmp.toFile), 1 << 16)
+          emit(renderWarcinfo(s, infoDateSecs))
+        }
+        emit(renderResponse(uuidUrn(r.getString(1)), r.getString(2),
+          r.getLong(3), contentType, r.getAs[Array[Byte]](4)))
+      }
+      finishFile()
+      done.iterator.map(_.toInt)
+    }(Encoders.scalaInt).collect()
+    val missing = written.filterNot(s =>
+      Files.exists(Paths.get(outDir, f"part-$s%05d.$ext")))
+    require(missing.isEmpty, s"WARC sink lost shards ${missing.toSeq} in $outDir")
+  }
+
+  /** CDX-style capture index over a WARC read frame — the side index
+    * that makes a `.warc.gz` corpus randomly accessible (Common
+    * Crawl ships one: per-record gzip members mean (file, offset)
+    * is a seekable address, and the index IS how `/doc/x` is fetched
+    * without decompressing a crawl). One row per response record:
+    * the canonicalized target URI as the binary-searchable sort key
+    * ([[graft.functions.TextFunctions.canonicalizeUrl]] — the same
+    * key crawl-frontier dedup joins on), capture date, address
+    * (file, decompressed-stream offset, length) and the payload md5
+    * digest. Globally ordered by (url_key, warc_date, warc_file) —
+    * the CDX sort contract. Building the index is the one pass that
+    * reads every payload (the digest); everything downstream seeks.
+    */
+  def cdxIndex(warc: DataFrame): DataFrame =
+    warc.filter(col("warc_type") === "response")
+      .select(
+        graft.functions.TextFunctions.canonicalizeUrl(col("target_uri"))
+          .as("url_key"),
+        col("warc_date"), col("warc_file"), col("warc_offset"),
+        col("content_length"),
+        md5(col("payload")).as("digest"))
+      .orderBy("url_key", "warc_date", "warc_file")
+
+  // ---------------------------------------------------------------- read
+
+  /** Input stream that counts consumed bytes — record offsets in the
+    * (decompressed) stream come from here, not from guesswork.
+    */
+  private final class Counting(in: InputStream) extends InputStream {
+    var count: Long = 0L
+    override def read(): Int = {
+      val c = in.read(); if (c >= 0) count += 1; c
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = in.read(b, off, len); if (n > 0) count += n; n
+    }
+    override def close(): Unit = in.close()
+  }
+
+  /** Sequential record parser over one WARC file. `readPayload=false`
+    * skips payload bytes without materializing them (the column-pruned
+    * scan: a `count(*)` or metadata-only query never allocates a
+    * payload buffer).
+    */
+  final class RecordReader(raw: InputStream, fileName: String,
+                           readPayload: Boolean) {
+    private val in = new Counting(
+      if (fileName.endsWith(".gz"))
+        new GZIPInputStream(raw, 1 << 16) // multi-member: reads all concatenated members
+      else new BufferedInputStream(raw, 1 << 16))
+
+    /** Next record, or null at end of stream. `admit` is consulted
+      * with the record's WARC-Type BEFORE the payload is touched: a
+      * non-admitted record's payload is skipped, never buffered, and
+      * the record comes back with a null payload (the caller drops
+      * it) — this is what makes the `warc_type` filter pushdown a
+      * bytes-level win rather than a row-level one.
+      */
+    def next(admit: String => Boolean = _ => true): Record = {
+      val offset = in.count
+      val version = readLine()
+      if (version == null) return null
+      require(version.startsWith("WARC/"),
+        s"$fileName: expected WARC/ version line at offset $offset, got '$version'")
+      var id: String = null; var wtype: String = null; var uri: String = null
+      var date: String = null; var ctype: String = null; var len: Long = -1L
+      var line = readLine()
+      while (line != null && line.nonEmpty) {
+        val colon = line.indexOf(':')
+        require(colon > 0, s"$fileName: malformed header line '$line'")
+        val name = line.substring(0, colon)
+        val value = line.substring(colon + 1).trim
+        name.toLowerCase match {
+          case "warc-record-id" => id = value.stripPrefix("<").stripSuffix(">")
+          case "warc-type" => wtype = value
+          case "warc-target-uri" => uri = value
+          case "warc-date" => date = value
+          case "content-type" => ctype = value
+          case "content-length" => len = value.toLong
+          case _ => // unknown headers pass through (spec allows any)
+        }
+        line = readLine()
+      }
+      require(line != null, s"$fileName: EOF inside header block at offset $offset")
+      require(len >= 0, s"$fileName: record at offset $offset has no Content-Length")
+      require(id != null && wtype != null && date != null,
+        s"$fileName: record at offset $offset missing mandatory WARC headers")
+      val payload =
+        if (readPayload && admit(wtype)) {
+          val buf = new Array[Byte](len.toInt)
+          var got = 0
+          while (got < len) {
+            val n = in.read(buf, got, (len - got).toInt)
+            if (n < 0) throw new EOFException(
+              s"$fileName: payload truncated at offset $offset ($got of $len bytes)")
+            got += n
+          }
+          buf
+        } else { skipFully(len); null }
+      expect('\r'); expect('\n'); expect('\r'); expect('\n')
+      val ins = Instant.parse(date)
+      val micros = ins.getEpochSecond * 1000000L + ins.getNano / 1000L
+      Record(fileName, offset, id, wtype, uri, micros, ctype, len, payload)
+    }
+
+    def close(): Unit = in.close()
+
+    private def skipFully(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        val s = in.skip(left)
+        if (s <= 0) { // skip() may return 0 at buffer edges; fall back to read
+          if (in.read() < 0) throw new EOFException(
+            s"$fileName: payload truncated while skipping")
+          left -= 1
+        } else left -= s
+      }
+    }
+
+    private def expect(c: Char): Unit = {
+      val got = in.read()
+      require(got == c,
+        s"$fileName: expected record separator byte ${c.toInt}, got $got")
+    }
+
+    /** CRLF-terminated header line (ASCII/UTF-8), null at EOF. */
+    private def readLine(): String = {
+      val buf = new java.io.ByteArrayOutputStream(96)
+      var c = in.read()
+      if (c == -1) return null
+      while (c != -1 && c != '\n') { buf.write(c); c = in.read() }
+      val b = buf.toByteArray
+      val n = if (b.nonEmpty && b(b.length - 1) == '\r') b.length - 1 else b.length
+      new String(b, 0, n, UTF_8)
+    }
+  }
+}

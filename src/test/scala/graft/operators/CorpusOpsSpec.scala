@@ -1524,4 +1524,60 @@ class CorpusOpsSpec extends AnyFunSuite {
       "doc_id", col("text"), dims = 4, persistFeatures = false)
     assert(toyW.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
   }
+
+  test("blocklistFilter: token boundaries, phrases, normalization, overlap counting") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the scanner runs a scan now"),      // 'scan' hits once; 'scanner' must NOT
+      (2L, "batch batch batch end"),            // sliding window: 'batch batch' twice
+      (3L, "a HASH   value appears"),           // case + run-of-spaces normalize
+      (4L, "perfectly clean text"),
+      (5L, "   ")                               // no tokens -> zero hits, kept
+    ).toDF("doc_id", "text")
+    val terms = Seq("Scan", "batch  batch", "hash value").toDF("term")
+    val out = TextFunctions.blocklistFilter(docs, "doc_id", col("text"), terms)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((1L, 1L, false)))
+    assert(out(2L) === ((2L, 1L, false)))
+    assert(out(3L) === ((1L, 1L, false)))
+    assert(out(4L) === ((0L, 0L, true)))
+    assert(out(5L) === ((0L, 0L, true)))
+  }
+
+  test("marginMining suppresses hubs that raw cosine top-1 would pick") {
+    import spark.implicits._
+    // target space: a HUB close to everything (0.9 to both sources)
+    // and two true matches (0.95 to exactly one source each, ~0 to
+    // the other). Raw cosine picks the true pair anyway here, so make
+    // the hub the raw winner for src 20: hub cos 0.97 vs true 0.95 —
+    // margin must still pick the true pair because the hub's own kNN
+    // neighborhood is uniformly high.
+    def unit(xs: Double*): Seq[Float] = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(x => (x / n).toFloat)
+    }
+    val srcs = Seq(
+      (10L, unit(1, 0, 0, 0)),
+      (20L, unit(0, 1, 0, 0))).toDF("id", "v")
+    val hub = unit(0.15, 0.97, 0.1, 0.1) // near-parallel to src 20, high on others
+    val tgts = Seq(
+      (1L, unit(0.95, 0, 0.312, 0)),     // true match for src 10
+      (2L, unit(0, 0.95, 0, 0.312)),     // true match for src 20
+      (3L, hub),
+      (4L, unit(0.5, 0.5, 0.5, 0.5)),
+      (5L, unit(0.4, 0.6, 0.4, 0.56))).toDF("id", "v")
+    val mined = Similarity.marginMining(srcs, "id", "v", tgts, "id", "v",
+      k = 3, marginMilliMin = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheRegistry.releaseAll()
+    // src 10's best by margin is its true match
+    assert(mined(10L) === 1L)
+    // src 20: hub 3 has the higher raw cosine, but margin ranks the
+    // dedicated match above the everything-neighbor
+    val raw = Similarity.bruteForceTopK(tgts, "id", "v",
+      srcs.filter(col("id") === 20L), "id", "v", k = 1, excludeSelf = false)
+      .collect().head.getLong(1)
+    assert(raw === 3L, "fixture must make the hub the raw-cosine winner")
+    assert(mined(20L) === 2L)
+  }
 }

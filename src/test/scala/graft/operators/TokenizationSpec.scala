@@ -121,4 +121,22 @@ class TokenizationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(oov.toSeq === Seq((7L, 1L, -1L), (7L, 2L, -1L), (7L, 3L, -1L)))
   }
+
+  test("decodeIds round-trips encodeIds to the whitespace-squashed text; unks surface") {
+    import spark.implicits._
+    val merges = Tokenization.trainBpe(sennrich, col("text"), numMerges = 4)
+    val vocab = Tokenization.bpeVocab(sennrich, col("text"), merges)
+    val docs = Seq((1L, "newest  low\t wider"), (2L, "low")).toDF("doc_id", "text")
+    val enc = Tokenization.encodeIds(docs, "doc_id", col("text"), merges, vocab)
+    val dec = Tokenization.decodeIds(enc, "doc_id", vocab)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // whitespace squashed, words intact and ordered; no unks (corpus alphabet)
+    assert(dec(1L) === (("newestlowwider", 10L, 0L))) // n e w est low w i d e r
+    assert(dec(2L) === (("low", 1L, 0L)))
+    // an id outside the vocab decodes as U+FFFD and counts in n_unk
+    val rogue = Seq((9L, 1L, 999999L), (9L, 2L, 0L)).toDF("doc_id", "pos", "token_id")
+    val d9 = Tokenization.decodeIds(rogue, "doc_id", vocab).collect().head
+    assert(d9.getString(1).startsWith("�"))
+    assert(d9.getLong(3) === 1L)
+  }
 }

@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarcSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("warc-source")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"warc-$tag").toString
+
+  private def docsDf = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "http://e/1", "2024-01-01 00:00:01", "hello"),
+      (2L, "http://e/2", "2024-01-01 00:00:02", "WARC/1.0\r\nnot a record"),
+      (3L, "http://e/3", "2024-01-01 00:00:03", "naïve bytes")
+    ).toDF("doc_id", "uri", "d", "text")
+      .withColumn("d", to_timestamp(col("d")))
+  }
+
+  test("export writes byte-exact WARC (golden literal, uncompressed)") {
+    val dir = tmpDir("golden")
+    // one shard → one file: warcinfo then docs in id order
+    Warc.export(docsDf, "doc_id", "uri", "d", "text", dir, numShards = 1,
+      compress = false, infoDateSecs = 0L, shardCol = Some(lit(0)))
+    val got = new String(
+      Files.readAllBytes(Paths.get(dir, "part-00000.warc")), UTF_8)
+    // golden literal: hand-assembled from the spec layout; md5("warcinfo-0"),
+    // md5("1"),... precomputed EXTERNALLY (python hashlib), so the
+    // expectation shares no code with the renderer
+    val expected =
+      "WARC/1.0\r\n" +
+        "WARC-Type: warcinfo\r\n" +
+        "WARC-Record-ID: <urn:uuid:a9576cda-98d0-07d2-8464-94c3ffa84270>\r\n" +
+        "WARC-Date: 1970-01-01T00:00:00Z\r\n" +
+        "Content-Type: application/warc-fields\r\n" +
+        "Content-Length: 56\r\n" +
+        "\r\n" +
+        "software: graft-warc/1.0\r\nformat: WARC File Format 1.0\r\n" +
+        "\r\n\r\n" +
+      "WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:uuid:c4ca4238-a0b9-2382-0dcc-509a6f75849b>\r\n" +
+        "WARC-Date: 2024-01-01T00:00:01Z\r\n" +
+        "WARC-Target-URI: http://e/1\r\n" +
+        "Content-Type: text/plain\r\n" +
+        "Content-Length: 5\r\n" +
+        "\r\n" +
+        "hello" +
+        "\r\n\r\n" +
+      "WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:uuid:c81e728d-9d4c-2f63-6f06-7f89cc14862c>\r\n" +
+        "WARC-Date: 2024-01-01T00:00:02Z\r\n" +
+        "WARC-Target-URI: http://e/2\r\n" +
+        "Content-Type: text/plain\r\n" +
+        "Content-Length: 22\r\n" +
+        "\r\n" +
+        "WARC/1.0\r\nnot a record" +
+        "\r\n\r\n" +
+      "WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:uuid:eccbc87e-4b5c-e2fe-2830-8fd9f2a7baf3>\r\n" +
+        "WARC-Date: 2024-01-01T00:00:03Z\r\n" +
+        "WARC-Target-URI: http://e/3\r\n" +
+        "Content-Type: text/plain\r\n" +
+        "Content-Length: 12\r\n" + // "naïve bytes" is 12 UTF-8 bytes (ï = 2)
+        "\r\n" +
+        "naïve bytes" +
+        "\r\n\r\n"
+    assert(got === expected)
+  }
+
+  test("gz roundtrip: per-record members, payload with embedded WARC magic, offsets") {
+    val dir = tmpDir("rt")
+    Warc.export(docsDf, "doc_id", "uri", "d", "text", dir, numShards = 2,
+      compress = true, infoDateSecs = 0L,
+      shardCol = Some(pmod(col("doc_id"), lit(2))))
+    assert(Files.exists(Paths.get(dir, "part-00000.warc.gz")))
+    assert(Files.exists(Paths.get(dir, "part-00001.warc.gz")))
+
+    val back = spark.read.format("warc").load(dir)
+    // one input partition per file — the documented parallelism unit
+    assert(back.rdd.getNumPartitions === 2)
+
+    val responses = back.filter(col("warc_type") === "response")
+      .select(col("record_id"), col("target_uri"), col("warc_date"),
+        col("content_length"), col("payload").cast("string").as("text"))
+      .orderBy("target_uri").collect()
+    assert(responses.length === 3)
+    assert(responses(0).getString(0) === "urn:uuid:c4ca4238-a0b9-2382-0dcc-509a6f75849b")
+    assert(responses(1).getString(4) === "WARC/1.0\r\nnot a record")
+    assert(responses(1).getLong(3) === 22L)
+    assert(responses(2).getString(4) === "naïve bytes")
+    assert(responses(2).getLong(3) === 12L)
+    assert(responses(0).getTimestamp(2).toInstant ===
+      java.time.Instant.parse("2024-01-01T00:00:01Z"))
+
+    // offsets: decompressed-stream positions. Shard 1 file = warcinfo
+    // (196 bytes: golden above with shard-1 uuid, same lengths) then
+    // doc 1, doc 3; shard 0 = warcinfo then doc 2.
+    val offs = back.select("warc_file", "warc_offset", "warc_type", "target_uri")
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3)) -> r.getLong(1)).toMap
+    assert(offs(("part-00001.warc.gz", "warcinfo", null)) === 0L)
+    assert(offs(("part-00000.warc.gz", "warcinfo", null)) === 0L)
+    // golden warcinfo record byte length: 10+21+65+33+39+20+2+56+4
+    val infoLen = 250L
+    assert(offs(("part-00001.warc.gz", "response", "http://e/1")) === infoLen)
+    assert(offs(("part-00000.warc.gz", "response", "http://e/2")) === infoLen)
+  }
+
+  test("column pruning skips payload; type filter drops records pre-payload") {
+    val dir = tmpDir("prune")
+    Warc.export(docsDf, "doc_id", "uri", "d", "text", dir, numShards = 1,
+      compress = false, shardCol = Some(lit(0)))
+    val pruned = spark.read.format("warc").load(dir)
+      .select("target_uri", "content_length")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("BatchScan warc:.*\\[target_uri#\\d+, content_length#\\d+L\\]".r
+      .findFirstIn(plan).isDefined, s"expected pruned BatchScan in:\n$plan")
+    assert(pruned.count() === 4L) // warcinfo + 3 responses
+
+    val filtered = spark.read.format("warc").load(dir)
+      .filter(col("warc_type") === "response")
+    assert(filtered.count() === 3L)
+    assert(filtered.agg(sum("content_length")).head.getLong(0) === 39L)
+  }
+
+  test("truncated payload fails loudly, never yields a short record") {
+    val dir = tmpDir("trunc")
+    Warc.export(docsDf.limit(1), "doc_id", "uri", "d", "text", dir,
+      numShards = 1, compress = false, shardCol = Some(lit(0)))
+    val p = Paths.get(dir, "part-00000.warc")
+    val all = Files.readAllBytes(p)
+    Files.write(p, all.dropRight(9)) // cut into the last payload
+    val ex = intercept[Exception] {
+      spark.read.format("warc").load(dir).count()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString
+    assert(chain.contains("truncated"), s"unexpected failure: $chain")
+  }
+}
