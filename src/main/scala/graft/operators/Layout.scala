@@ -61,11 +61,17 @@ object Layout {
     * — Spark's own file-coalescing strategy writ relational: every
     * bin fills to ≥ target before the next opens (overshoot bounded
     * by one file), and a file larger than target lands in a bin of
-    * its own. The small-file problem is THE silent 100 TB lakehouse
-    * tax (a 100 TB table written by 10k reducers at 10 MB a file is
-    * 10M scan tasks until someone compacts), and a deterministic,
-    * oracle-checkable plan is what makes the compaction job itself
-    * idempotent and auditable.
+    * its own.
+    *
+    * The PLANNING complement of [[compact]]: `compact` rewrites a
+    * whole directory through one repartition (right for a one-shot
+    * OPTIMIZE of a leaf partition), while this emits the metadata-
+    * only file→bin assignment — which is what INCREMENTAL compaction
+    * needs (rewrite only bins holding >1 file, leave already-right-
+    * sized files untouched instead of re-shuffling 100 TB), what an
+    * Iceberg/Delta-style rewrite job takes as its task list, and
+    * what makes the maintenance job deterministic, resumable, and
+    * auditable before any byte moves.
     *
     * Input is a file CATALOG — metadata, one row per file (~800k
     * rows at 100 TB / 128 MB), not data — so the window is the
@@ -157,7 +163,9 @@ object Layout {
     * in `<dir>.compact.tmp` first and swaps in with two renames —
     * atomic on HDFS-like filesystems; on rename-as-copy object stores
     * run it under the table format's transaction (this operator
-    * deliberately owns only the plain-directory case).
+    * deliberately owns only the plain-directory case). For the
+    * incremental variant — touch only the bins that need it — plan
+    * with [[compactionPlan]] and rewrite per bin.
     *
     * Returns (files_before, files_after, bytes).
     */

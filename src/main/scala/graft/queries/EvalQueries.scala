@@ -1421,6 +1421,58 @@ object EvalQueries {
           shardCol = Some(pmod(col("doc_id"), lit(4))))
         graft.sources.Warc.cdxIndex(s.read.format("warc").load(dir))
       }
+    },
+
+    // HTTP MESSAGE PARSE: what a Common Crawl response record holds
+    // is the full HTTP response, not the page — so the gate wraps
+    // each document in a status line + headers + CRLFCRLF + body,
+    // ships it through the WARC sink/source, and splits it back with
+    // Warc.httpMessage (one codegen'd locate/split/regexp chain, no
+    // UDF). doc_id comes back OUT OF the X-Doc-Id header — the
+    // parse, not the export order, carries the identity — and every
+    // parsed field (status by doc residue, version, reason, header
+    // count, first content-type, body md5) re-derives from documents.
+    QueryDef.sql("q225_warc_http_parse",
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS status_code,
+        |       '1.1' AS http_version,
+        |       CASE WHEN doc_id % 7 = 0 THEN 'Not Found' ELSE 'OK' END AS reason,
+        |       CAST(3 AS BIGINT) AS n_headers,
+        |       'text/plain; charset=UTF-8' AS content_type,
+        |       md5(text) AS body_md5
+        |FROM documents""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = graft.operators.Scratch.dir(
+          s"graft_http_${new java.io.File(d).getName}")
+        val staged = docs.select(col("doc_id"),
+          concat(lit("http://corpus.example/doc/"), col("doc_id")).as("uri"),
+          timestamp_seconds(lit(1704067200L)
+            + pmod(col("doc_id"), lit(86400L))).as("d"),
+          concat(
+            lit("HTTP/1.1 "),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit("404 Not Found"))
+              .otherwise(lit("200 OK")),
+            lit("\r\nContent-Type: text/plain; charset=UTF-8\r\nX-Doc-Id: "),
+            col("doc_id").cast("string"),
+            lit("\r\nContent-Length: "),
+            octet_length(col("text")).cast("string"),
+            lit("\r\n\r\n"), col("text")).as("http"))
+        graft.sources.Warc.export(staged, "doc_id", "uri", "d", "http", dir,
+          numShards = 4, compress = true, infoDateSecs = 0L,
+          shardCol = Some(pmod(col("doc_id"), lit(4))),
+          contentType = "application/http; msgtype=response")
+        s.read.format("warc").load(dir)
+          .filter(col("warc_type") === "response")
+          .select(graft.sources.Warc.httpMessage(col("payload")).as("m"))
+          .select(
+            get(filter(col("m.headers"),
+              h => h.getField("name") === lit("x-doc-id")), lit(0))
+              .getField("value").cast("long").as("doc_id"),
+            col("m.status_code"), col("m.http_version"), col("m.reason"),
+            col("m.n_headers"), col("m.content_type"),
+            md5(col("m.body")).as("body_md5"))
+      }
     }
   )
 }

@@ -205,6 +205,57 @@ object Warc {
     require(missing.isEmpty, s"WARC sink lost shards ${missing.toSeq} in $outDir")
   }
 
+  /** Parse an HTTP message out of a WARC response payload — what a
+    * Common Crawl `response` record actually holds is not the page
+    * but the full HTTP response (status line, headers, CRLFCRLF,
+    * body), so this split is the first transform every crawl
+    * pipeline runs after the WARC read. One codegen'd expression
+    * chain (locate/substr/split/regexp — no UDF): returns a struct
+    * with `http_version`, `status_code` (null when the payload has
+    * no status line), `reason`, `n_headers`, `headers` (name→value
+    * structs, names lowercased, ORDER PRESERVED — duplicates like
+    * repeated Set-Cookie survive, which a map would drop or throw
+    * on), `content_type` (first content-type header, null if
+    * absent) and `body` (everything after the first blank line; the
+    * whole payload when there is none, per the tolerant-reader
+    * convention).
+    *
+    * Text contract: the payload is decoded as UTF-8 — the right
+    * call for a text-corpus pipeline; binary bodies (images,
+    * gzip'd transfer encodings) should stay on the raw `payload`
+    * bytes instead of round-tripping through this cast.
+    */
+  def httpMessage(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val p = payload.cast("string")
+    val sep = locate("\r\n\r\n", p)
+    val head = when(sep > 0, substring(p, lit(1), sep - 1)).otherwise(p)
+    val body = when(sep > 0, p.substr(sep + 4, length(p))).otherwise(p)
+    val lines = split(head, "\r\n")
+    val statusLine = get(lines, lit(0)) // null-safe under ANSI, unlike element_at
+    val version = regexp_extract(statusLine, "^HTTP/(\\d\\.\\d) ", 1)
+    val status = nullif(
+      regexp_extract(statusLine, "^HTTP/\\d\\.\\d (\\d{3})", 1), lit(""))
+      .cast("int")
+    val headerLines = filter(
+      slice(lines, lit(2), greatest(size(lines) - 1, lit(0))),
+      l => l.contains(":"))
+    val headers = transform(headerLines, l => struct(
+      lower(trim(substring_index(l, ":", 1))).as("name"),
+      trim(regexp_replace(l, "^[^:]*:", "")).as("value")))
+    val contentType = get(
+      filter(headers, h => h.getField("name") === "content-type"), lit(0))
+      .getField("value")
+    struct(
+      nullif(version, lit("")).as("http_version"),
+      status.as("status_code"),
+      nullif(regexp_extract(statusLine, "^HTTP/\\d\\.\\d \\d{3} (.*)$", 1),
+        lit("")).as("reason"),
+      size(headers).cast("long").as("n_headers"),
+      headers.as("headers"),
+      contentType.as("content_type"),
+      body.as("body"))
+  }
+
   /** CDX-style capture index over a WARC read frame — the side index
     * that makes a `.warc.gz` corpus randomly accessible (Common
     * Crawl ships one: per-record gzip members mean (file, offset)

@@ -139,6 +139,37 @@ class WarcSpec extends AnyFunSuite {
     assert(filtered.agg(sum("content_length")).head.getLong(0) === 39L)
   }
 
+  test("httpMessage: status/headers/body split, duplicate headers preserved, bare payloads tolerated") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nSet-Cookie: a=1\r\n" +
+        "Set-Cookie: b=2\r\n\r\n<html>body\r\n\r\nwith blank</html>"),
+      (2L, "no http here at all"),
+      (3L, "HTTP/1.0 301 Moved Permanently\r\nLocation: /x\r\n\r\n")
+    ).toDF("id", "p")
+    val m = rows.select(col("id"), Warc.httpMessage(col("p")).as("m"))
+      .orderBy("id").collect()
+    val r1 = m(0).getStruct(1)
+    assert(r1.getAs[String]("http_version") === "1.1")
+    assert(r1.getAs[Int]("status_code") === 200)
+    assert(r1.getAs[String]("reason") === "OK")
+    assert(r1.getAs[Long]("n_headers") === 3L) // duplicate Set-Cookie kept
+    assert(r1.getAs[String]("content_type") === "text/html")
+    // body splits at the FIRST blank line only — a blank line IN the
+    // body survives
+    assert(r1.getAs[String]("body") === "<html>body\r\n\r\nwith blank</html>")
+    val r2 = m(1).getStruct(1)
+    assert(r2.getAs[Any]("status_code") === null)
+    assert(r2.getAs[Any]("http_version") === null)
+    assert(r2.getAs[Long]("n_headers") === 0L)
+    assert(r2.getAs[String]("body") === "no http here at all")
+    val r3 = m(2).getStruct(1)
+    assert(r3.getAs[Int]("status_code") === 301)
+    assert(r3.getAs[String]("reason") === "Moved Permanently")
+    assert(r3.getAs[Any]("content_type") === null)
+    assert(r3.getAs[String]("body") === "")
+  }
+
   test("truncated payload fails loudly, never yields a short record") {
     val dir = tmpDir("trunc")
     Warc.export(docsDf.limit(1), "doc_id", "uri", "d", "text", dir,
