@@ -211,6 +211,24 @@ object Soak {
           batch, Some((spark.read.parquet(s"$d/incstore/docs"),
             spark.read.parquet(s"$d/incstore/sigs"))),
           "doc_id", "text")._1
+      },
+      "warc_roundtrip" -> { d: String =>
+        // full WARC sink+source cycle at scale: per-record-gzip export
+        // of the scaled corpus (16 shard files — writer parallelism),
+        // then the DSv2 read of every response record. Measures both
+        // the render/deflate write path and the file-parallel
+        // parse/inflate read path; shard files are overwritten across
+        // scales (same 16 names), so the dir never accumulates.
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"),
+            concat(lit("http://corpus.example/doc/"), col("doc_id")).as("uri"),
+            timestamp_seconds(pmod(col("doc_id"), lit(86400L))).as("ts"),
+            col("text"))
+        val dir = operators.Scratch.dir("graft_soak_warc")
+        graft.sources.Warc.export(docs, "doc_id", "uri", "ts", "text", dir,
+          numShards = 16)
+        spark.read.format("warc").load(dir)
+          .filter(col("warc_type") === "response")
       })
 
     val scales = sys.env.get("SPARK_GRAFT_SOAK_SCALES")

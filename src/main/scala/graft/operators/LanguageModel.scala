@@ -187,6 +187,70 @@ object LanguageModel {
     *
     * Returns (id, pred_class, score_bits, margin_bits).
     */
+  /** Batch perceptron trained RELATIONALLY — the discriminative
+    * complement to [[naiveBayesClassify]] (generative): a linear
+    * model over hashed token counts (the q153 hashing trick,
+    * `xxhash64 % dims`) fit by `epochs` full-batch perceptron
+    * updates, every step exact integer arithmetic so any engine
+    * replays training bit-for-bit:
+    *
+    *   score_i = Σ_b w_b·c_ib;  misclassified: y_i·score_i ≤ 0
+    *   w_b    += Σ_{misclassified i} y_i·c_ib
+    *
+    * (weights start at 0, so epoch 1's update is the class-weighted
+    * feature census — the deterministic classic; the ≤0 rule makes
+    * the zero-score tie a defined "wrong" for both classes.)
+    *
+    * Spark shape: the feature frame (doc, bucket, count, y) is built
+    * once, persisted, and each epoch is ONE pass over it — a doc-
+    * keyed score aggregation, a semi-join back for the misclassified
+    * set, a bucket-keyed delta aggregation. The weight vector lives
+    * driver-side between epochs (≤ dims longs — the k-means-centroid
+    * / BPE-merge-table adjudication: model state bounded by the
+    * MODEL, not the data) and re-enters the plan as an array
+    * literal, so nothing iterative accumulates lineage. Epochs is
+    * small and fixed by contract — perceptron training at corpus
+    * scale is epochs × one-pass, the same cost envelope as
+    * [[bigramSurprisal]]'s censuses.
+    *
+    * Returns one row per input doc: (idCol, label (+1/−1), score
+    * (final integer activation), pred (+1/−1, 0-score → −1), correct).
+    */
+  def perceptronClassify(df: DataFrame, idCol: String, text: Column,
+                         positive: Column, dims: Int = 64,
+                         epochs: Int = 3): DataFrame = {
+    require(dims >= 2 && (dims & (dims - 1)) == 0,
+      s"dims must be a power of two, got $dims")
+    require(epochs >= 1, s"epochs must be positive, got $epochs")
+    val labeled = df.select(col(idCol).as("__id"),
+      when(positive, 1L).otherwise(-1L).as("__y"), text.as("__t"))
+    val feats = CacheRegistry.register(labeled
+      .select(col("__id"), col("__y"),
+        explode(graft.functions.TextFunctions.tokens(col("__t"))).as("__w"))
+      .select(col("__id"), col("__y"),
+        pmod(xxhash64(col("__w")), lit(dims.toLong)).as("__b"))
+      .groupBy("__id", "__y", "__b").agg(count(lit(1)).as("__c"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val w = new Array[Long](dims)
+    def wLit = array(w.toIndexedSeq.map(lit): _*)
+    def scores = feats
+      .groupBy("__id", "__y")
+      .agg(sum(col("__c") * element_at(wLit, (col("__b") + 1).cast("int")))
+        .as("__s"))
+    for (_ <- 1 to epochs) {
+      val delta = feats
+        .join(scores.filter(col("__y") * col("__s") <= 0).select("__id"),
+          Seq("__id"), "left_semi")
+        .groupBy("__b").agg(sum(col("__y") * col("__c")).as("__d"))
+        .collect()
+      delta.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+    }
+    scores.select(col("__id").as(idCol), col("__y").as("label"),
+      col("__s").as("score"),
+      when(col("__s") > 0, 1L).otherwise(-1L).as("pred"),
+      (when(col("__s") > 0, 1L).otherwise(-1L) === col("__y")).as("correct"))
+  }
+
   def naiveBayesClassify(train: DataFrame, classCol: Column, trainText: Column,
                          test: DataFrame, idCol: String, testText: Column,
                          persistModel: Boolean = true): DataFrame = {

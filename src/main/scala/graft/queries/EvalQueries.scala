@@ -1473,6 +1473,84 @@ object EvalQueries {
             col("m.n_headers"), col("m.content_type"),
             md5(col("m.body")).as("body_md5"))
       }
+    },
+
+    // WARC REVISIT-RECORD DEDUP: the format's OWN storage dedup
+    // (identical-payload-digest profile — how Common Crawl stops
+    // re-storing duplicated pages). Docs are grouped in threes
+    // sharing the leader's text (same content at different URLs);
+    // export(dedupByDigest=true) runs the digest census and writes
+    // ONE full response per distinct payload (min-id, q24's keep
+    // rule) plus body-less revisits whose WARC-Refers-To points at
+    // the original's record URN — across shard files. The oracle
+    // re-derives every field INCLUDING the mixed-record-size offset
+    // fold (response and revisit layouts differ) from documents
+    // alone.
+    QueryDef.sql("q226_warc_revisit_dedup",
+      """WITH src AS (
+        |  SELECT d.doc_id, l.text AS ptext
+        |  FROM documents d
+        |  JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 3),
+        |base AS (
+        |  SELECT doc_id,
+        |         md5(CAST(doc_id - doc_id % 3 AS VARCHAR)) AS oh,
+        |         doc_id % 3 = 0 AS is_orig,
+        |         'http://corpus.example/doc/' || doc_id AS uri,
+        |         strlen(ptext) AS len, md5(ptext) AS pdig,
+        |         doc_id % 4 AS shard
+        |  FROM src),
+        |sized AS (
+        |  SELECT *,
+        |    CASE WHEN is_orig
+        |      THEN 10 + 21 + 65 + 33 + (17 + strlen(uri) + 2) + 26
+        |           + (16 + strlen(CAST(len AS VARCHAR)) + 2) + 2 + len + 4
+        |      ELSE 10 + 20 + 65 + 33 + (17 + strlen(uri) + 2) + 65
+        |           + (14 + strlen('http://netpreserve.org/warc/1.0/revisit/identical-payload-digest') + 2)
+        |           + (25 + 32 + 2) + 19 + 2 + 4
+        |    END AS rec_size
+        |  FROM base)
+        |SELECT doc_id,
+        |  CASE WHEN is_orig THEN 'response' ELSE 'revisit' END AS warc_type,
+        |  CAST(CASE WHEN is_orig THEN len ELSE 0 END AS BIGINT) AS content_length,
+        |  CASE WHEN is_orig THEN NULL
+        |       ELSE 'urn:uuid:' || substr(oh, 1, 8) || '-' || substr(oh, 9, 4)
+        |            || '-' || substr(oh, 13, 4) || '-' || substr(oh, 17, 4)
+        |            || '-' || substr(oh, 21, 12) END AS refers_to,
+        |  CASE WHEN is_orig THEN NULL ELSE 'md5:' || pdig END AS payload_digest,
+        |  CASE WHEN is_orig THEN pdig ELSE md5('') END AS payload_md5,
+        |  printf('part-%05d.warc.gz', shard) AS warc_file,
+        |  CAST(250 + COALESCE(SUM(rec_size) OVER (
+        |         PARTITION BY shard ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |       AS BIGINT) AS warc_offset
+        |FROM sized""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = graft.operators.Scratch.dir(
+          s"graft_revisit_${new java.io.File(d).getName}")
+        val leaders = docs.select(col("doc_id").as("__lid"),
+          col("text").as("__ltext"))
+        val staged = docs
+          .select(col("doc_id"),
+            (col("doc_id") - pmod(col("doc_id"), lit(3))).as("__lid"))
+          .join(leaders, Seq("__lid"))
+          .select(col("doc_id"),
+            concat(lit("http://corpus.example/doc/"), col("doc_id")).as("uri"),
+            timestamp_seconds(lit(1704067200L)
+              + pmod(col("doc_id"), lit(86400L))).as("d"),
+            col("__ltext").as("ptext"))
+        graft.sources.Warc.export(staged, "doc_id", "uri", "d", "ptext", dir,
+          numShards = 4, compress = true, infoDateSecs = 0L,
+          shardCol = Some(pmod(col("doc_id"), lit(4))), dedupByDigest = true)
+        s.read.format("warc").load(dir)
+          .filter(col("warc_type") =!= "warcinfo")
+          .select(
+            regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("long")
+              .as("doc_id"),
+            col("warc_type"), col("content_length"), col("refers_to"),
+            col("payload_digest"), md5(col("payload")).as("payload_md5"),
+            col("warc_file"), col("warc_offset"))
+      }
     }
   )
 }

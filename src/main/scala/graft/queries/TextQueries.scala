@@ -583,6 +583,56 @@ object TextQueries {
       }
     }
 
+  // RELATIONAL PERCEPTRON (trained-and-applied-in-SQL classifier #2,
+  // the discriminative twin of q167's Naive Bayes): batch perceptron
+  // over q153's hashed token counts, 3 full-batch epochs in exact
+  // integer arithmetic. The oracle replays TRAINING itself as a CTE
+  // chain — epoch 1 is the class-weighted feature census (weights
+  // start at 0, every zero score is "misclassified" by the ≤0 rule),
+  // each later epoch re-scores, re-selects the misclassified set, and
+  // folds its delta into the weights via a FULL JOIN — then scores
+  // the corpus with the final weights, bit-identical to the Spark
+  // loop's driver-held weight vector.
+  private def q227Perceptron: QueryDef = {
+    def epoch(k: Int): String = {
+      val (wp, s, dd, w) = (s"w${k - 1}", s"s$k", s"d$k", s"w$k")
+      s"""$s AS (SELECT f.doc_id, f.y, sum(f.c * COALESCE($wp.w, 0)) AS s
+         |       FROM fx f LEFT JOIN $wp ON $wp.b = f.b GROUP BY 1, 2),
+         |$dd AS (SELECT f.b, sum(f.y * f.c) AS d FROM fx f
+         |        JOIN $s ON $s.doc_id = f.doc_id
+         |        WHERE $s.y * $s.s <= 0 GROUP BY 1),
+         |$w AS (SELECT COALESCE($wp.b, $dd.b) AS b,
+         |              COALESCE($wp.w, 0) + COALESCE($dd.d, 0) AS w
+         |       FROM $wp FULL JOIN $dd ON $dd.b = $wp.b)""".stripMargin
+    }
+    QueryDef.sql("q227_perceptron",
+      s"""WITH toks AS (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         |         unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |                ELSE list_filter(regexp_split_to_array(text, '\\s+'),
+         |                                 x -> x <> '') END) AS t
+         |  FROM documents WHERE doc_id < 200),
+         |${XxHash64Sql.hashBytesCtes("toks", "t")},
+         |fx AS (SELECT doc_id, y, CAST(xxh % 64 AS BIGINT) AS b,
+         |              count(*) AS c
+         |       FROM hb GROUP BY 1, 2, 3),
+         |w1 AS (SELECT b, sum(y * c) AS w FROM fx GROUP BY b),
+         |${epoch(2)},
+         |${epoch(3)},
+         |fin AS (SELECT f.doc_id, f.y, sum(f.c * COALESCE(w3.w, 0)) AS s
+         |        FROM fx f LEFT JOIN w3 ON w3.b = f.b GROUP BY 1, 2)
+         |SELECT doc_id, CAST(y AS BIGINT) AS label, CAST(s AS BIGINT) AS score,
+         |       CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+         |       (CASE WHEN s > 0 THEN 1 ELSE -1 END) = y AS correct
+         |FROM fin""".stripMargin) {
+      (s, d) =>
+        graft.operators.LanguageModel.perceptronClassify(
+          Tables.documents(s, d).filter(col("doc_id") < 200),
+          "doc_id", col("text"), col("lang") === "en",
+          dims = 64, epochs = 3)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef.sql("q24_exact_dedup",
@@ -2294,6 +2344,7 @@ object TextQueries {
     q212BpeEncode,
     q220BpeDecode,
     q221Blocklist,
+    q227Perceptron,
 
     QueryDef.sql("q211_matched_spans",
       """WITH arr AS (

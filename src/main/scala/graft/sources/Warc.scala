@@ -58,6 +58,8 @@ object Warc {
     StructField("warc_date", TimestampType, nullable = false),
     StructField("content_type", StringType, nullable = true),
     StructField("content_length", LongType, nullable = false),
+    StructField("refers_to", StringType, nullable = true),
+    StructField("payload_digest", StringType, nullable = true),
     StructField("payload", BinaryType, nullable = true)))
 
   /** One parsed record; `payload` is null when the reader was asked
@@ -66,6 +68,7 @@ object Warc {
   final case class Record(file: String, offset: Long, id: String,
                           warcType: String, uri: String, dateMicros: Long,
                           contentType: String, length: Long,
+                          refersTo: String, payloadDigest: String,
                           payload: Array[Byte])
 
   private val DateFmt =
@@ -106,6 +109,38 @@ object Warc {
     out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
     out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
     out
+  }
+
+  private[sources] val RevisitProfile =
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+  /** Render one `revisit` record — the WARC-standard STORAGE dedup:
+    * a later capture whose payload digest matches an earlier record
+    * stores no body, only a `WARC-Refers-To` pointer at the original
+    * plus the shared digest (identical-payload-digest profile). This
+    * is how Common Crawl stops re-storing the web's duplicated
+    * pages; the digest here is `md5:<hex>` (the engine's dedup hash
+    * family — q24's exact-dedup key — rather than the crawler-
+    * conventional sha1 base32; the header carries its algorithm
+    * prefix precisely so consumers don't have to guess).
+    */
+  private[sources] def renderRevisit(id: String, uri: String, dateSecs: Long,
+                                     refersTo: String,
+                                     digestHex: String): Array[Byte] = {
+    val head = new StringBuilder(320 + uri.length)
+    head.append("WARC/1.0\r\n")
+    head.append("WARC-Type: revisit\r\n")
+    head.append("WARC-Record-ID: <").append(id).append(">\r\n")
+    head.append("WARC-Date: ")
+      .append(DateFmt.format(Instant.ofEpochSecond(dateSecs))).append("\r\n")
+    head.append("WARC-Target-URI: ").append(uri).append("\r\n")
+    head.append("WARC-Refers-To: <").append(refersTo).append(">\r\n")
+    head.append("WARC-Profile: ").append(RevisitProfile).append("\r\n")
+    head.append("WARC-Payload-Digest: md5:").append(digestHex).append("\r\n")
+    head.append("Content-Length: 0\r\n")
+    head.append("\r\n")
+    head.append("\r\n\r\n")
+    head.toString.getBytes(UTF_8)
   }
 
   /** The file-head `warcinfo` record (Common Crawl convention: every
@@ -153,19 +188,46 @@ object Warc {
   def export(df: DataFrame, idCol: String, uriCol: String, dateCol: String,
              payloadCol: String, outDir: String, numShards: Int,
              compress: Boolean = true, contentType: String = "text/plain",
-             infoDateSecs: Long = 0L, shardCol: Option[Column] = None): Unit = {
+             infoDateSecs: Long = 0L, shardCol: Option[Column] = None,
+             dedupByDigest: Boolean = false): Unit = {
     require(numShards >= 1, s"numShards must be positive, got $numShards")
     Files.createDirectories(Paths.get(outDir))
     val shard = shardCol.getOrElse(
       pmod(xxhash64(col(idCol).cast("string")), lit(numShards.toLong)))
     val ext = if (compress) "warc.gz" else "warc"
-    val rows = df.select(
-        shard.cast("long").as("__shard"),
-        md5(col(idCol).cast("string")).as("__md5"),
-        col(uriCol).cast("string").as("__uri"),
-        (unix_timestamp(col(dateCol))).as("__secs"),
-        col(payloadCol).cast("binary").as("__payload"),
-        col(idCol).as("__id")) // original type: in-file order = natural id order
+    val base = df.select(
+      shard.cast("long").as("__shard"),
+      md5(col(idCol).cast("string")).as("__md5"),
+      col(uriCol).cast("string").as("__uri"),
+      (unix_timestamp(col(dateCol))).as("__secs"),
+      col(payloadCol).cast("binary").as("__payload"),
+      col(idCol).as("__id")) // original type: in-file order = natural id order
+    // dedupByDigest: the WARC-standard storage dedup — exactly one
+    // full `response` per distinct payload digest (the min-id capture,
+    // q24's keep rule), every other capture a body-less `revisit`
+    // pointing at it. ONE digest census shuffle (groupBy + join on the
+    // 32-byte digest), then the shard repartition as usual; the
+    // pointer is by record-id URN, so original and revisit may land in
+    // different shards freely.
+    val prepared =
+      if (!dedupByDigest)
+        base.withColumn("__revisit", lit(false))
+          .withColumn("__orig_md5", lit(null).cast("string"))
+          .withColumn("__digest", lit(null).cast("string"))
+      else {
+        val d = base.withColumn("__digest", md5(col("__payload")))
+        val orig = d.groupBy("__digest").agg(
+          min(col("__id")).as("__orig_id"),
+          min_by(col("__md5"), col("__id")).as("__orig_md5"))
+        d.join(orig, Seq("__digest"))
+          .withColumn("__revisit", col("__id") =!= col("__orig_id"))
+          .select("__shard", "__md5", "__uri", "__secs", "__payload",
+            "__id", "__revisit", "__orig_md5", "__digest")
+      }
+    val rows = prepared
+      .select(col("__shard"), col("__md5"), col("__uri"), col("__secs"),
+        col("__payload"), col("__id"), col("__revisit"), col("__orig_md5"),
+        col("__digest"))
       .repartition(numShards, col("__shard"))
       .sortWithinPartitions(col("__shard"), col("__id"))
     val written = rows.mapPartitions { it =>
@@ -194,8 +256,12 @@ object Warc {
           os = new BufferedOutputStream(new FileOutputStream(tmp.toFile), 1 << 16)
           emit(renderWarcinfo(s, infoDateSecs))
         }
-        emit(renderResponse(uuidUrn(r.getString(1)), r.getString(2),
-          r.getLong(3), contentType, r.getAs[Array[Byte]](4)))
+        if (r.getBoolean(6))
+          emit(renderRevisit(uuidUrn(r.getString(1)), r.getString(2),
+            r.getLong(3), uuidUrn(r.getString(7)), r.getString(8)))
+        else
+          emit(renderResponse(uuidUrn(r.getString(1)), r.getString(2),
+            r.getLong(3), contentType, r.getAs[Array[Byte]](4)))
       }
       finishFile()
       done.iterator.map(_.toInt)
@@ -322,6 +388,7 @@ object Warc {
         s"$fileName: expected WARC/ version line at offset $offset, got '$version'")
       var id: String = null; var wtype: String = null; var uri: String = null
       var date: String = null; var ctype: String = null; var len: Long = -1L
+      var refersTo: String = null; var payloadDigest: String = null
       var line = readLine()
       while (line != null && line.nonEmpty) {
         val colon = line.indexOf(':')
@@ -335,6 +402,8 @@ object Warc {
           case "warc-date" => date = value
           case "content-type" => ctype = value
           case "content-length" => len = value.toLong
+          case "warc-refers-to" => refersTo = value.stripPrefix("<").stripSuffix(">")
+          case "warc-payload-digest" => payloadDigest = value
           case _ => // unknown headers pass through (spec allows any)
         }
         line = readLine()
@@ -358,7 +427,8 @@ object Warc {
       expect('\r'); expect('\n'); expect('\r'); expect('\n')
       val ins = Instant.parse(date)
       val micros = ins.getEpochSecond * 1000000L + ins.getNano / 1000L
-      Record(fileName, offset, id, wtype, uri, micros, ctype, len, payload)
+      Record(fileName, offset, id, wtype, uri, micros, ctype, len,
+        refersTo, payloadDigest, payload)
     }
 
     def close(): Unit = in.close()

@@ -154,6 +154,8 @@ final class WarcPartitionReader(required: StructType,
     }
     case "content_type" => (r: Warc.Record) => r.contentType
     case "content_length" => (r: Warc.Record) => r.length
+    case "refers_to" => (r: Warc.Record) => r.refersTo
+    case "payload_digest" => (r: Warc.Record) => r.payloadDigest
     case "payload" => (r: Warc.Record) => r.payload
     case other => sys.error(s"unknown WARC column $other")
   }

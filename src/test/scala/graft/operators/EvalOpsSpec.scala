@@ -158,6 +158,38 @@ class EvalOpsSpec extends AnyFunSuite {
       1L -> (("a", 3L, 2L)), 2L -> (("b", 2L, 1L)), 3L -> (("a", 2L, 0L))))
   }
 
+  test("perceptronClassify: separable corpus learns; epoch-1 census is the hand fold") {
+    import spark.implicits._
+    // two disjoint vocabularies → linearly separable by construction
+    val docs = Seq(
+      (1L, "en", "alpha beta alpha"), (2L, "en", "beta beta"),
+      (3L, "en", "alpha"), (4L, "de", "zork quux"),
+      (5L, "de", "quux quux zork"), (6L, "de", "zork")
+    ).toDF("doc_id", "lang", "text")
+    val got = LanguageModel.perceptronClassify(docs, "doc_id", col("text"),
+      col("lang") === "en", dims = 64, epochs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    CacheRegistry.releaseAll()
+    assert(got.size === 6)
+    assert(got.values.forall(_._4), s"separable corpus must classify perfectly: $got")
+    assert(got(1L)._1 === 1L && got(4L)._1 === -1L)
+
+    // 1 epoch from w=0 IS the class-weighted census: score(doc) =
+    // Σ_tokens y-weighted corpus count of each token's bucket (no
+    // bucket collisions among the 4 distinct tokens at dims=64 —
+    // witnessed by these exact score values, and deterministic
+    // forever since xxhash64 of fixed strings never changes).
+    // "alpha beta alpha": alpha corpus count 3(+), beta 3(+) →
+    // 2×3 + 3 = 9
+    val one = LanguageModel.perceptronClassify(docs, "doc_id", col("text"),
+      col("lang") === "en", dims = 64, epochs = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    CacheRegistry.releaseAll()
+    assert(one(1L) === 9L) // 2×3 + 1×3
+    assert(one(6L) === -3L) // zork count 3, negative class
+  }
+
   test("skewReport: exact shares and salt factors") {
     import spark.implicits._
     // keys: a ×6, b ×2, c ×1, d ×1 → total 10, 4 keys, mean 2.5

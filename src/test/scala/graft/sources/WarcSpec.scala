@@ -170,6 +170,40 @@ class WarcSpec extends AnyFunSuite {
     assert(r3.getAs[String]("body") === "")
   }
 
+  test("dedupByDigest: one response per distinct payload, revisits point at the original") {
+    import spark.implicits._
+    val dir = tmpDir("revisit")
+    val docs = Seq(
+      (1L, "http://e/1", "2024-01-01 00:00:01", "same page"),
+      (2L, "http://e/2", "2024-01-01 00:00:02", "unique"),
+      (3L, "http://e/3", "2024-01-01 00:00:03", "same page"),
+      (4L, "http://e/4", "2024-01-01 00:00:04", "same page")
+    ).toDF("doc_id", "uri", "d", "text")
+      .withColumn("d", to_timestamp(col("d")))
+    Warc.export(docs, "doc_id", "uri", "d", "text", dir, numShards = 2,
+      compress = false, shardCol = Some(pmod(col("doc_id"), lit(2))),
+      dedupByDigest = true)
+    val back = spark.read.format("warc").load(dir)
+      .filter(col("warc_type") =!= "warcinfo").collect()
+      .map(r => r.getAs[String]("target_uri") -> r).toMap
+    assert(back("http://e/1").getAs[String]("warc_type") === "response")
+    assert(back("http://e/2").getAs[String]("warc_type") === "response")
+    assert(back("http://e/3").getAs[String]("warc_type") === "revisit")
+    assert(back("http://e/4").getAs[String]("warc_type") === "revisit")
+    // pointer resolves to the ORIGINAL capture's record id, across shards
+    val origId = back("http://e/1").getAs[String]("record_id")
+    assert(back("http://e/3").getAs[String]("refers_to") === origId)
+    assert(back("http://e/4").getAs[String]("refers_to") === origId)
+    // revisits carry the shared digest and no body
+    assert(back("http://e/3").getAs[String]("payload_digest") ===
+      "md5:" + java.security.MessageDigest.getInstance("MD5")
+        .digest("same page".getBytes(UTF_8)).map("%02x".format(_)).mkString)
+    assert(back("http://e/3").getAs[Long]("content_length") === 0L)
+    assert(back("http://e/1").getAs[Any]("refers_to") === null)
+    assert(new String(back("http://e/1").getAs[Array[Byte]]("payload"), UTF_8)
+      === "same page")
+  }
+
   test("truncated payload fails loudly, never yields a short record") {
     val dir = tmpDir("trunc")
     Warc.export(docsDf.limit(1), "doc_id", "uri", "d", "text", dir,
