@@ -281,6 +281,47 @@ object TextFunctions {
       keptText.as("kept_text"))
   }
 
+  /** Unicode SCRIPT profile — the multilingual-corpus audit signal
+    * that runs BEFORE language ID (fastText-style identifiers key on
+    * script first; a CJK page in a "Latin" shard is a routing bug a
+    * script census catches in one scan): per-document counts of
+    * Latin / Cyrillic / Han / Arabic script characters, ASCII
+    * digits, and whitespace, plus the Latin share in exact per-mille
+    * and the DOMINANT script among the four (ties break by the fixed
+    * precedence latin > cyrillic > han > arabic; 'other' when all
+    * four are zero). Pure regexp_replace/length arithmetic — one
+    * codegen'd chain, no shuffle, and engine-replicable because both
+    * Java regex (`\p{IsX}`) and RE2 (`\p{X}`) implement the Unicode
+    * Script property. Counts are in UTF-16 code units on the Spark
+    * side — identical to code points for all BMP text (every char
+    * these classes match); supplementary-plane payloads (emoji)
+    * count as 2 in `n_chars`, a documented edge.
+    */
+  def scriptProfile(text: Column): Column = {
+    def inClass(javaClass: String) =
+      length(regexp_replace(text, s"[^$javaClass]", "")).cast("long")
+    val latin = inClass("\\p{IsLatin}")
+    val cyr = inClass("\\p{IsCyrillic}")
+    val han = inClass("\\p{IsHan}")
+    val arabic = inClass("\\p{IsArabic}")
+    val n = length(text).cast("long")
+    val top = greatest(latin, cyr, han, arabic)
+    struct(
+      n.as("n_chars"),
+      latin.as("n_latin"), cyr.as("n_cyrillic"), han.as("n_han"),
+      arabic.as("n_arabic"),
+      inClass("0-9").as("n_digit"),
+      inClass(" \\t\\n\\r").as("n_space"),
+      // floor(double ratio) ≡ integer division while latin*1000 < 2^53
+      floor((latin * 1000L) / greatest(n, lit(1L))).cast("long")
+        .as("latin_permille"),
+      when(top === 0L, "other")
+        .when(latin === top, "latin")
+        .when(cyr === top, "cyrillic")
+        .when(han === top, "han")
+        .otherwise("arabic").as("dominant"))
+  }
+
   /** C4's "bad words" page filter (Raffel et al. 2020 drop any page
     * containing a term from the LDNOOBW list), generalized to any
     * term table: per-document hit census against a blocklist of words

@@ -1551,6 +1551,62 @@ object EvalQueries {
             col("payload_digest"), md5(col("payload")).as("payload_md5"),
             col("warc_file"), col("warc_offset"))
       }
+    },
+
+    // STREAMING WARC INGESTION (transcript gate, the q213-q218
+    // discipline applied to the DSv2 file stream): a crawl lands in
+    // two waves — even docs as part-0000{0..3}, then odd docs as
+    // part-0000{4..7}, names sorting after, the monotone-name
+    // contract of the streaming watermark — against a LIVE
+    // readStream.format("warc") query. Each micro-batch's rows are
+    // captured with their batch id via foreachBatch; the gate pins
+    // that batch 1 saw EXACTLY the even docs and batch 2 exactly the
+    // odd ones (no reprocessing, no holes), with per-record fields
+    // intact through the streaming scan. Oracle: wave == doc parity.
+    QueryDef.sql("q229_warc_stream_ingest",
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS content_length,
+        |       CAST(doc_id % 2 AS BIGINT) AS wave
+        |FROM documents""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val dir = graft.operators.Scratch.dir(
+          s"graft_wstream_${new java.io.File(d).getName}")
+        // a prior run in this JVM leaves both waves on disk; the
+        // transcript needs an empty watch dir at start
+        Option(new java.io.File(dir).listFiles())
+          .foreach(_.foreach(f => if (f.getName.endsWith(".warc.gz")) f.delete()))
+        def wave(parity: Int, shardBase: Int): Unit =
+          graft.sources.Warc.export(
+            docs.filter(pmod(col("doc_id"), lit(2)) === parity)
+              .select(col("doc_id"),
+                concat(lit("http://corpus.example/doc/"), col("doc_id")).as("uri"),
+                timestamp_seconds(lit(1704067200L)).as("dt"), col("text")),
+            "doc_id", "uri", "dt", "text", dir, numShards = 4,
+            compress = true, infoDateSecs = 0L,
+            shardCol = Some(pmod(col("doc_id"), lit(4)) + lit(shardBase)))
+        wave(0, 0)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        val q = s.readStream.format("warc").load(dir)
+          .filter(col("warc_type") === "response")
+          .writeStream.foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              val rows = b.select(
+                regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("long"),
+                col("content_length")).collect()
+              buf.synchronized {
+                buf ++= rows.map(r => (id, r.getLong(0), r.getLong(1)))
+              }
+              ()
+          }.start()
+        try { q.processAllAvailable(); wave(1, 4); q.processAllAvailable() }
+        finally q.stop()
+        val snapshot = buf.synchronized { buf.toList }
+        val firstBatch = snapshot.map(_._1).min
+        snapshot.map { case (bid, id, len) =>
+          (id, len, if (bid == firstBatch) 0L else 1L) }
+          .toDF("doc_id", "content_length", "wave")
+      }
     }
   )
 }

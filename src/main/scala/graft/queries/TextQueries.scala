@@ -633,6 +633,65 @@ object TextQueries {
     }
   }
 
+  // UNICODE SCRIPT PROFILE: the pre-language-ID routing census. The
+  // ASCII corpus is made multiscript deterministically (doc-residue
+  // Cyrillic/Han/Arabic suffixes + digits, identical literals in both
+  // engines), then profiled: script counts, digit/space counts, Latin
+  // per-mille, dominant script. Engine parity rests on Java \p{IsX}
+  // and RE2 \p{X} both implementing the Unicode Script property.
+  private def q228ScriptProfile: QueryDef =
+    QueryDef.sql("q228_script_profile",
+      """WITH m AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' кириллица текст'
+        |         WHEN doc_id % 3 = 1 THEN ' 北京大学'
+        |         ELSE ' مرحبا بكم' END
+        |    || ' ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(t) AS BIGINT) AS n_chars,
+        |  CAST(length(regexp_replace(t, '[^\p{Latin}]', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(length(regexp_replace(t, '[^\p{Han}]', '', 'g')) AS BIGINT) AS n_han,
+        |  CAST(length(regexp_replace(t, '[^\p{Arabic}]', '', 'g')) AS BIGINT) AS n_arabic,
+        |  CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |  CAST(length(regexp_replace(t, '[^ \t\n\r]', '', 'g')) AS BIGINT) AS n_space,
+        |  CAST(length(regexp_replace(t, '[^\p{Latin}]', '', 'g')) * 1000
+        |       // greatest(length(t), 1) AS BIGINT) AS latin_permille,
+        |  CASE WHEN greatest(
+        |         length(regexp_replace(t, '[^\p{Latin}]', '', 'g')),
+        |         length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g')),
+        |         length(regexp_replace(t, '[^\p{Han}]', '', 'g')),
+        |         length(regexp_replace(t, '[^\p{Arabic}]', '', 'g'))) = 0 THEN 'other'
+        |       WHEN length(regexp_replace(t, '[^\p{Latin}]', '', 'g')) = greatest(
+        |         length(regexp_replace(t, '[^\p{Latin}]', '', 'g')),
+        |         length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g')),
+        |         length(regexp_replace(t, '[^\p{Han}]', '', 'g')),
+        |         length(regexp_replace(t, '[^\p{Arabic}]', '', 'g'))) THEN 'latin'
+        |       WHEN length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g')) = greatest(
+        |         length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g')),
+        |         length(regexp_replace(t, '[^\p{Han}]', '', 'g')),
+        |         length(regexp_replace(t, '[^\p{Arabic}]', '', 'g'))) THEN 'cyrillic'
+        |       WHEN length(regexp_replace(t, '[^\p{Han}]', '', 'g')) = greatest(
+        |         length(regexp_replace(t, '[^\p{Han}]', '', 'g')),
+        |         length(regexp_replace(t, '[^\p{Arabic}]', '', 'g'))) THEN 'han'
+        |       ELSE 'arabic' END AS dominant
+        |FROM m""".stripMargin) {
+      (s, d) => {
+        val t = concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(" кириллица текст"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit(" 北京大学"))
+            .otherwise(lit(" مرحبا بكم")),
+          lit(" "), col("doc_id").cast("string"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), scriptProfile(t).as("p"))
+          .select(col("doc_id"), col("p.n_chars"), col("p.n_latin"),
+            col("p.n_cyrillic"), col("p.n_han"), col("p.n_arabic"),
+            col("p.n_digit"), col("p.n_space"), col("p.latin_permille"),
+            col("p.dominant"))
+      }
+    }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef.sql("q24_exact_dedup",
@@ -2345,6 +2404,7 @@ object TextQueries {
     q220BpeDecode,
     q221Blocklist,
     q227Perceptron,
+    q228ScriptProfile,
 
     QueryDef.sql("q211_matched_spans",
       """WITH arr AS (

@@ -59,7 +59,8 @@ final class WarcTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"warc:$path"
   override def schema(): StructType = Warc.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(path)
@@ -107,14 +108,79 @@ final class WarcScan(path: String, required: StructType,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val root = new java.io.File(path)
-    val files =
-      if (root.isDirectory)
-        root.listFiles((_, n) => n.endsWith(".warc") || n.endsWith(".warc.gz"))
-          .map(_.getPath).sorted
-      else Array(path)
+    val files = WarcScan.list(path)
     require(files.nonEmpty, s"no .warc/.warc.gz files under $path")
     files.map(f => WarcPartition(f).asInstanceOf[InputPartition])
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required, typeFilter)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(path, required, typeFilter)
+}
+
+object WarcScan {
+  /** All WARC files under `path` (or `path` itself), sorted by NAME —
+    * the order both the batch planner and the streaming watermark use.
+    */
+  def list(path: String): Array[String] = {
+    val root = new java.io.File(path)
+    if (root.isDirectory)
+      Option(root.listFiles((_, n) =>
+          n.endsWith(".warc") || n.endsWith(".warc.gz")))
+        .getOrElse(Array.empty).map(_.getPath).sorted
+    else Array(path)
+  }
+}
+
+/** Streaming WARC ingestion — `spark.readStream.format("warc")`:
+  * each micro-batch picks up files that arrived since the last
+  * trigger. The offset is a NAME high-watermark: files are
+  * processed in lexicographic name order and a batch covers
+  * `(start, end]` in that order — which matches how crawl output is
+  * actually laid down (Common Crawl segments and WARC part files
+  * are timestamp/sequence-named, so arrival order IS name order,
+  * and a single string offset stays checkpoint-friendly). A file
+  * landing with a name BELOW the committed watermark is never
+  * picked up — the documented contract (same immutable-file
+  * assumption as Spark's own file source; name your shards
+  * monotonically, as [[Warc.export]] does). Files must be complete
+  * when they appear — write-then-rename, which the sink's
+  * attempt-unique tmp + atomic rename already guarantees.
+  */
+final class WarcMicroBatchStream(path: String, required: StructType,
+                                 typeFilter: Option[Set[String]])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class WarcOffset(last: String) extends Offset {
+    override def json(): String =
+      "{\"last\":\"" + last.replace("\\", "\\\\").replace("\"", "\\\"") + "\"}"
+  }
+
+  override def initialOffset(): Offset = WarcOffset("")
+
+  override def latestOffset(): Offset = {
+    val fs = WarcScan.list(path)
+    WarcOffset(if (fs.isEmpty) "" else fs.last)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = "\\{\"last\":\"(.*)\"\\}".r.findFirstMatchIn(json)
+    require(m.isDefined, s"malformed warc stream offset: $json")
+    WarcOffset(m.get.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WarcOffset].last
+    val e = end.asInstanceOf[WarcOffset].last
+    WarcScan.list(path).filter(f => f > s && f <= e)
+      .map(f => WarcPartition(f).asInstanceOf[InputPartition])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -1544,6 +1544,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(5L) === ((0L, 0L, true)))
   }
 
+  test("scriptProfile: per-script counts, dominance switches, tie precedence") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "hello мир"),  // latin 5 > cyr 3
+      (2L, "北京大学 ok"), // han 4 > latin 2
+      (3L, "مرحبا"),      // arabic only
+      (4L, "123 !!"),     // no script chars at all
+      (5L, "abяб")        // latin 2 == cyr 2 → precedence picks latin
+    ).toDF("id", "t")
+    val got = rows.select(col("id"), TextFunctions.scriptProfile(col("t")).as("p"))
+      .select(col("id"), col("p.*")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_latin") === 5L)
+    assert(got(1L).getAs[Long]("n_cyrillic") === 3L)
+    assert(got(1L).getAs[String]("dominant") === "latin")
+    assert(got(1L).getAs[Long]("latin_permille") === 555L) // 5*1000/9
+    assert(got(2L).getAs[Long]("n_han") === 4L)
+    assert(got(2L).getAs[String]("dominant") === "han")
+    assert(got(3L).getAs[String]("dominant") === "arabic")
+    assert(got(4L).getAs[String]("dominant") === "other")
+    assert(got(4L).getAs[Long]("n_digit") === 3L)
+    assert(got(5L).getAs[String]("dominant") === "latin") // tie → precedence
+  }
+
   test("marginMining suppresses hubs that raw cosine top-1 would pick") {
     import spark.implicits._
     // target space: a HUB close to everything (0.9 to both sources)

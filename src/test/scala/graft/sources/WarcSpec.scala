@@ -204,6 +204,37 @@ class WarcSpec extends AnyFunSuite {
       === "same page")
   }
 
+  test("streaming source: micro-batches pick up only newly arrived files") {
+    import spark.implicits._
+    val dir = tmpDir("stream")
+    def wave(parityEq: Int, shardBase: Int): Unit =
+      Warc.export(docsDf.filter(pmod(col("doc_id"), lit(2)) === parityEq),
+        "doc_id", "uri", "d", "text", dir, numShards = 2, compress = true,
+        shardCol = Some(pmod(col("doc_id"), lit(2)) + lit(shardBase)))
+    wave(0, 0) // doc 2 → part-0000{0,1} range
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("warc").load(dir)
+      .filter(col("warc_type") === "response")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.select("target_uri").collect()
+          .foreach(r => seen.synchronized { seen += id -> r.getString(0) })
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val firstBatchUris = seen.toList.map(_._2).sorted
+      assert(firstBatchUris === List("http://e/2")) // only the even doc
+      wave(1, 2) // docs 1, 3 → part-0000{2,3}: names sort AFTER wave 1
+      q.processAllAvailable()
+      val byBatch = seen.toList.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted).toMap
+      assert(byBatch.size === 2, s"expected two micro-batches, got $byBatch")
+      val Seq(b0, b1) = byBatch.keys.toSeq.sorted
+      assert(byBatch(b0) === List("http://e/2"))
+      assert(byBatch(b1) === List("http://e/1", "http://e/3")) // no reprocessing
+    } finally q.stop()
+  }
+
   test("truncated payload fails loudly, never yields a short record") {
     val dir = tmpDir("trunc")
     Warc.export(docsDf.limit(1), "doc_id", "uri", "d", "text", dir,
