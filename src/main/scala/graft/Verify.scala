@@ -25,6 +25,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (sys.env.contains("SPARK_GRAFT_VERIFY_TRACE")) e.printStackTrace()
         // remove the partial dir so the driver's per-directory glob
         // compare fails only this query, not the whole run
         val d = new java.io.File(s"$outDir/$name")

@@ -322,6 +322,25 @@ object TextFunctions {
         .otherwise("arabic").as("dominant"))
   }
 
+  /** SENTENCE SEGMENTATION — the unit step under chunking, packing,
+    * and every "≥3 sentences"-style quality rule: split on a
+    * terminator run ([.!?]+) followed by whitespace, the terminator
+    * staying with its sentence. Implemented lookaround-free (RE2 has
+    * none, so the same regex replays in any engine): inject an
+    * ASCII record-separator (\u001E) after each boundary with a
+    * backreferencing replace, split on it, drop empties. The
+    * documented contract is purely punctuation-driven — "Dr. Smith"
+    * splits (abbreviation lexicons are a model, not an operator) —
+    * and text containing a literal \u001E (a control char no clean
+    * corpus carries; C0 scrubbing runs upstream) would over-split.
+    * One codegen'd replace/split/filter chain, zero shuffles.
+    */
+  def sentences(text: Column): Column =
+    filter(
+      split(regexp_replace(text, "([.!?]+)[ \\t\\n\\r]+", "$1\u001E"),
+        "\u001E"),
+      s => length(s) > 0)
+
   /** C4's "bad words" page filter (Raffel et al. 2020 drop any page
     * containing a term from the LDNOOBW list), generalized to any
     * term table: per-document hit census against a blocklist of words
@@ -349,7 +368,7 @@ object TextFunctions {
       .filter(size(col("tt")) >= 1)
       .select(array_join(col("tt"), " ").as("gram"), size(col("tt")).as("n"))
       .distinct()
-    val maxN = normTerms.agg(max("n")).head.getInt(0)
+    val maxN = normTerms.agg(max("n")).head().getInt(0)
     val toks = df.select(col(idCol), tokens(lower(text)).as("t"))
     // ONE corpus pass: every gram size's windows flatten into a single
     // explode (a per-n union would re-scan the corpus per n), and

@@ -84,6 +84,110 @@ object Graphs {
     r.select(col("node"), col("r").cast("long").as("rank_micro"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) — the OTHER classic
+    * link-analysis pair: a good HUB points at good authorities, a
+    * good AUTHORITY is pointed at by good hubs. On a bipartite graph
+    * (customer→supplier, user→item, doc→term) the two scores are the
+    * two sides' importance rankings — which PageRank alone conflates.
+    * Same integer discipline as [[pageRankMicro]] (bit-identical on
+    * any engine/partitioning, fixed iterations), with MAX
+    * normalization instead of the usual L2 — integer-exact, never
+    * divides by a floor-eroded total, and keeps the top score pinned
+    * at exactly `massMicro`:
+    *
+    *   h_0(u)   = massMicro                     (every node)
+    *   rawA(v)  = Σ_{u→v} h_i(u);  a_i+1 = ⌊massMicro·rawA / max rawA⌋
+    *   rawH(u)  = Σ_{u→v} a_i+1(v); h_i+1 = ⌊massMicro·rawH / max rawH⌋
+    *
+    * Overflow contract: massMicro²·maxdeg < 2⁶³ — at the default
+    * micro scale that admits max in/out-degree ≈ 9·10⁶; hub-ier
+    * graphs drop to milli (the scores are relative, the scale is
+    * presentation). Nodes with no in-edges get authority 0, no
+    * out-edges hub 0.
+    *
+    * Scale shape: edge list and node set persisted once under
+    * [[CacheRegistry]]; per iteration TWO Pregel-style edge joins
+    * (h on src grouped by dst, then a on dst grouped by src) and two
+    * 1-row max aggregates entering as broadcasts. Unlike
+    * [[pageRankMicro]] (linear lineage — no mid-chain aggregate),
+    * the scalar max FORKS the plan: the normalize step references
+    * the raw frame on both the main side and under the max, so the
+    * logical tree doubles twice per iteration — 4^k growth that
+    * first re-executes the chain exponentially and then OOMs the
+    * driver merely STRINGIFYING the plan (measured at 4 iterations).
+    * The fix is the standard iterative-graph pattern (GraphX's
+    * checkpoint interval): each iteration's score vector is eagerly
+    * `localCheckpoint`ed — node-table-sized, executor-stored — which
+    * truncates lineage to an RDD scan; production restart-safety
+    * would use a reliable checkpoint dir instead.
+    *
+    * Returns (node, authority_micro, hub_micro).
+    */
+  def hitsMicro(edges: DataFrame, srcCol: String = "src",
+                dstCol: String = "dst", iterations: Int = 4,
+                massMicro: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive, got $iterations")
+    require(massMicro > 0, s"massMicro must be positive, got $massMicro")
+    val e = CacheRegistry.register(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val nodes = CacheRegistry.register(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct().repartition(col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    var h = nodes.select(col("node"), lit(massMicro).as("h"))
+    var a = nodes.select(col("node"), lit(0L).as("a")) // replaced in iter 1
+    // checkpoint-block lifecycle (the connectedComponents pattern):
+    // each eager localCheckpoint's blocks ARE its data; a raw vector
+    // has exactly one downstream consumer (the next raw vector's
+    // materialization), so it is freed the moment that consumer
+    // checkpoint lands — except the LAST a/h pair, which backs the
+    // returned frame and is handed to [[CacheRegistry]] for the
+    // caller to release after consuming the result.
+    val sc = edges.sparkSession.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    var prevH = Set.empty[Int]
+    var lastA = Set.empty[Int]
+    for (i <- 1 to iterations) {
+      // eager localCheckpoint: the raw frame feeds both the scalar
+      // max and the normalize — checkpointing here keeps the lineage
+      // linear (see scaladoc) and computes each raw vector once
+      val b0 = persistedIds
+      val rawA = nodes
+        .join(e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum("h").as("__s")),
+          Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("__s"), lit(0L)).as("__r"))
+        .localCheckpoint(true)
+      val newA = persistedIds -- b0
+      prevH.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      val ma = rawA.agg(max("__r").as("__m"))
+      a = rawA.crossJoin(broadcast(ma))
+        .select(col("node"), expr(s"($massMicro * __r) div __m").as("a"))
+      val b1 = persistedIds
+      val rawH = nodes
+        .join(e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(sum("a").as("__s")),
+          Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("__s"), lit(0L)).as("__r"))
+        .localCheckpoint(true)
+      val newH = persistedIds -- b1
+      if (i < iterations)
+        newA.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      else lastA = newA
+      val mh = rawH.agg(max("__r").as("__m"))
+      h = rawH.crossJoin(broadcast(mh))
+        .select(col("node"), expr(s"($massMicro * __r) div __m").as("h"))
+      prevH = newH
+    }
+    CacheRegistry.registerRddIds(sc, lastA ++ prevH)
+    a.join(h, Seq("node"))
+      .select(col("node"), col("a").cast("long").as("authority_micro"),
+        col("h").cast("long").as("hub_micro"))
+  }
+
   /** PERSONALIZED PageRank: the restart mass returns to the SEED set
     * instead of spreading uniformly — topic-sensitive importance
     * ("expand this seed set along the graph"), the standard

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling (Deequ-style): the audit pass a pipeline
@@ -93,6 +94,55 @@ object Profiling {
     cells.join(rows, Seq("label"))
       .select(col("label"), col("pred"), col("n"),
         expr("(1000 * n) div __rt").as("row_frac_milli"))
+  }
+
+  /** EXACT ROC-AUC by rank-sum (Mann–Whitney U) — the
+    * threshold-free acceptance metric for the engine's own scorers
+    * (quality classifiers, LM surprisal, dedup scores): the
+    * probability a random positive outscores a random negative, ties
+    * counting half. Computed exactly in integers, no sampling, no
+    * ROC curve materialization:
+    *
+    *   AUC · 2·P·N = Σ_v  p_v · (2·negBelow_v + n_v)
+    *
+    * over the DISTINCT-SCORE census (p_v/n_v = positives/negatives
+    * at score v, negBelow_v = negatives strictly below). Equal
+    * scores collapse into one census row, so there is no tie-order
+    * dependence at all — bit-identical on any engine/partitioning.
+    *
+    * Scale shape: one map-side-combinable census shuffle (rows =
+    * distinct (group, score) pairs — the operator contract is
+    * quantized scores, which every engine score already is: ppm/
+    * milli integers bound the census at the quantization grain, NOT
+    * the corpus size), a cumulative window over that census, one
+    * final aggregate. With `groupCols` the window is partitioned;
+    * ungrouped, the unpartitioned window runs over the bounded
+    * census only. Exact while 10^6·2·P·N < 2^63 (≈ 4·10^6 balanced
+    * rows per group; beyond that drop to per-mille). Returns one row
+    * per group: (groups..., n_pos, n_neg, auc_ppm) — auc_ppm null
+    * when a group lacks one of the classes (AUC is undefined there).
+    */
+  def aucExact(df: DataFrame, labelCol: String, scoreCol: String,
+               groupCols: Seq[String] = Nil): DataFrame = {
+    val gs = groupCols.map(col)
+    val census = df
+      .select(gs :+ col(scoreCol).as("__s") :+
+        col(labelCol).cast("long").as("__y"): _*)
+      .groupBy(gs :+ col("__s"): _*)
+      .agg(sum(col("__y")).as("__np"),
+        sum(lit(1L) - col("__y")).as("__nn"))
+    val base =
+      if (groupCols.isEmpty) Window.orderBy(col("__s"))
+      else Window.partitionBy(gs: _*).orderBy(col("__s"))
+    val below = base.rowsBetween(Window.unboundedPreceding, -1)
+    census
+      .withColumn("__below", coalesce(sum(col("__nn")).over(below), lit(0L)))
+      .groupBy(gs: _*)
+      .agg(sum("__np").as("n_pos"), sum("__nn").as("n_neg"),
+        sum(expr("__np * (2 * __below + __nn)")).as("__num2"))
+      .select(gs ++ Seq(col("n_pos"), col("n_neg"),
+        expr("(1000000 * __num2) div nullif(2 * n_pos * n_neg, 0)")
+          .as("auc_ppm")): _*)
   }
 
   /** CATEGORICAL DISTRIBUTION DRIFT between two snapshots (training-

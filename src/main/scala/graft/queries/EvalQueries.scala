@@ -1607,6 +1607,193 @@ object EvalQueries {
           (id, len, if (bid == firstBatch) 0L else 1L) }
           .toDF("doc_id", "content_length", "wave")
       }
+    },
+
+    // WET EXTRACTION (WARC conversion records — Common Crawl's
+    // derived-text sidecar): the full crawl-to-text round trip. Docs
+    // wrapped in deterministic HTML are exported as `response`
+    // records; a second pass reads them back, strips the markup
+    // (q137's exact chain) and exports the text as `conversion`
+    // records whose WARC-Refers-To points at the source response —
+    // the WET layout. The gate reads the conversion files and
+    // re-derives EVERY field from `documents` alone: both record
+    // URNs (response id from the doc key, conversion id from its
+    // 'conv-' key), the type/content-type contract, and the cleaned
+    // text's length and md5 via the oracle-replayed strip chain.
+    QueryDef.sql("q230_warc_wet_extract", {
+      def urn(h: String) =
+        s"'urn:uuid:' || substr($h,1,8) || '-' || substr($h,9,4) || '-' || " +
+          s"substr($h,13,4) || '-' || substr($h,17,4) || '-' || substr($h,21,12)"
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    '<html><!-- doc ' || doc_id || ' --><body class="doc"><h1>' || source ||
+        |    '</h1><script type="text/javascript">var x = 1 < 2;</script><p>' || text ||
+        |    '</p><style media="all">p { color: red; }</style>&amp;amp; &lt;escaped&gt;&nbsp;ok</body></html>'
+        |    AS raw
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(raw, '(?s)<!--.*?-->', ' ', 'g') AS t FROM m),
+        |s2 AS (SELECT doc_id,
+        |         regexp_replace(t, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |         regexp_replace(t, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id,
+        |         replace(replace(replace(replace(replace(replace(t,
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |           '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
+        |clean AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS c FROM s5),
+        |h AS (SELECT doc_id, c, md5('conv-' || doc_id) AS ch,
+        |             md5(CAST(doc_id AS VARCHAR)) AS rh FROM clean)
+        |SELECT doc_id,
+        |""".stripMargin +
+        s"       ${urn("ch")} AS record_id,\n" +
+        s"       'conversion' AS warc_type,\n" +
+        s"       ${urn("rh")} AS refers_to,\n" +
+        """       'text/plain' AS content_type,
+        |       CAST(strlen(c) AS BIGINT) AS content_length,
+        |       md5(c) AS payload_md5
+        |FROM h""".stripMargin
+    }) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = new java.io.File(d).getName
+        val dir1 = graft.operators.Scratch.dir(s"graft_wet_src_$base")
+        val dir2 = graft.operators.Scratch.dir(s"graft_wet_out_$base")
+        Seq(dir1, dir2).foreach { dir => // fingerprint re-runs need clean dirs
+          Option(new java.io.File(dir).listFiles())
+            .foreach(_.foreach(f => if (f.getName.endsWith(".warc.gz")) f.delete()))
+        }
+        val markup = concat(
+          lit("<html><!-- doc "), col("doc_id").cast("string"),
+          lit(" --><body class=\"doc\"><h1>"), col("source"),
+          lit("</h1><script type=\"text/javascript\">var x = 1 < 2;</script><p>"),
+          col("text"),
+          lit("</p><style media=\"all\">p { color: red; }</style>&amp;amp; &lt;escaped&gt;&nbsp;ok</body></html>"))
+        val staged = docs.select(col("doc_id"),
+          concat(lit("http://corpus.example/doc/"), col("doc_id")).as("uri"),
+          timestamp_seconds(lit(1704067200L)).as("dt"), markup.as("raw"))
+        graft.sources.Warc.export(staged, "doc_id", "uri", "dt", "raw", dir1,
+          numShards = 4, compress = true, contentType = "text/html",
+          infoDateSecs = 0L, shardCol = Some(pmod(col("doc_id"), lit(4))))
+        val wet = s.read.format("warc").load(dir1)
+          .filter(col("warc_type") === "response")
+          .select(
+            concat(lit("conv-"),
+              regexp_extract(col("target_uri"), "(\\d+)$", 1)).as("conv_key"),
+            regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("long")
+              .as("doc_num"),
+            col("target_uri").as("uri"), col("warc_date").as("dt"),
+            col("record_id").as("orig_id"),
+            graft.functions.TextFunctions.stripMarkup(
+              col("payload").cast("string")).as("clean"))
+        graft.sources.Warc.export(wet, "conv_key", "uri", "dt", "clean", dir2,
+          numShards = 4, compress = true, contentType = "text/plain",
+          infoDateSecs = 0L, shardCol = Some(pmod(col("doc_num"), lit(4))),
+          warcType = "conversion", refersToCol = Some(col("orig_id")))
+        s.read.format("warc").load(dir2)
+          .filter(col("warc_type") === "conversion")
+          .select(
+            regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("long")
+              .as("doc_id"),
+            col("record_id"), col("warc_type"), col("refers_to"),
+            col("content_type"), col("content_length"),
+            md5(col("payload")).as("payload_md5"))
+      }
+    },
+
+    // EXACT ROC-AUC (Mann–Whitney rank-sum over the distinct-score
+    // census — Profiling.aucExact): per-source AUC of a deterministic
+    // score against a deterministic label, ties forced by the %50
+    // quantization so the half-credit path is exercised. The oracle
+    // replays the census + cumulative-negatives fold; both engines'
+    // positive-operand integer division agrees exactly. One source
+    // carries label=0 only when absent — the nullif guard keeps AUC
+    // null there rather than dividing by zero.
+    QueryDef.sql("q231_auc_exact",
+      """WITH b AS (
+        |  SELECT source, strlen(text) % 50 AS s,
+        |         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |v AS (SELECT source, s, sum(y) AS np, sum(1 - y) AS nn
+        |      FROM b GROUP BY 1, 2),
+        |c AS (SELECT *, coalesce(sum(nn) OVER (
+        |        PARTITION BY source ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |      FROM v),
+        |t AS (SELECT source, sum(np) AS n_pos, sum(nn) AS n_neg,
+        |             sum(np * (2 * below + nn)) AS num2
+        |      FROM c GROUP BY 1)
+        |SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+        |       CAST(n_neg AS BIGINT) AS n_neg,
+        |       CAST((1000000 * num2) // nullif(2 * n_pos * n_neg, 0) AS BIGINT)
+        |         AS auc_ppm
+        |FROM t""".stripMargin) {
+      (s, d) =>
+        graft.operators.Profiling.aucExact(
+          Tables.documents(s, d).select(col("source"),
+            (length(col("text")) % 50).as("score"),
+            when(pmod(col("doc_id"), lit(3)) === 0, 1).otherwise(0).as("label")),
+          "label", "score", groupCols = Seq("source"))
+    },
+
+    // HITS HUBS & AUTHORITIES (Graphs.hitsMicro — Kleinberg's pair,
+    // q116's bipartite customer→supplier graph): 4 max-normalized
+    // integer iterations, the oracle replaying every raw-sum /
+    // scalar-max / floor-divide step as a generated CTE chain. The
+    // gate pins the top-10 of BOTH sides (on a bipartite graph
+    // authorities are all suppliers, hubs all customers — exactly
+    // the two rankings PageRank conflates).
+    QueryDef.sql("q232_hits", {
+      // AS MATERIALIZED: the scalar max references each raw CTE a
+      // second time — inlining doubles the evaluated chain per
+      // iteration (the same 2^k fork the Spark side caches away)
+      def it(i: Int): String =
+        s"""ra$i AS MATERIALIZED (
+           |  SELECT n.node, coalesce(x.s, 0) AS r FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(h${i - 1}.h) AS s FROM edges e
+           |    JOIN h${i - 1} ON e.src = h${i - 1}.node GROUP BY e.dst) x
+           |  ON n.node = x.node),
+           |a$i AS MATERIALIZED (SELECT node, (1000000 * r) // (SELECT max(r) FROM ra$i) AS a FROM ra$i),
+           |rh$i AS MATERIALIZED (
+           |  SELECT n.node, coalesce(x.s, 0) AS r FROM nodes n LEFT JOIN (
+           |    SELECT e.src AS node, sum(a$i.a) AS s FROM edges e
+           |    JOIN a$i ON e.dst = a$i.node GROUP BY e.src) x
+           |  ON n.node = x.node),
+           |h$i AS MATERIALIZED (SELECT node, (1000000 * r) // (SELECT max(r) FROM rh$i) AS h FROM rh$i)""".stripMargin
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |h0 AS (SELECT node, 1000000 AS h FROM nodes),
+         |${(1 to 4).map(it).mkString(",\n")},
+         |sel AS (SELECT a4.node, a4.a AS am, h4.h AS hm
+         |        FROM a4 JOIN h4 ON a4.node = h4.node)
+         |SELECT side, CAST(node AS BIGINT) AS node,
+         |       CAST(score_micro AS BIGINT) AS score_micro FROM (
+         |  (SELECT 'auth' AS side, node, am AS score_micro FROM sel
+         |   ORDER BY am DESC, node LIMIT 10)
+         |  UNION ALL
+         |  (SELECT 'hub' AS side, node, hm AS score_micro FROM sel
+         |   ORDER BY hm DESC, node LIMIT 10))""".stripMargin
+    }) {
+      (s, d) => {
+        val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val r = graft.operators.CacheRegistry.register(
+          graft.operators.Graphs.hitsMicro(edges, iterations = 4)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val auth = r.orderBy(col("authority_micro").desc, col("node")).limit(10)
+          .select(lit("auth").as("side"), col("node"),
+            col("authority_micro").as("score_micro"))
+        val hub = r.orderBy(col("hub_micro").desc, col("node")).limit(10)
+          .select(lit("hub").as("side"), col("node"),
+            col("hub_micro").as("score_micro"))
+        auth.union(hub)
+      }
     }
   )
 }

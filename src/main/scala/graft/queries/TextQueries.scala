@@ -692,6 +692,44 @@ object TextQueries {
       }
     }
 
+  // SENTENCE SEGMENTATION (TextFunctions.sentences): terminator-run +
+  // whitespace boundaries via lookaround-free separator injection —
+  // the same regex and backreference replay in RE2, so the oracle is
+  // the identical chain. The corpus is punctuation-free, so the gate
+  // first plants terminators deterministically (periods after
+  // table/fast, a '!?' run after spark — identical regex in both
+  // engines, non-overlapping left-to-right global replace semantics
+  // agree between Java and RE2). Position and full sentence text
+  // both gated.
+  private def q233SentenceSplit: QueryDef =
+    QueryDef.sql("q233_sentence_split",
+      """WITH m AS (
+        |  SELECT doc_id, regexp_replace(
+        |    regexp_replace(text, ' (table|fast) ', ' \1. ', 'g'),
+        |    ' spark ', ' spark!? ', 'g') AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(regexp_replace(t, '([.!?]+)[ \t\n\r]+',
+        |                                '\1' || chr(30), 'g'), chr(30)),
+        |    x -> strlen(x) > 0) AS ss
+        |  FROM m)
+        |SELECT doc_id,
+        |       CAST(unnest(generate_series(1, len(ss))) - 1 AS BIGINT) AS sent_idx,
+        |       unnest(ss) AS sentence
+        |FROM s""".stripMargin) {
+      (s, d) => {
+        val planted = regexp_replace(
+          regexp_replace(col("text"), " (table|fast) ", " $1. "),
+          " spark ", " spark!? ")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(graft.functions.TextFunctions.sentences(planted)))
+          .select(col("doc_id"), col("pos").cast("long").as("sent_idx"),
+            col("col").as("sentence"))
+      }
+    }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef.sql("q24_exact_dedup",
@@ -2405,6 +2443,7 @@ object TextQueries {
     q221Blocklist,
     q227Perceptron,
     q228ScriptProfile,
+    q233SentenceSplit,
 
     QueryDef.sql("q211_matched_spans",
       """WITH arr AS (

@@ -86,19 +86,28 @@ object Warc {
       s"${md5Hex.substring(12, 16)}-${md5Hex.substring(16, 20)}-${md5Hex.substring(20, 32)}"
   }
 
-  /** Render one response record (header + payload + record separator)
-    * exactly as the byte layout documented on the object.
+  /** Render one full record (header + payload + record separator)
+    * exactly as the byte layout documented on the object. `warcType`
+    * is `response` for captures and `conversion` for derived text
+    * (the WET convention — Common Crawl's extracted-text sidecar
+    * files hold one `conversion` record per page, `WARC-Refers-To`
+    * pointing at the response it was derived from); `refersTo`, when
+    * non-null, writes that pointer immediately after the target URI.
     */
   private[sources] def renderResponse(id: String, uri: String, dateSecs: Long,
                                       contentType: String,
-                                      payload: Array[Byte]): Array[Byte] = {
-    val head = new StringBuilder(160 + uri.length)
+                                      payload: Array[Byte],
+                                      warcType: String = "response",
+                                      refersTo: String = null): Array[Byte] = {
+    val head = new StringBuilder(200 + uri.length)
     head.append("WARC/1.0\r\n")
-    head.append("WARC-Type: response\r\n")
+    head.append("WARC-Type: ").append(warcType).append("\r\n")
     head.append("WARC-Record-ID: <").append(id).append(">\r\n")
     head.append("WARC-Date: ")
       .append(DateFmt.format(Instant.ofEpochSecond(dateSecs))).append("\r\n")
     head.append("WARC-Target-URI: ").append(uri).append("\r\n")
+    if (refersTo != null)
+      head.append("WARC-Refers-To: <").append(refersTo).append(">\r\n")
     head.append("Content-Type: ").append(contentType).append("\r\n")
     head.append("Content-Length: ").append(payload.length).append("\r\n")
     head.append("\r\n")
@@ -166,7 +175,9 @@ object Warc {
     hb ++ payload ++ Array[Byte]('\r', '\n', '\r', '\n')
   }
 
-  /** Export `df` as sharded WARC response records.
+  /** Export `df` as sharded WARC records (`warcType` — `response`
+    * for captures, `conversion` for WET-style derived text, where
+    * `refersToCol` carries each record's source-record URN).
     *
     * Sharding is an explicit COLUMN (default: `pmod(xxhash64(id), n)`)
     * so a caller who needs oracle-replayable file assignment can pass
@@ -189,8 +200,12 @@ object Warc {
              payloadCol: String, outDir: String, numShards: Int,
              compress: Boolean = true, contentType: String = "text/plain",
              infoDateSecs: Long = 0L, shardCol: Option[Column] = None,
-             dedupByDigest: Boolean = false): Unit = {
+             dedupByDigest: Boolean = false, warcType: String = "response",
+             refersToCol: Option[Column] = None): Unit = {
     require(numShards >= 1, s"numShards must be positive, got $numShards")
+    require(!dedupByDigest || warcType == "response",
+      s"dedupByDigest emits revisit records and only composes with " +
+        s"warcType=response, got '$warcType'")
     Files.createDirectories(Paths.get(outDir))
     val shard = shardCol.getOrElse(
       pmod(xxhash64(col(idCol).cast("string")), lit(numShards.toLong)))
@@ -201,7 +216,8 @@ object Warc {
       col(uriCol).cast("string").as("__uri"),
       (unix_timestamp(col(dateCol))).as("__secs"),
       col(payloadCol).cast("binary").as("__payload"),
-      col(idCol).as("__id")) // original type: in-file order = natural id order
+      col(idCol).as("__id"), // original type: in-file order = natural id order
+      refersToCol.getOrElse(lit(null)).cast("string").as("__refers"))
     // dedupByDigest: the WARC-standard storage dedup — exactly one
     // full `response` per distinct payload digest (the min-id capture,
     // q24's keep rule), every other capture a body-less `revisit`
@@ -222,12 +238,12 @@ object Warc {
         d.join(orig, Seq("__digest"))
           .withColumn("__revisit", col("__id") =!= col("__orig_id"))
           .select("__shard", "__md5", "__uri", "__secs", "__payload",
-            "__id", "__revisit", "__orig_md5", "__digest")
+            "__id", "__refers", "__revisit", "__orig_md5", "__digest")
       }
     val rows = prepared
       .select(col("__shard"), col("__md5"), col("__uri"), col("__secs"),
         col("__payload"), col("__id"), col("__revisit"), col("__orig_md5"),
-        col("__digest"))
+        col("__digest"), col("__refers"))
       .repartition(numShards, col("__shard"))
       .sortWithinPartitions(col("__shard"), col("__id"))
     val written = rows.mapPartitions { it =>
@@ -261,7 +277,8 @@ object Warc {
             r.getLong(3), uuidUrn(r.getString(7)), r.getString(8)))
         else
           emit(renderResponse(uuidUrn(r.getString(1)), r.getString(2),
-            r.getLong(3), contentType, r.getAs[Array[Byte]](4)))
+            r.getLong(3), contentType, r.getAs[Array[Byte]](4), warcType,
+            if (r.isNullAt(9)) null else r.getString(9)))
       }
       finishFile()
       done.iterator.map(_.toInt)

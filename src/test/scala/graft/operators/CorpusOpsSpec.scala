@@ -1568,6 +1568,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(5L).getAs[String]("dominant") === "latin") // tie → precedence
   }
 
+  test("sentences: terminator runs, unterminated tails, no-whitespace non-splits") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "One. Two! Three?"),         // 3 sentences, tail terminated
+      (2L, "Wait!? Really?! yes"),      // terminator runs stay attached; bare tail kept
+      (3L, "v1.2 is out. Next"),        // "v1.2" must NOT split (no whitespace after .)
+      (4L, "NoTerminatorAtAll"),        // whole text = one sentence
+      (5L, "End. ")                     // trailing space: empty tail dropped
+    ).toDF("id", "t")
+    val got = rows.select(col("id"),
+        TextFunctions.sentences(col("t")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(1L) === List("One.", "Two!", "Three?"))
+    assert(got(2L) === List("Wait!?", "Really?!", "yes"))
+    assert(got(3L) === List("v1.2 is out.", "Next"))
+    assert(got(4L) === List("NoTerminatorAtAll"))
+    assert(got(5L) === List("End."))
+  }
+
   test("marginMining suppresses hubs that raw cosine top-1 would pick") {
     import spark.implicits._
     // target space: a HUB close to everything (0.9 to both sources)

@@ -500,6 +500,45 @@ class EngineOpsSpec extends AnyFunSuite {
     assert(applied === want)
   }
 
+  test("hitsMicro: hand-folded two iterations on a tiny bipartite graph") {
+    import spark.implicits._
+    // 1→3, 1→4, 2→4 at mass 1000:
+    // it1: rawA 3=1000, 4=2000 → a 3=500, 4=1000
+    //      rawH 1=1500, 2=1000 → h 1=1000, 2=666
+    // it2: rawA 3=1000, 4=1666 → a 3=600, 4=1000
+    //      rawH 1=1600, 2=1000 → h 1=1000, 2=625
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 4L)).toDF("src", "dst")
+    val out = Graphs.hitsMicro(edges, iterations = 2, massMicro = 1000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> ((0L, 1000L)), 2L -> ((0L, 625L)),
+      3L -> ((600L, 0L)), 4L -> ((1000L, 0L))))
+  }
+
+  test("aucExact: hand-computed pairs incl. half-credit ties; degenerate group null") {
+    import spark.implicits._
+    val df = Seq(
+      // group g: pos {3, 2}, neg {1, 2} → pairs 3>1, 3>2, 2>1 win,
+      // (2,2) tie half → AUC = 3.5/4 = 0.875
+      ("g", 3L, 1), ("g", 2L, 1), ("g", 1L, 0), ("g", 2L, 0),
+      // group p: perfect separation → AUC = 1
+      ("p", 10L, 1), ("p", 1L, 0), ("p", 2L, 0),
+      // group h: positives only → AUC undefined
+      ("h", 5L, 1), ("h", 6L, 1)
+    ).toDF("src", "score", "label")
+    val out = Profiling.aucExact(df, "label", "score", groupCols = Seq("src"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(out("g") === ((2L, 2L, Some(875000L))))
+    assert(out("p") === ((1L, 2L, Some(1000000L))))
+    assert(out("h") === ((2L, 0L, None)))
+    // ungrouped over the same g rows: single-row frame, same value
+    val g = Profiling.aucExact(df.filter($"src" === "g"), "label", "score")
+      .collect()
+    assert(g.length === 1 && g(0).getLong(2) === 875000L)
+  }
+
   test("applyCdc upserts, deletes, and rejects unknown ops") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")

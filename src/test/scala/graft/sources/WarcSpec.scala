@@ -235,6 +235,34 @@ class WarcSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("conversion records carry refers_to and round-trip as WET") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("wet")
+    val derived = docsDf.select(
+      concat(lit("conv-"), col("doc_id")).as("k"), col("uri"), col("d"),
+      upper(col("text")).as("text"),
+      lit("urn:uuid:00000000-0000-0000-0000-000000000042").as("orig"))
+    Warc.export(derived, "k", "uri", "d", "text", dir, numShards = 1,
+      compress = true, contentType = "text/plain", infoDateSecs = 0L,
+      shardCol = Some(lit(0)), warcType = "conversion",
+      refersToCol = Some(col("orig")))
+    val back = spark.read.format("warc").load(dir)
+      .filter(col("warc_type") === "conversion")
+      .select("target_uri", "refers_to", "content_type", "payload")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2),
+          new String(r.getAs[Array[Byte]](3), UTF_8)))).toMap
+    assert(back.size === 3)
+    assert(back("http://e/1") ===
+      (("urn:uuid:00000000-0000-0000-0000-000000000042", "text/plain", "HELLO")))
+    // dedupByDigest emits revisit records — incompatible with conversion
+    intercept[IllegalArgumentException] {
+      Warc.export(derived, "k", "uri", "d", "text", tmpDir("wetbad"),
+        numShards = 1, warcType = "conversion", dedupByDigest = true)
+    }
+  }
+
   test("truncated payload fails loudly, never yields a short record") {
     val dir = tmpDir("trunc")
     Warc.export(docsDf.limit(1), "doc_id", "uri", "d", "text", dir,
