@@ -145,6 +145,52 @@ object Profiling {
           .as("auc_ppm")): _*)
   }
 
+  /** VOCABULARY GROWTH CURVE (Heaps' law census) — distinct types
+    * seen vs tokens read, in corpus order: the corpus-analysis
+    * signal behind "is more data still adding vocabulary", tokenizer
+    * sizing, and dedup sanity (a growth curve that suddenly flattens
+    * means the crawl started re-reading itself). Token positions are
+    * GLOBAL: per-doc token counts run through
+    * [[Relational.globalPrefixSum]] (the two-level distributed scan —
+    * no unpartitioned window over the corpus), each type's FIRST
+    * global position is a min-aggregate, and first-positions bucket
+    * into `bucketTokens`-sized bins. Exact and deterministic for any
+    * partitioning; doc order = `idCol` ascending.
+    *
+    * Scale shape: the tokenized frame is persisted once (it feeds
+    * both the count census and the position explode); the explode is
+    * the one corpus-sized pass (min partial-aggregates map-side);
+    * the final cumulative window runs over #buckets rows — size the
+    * bucket so buckets stay ≤ ~10⁶ (it is the OUTPUT resolution, not
+    * a precision knob). Returns (bucket, bucket_start, new_types,
+    * cum_types) for buckets containing ≥1 first occurrence.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, text: Column,
+                  bucketTokens: Long = 1000L): DataFrame = {
+    require(bucketTokens >= 1, s"bucketTokens must be positive, got $bucketTokens")
+    val toks = CacheRegistry.register(
+      df.select(col(idCol).as("__id"),
+        graft.functions.TextFunctions.tokens(text).as("__t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val counts = toks.select(col("__id"), size(col("__t")).cast("long").as("__n"))
+    val offs = Relational.globalPrefixSum(counts, "__id", "__n", "__off")
+    val first = toks
+      .join(offs.select(col("__id"), col("__off")), Seq("__id"))
+      .select(col("__off"), posexplode(col("__t")))
+      .groupBy(col("col").as("__w"))
+      .agg(min(col("__off") + col("pos")).as("__fp"))
+    val perBucket = first
+      .groupBy(expr(s"__fp div $bucketTokens").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val wb = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket
+      .select(col("bucket").cast("long").as("bucket"),
+        (col("bucket") * bucketTokens).cast("long").as("bucket_start"),
+        col("new_types"),
+        sum(col("new_types")).over(wb).cast("long").as("cum_types"))
+  }
+
   /** CATEGORICAL DISTRIBUTION DRIFT between two snapshots (training-
     * data shift detection — "did this source's language/topic/label
     * mix move since the last crawl"): per-category counts on both

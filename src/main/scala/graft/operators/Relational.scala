@@ -20,6 +20,45 @@ object Relational {
     */
   def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** GLOBAL EXCLUSIVE PREFIX SUM — a running total over a TOTAL
+    * order, without the unpartitioned window that serializes it onto
+    * one task: the textbook two-level distributed scan. Rows are
+    * range-partitioned by `orderCol` (partitions = disjoint,
+    * ordered key ranges), each partition's running sum is a
+    * partition-local window, and the cross-partition carry is a
+    * per-partition-total census (#partitions rows) whose own tiny
+    * window produces each partition's base offset, broadcast back.
+    * The OUTPUT is partitioning-independent — the prefix sum depends
+    * only on the order, not on where the range boundaries fall — so
+    * the result is exact and deterministic for any partition count.
+    *
+    * `orderCol` must be globally unique (ties would make "preceding"
+    * ambiguous). The ranged input is persisted under [[CacheRegistry]]
+    * (it feeds both the census and the main side).
+    *
+    * Returns `df` plus `offsetName` = sum of `valueCol` over all rows
+    * strictly before this one in `orderCol` order.
+    */
+  def globalPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                      offsetName: String = "offset"): DataFrame = {
+    val ranged = CacheRegistry.register(
+      df.repartitionByRange(col(orderCol))
+        .withColumn("__pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val wq = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = ranged.groupBy("__pid")
+      .agg(sum(col(valueCol)).as("__pt"))
+      .withColumn("__base", coalesce(sum(col("__pt")).over(wq), lit(0L)))
+      .select(col("__pid"), col("__base"))
+    val wp = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(bases), Seq("__pid"))
+      .withColumn(offsetName,
+        col("__base") + coalesce(sum(col(valueCol)).over(wp), lit(0L)))
+      .drop("__pid", "__base")
+  }
+
   /** F3 (reference `src/history_filter.cpp:30-245`): latest version per
     * key. The reference streams sorted rows and keeps row i iff the next
     * row changes id, carrying block-boundary state; in Spark this is a

@@ -1794,6 +1794,92 @@ object EvalQueries {
             col("hub_micro").as("score_micro"))
         auth.union(hub)
       }
+    },
+
+    // CRAWL→CORPUS INTEGRATION FLAGSHIP: the end-to-end pipeline a
+    // Common Crawl consumer actually runs, every stage the engine's
+    // own gated operator — full HTTP responses with HTML bodies land
+    // as WARC (q219/q225 machinery), duplication planted by the
+    // q226 three-group trick (same page at different URLs);
+    // read → HTTP parse (body by X-Doc-Id header, not export order)
+    // → markup strip (q137 chain) → token-count quality gate →
+    // exact dedup (q24's min-id keep rule on the CLEANED text).
+    // The oracle replays the whole composition from `documents`
+    // alone; per-doc verdicts (is_dup / kept / cleaned md5) are all
+    // hash-gated.
+    QueryDef.sql("q234_crawl_pipeline",
+      """WITH src AS (
+        |  SELECT d.doc_id, l.text AS ptext
+        |  FROM documents d
+        |  JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 3),
+        |m AS (
+        |  SELECT doc_id,
+        |    '<html><body><p>' || ptext ||
+        |    '</p><script>var x = 1;</script></body></html>' AS raw
+        |  FROM src),
+        |s1 AS (SELECT doc_id, regexp_replace(raw, '(?s)<!--.*?-->', ' ', 'g') AS t FROM m),
+        |s2 AS (SELECT doc_id,
+        |         regexp_replace(t, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |         regexp_replace(t, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id,
+        |         replace(replace(replace(replace(replace(replace(t,
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |           '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
+        |c AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean FROM s5),
+        |sc AS (SELECT doc_id, clean,
+        |         CASE WHEN length(trim(clean)) = 0 THEN 0
+        |              ELSE len(list_filter(regexp_split_to_array(clean, '\s+'),
+        |                                   x -> x <> '')) END AS n_tokens
+        |       FROM c),
+        |cen AS (SELECT md5(clean) AS dig, min(doc_id) AS keep
+        |        FROM sc GROUP BY 1)
+        |SELECT sc.doc_id, CAST(sc.n_tokens AS BIGINT) AS n_tokens,
+        |       sc.doc_id <> cen.keep AS is_dup,
+        |       sc.doc_id = cen.keep AND sc.n_tokens >= 30 AS kept,
+        |       md5(sc.clean) AS clean_md5
+        |FROM sc JOIN cen ON md5(sc.clean) = cen.dig""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = new java.io.File(d).getName
+        val dir = graft.operators.Scratch.dir(s"graft_crawl_$base")
+        Option(new java.io.File(dir).listFiles())
+          .foreach(_.foreach(f => if (f.getName.endsWith(".warc.gz")) f.delete()))
+        val leaders = docs.select(col("doc_id").as("lid"), col("text").as("ptext"))
+        val src = docs.select(col("doc_id"))
+          .join(leaders,
+            (col("doc_id") - pmod(col("doc_id"), lit(3))) === col("lid"))
+        val html = concat(lit("<html><body><p>"), col("ptext"),
+          lit("</p><script>var x = 1;</script></body></html>"))
+        val staged = src.select(col("doc_id"),
+          concat(lit("http://corpus.example/doc/"), col("doc_id")).as("uri"),
+          timestamp_seconds(lit(1704067200L)).as("dt"),
+          concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nX-Doc-Id: "),
+            col("doc_id").cast("string"), lit("\r\n\r\n"), html).as("http"))
+        graft.sources.Warc.export(staged, "doc_id", "uri", "dt", "http", dir,
+          numShards = 4, compress = true, infoDateSecs = 0L,
+          shardCol = Some(pmod(col("doc_id"), lit(4))),
+          contentType = "application/http; msgtype=response")
+        val parsed = s.read.format("warc").load(dir)
+          .filter(col("warc_type") === "response")
+          .select(graft.sources.Warc.httpMessage(col("payload")).as("m"))
+          .select(
+            get(filter(col("m.headers"),
+              h => h.getField("name") === lit("x-doc-id")), lit(0))
+              .getField("value").cast("long").as("doc_id"),
+            graft.functions.TextFunctions.stripMarkup(col("m.body")).as("clean"))
+        val scored = parsed.select(col("doc_id"), col("clean"),
+          graft.functions.TextFunctions.tokenCount(col("clean")).as("n_tokens"),
+          md5(col("clean")).as("clean_md5"))
+        val census = scored.groupBy(col("clean_md5").as("__dig"))
+          .agg(min("doc_id").as("__keep"))
+        scored.join(census, col("clean_md5") === col("__dig"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("doc_id") =!= col("__keep")).as("is_dup"),
+            (col("doc_id") === col("__keep") && col("n_tokens") >= 30).as("kept"),
+            col("clean_md5"))
+      }
     }
   )
 }

@@ -730,6 +730,52 @@ object TextQueries {
       }
     }
 
+  // VOCABULARY GROWTH (Heaps' law census, Profiling.vocabGrowth):
+  // global token positions via the two-level distributed prefix sum
+  // (Relational.globalPrefixSum — no corpus-sized unpartitioned
+  // window), each type's first position min-aggregated, bucketed at
+  // 500 tokens. The synthetic corpus's ~60-word vocabulary would put
+  // every first occurrence in bucket 0, so the gate plants two novel
+  // types per doc (one unique, one recurring on a 97-residue cycle)
+  // — the curve then actually grows and the oracle replays doc-order
+  // offsets, first positions, and the cumulative fold across ~100
+  // buckets.
+  private def q235VocabGrowth: QueryDef =
+    QueryDef.sql("q235_vocab_growth",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    text || ' u' || doc_id || ' v' || (doc_id % 97) AS t2
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(t2, '\s+'), x -> x <> '') AS t
+        |  FROM m),
+        |offs AS (
+        |  SELECT doc_id, t, coalesce(sum(len(t)) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM toks),
+        |pos AS (
+        |  SELECT off, unnest(t) AS w,
+        |         unnest(generate_series(1, len(t))) - 1 AS p
+        |  FROM offs),
+        |first AS (SELECT w, min(off + p) AS fp FROM pos GROUP BY w),
+        |pb AS (SELECT fp // 500 AS bucket, count(*) AS new_types
+        |       FROM first GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(bucket * 500 AS BIGINT) AS bucket_start,
+        |       CAST(new_types AS BIGINT) AS new_types,
+        |       CAST(sum(new_types) OVER (ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_types
+        |FROM pb""".stripMargin) {
+      (s, d) =>
+        graft.operators.Profiling.vocabGrowth(
+          Tables.documents(s, d), "doc_id",
+          concat(col("text"), lit(" u"), col("doc_id").cast("string"),
+            lit(" v"), pmod(col("doc_id"), lit(97)).cast("string")),
+          bucketTokens = 500L)
+    }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef.sql("q24_exact_dedup",
@@ -2444,6 +2490,7 @@ object TextQueries {
     q227Perceptron,
     q228ScriptProfile,
     q233SentenceSplit,
+    q235VocabGrowth,
 
     QueryDef.sql("q211_matched_spans",
       """WITH arr AS (

@@ -515,6 +515,29 @@ class EngineOpsSpec extends AnyFunSuite {
       3L -> ((600L, 0L)), 4L -> ((1000L, 0L))))
   }
 
+  test("globalPrefixSum: exclusive running total matches the serial fold") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L), (6L, 60L))
+      .toDF("id", "v")
+    val got = Relational.globalPrefixSum(df, "id", "v", "off")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 10L, 3L -> 30L, 4L -> 60L,
+      5L -> 100L, 6L -> 150L))
+    CacheRegistry.releaseAll()
+  }
+
+  test("vocabGrowth: first-occurrence buckets and cumulative types") {
+    import spark.implicits._
+    // global positions: d1 "a b a" → a@0 b@1, d2 "b c" → b@3 c@4,
+    // d3 "d" → d@5; bucket size 2: b0 {a,b}=2, b2 {c,d}=2; cum 2, 4
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "d")).toDF("doc_id", "text")
+    val got = Profiling.vocabGrowth(docs, "doc_id", col("text"), bucketTokens = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toList
+    assert(got === List((0L, 0L, 2L, 2L), (2L, 4L, 2L, 4L)))
+    CacheRegistry.releaseAll()
+  }
+
   test("aucExact: hand-computed pairs incl. half-credit ties; degenerate group null") {
     import spark.implicits._
     val df = Seq(

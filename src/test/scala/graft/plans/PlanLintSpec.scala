@@ -82,7 +82,14 @@ class PlanLintSpec extends AnyFunSuite {
     * the operator's scaladoc — a bounded broadcast-sized frame, not a
     * corpus through one reducer.
     */
-  private val globalWindowAllowed = Set("q163_pareto_frontier")
+  private val globalWindowAllowed = Set(
+    "q163_pareto_frontier",
+    // vocabGrowth's two global windows run over CENSUS frames — the
+    // per-partition-total table (#shuffle-partitions rows, the
+    // globalPrefixSum carry) and the bucket table (#buckets rows, the
+    // output resolution) — never the corpus; the corpus-order scan
+    // itself is the partitioned two-level prefix sum by design.
+    "q235_vocab_growth")
 
   test("no gate query plans an unpartitioned window or undeclared cartesian") {
     // AQE wraps the plan in a leaf AdaptiveSparkPlanExec that defeats
