@@ -212,6 +212,30 @@ object Soak {
             spark.read.parquet(s"$d/incstore/sigs"))),
           "doc_id", "text")._1
       },
+      // ---- r9 newcomers
+      "hits" -> { d: String =>
+        // iterative max-normalized fixed point on the scaled hub graph
+        // (same edges as pagerank — the 1/8 global-hub dst keeps give
+        // it real in-degree skew); 4 iterations, 8 localCheckpoints
+        operators.Graphs.hitsMicro(spark.read.parquet(s"$d/edges.parquet"))
+      },
+      "auc_exact" -> { d: String =>
+        // distinct-score census + partitioned cumulative window; the
+        // %50 quantization keeps the census at the grain, not corpus
+        operators.Profiling.aucExact(
+          spark.read.parquet(s"$d/documents.parquet")
+            .select(col("source"), (length(col("text")) % 50).as("score"),
+              when(pmod(col("doc_id"), lit(3)) === 0, 1).otherwise(0).as("label")),
+          "label", "score", groupCols = Seq("source"))
+      },
+      "vocab_growth" -> { d: String =>
+        // two-level distributed prefix sum + corpus explode + min agg;
+        // the per-doc unique suffix keeps vocabulary growing with K
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        operators.Profiling.vocabGrowth(docs, "doc_id",
+          concat(col("text"), lit(" u"), col("doc_id").cast("string")),
+          bucketTokens = 10000L)
+      },
       "warc_roundtrip" -> { d: String =>
         // full WARC sink+source cycle at scale: per-record-gzip export
         // of the scaled corpus (16 shard files — writer parallelism),
