@@ -11,6 +11,96 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   */
 object Sketches {
 
+  /** KMV (k-minimum-values) DISTINCT sketch per group — Beyer et al.
+    * 2007, the sketch family whose members support set INTERSECTION,
+    * which HLL registers fundamentally cannot: keep the k smallest
+    * xxhash64 values (unsigned order) of the group's distinct keys.
+    * If the true distinct count n ≤ k, the sketch IS the hash set and
+    * every estimate is exact; otherwise the k-th smallest normalized
+    * hash U₍k₎ estimates density and n̂ = (k−1)/U₍k₎.
+    *
+    * Determinism contract: values are stored SIGN-FLIPPED
+    * (h XOR 2⁶³, so signed BIGINT order = unsigned hash order — the
+    * same trick any engine can replay), the array ascending. The
+    * estimate is ⌊(k−1)·2⁶⁴ / (f₍k₎ + 2⁶³)⌋ in ONE double multiply +
+    * divide + floor — every step an exactly-specified IEEE-754
+    * operation, so the integer result is bit-identical on any
+    * engine (no `round`, whose half-up/half-even convention differs).
+    *
+    * Scale shape: distinct (group, hash) shuffle, then a per-group
+    * bottom-k window (rows = distinct pairs, the unavoidable census);
+    * sketches are ≤ k longs per group — broadcast-sized artifacts,
+    * mergeable by "union then re-take bottom k" ([[kmvPairOps]]).
+    * Returns (group, sketch: array<long> flipped-ascending,
+    * n_distinct: exact count, est: long).
+    */
+  def kmvSketch(df: DataFrame, groupCol: String, key: Column,
+                k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val flipped = df
+      .select(col(groupCol).as("group"),
+        xxhash64(key).bitwiseXOR(lit(Long.MinValue)).as("__f"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("__f"))
+    flipped
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("group"))
+      .agg(sort_array(collect_list(when(col("__rn") <= k, col("__f")))).as("sketch"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("group"), col("sketch"), col("n_distinct"),
+        kmvEstimate(col("sketch"), col("n_distinct"), k).as("est"))
+  }
+
+  /** n̂ from a flipped-ascending KMV sketch: exact when the sketch
+    * holds every distinct value, else the (k−1)/U₍k₎ estimator in
+    * deterministic double arithmetic (see [[kmvSketch]]).
+    */
+  private def kmvEstimate(sketch: Column, nIfExact: Column, k: Int): Column =
+    when(size(sketch) < k, nIfExact).otherwise(
+      floor(lit((k - 1).toDouble) * lit(1.8446744073709552e19) /
+        (get(sketch, lit(k - 1)).cast("double") + lit(9.223372036854776e18)))
+        .cast("long"))
+
+  /** KMV SET-OPERATION estimates for every group pair (a < b): the
+    * payoff over HLL — a valid KMV sketch of A∪B is "merge the two
+    * sketches, re-take the bottom k", and the Jaccard estimate is the
+    * fraction of that union sketch present in BOTH inputs (exact set
+    * arithmetic on ≤k-long arrays), giving
+    *
+    *   Ĵ = |both ∩ unionK| / |unionK|,  n̂(A∪B) from unionK's k-th,
+    *   n̂(A∩B) = ⌊Ĵ_milli · n̂(A∪B)⌋ / 1000
+    *
+    * All pair work runs on the sketch frame (#groups² pairs of
+    * ≤k-long arrays — independent of corpus size; the broadcast side
+    * of a dim-dim join). Returns (group_a, group_b, inter_k, union_k,
+    * jaccard_milli, union_est, inter_est).
+    */
+  def kmvPairOps(sketches: DataFrame, k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val a = sketches.select(col("group").as("group_a"),
+      col("sketch").as("__ska"), col("n_distinct").as("__na"))
+    val b = sketches.select(col("group").as("group_b"),
+      col("sketch").as("__skb"), col("n_distinct").as("__nb"))
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .withColumn("__uk",
+        slice(array_sort(array_distinct(concat(col("__ska"), col("__skb")))),
+          1, k))
+      .withColumn("__ic",
+        size(filter(col("__uk"), x =>
+          array_contains(col("__ska"), x) && array_contains(col("__skb"), x)))
+          .cast("long"))
+      .withColumn("__jm", expr("(1000 * __ic) div size(__uk)"))
+      // size(__uk) < k ⇒ the merged DISTINCT set had < k values ⇒ both
+      // inputs were exact hash sets ⇒ the union count is exact too
+      .withColumn("__uest",
+        kmvEstimate(col("__uk"), size(col("__uk")).cast("long"), k))
+      .select(col("group_a"), col("group_b"),
+        col("__ic").as("inter_k"), size(col("__uk")).cast("long").as("union_k"),
+        col("__jm").as("jaccard_milli"), col("__uest").as("union_est"),
+        expr("(__jm * __uest) div 1000").as("inter_est"))
+  }
+
   /** EXACT heavy hitters without a full-cardinality shuffle: keys whose
     * true frequency is ≥ `threshold`, found in two passes —
     *

@@ -1701,6 +1701,106 @@ object EvalQueries {
       }
     },
 
+    // KMV DISTINCT SKETCH (Sketches.kmvSketch — Beyer et al. 2007):
+    // per-source bottom-64 of the flipped xxhash64 values over a
+    // token#residue key domain (~1-2k distinct per source, so the
+    // ESTIMATION path is exercised, not the exact small-set path).
+    // The oracle rebuilds xxhash64 bit-exactly in SQL
+    // (XxHash64Sql.hashBytesCtes), flips the sign bit with the same
+    // mod-2^64 arithmetic, and replays the (k−1)·2⁶⁴/U₍k₎ estimator
+    // in the identical single-rounding double expression. n_distinct,
+    // estimate, and both sketch endpoints hash-gated.
+    QueryDef.sql("q236_kmv_sketch", {
+      import XxHash64Sql._
+      s"""WITH tok AS (
+         |  SELECT source, doc_id,
+         |    unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |                ELSE list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') END) AS t
+         |  FROM documents),
+         |ks AS (SELECT DISTINCT source, t || '#' || (doc_id % 211) AS s FROM tok),
+         |${hashBytesCtes("ks", "s")},
+         |fv AS (SELECT DISTINCT source,
+         |         ${u2s(s"(xxh + 9223372036854775808) % $M64")} AS f
+         |       FROM hb),
+         |sk AS (SELECT source, (list_sort(list(f)))[1:64] AS sk,
+         |              count(*) AS n
+         |       FROM fv GROUP BY source)
+         |SELECT source, CAST(n AS BIGINT) AS n_distinct,
+         |  CASE WHEN len(sk) < 64 THEN CAST(n AS BIGINT)
+         |       ELSE CAST(floor(63 * 18446744073709551616.0 /
+         |              (CAST(sk[64] AS DOUBLE) + 9223372036854775808.0)) AS BIGINT)
+         |  END AS est,
+         |  CAST(len(sk) AS BIGINT) AS k_used,
+         |  sk[1] AS f_min, sk[64] AS f_kth
+         |FROM sk""".stripMargin
+    }) {
+      (s, d) => {
+        val keyed = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+          .select(col("source"),
+            concat(col("t"), lit("#"),
+              pmod(col("doc_id"), lit(211)).cast("string")).as("key"))
+        graft.operators.Sketches.kmvSketch(keyed, "source", col("key"), k = 64)
+          .select(col("group").as("source"), col("n_distinct"), col("est"),
+            size(col("sketch")).cast("long").as("k_used"),
+            get(col("sketch"), lit(0)).as("f_min"),
+            get(col("sketch"), lit(63)).as("f_kth"))
+      }
+    },
+
+    // KMV SET-OPERATION ESTIMATES (Sketches.kmvPairOps — what HLL
+    // registers CANNOT do): every source pair's union sketch (merge +
+    // re-take bottom k), Jaccard from exact array arithmetic on the
+    // ≤64-long sketches, union/intersection distinct estimates. Deep
+    // sketch equality is implicitly gated here — one wrong element in
+    // any sketch moves inter_k. Pair stage is sketch-frame-sized
+    // (#sources² pairs), independent of corpus size.
+    QueryDef.sql("q237_kmv_set_ops", {
+      import XxHash64Sql._
+      s"""WITH tok AS (
+         |  SELECT source, doc_id,
+         |    unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |                ELSE list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') END) AS t
+         |  FROM documents),
+         |ks AS (SELECT DISTINCT source, t || '#' || (doc_id % 211) AS s FROM tok),
+         |${hashBytesCtes("ks", "s")},
+         |fv AS (SELECT DISTINCT source,
+         |         ${u2s(s"(xxh + 9223372036854775808) % $M64")} AS f
+         |       FROM hb),
+         |sk AS (SELECT source, (list_sort(list(f)))[1:64] AS sk
+         |       FROM fv GROUP BY source),
+         |p AS (SELECT a.source AS sa, b.source AS sb, a.sk AS ska, b.sk AS skb
+         |      FROM sk a JOIN sk b ON a.source < b.source),
+         |u AS (SELECT *, (list_sort(list_distinct(ska || skb)))[1:64] AS uk FROM p),
+         |i AS (SELECT *, CAST(len(list_filter(uk, x ->
+         |        list_contains(ska, x) AND list_contains(skb, x))) AS BIGINT) AS ic
+         |      FROM u),
+         |j AS (SELECT *, (1000 * ic) // len(uk) AS jm,
+         |        CASE WHEN len(uk) < 64 THEN CAST(len(uk) AS BIGINT)
+         |             ELSE CAST(floor(63 * 18446744073709551616.0 /
+         |                    (CAST(uk[64] AS DOUBLE) + 9223372036854775808.0)) AS BIGINT)
+         |        END AS uest
+         |      FROM i)
+         |SELECT sa AS group_a, sb AS group_b, ic AS inter_k,
+         |       CAST(len(uk) AS BIGINT) AS union_k,
+         |       CAST(jm AS BIGINT) AS jaccard_milli, uest AS union_est,
+         |       CAST((jm * uest) // 1000 AS BIGINT) AS inter_est
+         |FROM j""".stripMargin
+    }) {
+      (s, d) => {
+        val keyed = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+          .select(col("source"),
+            concat(col("t"), lit("#"),
+              pmod(col("doc_id"), lit(211)).cast("string")).as("key"))
+        graft.operators.Sketches.kmvPairOps(
+          graft.operators.Sketches.kmvSketch(keyed, "source", col("key"), k = 64),
+          k = 64)
+      }
+    },
+
     // EXACT ROC-AUC (Mann–Whitney rank-sum over the distinct-score
     // census — Profiling.aucExact): per-source AUC of a deterministic
     // score against a deterministic label, ties forced by the %50

@@ -515,6 +515,36 @@ class EngineOpsSpec extends AnyFunSuite {
       3L -> ((600L, 0L)), 4L -> ((1000L, 0L))))
   }
 
+  test("kmvSketch: exact small sets; estimates within KMV error bounds; set ops") {
+    import spark.implicits._
+    // A = 1..2000, B = 1001..3000: |A∩B|=1000, |A∪B|=3000, J=1/3
+    val rows = (1 to 2000).map(i => ("A", i.toLong)) ++
+      (1001 to 3000).map(i => ("B", i.toLong)) ++
+      (1 to 10).map(i => ("C", i.toLong))
+    val df = rows.toDF("g", "key")
+    val sk = Sketches.kmvSketch(df, "g", col("key"), k = 256)
+    val byG = sk.collect().map(r => r.getString(0) ->
+      ((r.getSeq[Long](1).size, r.getLong(2), r.getLong(3)))).toMap
+    assert(byG("C") === ((10, 10L, 10L))) // n < k: sketch IS the set, est exact
+    assert(byG("A")._2 === 2000L)
+    // KMV(256) relative std error ≈ 1/sqrt(254) ≈ 6.3%; assert 3σ
+    assert(math.abs(byG("A")._3 - 2000L) <= 400, s"est A = ${byG("A")._3}")
+    assert(math.abs(byG("B")._3 - 2000L) <= 400, s"est B = ${byG("B")._3}")
+    val pairs = Sketches.kmvPairOps(sk, k = 256).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val (jm, uest, iest) = pairs(("A", "B"))
+    assert(math.abs(jm - 333L) <= 110, s"jaccard_milli = $jm") // 1/3 ± 3σ-ish
+    assert(math.abs(uest - 3000L) <= 600, s"union_est = $uest")
+    assert(math.abs(iest - 1000L) <= 450, s"inter_est = $iest")
+    // A-C: C ⊂ A, tiny exact set; union ≈ |A|, intersection ≈ 10 — the
+    // asymmetric case: jaccard small but nonzero only if C's hashes
+    // survive into A∪C's bottom-k (they may not; assert union instead)
+    val (_, uAC, _) = pairs(("A", "C"))
+    assert(math.abs(uAC - 2000L) <= 400, s"union_est(A,C) = $uAC")
+    CacheRegistry.releaseAll()
+  }
+
   test("globalPrefixSum: exclusive running total matches the serial fold") {
     import spark.implicits._
     val df = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L), (6L, 60L))

@@ -41,14 +41,19 @@ class PlanLintSpec extends AnyFunSuite {
     * scale twins go through lshTopK/ivfTopK), q133 fuses rankings for
     * one pinned query vector, and q198's inequality self-join is of
     * the SOURCE-cardinality frame (bounded by group contract, per the
-    * gini operator's scaladoc). Everything else must justify a
-    * broadcast NLJ structurally.
+    * gini operator's scaladoc); q237's pair join is the same class —
+    * the kmvPairOps inequality self-join of the per-group SKETCH
+    * frame (≤ k longs per group, #groups rows; the operator's
+    * scaladoc declares the pair stage sketch-frame-sized and
+    * corpus-independent). Everything else must justify a broadcast
+    * NLJ structurally.
     */
   private val bnljAllowed = Set(
     "q35_cosine_topk", "q160_mutual_nn", "q164_ranking_metrics",
     "q133_rrf_fusion", "q136_hard_negatives", "q139_pq_ann",
     "q142_contrastive_triplets", "q180_matryoshka_eval",
-    "q198_source_gini", "q200_ann_recall", "q208_projected_recall")
+    "q198_source_gini", "q200_ann_recall", "q208_projected_recall",
+    "q237_kmv_set_ops")
 
   /** A broadcast nested-loop join is the same O(n·m) compute as a
     * cartesian — at sf0.1 one side may squeak under the broadcast
