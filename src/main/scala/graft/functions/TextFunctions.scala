@@ -341,6 +341,52 @@ object TextFunctions {
         "\u001E"),
       s => length(s) > 0)
 
+  /** URL DOMAIN BLOCKLIST (the UT1-blacklist semantics every
+    * web-corpus pipeline applies before content filters: RefinedWeb,
+    * FineWeb): a URL is blocked when its HOST equals a listed domain
+    * or is a SUBDOMAIN of one. Implemented as an equi-join, never a
+    * per-row blocklist scan or a LIKE-shaped theta join: each host
+    * explodes into its suffix chain (`a.b.example.com` →
+    * [a.b.example.com, b.example.com, example.com, com] — bounded by
+    * the label count, ≤ ~10), which joins the blocklist on equality;
+    * the LONGEST match wins (min explode position — the most
+    * specific listed rule, how blocklist semantics are specified).
+    * The blocklist side broadcasts (UT1-scale lists are ~10⁶ short
+    * strings — well inside broadcast range); the suffix explode is a
+    * ≤10× row multiplier on a two-column frame.
+    *
+    * Returns (idCol, host, blocked, matched_domain — null when
+    * clean). Hosts and domains are lowercased; a URL with no
+    * authority component yields a null host and is never blocked.
+    */
+  def domainBlocklist(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      url: Column, blocklist: org.apache.spark.sql.DataFrame,
+                      domainCol: String = "domain"): org.apache.spark.sql.DataFrame = {
+    val host = lower(nullif(
+      regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1), lit("")))
+    // persisted: the (id, host) frame feeds both the suffix explode
+    // and the final left join — without the cache the source scans
+    // twice for a two-column projection
+    val parts = graft.operators.CacheRegistry.register(
+      df.select(col(idCol), host.as("host"))
+        .withColumn("__p", split(col("host"), "\\."))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val suffixes = parts
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(col("__p")) - 1),
+          i => array_join(slice(col("__p"), i + 1, size(col("__p"))), "."))))
+      .select(col(idCol), col("pos"), col("col").as("__suffix"))
+    val bl = blocklist.select(lower(col(domainCol)).as("__suffix"))
+    val hits = suffixes.join(broadcast(bl), Seq("__suffix"))
+      .groupBy(col(idCol))
+      .agg(min_by(col("__suffix"), col("pos")).as("matched_domain"))
+    parts.select(col(idCol), col("host"))
+      .join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol), col("host"),
+        col("matched_domain").isNotNull.as("blocked"),
+        col("matched_domain"))
+  }
+
   /** C4's "bad words" page filter (Raffel et al. 2020 drop any page
     * containing a term from the LDNOOBW list), generalized to any
     * term table: per-document hit census against a blocklist of words

@@ -191,6 +191,55 @@ object Profiling {
         sum(col("new_types")).over(wb).cast("long").as("cum_types"))
   }
 
+  /** ZIPF RANK-FREQUENCY FIT — the second classic corpus-statistics
+    * law next to Heaps' ([[vocabGrowth]]): least-squares slope of
+    * log2(freq) against log2(rank) over the top-`topN` vocabulary, a
+    * one-number "is this corpus natural language" signal (natural
+    * text slopes ≈ −1; templated/generated text is flatter or
+    * steeper). EXACT integer end to end: both logs are
+    * [[graft.functions.IntMath]]'s fixed-point log2 recurrence
+    * (2^-fracBits grain, the same generated step list replayable in
+    * any engine), the normal-equation sums are plain integer
+    * aggregates, and the slope is one integer division (both engines
+    * truncate toward zero, negative numerators included — the q209
+    * adjudication).
+    *
+    * Scale shape: one corpus explode + vocab census (map-side
+    * combinable), then `orderBy.limit(topN)` — TakeOrdered, never a
+    * full sort — and everything after runs on ≤ topN rows (the rank
+    * window's input is capped by the LIMIT; PlanLint-declared). The
+    * fixed-point ranges bound every sum far under 2⁶³ for topN ≤ 2¹⁴.
+    *
+    * Returns one row: (n_points, sum_x, sum_y, sum_xx, sum_xy, num,
+    * den, slope_milli) — the components gated alongside the slope so
+    * a drift anywhere in the recurrence is visible, slope_milli =
+    * ⌊1000·(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)⌋ toward zero.
+    */
+  def zipfFit(df: DataFrame, text: Column, topN: Int = 128,
+              fracBits: Int = 10): DataFrame = {
+    require(topN >= 3, s"topN must be at least 3, got $topN")
+    val vocab = df
+      .select(explode(graft.functions.TextFunctions.tokens(text)).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+      .orderBy(col("__f").desc, col("__w")).limit(topN)
+    val w = Window.orderBy(col("__f").desc, col("__w"))
+    val ranked = vocab
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__one", lit(1L))
+    val withX = graft.functions.IntMath.fracLog2Col(
+      ranked, "__r", "__one", "__x", fracBits)
+    val withY = graft.functions.IntMath.fracLog2Col(
+      withX, "__f", "__one", "__y", fracBits)
+    withY.agg(
+      count(lit(1)).as("n_points"),
+      sum("__x").as("sum_x"), sum("__y").as("sum_y"),
+      sum(expr("__x * __x")).as("sum_xx"),
+      sum(expr("__x * __y")).as("sum_xy"))
+      .withColumn("num", expr("n_points * sum_xy - sum_x * sum_y"))
+      .withColumn("den", expr("n_points * sum_xx - sum_x * sum_x"))
+      .withColumn("slope_milli", expr("(1000 * num) div den"))
+  }
+
   /** CATEGORICAL DISTRIBUTION DRIFT between two snapshots (training-
     * data shift detection — "did this source's language/topic/label
     * mix move since the last crawl"): per-category counts on both

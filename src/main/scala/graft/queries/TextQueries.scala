@@ -776,6 +776,94 @@ object TextQueries {
           bucketTokens = 500L)
     }
 
+  // ZIPF RANK-FREQUENCY FIT (Profiling.zipfFit): fixed-point log2
+  // regression over the top-128 vocabulary — the same IntMath step
+  // list runs as a lateral CTE chain here and inside the Spark plan,
+  // the normal-equation sums are integer aggregates, and the slope
+  // division truncates toward zero in both engines. All components
+  // gated, not just the slope.
+  private def q238ZipfFit: QueryDef =
+    QueryDef.sql("q238_zipf_fit", {
+      val (xSteps, xOut) = graft.functions.IntMath.duckSteps("rk", "1", "zx_")
+      val (ySteps, yOut) = graft.functions.IntMath.duckSteps("f", "1", "zy_")
+      val (ctes, last) = XxHash64Sql.chainCtes("r", xSteps ++ ySteps, "zc", per = 8)
+      s"""WITH toks AS (
+         |  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |                     ELSE list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') END) AS t
+         |  FROM documents),
+         |v AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS f FROM toks
+         |      GROUP BY t ORDER BY f DESC, w LIMIT 128),
+         |r AS (SELECT w, f, CAST(row_number() OVER (ORDER BY f DESC, w) AS BIGINT) AS rk
+         |      FROM v),
+         |$ctes,
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+         |             CAST(sum($xOut) AS BIGINT) AS sum_x,
+         |             CAST(sum($yOut) AS BIGINT) AS sum_y,
+         |             CAST(sum($xOut * $xOut) AS BIGINT) AS sum_xx,
+         |             CAST(sum($xOut * $yOut) AS BIGINT) AS sum_xy
+         |      FROM $last)
+         |SELECT *, CAST(n_points * sum_xy - sum_x * sum_y AS BIGINT) AS num,
+         |       CAST(n_points * sum_xx - sum_x * sum_x AS BIGINT) AS den,
+         |       CAST((1000 * (n_points * sum_xy - sum_x * sum_y)) //
+         |            (n_points * sum_xx - sum_x * sum_x) AS BIGINT) AS slope_milli
+         |FROM s""".stripMargin
+    }) {
+      (s, d) =>
+        graft.operators.Profiling.zipfFit(Tables.documents(s, d), col("text"),
+          topN = 128)
+    }
+
+  // URL DOMAIN BLOCKLIST (TextFunctions.domainBlocklist — the UT1
+  // semantics: exact host OR subdomain-of, longest listed rule wins,
+  // as an equi-join over the host's suffix chain). Hosts synthesized
+  // q138-style with subdomain prefixes by doc residue; the blocklist
+  // exercises exact match, subdomain match, a multi-label rule, and
+  // the longest-wins tie (ads.src7… listed alongside src7…).
+  private def q239DomainBlocklist: QueryDef =
+    QueryDef.sql("q239_domain_blocklist",
+      """WITH u AS (
+        |  SELECT doc_id, 'http://' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN 'ads.'
+        |         WHEN doc_id % 7 = 1 THEN 'www.'
+        |         WHEN doc_id % 7 = 2 THEN 'cdn.static.' ELSE '' END ||
+        |    source || '.example.com/p/' || doc_id AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |        lower(nullif(regexp_extract(url,
+        |          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1), '')) AS host
+        |      FROM u),
+        |parts AS (SELECT doc_id, host, string_split(host, '.') AS p FROM h),
+        |suff AS (SELECT doc_id,
+        |           unnest(generate_series(1, len(p))) AS pos,
+        |           unnest(list_transform(generate_series(1, len(p)),
+        |                                 i -> array_to_string(p[i:], '.'))) AS s
+        |         FROM parts),
+        |bl(domain) AS (VALUES ('src3.example.com'), ('ads.src7.example.com'),
+        |                      ('src7.example.com'),
+        |                      ('cdn.static.src5.example.com'),
+        |                      ('src11.example.com')),
+        |hits AS (SELECT doc_id, min_by(s, pos) AS matched
+        |         FROM suff JOIN bl ON s = domain GROUP BY doc_id)
+        |SELECT h.doc_id, h.host, hits.matched IS NOT NULL AS blocked,
+        |       hits.matched AS matched_domain
+        |FROM h LEFT JOIN hits USING (doc_id)""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val urls = Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("http://"),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit("ads."))
+              .when(pmod(col("doc_id"), lit(7)) === 1, lit("www."))
+              .when(pmod(col("doc_id"), lit(7)) === 2, lit("cdn.static."))
+              .otherwise(lit("")),
+            col("source"), lit(".example.com/p/"), col("doc_id")).as("url"))
+        val bl = Seq("src3.example.com", "ads.src7.example.com",
+          "src7.example.com", "cdn.static.src5.example.com",
+          "src11.example.com").toDF("domain")
+        graft.functions.TextFunctions.domainBlocklist(urls, "doc_id",
+          col("url"), bl)
+      }
+    }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef.sql("q24_exact_dedup",
@@ -2491,6 +2579,8 @@ object TextQueries {
     q228ScriptProfile,
     q233SentenceSplit,
     q235VocabGrowth,
+    q238ZipfFit,
+    q239DomainBlocklist,
 
     QueryDef.sql("q211_matched_spans",
       """WITH arr AS (

@@ -1587,6 +1587,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(5L) === List("End."))
   }
 
+  test("domainBlocklist: subdomain match, longest rule wins, case, null authority") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "http://Ads.Bad.Example.COM/x"),     // subdomain of bad.example.com, case-folded
+      (2L, "https://bad.example.com"),           // exact match
+      (3L, "http://ads.bad.example.com/y"),      // BOTH rules match → longest wins
+      (4L, "http://good.example.com/z"),         // clean
+      (5L, "mailto:user@bad.example.com"),       // no ://authority → null host
+      (6L, "http://example.com/w")               // parent of a listed domain: NOT blocked
+    ).toDF("id", "url")
+    val bl = Seq("bad.example.com", "ads.bad.example.com").toDF("domain")
+    val got = TextFunctions.domainBlocklist(urls, "id", col("url"), bl)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getBoolean(2), Option(r.getString(3))))).toMap
+    assert(got(1L) === ((Some("ads.bad.example.com"), true, Some("ads.bad.example.com"))))
+    assert(got(2L) === ((Some("bad.example.com"), true, Some("bad.example.com"))))
+    assert(got(3L)._3 === Some("ads.bad.example.com")) // longest, not bad.example.com
+    assert(got(4L) === ((Some("good.example.com"), false, None)))
+    assert(got(5L) === ((None, false, None)))
+    assert(got(6L) === ((Some("example.com"), false, None)))
+  }
+
   test("marginMining suppresses hubs that raw cosine top-1 would pick") {
     import spark.implicits._
     // target space: a HUB close to everything (0.9 to both sources)

@@ -515,6 +515,33 @@ class EngineOpsSpec extends AnyFunSuite {
       3L -> ((600L, 0L)), 4L -> ((1000L, 0L))))
   }
 
+  test("zipfFit: sums and slope match the scalar fracLog2 reference fold") {
+    import spark.implicits._
+    import graft.functions.IntMath.fracLog2Ref
+    // freqs 8/4/2/1 → ranks 1..4 (ties impossible); replay the exact
+    // normal equations with the scalar reference recurrence
+    val docs = Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d")
+    val df = docs.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val freqs = Seq(8L, 4L, 2L, 1L)
+    val pts = freqs.zipWithIndex.map { case (f, i) =>
+      (fracLog2Ref(i + 1L, 1L), fracLog2Ref(f, 1L)) }
+    val n = pts.size.toLong
+    val sx = pts.map(_._1).sum
+    val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val got = Profiling.zipfFit(df, col("text"), topN = 128).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) === ((n, sx, sy, sxx, sxy)))
+    assert(got.getLong(5) === num && got.getLong(6) === den)
+    assert(got.getLong(7) === (1000 * num) / den) // toward-zero division
+    // 8/4/2/1 over ranks 1..4 halves every rank — steeper than Zipf's
+    // 1/r (which would be 8, 4, 2.67, 2); least squares gives −1.459
+    assert(got.getLong(7) === -1459L)
+  }
+
   test("kmvSketch: exact small sets; estimates within KMV error bounds; set ops") {
     import spark.implicits._
     // A = 1..2000, B = 1001..3000: |A∩B|=1000, |A∪B|=3000, J=1/3

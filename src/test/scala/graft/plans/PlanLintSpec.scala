@@ -94,7 +94,11 @@ class PlanLintSpec extends AnyFunSuite {
     // globalPrefixSum carry) and the bucket table (#buckets rows, the
     // output resolution) — never the corpus; the corpus-order scan
     // itself is the partitioned two-level prefix sum by design.
-    "q235_vocab_growth")
+    "q235_vocab_growth",
+    // zipfFit's rank window runs on the vocab frame AFTER
+    // orderBy.limit(topN) — input capped at topN (128) rows by the
+    // preceding TakeOrdered, per the operator's scaladoc.
+    "q238_zipf_fit")
 
   test("no gate query plans an unpartitioned window or undeclared cartesian") {
     // AQE wraps the plan in a leaf AdaptiveSparkPlanExec that defeats
