@@ -240,6 +240,37 @@ object Profiling {
       .withColumn("slope_milli", expr("(1000 * num) div den"))
   }
 
+  /** SHANNON ENTROPY of a keyed categorical distribution, per group,
+    * in fixed-point bits — the vocabulary-diversity / monoculture
+    * dial next to Gini (q198): low token entropy flags templated or
+    * machine-generated text, per-source entropy drift flags a crawl
+    * source going stale. Exact integer end to end via the algebraic
+    * form that needs only logs of COUNTS (never of fractions):
+    *
+    *   H = log2 N − (Σ_k c_k·log2 c_k) / N
+    *
+    * with every log2 the [[graft.functions.IntMath]] fixed-point
+    * recurrence (2^-10-bit grain) and the final division integer —
+    * bit-identical on any engine. Scale shape: one census shuffle
+    * (map-side combinable), the per-distinct-key log recurrence as a
+    * codegen'd expression chain, one per-group aggregate, then the
+    * group-frame log. Returns (group, n_rows, n_keys, h_1024ths).
+    */
+  def entropyBits(df: DataFrame, groupCol: String, key: Column): DataFrame = {
+    val census = df
+      .groupBy(col(groupCol).as("group"), key.as("__k"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__one", lit(1L))
+    val withL = graft.functions.IntMath.fracLog2Col(census, "__c", "__one", "__lc")
+    val agg = withL.groupBy("group")
+      .agg(sum("__c").as("n_rows"), count(lit(1)).as("n_keys"),
+        sum(expr("__c * __lc")).as("__s"))
+      .withColumn("__one", lit(1L))
+    graft.functions.IntMath.fracLog2Col(agg, "n_rows", "__one", "__ln")
+      .select(col("group"), col("n_rows"), col("n_keys"),
+        expr("__ln - __s div n_rows").as("h_1024ths"))
+  }
+
   /** CATEGORICAL DISTRIBUTION DRIFT between two snapshots (training-
     * data shift detection — "did this source's language/topic/label
     * mix move since the last crawl"): per-category counts on both

@@ -660,5 +660,53 @@ object StreamQueries {
           (ds: Dataset[ElementUpdate]) => EventStreams.currentView(ds).toDF()
         }.select(col("id"), col("version"), col("visible"), col("payload"))
       }
+    },
+
+    // STREAM-STATIC ENRICHMENT TRANSCRIPT: the q213 replay through
+    // EventStreams.enrichedCounts — each micro-batch broadcast-joined
+    // to a STATIC user dimension (user_id → segment, with every
+    // user_id % 5 = 0 deliberately ABSENT so the join's row-dropping
+    // is visible in the counts), then watermarked 1-hour windows per
+    // segment in Append mode. The watermark is applied BEFORE the
+    // join (the sentinel user is not in the dimension — its event
+    // must still advance the watermark to flush the 2024 windows).
+    // Oracle: q213's per-batch watermark algebra with the dimension
+    // filter and segment key folded in.
+    QueryDef.sql("q240_stream_enriched_counts",
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) AS us, user_id, value,
+        |         CAST((epoch_us(ts) // 86400000000) % 3 AS BIGINT) AS b
+        |  FROM events),
+        |bm AS (SELECT b, max(us) AS mx FROM ev GROUP BY b),
+        |wm AS (
+        |  SELECT e.b, (max(m.mx) // 1000 - 7200000) * 1000 AS wm_us
+        |  FROM (SELECT DISTINCT b FROM ev) e
+        |  LEFT JOIN bm m ON m.b < e.b GROUP BY e.b),
+        |keep AS (
+        |  SELECT e.us - e.us % 3600000000 AS wstart,
+        |         CAST(e.user_id % 4 AS BIGINT) AS segment, e.value
+        |  FROM ev e JOIN wm ON wm.b = e.b
+        |  WHERE (wm.wm_us IS NULL OR e.us - e.us % 3600000000 + 3600000000 > wm.wm_us)
+        |    AND e.user_id % 5 <> 0)
+        |SELECT make_timestamp(wstart) AS window_start, segment,
+        |       count(*) AS n,
+        |       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+        |FROM keep GROUP BY 1, 2
+        |HAVING min(wstart) + 3600000000 <= (1735689630000000 // 1000 - 7200000) * 1000""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val batches = daySlicedBatches[EventStreams.Event](s, Tables.events(s, d))
+        val sentinel = Seq(EventStreams.Event(
+          -1L, tsOf("2025-01-01T00:00:30Z"), -1L, "flush", 0.0))
+        val dim = Tables.events(s, d).select(col("user_id")).distinct()
+          .filter(pmod(col("user_id"), lit(5)) =!= 0)
+          .withColumn("segment", pmod(col("user_id"), lit(4)).cast("long"))
+        runTranscript(s, "q240_stream_enriched_counts",
+          batches :+ sentinel, OutputMode.Append()) {
+          (ds: Dataset[EventStreams.Event]) =>
+            EventStreams.enrichedCounts(ds.toDF(), dim, "user_id", "segment")
+        }.select(col("window_start"), col("segment"), col("n"),
+          cents(col("value_sum")).as("value_cents"))
+      }
     })
 }

@@ -864,6 +864,43 @@ object TextQueries {
       }
     }
 
+  // TOKEN ENTROPY PER SOURCE (Profiling.entropyBits): Shannon entropy
+  // in fixed-point bits via H = log2 N − (Σ c·log2 c)/N — only logs
+  // of COUNTS, every one the IntMath recurrence, final division
+  // integer. The oracle runs the per-distinct-token recurrence as a
+  // lateral CTE chain and the per-source log2 N as a second chain
+  // over the aggregate frame.
+  private def q241TokenEntropy: QueryDef =
+    QueryDef.sql("q241_token_entropy", {
+      val (cSteps, cOut) = graft.functions.IntMath.duckSteps("c", "1", "ec_")
+      val (cCtes, cLast) = XxHash64Sql.chainCtes("census", cSteps, "ecc", per = 8)
+      val (nSteps, nOut) = graft.functions.IntMath.duckSteps("n_rows", "1", "en_")
+      val (nCtes, nLast) = XxHash64Sql.chainCtes("agg", nSteps, "enc", per = 8)
+      s"""WITH toks AS (
+         |  SELECT source, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |                             ELSE list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') END) AS t
+         |  FROM documents),
+         |census AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+         |           FROM toks GROUP BY 1, 2),
+         |$cCtes,
+         |agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_rows,
+         |               CAST(count(*) AS BIGINT) AS n_keys,
+         |               CAST(sum(c * $cOut) AS BIGINT) AS sl
+         |        FROM $cLast GROUP BY source),
+         |$nCtes
+         |SELECT source, n_rows, n_keys,
+         |       CAST($nOut - sl // n_rows AS BIGINT) AS h_1024ths
+         |FROM $nLast""".stripMargin
+    }) {
+      (s, d) =>
+        graft.operators.Profiling.entropyBits(
+          Tables.documents(s, d).select(col("source"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("t")),
+          "source", col("t"))
+          .select(col("group").as("source"), col("n_rows"), col("n_keys"),
+            col("h_1024ths"))
+    }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef.sql("q24_exact_dedup",
@@ -2581,6 +2618,7 @@ object TextQueries {
     q235VocabGrowth,
     q238ZipfFit,
     q239DomainBlocklist,
+    q241TokenEntropy,
 
     QueryDef.sql("q211_matched_spans",
       """WITH arr AS (

@@ -37,6 +37,32 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_sum"))
 
+  /** STREAM-STATIC ENRICHMENT + windowed aggregation — the most
+    * common production streaming topology (events joined to a
+    * dimension, counted per window × dimension attribute). The
+    * static side enters as a broadcast re-resolved per trigger
+    * (micro-batch planning re-plans the batch side, so a swapped
+    * dimension snapshot is picked up at the next trigger — the
+    * standard slowly-changing-dim pattern). The watermark is applied
+    * BEFORE the join: event-time stats must come from the raw
+    * stream, or an event whose key the dimension drops could never
+    * advance the watermark (the flush-sentinel pattern the transcript
+    * gates rely on). Keys absent from the dimension drop out (inner
+    * join) — the enrichment contract. Returns
+    * (window_start, <attrCol>, n, value_sum).
+    */
+  def enrichedCounts(events: DataFrame, dim: DataFrame, keyCol: String,
+                     attrCol: String, window: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), Seq(keyCol))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col(attrCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("value_sum"))
+      .select(col("window.start").as("window_start"), col(attrCol),
+        col("n"), col("value_sum"))
+
   /** Session accumulator state per user (public: the state encoder's
     * generated code needs accessible accessors). */
   final case class SessionState(n: Long, first: Long, last: Long, totalValue: Double)

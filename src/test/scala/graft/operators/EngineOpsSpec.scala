@@ -515,6 +515,23 @@ class EngineOpsSpec extends AnyFunSuite {
       3L -> ((600L, 0L)), 4L -> ((1000L, 0L))))
   }
 
+  test("entropyBits: exact powers of two, degenerate zero, skewed vs reference") {
+    import spark.implicits._
+    import graft.functions.IntMath.fracLog2Ref
+    val rows = Seq.tabulate(8)(i => ("u", s"k${i % 4}")) ++ // uniform 4×2 → H = 2 bits
+      Seq.fill(5)(("z", "only")) ++                          // one key → H = 0
+      (Seq.fill(3)(("s", "a")) ++ Seq(("s", "b")))           // 3/1 skew
+    val got = Profiling.entropyBits(rows.toDF("g", "k"), "g", col("k"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("u") === ((8L, 4L, 2048L))) // exactly 2 bits in 1024ths
+    assert(got("z") === ((5L, 1L, fracLog2Ref(5L, 1L) - (5 * fracLog2Ref(5L, 1L)) / 5)))
+    assert(got("z")._3 === 0L)
+    val expS = fracLog2Ref(4L, 1L) - (3 * fracLog2Ref(3L, 1L) + 1 * 0L) / 4
+    assert(got("s") === ((4L, 2L, expS))) // ≈ 0.811 bits
+    assert(expS > 700 && expS < 900)
+  }
+
   test("zipfFit: sums and slope match the scalar fracLog2 reference fold") {
     import spark.implicits._
     import graft.functions.IntMath.fracLog2Ref
