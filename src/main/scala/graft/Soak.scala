@@ -236,6 +236,39 @@ object Soak {
           concat(col("text"), lit(" u"), col("doc_id").cast("string")),
           bucketTokens = 10000L)
       },
+      "kmv_sketch" -> { d: String =>
+        // distinct census + per-group bottom-k window; the key domain
+        // grows with the corpus (token#doc-residue)
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        operators.Sketches.kmvSketch(
+          docs.select(col("source"), col("doc_id"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+            .select(col("source"),
+              concat(col("t"), lit("#"),
+                pmod(col("doc_id"), lit(997)).cast("string")).as("key")),
+          "source", col("key"), k = 256)
+      },
+      "token_entropy" -> { d: String =>
+        // census shuffle + ~100-step codegen'd log chain per distinct
+        // token + per-group aggregate
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        operators.Profiling.entropyBits(
+          docs.select(col("source"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("t")),
+          "source", col("t"))
+      },
+      "domain_blocklist" -> { d: String =>
+        // suffix-chain explode equi-join — the linear scan class with a
+        // bounded row multiplier
+        import spark.implicits._
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        val urls = docs.select(col("doc_id"),
+          concat(lit("http://h"), pmod(col("doc_id"), lit(1000)),
+            lit("."), col("source"), lit(".example.com/p/"), col("doc_id")).as("url"))
+        val bl = (0 until 200).map(i => s"src${i % 20}.example.com").distinct
+          .toDF("domain")
+        graft.functions.TextFunctions.domainBlocklist(urls, "doc_id", col("url"), bl)
+      },
       "warc_roundtrip" -> { d: String =>
         // full WARC sink+source cycle at scale: per-record-gzip export
         // of the scaled corpus (16 shard files — writer parallelism),

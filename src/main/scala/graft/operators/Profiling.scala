@@ -271,6 +271,52 @@ object Profiling {
         expr("__ln - __s div n_rows").as("h_1024ths"))
   }
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV statistic — the CONTINUOUS-score
+    * twin of [[distributionDrift]]'s categorical TVD: the largest
+    * gap between the two samples' empirical CDFs, the standard "did
+    * this score distribution move between snapshots / sources /
+    * model versions" test. Exact integers over the common
+    * denominator n_a·n_b:
+    *
+    *   D_ppm = max_v 10⁶·|cumA(v)·n_b − cumB(v)·n_a| div (n_a·n_b)
+    *
+    * evaluated at every distinct score value of either sample (the
+    * ECDF only jumps there, so the max over values IS the supremum).
+    * Same census discipline as [[aucExact]]: the cumulative window
+    * runs over the distinct-score census — bounded by the score
+    * quantization grain, not the corpus — and the same exactness
+    * bound (10⁶·n_a·n_b < 2⁶³ ≈ 3·10⁶ rows per side at ppm; drop to
+    * per-mille beyond). Ties across samples land on one census row;
+    * the reported location is the SMALLEST score attaining the max
+    * (deterministic under ties).
+    *
+    * Returns one row: (n_a, n_b, d_ppm, at_score).
+    */
+  def ksTest(a: DataFrame, b: DataFrame, scoreCol: String): DataFrame = {
+    val ca = a.select(col(scoreCol).as("__s")).groupBy("__s")
+      .agg(count(lit(1)).as("__ca"))
+    val cb = b.select(col(scoreCol).as("__s")).groupBy("__s")
+      .agg(count(lit(1)).as("__cb"))
+    val merged = ca.join(cb, Seq("__s"), "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
+    val w = Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = merged
+      .withColumn("__cumA", sum("__ca").over(w))
+      .withColumn("__cumB", sum("__cb").over(w))
+    val totals = merged.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("__s"), col("__na"), col("__nb"),
+        abs(col("__cumA") * col("__nb") - col("__cumB") * col("__na"))
+          .as("__gap"))
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"))
+      .agg(max("__gap").as("__mg"),
+        min_by(col("__s"), struct(negate(col("__gap")), col("__s")))
+          .as("at_score"))
+      .select(col("n_a"), col("n_b"),
+        expr("(1000000 * __mg) div (n_a * n_b)").as("d_ppm"),
+        col("at_score"))
+  }
+
   /** CATEGORICAL DISTRIBUTION DRIFT between two snapshots (training-
     * data shift detection — "did this source's language/topic/label
     * mix move since the last crawl"): per-category counts on both

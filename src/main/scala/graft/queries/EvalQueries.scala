@@ -1801,6 +1801,48 @@ object EvalQueries {
       }
     },
 
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV (Profiling.ksTest — the
+    // continuous-score drift test next to q152's categorical TVD):
+    // even docs vs odd docs with a +7-shifted score, so the ECDFs
+    // genuinely separate. Exact integers over the common denominator
+    // n_a·n_b; the oracle replays the census, the cumulative fold,
+    // and the smallest-score-at-max tie rule (DuckDB's max_by can't
+    // take struct keys — the two-step min-where-max form is the
+    // documented equivalent of the Spark side's min_by struct).
+    QueryDef.sql("q242_ks_test",
+      """WITH sa AS (SELECT CAST(strlen(text) % 97 AS BIGINT) AS s
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |sb AS (SELECT CAST((strlen(text) + 7) % 97 AS BIGINT) AS s
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |ka AS (SELECT s, count(*) AS cnt_a FROM sa GROUP BY 1),
+        |kb AS (SELECT s, count(*) AS cnt_b FROM sb GROUP BY 1),
+        |m AS (SELECT coalesce(ka.s, kb.s) AS s,
+        |             coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+        |      FROM ka FULL JOIN kb ON ka.s = kb.s),
+        |c AS (SELECT s,
+        |        sum(cnt_a) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+        |                         AND CURRENT ROW) AS cum_a,
+        |        sum(cnt_b) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+        |                         AND CURRENT ROW) AS cum_b
+        |      FROM m),
+        |t AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb FROM m),
+        |g AS (SELECT c.s, abs(c.cum_a * t.nb - c.cum_b * t.na) AS gap,
+        |             t.na, t.nb FROM c, t)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       CAST((1000000 * max(gap)) // (na * nb) AS BIGINT) AS d_ppm,
+        |       (SELECT min(s) FROM g g2
+        |        WHERE g2.gap = (SELECT max(gap) FROM g)) AS at_score
+        |FROM g GROUP BY na, nb""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val a = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select((length(col("text")) % 97).cast("long").as("score"))
+        val b = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(((length(col("text")) + 7) % 97).cast("long").as("score"))
+        graft.operators.Profiling.ksTest(a, b, "score")
+      }
+    },
+
     // EXACT ROC-AUC (Mann–Whitney rank-sum over the distinct-score
     // census — Profiling.aucExact): per-source AUC of a deterministic
     // score against a deterministic label, ties forced by the %50

@@ -515,6 +515,23 @@ class EngineOpsSpec extends AnyFunSuite {
       3L -> ((600L, 0L)), 4L -> ((1000L, 0L))))
   }
 
+  test("ksTest: hand ECDF gaps, smallest-score tie rule, perfect separation") {
+    import spark.implicits._
+    // a={1,2,3}, b={2,3,4}: gap·9 = 3 at s=1,2,3 (tie) → D=1/3, at s=1
+    val a = Seq(1L, 2L, 3L).toDF("score")
+    val b = Seq(2L, 3L, 4L).toDF("score")
+    val r = Profiling.ksTest(a, b, "score").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 3L, 333333L, 1L)))
+    // disjoint supports → D = 1, attained at a's max
+    val r2 = Profiling.ksTest(Seq(1L, 2L).toDF("score"),
+      Seq(10L, 11L).toDF("score"), "score").collect()(0)
+    assert((r2.getLong(2), r2.getLong(3)) === ((1000000L, 2L)))
+    // identical samples → D = 0
+    val r3 = Profiling.ksTest(a, a, "score").collect()(0)
+    assert(r3.getLong(2) === 0L)
+  }
+
   test("entropyBits: exact powers of two, degenerate zero, skewed vs reference") {
     import spark.implicits._
     import graft.functions.IntMath.fracLog2Ref

@@ -98,7 +98,11 @@ class PlanLintSpec extends AnyFunSuite {
     // zipfFit's rank window runs on the vocab frame AFTER
     // orderBy.limit(topN) — input capped at topN (128) rows by the
     // preceding TakeOrdered, per the operator's scaladoc.
-    "q238_zipf_fit")
+    "q238_zipf_fit",
+    // ksTest's cumulative window runs over the distinct-score census
+    // (the aucExact class: bounded by the score quantization grain,
+    // not the corpus — the operator's documented contract).
+    "q242_ks_test")
 
   test("no gate query plans an unpartitioned window or undeclared cartesian") {
     // AQE wraps the plan in a leaf AdaptiveSparkPlanExec that defeats
