@@ -271,6 +271,44 @@ object Profiling {
         expr("__ln - __s div n_rows").as("h_1024ths"))
   }
 
+  /** COHEN'S KAPPA — chance-corrected agreement between two
+    * categorical labelings of the same rows (two annotators, two
+    * classifier versions, a model vs a heuristic): the standard
+    * "is the new labeler actually agreeing beyond chance" statistic
+    * for label-quality audits. Exact integers via the common-
+    * denominator form (N = rows, agree = matching rows, a_k/b_k =
+    * each side's per-category counts):
+    *
+    *   κ = (p_o − p_e)/(1 − p_e)
+    *     = (N·agree − Σ_k a_k·b_k) / (N² − Σ_k a_k·b_k)
+    *
+    * kappa_milli = ⌊1000·num / den⌋ toward zero (negative κ — worse
+    * than chance — included; both engines truncate alike), null when
+    * den = 0 (both sides constant and identical — κ undefined).
+    * Exact while 1000·N² < 2⁶³ (~3·10⁹ rows). Scale shape: one
+    * agreement count + two per-category censuses joined full-outer
+    * (absent categories contribute 0), all map-side combinable; the
+    * chance term is a category-table-sized fold. Returns one row:
+    * (n_rows, n_agree, agree_milli, kappa_milli).
+    */
+  def cohenKappa(df: DataFrame, predA: Column, predB: Column): DataFrame = {
+    val base = CacheRegistry.register(
+      df.select(predA.as("__a"), predB.as("__b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = base.agg(count(lit(1)).as("__n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("__agree"))
+    val ca = base.groupBy(col("__a").as("__k")).agg(count(lit(1)).as("__ca"))
+    val cb = base.groupBy(col("__b").as("__k")).agg(count(lit(1)).as("__cb"))
+    val chance = ca.join(cb, Seq("__k"), "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
+      .agg(sum(expr("__ca * __cb")).as("__e"))
+    totals.crossJoin(broadcast(chance))
+      .select(col("__n").as("n_rows"), col("__agree").as("n_agree"),
+        expr("(1000 * __agree) div __n").as("agree_milli"),
+        expr("(1000 * (__n * __agree - __e)) div nullif(__n * __n - __e, 0)")
+          .as("kappa_milli"))
+  }
+
   /** TWO-SAMPLE KOLMOGOROV–SMIRNOV statistic — the CONTINUOUS-score
     * twin of [[distributionDrift]]'s categorical TVD: the largest
     * gap between the two samples' empirical CDFs, the standard "did

@@ -1843,6 +1843,39 @@ object EvalQueries {
       }
     },
 
+    // COHEN'S KAPPA (Profiling.cohenKappa — chance-corrected
+    // agreement between two labelings): two deterministic "labelers"
+    // over documents that agree well beyond chance but not perfectly
+    // (the second shifts on a 7-residue), every term an integer, the
+    // common-denominator form replayed in SQL.
+    QueryDef.sql("q243_cohen_kappa",
+      """WITH l AS (
+        |  SELECT strlen(text) % 3 AS a,
+        |         CASE WHEN doc_id % 7 = 0 THEN (strlen(text) + 1) % 3
+        |              ELSE strlen(text) % 3 END AS b
+        |  FROM documents),
+        |t AS (SELECT count(*) AS n,
+        |             sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agr FROM l),
+        |ka AS (SELECT a AS k, count(*) AS ca FROM l GROUP BY 1),
+        |kb AS (SELECT b AS k, count(*) AS cb FROM l GROUP BY 1),
+        |e AS (SELECT sum(coalesce(ca, 0) * coalesce(cb, 0)) AS e
+        |      FROM ka FULL JOIN kb USING (k))
+        |SELECT CAST(n AS BIGINT) AS n_rows, CAST(agr AS BIGINT) AS n_agree,
+        |       CAST((1000 * agr) // n AS BIGINT) AS agree_milli,
+        |       CAST((1000 * (n * agr - e.e)) // nullif(n * n - e.e, 0) AS BIGINT)
+        |         AS kappa_milli
+        |FROM t, e""".stripMargin) {
+      (s, d) => {
+        val len3 = length(col("text")) % 3
+        graft.operators.Profiling.cohenKappa(
+          Tables.documents(s, d).select(
+            len3.as("pa"),
+            when(pmod(col("doc_id"), lit(7)) === 0, (length(col("text")) + 1) % 3)
+              .otherwise(len3).as("pb")),
+          col("pa"), col("pb"))
+      }
+    },
+
     // EXACT ROC-AUC (Mann–Whitney rank-sum over the distinct-score
     // census — Profiling.aucExact): per-source AUC of a deterministic
     // score against a deterministic label, ties forced by the %50

@@ -515,6 +515,21 @@ class EngineOpsSpec extends AnyFunSuite {
       3L -> ((600L, 0L)), 4L -> ((1000L, 0L))))
   }
 
+  test("cohenKappa: perfect 1.0, inverted -1.0, degenerate null") {
+    import spark.implicits._
+    def kappa(pairs: Seq[(Int, Int)]): Option[Long] = {
+      val r = Profiling.cohenKappa(pairs.toDF("a", "b"), col("a"), col("b"))
+        .collect()(0)
+      CacheRegistry.releaseAll()
+      if (r.isNullAt(3)) None else Some(r.getLong(3))
+    }
+    assert(kappa(Seq((0, 0), (1, 1), (2, 2), (0, 0))) === Some(1000L))
+    // systematic inversion on balanced labels: worse than chance, κ = −1
+    assert(kappa(Seq((0, 1), (0, 1), (1, 0), (1, 0))) === Some(-1000L))
+    // both sides constant and identical: p_e = 1, κ undefined
+    assert(kappa(Seq((5, 5), (5, 5))) === None)
+  }
+
   test("ksTest: hand ECDF gaps, smallest-score tie rule, perfect separation") {
     import spark.implicits._
     // a={1,2,3}, b={2,3,4}: gap·9 = 3 at s=1,2,3 (tie) → D=1/3, at s=1
