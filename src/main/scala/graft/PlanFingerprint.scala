@@ -72,12 +72,26 @@ object PlanFingerprint {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     TriggerPlanProbe.enabled = true
     TriggerPlanProbe.drain(): Unit // discard any stale pre-run capture
-    try SparkEntry.allQueries.flatMap { q =>
-      val fp = fingerprint(q.fn(spark, DataDir).queryExecution.executedPlan)
-      val triggers = TriggerPlanProbe.drain().toSeq.sortBy(_._1)
-        .map { case (gate, plan) => s"$gate#trigger" -> fingerprint(plan) }
-      graft.operators.CacheRegistry.releaseAll()
-      (q.name -> fp) +: triggers
+    try {
+      val all = SparkEntry.allQueries.flatMap { q =>
+        val fp = fingerprint(q.fn(spark, DataDir).queryExecution.executedPlan)
+        // drained keys: gate names get the #trigger suffix (streaming
+        // gates record under their own name); operator-recorded keys
+        // already carry #iter and land verbatim
+        val probed = TriggerPlanProbe.drain().toSeq.sortBy(_._1)
+          .map { case (k, plan) =>
+            (if (k.contains("#")) k else s"$k#trigger") -> fingerprint(plan) }
+        graft.operators.CacheRegistry.releaseAll()
+        (q.name -> fp) +: probed
+      }
+      // an operator shared by several gates records its #iter entry
+      // once per gate — keep the LAST capture (the largest input),
+      // and assert nothing else collides
+      val deduped = all.reverse.distinctBy(_._1).reverse
+      val dupNonIter = all.groupBy(_._1).filter(_._2.size > 1)
+        .keys.filterNot(_.endsWith("#iter"))
+      require(dupNonIter.isEmpty, s"duplicate fingerprint keys: $dupNonIter")
+      deduped
     } finally {
       TriggerPlanProbe.enabled = false
       spark.conf.set("spark.sql.adaptive.enabled", prior)

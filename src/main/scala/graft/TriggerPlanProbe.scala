@@ -32,6 +32,20 @@ object TriggerPlanProbe {
   def record(gate: String, df: DataFrame): Unit =
     if (enabled) plans.put(gate, df.queryExecution.executedPlan): Unit
 
+  /** Record an ITERATION-internal frame's plan — the r9 analog of the
+    * trigger boundary: hitsMicro/pageRankMicro/personalizedPageRank/
+    * bfsDistances/connectedComponents run per-iteration jobs at eager
+    * localCheckpoint time, so the gate fingerprint of the RETURNED
+    * frame never sees the plan each round actually executes, and a
+    * silent extra scan inside an iteration could not fail CI. Called
+    * by the OPERATOR (which doesn't know its gate name) with its own
+    * stable key; repeated iterations overwrite — the LAST round's
+    * plan is the representative. Keys land in the snapshot verbatim
+    * as `<op>#iter`.
+    */
+  def recordIter(op: String, df: DataFrame): Unit =
+    if (enabled) plans.put(s"$op#iter", df.queryExecution.executedPlan): Unit
+
   /** Record an engine-managed streaming query's last trigger plan
     * (the IncrementalExecution that actually ran). */
   def record(gate: String, q: StreamingQuery): Unit =

@@ -414,7 +414,13 @@ object TextFunctions {
       .filter(size(col("tt")) >= 1)
       .select(array_join(col("tt"), " ").as("gram"), size(col("tt")).as("n"))
       .distinct()
-    val maxN = normTerms.agg(max("n")).head().getInt(0)
+    val maxRow = normTerms.agg(max("n")).head()
+    // an empty terms table (or all-unusable terms) means "no hits,
+    // everything kept" — short-circuit instead of NPE-ing on null max
+    if (maxRow.isNullAt(0))
+      return df.select(col(idCol), lit(0L).as("n_hits"),
+        lit(0L).as("n_terms"), lit(true).as("kept"))
+    val maxN = maxRow.getInt(0)
     val toks = df.select(col(idCol), tokens(lower(text)).as("t"))
     // ONE corpus pass: every gram size's windows flatten into a single
     // explode (a per-n union would re-scan the corpus per n), and

@@ -692,7 +692,6 @@ object Dedup {
                           driverMaxEdges: Long = 1L << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val sc = pairs.sparkSession.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     // both directions from ONE scan of the pair plan: explode each pair
     // to (a,b)+(b,a) instead of union(fwd, fwd.swapped) — the union form
@@ -708,8 +707,7 @@ object Dedup {
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     // materialize the edge cache (and anything upstream of it, e.g. a
     // caller's shingle cache) BEFORE the first label checkpoint, so the
-    // per-round persistent-RDD diff below sees ONLY that round's
-    // checkpoint blocks and never misattributes a long-lived cache
+    // label rounds below never re-evaluate the caller's upstream plan
     val edgeCount = edges.count()
     val integralIds = edges.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType ||
@@ -745,15 +743,17 @@ object Dedup {
           col("lbl").cast(fwd.schema("src").dataType))
         .toDF("v", "lbl")
     }
-    val base = persistedIds
     var labels = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lbl")).localCheckpoint(true)
     // blocks backing the PREVIOUS round's labels; a localCheckpoint's
     // blocks ARE its data (lineage truncated), so they are freed only
     // once the NEXT round's checkpoint is materialized — each round
     // frees its predecessor instead of letting O(rounds) label
-    // snapshots pile up in executor storage for the whole run
-    var prevCkpt = persistedIds -- base
+    // snapshots pile up in executor storage for the whole run.
+    // Checkpoint ids are read off each frame's own plan (PlanShim),
+    // never by diffing global getPersistentRDDs, which races against
+    // concurrent queries persisting on the shared context.
+    var prevCkpt = org.apache.spark.sql.graft.PlanShim.checkpointedRddId(labels)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -768,19 +768,20 @@ object Dedup {
         .select(col("v"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("c"))
       // pointer jump: follow the candidate label to ITS label
-      val before = persistedIds
-      val updated = cand
+      val updated0 = cand
         .join(labels.select(col("v").as("c"), col("lbl").as("clbl")), Seq("c"), "left_outer")
         .select(col("v"), least(col("c"), coalesce(col("clbl"), col("c"))).as("lbl"),
           col("old"))
+      graft.TriggerPlanProbe.recordIter("connected_components", updated0)
+      val updated = updated0
         .localCheckpoint(false) // lazy: the count below is the ONE action
                                 // that both materializes the checkpoint
                                 // blocks and returns the changed count
+      val thisCkpt = org.apache.spark.sql.graft.PlanShim.checkpointedRddId(updated)
       changed = updated.filter(col("lbl") =!= col("old")).count()
       // this round's checkpoint is materialized — its predecessor's
       // blocks are no longer reachable from any future plan; free them
-      val thisCkpt = persistedIds -- before
-      prevCkpt.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      sc.getPersistentRDDs.get(prevCkpt).foreach(_.unpersist(false))
       prevCkpt = thisCkpt
       labels = updated.select("v", "lbl")
       i += 1
@@ -789,7 +790,7 @@ object Dedup {
     edges.unpersist()
     // the FINAL checkpoint backs the returned labels — it must outlive
     // this call; the caller releases it after consuming the result
-    CacheRegistry.registerRddIds(sc, prevCkpt)
+    CacheRegistry.registerRddIds(sc, Seq(prevCkpt))
     labels
   }
 

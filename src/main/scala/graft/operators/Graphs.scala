@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanShim
 import org.apache.spark.storage.StorageLevel
 
 /** Iterative graph analytics beyond connected components
@@ -147,42 +148,44 @@ object Graphs {
     // returned frame and is handed to [[CacheRegistry]] for the
     // caller to release after consuming the result.
     val sc = edges.sparkSession.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    var prevH = Set.empty[Int]
-    var lastA = Set.empty[Int]
+    // checkpoint ids read off each frame's own plan (PlanShim), never
+    // by diffing global getPersistentRDDs — a set-diff races against
+    // concurrent queries persisting RDDs on the shared context
+    var prevH = -1
+    var lastA = -1
     for (i <- 1 to iterations) {
       // eager localCheckpoint: the raw frame feeds both the scalar
       // max and the normalize — checkpointing here keeps the lineage
       // linear (see scaladoc) and computes each raw vector once
-      val b0 = persistedIds
-      val rawA = nodes
+      val rawA0 = nodes
         .join(e.join(h.withColumnRenamed("node", "src"), Seq("src"))
           .groupBy(col("dst").as("node")).agg(sum("h").as("__s")),
           Seq("node"), "left_outer")
         .select(col("node"), coalesce(col("__s"), lit(0L)).as("__r"))
-        .localCheckpoint(true)
-      val newA = persistedIds -- b0
-      prevH.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      graft.TriggerPlanProbe.recordIter("hits_micro_auth", rawA0)
+      val rawA = rawA0.localCheckpoint(true)
+      val newA = PlanShim.checkpointedRddId(rawA)
+      if (prevH >= 0) sc.getPersistentRDDs.get(prevH).foreach(_.unpersist(false))
       val ma = rawA.agg(max("__r").as("__m"))
       a = rawA.crossJoin(broadcast(ma))
         .select(col("node"), expr(s"($massMicro * __r) div __m").as("a"))
-      val b1 = persistedIds
-      val rawH = nodes
+      val rawH0 = nodes
         .join(e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
           .groupBy(col("src").as("node")).agg(sum("a").as("__s")),
           Seq("node"), "left_outer")
         .select(col("node"), coalesce(col("__s"), lit(0L)).as("__r"))
-        .localCheckpoint(true)
-      val newH = persistedIds -- b1
+      graft.TriggerPlanProbe.recordIter("hits_micro_hub", rawH0)
+      val rawH = rawH0.localCheckpoint(true)
+      val newH = PlanShim.checkpointedRddId(rawH)
       if (i < iterations)
-        newA.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        sc.getPersistentRDDs.get(newA).foreach(_.unpersist(false))
       else lastA = newA
       val mh = rawH.agg(max("__r").as("__m"))
       h = rawH.crossJoin(broadcast(mh))
         .select(col("node"), expr(s"($massMicro * __r) div __m").as("h"))
       prevH = newH
     }
-    CacheRegistry.registerRddIds(sc, lastA ++ prevH)
+    CacheRegistry.registerRddIds(sc, Seq(lastA, prevH).filter(_ >= 0))
     a.join(h, Seq("node"))
       .select(col("node"), col("a").cast("long").as("authority_micro"),
         col("h").cast("long").as("hub_micro"))
@@ -310,22 +313,26 @@ object Graphs {
                    seedCol: String = "node", maxHops: Int = 6): DataFrame = {
     require(maxHops >= 1 && maxHops <= 1000, s"maxHops out of range: $maxHops")
     val sc = edges.sparkSession.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     e.count() // materialize before the checkpoint bookkeeping below
-    val base = persistedIds
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
+    // checkpoint ids read off each frame's own plan — see hitsMicro
+    val ckptIds = scala.collection.mutable.ArrayBuffer(
+      PlanShim.checkpointedRddId(dist))
     var frontier = dist
     var hop = 1L
     var growing = true
     while (growing && hop <= maxHops) {
-      val reached = frontier.join(e, col("node") === col("src"))
+      val reached0 = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(dist.select("node"), Seq("node"), "left_anti")
         .withColumn("dist", lit(hop))
+      graft.TriggerPlanProbe.recordIter("bfs_distances", reached0)
+      val reached = reached0
         .localCheckpoint(false) // lazy: the count below materializes it
+      ckptIds += PlanShim.checkpointedRddId(reached)
       growing = reached.count() > 0
       if (growing) {
         dist = dist.unionByName(reached)
@@ -336,7 +343,7 @@ object Graphs {
     e.unpersist()
     // every round's checkpoint backs a branch of the returned union —
     // all must outlive this call; the caller releases after consuming
-    CacheRegistry.registerRddIds(sc, persistedIds -- base)
+    CacheRegistry.registerRddIds(sc, ckptIds)
     dist
   }
 
@@ -481,8 +488,8 @@ object Graphs {
     require(k >= 1, s"k must be positive, got $k")
     require(rounds >= 1, s"rounds must be positive, got $rounds")
     val sc = edges.sparkSession.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    val base = persistedIds
+    // checkpoint ids read off each frame's own plan — see hitsMicro
+    val ckptIds = scala.collection.mutable.ArrayBuffer.empty[Int]
     var e = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .select(explode(array(
@@ -491,14 +498,17 @@ object Graphs {
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       .localCheckpoint(false)
+    ckptIds += PlanShim.checkpointedRddId(e)
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select("src")
-      e = e.join(keep, Seq("src"), "left_semi")
+      val next = e.join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .localCheckpoint(false)
+      graft.TriggerPlanProbe.recordIter("k_core", next)
+      e = next.localCheckpoint(false)
+      ckptIds += PlanShim.checkpointedRddId(e)
     }
-    CacheRegistry.registerRddIds(sc, persistedIds -- base)
+    CacheRegistry.registerRddIds(sc, ckptIds)
     e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("long").as("degree"))
   }

@@ -245,10 +245,16 @@ object LanguageModel {
         .collect()
       delta.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
     }
-    scores.select(col("__id").as(idCol), col("__y").as("label"),
-      col("__s").as("score"),
-      when(col("__s") > 0, 1L).otherwise(-1L).as("pred"),
-      (when(col("__s") > 0, 1L).otherwise(-1L) === col("__y")).as("correct"))
+    // one row per INPUT doc: a doc whose text tokenizes to nothing has
+    // no feature rows (hence no score row) — restore it with score 0,
+    // which the ≤0 rule classifies as −1, instead of silently dropping
+    labeled.select(col("__id"), col("__y"))
+      .join(scores.select(col("__id"), col("__s")), Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol), col("__y").as("label"),
+        coalesce(col("__s"), lit(0L)).as("score"),
+        when(coalesce(col("__s"), lit(0L)) > 0, 1L).otherwise(-1L).as("pred"),
+        (when(coalesce(col("__s"), lit(0L)) > 0, 1L).otherwise(-1L)
+          === col("__y")).as("correct"))
   }
 
   def naiveBayesClassify(train: DataFrame, classCol: Column, trainText: Column,

@@ -128,39 +128,40 @@ object Tokenization {
     val spark = df.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    def free(id: Int): Unit =
+      if (id >= 0) sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))
 
-    val base0 = persistedIds
     var words = wordCounts(df, text)
       .filter(col("n") >= minWordCount)
       .select(symbols(col("word")).as("s"), col("n"))
       .localCheckpoint(true) // eager: the corpus is scanned once, HERE
-    var liveCkpt = persistedIds -- base0 // blocks backing `words`
-    var prevCkpt = Set.empty[Int]        // last round's blocks, freed
-                                         // once the current round's are live
+    // checkpoint ids read off each frame's own plan (PlanShim), never
+    // by diffing global getPersistentRDDs (races with other queries)
+    var liveCkpt = org.apache.spark.sql.graft.PlanShim.checkpointedRddId(words)
+    var prevCkpt = -1 // last round's blocks, freed
+                      // once the current round's are live
     val merges = ArrayBuffer.empty[Merge]
     var i = 0
     var done = false
     while (i < numMerges && !done) {
-      val top = pairCounts(words)
+      val topFrame = pairCounts(words)
         .orderBy(col("pair_n").desc, col("left_sym"), col("right_sym"))
-        .limit(1).collect()
+        .limit(1)
+      graft.TriggerPlanProbe.recordIter("bpe_train_argmax", topFrame)
+      val top = topFrame.collect()
       // that collect materialized the current checkpoint (first action
       // on it) — the predecessor is unreachable from any future plan
-      free(prevCkpt); prevCkpt = Set.empty
+      free(prevCkpt); prevCkpt = -1
       if (top.isEmpty || top(0).getAs[Long]("pair_n") < minPairCount) done = true
       else {
         val (l, r) = (top(0).getAs[String]("left_sym"), top(0).getAs[String]("right_sym"))
         merges += Merge(i, l, r, top(0).getAs[Long]("pair_n"))
-        val before = persistedIds
         val next = words.as[(Seq[String], Long)]
           .map { case (s, n) => (mergeOnce(s, l, r), n) }
           .toDF("s", "n")
           .localCheckpoint(false) // lazy: next round's argmax is the action
         prevCkpt = liveCkpt
-        liveCkpt = persistedIds -- before
+        liveCkpt = org.apache.spark.sql.graft.PlanShim.checkpointedRddId(next)
         words = next
       }
       i += 1

@@ -619,12 +619,18 @@ object TextQueries {
          |w1 AS (SELECT b, sum(y * c) AS w FROM fx GROUP BY b),
          |${epoch(2)},
          |${epoch(3)},
-         |fin AS (SELECT f.doc_id, f.y, sum(f.c * COALESCE(w3.w, 0)) AS s
-         |        FROM fx f LEFT JOIN w3 ON w3.b = f.b GROUP BY 1, 2)
-         |SELECT doc_id, CAST(y AS BIGINT) AS label, CAST(s AS BIGINT) AS score,
-         |       CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
-         |       (CASE WHEN s > 0 THEN 1 ELSE -1 END) = y AS correct
-         |FROM fin""".stripMargin) {
+         |fin AS (SELECT f.doc_id, sum(f.c * COALESCE(w3.w, 0)) AS s
+         |        FROM fx f LEFT JOIN w3 ON w3.b = f.b GROUP BY 1),
+         |uni AS (SELECT doc_id,
+         |               CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+         |        FROM documents WHERE doc_id < 200)
+         |SELECT u.doc_id, CAST(u.y AS BIGINT) AS label,
+         |       CAST(COALESCE(fin.s, 0) AS BIGINT) AS score,
+         |       CAST(CASE WHEN COALESCE(fin.s, 0) > 0 THEN 1 ELSE -1 END
+         |            AS BIGINT) AS pred,
+         |       (CASE WHEN COALESCE(fin.s, 0) > 0 THEN 1 ELSE -1 END) = u.y
+         |         AS correct
+         |FROM uni u LEFT JOIN fin ON fin.doc_id = u.doc_id""".stripMargin) {
       (s, d) =>
         graft.operators.LanguageModel.perceptronClassify(
           Tables.documents(s, d).filter(col("doc_id") < 200),

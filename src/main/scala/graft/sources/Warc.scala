@@ -260,7 +260,13 @@ object Warc {
       }
       def emit(bytes: Array[Byte]): Unit =
         if (compress) { // one gzip member per record
-          val gz = new GZIPOutputStream(os); gz.write(bytes); gz.finish()
+          // GZIPOutputStream.finish() flushes the member but never ends the
+          // native Deflater; at ~100k records/shard the un-freed zlib
+          // states exhaust native memory before heap GC notices. End it
+          // explicitly (the protected field is `def` on
+          // DeflaterOutputStream).
+          val gz = new GZIPOutputStream(os) { def endDeflater(): Unit = `def`.end() }
+          gz.write(bytes); gz.finish(); gz.endDeflater()
         } else os.write(bytes)
       for (r <- it) {
         val s = r.getLong(0)
@@ -431,6 +437,11 @@ object Warc {
         s"$fileName: record at offset $offset missing mandatory WARC headers")
       val payload =
         if (readPayload && admit(wtype)) {
+          // A spec-legal Content-Length can exceed Int.MaxValue; toInt would
+          // wrap and desynchronize the parse with a baffling separator error.
+          // Fail loudly instead, matching the truncation checks.
+          require(len <= Int.MaxValue - 8,
+            s"$fileName: record payload too large at offset $offset ($len bytes)")
           val buf = new Array[Byte](len.toInt)
           var got = 0
           while (got < len) {

@@ -25,6 +25,27 @@ object ColumnShim {
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 }
 
+/** Plan-introspection helpers that need the `org.apache.spark.sql`
+  * namespace (classic `Dataset.queryExecution` is session-internal).
+  */
+object PlanShim {
+  /** The id of the persisted RDD backing a `localCheckpoint`ed
+    * Dataset. `Dataset.localCheckpoint` persists exactly one RDD —
+    * the `LogicalRDD` leaf's — so reading it off the plan identifies
+    * the checkpoint blocks WITHOUT diffing
+    * `SparkContext.getPersistentRDDs`, which races against any other
+    * thread persisting RDDs on the shared context (a set-diff there
+    * can adopt — and later unpersist — an unrelated query's cache).
+    */
+  def checkpointedRddId(ds: org.apache.spark.sql.Dataset[_]): Int =
+    ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      case other => throw new IllegalStateException(
+        s"expected LogicalRDD after localCheckpoint, got ${other.nodeName}")
+    }
+}
+
 /** Input-type specs for custom expressions: `AbstractDataType` is
   * private[sql], so third-party ExpectsInputTypes implementations get
   * their Seq values from inside the namespace (return types inferred).

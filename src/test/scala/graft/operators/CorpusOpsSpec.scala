@@ -1542,6 +1542,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(3L) === ((1L, 1L, false)))
     assert(out(4L) === ((0L, 0L, true)))
     assert(out(5L) === ((0L, 0L, true)))
+    // empty terms table (and all-unusable terms): no hits, all kept —
+    // not an NPE on the null max phrase length
+    for (t <- Seq(Seq.empty[String], Seq("   ", ""))) {
+      val none = TextFunctions.blocklistFilter(docs, "doc_id", col("text"),
+        t.toDF("term")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      assert(none.size === 5)
+      assert(none.values.forall(_ === ((0L, 0L, true))), s"terms=$t: $none")
+    }
   }
 
   test("scriptProfile: per-script counts, dominance switches, tie precedence") {

@@ -188,6 +188,17 @@ class EvalOpsSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
     assert(one(1L) === 9L) // 2×3 + 1×3
     assert(one(6L) === -3L) // zork count 3, negative class
+
+    // a doc whose text tokenizes to nothing still gets a row: score 0,
+    // pred −1 by the ≤0 rule (the one-row-per-input-doc contract)
+    val withEmpty = docs.union(Seq((7L, "en", "   ")).toDF("doc_id", "lang", "text"))
+    val e = LanguageModel.perceptronClassify(withEmpty, "doc_id", col("text"),
+      col("lang") === "en", dims = 64, epochs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    CacheRegistry.releaseAll()
+    assert(e.size === 7)
+    assert(e(7L) === ((1L, 0L, -1L, false)))
   }
 
   test("skewReport: exact shares and salt factors") {
