@@ -84,10 +84,28 @@ object PlanFingerprint {
         graft.operators.CacheRegistry.releaseAll()
         (q.name -> fp) +: probed
       }
+      // two iterative loops the gate corpus never reaches — q55's
+      // connectedComponents takes the ≤driverMaxEdges union-find fast
+      // path at sf0.001, and BPE training is offline (the q212 merge
+      // table is a committed fixture) — get their #iter plans gated
+      // here on pinned micro-inputs that force the distributed path
+      val forced = {
+        import spark.implicits._
+        val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+          .toDF("id_a", "id_b")
+        graft.operators.Dedup.connectedComponents(edges, driverMaxEdges = 0)
+          .count(): Unit
+        graft.operators.Tokenization.trainBpe(
+          Seq("aa ab aa ab ba").toDF("t"),
+          org.apache.spark.sql.functions.col("t"), numMerges = 2): Unit
+        graft.operators.CacheRegistry.releaseAll()
+        TriggerPlanProbe.drain().toSeq.sortBy(_._1)
+          .map { case (k, plan) => k -> fingerprint(plan) }
+      }
       // an operator shared by several gates records its #iter entry
       // once per gate — keep the LAST capture (the largest input),
       // and assert nothing else collides
-      val deduped = all.reverse.distinctBy(_._1).reverse
+      val deduped = (all ++ forced).reverse.distinctBy(_._1).reverse
       val dupNonIter = all.groupBy(_._1).filter(_._2.size > 1)
         .keys.filterNot(_.endsWith("#iter"))
       require(dupNonIter.isEmpty, s"duplicate fingerprint keys: $dupNonIter")
