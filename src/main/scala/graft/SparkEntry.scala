@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, EvalQueries, QueryDef, StreamQueries, TextQueries, VectorQueries}
+import graft.queries.{CoreQueries, EvalQueries, QueryDef, StreamQueries, TextQueries, VectorQueries, WebGraphQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -9,7 +9,7 @@ object SparkEntry {
   /** All capability queries, one per implemented operator (SURVEY.md §2). */
   def allQueries: Seq[QueryDef] =
     CoreQueries.all ++ TextQueries.all ++ VectorQueries.all ++ EvalQueries.all ++
-      StreamQueries.all
+      StreamQueries.all ++ WebGraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Outlink extraction and host-graph construction — the WAT artifact
+  * of a crawl pipeline. Common Crawl ships three artifacts per crawl:
+  * WARC (raw responses — `graft.sources.Warc`), WET (extracted text —
+  * q230), and WAT (per-page metadata, dominated by the outlink list
+  * that feeds the host-level web graph and its rank computations).
+  * This operator family is the WAT side: extract `<a href>` targets
+  * from HTML payloads, absolutize them against the page URI, and
+  * aggregate to host→host edges for [[Graphs.pageRankMicro]] /
+  * [[Graphs.hitsMicro]].
+  *
+  * Everything is codegen'd built-ins (regexp over the payload — one
+  * narrow pass per page, no shuffle until the host aggregate), so the
+  * extraction cost is the scan, exactly like the WET path.
+  *
+  * URL resolution contract (RFC-3986-lite, documented over exotic):
+  *
+  *   - `http://…` / `https://…`  → used as-is
+  *   - `//host/…` (protocol-relative) → base scheme prepended
+  *   - `/path` (root-relative) → base origin prepended
+  *   - any other scheme (`mailto:`, `javascript:`, `data:` …),
+  *     empty, and fragment-only (`#…`) hrefs → DROPPED
+  *   - everything else is path-relative: resolved against the base
+  *     directory (the page path minus its last segment) with NO
+  *     `..`/`.` dot-segment normalization — crawl-side link graphs
+  *     aggregate to hosts, where dot segments are irrelevant
+  *   - the fragment is stripped from the resolved URL (never sent on
+  *     the wire)
+  *
+  * Href syntax contract: double- or single-quoted `href` attributes
+  * inside `<a>` tags, matched case-insensitively; unquoted hrefs are
+  * out of scope (vanishingly rare in served HTML, and ambiguous to
+  * delimit). The regex is RE2-compatible so the DuckDB oracle replays
+  * extraction on the identical bytes.
+  */
+object WebGraph {
+
+  /** `<a … href="…">` / `<a … href='…'>`, group 1 = the raw href.
+    * `[^>]*?` keeps the match inside one tag; RE2-safe (no
+    * backreferences or lookaround).
+    */
+  val HrefPattern: String = "(?i)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"'>]*)[\"']"
+
+  /** Per-page outlinks: one row per RESOLVABLE href, in page order.
+    *
+    * Returns (idCol, link_no, href, url, src_host, dst_host) —
+    * `link_no` is the href's 1-based position among ALL extracted
+    * hrefs of the page (dropped links leave gaps: position is
+    * provenance), `href` the raw attribute value, `url` the
+    * absolutized fragment-stripped target, `src_host` the page's own
+    * authority component, `dst_host` the target's.
+    */
+  def outlinks(df: DataFrame, idCol: String, uri: Column,
+               html: Column): DataFrame = {
+    val raw = df.select(
+      col(idCol),
+      regexp_extract(uri, "^(https?)://", 1).as("__sch"),
+      regexp_extract(uri, "^https?://([^/?#]+)", 1).as("__h"),
+      regexp_extract(uri, "^https?://[^/?#]+(/[^?#]*)", 1).as("__p"),
+      posexplode(regexp_extract_all(html, lit(HrefPattern), lit(1)))
+        .as(Seq("__pos", "href")))
+    // base directory = page path minus its last segment ("" path → "/")
+    val basedir = when(col("__p") === "", lit("/"))
+      .otherwise(regexp_replace(col("__p"), "[^/]*$", ""))
+    val t = trim(col("href"))
+    val resolved = when(t.rlike("^(?i)https?://"), t)
+      .when(t.rlike("^//"), concat(col("__sch"), lit(":"), t))
+      .when(t.rlike("^/"), concat(col("__sch"), lit("://"), col("__h"), t))
+      .when(t === "" || t.rlike("^#") ||
+        t.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
+      .otherwise(concat(col("__sch"), lit("://"), col("__h"), basedir, t))
+    raw
+      .select(col(idCol), (col("__pos") + 1).cast("long").as("link_no"), col("href"),
+        regexp_replace(resolved, "#.*", "").as("url"),
+        col("__h").as("src_host"))
+      .filter(col("url").isNotNull)
+      .withColumn("dst_host", regexp_extract(col("url"), "^https?://([^/?#]+)", 1))
+  }
+
+  /** Host→host link census from an [[outlinks]]-shaped frame plus the
+    * page's own host: (src_host, dst_host, n_links), n_links counting
+    * every link row (multi-links between the same hosts accumulate —
+    * the weight a host-graph rank wants). Self-edges (intra-host
+    * navigation) are KEPT here — they dominate real crawls and the
+    * census should say so; rank computations filter them (a
+    * self-edge only feeds a node its own mass back).
+    */
+  def hostEdges(links: DataFrame, srcHost: Column, dstHost: Column): DataFrame =
+    links
+      .groupBy(srcHost.as("src_host"), dstHost.as("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+}

@@ -1,0 +1,250 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Graphs, WebGraph}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate queries for the WAT side of the crawl pipeline
+  * ([[graft.operators.WebGraph]]): outlink extraction from HTML
+  * payloads (through a real WARC write/read cycle), the host→host
+  * link census, and host-level PageRank / HITS over the mined graph —
+  * the composition that turns the WARC family (q219–q234) and the
+  * graph family (q116/q232) into the actual Common Crawl ranking
+  * pipeline.
+  *
+  * The synthetic web: page d lives at
+  * `http://h{d%19}.example.org/p/{d}` and carries seven hrefs covering
+  * every branch of the resolution contract — absolute http, root-
+  * relative, protocol-relative, path-relative (single-quoted),
+  * fragment-only (dropped), mailto (dropped), and absolute https with
+  * a fragment (stripped). Link targets are doc_id arithmetic, so the
+  * DuckDB oracle rebuilds the identical HTML from `documents` alone
+  * and replays the same RE2-compatible regex + resolution CASE —
+  * extraction, not expected values, is what the gate compares.
+  */
+object WebGraphQueries {
+
+  /** The synthetic crawl pages: (doc_id, uri, html). */
+  private def pages(s: SparkSession, d: String): DataFrame = {
+    def h(n: Column): Column =
+      concat(lit("h"), n.cast("string"), lit(".example.org"))
+    val did = col("doc_id")
+    val ds = did.cast("string")
+    Tables.documents(s, d).select(did,
+      concat(lit("http://"), h(pmod(did, lit(19))), lit("/p/"), ds).as("uri"),
+      concat(
+        lit("<html><body><p>"), col("text"), lit("</p>"),
+        lit("<a href=\"http://"), h(pmod(did * 7 + 3, lit(19))),
+        lit("/x/"), ds, lit("\">a</a>"),
+        lit("<a class=\"n\" href=\"/p/"), (did + 1).cast("string"),
+        lit("\">b</a>"),
+        lit("<a href=\"//"), h(pmod(did * 5 + 1, lit(19))),
+        lit("/y/"), ds, lit("\">c</a>"),
+        lit("<a href='r/"), ds, lit("'>d</a>"),
+        lit("<a href=\"#sec\">e</a><a href=\"mailto:x@example.com\">f</a>"),
+        lit("<a href=\"https://"), h(pmod(did * 11 + 2, lit(19))),
+        lit("/z/"), ds, lit("#frag\">g</a>"),
+        lit("</body></html>")).as("html"))
+  }
+
+  /** Oracle CTE chain `pages`→`ext`→`res`→`links`: the same page
+    * synthesis, href regex, and resolution CASE as the Spark side,
+    * ending in (doc_id, link_no, href, url, src_host, dst_host).
+    */
+  private val linksCtes: String =
+    """pages AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    'http://h' || (doc_id % 19) || '.example.org/p/' || doc_id AS uri,
+      |    '<html><body><p>' || text || '</p>' ||
+      |    '<a href="http://h' || ((doc_id * 7 + 3) % 19) ||
+      |      '.example.org/x/' || doc_id || '">a</a>' ||
+      |    '<a class="n" href="/p/' || (doc_id + 1) || '">b</a>' ||
+      |    '<a href="//h' || ((doc_id * 5 + 1) % 19) ||
+      |      '.example.org/y/' || doc_id || '">c</a>' ||
+      |    '<a href=''r/' || doc_id || '''>d</a>' ||
+      |    '<a href="#sec">e</a><a href="mailto:x@example.com">f</a>' ||
+      |    '<a href="https://h' || ((doc_id * 11 + 2) % 19) ||
+      |      '.example.org/z/' || doc_id || '#frag">g</a>' ||
+      |    '</body></html>' AS html
+      |  FROM documents),
+      |ext AS (
+      |  SELECT doc_id, uri,
+      |    unnest(generate_series(1, len(hs))) AS link_no,
+      |    unnest(hs) AS href
+      |  FROM (SELECT doc_id, uri,
+      |          regexp_extract_all(html,
+      |            '(?i)<a\s[^>]*?href\s*=\s*["'']([^"''>]*)["'']', 1) AS hs
+      |        FROM pages) x),
+      |res AS (
+      |  SELECT doc_id, link_no, href,
+      |    regexp_replace(CASE
+      |      WHEN regexp_matches(trim(href), '^(?i)https?://') THEN trim(href)
+      |      WHEN regexp_matches(trim(href), '^//')
+      |        THEN sch || ':' || trim(href)
+      |      WHEN regexp_matches(trim(href), '^/')
+      |        THEN sch || '://' || hst || trim(href)
+      |      WHEN trim(href) = '' OR regexp_matches(trim(href), '^#')
+      |           OR regexp_matches(trim(href), '^[A-Za-z][A-Za-z0-9+.-]*:')
+      |        THEN NULL
+      |      ELSE sch || '://' || hst ||
+      |           (CASE WHEN pth = '' THEN '/'
+      |                 ELSE regexp_replace(pth, '[^/]*$', '') END) ||
+      |           trim(href) END,
+      |      '#.*', '') AS url,
+      |    hst AS src_host
+      |  FROM (SELECT e.*,
+      |          regexp_extract(uri, '^(https?)://', 1) AS sch,
+      |          regexp_extract(uri, '^https?://([^/?#]+)', 1) AS hst,
+      |          regexp_extract(uri, '^https?://[^/?#]+(/[^?#]*)', 1) AS pth
+      |        FROM ext e) y),
+      |links AS MATERIALIZED (
+      |  SELECT doc_id, CAST(link_no AS BIGINT) AS link_no, href, url,
+      |         src_host,
+      |         regexp_extract(url, '^https?://([^/?#]+)', 1) AS dst_host
+      |  FROM res WHERE url IS NOT NULL)""".stripMargin
+
+  /** Inter-host simple graph with numeric node ids (`h{k}` → k). */
+  private val hostEdgeCtes: String =
+    s"""$linksCtes,
+       |hedges AS MATERIALIZED (
+       |  SELECT DISTINCT
+       |    CAST(regexp_extract(src_host, '^h(\\d+)', 1) AS BIGINT) AS src,
+       |    CAST(regexp_extract(dst_host, '^h(\\d+)', 1) AS BIGINT) AS dst
+       |  FROM links WHERE src_host <> dst_host),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM hedges UNION SELECT dst FROM hedges)""".stripMargin
+
+  /** The Spark twin of `hedges`: distinct inter-host (src, dst) ids. */
+  private def hostEdges(s: SparkSession, d: String): DataFrame =
+    WebGraph.outlinks(pages(s, d), "doc_id", col("uri"), col("html"))
+      .filter(col("src_host") =!= col("dst_host"))
+      .select(
+        regexp_extract(col("src_host"), "^h(\\d+)", 1).cast("long").as("src"),
+        regexp_extract(col("dst_host"), "^h(\\d+)", 1).cast("long").as("dst"))
+      .distinct()
+
+  private def hostName(node: Column): Column =
+    concat(lit("h"), node.cast("string"), lit(".example.org"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // WAT OUTLINK EXTRACTION through a REAL WARC cycle: pages staged
+    // as full HTTP responses, exported per-record-gzip (q219 sink),
+    // read back through the DSv2 source, HTTP-parsed (q225), and the
+    // href funnel run on the round-tripped body with the page's
+    // WARC-Target-URI as the resolution base. The oracle replays
+    // synthesis + regex + resolution from `documents` alone, so a
+    // byte lost anywhere in the WARC cycle fails the hash too.
+    QueryDef.sql("q244_wat_outlinks",
+      s"""WITH $linksCtes
+         |SELECT doc_id, link_no, href, url, src_host, dst_host
+         |FROM links""".stripMargin) {
+      (s, d) => {
+        val base = new java.io.File(d).getName
+        val dir = graft.operators.Scratch.dir(s"graft_wat_$base")
+        Option(new java.io.File(dir).listFiles())
+          .foreach(_.foreach(f => if (f.getName.endsWith(".warc.gz")) f.delete()))
+        val staged = pages(s, d).select(col("doc_id"), col("uri"),
+          timestamp_seconds(lit(1704067200L)).as("dt"),
+          concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+            col("html")).as("http"))
+        graft.sources.Warc.export(staged, "doc_id", "uri", "dt", "http", dir,
+          numShards = 4, compress = true, infoDateSecs = 0L,
+          shardCol = Some(pmod(col("doc_id"), lit(4))),
+          contentType = "application/http; msgtype=response")
+        val resp = s.read.format("warc").load(dir)
+          .filter(col("warc_type") === "response")
+          .select(
+            regexp_extract(col("target_uri"), "/p/(\\d+)$", 1).cast("long")
+              .as("doc_id"),
+            col("target_uri").as("uri"),
+            graft.sources.Warc.httpMessage(col("payload"))
+              .getField("body").as("html"))
+        WebGraph.outlinks(resp, "doc_id", col("uri"), col("html"))
+      }
+    },
+
+    // HOST-GRAPH CENSUS (the WAT aggregate a crawl publishes): the
+    // weighted host→host link counts, self-edges INCLUDED — the
+    // honest census; rank queries filter them. Relational build (no
+    // WARC I/O): the extraction funnel is the same gated funnel as
+    // q244, here feeding the one aggregate shuffle.
+    QueryDef.sql("q245_host_graph",
+      s"""WITH $linksCtes
+         |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+         |FROM links GROUP BY 1, 2""".stripMargin) {
+      (s, d) =>
+        WebGraph.hostEdges(
+          WebGraph.outlinks(pages(s, d), "doc_id", col("uri"), col("html")),
+          col("src_host"), col("dst_host"))
+    },
+
+    // HOST PAGERANK over the mined graph (q116's integer-exact 4
+    // iterations on q244's edges — the Common Crawl host-rank
+    // composition). All hosts output (19 nodes); the oracle unrolls
+    // the same iterations over the same regex-mined edge CTE.
+    QueryDef.sql("q246_host_pagerank", {
+      def it(i: Int): String =
+        s"""r${i + 1} AS (
+           |  SELECT n.node, st.base + (85 * coalesce(inf.s, 0)) // 100 AS r
+           |  FROM nodes n CROSS JOIN st
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r$i.r // od.c) AS s
+           |    FROM hedges e JOIN r$i ON e.src = r$i.node
+           |    JOIN outdeg od ON e.src = od.src
+           |    GROUP BY e.dst) inf ON n.node = inf.node)""".stripMargin
+      s"""WITH $hostEdgeCtes,
+         |st AS (SELECT (15 * (1000000000000 // count(*))) // 100 AS base,
+         |              1000000000000 // count(*) AS r0 FROM nodes),
+         |outdeg AS (SELECT src, count(*) AS c FROM hedges GROUP BY src),
+         |r0 AS (SELECT node, st.r0 AS r FROM nodes CROSS JOIN st),
+         |${(0 until 4).map(it).mkString(",\n")}
+         |SELECT 'h' || node || '.example.org' AS host,
+         |       CAST(r AS BIGINT) AS rank_micro
+         |FROM r4""".stripMargin
+    }) {
+      (s, d) =>
+        Graphs.pageRankMicro(hostEdges(s, d), iterations = 4)
+          .select(hostName(col("node")).as("host"), col("rank_micro"))
+    },
+
+    // HOST HITS over the same mined graph (q232's max-normalized
+    // integer iterations): hubs = hosts that link out to important
+    // hosts, authorities = hosts linked from good hubs — on a real
+    // crawl these separate directories/aggregators from content
+    // hosts, which PageRank alone conflates. Full 19-host output,
+    // both scores per host.
+    QueryDef.sql("q247_host_hits", {
+      def it(i: Int): String =
+        s"""ra$i AS MATERIALIZED (
+           |  SELECT n.node, coalesce(x.s, 0) AS r FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(h${i - 1}.h) AS s FROM hedges e
+           |    JOIN h${i - 1} ON e.src = h${i - 1}.node GROUP BY e.dst) x
+           |  ON n.node = x.node),
+           |a$i AS MATERIALIZED (
+           |  SELECT node, (1000000 * r) // (SELECT max(r) FROM ra$i) AS a
+           |  FROM ra$i),
+           |rh$i AS MATERIALIZED (
+           |  SELECT n.node, coalesce(x.s, 0) AS r FROM nodes n LEFT JOIN (
+           |    SELECT e.src AS node, sum(a$i.a) AS s FROM hedges e
+           |    JOIN a$i ON e.dst = a$i.node GROUP BY e.src) x
+           |  ON n.node = x.node),
+           |h$i AS MATERIALIZED (
+           |  SELECT node, (1000000 * r) // (SELECT max(r) FROM rh$i) AS h
+           |  FROM rh$i)""".stripMargin
+      s"""WITH $hostEdgeCtes,
+         |h0 AS (SELECT node, 1000000 AS h FROM nodes),
+         |${(1 to 4).map(it).mkString(",\n")}
+         |SELECT 'h' || a4.node || '.example.org' AS host,
+         |       CAST(a4.a AS BIGINT) AS authority_micro,
+         |       CAST(h4.h AS BIGINT) AS hub_micro
+         |FROM a4 JOIN h4 ON a4.node = h4.node""".stripMargin
+    }) {
+      (s, d) =>
+        Graphs.hitsMicro(hostEdges(s, d), iterations = 4)
+          .select(hostName(col("node")).as("host"),
+            col("authority_micro"), col("hub_micro"))
+    }
+  )
+}
