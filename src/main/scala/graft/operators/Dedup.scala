@@ -1102,6 +1102,19 @@ object Dedup {
     * token-run extension) — the [[duplicateSpans]] trade; the oracle
     * joins gram STRINGS, so gate agreement additionally witnesses
     * collision-freedom on the corpus.
+    *
+    * Sizing on boilerplate-heavy corpora (soaked at 1/3/10× on a
+    * corpus where every base doc's prefix is shared by all K
+    * replicas — the worst realistic shape): candidate pairs grow as
+    * C(occurrences, 2) per shared span, so the OUTPUT is quadratic in
+    * duplication depth by problem definition; measured wall-time
+    * tracks the output sublinearly (10× corpus → 14.5× pairs → 2.8×
+    * time, worst-stage skew 1.1). `maxSeedOccurrences` bounds how
+    * deep a boilerplate cluster may anchor (occurrences beyond the
+    * cap stop seeding NEW pairs); lower it (e.g. 20) when license
+    * headers / navigation chrome dominate, raise `minTokens` to
+    * shrink the reported-span tail — neither changes the per-pair
+    * extension cost, which is bounded by the pair's own gram counts.
     */
   def matchedSpans(df: DataFrame, idCol: String, text: Column, k: Int = 8,
                    minTokens: Int = 16, maxSeedOccurrences: Long = 50,
