@@ -235,6 +235,41 @@ class WarcSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming source: a file named below the committed watermark is never picked up (documented contract)") {
+    import spark.implicits._
+    val dir = tmpDir("wmark")
+    // docsDf ids 1,2,3 → residues mod 3: doc 3 → 0, doc 1 → 1, doc 2 → 2
+    def wave(residue: Int, shardBase: Int): Unit =
+      Warc.export(docsDf.filter(pmod(col("doc_id"), lit(3)) === residue),
+        "doc_id", "uri", "d", "text", dir, numShards = 1, compress = true,
+        shardCol = Some(lit(shardBase)))
+    wave(2, 2) // doc 2 → part-00002: the committed watermark
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream.format("warc").load(dir)
+      .filter(col("warc_type") === "response")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("target_uri").collect()
+          .foreach(r => seen.synchronized { seen += r.getString(0) })
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.sorted.toList === List("http://e/2"))
+      // doc 1 lands as part-00000 — lexicographically BELOW the
+      // committed part-00002 watermark: the contract says it is
+      // skipped, silently and permanently
+      wave(1, 0)
+      q.processAllAvailable()
+      assert(seen.sorted.toList === List("http://e/2"),
+        "below-watermark file must not be picked up")
+      // and the stream keeps going: doc 3 as part-00003 (above) flows
+      wave(0, 3)
+      q.processAllAvailable()
+      assert(seen.sorted.toList === List("http://e/2", "http://e/3"),
+        "above-watermark arrivals must still flow after a skipped file")
+    } finally q.stop()
+  }
+
   test("conversion records carry refers_to and round-trip as WET") {
     val s = spark
     import s.implicits._
