@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WebGraphSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("webgraph")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def links(uri: String, html: String): Map[Long, (String, String, String)] = {
+    val s = spark
+    import s.implicits._
+    WebGraph.outlinks(Seq((1L, uri, html)).toDF("id", "uri", "html"),
+      "id", col("uri"), col("html"))
+      .collect()
+      .map(r => r.getLong(1) ->
+        ((r.getString(2), r.getString(3), r.getString(5)))).toMap
+  }
+
+  test("resolution contract: every branch, one page") {
+    val got = links("http://a.example/dir/page.html",
+      """<a href="http://b.example/x">1</a>""" +
+        """<a href="/root">2</a>""" +
+        """<a href="//c.example/y">3</a>""" +
+        """<a href='sib.html'>4</a>""" +
+        """<a href="#frag">5</a>""" +
+        """<a href="mailto:x@y.z">6</a>""" +
+        """<a href="https://d.example/z#sec">7</a>""" +
+        """<a href="">8</a>""" +
+        """<a href="javascript:void(0)">9</a>""")
+    // link_no is the position among ALL hrefs; dropped ones leave gaps
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 7L))
+    assert(got(1L) === (("http://b.example/x", "http://b.example/x", "b.example")))
+    assert(got(2L) === (("/root", "http://a.example/root", "a.example")))
+    assert(got(3L) === (("//c.example/y", "http://c.example/y", "c.example")))
+    // path-relative: resolved against the page's directory
+    assert(got(4L) === (("sib.html", "http://a.example/dir/sib.html", "a.example")))
+    // fragment stripped from the resolved absolute
+    assert(got(7L) === (("https://d.example/z#sec", "https://d.example/z", "d.example")))
+  }
+
+  test("base URI without a path resolves relatives against /") {
+    val got = links("https://e.example",
+      """<a href="p.html">1</a><a href="/q">2</a>""")
+    assert(got(1L)._2 === "https://e.example/p.html")
+    assert(got(2L)._2 === "https://e.example/q")
+  }
+
+  test("href matching: case-insensitive tag/attr, whitespace trim, anchors only") {
+    val got = links("http://f.example/p",
+      """<A HREF="http://g.example/up">1</A>""" +
+        """<a class=x href = " http://h.example/sp ">2</a>""" +
+        """<img src="http://i.example/not-a-link">""" +
+        """<link href="http://j.example/not-anchor">""")
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L)._3 === "g.example")
+    assert(got(2L)._2 === "http://h.example/sp") // trimmed before resolution
+    assert(!got.values.exists(_._3 == "i.example"))
+    assert(!got.values.exists(_._3 == "j.example"))
+  }
+
+  test("hostEdges: weighted census keeps self-edges") {
+    val s = spark
+    import s.implicits._
+    val l = Seq(("a", "b"), ("a", "b"), ("a", "a"), ("b", "a"))
+      .toDF("src_host", "dst_host")
+    val got = WebGraph.hostEdges(l, col("src_host"), col("dst_host"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("a", "b") -> 2L, ("a", "a") -> 1L, ("b", "a") -> 1L))
+  }
+}
