@@ -39,30 +39,46 @@ import org.apache.spark.sql.functions._
   */
 object WebGraph {
 
-  /** `<a … href="…">` / `<a … href='…'>`, group 1 = the raw href.
-    * `[^>]*?` keeps the match inside one tag; RE2-safe (no
-    * backreferences or lookaround).
+  /** A whole `<a …>` opening tag. `[^>]*` cannot span a literal `>`
+    * inside an attribute value — out of scope, like unquoted hrefs.
+    * RE2-safe (no backreferences or lookaround).
     */
-  val HrefPattern: String = "(?i)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"'>]*)[\"']"
+  val TagPattern: String = "(?i)<a\\s[^>]*>"
+
+  /** Within one tag: `href="…"` / `href='…'`, group 1 = the raw value. */
+  val HrefPattern: String = "(?i)\\bhref\\s*=\\s*[\"']([^\"'>]*)[\"']"
+
+  /** Within one tag: a `rel` attribute whose value contains the
+    * `nofollow` token — the link-graph exclusion signal (rank
+    * pipelines drop these edges; the census keeps them, flagged).
+    */
+  val NofollowPattern: String = "(?i)\\brel\\s*=\\s*[\"'][^\"']*\\bnofollow\\b"
 
   /** Per-page outlinks: one row per RESOLVABLE href, in page order.
     *
-    * Returns (idCol, link_no, href, url, src_host, dst_host) —
-    * `link_no` is the href's 1-based position among ALL extracted
-    * hrefs of the page (dropped links leave gaps: position is
-    * provenance), `href` the raw attribute value, `url` the
-    * absolutized fragment-stripped target, `src_host` the page's own
-    * authority component, `dst_host` the target's.
+    * Returns (idCol, link_no, href, url, nofollow, src_host,
+    * dst_host) — `link_no` is the anchor tag's 1-based position among
+    * ALL `<a>` tags of the page (dropped links leave gaps: position
+    * is provenance), `href` the raw attribute value, `url` the
+    * absolutized fragment-stripped target, `nofollow` whether the
+    * tag's `rel` carries the nofollow token, `src_host` the page's
+    * own authority component, `dst_host` the target's.
     */
   def outlinks(df: DataFrame, idCol: String, uri: Column,
                html: Column): DataFrame = {
-    val raw = df.select(
+    val tagged = df.select(
       col(idCol),
       regexp_extract(uri, "^(https?)://", 1).as("__sch"),
       regexp_extract(uri, "^https?://([^/?#]+)", 1).as("__h"),
       regexp_extract(uri, "^https?://[^/?#]+(/[^?#]*)", 1).as("__p"),
-      posexplode(regexp_extract_all(html, lit(HrefPattern), lit(1)))
-        .as(Seq("__pos", "href")))
+      posexplode(regexp_extract_all(html, lit(TagPattern), lit(0)))
+        .as(Seq("__pos", "__tag")))
+    // an <a> without an href extracts "" — dropped by the same branch
+    // as an explicit empty href (no target either way)
+    val raw = tagged.select(col(idCol), col("__sch"), col("__h"), col("__p"),
+      col("__pos"),
+      regexp_extract(col("__tag"), HrefPattern, 1).as("href"),
+      col("__tag").rlike(NofollowPattern).as("nofollow"))
     // base directory = page path minus its last segment ("" path → "/")
     val basedir = when(col("__p") === "", lit("/"))
       .otherwise(regexp_replace(col("__p"), "[^/]*$", ""))
@@ -76,6 +92,7 @@ object WebGraph {
     raw
       .select(col(idCol), (col("__pos") + 1).cast("long").as("link_no"), col("href"),
         regexp_replace(resolved, "#.*", "").as("url"),
+        col("nofollow"),
         col("__h").as("src_host"))
       .filter(col("url").isNotNull)
       .withColumn("dst_host", regexp_extract(col("url"), "^https?://([^/?#]+)", 1))

@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * pipeline.
   *
   * The synthetic web: page d lives at
-  * `http://h{d%19}.example.org/p/{d}` and carries seven hrefs covering
-  * every branch of the resolution contract — absolute http, root-
-  * relative, protocol-relative, path-relative (single-quoted),
-  * fragment-only (dropped), mailto (dropped), and absolute https with
-  * a fragment (stripped). Link targets are doc_id arithmetic, so the
+  * `http://h{d%19}.example.org/p/{d}` and carries eight anchors
+  * covering every branch of the resolution contract — absolute http,
+  * root-relative, protocol-relative, path-relative (single-quoted),
+  * fragment-only (dropped), mailto (dropped), absolute https with a
+  * fragment (stripped), and a rel="nofollow" link (kept in the
+  * census, excluded from the rank graph — the real-world link-graph
+  * semantic). Link targets are doc_id arithmetic, so the
   * DuckDB oracle rebuilds the identical HTML from `documents` alone
   * and replays the same RE2-compatible regex + resolution CASE —
   * extraction, not expected values, is what the gate compares.
@@ -45,12 +47,15 @@ object WebGraphQueries {
         lit("<a href=\"#sec\">e</a><a href=\"mailto:x@example.com\">f</a>"),
         lit("<a href=\"https://"), h(pmod(did * 11 + 2, lit(19))),
         lit("/z/"), ds, lit("#frag\">g</a>"),
+        lit("<a rel=\"nofollow\" href=\"http://"),
+        h(pmod(did * 13 + 5, lit(19))), lit("/nf/"), ds, lit("\">h</a>"),
         lit("</body></html>")).as("html"))
   }
 
-  /** Oracle CTE chain `pages`→`ext`→`res`→`links`: the same page
-    * synthesis, href regex, and resolution CASE as the Spark side,
-    * ending in (doc_id, link_no, href, url, src_host, dst_host).
+  /** Oracle CTE chain `pages`→`ext`→`exa`→`res`→`links`: the same page
+    * synthesis, tag/href/rel regexes, and resolution CASE as the Spark
+    * side, ending in (doc_id, link_no, href, url, nofollow, src_host,
+    * dst_host).
     */
   private val linksCtes: String =
     """pages AS MATERIALIZED (
@@ -66,18 +71,26 @@ object WebGraphQueries {
       |    '<a href="#sec">e</a><a href="mailto:x@example.com">f</a>' ||
       |    '<a href="https://h' || ((doc_id * 11 + 2) % 19) ||
       |      '.example.org/z/' || doc_id || '#frag">g</a>' ||
+      |    '<a rel="nofollow" href="http://h' || ((doc_id * 13 + 5) % 19) ||
+      |      '.example.org/nf/' || doc_id || '">h</a>' ||
       |    '</body></html>' AS html
       |  FROM documents),
       |ext AS (
       |  SELECT doc_id, uri,
-      |    unnest(generate_series(1, len(hs))) AS link_no,
-      |    unnest(hs) AS href
+      |    unnest(generate_series(1, len(tags))) AS link_no,
+      |    unnest(tags) AS tag
       |  FROM (SELECT doc_id, uri,
-      |          regexp_extract_all(html,
-      |            '(?i)<a\s[^>]*?href\s*=\s*["'']([^"''>]*)["'']', 1) AS hs
+      |          regexp_extract_all(html, '(?i)<a\s[^>]*>', 0) AS tags
       |        FROM pages) x),
+      |exa AS (
+      |  SELECT doc_id, uri, link_no,
+      |    regexp_extract(tag,
+      |      '(?i)\bhref\s*=\s*["'']([^"''>]*)["'']', 1) AS href,
+      |    regexp_matches(tag,
+      |      '(?i)\brel\s*=\s*["''][^"'']*\bnofollow\b') AS nofollow
+      |  FROM ext),
       |res AS (
-      |  SELECT doc_id, link_no, href,
+      |  SELECT doc_id, link_no, href, nofollow,
       |    regexp_replace(CASE
       |      WHEN regexp_matches(trim(href), '^(?i)https?://') THEN trim(href)
       |      WHEN regexp_matches(trim(href), '^//')
@@ -97,10 +110,10 @@ object WebGraphQueries {
       |          regexp_extract(uri, '^(https?)://', 1) AS sch,
       |          regexp_extract(uri, '^https?://([^/?#]+)', 1) AS hst,
       |          regexp_extract(uri, '^https?://[^/?#]+(/[^?#]*)', 1) AS pth
-      |        FROM ext e) y),
+      |        FROM exa e) y),
       |links AS MATERIALIZED (
       |  SELECT doc_id, CAST(link_no AS BIGINT) AS link_no, href, url,
-      |         src_host,
+      |         nofollow, src_host,
       |         regexp_extract(url, '^https?://([^/?#]+)', 1) AS dst_host
       |  FROM res WHERE url IS NOT NULL)""".stripMargin
 
@@ -111,14 +124,14 @@ object WebGraphQueries {
        |  SELECT DISTINCT
        |    CAST(regexp_extract(src_host, '^h(\\d+)', 1) AS BIGINT) AS src,
        |    CAST(regexp_extract(dst_host, '^h(\\d+)', 1) AS BIGINT) AS dst
-       |  FROM links WHERE src_host <> dst_host),
+       |  FROM links WHERE src_host <> dst_host AND NOT nofollow),
        |nodes AS MATERIALIZED (
        |  SELECT src AS node FROM hedges UNION SELECT dst FROM hedges)""".stripMargin
 
   /** The Spark twin of `hedges`: distinct inter-host (src, dst) ids. */
   private def hostEdges(s: SparkSession, d: String): DataFrame =
     WebGraph.outlinks(pages(s, d), "doc_id", col("uri"), col("html"))
-      .filter(col("src_host") =!= col("dst_host"))
+      .filter(col("src_host") =!= col("dst_host") && !col("nofollow"))
       .select(
         regexp_extract(col("src_host"), "^h(\\d+)", 1).cast("long").as("src"),
         regexp_extract(col("dst_host"), "^h(\\d+)", 1).cast("long").as("dst"))
@@ -138,7 +151,7 @@ object WebGraphQueries {
     // byte lost anywhere in the WARC cycle fails the hash too.
     QueryDef.sql("q244_wat_outlinks",
       s"""WITH $linksCtes
-         |SELECT doc_id, link_no, href, url, src_host, dst_host
+         |SELECT doc_id, link_no, href, url, nofollow, src_host, dst_host
          |FROM links""".stripMargin) {
       (s, d) => {
         val base = new java.io.File(d).getName

@@ -14,14 +14,15 @@ class WebGraphSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private def links(uri: String, html: String): Map[Long, (String, String, String)] = {
+  // link_no -> (href, url, dst_host, nofollow)
+  private def links(uri: String, html: String): Map[Long, (String, String, String, Boolean)] = {
     val s = spark
     import s.implicits._
     WebGraph.outlinks(Seq((1L, uri, html)).toDF("id", "uri", "html"),
       "id", col("uri"), col("html"))
       .collect()
       .map(r => r.getLong(1) ->
-        ((r.getString(2), r.getString(3), r.getString(5)))).toMap
+        ((r.getString(2), r.getString(3), r.getString(6), r.getBoolean(4)))).toMap
   }
 
   test("resolution contract: every branch, one page") {
@@ -37,13 +38,13 @@ class WebGraphSpec extends AnyFunSuite {
         """<a href="javascript:void(0)">9</a>""")
     // link_no is the position among ALL hrefs; dropped ones leave gaps
     assert(got.keySet === Set(1L, 2L, 3L, 4L, 7L))
-    assert(got(1L) === (("http://b.example/x", "http://b.example/x", "b.example")))
-    assert(got(2L) === (("/root", "http://a.example/root", "a.example")))
-    assert(got(3L) === (("//c.example/y", "http://c.example/y", "c.example")))
+    assert(got(1L) === (("http://b.example/x", "http://b.example/x", "b.example", false)))
+    assert(got(2L) === (("/root", "http://a.example/root", "a.example", false)))
+    assert(got(3L) === (("//c.example/y", "http://c.example/y", "c.example", false)))
     // path-relative: resolved against the page's directory
-    assert(got(4L) === (("sib.html", "http://a.example/dir/sib.html", "a.example")))
+    assert(got(4L) === (("sib.html", "http://a.example/dir/sib.html", "a.example", false)))
     // fragment stripped from the resolved absolute
-    assert(got(7L) === (("https://d.example/z#sec", "https://d.example/z", "d.example")))
+    assert(got(7L) === (("https://d.example/z#sec", "https://d.example/z", "d.example", false)))
   }
 
   test("base URI without a path resolves relatives against /") {
@@ -64,6 +65,18 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got(2L)._2 === "http://h.example/sp") // trimmed before resolution
     assert(!got.values.exists(_._3 == "i.example"))
     assert(!got.values.exists(_._3 == "j.example"))
+  }
+
+  test("rel=nofollow is flagged, not dropped; rel position and token list handled") {
+    val got = links("http://k.example/p",
+      """<a rel="nofollow" href="http://l.example/1">1</a>""" +
+        """<a href="http://m.example/2" rel='ugc nofollow'>2</a>""" +
+        """<a rel="noopener" href="http://n.example/3">3</a>""" +
+        """<a href="http://o.example/4">4</a>""")
+    assert(got(1L) === (("http://l.example/1", "http://l.example/1", "l.example", true)))
+    assert(got(2L) === (("http://m.example/2", "http://m.example/2", "m.example", true)))
+    assert(got(3L)._4 === false) // noopener is not nofollow
+    assert(got(4L)._4 === false)
   }
 
   test("hostEdges: weighted census keeps self-edges") {
