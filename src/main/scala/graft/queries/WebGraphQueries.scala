@@ -222,6 +222,72 @@ object WebGraphQueries {
           .select(hostName(col("node")).as("host"), col("rank_micro"))
     },
 
+    // STREAMING WAT MINING (q229's live two-wave ingest composed with
+    // q244's extraction): crawl files land in two waves against a LIVE
+    // readStream.format("warc") query; each micro-batch HTTP-parses
+    // its records and mines outlinks INSIDE the trigger — the
+    // incremental link-graph build a continuously-crawling pipeline
+    // runs. The gate pins that batch 1 mined exactly the even docs'
+    // links and batch 2 the odd ones (no reprocessing, no holes), with
+    // the full resolution funnel applied to round-tripped bytes; the
+    // trigger-internal extraction plan is fingerprinted.
+    QueryDef.sql("q248_stream_wat_links",
+      s"""WITH $linksCtes
+         |SELECT doc_id, link_no, url, nofollow,
+         |       CAST(doc_id % 2 AS BIGINT) AS wave
+         |FROM links""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val base = new java.io.File(d).getName
+        val dir = graft.operators.Scratch.dir(s"graft_wstream_wat_$base")
+        Option(new java.io.File(dir).listFiles())
+          .foreach(_.foreach(f => if (f.getName.endsWith(".warc.gz")) f.delete()))
+        val staged = pages(s, d).select(col("doc_id"), col("uri"),
+          timestamp_seconds(lit(1704067200L)).as("dt"),
+          concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+            col("html")).as("http"))
+        def wave(parity: Int, shardBase: Int): Unit =
+          graft.sources.Warc.export(
+            staged.filter(pmod(col("doc_id"), lit(2)) === parity),
+            "doc_id", "uri", "dt", "http", dir, numShards = 4,
+            compress = true, infoDateSecs = 0L,
+            shardCol = Some(pmod(col("doc_id"), lit(4)) + lit(shardBase)),
+            contentType = "application/http; msgtype=response")
+        wave(0, 0)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, String, Boolean)]
+        val q = s.readStream.format("warc").load(dir)
+          .filter(col("warc_type") === "response")
+          .writeStream.foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              val withId = b.select(
+                regexp_extract(col("target_uri"), "/p/(\\d+)$", 1)
+                  .cast("long").as("doc_id"),
+                col("target_uri").as("uri"),
+                graft.sources.Warc.httpMessage(col("payload"))
+                  .getField("body").as("html"))
+              val mined = WebGraph.outlinks(withId, "doc_id",
+                col("uri"), col("html"))
+                .select(col("doc_id"), col("link_no"), col("url"),
+                  col("nofollow"))
+              graft.TriggerPlanProbe.record("q248_stream_wat_links", mined)
+              val rows = mined.collect()
+              buf.synchronized {
+                buf ++= rows.map(r => (id, r.getLong(0), r.getLong(1),
+                  r.getString(2), r.getBoolean(3)))
+              }
+              ()
+          }.start()
+        try { q.processAllAvailable(); wave(1, 4); q.processAllAvailable() }
+        finally q.stop()
+        val snapshot = buf.synchronized { buf.toList }
+        val firstBatch = snapshot.map(_._1).min
+        snapshot.map { case (bid, docId, linkNo, url, nf) =>
+          (docId, linkNo, url, nf, if (bid == firstBatch) 0L else 1L) }
+          .toDF("doc_id", "link_no", "url", "nofollow", "wave")
+      }
+    },
+
     // HOST HITS over the same mined graph (q232's max-normalized
     // integer iterations): hubs = hosts that link out to important
     // hosts, authorities = hosts linked from good hubs — on a real
