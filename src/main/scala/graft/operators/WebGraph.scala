@@ -98,6 +98,43 @@ object WebGraph {
       .withColumn("dst_host", regexp_extract(col("url"), "^https?://([^/?#]+)", 1))
   }
 
+  /** Per-page HEAD metadata — the other half of a WAT record next to
+    * [[outlinks]]: title, meta description, canonical URL, declared
+    * language, and the robots-noindex verdict. Everything a crawl
+    * consumer uses for snippeting, canonicalized dedup (the canonical
+    * link is the site's OWN dedup hint), language routing before
+    * content-based language-ID, and index-exclusion filtering.
+    *
+    * Pure codegen'd regexes (RE2-compatible — the oracle replays on
+    * identical bytes); absent elements yield empty strings / false,
+    * matching `regexp_extract`'s no-match contract in both engines.
+    * Attribute ORDER inside a tag is free (`[^>]*` on both sides of
+    * the discriminating attribute); values must be quoted, the same
+    * syntax contract as [[HrefPattern]].
+    *
+    * Returns a struct column (title, meta_description, canonical_url,
+    * html_lang, noindex) — title whitespace-normalized and trimmed.
+    */
+  def pageMeta(html: Column): Column = {
+    def tagAttr(tagPattern: String, attrPattern: String): Column =
+      regexp_extract(regexp_extract(html, tagPattern, 0), attrPattern, 1)
+    val content = "(?i)\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']"
+    struct(
+      trim(regexp_replace(
+        regexp_extract(html, "(?is)<title[^>]*>(.*?)</title\\s*>", 1),
+        "\\s+", " ")).as("title"),
+      tagAttr("(?i)<meta\\s[^>]*name\\s*=\\s*[\"']description[\"'][^>]*>",
+        content).as("meta_description"),
+      tagAttr("(?i)<link\\s[^>]*rel\\s*=\\s*[\"']canonical[\"'][^>]*>",
+        "(?i)\\bhref\\s*=\\s*[\"']([^\"'>]*)[\"']").as("canonical_url"),
+      regexp_extract(html,
+        "(?i)<html\\s[^>]*\\blang\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+        .as("html_lang"),
+      regexp_extract(html, "(?i)<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*>", 0)
+        .rlike("(?i)\\bcontent\\s*=\\s*[\"'][^\"']*\\bnoindex\\b")
+        .as("noindex"))
+  }
+
   /** Host→host link census from an [[outlinks]]-shaped frame plus the
     * page's own host: (src_host, dst_host, n_links), n_links counting
     * every link row (multi-links between the same hosts accumulate —

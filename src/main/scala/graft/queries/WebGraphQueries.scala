@@ -222,6 +222,67 @@ object WebGraphQueries {
           .select(hostName(col("node")).as("host"), col("rank_micro"))
     },
 
+    // WAT PAGE METADATA (the other half of a WAT record next to the
+    // outlink list): title (whitespace-normalized across a newline —
+    // the (?s) path), meta description, canonical URL (the site's own
+    // dedup hint), declared html lang, robots-noindex verdict. The
+    // robots meta deliberately puts content BEFORE name (attribute
+    // order is free); description/canonical/robots appear on residue
+    // classes so absent-element empties are exercised on both sides.
+    QueryDef.sql("q249_wat_page_meta",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    '<html lang="' || lang || '"><head><title>  Doc ' || doc_id ||
+        |    chr(10) || ' - ' || source || '  </title>' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |      '<meta name="description" content="summary of doc ' ||
+        |      doc_id || '">' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      '<meta content="noindex, follow" name="robots">' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      '<link rel="canonical" href="http://canon.example/c/' ||
+        |      (doc_id - doc_id % 3) || '">' ELSE '' END ||
+        |    '</head><body><p>' || text || '</p></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_extract(html,
+        |    '(?is)<title[^>]*>(.*?)</title\s*>', 1), '\s+', ' ', 'g')) AS title,
+        |  regexp_extract(regexp_extract(html,
+        |    '(?i)<meta\s[^>]*name\s*=\s*["'']description["''][^>]*>', 0),
+        |    '(?i)\bcontent\s*=\s*["'']([^"'']*)["'']', 1) AS meta_description,
+        |  regexp_extract(regexp_extract(html,
+        |    '(?i)<link\s[^>]*rel\s*=\s*["'']canonical["''][^>]*>', 0),
+        |    '(?i)\bhref\s*=\s*["'']([^"''>]*)["'']', 1) AS canonical_url,
+        |  regexp_extract(html,
+        |    '(?i)<html\s[^>]*\blang\s*=\s*["'']([^"'']*)["'']', 1) AS html_lang,
+        |  regexp_matches(regexp_extract(html,
+        |    '(?i)<meta\s[^>]*name\s*=\s*["'']robots["''][^>]*>', 0),
+        |    '(?i)\bcontent\s*=\s*["''][^"'']*\bnoindex\b') AS noindex
+        |FROM m""".stripMargin) {
+      (s, d) => {
+        val did = col("doc_id")
+        val ds = did.cast("string")
+        val html = concat(
+          lit("<html lang=\""), col("lang"), lit("\"><head><title>  Doc "),
+          ds, lit("\n - "), col("source"), lit("  </title>"),
+          when(pmod(did, lit(4)) === 0,
+            concat(lit("<meta name=\"description\" content=\"summary of doc "),
+              ds, lit("\">"))).otherwise(lit("")),
+          when(pmod(did, lit(5)) === 0,
+            lit("<meta content=\"noindex, follow\" name=\"robots\">"))
+            .otherwise(lit("")),
+          when(pmod(did, lit(3)) === 0,
+            concat(lit("<link rel=\"canonical\" href=\"http://canon.example/c/"),
+              (did - pmod(did, lit(3))).cast("string"), lit("\">")))
+            .otherwise(lit("")),
+          lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
+        Tables.documents(s, d)
+          .select(did, WebGraph.pageMeta(html).as("m"))
+          .select(col("doc_id"), col("m.title"), col("m.meta_description"),
+            col("m.canonical_url"), col("m.html_lang"), col("m.noindex"))
+      }
+    },
+
     // STREAMING WAT MINING (q229's live two-wave ingest composed with
     // q244's extraction): crawl files land in two waves against a LIVE
     // readStream.format("warc") query; each micro-batch HTTP-parses

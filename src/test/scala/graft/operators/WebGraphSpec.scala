@@ -79,6 +79,30 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got(4L)._4 === false)
   }
 
+  test("pageMeta: title normalization, attribute order, absent elements, noindex token") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      (1L, "<html lang=\"en\"><head><title>  A\n  Title  </title>" +
+        "<meta content=\"d1\" name=\"description\">" +
+        "<meta name=\"robots\" content=\"noindex, follow\">" +
+        "<link href=\"http://c.example/x\" rel=\"canonical\">" +
+        "</head><body></body></html>"),
+      (2L, "<html><head></head><body>no head metadata</body></html>"),
+      (3L, "<html lang='de'><head>" +
+        "<meta name=\"robots\" content=\"nofollow\"></head></html>")
+    ).toDF("id", "html")
+    val got = pages.select(col("id"), WebGraph.pageMeta(col("html")).as("m"))
+      .select(col("id"), col("m.*")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getBoolean(5)))).toMap
+    // newline + space runs collapse; content-before-name meta matches
+    assert(got(1L) === (("A Title", "d1", "http://c.example/x", "en", true)))
+    assert(got(2L) === (("", "", "", "", false)))
+    // robots present but no noindex token
+    assert(got(3L) === (("", "", "", "de", false)))
+  }
+
   test("hostEdges: weighted census keeps self-edges") {
     val s = spark
     import s.implicits._
