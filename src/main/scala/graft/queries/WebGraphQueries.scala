@@ -349,6 +349,141 @@ object WebGraphQueries {
       }
     },
 
+    // ROBOTS.TXT EVALUATION (RFC 9309 core — the crawl politeness
+    // filter): per-host robots bodies are parsed relationally (line
+    // split → key/value → consecutive-User-agent grouping → exact-
+    // token-else-* group selection → wildcard/anchor pattern
+    // compilation), then every URL gets its longest-match verdict
+    // (allow beats disallow on ties). Hosts on the k%3==2 residue
+    // have NO graftbot group and fall to *; the /a.b/ rule exercises
+    // literal-dot escaping, /*.tmp$ the wildcard+anchor compile, and
+    // the ?q=1 path the path+query decision input. The oracle replays
+    // the ENTIRE funnel — parse windows, selection, regex compile,
+    // match, winner window — in SQL.
+    QueryDef.sql("q250_robots_eval",
+      """WITH hosts AS (SELECT DISTINCT (doc_id % 19) AS k FROM documents),
+        |rob AS (
+        |  SELECT 'h' || k || '.example.org' AS host,
+        |    '# robots for h' || k || chr(10) ||
+        |    CASE WHEN k % 3 <> 2 THEN 'User-agent: graftbot' || chr(10) ||
+        |      'Disallow: /private' || k || '/' || chr(10) ||
+        |      'Allow: /private' || k || '/ok/' || chr(10) ||
+        |      'Disallow: /*.tmp$' || chr(10) || chr(10) ELSE '' END ||
+        |    'User-agent: *' || chr(10) ||
+        |    'Disallow: /all/' || chr(10) ||
+        |    CASE WHEN k % 4 = 1 THEN 'Disallow: /a.b/' || chr(10)
+        |         ELSE '' END AS body
+        |  FROM hosts),
+        |lines AS (
+        |  SELECT host,
+        |    unnest(generate_series(1, len(ln))) AS pos,
+        |    unnest(ln) AS line
+        |  FROM (SELECT host, regexp_split_to_array(body, chr(10)) AS ln
+        |        FROM rob) x),
+        |kv AS (
+        |  SELECT host, pos,
+        |    lower(trim(regexp_extract(regexp_replace(line, '#.*', ''),
+        |      '^\s*([A-Za-z-]+)\s*:', 1))) AS key,
+        |    trim(regexp_extract(regexp_replace(line, '#.*', ''),
+        |      '^\s*[A-Za-z-]+\s*:(.*)$', 1)) AS val
+        |  FROM lines),
+        |kept AS (SELECT * FROM kv
+        |         WHERE key IN ('user-agent', 'allow', 'disallow')),
+        |marks AS (
+        |  SELECT *, CASE WHEN key = 'user-agent' AND NOT coalesce(
+        |      lag(key = 'user-agent') OVER (PARTITION BY host ORDER BY pos),
+        |      false) THEN 1 ELSE 0 END AS st
+        |  FROM kept),
+        |grps AS (
+        |  SELECT *, sum(st) OVER (PARTITION BY host ORDER BY pos) AS g
+        |  FROM marks),
+        |agents AS (SELECT host, g, lower(val) AS agent FROM grps
+        |           WHERE key = 'user-agent' AND g >= 1),
+        |rules0 AS (SELECT host, g, key AS rule, val AS path FROM grps
+        |           WHERE key <> 'user-agent' AND val <> '' AND g >= 1),
+        |hx AS (SELECT DISTINCT host FROM agents WHERE agent = 'graftbot'),
+        |sel AS (
+        |  SELECT DISTINCT a.host, a.g FROM agents a
+        |  LEFT JOIN hx ON a.host = hx.host
+        |  WHERE CASE WHEN hx.host IS NOT NULL THEN a.agent = 'graftbot'
+        |        ELSE a.agent = '*' END),
+        |dirs AS (
+        |  SELECT r.host, r.rule, r.path,
+        |    '^' || regexp_replace(regexp_replace(regexp_replace(r.path,
+        |        '([.\\+?*()\[\]{}|^$])', '\\\1', 'g'),
+        |        '\\\*', '.*', 'g'),
+        |        '\\\$$', '$') AS pattern
+        |  FROM rules0 r JOIN sel ON sel.host = r.host AND sel.g = r.g),
+        |urls AS (
+        |  SELECT doc_id,
+        |    'http://h' || (doc_id % 19) || '.example.org' || p AS url,
+        |    'h' || (doc_id % 19) || '.example.org' AS host, p
+        |  FROM (SELECT doc_id,
+        |      CASE doc_id % 6
+        |        WHEN 0 THEN '/private' || (doc_id % 19) || '/doc' || doc_id
+        |        WHEN 1 THEN '/private' || (doc_id % 19) || '/ok/doc' || doc_id
+        |        WHEN 2 THEN '/tmp/doc' || doc_id || '.tmp'
+        |        WHEN 3 THEN '/all/doc' || doc_id
+        |        WHEN 4 THEN '/a.b/doc' || doc_id
+        |        ELSE '/clean/doc' || doc_id || '?q=1' END AS p
+        |    FROM documents) y),
+        |hits AS (
+        |  SELECT u.doc_id, u.url, u.host, d.rule, d.path AS rpath,
+        |    d.pattern IS NOT NULL AND regexp_matches(u.p, d.pattern) AS m,
+        |    length(d.path) AS plen
+        |  FROM urls u LEFT JOIN dirs d ON d.host = u.host),
+        |win AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY
+        |      CASE WHEN m THEN plen ELSE -1 END DESC,
+        |      CASE WHEN rule = 'allow' THEN 1 ELSE 0 END DESC,
+        |      rpath ASC NULLS LAST) AS rn
+        |  FROM hits)
+        |SELECT doc_id, url, host,
+        |  (NOT m) OR rule = 'allow' AS allowed,
+        |  CASE WHEN m THEN rule END AS rule,
+        |  CASE WHEN m THEN rpath END AS rule_path
+        |FROM win WHERE rn = 1""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val did = col("doc_id")
+        val k = pmod(did, lit(19))
+        val ks = k.cast("string")
+        val ds = did.cast("string")
+        val nl = lit("\n")
+        val robots = Tables.documents(s, d).select(k.as("__k")).distinct()
+          .select(
+            concat(lit("h"), col("__k").cast("string"), lit(".example.org"))
+              .as("host"),
+            concat(
+              lit("# robots for h"), col("__k").cast("string"), nl,
+              when(pmod(col("__k"), lit(3)) =!= 2, concat(
+                lit("User-agent: graftbot"), nl,
+                lit("Disallow: /private"), col("__k").cast("string"),
+                lit("/"), nl,
+                lit("Allow: /private"), col("__k").cast("string"),
+                lit("/ok/"), nl,
+                lit("Disallow: /*.tmp$"), nl, nl)).otherwise(lit("")),
+              lit("User-agent: *"), nl,
+              lit("Disallow: /all/"), nl,
+              when(pmod(col("__k"), lit(4)) === 1,
+                concat(lit("Disallow: /a.b/"), nl)).otherwise(lit("")))
+              .as("body"))
+        val path = when(pmod(did, lit(6)) === 0,
+          concat(lit("/private"), ks, lit("/doc"), ds))
+          .when(pmod(did, lit(6)) === 1,
+            concat(lit("/private"), ks, lit("/ok/doc"), ds))
+          .when(pmod(did, lit(6)) === 2,
+            concat(lit("/tmp/doc"), ds, lit(".tmp")))
+          .when(pmod(did, lit(6)) === 3, concat(lit("/all/doc"), ds))
+          .when(pmod(did, lit(6)) === 4, concat(lit("/a.b/doc"), ds))
+          .otherwise(concat(lit("/clean/doc"), ds, lit("?q=1")))
+        val urls = Tables.documents(s, d).select(did,
+          concat(lit("http://h"), ks, lit(".example.org"), path).as("url"))
+        graft.operators.Robots.allowed(urls, "doc_id", col("url"),
+          robots, "host", col("body"), agent = "graftbot")
+      }
+    },
+
     // HOST HITS over the same mined graph (q232's max-normalized
     // integer iterations): hubs = hosts that link out to important
     // hosts, authorities = hosts linked from good hubs — on a real

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RobotsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("robots")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def robotsDf = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("ha", """# exact group wins over *
+               |User-agent: graftbot
+               |Disallow: /private/
+               |Allow: /private/ok/
+               |Disallow: /*.tmp$
+               |Disallow: /a.b/
+               |
+               |User-agent: *
+               |Disallow: /""".stripMargin),
+      ("hb", """User-agent: OtherBot
+               |User-agent: *
+               |Disallow: /blocked/
+               |Allow:
+               |Crawl-delay: 10""".stripMargin),
+      ("hc", "")
+    ).toDF("host", "body")
+  }
+
+  test("directives: grouping, exact-vs-* selection, wildcard/anchor compilation") {
+    val d = Robots.directives(robotsDf, "host", col("body"), "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // ha: only the graftbot group's rules; hb: the (OtherBot, *) group
+    // (consecutive ua lines share it); hc contributes nothing; the
+    // empty Allow: and unknown Crawl-delay are dropped
+    assert(d === Set(
+      ("ha", "disallow", "/private/"),
+      ("ha", "allow", "/private/ok/"),
+      ("ha", "disallow", "/*.tmp$"),
+      ("ha", "disallow", "/a.b/"),
+      ("hb", "disallow", "/blocked/")))
+  }
+
+  test("allowed: longest-match, allow-on-tie-beats, wildcard, anchor, literal dot, missing host") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      (1L, "http://ha/private/x"),      // disallow /private/
+      (2L, "http://ha/private/ok/y"),   // longer allow wins
+      (3L, "http://ha/file.tmp"),       // /*.tmp$ wildcard+anchor
+      (4L, "http://ha/file.tmp?x=1"),   // $ anchors past the query -> no match
+      (5L, "http://ha/a.b/z"),          // literal-dot rule
+      (6L, "http://ha/aXb/z"),          // '.' must NOT act as regex any-char
+      (7L, "http://ha/pub"),            // exact group selected: *'s "/" ignored
+      (8L, "http://ha"),                // bare origin evaluates as "/"
+      (9L, "http://hb/blocked/1"),      // * group via the shared-ua group
+      (10L, "http://hb/ok"),
+      (11L, "http://hc/anything"),      // empty robots
+      (12L, "http://hd/no-robots")      // host absent from the table
+    ).toDF("id", "url")
+    val got = Robots.allowed(urls, "id", col("url"), robotsDf, "host",
+      col("body"), agent = "GraftBot")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(3), Option(r.getString(5)).getOrElse("")))).toMap
+    assert(got(1L) === ((false, "/private/")))
+    assert(got(2L) === ((true, "/private/ok/")))
+    assert(got(3L) === ((false, "/*.tmp$")))
+    assert(got(4L) === ((true, "")))
+    assert(got(5L) === ((false, "/a.b/")))
+    assert(got(6L) === ((true, "")))
+    assert(got(7L) === ((true, "")))
+    assert(got(8L) === ((true, "")))
+    assert(got(9L) === ((false, "/blocked/")))
+    assert(got(10L) === ((true, "")))
+    assert(got(11L) === ((true, "")))
+    assert(got(12L) === ((true, "")))
+    assert(got.size === 12) // one verdict row per input URL
+  }
+}
