@@ -309,6 +309,33 @@ object Soak {
           operators.WebGraph.outlinks(pages, "doc_id", col("uri"), col("html")),
           col("src_host"), col("dst_host"))
       },
+      "robots_eval" -> { d: String =>
+        // q250 shape at scale: the robots table is a 997-host
+        // broadcast dimension; every URL joins it and takes one
+        // URL-keyed winner window (≤ rules-per-host rows per URL) —
+        // expected linear in the URL count
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        val k = pmod(col("doc_id"), lit(997))
+        val urls = docs.select(col("doc_id"),
+          concat(lit("http://h"), k.cast("string"), lit(".example.org"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(lit("/private"), k.cast("string"), lit("/doc")))
+              .when(pmod(col("doc_id"), lit(3)) === 1,
+                concat(lit("/private"), k.cast("string"), lit("/ok/doc")))
+              .otherwise(lit("/clean/doc")),
+            col("doc_id").cast("string")).as("url"))
+        val nl = lit("\n")
+        val robots = spark.range(997).select(
+          concat(lit("h"), col("id").cast("string"), lit(".example.org"))
+            .as("host"),
+          concat(lit("User-agent: graftbot"), nl,
+            lit("Disallow: /private"), col("id").cast("string"), lit("/"), nl,
+            lit("Allow: /private"), col("id").cast("string"), lit("/ok/"), nl,
+            lit("Disallow: /*.tmp$"), nl,
+            lit("User-agent: *"), nl, lit("Disallow: /all/"), nl).as("body"))
+        operators.Robots.allowed(urls, "doc_id", col("url"),
+          robots, "host", col("body"))
+      },
       "warc_stream_ingest" -> { d: String =>
         // q229's LIVE two-wave streaming ingest at scale: wave A (12
         // shard files) is the initial batch, wave B (4 files, names
