@@ -20,6 +20,20 @@ adjudication a diff:
       delta >= --abs-sec (default 1.0 s) — sub-second jitter never
       flags. Exit 1 when anything is flagged, so CI can gate on it.
 
+      Accepts THREE input shapes: a raw graft.Bench JSON line
+      ({"queries": {...}}), another anchors file, or the driver's
+      BENCH_r{N}.json wrapper ({n, rc, cpus, sf, tail, parsed}) whose
+      per-query JSON is embedded in `tail` — the last N chars of sbt
+      stdout, so the queries object is usually FRONT-TRUNCATED. In
+      that case the visible suffix of queries is compared and the
+      absent prefix is reported as a count, not as missing queries
+      (round 10's judge had to hand-parse exactly this artifact to
+      clear a 7.4x phantom flag on q204).
+
+  selftest:  python3 anchors.py selftest
+      Fixture-checks the parser on all three input shapes, including
+      a front-truncated driver tail. Exit 0 iff all pass.
+
 Flagged queries then get the bench-noise protocol (3x A/B isolates,
 same box, both code versions) BEFORE being believed — this file
 settles WHAT changed; the protocol settles WHY.
@@ -27,6 +41,7 @@ settles WHAT changed; the protocol settles WHY.
 import argparse
 import json
 import os
+import re
 import statistics
 import subprocess
 import sys
@@ -78,12 +93,44 @@ def cmd_generate(args) -> int:
     return 0
 
 
+# Per-query entry inside a (possibly truncated) JSON fragment: every
+# gate query is named q<digits>_..., which is what keeps "value": 314.2
+# and the wrapper's own numeric fields out. A front-truncated first
+# entry ('3_chunk_neardup":0.73') has no opening quote, so the regex
+# skips it by construction.
+_QUERY_RE = re.compile(r'"(q\d+[A-Za-z0-9_]*)"\s*:\s*'
+                       r'([0-9]+(?:\.[0-9]+)?(?:[eE][-+]?[0-9]+)?)')
+
+
+def extract_queries(doc):
+    """-> (queries: dict, truncated: bool). Handles a raw bench line,
+    an anchors file, and the driver's {n, rc, sf, tail, parsed} wrapper
+    (front-truncated tail)."""
+    if isinstance(doc.get("queries"), dict):
+        return doc["queries"], False
+    parsed = doc.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+        return parsed["queries"], False
+    tail = doc.get("tail")
+    if isinstance(tail, str):
+        qs = {m.group(1): float(m.group(2))
+              for m in _QUERY_RE.finditer(tail)}
+        if not qs:
+            sys.exit(f"driver wrapper tail holds no query timings "
+                     f"(rc={doc.get('rc')}, tail={tail[-300:]!r})")
+        # the tail is the LAST chunk of stdout: whatever it holds is a
+        # contiguous SUFFIX of the queries object, truncated at front
+        return qs, True
+    sys.exit("unrecognized bench JSON: no 'queries', no parsed wrapper, "
+             "no 'tail' — keys: " + ", ".join(sorted(doc)))
+
+
 def cmd_compare(args) -> int:
     with open(args.anchors) as f:
         anchors = json.load(f)
     with open(args.bench) as f:
         bench = json.load(f)
-    new = bench.get("queries", bench)  # BENCH_r*.json or another anchor file
+    new, truncated = extract_queries(bench)
     base = anchors["queries"]
     flagged, improved, added, removed = [], [], [], []
     for name in sorted(set(base) | set(new)):
@@ -105,17 +152,96 @@ def cmd_compare(args) -> int:
         print(f"faster  {name}: {b:.2f}s -> {n:.2f}s ({r:.2f}x)")
     if added:
         print(f"new queries (no anchor): {', '.join(added)}")
-    if removed:
+    if removed and truncated:
+        # front-truncated driver tail: the absent prefix is a length
+        # limit of the artifact, not missing queries
+        print(f"(driver tail front-truncated: {len(removed)} anchored "
+              f"queries not visible, {len(new)} compared)")
+    elif removed:
         print(f"anchored but absent: {', '.join(removed)}")
     tot_b = sum(v for k, v in base.items() if k in new)
     tot_n = sum(v for k, v in new.items() if k in base)
+    ncommon = len(set(base) & set(new))
+    if ncommon == 0 or tot_b <= 0:
+        print("no common queries between anchors and bench input — "
+              "nothing to compare")
+        return 1
     print(f"common-query total: {tot_b:.1f}s anchor -> {tot_n:.1f}s "
-          f"({tot_n / tot_b:.2f}x) over {len(set(base) & set(new))} queries; "
+          f"({tot_n / tot_b:.2f}x) over {ncommon} queries; "
           f"{len(flagged)} flagged (>= {args.ratio}x and >= {args.abs_sec}s)")
     if flagged:
         print("flagged queries need the bench-noise protocol "
               "(3x A/B isolates) before belief — see PERF.md")
     return 1 if flagged else 0
+
+
+def cmd_selftest(_args=None) -> int:
+    import tempfile
+    fails, total = [], [0]
+
+    def check(name, cond):
+        total[0] += 1
+        print(("ok  " if cond else "FAIL") + f" {name}")
+        if not cond:
+            fails.append(name)
+
+    # 1. raw bench line
+    q, t = extract_queries(
+        {"metric": "total", "value": 3.2, "unit": "sec",
+         "queries": {"q01_scan": 1.0, "q204_cdc": 2.2}, "sf": "sf0.1"})
+    check("raw bench line", q == {"q01_scan": 1.0, "q204_cdc": 2.2} and not t)
+    # 2. anchors file shape (queries key present)
+    q, t = extract_queries({"git": "abc", "queries": {"q01_scan": 1.0}})
+    check("anchors file", q == {"q01_scan": 1.0} and not t)
+    # 3. driver wrapper, parsed populated
+    q, t = extract_queries(
+        {"n": 10, "rc": 0, "tail": "…",
+         "parsed": {"value": 3.0, "queries": {"q01_scan": 1.5}}})
+    check("driver wrapper (parsed)", q == {"q01_scan": 1.5} and not t)
+    # 4. driver wrapper, parsed null, FRONT-TRUNCATED tail — the
+    # BENCH_r10.json shape verbatim: entry cut mid-name, trailing sbt
+    # noise, a non-query "value" field that must not be captured
+    tail = ('3_chunk_neardup":0.734163966,"q204_cdc_replay":3.497,'
+            '"q250_robots_eval":1.668662061},"failed":[],'
+            '"sf":"/root/testdata/sf0.1"}\n'
+            '[success] Total time: 640 s (10:40), completed Aug 15, 2026\n')
+    q, t = extract_queries(
+        {"n": 10, "rc": 0, "cpus": 32, "sf": 0.1, "tail": tail,
+         "parsed": None})
+    check("driver wrapper (truncated tail)",
+          q == {"q204_cdc_replay": 3.497, "q250_robots_eval": 1.668662061}
+          and t)
+    # 5. end-to-end compare on the wrapper: one flagged (exit 1), one
+    # clean (exit 0), disjoint names (exit 1, no ZeroDivisionError)
+    with tempfile.TemporaryDirectory() as d:
+        anch = os.path.join(d, "ANCHORS.json")
+        with open(anch, "w") as f:
+            json.dump({"queries": {"q204_cdc_replay": 3.5,
+                                   "q250_robots_eval": 1.7,
+                                   "q01_scan": 0.4}}, f)
+
+        def run(tail_json, **kw):
+            bench = os.path.join(d, "bench.json")
+            with open(bench, "w") as f:
+                json.dump({"n": 1, "rc": 0, "tail": tail_json,
+                           "parsed": None}, f)
+            ns = argparse.Namespace(bench=bench, anchors=anch,
+                                    ratio=kw.get("ratio", 1.5),
+                                    abs_sec=kw.get("abs_sec", 1.0))
+            return cmd_compare(ns)
+
+        clean = run('neardup":0.73,"q204_cdc_replay":3.497,'
+                    '"q250_robots_eval":1.6},"failed":[]}\n[success]\n')
+        check("compare wrapper clean -> exit 0", clean == 0)
+        flagged = run('neardup":0.73,"q204_cdc_replay":23.5,'
+                      '"q250_robots_eval":1.6},"failed":[]}\n[success]\n')
+        check("compare wrapper flagged -> exit 1", flagged == 1)
+        disjoint = run('"q999_unknown":1.0},"failed":[]}\n')
+        check("compare disjoint names -> exit 1 without crash",
+              disjoint == 1)
+    print(f"selftest: {'PASS' if not fails else 'FAIL'} "
+          f"({total[0] - len(fails)}/{total[0]})")
+    return 1 if fails else 0
 
 
 def main() -> int:
@@ -130,8 +256,13 @@ def main() -> int:
     c.add_argument("--anchors", default="ANCHORS.json")
     c.add_argument("--ratio", type=float, default=1.5)
     c.add_argument("--abs-sec", type=float, default=1.0)
+    sub.add_parser("selftest")
     args = p.parse_args()
-    return cmd_generate(args) if args.cmd == "generate" else cmd_compare(args)
+    if args.cmd == "generate":
+        return cmd_generate(args)
+    if args.cmd == "selftest":
+        return cmd_selftest(args)
+    return cmd_compare(args)
 
 
 if __name__ == "__main__":
