@@ -106,7 +106,11 @@ object PlanFingerprint {
       // once per gate — keep the LAST capture (the largest input),
       // and assert nothing else collides
       val deduped = (all ++ forced).reverse.distinctBy(_._1).reverse
-      val dupNonIter = all.groupBy(_._1).filter(_._2.size > 1)
+      // guard over gate AND forced captures: a forced probe recording a
+      // non-#iter key that collides with a gate key must fail loudly,
+      // not last-write-wins dedupe (the #iter exemption is the only
+      // intended overwrite)
+      val dupNonIter = (all ++ forced).groupBy(_._1).filter(_._2.size > 1)
         .keys.filterNot(_.endsWith("#iter"))
       require(dupNonIter.isEmpty, s"duplicate fingerprint keys: $dupNonIter")
       deduped

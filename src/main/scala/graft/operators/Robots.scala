@@ -22,16 +22,25 @@ import org.apache.spark.sql.functions._
   *   - a GROUP is one or more consecutive `User-agent` lines followed
   *     by its rules; rules before any `User-agent` line are ignored
   *     (RFC: they belong to no group)
-  *   - group selection: all groups naming the target agent's product
-  *     token EXACTLY (case-insensitive); if none, all `*` groups.
-  *     (RFC's "longest product-token prefix" tier between exact and
-  *     `*` is out of scope — crawlers overwhelmingly ship one token.)
+  *   - group selection (RFC 9309 §2.2.1, all three tiers): among
+  *     groups whose user-agent value is a case-insensitive PREFIX of
+  *     the crawler's product token, those with the LONGEST value win
+  *     (an exact match is the longest possible prefix — `graftbot`
+  *     beats `graft`; `graftbot-news` is NOT a prefix of `graftbot`
+  *     and never matches it); if no prefix matches, all `*` groups;
+  *     ties at the winning length are combined, per the RFC
   *   - path patterns: literal octets with `*` (any run) and a final
   *     `$` (end anchor); regex metacharacters in paths are literal
   *   - decision per URL: match patterns against path+query; the
   *     LONGEST pattern wins, `allow` beats `disallow` on equal
   *     length; no matching rule (or no robots entry, or an empty
   *     `Disallow:`) → allowed
+  *
+  * Each input ROW is parsed and selected independently (keyed by a
+  * per-row id, not by host), so duplicate host rows — a data error,
+  * but one a crawl log can contain — yield the deterministic UNION of
+  * each body's selected rules instead of interleaving lines across
+  * bodies.
   */
 object Robots {
 
@@ -41,18 +50,22 @@ object Robots {
     */
   def directives(robots: DataFrame, hostCol: String, body: Column,
                  agent: String): DataFrame = {
-    val lines = robots.select(col(hostCol).as("host"),
-      posexplode(split(body, "\n")).as(Seq("__pos", "__line")))
-    val kv = lines.select(col("host"), col("__pos"),
+    val token = agent.toLowerCase
+    val lines = robots
+      .select(col(hostCol).as("host"), body.as("__body"))
+      .withColumn("__rid", monotonically_increasing_id())
+      .select(col("host"), col("__rid"),
+        posexplode(split(col("__body"), "\n")).as(Seq("__pos", "__line")))
+    val kv = lines.select(col("host"), col("__rid"), col("__pos"),
       lower(trim(regexp_extract(regexp_replace(col("__line"), "#.*", ""),
         "^\\s*([A-Za-z-]+)\\s*:", 1))).as("__key"),
       trim(regexp_extract(regexp_replace(col("__line"), "#.*", ""),
         "^\\s*[A-Za-z-]+\\s*:(.*)$", 1)).as("__val"))
       .filter(col("__key").isin("user-agent", "allow", "disallow"))
     // group id = count of ua-run STARTS so far (consecutive ua lines
-    // share a group); a per-host window over line position — robots
-    // files are KB-sized, the window partitions by host
-    val w = Window.partitionBy("host").orderBy("__pos")
+    // share a group); a per-input-row window over line position —
+    // robots files are KB-sized, the window partitions by row id
+    val w = Window.partitionBy("__rid").orderBy("__pos")
     val isUa = col("__key") === "user-agent"
     val grouped = kv
       .withColumn("__ua", isUa)
@@ -62,19 +75,27 @@ object Robots {
       .withColumn("__grp", sum(col("__start")).over(w))
       .filter(col("__grp") >= 1) // pre-group rules belong to no group
     val agents = grouped.filter(col("__ua"))
-      .select(col("host"), col("__grp"), lower(col("__val")).as("__agent"))
+      .select(col("host"), col("__rid"), col("__grp"),
+        lower(col("__val")).as("__agent"))
     val rules = grouped.filter(!col("__ua") && col("__val") =!= "")
-      .select(col("host"), col("__grp"), col("__key").as("rule"),
-        col("__val").as("path"))
-    // exact-token groups if any exist for the host, else the * groups
-    val hostHasExact = agents.filter(col("__agent") === agent.toLowerCase)
-      .select(col("host").as("__h")).distinct()
-    val selected = agents
-      .join(hostHasExact, col("host") === col("__h"), "left_outer")
-      .filter(when(col("__h").isNotNull, col("__agent") === agent.toLowerCase)
-        .otherwise(col("__agent") === "*"))
-      .select("host", "__grp").distinct()
-    rules.join(selected, Seq("host", "__grp"), "left_semi")
+      .select(col("host"), col("__rid"), col("__grp"),
+        col("__key").as("rule"), col("__val").as("path"))
+    // RFC 9309 group selection: groups whose agent value is a prefix
+    // of the product token, longest value wins; else the * groups.
+    // An empty user-agent value (malformed line) is a prefix of
+    // everything by string semantics — excluded explicitly.
+    val matched = agents
+      .filter(col("__agent") =!= "" && lit(token).startsWith(col("__agent")))
+    val best = matched.groupBy("__rid")
+      .agg(max(length(col("__agent"))).as("__blen"))
+    val selPrefix = matched.join(best, Seq("__rid"))
+      .filter(length(col("__agent")) === col("__blen"))
+      .select("__rid", "__grp").distinct()
+    val selStar = agents.filter(col("__agent") === "*")
+      .join(best, Seq("__rid"), "left_anti")
+      .select("__rid", "__grp").distinct()
+    rules.join(selPrefix.unionByName(selStar), Seq("__rid", "__grp"),
+        "left_semi")
       .select(col("host"), col("rule"), col("path"),
         pathPattern(col("path")).as("pattern"))
   }

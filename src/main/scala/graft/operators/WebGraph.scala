@@ -34,35 +34,71 @@ import org.apache.spark.sql.functions._
   * Href syntax contract: double- or single-quoted `href` attributes
   * inside `<a>` tags, matched case-insensitively; unquoted hrefs are
   * out of scope (vanishingly rare in served HTML, and ambiguous to
-  * delimit). The regex is RE2-compatible so the DuckDB oracle replays
+  * delimit). Quote handling is PER-QUOTE alternation — a double-quoted
+  * value may contain `'` (href="/o'brien") and vice versa; only the
+  * opening quote's own kind terminates the value. The regexes are
+  * RE2-compatible (no backreferences) so the DuckDB oracle replays
   * extraction on the identical bytes.
   */
 object WebGraph {
 
-  /** A whole `<a …>` opening tag. `[^>]*` cannot span a literal `>`
-    * inside an attribute value — out of scope, like unquoted hrefs.
-    * RE2-safe (no backreferences or lookaround).
+  /** A whole `<a …>` opening tag, attribute-bearing or bare — bare
+    * `<a>` counts toward link positions (it extracts an empty href and
+    * is dropped like one). `[^>]*` cannot span a literal `>` inside an
+    * attribute value — out of scope, like unquoted hrefs. RE2-safe.
     */
-  val TagPattern: String = "(?i)<a\\s[^>]*>"
+  val TagPattern: String = "(?i)<a(\\s[^>]*)?>"
 
-  /** Within one tag: `href="…"` / `href='…'`, group 1 = the raw value. */
-  val HrefPattern: String = "(?i)\\bhref\\s*=\\s*[\"']([^\"'>]*)[\"']"
+  /** Within one tag: `href="…"` / `href='…'`, group 1 = the value
+    * INCLUDING its quotes (per-quote alternation; strip with
+    * [[unquote]]). A capture that kept only the inner text would need
+    * a backreference to pair the quotes — not RE2-expressible.
+    */
+  val HrefPattern: String = "(?i)\\bhref\\s*=\\s*(\"[^\">]*\"|'[^'>]*')"
 
   /** Within one tag: a `rel` attribute whose value contains the
     * `nofollow` token — the link-graph exclusion signal (rank
     * pipelines drop these edges; the census keeps them, flagged).
     */
-  val NofollowPattern: String = "(?i)\\brel\\s*=\\s*[\"'][^\"']*\\bnofollow\\b"
+  val NofollowPattern: String =
+    "(?i)\\brel\\s*=\\s*(\"[^\">]*\\bnofollow|'[^'>]*\\bnofollow)"
+
+  /** Strip the enclosing quotes off a quotes-included attribute
+    * capture ([[HrefPattern]]-style); a no-match "" passes through.
+    */
+  private def unquote(c: Column): Column =
+    regexp_replace(c, "^[\"']|[\"']$", "")
+
+  /** The resolution contract (scaladoc above) as one `when` chain:
+    * raw href against the page's (scheme, host, path), fragment
+    * stripped; null for dropped hrefs (empty, fragment-only,
+    * non-http scheme).
+    */
+  private def resolve(href: Column, sch: Column, hst: Column,
+                      pth: Column): Column = {
+    // base directory = page path minus its last segment ("" path → "/")
+    val basedir = when(pth === "", lit("/"))
+      .otherwise(regexp_replace(pth, "[^/]*$", ""))
+    val t = trim(href)
+    val resolved = when(t.rlike("^(?i)https?://"), t)
+      .when(t.rlike("^//"), concat(sch, lit(":"), t))
+      .when(t.rlike("^/"), concat(sch, lit("://"), hst, t))
+      .when(t === "" || t.rlike("^#") ||
+        t.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
+      .otherwise(concat(sch, lit("://"), hst, basedir, t))
+    regexp_replace(resolved, "#.*", "")
+  }
 
   /** Per-page outlinks: one row per RESOLVABLE href, in page order.
     *
     * Returns (idCol, link_no, href, url, nofollow, src_host,
     * dst_host) — `link_no` is the anchor tag's 1-based position among
-    * ALL `<a>` tags of the page (dropped links leave gaps: position
-    * is provenance), `href` the raw attribute value, `url` the
-    * absolutized fragment-stripped target, `nofollow` whether the
-    * tag's `rel` carries the nofollow token, `src_host` the page's
-    * own authority component, `dst_host` the target's.
+    * ALL `<a>` tags of the page, bare `<a>` included (dropped links
+    * leave gaps: position is provenance), `href` the raw attribute
+    * value, `url` the absolutized fragment-stripped target,
+    * `nofollow` whether the tag's `rel` carries the nofollow token,
+    * `src_host` the page's own authority component, `dst_host` the
+    * target's.
     */
   def outlinks(df: DataFrame, idCol: String, uri: Column,
                html: Column): DataFrame = {
@@ -77,21 +113,11 @@ object WebGraph {
     // as an explicit empty href (no target either way)
     val raw = tagged.select(col(idCol), col("__sch"), col("__h"), col("__p"),
       col("__pos"),
-      regexp_extract(col("__tag"), HrefPattern, 1).as("href"),
+      unquote(regexp_extract(col("__tag"), HrefPattern, 1)).as("href"),
       col("__tag").rlike(NofollowPattern).as("nofollow"))
-    // base directory = page path minus its last segment ("" path → "/")
-    val basedir = when(col("__p") === "", lit("/"))
-      .otherwise(regexp_replace(col("__p"), "[^/]*$", ""))
-    val t = trim(col("href"))
-    val resolved = when(t.rlike("^(?i)https?://"), t)
-      .when(t.rlike("^//"), concat(col("__sch"), lit(":"), t))
-      .when(t.rlike("^/"), concat(col("__sch"), lit("://"), col("__h"), t))
-      .when(t === "" || t.rlike("^#") ||
-        t.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
-      .otherwise(concat(col("__sch"), lit("://"), col("__h"), basedir, t))
     raw
       .select(col(idCol), (col("__pos") + 1).cast("long").as("link_no"), col("href"),
-        regexp_replace(resolved, "#.*", "").as("url"),
+        resolve(col("href"), col("__sch"), col("__h"), col("__p")).as("url"),
         col("nofollow"),
         col("__h").as("src_host"))
       .filter(col("url").isNotNull)
@@ -105,33 +131,50 @@ object WebGraph {
     * link is the site's OWN dedup hint), language routing before
     * content-based language-ID, and index-exclusion filtering.
     *
+    * `canonical_url` is ABSOLUTIZED against the page URI with the
+    * same resolution chain as [[outlinks]] — a relative canonical is
+    * the common real-world case, and the cross-host canonical-dedup
+    * join this field feeds needs absolute targets. Absent, empty,
+    * fragment-only, and non-http-scheme canonicals all yield "" (no
+    * usable dedup hint either way).
+    *
     * Pure codegen'd regexes (RE2-compatible — the oracle replays on
     * identical bytes); absent elements yield empty strings / false,
     * matching `regexp_extract`'s no-match contract in both engines.
     * Attribute ORDER inside a tag is free (`[^>]*` on both sides of
-    * the discriminating attribute); values must be quoted, the same
-    * syntax contract as [[HrefPattern]].
+    * the discriminating attribute); values must be quoted with
+    * per-quote alternation, the same syntax contract as
+    * [[HrefPattern]].
     *
     * Returns a struct column (title, meta_description, canonical_url,
     * html_lang, noindex) — title whitespace-normalized and trimmed.
     */
-  def pageMeta(html: Column): Column = {
+  def pageMeta(uri: Column, html: Column): Column = {
     def tagAttr(tagPattern: String, attrPattern: String): Column =
-      regexp_extract(regexp_extract(html, tagPattern, 0), attrPattern, 1)
-    val content = "(?i)\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']"
+      unquote(regexp_extract(regexp_extract(html, tagPattern, 0),
+        attrPattern, 1))
+    val content = "(?i)\\bcontent\\s*=\\s*(\"[^\">]*\"|'[^'>]*')"
+    val sch = regexp_extract(uri, "^(https?)://", 1)
+    val hst = regexp_extract(uri, "^https?://([^/?#]+)", 1)
+    val pth = regexp_extract(uri, "^https?://[^/?#]+(/[^?#]*)", 1)
+    val rawCanonical = tagAttr(
+      "(?i)<link\\s[^>]*rel\\s*=\\s*(\"canonical\"|'canonical')[^>]*>",
+      HrefPattern)
     struct(
       trim(regexp_replace(
         regexp_extract(html, "(?is)<title[^>]*>(.*?)</title\\s*>", 1),
         "\\s+", " ")).as("title"),
-      tagAttr("(?i)<meta\\s[^>]*name\\s*=\\s*[\"']description[\"'][^>]*>",
+      tagAttr(
+        "(?i)<meta\\s[^>]*name\\s*=\\s*(\"description\"|'description')[^>]*>",
         content).as("meta_description"),
-      tagAttr("(?i)<link\\s[^>]*rel\\s*=\\s*[\"']canonical[\"'][^>]*>",
-        "(?i)\\bhref\\s*=\\s*[\"']([^\"'>]*)[\"']").as("canonical_url"),
-      regexp_extract(html,
-        "(?i)<html\\s[^>]*\\blang\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+      coalesce(resolve(rawCanonical, sch, hst, pth), lit(""))
+        .as("canonical_url"),
+      unquote(regexp_extract(html,
+        "(?i)<html\\s[^>]*\\blang\\s*=\\s*(\"[^\">]*\"|'[^'>]*')", 1))
         .as("html_lang"),
-      regexp_extract(html, "(?i)<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*>", 0)
-        .rlike("(?i)\\bcontent\\s*=\\s*[\"'][^\"']*\\bnoindex\\b")
+      regexp_extract(html,
+        "(?i)<meta\\s[^>]*name\\s*=\\s*(\"robots\"|'robots')[^>]*>", 0)
+        .rlike("(?i)\\bcontent\\s*=\\s*(\"[^\">]*\\bnoindex|'[^'>]*\\bnoindex)")
         .as("noindex"))
   }
 

@@ -27,7 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object WebGraphQueries {
 
-  /** The synthetic crawl pages: (doc_id, uri, html). */
+  /** The synthetic crawl pages: (doc_id, uri, html). The anchors cover
+    * every branch of the resolution contract PLUS the tag/quote syntax
+    * edges: a bare `<a>` (counted in link_no, extracted as no-href)
+    * and a double-quoted href containing an apostrophe (the per-quote
+    * alternation fix — a single-quote-terminating regex would
+    * truncate it at the `'`).
+    */
   private def pages(s: SparkSession, d: String): DataFrame = {
     def h(n: Column): Column =
       concat(lit("h"), n.cast("string"), lit(".example.org"))
@@ -44,11 +50,13 @@ object WebGraphQueries {
         lit("<a href=\"//"), h(pmod(did * 5 + 1, lit(19))),
         lit("/y/"), ds, lit("\">c</a>"),
         lit("<a href='r/"), ds, lit("'>d</a>"),
+        lit("<a>plain</a>"),
         lit("<a href=\"#sec\">e</a><a href=\"mailto:x@example.com\">f</a>"),
         lit("<a href=\"https://"), h(pmod(did * 11 + 2, lit(19))),
         lit("/z/"), ds, lit("#frag\">g</a>"),
         lit("<a rel=\"nofollow\" href=\"http://"),
         h(pmod(did * 13 + 5, lit(19))), lit("/nf/"), ds, lit("\">h</a>"),
+        lit("<a href=\"/o'brien/"), ds, lit("\">i</a>"),
         lit("</body></html>")).as("html"))
   }
 
@@ -68,11 +76,13 @@ object WebGraphQueries {
       |    '<a href="//h' || ((doc_id * 5 + 1) % 19) ||
       |      '.example.org/y/' || doc_id || '">c</a>' ||
       |    '<a href=''r/' || doc_id || '''>d</a>' ||
+      |    '<a>plain</a>' ||
       |    '<a href="#sec">e</a><a href="mailto:x@example.com">f</a>' ||
       |    '<a href="https://h' || ((doc_id * 11 + 2) % 19) ||
       |      '.example.org/z/' || doc_id || '#frag">g</a>' ||
       |    '<a rel="nofollow" href="http://h' || ((doc_id * 13 + 5) % 19) ||
       |      '.example.org/nf/' || doc_id || '">h</a>' ||
+      |    '<a href="/o''brien/' || doc_id || '">i</a>' ||
       |    '</body></html>' AS html
       |  FROM documents),
       |ext AS (
@@ -80,14 +90,15 @@ object WebGraphQueries {
       |    unnest(generate_series(1, len(tags))) AS link_no,
       |    unnest(tags) AS tag
       |  FROM (SELECT doc_id, uri,
-      |          regexp_extract_all(html, '(?i)<a\s[^>]*>', 0) AS tags
+      |          regexp_extract_all(html, '(?i)<a(\s[^>]*)?>', 0) AS tags
       |        FROM pages) x),
       |exa AS (
       |  SELECT doc_id, uri, link_no,
-      |    regexp_extract(tag,
-      |      '(?i)\bhref\s*=\s*["'']([^"''>]*)["'']', 1) AS href,
+      |    regexp_replace(regexp_extract(tag,
+      |      '(?i)\bhref\s*=\s*("[^">]*"|''[^''>]*'')', 1),
+      |      '^["'']|["'']$', '', 'g') AS href,
       |    regexp_matches(tag,
-      |      '(?i)\brel\s*=\s*["''][^"'']*\bnofollow\b') AS nofollow
+      |      '(?i)\brel\s*=\s*("[^">]*\bnofollow|''[^''>]*\bnofollow)') AS nofollow
       |  FROM ext),
       |res AS (
       |  SELECT doc_id, link_no, href, nofollow,
@@ -224,60 +235,94 @@ object WebGraphQueries {
 
     // WAT PAGE METADATA (the other half of a WAT record next to the
     // outlink list): title (whitespace-normalized across a newline —
-    // the (?s) path), meta description, canonical URL (the site's own
-    // dedup hint), declared html lang, robots-noindex verdict. The
-    // robots meta deliberately puts content BEFORE name (attribute
-    // order is free); description/canonical/robots appear on residue
-    // classes so absent-element empties are exercised on both sides.
+    // the (?s) path), meta description (value holds an apostrophe —
+    // the per-quote alternation fix), canonical URL ABSOLUTIZED
+    // against the page URI (residues: absolute / root-relative /
+    // single-quoted path-relative / absent — the site's own dedup
+    // hint must come out join-able cross-host), declared html lang,
+    // robots-noindex verdict. The robots meta deliberately puts
+    // content BEFORE name (attribute order is free); the oracle
+    // replays extraction AND the resolution CASE.
     QueryDef.sql("q249_wat_page_meta",
       """WITH m AS (
         |  SELECT doc_id,
+        |    'http://h' || (doc_id % 19) || '.example.org/p/' || doc_id AS uri,
         |    '<html lang="' || lang || '"><head><title>  Doc ' || doc_id ||
         |    chr(10) || ' - ' || source || '  </title>' ||
         |    CASE WHEN doc_id % 4 = 0 THEN
-        |      '<meta name="description" content="summary of doc ' ||
-        |      doc_id || '">' ELSE '' END ||
+        |      '<meta name="description" content="doc ' ||
+        |      doc_id || '''s summary">' ELSE '' END ||
         |    CASE WHEN doc_id % 5 = 0 THEN
         |      '<meta content="noindex, follow" name="robots">' ELSE '' END ||
         |    CASE WHEN doc_id % 3 = 0 THEN
         |      '<link rel="canonical" href="http://canon.example/c/' ||
-        |      (doc_id - doc_id % 3) || '">' ELSE '' END ||
+        |      (doc_id - doc_id % 3) || '">'
+        |    WHEN doc_id % 3 = 1 THEN
+        |      '<link rel="canonical" href="/c/' || doc_id || '">'
+        |    WHEN doc_id % 6 = 2 THEN
+        |      '<link rel=''canonical'' href=''c' || doc_id || '''>'
+        |    ELSE '' END ||
         |    '</head><body><p>' || text || '</p></body></html>' AS html
-        |  FROM documents)
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, html,
+        |    regexp_extract(uri, '^(https?)://', 1) AS sch,
+        |    regexp_extract(uri, '^https?://([^/?#]+)', 1) AS hst,
+        |    regexp_extract(uri, '^https?://[^/?#]+(/[^?#]*)', 1) AS pth,
+        |    trim(regexp_replace(regexp_extract(regexp_extract(html,
+        |      '(?i)<link\s[^>]*rel\s*=\s*("canonical"|''canonical'')[^>]*>', 0),
+        |      '(?i)\bhref\s*=\s*("[^">]*"|''[^''>]*'')', 1),
+        |      '^["'']|["'']$', '', 'g')) AS canr
+        |  FROM m)
         |SELECT doc_id,
         |  trim(regexp_replace(regexp_extract(html,
         |    '(?is)<title[^>]*>(.*?)</title\s*>', 1), '\s+', ' ', 'g')) AS title,
-        |  regexp_extract(regexp_extract(html,
-        |    '(?i)<meta\s[^>]*name\s*=\s*["'']description["''][^>]*>', 0),
-        |    '(?i)\bcontent\s*=\s*["'']([^"'']*)["'']', 1) AS meta_description,
-        |  regexp_extract(regexp_extract(html,
-        |    '(?i)<link\s[^>]*rel\s*=\s*["'']canonical["''][^>]*>', 0),
-        |    '(?i)\bhref\s*=\s*["'']([^"''>]*)["'']', 1) AS canonical_url,
-        |  regexp_extract(html,
-        |    '(?i)<html\s[^>]*\blang\s*=\s*["'']([^"'']*)["'']', 1) AS html_lang,
+        |  regexp_replace(regexp_extract(regexp_extract(html,
+        |    '(?i)<meta\s[^>]*name\s*=\s*("description"|''description'')[^>]*>', 0),
+        |    '(?i)\bcontent\s*=\s*("[^">]*"|''[^''>]*'')', 1),
+        |    '^["'']|["'']$', '', 'g') AS meta_description,
+        |  coalesce(regexp_replace(CASE
+        |    WHEN regexp_matches(canr, '^(?i)https?://') THEN canr
+        |    WHEN regexp_matches(canr, '^//') THEN sch || ':' || canr
+        |    WHEN regexp_matches(canr, '^/') THEN sch || '://' || hst || canr
+        |    WHEN canr = '' OR regexp_matches(canr, '^#')
+        |         OR regexp_matches(canr, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+        |    ELSE sch || '://' || hst ||
+        |         (CASE WHEN pth = '' THEN '/'
+        |               ELSE regexp_replace(pth, '[^/]*$', '') END) ||
+        |         canr END, '#.*', ''), '') AS canonical_url,
+        |  regexp_replace(regexp_extract(html,
+        |    '(?i)<html\s[^>]*\blang\s*=\s*("[^">]*"|''[^''>]*'')', 1),
+        |    '^["'']|["'']$', '', 'g') AS html_lang,
         |  regexp_matches(regexp_extract(html,
-        |    '(?i)<meta\s[^>]*name\s*=\s*["'']robots["''][^>]*>', 0),
-        |    '(?i)\bcontent\s*=\s*["''][^"'']*\bnoindex\b') AS noindex
-        |FROM m""".stripMargin) {
+        |    '(?i)<meta\s[^>]*name\s*=\s*("robots"|''robots'')[^>]*>', 0),
+        |    '(?i)\bcontent\s*=\s*("[^">]*\bnoindex|''[^''>]*\bnoindex)') AS noindex
+        |FROM x""".stripMargin) {
       (s, d) => {
         val did = col("doc_id")
         val ds = did.cast("string")
+        val uri = concat(lit("http://h"), pmod(did, lit(19)).cast("string"),
+          lit(".example.org/p/"), ds)
         val html = concat(
           lit("<html lang=\""), col("lang"), lit("\"><head><title>  Doc "),
           ds, lit("\n - "), col("source"), lit("  </title>"),
           when(pmod(did, lit(4)) === 0,
-            concat(lit("<meta name=\"description\" content=\"summary of doc "),
-              ds, lit("\">"))).otherwise(lit("")),
+            concat(lit("<meta name=\"description\" content=\"doc "),
+              ds, lit("'s summary\">"))).otherwise(lit("")),
           when(pmod(did, lit(5)) === 0,
             lit("<meta content=\"noindex, follow\" name=\"robots\">"))
             .otherwise(lit("")),
           when(pmod(did, lit(3)) === 0,
             concat(lit("<link rel=\"canonical\" href=\"http://canon.example/c/"),
               (did - pmod(did, lit(3))).cast("string"), lit("\">")))
+            .when(pmod(did, lit(3)) === 1,
+              concat(lit("<link rel=\"canonical\" href=\"/c/"), ds, lit("\">")))
+            .when(pmod(did, lit(6)) === 2,
+              concat(lit("<link rel='canonical' href='c"), ds, lit("'>")))
             .otherwise(lit("")),
           lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
         Tables.documents(s, d)
-          .select(did, WebGraph.pageMeta(html).as("m"))
+          .select(did, WebGraph.pageMeta(uri, html).as("m"))
           .select(col("doc_id"), col("m.title"), col("m.meta_description"),
             col("m.canonical_url"), col("m.html_lang"), col("m.noindex"))
       }
@@ -339,27 +384,42 @@ object WebGraphQueries {
               }
               ()
           }.start()
-        try { q.processAllAvailable(); wave(1, 4); q.processAllAvailable() }
-        finally q.stop()
+        // wave boundary = the max batch id OBSERVED between the two
+        // processAllAvailable calls — correct even if the source ever
+        // splits a wave across several micro-batches (labeling by
+        // "bid == min" would silently mislabel a second wave-0 batch)
+        val wave0MaxBid =
+          try {
+            q.processAllAvailable()
+            val b = buf.synchronized { if (buf.isEmpty) -1L else buf.map(_._1).max }
+            wave(1, 4); q.processAllAvailable()
+            b
+          } finally q.stop()
         val snapshot = buf.synchronized { buf.toList }
-        val firstBatch = snapshot.map(_._1).min
         snapshot.map { case (bid, docId, linkNo, url, nf) =>
-          (docId, linkNo, url, nf, if (bid == firstBatch) 0L else 1L) }
+          (docId, linkNo, url, nf, if (bid <= wave0MaxBid) 0L else 1L) }
           .toDF("doc_id", "link_no", "url", "nofollow", "wave")
       }
     },
 
     // ROBOTS.TXT EVALUATION (RFC 9309 core — the crawl politeness
     // filter): per-host robots bodies are parsed relationally (line
-    // split → key/value → consecutive-User-agent grouping → exact-
-    // token-else-* group selection → wildcard/anchor pattern
+    // split → key/value → consecutive-User-agent grouping →
+    // longest-prefix-else-* group selection → wildcard/anchor pattern
     // compilation), then every URL gets its longest-match verdict
-    // (allow beats disallow on ties). Hosts on the k%3==2 residue
-    // have NO graftbot group and fall to *; the /a.b/ rule exercises
-    // literal-dot escaping, /*.tmp$ the wildcard+anchor compile, and
-    // the ?q=1 path the path+query decision input. The oracle replays
-    // the ENTIRE funnel — parse windows, selection, regex compile,
-    // match, winner window — in SQL.
+    // (allow beats disallow on ties). All three RFC selection tiers
+    // are exercised: k%3!=2 hosts carry the exact `graftbot` group
+    // (longest possible prefix — beats the `graft` group where both
+    // exist); k%3==2 ∧ k odd hosts carry only the `graft` PREFIX
+    // group (beats *); k%3==2 ∧ k even hosts fall through to *.
+    // k%5==0 hosts also carry a `graftbot-news` group with
+    // `Disallow: /` — NOT a prefix of the product token `graftbot`,
+    // so selecting it anywhere flips every verdict on those hosts:
+    // the negative control. The /a.b/ rule exercises literal-dot
+    // escaping, /*.tmp$ the wildcard+anchor compile, and the ?q=1
+    // path the path+query decision input. The oracle replays the
+    // ENTIRE funnel — parse windows, selection, regex compile, match,
+    // winner window — in SQL.
     QueryDef.sql("q250_robots_eval",
       """WITH hosts AS (SELECT DISTINCT (doc_id % 19) AS k FROM documents),
         |rob AS (
@@ -369,6 +429,12 @@ object WebGraphQueries {
         |      'Disallow: /private' || k || '/' || chr(10) ||
         |      'Allow: /private' || k || '/ok/' || chr(10) ||
         |      'Disallow: /*.tmp$' || chr(10) || chr(10) ELSE '' END ||
+        |    CASE WHEN k % 3 <> 2 OR k % 2 = 1 THEN
+        |      'User-agent: graft' || chr(10) ||
+        |      'Disallow: /graftonly/' || chr(10) || chr(10) ELSE '' END ||
+        |    CASE WHEN k % 5 = 0 THEN
+        |      'User-agent: graftbot-news' || chr(10) ||
+        |      'Disallow: /' || chr(10) || chr(10) ELSE '' END ||
         |    'User-agent: *' || chr(10) ||
         |    'Disallow: /all/' || chr(10) ||
         |    CASE WHEN k % 4 = 1 THEN 'Disallow: /a.b/' || chr(10)
@@ -401,12 +467,15 @@ object WebGraphQueries {
         |           WHERE key = 'user-agent' AND g >= 1),
         |rules0 AS (SELECT host, g, key AS rule, val AS path FROM grps
         |           WHERE key <> 'user-agent' AND val <> '' AND g >= 1),
-        |hx AS (SELECT DISTINCT host FROM agents WHERE agent = 'graftbot'),
+        |mt AS (SELECT host, g, length(agent) AS alen FROM agents
+        |       WHERE agent <> '' AND starts_with('graftbot', agent)),
+        |mx AS (SELECT host, max(alen) AS m FROM mt GROUP BY host),
         |sel AS (
+        |  SELECT DISTINCT mt.host, mt.g FROM mt
+        |  JOIN mx ON mt.host = mx.host AND mt.alen = mx.m
+        |  UNION
         |  SELECT DISTINCT a.host, a.g FROM agents a
-        |  LEFT JOIN hx ON a.host = hx.host
-        |  WHERE CASE WHEN hx.host IS NOT NULL THEN a.agent = 'graftbot'
-        |        ELSE a.agent = '*' END),
+        |  WHERE a.agent = '*' AND a.host NOT IN (SELECT host FROM mt)),
         |dirs AS (
         |  SELECT r.host, r.rule, r.path,
         |    '^' || regexp_replace(regexp_replace(regexp_replace(r.path,
@@ -425,7 +494,9 @@ object WebGraphQueries {
         |        WHEN 2 THEN '/tmp/doc' || doc_id || '.tmp'
         |        WHEN 3 THEN '/all/doc' || doc_id
         |        WHEN 4 THEN '/a.b/doc' || doc_id
-        |        ELSE '/clean/doc' || doc_id || '?q=1' END AS p
+        |        ELSE CASE WHEN doc_id % 12 = 5
+        |          THEN '/graftonly/doc' || doc_id
+        |          ELSE '/clean/doc' || doc_id || '?q=1' END END AS p
         |    FROM documents) y),
         |hits AS (
         |  SELECT u.doc_id, u.url, u.host, d.rule, d.path AS rpath,
@@ -463,6 +534,13 @@ object WebGraphQueries {
                 lit("Allow: /private"), col("__k").cast("string"),
                 lit("/ok/"), nl,
                 lit("Disallow: /*.tmp$"), nl, nl)).otherwise(lit("")),
+              when(pmod(col("__k"), lit(3)) =!= 2 ||
+                pmod(col("__k"), lit(2)) === 1, concat(
+                lit("User-agent: graft"), nl,
+                lit("Disallow: /graftonly/"), nl, nl)).otherwise(lit("")),
+              when(pmod(col("__k"), lit(5)) === 0, concat(
+                lit("User-agent: graftbot-news"), nl,
+                lit("Disallow: /"), nl, nl)).otherwise(lit("")),
               lit("User-agent: *"), nl,
               lit("Disallow: /all/"), nl,
               when(pmod(col("__k"), lit(4)) === 1,
@@ -476,6 +554,7 @@ object WebGraphQueries {
             concat(lit("/tmp/doc"), ds, lit(".tmp")))
           .when(pmod(did, lit(6)) === 3, concat(lit("/all/doc"), ds))
           .when(pmod(did, lit(6)) === 4, concat(lit("/a.b/doc"), ds))
+          .when(pmod(did, lit(12)) === 5, concat(lit("/graftonly/doc"), ds))
           .otherwise(concat(lit("/clean/doc"), ds, lit("?q=1")))
         val urls = Tables.documents(s, d).select(did,
           concat(lit("http://h"), ks, lit(".example.org"), path).as("url"))

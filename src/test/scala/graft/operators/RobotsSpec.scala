@@ -50,6 +50,39 @@ class RobotsSpec extends AnyFunSuite {
       ("hb", "disallow", "/blocked/")))
   }
 
+  test("directives: RFC 9309 longest-prefix tier, non-prefix rejection, tie combining") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // prefix group (graft ⊏ graftbot) beats the * fallback
+      ("hp", "User-agent: graft\nDisallow: /g/\n\nUser-agent: *\nDisallow: /s/"),
+      // exact match is the longest prefix — beats the shorter prefix group
+      ("hq", "User-agent: graft\nDisallow: /g/\n\nUser-agent: graftbot\nDisallow: /x/"),
+      // graftbot-news is NOT a prefix of the token graftbot -> falls to *
+      ("hr", "User-agent: graftbot-news\nDisallow: /news/\n\nUser-agent: *\nDisallow: /s/"),
+      // two groups tie at the winning length -> combined (RFC 9309)
+      ("ht", "User-agent: graftbot\nDisallow: /1/\n\nUser-agent: GRAFTBOT\nDisallow: /2/")
+    ).toDF("host", "body")
+    val d = Robots.directives(df, "host", col("body"), "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(d === Set(("hp", "/g/"), ("hq", "/x/"), ("hr", "/s/"),
+      ("ht", "/1/"), ("ht", "/2/")))
+  }
+
+  test("directives: duplicate host rows parse independently (union of each body's rules)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("hd", "User-agent: graftbot\nDisallow: /a/"),
+      ("hd", "User-agent: *\nDisallow: /b/")
+    ).toDF("host", "body")
+    val d = Robots.directives(df, "host", col("body"), "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    // row 1 selects its graftbot group, row 2 (no prefix match in ITS
+    // body) selects its * group — deterministic union, no interleaving
+    assert(d === Set(("hd", "/a/"), ("hd", "/b/")))
+  }
+
   test("allowed: longest-match, allow-on-tie-beats, wildcard, anchor, literal dot, missing host") {
     val s = spark
     import s.implicits._

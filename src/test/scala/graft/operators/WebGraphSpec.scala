@@ -79,28 +79,57 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got(4L)._4 === false)
   }
 
-  test("pageMeta: title normalization, attribute order, absent elements, noindex token") {
+  test("per-quote alternation and bare <a> counting") {
+    val got = links("http://q.example/p",
+      """<a href="/o'brien">1</a><a>bare</a><a href='x"y'>3</a>""")
+    // the bare <a> holds position 2 (provenance), extracted as no-href
+    assert(got.keySet === Set(1L, 3L))
+    // apostrophe inside a double-quoted value is NOT a terminator
+    assert(got(1L)._1 === "/o'brien")
+    assert(got(1L)._2 === "http://q.example/o'brien")
+    // and a double quote inside a single-quoted value is data too
+    assert(got(3L)._1 === "x\"y")
+    assert(got(3L)._2 === "http://q.example/x\"y")
+  }
+
+  test("pageMeta: title normalization, attribute order, absent elements, noindex token, canonical absolutization") {
     val s = spark
     import s.implicits._
     val pages = Seq(
-      (1L, "<html lang=\"en\"><head><title>  A\n  Title  </title>" +
+      (1L, "http://s1.example/p/1",
+        "<html lang=\"en\"><head><title>  A\n  Title  </title>" +
         "<meta content=\"d1\" name=\"description\">" +
         "<meta name=\"robots\" content=\"noindex, follow\">" +
         "<link href=\"http://c.example/x\" rel=\"canonical\">" +
         "</head><body></body></html>"),
-      (2L, "<html><head></head><body>no head metadata</body></html>"),
-      (3L, "<html lang='de'><head>" +
-        "<meta name=\"robots\" content=\"nofollow\"></head></html>")
-    ).toDF("id", "html")
-    val got = pages.select(col("id"), WebGraph.pageMeta(col("html")).as("m"))
+      (2L, "http://s2.example/",
+        "<html><head></head><body>no head metadata</body></html>"),
+      (3L, "http://s3.example/a/b",
+        "<html lang='de'><head>" +
+        "<meta name=\"robots\" content=\"nofollow\"></head></html>"),
+      (4L, "http://p.example/dir/page.html",
+        "<html><head><meta name=\"description\" content=\"world's best\">" +
+        "<link rel=\"canonical\" href=\"art.html\"></head></html>"),
+      (5L, "http://r.example/x",
+        "<html><head><link rel='canonical' href='/canon/5'></head></html>")
+    ).toDF("id", "uri", "html")
+    val got = pages
+      .select(col("id"), WebGraph.pageMeta(col("uri"), col("html")).as("m"))
       .select(col("id"), col("m.*")).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
         r.getString(3), r.getString(4), r.getBoolean(5)))).toMap
-    // newline + space runs collapse; content-before-name meta matches
+    // newline + space runs collapse; content-before-name meta matches;
+    // an absolute canonical passes through unchanged
     assert(got(1L) === (("A Title", "d1", "http://c.example/x", "en", true)))
     assert(got(2L) === (("", "", "", "", false)))
     // robots present but no noindex token
     assert(got(3L) === (("", "", "", "de", false)))
+    // path-relative canonical resolves against the page directory;
+    // apostrophe inside the double-quoted description is data
+    assert(got(4L) === (("", "world's best",
+      "http://p.example/dir/art.html", "", false)))
+    // root-relative, single-quoted canonical
+    assert(got(5L) === (("", "", "http://r.example/canon/5", "", false)))
   }
 
   test("hostEdges: weighted census keeps self-edges") {

@@ -8,11 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * 100 TB streaming job runs the RocksDB provider (bounded executor
   * heap, spill-to-native). The semantics contract is that the provider
   * is a storage detail — identical micro-batch sequence in, identical
-  * rows out. This spec replays two transcript gates (the windowed-
-  * aggregate q213 and the stream-stream join q216 — the heaviest
-  * state users: eviction timers and four stores per partition
-  * respectively) under BOTH providers and asserts row-identical
-  * output, using the bundled rocksdbjni.
+  * rows out. This spec replays ALL SIX transcript gates under BOTH
+  * providers and asserts row-identical output, using the bundled
+  * rocksdbjni — each exercises a distinct store access pattern:
+  * windowed-aggregate eviction timers (q213), mapGroupsWithState
+  * processing-time and event-time timeouts (q214/q215), the
+  * stream-stream join's four stores per partition (q216),
+  * dropDuplicates key-only state (q217), and the never-expiring
+  * flatMapGroupsWithState version store (q218, Update mode without a
+  * watermark).
   */
 class StateStoreProviderSpec extends AnyFunSuite {
 
@@ -46,7 +50,13 @@ class StateStoreProviderSpec extends AnyFunSuite {
     }
   }
 
-  for (gate <- Seq("q213_stream_windowed_counts", "q216_stream_click_to_purchase")) {
+  for (gate <- Seq(
+    "q213_stream_windowed_counts",
+    "q214_stream_sessionize_update",
+    "q215_stream_sessionize_eventtime",
+    "q216_stream_click_to_purchase",
+    "q217_stream_dedup_events",
+    "q218_stream_current_view")) {
     test(s"$gate: RocksDB state store emits rows identical to the default provider") {
       val dflt = underProvider(None)(gate)
       val rocks = underProvider(Some(RocksDb))(gate)
