@@ -117,18 +117,40 @@ object Graphs {
     * first re-executes the chain exponentially and then OOMs the
     * driver merely STRINGIFYING the plan (measured at 4 iterations).
     * The fix is the standard iterative-graph pattern (GraphX's
-    * checkpoint interval): each iteration's score vector is eagerly
+    * checkpoint interval): score vectors are eagerly
     * `localCheckpoint`ed — node-table-sized, executor-stored — which
     * truncates lineage to an RDD scan; production restart-safety
     * would use a reliable checkpoint dir instead.
+    *
+    * `checkpointInterval` = how many HALF-STEPS (raw score vectors; an
+    * iteration has two) run between eager checkpoints. Every skipped
+    * checkpoint trades one materialize-and-store job for recompute:
+    * the lazy vector is re-executed once per downstream fork (×2 per
+    * skipped half-step — the 4^k law above), so the un-truncated span
+    * is capped at 3 half-steps (≤8 subtree copies, well under the
+    * measured stringify/OOM point of 8 spans). MEASURED r11 (PERF.md):
+    * interval 2 never wins — a skipped half-step's vector executes
+    * TWICE (once under the max-aggregate broadcast, again inside the
+    * next checkpoint's materialization), i.e. 3 edge joins per
+    * iteration instead of 2, which outweighs the saved node-vector
+    * write at every scale tried: q232 medians 8.4 s (interval 1) vs
+    * 9.2 s (interval 2) at sf0.1, 30× soak medians 27.6 s vs 29.0 s
+    * at 476k nodes, and the 19-node q247 a wash within noise. Hence
+    * the default 1 (checkpoint every half-step); the lever stays for
+    * exotic shapes (e.g. a store-constrained executor where vector
+    * writes are the bottleneck), bounded by the lineage guard.
     *
     * Returns (node, authority_micro, hub_micro).
     */
   def hitsMicro(edges: DataFrame, srcCol: String = "src",
                 dstCol: String = "dst", iterations: Int = 4,
-                massMicro: Long = 1000000L): DataFrame = {
+                massMicro: Long = 1000000L,
+                checkpointInterval: Int = 1): DataFrame = {
     require(iterations >= 1, s"iterations must be positive, got $iterations")
     require(massMicro > 0, s"massMicro must be positive, got $massMicro")
+    require(checkpointInterval >= 1 && checkpointInterval <= 3,
+      s"checkpointInterval must be in [1, 3] (4^k lineage growth per " +
+        s"skipped half-step — see scaladoc), got $checkpointInterval")
     val e = CacheRegistry.register(
       edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -138,34 +160,41 @@ object Graphs {
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct().repartition(col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK))
+    val sc = edges.sparkSession.sparkContext
+    // checkpoint-block lifecycle (the connectedComponents pattern):
+    // an eager localCheckpoint's blocks ARE its data. A lazy span
+    // never reaches past the previous checkpoint, and the returned
+    // a⋈h frame reads at most the last TWO checkpoints (h is the
+    // last; a's lazy chain ends at the one before), so a checkpoint
+    // is freed once two newer ones exist; the final two are handed to
+    // [[CacheRegistry]] for the caller to release after consuming.
+    // Ids are read off each frame's own plan (PlanShim), never by
+    // diffing global getPersistentRDDs — a set-diff races against
+    // concurrent queries persisting RDDs on the shared context.
+    val live = scala.collection.mutable.Queue.empty[Int]
+    var sinceCkpt = 0
+    def maybeCheckpoint(df: DataFrame, force: Boolean): DataFrame = {
+      sinceCkpt += 1
+      if (sinceCkpt < checkpointInterval && !force) df
+      else {
+        sinceCkpt = 0
+        val c = df.localCheckpoint(true)
+        live += PlanShim.checkpointedRddId(c)
+        while (live.size > 2)
+          sc.getPersistentRDDs.get(live.dequeue()).foreach(_.unpersist(false))
+        c
+      }
+    }
     var h = nodes.select(col("node"), lit(massMicro).as("h"))
     var a = nodes.select(col("node"), lit(0L).as("a")) // replaced in iter 1
-    // checkpoint-block lifecycle (the connectedComponents pattern):
-    // each eager localCheckpoint's blocks ARE its data; a raw vector
-    // has exactly one downstream consumer (the next raw vector's
-    // materialization), so it is freed the moment that consumer
-    // checkpoint lands — except the LAST a/h pair, which backs the
-    // returned frame and is handed to [[CacheRegistry]] for the
-    // caller to release after consuming the result.
-    val sc = edges.sparkSession.sparkContext
-    // checkpoint ids read off each frame's own plan (PlanShim), never
-    // by diffing global getPersistentRDDs — a set-diff races against
-    // concurrent queries persisting RDDs on the shared context
-    var prevH = -1
-    var lastA = -1
     for (i <- 1 to iterations) {
-      // eager localCheckpoint: the raw frame feeds both the scalar
-      // max and the normalize — checkpointing here keeps the lineage
-      // linear (see scaladoc) and computes each raw vector once
       val rawA0 = nodes
         .join(e.join(h.withColumnRenamed("node", "src"), Seq("src"))
           .groupBy(col("dst").as("node")).agg(sum("h").as("__s")),
           Seq("node"), "left_outer")
         .select(col("node"), coalesce(col("__s"), lit(0L)).as("__r"))
       graft.TriggerPlanProbe.recordIter("hits_micro_auth", rawA0)
-      val rawA = rawA0.localCheckpoint(true)
-      val newA = PlanShim.checkpointedRddId(rawA)
-      if (prevH >= 0) sc.getPersistentRDDs.get(prevH).foreach(_.unpersist(false))
+      val rawA = maybeCheckpoint(rawA0, force = false)
       val ma = rawA.agg(max("__r").as("__m"))
       a = rawA.crossJoin(broadcast(ma))
         .select(col("node"), expr(s"($massMicro * __r) div __m").as("a"))
@@ -175,17 +204,14 @@ object Graphs {
           Seq("node"), "left_outer")
         .select(col("node"), coalesce(col("__s"), lit(0L)).as("__r"))
       graft.TriggerPlanProbe.recordIter("hits_micro_hub", rawH0)
-      val rawH = rawH0.localCheckpoint(true)
-      val newH = PlanShim.checkpointedRddId(rawH)
-      if (i < iterations)
-        sc.getPersistentRDDs.get(newA).foreach(_.unpersist(false))
-      else lastA = newA
+      // the last hub vector is always checkpointed: it backs the
+      // returned frame and bounds the final a⋈h plan
+      val rawH = maybeCheckpoint(rawH0, force = i == iterations)
       val mh = rawH.agg(max("__r").as("__m"))
       h = rawH.crossJoin(broadcast(mh))
         .select(col("node"), expr(s"($massMicro * __r) div __m").as("h"))
-      prevH = newH
     }
-    CacheRegistry.registerRddIds(sc, Seq(lastA, prevH).filter(_ >= 0))
+    CacheRegistry.registerRddIds(sc, live.toSeq)
     a.join(h, Seq("node"))
       .select(col("node"), col("a").cast("long").as("authority_micro"),
         col("h").cast("long").as("hub_micro"))
