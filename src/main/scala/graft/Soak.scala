@@ -336,6 +336,58 @@ object Soak {
         operators.Robots.allowed(urls, "doc_id", col("url"),
           robots, "host", col("body"))
       },
+      "crawl_politeness" -> { d: String =>
+        // q251's composition at scale, minus the WARC cycle (WARC I/O
+        // cost is the warc_* shapes' job): robots verdict (997-host
+        // broadcast dim + URL-keyed winner window) + noindex regex +
+        // markup strip + token gate + exact-dedup census over only
+        // the indexable docs. Expected scan-bound: two narrow regex
+        // passes, one md5 census shuffle, one census join.
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        val did = col("doc_id")
+        val k = pmod(did, lit(997))
+        val pages = docs.select(did,
+          concat(lit("http://h"), k.cast("string"), lit(".example.org"),
+            when(pmod(did, lit(3)) === 0,
+              concat(lit("/private"), k.cast("string"), lit("/doc")))
+              .otherwise(lit("/doc")), did.cast("string")).as("url"),
+          concat(lit("<html><head>"),
+            when(pmod(did, lit(5)) === 0,
+              lit("<meta content=\"noindex\" name=\"robots\">"))
+              .otherwise(lit("")),
+            lit("</head><body><p>"), col("text"),
+            lit("</p><script>var x = 1;</script></body></html>")).as("raw"))
+        val pagesP = operators.CacheRegistry.register(
+          pages.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val nl = lit("\n")
+        val robots = spark.range(997).select(
+          concat(lit("h"), col("id").cast("string"), lit(".example.org"))
+            .as("host"),
+          concat(lit("User-agent: graftbot"), nl,
+            lit("Disallow: /private"), col("id").cast("string"), lit("/"), nl,
+            lit("User-agent: *"), nl, lit("Disallow: /all/"), nl).as("body"))
+        val verd = operators.Robots.allowed(
+          pagesP.select("doc_id", "url"), "doc_id", col("url"),
+          robots, "host", col("body"))
+          .select(col("doc_id"), col("allowed"))
+        val scored = pagesP.select(did,
+          operators.WebGraph.pageMeta(col("url"), col("raw"))
+            .getField("noindex").as("noindex"),
+          graft.functions.TextFunctions.stripMarkup(col("raw")).as("clean"))
+          .withColumn("n_tokens",
+            graft.functions.TextFunctions.tokenCount(col("clean")))
+        val joined = scored.join(verd, Seq("doc_id"))
+          .withColumn("indexable", col("allowed") && !col("noindex"))
+        val census = joined.filter(col("indexable"))
+          .groupBy(md5(col("clean")).as("__dig"))
+          .agg(min("doc_id").as("__keep"))
+        joined.join(census,
+            md5(col("clean")) === col("__dig") && col("indexable"),
+            "left_outer")
+          .select(did, col("allowed"), col("noindex"), col("n_tokens"),
+            when(col("indexable"), did === col("__keep") &&
+              col("n_tokens") >= 30).otherwise(lit(false)).as("kept"))
+      },
       "warc_stream_ingest" -> { d: String =>
         // q229's LIVE two-wave streaming ingest at scale: wave A (12
         // shard files) is the initial batch, wave B (4 files, names

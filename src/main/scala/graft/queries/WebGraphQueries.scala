@@ -151,6 +151,141 @@ object WebGraphQueries {
   private def hostName(node: Column): Column =
     concat(lit("h"), node.cast("string"), lit(".example.org"))
 
+  /** Oracle CTE chain `hosts`→`rob`→`lines`→…→`dirs` shared by q250
+    * and the q251 composition: the synthetic per-host robots bodies
+    * (all three RFC 9309 selection tiers represented — see q250's
+    * comment) and the full parse/group/select/compile funnel, ending
+    * in the effective (host, rule, path, pattern) directive set for
+    * the `graftbot` product token.
+    */
+  private val robotsDirsCtes: String =
+    """hosts AS (SELECT DISTINCT (doc_id % 19) AS k FROM documents),
+      |rob AS (
+      |  SELECT 'h' || k || '.example.org' AS host,
+      |    '# robots for h' || k || chr(10) ||
+      |    CASE WHEN k % 3 <> 2 THEN 'User-agent: graftbot' || chr(10) ||
+      |      'Disallow: /private' || k || '/' || chr(10) ||
+      |      'Allow: /private' || k || '/ok/' || chr(10) ||
+      |      'Disallow: /*.tmp$' || chr(10) || chr(10) ELSE '' END ||
+      |    CASE WHEN k % 3 <> 2 OR k % 2 = 1 THEN
+      |      'User-agent: graft' || chr(10) ||
+      |      'Disallow: /graftonly/' || chr(10) || chr(10) ELSE '' END ||
+      |    CASE WHEN k % 5 = 0 THEN
+      |      'User-agent: graftbot-news' || chr(10) ||
+      |      'Disallow: /' || chr(10) || chr(10) ELSE '' END ||
+      |    'User-agent: *' || chr(10) ||
+      |    'Disallow: /all/' || chr(10) ||
+      |    CASE WHEN k % 4 = 1 THEN 'Disallow: /a.b/' || chr(10)
+      |         ELSE '' END AS body
+      |  FROM hosts),
+      |lines AS (
+      |  SELECT host,
+      |    unnest(generate_series(1, len(ln))) AS pos,
+      |    unnest(ln) AS line
+      |  FROM (SELECT host, regexp_split_to_array(body, chr(10)) AS ln
+      |        FROM rob) x),
+      |kv AS (
+      |  SELECT host, pos,
+      |    lower(trim(regexp_extract(regexp_replace(line, '#.*', ''),
+      |      '^\s*([A-Za-z-]+)\s*:', 1))) AS key,
+      |    trim(regexp_extract(regexp_replace(line, '#.*', ''),
+      |      '^\s*[A-Za-z-]+\s*:(.*)$', 1)) AS val
+      |  FROM lines),
+      |kept AS (SELECT * FROM kv
+      |         WHERE key IN ('user-agent', 'allow', 'disallow')),
+      |marks AS (
+      |  SELECT *, CASE WHEN key = 'user-agent' AND NOT coalesce(
+      |      lag(key = 'user-agent') OVER (PARTITION BY host ORDER BY pos),
+      |      false) THEN 1 ELSE 0 END AS st
+      |  FROM kept),
+      |grps AS (
+      |  SELECT *, sum(st) OVER (PARTITION BY host ORDER BY pos) AS g
+      |  FROM marks),
+      |agents AS (SELECT host, g, lower(val) AS agent FROM grps
+      |           WHERE key = 'user-agent' AND g >= 1),
+      |rules0 AS (SELECT host, g, key AS rule, val AS path FROM grps
+      |           WHERE key <> 'user-agent' AND val <> '' AND g >= 1),
+      |mt AS (SELECT host, g, length(agent) AS alen FROM agents
+      |       WHERE agent <> '' AND starts_with('graftbot', agent)),
+      |mx AS (SELECT host, max(alen) AS m FROM mt GROUP BY host),
+      |sel AS (
+      |  SELECT DISTINCT mt.host, mt.g FROM mt
+      |  JOIN mx ON mt.host = mx.host AND mt.alen = mx.m
+      |  UNION
+      |  SELECT DISTINCT a.host, a.g FROM agents a
+      |  WHERE a.agent = '*' AND a.host NOT IN (SELECT host FROM mt)),
+      |dirs AS (
+      |  SELECT r.host, r.rule, r.path,
+      |    '^' || regexp_replace(regexp_replace(regexp_replace(r.path,
+      |        '([.\\+?*()\[\]{}|^$])', '\\\1', 'g'),
+      |        '\\\*', '.*', 'g'),
+      |        '\\\$$', '$') AS pattern
+      |  FROM rules0 r JOIN sel ON sel.host = r.host AND sel.g = r.g)""".stripMargin
+
+  /** The SQL twin of [[urlPath]] — the per-doc decision path (q250's
+    * residue classes; %6==5 splits into /graftonly/ and the ?q=1
+    * query-string case on %12).
+    */
+  private val urlPathSql: String =
+    """CASE doc_id % 6
+      |        WHEN 0 THEN '/private' || (doc_id % 19) || '/doc' || doc_id
+      |        WHEN 1 THEN '/private' || (doc_id % 19) || '/ok/doc' || doc_id
+      |        WHEN 2 THEN '/tmp/doc' || doc_id || '.tmp'
+      |        WHEN 3 THEN '/all/doc' || doc_id
+      |        WHEN 4 THEN '/a.b/doc' || doc_id
+      |        ELSE CASE WHEN doc_id % 12 = 5
+      |          THEN '/graftonly/doc' || doc_id
+      |          ELSE '/clean/doc' || doc_id || '?q=1' END END""".stripMargin
+
+  /** The synthetic per-host robots table (host, body) — Spark twin of
+    * the `hosts`→`rob` CTEs in [[robotsDirsCtes]].
+    */
+  private def robotsFixture(s: SparkSession, d: String): DataFrame = {
+    val nl = lit("\n")
+    Tables.documents(s, d).select(pmod(col("doc_id"), lit(19)).as("__k"))
+      .distinct()
+      .select(
+        concat(lit("h"), col("__k").cast("string"), lit(".example.org"))
+          .as("host"),
+        concat(
+          lit("# robots for h"), col("__k").cast("string"), nl,
+          when(pmod(col("__k"), lit(3)) =!= 2, concat(
+            lit("User-agent: graftbot"), nl,
+            lit("Disallow: /private"), col("__k").cast("string"),
+            lit("/"), nl,
+            lit("Allow: /private"), col("__k").cast("string"),
+            lit("/ok/"), nl,
+            lit("Disallow: /*.tmp$"), nl, nl)).otherwise(lit("")),
+          when(pmod(col("__k"), lit(3)) =!= 2 ||
+            pmod(col("__k"), lit(2)) === 1, concat(
+            lit("User-agent: graft"), nl,
+            lit("Disallow: /graftonly/"), nl, nl)).otherwise(lit("")),
+          when(pmod(col("__k"), lit(5)) === 0, concat(
+            lit("User-agent: graftbot-news"), nl,
+            lit("Disallow: /"), nl, nl)).otherwise(lit("")),
+          lit("User-agent: *"), nl,
+          lit("Disallow: /all/"), nl,
+          when(pmod(col("__k"), lit(4)) === 1,
+            concat(lit("Disallow: /a.b/"), nl)).otherwise(lit("")))
+          .as("body"))
+  }
+
+  /** The per-doc decision path — Spark twin of [[urlPathSql]]. */
+  private def urlPath(did: Column): Column = {
+    val ks = pmod(did, lit(19)).cast("string")
+    val ds = did.cast("string")
+    when(pmod(did, lit(6)) === 0,
+      concat(lit("/private"), ks, lit("/doc"), ds))
+      .when(pmod(did, lit(6)) === 1,
+        concat(lit("/private"), ks, lit("/ok/doc"), ds))
+      .when(pmod(did, lit(6)) === 2,
+        concat(lit("/tmp/doc"), ds, lit(".tmp")))
+      .when(pmod(did, lit(6)) === 3, concat(lit("/all/doc"), ds))
+      .when(pmod(did, lit(6)) === 4, concat(lit("/a.b/doc"), ds))
+      .when(pmod(did, lit(12)) === 5, concat(lit("/graftonly/doc"), ds))
+      .otherwise(concat(lit("/clean/doc"), ds, lit("?q=1")))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // WAT OUTLINK EXTRACTION through a REAL WARC cycle: pages staged
@@ -421,145 +556,37 @@ object WebGraphQueries {
     // ENTIRE funnel — parse windows, selection, regex compile, match,
     // winner window — in SQL.
     QueryDef.sql("q250_robots_eval",
-      """WITH hosts AS (SELECT DISTINCT (doc_id % 19) AS k FROM documents),
-        |rob AS (
-        |  SELECT 'h' || k || '.example.org' AS host,
-        |    '# robots for h' || k || chr(10) ||
-        |    CASE WHEN k % 3 <> 2 THEN 'User-agent: graftbot' || chr(10) ||
-        |      'Disallow: /private' || k || '/' || chr(10) ||
-        |      'Allow: /private' || k || '/ok/' || chr(10) ||
-        |      'Disallow: /*.tmp$' || chr(10) || chr(10) ELSE '' END ||
-        |    CASE WHEN k % 3 <> 2 OR k % 2 = 1 THEN
-        |      'User-agent: graft' || chr(10) ||
-        |      'Disallow: /graftonly/' || chr(10) || chr(10) ELSE '' END ||
-        |    CASE WHEN k % 5 = 0 THEN
-        |      'User-agent: graftbot-news' || chr(10) ||
-        |      'Disallow: /' || chr(10) || chr(10) ELSE '' END ||
-        |    'User-agent: *' || chr(10) ||
-        |    'Disallow: /all/' || chr(10) ||
-        |    CASE WHEN k % 4 = 1 THEN 'Disallow: /a.b/' || chr(10)
-        |         ELSE '' END AS body
-        |  FROM hosts),
-        |lines AS (
-        |  SELECT host,
-        |    unnest(generate_series(1, len(ln))) AS pos,
-        |    unnest(ln) AS line
-        |  FROM (SELECT host, regexp_split_to_array(body, chr(10)) AS ln
-        |        FROM rob) x),
-        |kv AS (
-        |  SELECT host, pos,
-        |    lower(trim(regexp_extract(regexp_replace(line, '#.*', ''),
-        |      '^\s*([A-Za-z-]+)\s*:', 1))) AS key,
-        |    trim(regexp_extract(regexp_replace(line, '#.*', ''),
-        |      '^\s*[A-Za-z-]+\s*:(.*)$', 1)) AS val
-        |  FROM lines),
-        |kept AS (SELECT * FROM kv
-        |         WHERE key IN ('user-agent', 'allow', 'disallow')),
-        |marks AS (
-        |  SELECT *, CASE WHEN key = 'user-agent' AND NOT coalesce(
-        |      lag(key = 'user-agent') OVER (PARTITION BY host ORDER BY pos),
-        |      false) THEN 1 ELSE 0 END AS st
-        |  FROM kept),
-        |grps AS (
-        |  SELECT *, sum(st) OVER (PARTITION BY host ORDER BY pos) AS g
-        |  FROM marks),
-        |agents AS (SELECT host, g, lower(val) AS agent FROM grps
-        |           WHERE key = 'user-agent' AND g >= 1),
-        |rules0 AS (SELECT host, g, key AS rule, val AS path FROM grps
-        |           WHERE key <> 'user-agent' AND val <> '' AND g >= 1),
-        |mt AS (SELECT host, g, length(agent) AS alen FROM agents
-        |       WHERE agent <> '' AND starts_with('graftbot', agent)),
-        |mx AS (SELECT host, max(alen) AS m FROM mt GROUP BY host),
-        |sel AS (
-        |  SELECT DISTINCT mt.host, mt.g FROM mt
-        |  JOIN mx ON mt.host = mx.host AND mt.alen = mx.m
-        |  UNION
-        |  SELECT DISTINCT a.host, a.g FROM agents a
-        |  WHERE a.agent = '*' AND a.host NOT IN (SELECT host FROM mt)),
-        |dirs AS (
-        |  SELECT r.host, r.rule, r.path,
-        |    '^' || regexp_replace(regexp_replace(regexp_replace(r.path,
-        |        '([.\\+?*()\[\]{}|^$])', '\\\1', 'g'),
-        |        '\\\*', '.*', 'g'),
-        |        '\\\$$', '$') AS pattern
-        |  FROM rules0 r JOIN sel ON sel.host = r.host AND sel.g = r.g),
-        |urls AS (
-        |  SELECT doc_id,
-        |    'http://h' || (doc_id % 19) || '.example.org' || p AS url,
-        |    'h' || (doc_id % 19) || '.example.org' AS host, p
-        |  FROM (SELECT doc_id,
-        |      CASE doc_id % 6
-        |        WHEN 0 THEN '/private' || (doc_id % 19) || '/doc' || doc_id
-        |        WHEN 1 THEN '/private' || (doc_id % 19) || '/ok/doc' || doc_id
-        |        WHEN 2 THEN '/tmp/doc' || doc_id || '.tmp'
-        |        WHEN 3 THEN '/all/doc' || doc_id
-        |        WHEN 4 THEN '/a.b/doc' || doc_id
-        |        ELSE CASE WHEN doc_id % 12 = 5
-        |          THEN '/graftonly/doc' || doc_id
-        |          ELSE '/clean/doc' || doc_id || '?q=1' END END AS p
-        |    FROM documents) y),
-        |hits AS (
-        |  SELECT u.doc_id, u.url, u.host, d.rule, d.path AS rpath,
-        |    d.pattern IS NOT NULL AND regexp_matches(u.p, d.pattern) AS m,
-        |    length(d.path) AS plen
-        |  FROM urls u LEFT JOIN dirs d ON d.host = u.host),
-        |win AS (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY
-        |      CASE WHEN m THEN plen ELSE -1 END DESC,
-        |      CASE WHEN rule = 'allow' THEN 1 ELSE 0 END DESC,
-        |      rpath ASC NULLS LAST) AS rn
-        |  FROM hits)
-        |SELECT doc_id, url, host,
-        |  (NOT m) OR rule = 'allow' AS allowed,
-        |  CASE WHEN m THEN rule END AS rule,
-        |  CASE WHEN m THEN rpath END AS rule_path
-        |FROM win WHERE rn = 1""".stripMargin) {
+      s"""WITH $robotsDirsCtes,
+         |urls AS (
+         |  SELECT doc_id,
+         |    'http://h' || (doc_id % 19) || '.example.org' || p AS url,
+         |    'h' || (doc_id % 19) || '.example.org' AS host, p
+         |  FROM (SELECT doc_id,
+         |      $urlPathSql AS p
+         |    FROM documents) y),
+         |hits AS (
+         |  SELECT u.doc_id, u.url, u.host, d.rule, d.path AS rpath,
+         |    d.pattern IS NOT NULL AND regexp_matches(u.p, d.pattern) AS m,
+         |    length(d.path) AS plen
+         |  FROM urls u LEFT JOIN dirs d ON d.host = u.host),
+         |win AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY
+         |      CASE WHEN m THEN plen ELSE -1 END DESC,
+         |      CASE WHEN rule = 'allow' THEN 1 ELSE 0 END DESC,
+         |      rpath ASC NULLS LAST) AS rn
+         |  FROM hits)
+         |SELECT doc_id, url, host,
+         |  (NOT m) OR rule = 'allow' AS allowed,
+         |  CASE WHEN m THEN rule END AS rule,
+         |  CASE WHEN m THEN rpath END AS rule_path
+         |FROM win WHERE rn = 1""".stripMargin) {
       (s, d) => {
-        import s.implicits._
         val did = col("doc_id")
-        val k = pmod(did, lit(19))
-        val ks = k.cast("string")
-        val ds = did.cast("string")
-        val nl = lit("\n")
-        val robots = Tables.documents(s, d).select(k.as("__k")).distinct()
-          .select(
-            concat(lit("h"), col("__k").cast("string"), lit(".example.org"))
-              .as("host"),
-            concat(
-              lit("# robots for h"), col("__k").cast("string"), nl,
-              when(pmod(col("__k"), lit(3)) =!= 2, concat(
-                lit("User-agent: graftbot"), nl,
-                lit("Disallow: /private"), col("__k").cast("string"),
-                lit("/"), nl,
-                lit("Allow: /private"), col("__k").cast("string"),
-                lit("/ok/"), nl,
-                lit("Disallow: /*.tmp$"), nl, nl)).otherwise(lit("")),
-              when(pmod(col("__k"), lit(3)) =!= 2 ||
-                pmod(col("__k"), lit(2)) === 1, concat(
-                lit("User-agent: graft"), nl,
-                lit("Disallow: /graftonly/"), nl, nl)).otherwise(lit("")),
-              when(pmod(col("__k"), lit(5)) === 0, concat(
-                lit("User-agent: graftbot-news"), nl,
-                lit("Disallow: /"), nl, nl)).otherwise(lit("")),
-              lit("User-agent: *"), nl,
-              lit("Disallow: /all/"), nl,
-              when(pmod(col("__k"), lit(4)) === 1,
-                concat(lit("Disallow: /a.b/"), nl)).otherwise(lit("")))
-              .as("body"))
-        val path = when(pmod(did, lit(6)) === 0,
-          concat(lit("/private"), ks, lit("/doc"), ds))
-          .when(pmod(did, lit(6)) === 1,
-            concat(lit("/private"), ks, lit("/ok/doc"), ds))
-          .when(pmod(did, lit(6)) === 2,
-            concat(lit("/tmp/doc"), ds, lit(".tmp")))
-          .when(pmod(did, lit(6)) === 3, concat(lit("/all/doc"), ds))
-          .when(pmod(did, lit(6)) === 4, concat(lit("/a.b/doc"), ds))
-          .when(pmod(did, lit(12)) === 5, concat(lit("/graftonly/doc"), ds))
-          .otherwise(concat(lit("/clean/doc"), ds, lit("?q=1")))
         val urls = Tables.documents(s, d).select(did,
-          concat(lit("http://h"), ks, lit(".example.org"), path).as("url"))
+          concat(lit("http://h"), pmod(did, lit(19)).cast("string"),
+            lit(".example.org"), urlPath(did)).as("url"))
         graft.operators.Robots.allowed(urls, "doc_id", col("url"),
-          robots, "host", col("body"), agent = "graftbot")
+          robotsFixture(s, d), "host", col("body"), agent = "graftbot")
       }
     },
 
@@ -599,6 +626,155 @@ object WebGraphQueries {
         Graphs.hitsMicro(hostEdges(s, d), iterations = 4)
           .select(hostName(col("node")).as("host"),
             col("authority_micro"), col("hub_micro"))
+    },
+
+    // CRAWL PIPELINE WITH THE POLITENESS LAYER (q234's funnel gated by
+    // q250's robots verdicts and q249's noindex — the composition a
+    // real pipeline runs): pages with q250's residue-class URLs and
+    // q234's duplication groups land as full HTTP responses in WARC,
+    // are read back and HTTP-parsed (doc_id via the X-Doc-Id header),
+    // then (1) the ROUND-TRIPPED target URI gets its robots verdict
+    // against the per-host dimension, (2) the round-tripped body gets
+    // its noindex verdict, (3) only indexable docs (allowed ∧
+    // ¬noindex) enter the markup-strip → token-gate → exact-dedup
+    // funnel — so the census min-id keep rule SHIFTS when a dup
+    // group's leader is excluded by politeness: the part q234 alone
+    // cannot see. Per-doc verdicts all hash-gated; the oracle replays
+    // the entire composition from `documents` alone.
+    QueryDef.sql("q251_crawl_politeness",
+      s"""WITH $robotsDirsCtes,
+         |src AS (
+         |  SELECT d.doc_id, l.text AS ptext
+         |  FROM documents d
+         |  JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 3),
+         |pg AS (
+         |  SELECT doc_id,
+         |    'h' || (doc_id % 19) || '.example.org' AS host,
+         |    $urlPathSql AS p,
+         |    '<html><head>' ||
+         |    CASE WHEN doc_id % 5 = 0 THEN
+         |      '<meta content="noindex, follow" name="robots">' ELSE '' END ||
+         |    '</head><body><p>' || ptext ||
+         |    '</p><script>var x = 1;</script></body></html>' AS raw
+         |  FROM src),
+         |rhits AS (
+         |  SELECT g.doc_id, d.rule, d.path AS rpath,
+         |    d.pattern IS NOT NULL AND regexp_matches(g.p, d.pattern) AS m,
+         |    length(d.path) AS plen
+         |  FROM pg g LEFT JOIN dirs d ON d.host = g.host),
+         |win AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY
+         |      CASE WHEN m THEN plen ELSE -1 END DESC,
+         |      CASE WHEN rule = 'allow' THEN 1 ELSE 0 END DESC,
+         |      rpath ASC NULLS LAST) AS rn
+         |  FROM rhits),
+         |verd AS (SELECT doc_id, (NOT m) OR rule = 'allow' AS allowed
+         |         FROM win WHERE rn = 1),
+         |ni AS (
+         |  SELECT doc_id, regexp_matches(regexp_extract(raw,
+         |    '(?i)<meta\\s[^>]*name\\s*=\\s*("robots"|''robots'')[^>]*>', 0),
+         |    '(?i)\\bcontent\\s*=\\s*("[^">]*\\bnoindex|''[^''>]*\\bnoindex)')
+         |    AS noindex
+         |  FROM pg),
+         |s1 AS (SELECT doc_id, regexp_replace(raw, '(?s)<!--.*?-->', ' ', 'g') AS t FROM pg),
+         |s2 AS (SELECT doc_id,
+         |         regexp_replace(t, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id,
+         |         regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS t FROM s2),
+         |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+         |s5 AS (SELECT doc_id,
+         |         replace(replace(replace(replace(replace(replace(t,
+         |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |           '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
+         |c AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean FROM s5),
+         |sc AS (SELECT doc_id, clean,
+         |         CASE WHEN length(trim(clean)) = 0 THEN 0
+         |              ELSE len(list_filter(regexp_split_to_array(clean, '\\s+'),
+         |                                   x -> x <> '')) END AS n_tokens
+         |       FROM c),
+         |idx AS (
+         |  SELECT v.doc_id, v.allowed, ni.noindex,
+         |         v.allowed AND NOT ni.noindex AS indexable
+         |  FROM verd v JOIN ni ON v.doc_id = ni.doc_id),
+         |cen AS (
+         |  SELECT md5(sc.clean) AS dig, min(sc.doc_id) AS keep
+         |  FROM sc JOIN idx ON sc.doc_id = idx.doc_id
+         |  WHERE idx.indexable GROUP BY 1)
+         |SELECT i.doc_id, i.allowed, i.noindex,
+         |  CAST(sc.n_tokens AS BIGINT) AS n_tokens,
+         |  CASE WHEN i.indexable THEN sc.doc_id <> cen.keep
+         |       ELSE false END AS is_dup,
+         |  CASE WHEN i.indexable
+         |       THEN sc.doc_id = cen.keep AND sc.n_tokens >= 30
+         |       ELSE false END AS kept
+         |FROM idx i
+         |JOIN sc ON i.doc_id = sc.doc_id
+         |LEFT JOIN cen ON md5(sc.clean) = cen.dig AND i.indexable""".stripMargin) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = new java.io.File(d).getName
+        val dir = graft.operators.Scratch.dir(s"graft_crawlpol_$base")
+        Option(new java.io.File(dir).listFiles())
+          .foreach(_.foreach(f => if (f.getName.endsWith(".warc.gz")) f.delete()))
+        val did = col("doc_id")
+        val leaders = docs.select(did.as("lid"), col("text").as("ptext"))
+        val src = docs.select(did)
+          .join(leaders, (did - pmod(did, lit(3))) === col("lid"))
+        val html = concat(lit("<html><head>"),
+          when(pmod(did, lit(5)) === 0,
+            lit("<meta content=\"noindex, follow\" name=\"robots\">"))
+            .otherwise(lit("")),
+          lit("</head><body><p>"), col("ptext"),
+          lit("</p><script>var x = 1;</script></body></html>"))
+        val staged = src.select(did,
+          concat(lit("http://h"), pmod(did, lit(19)).cast("string"),
+            lit(".example.org"), urlPath(did)).as("uri"),
+          timestamp_seconds(lit(1704067200L)).as("dt"),
+          concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nX-Doc-Id: "),
+            did.cast("string"), lit("\r\n\r\n"), html).as("http"))
+        graft.sources.Warc.export(staged, "doc_id", "uri", "dt", "http", dir,
+          numShards = 4, compress = true, infoDateSecs = 0L,
+          shardCol = Some(pmod(did, lit(4))),
+          contentType = "application/http; msgtype=response")
+        // the parsed crawl is consumed three ways (robots verdict,
+        // noindex verdict, strip funnel) — persist the ONE scan
+        val parsed = graft.operators.CacheRegistry.register(
+          s.read.format("warc").load(dir)
+            .filter(col("warc_type") === "response")
+            .select(col("target_uri"),
+              graft.sources.Warc.httpMessage(col("payload")).as("m"))
+            .select(
+              get(filter(col("m.headers"),
+                h => h.getField("name") === lit("x-doc-id")), lit(0))
+                .getField("value").cast("long").as("doc_id"),
+              col("target_uri").as("url"), col("m.body").as("raw"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val verd = graft.operators.Robots.allowed(
+          parsed.select(col("doc_id"), col("url")), "doc_id", col("url"),
+          robotsFixture(s, d), "host", col("body"), agent = "graftbot")
+          .select(col("doc_id"), col("allowed"))
+        val scored = parsed.select(col("doc_id"),
+          WebGraph.pageMeta(col("url"), col("raw")).getField("noindex")
+            .as("noindex"),
+          graft.functions.TextFunctions.stripMarkup(col("raw")).as("clean"))
+          .withColumn("n_tokens",
+            graft.functions.TextFunctions.tokenCount(col("clean")))
+        val joined = scored.join(verd, Seq("doc_id"))
+          .withColumn("indexable", col("allowed") && !col("noindex"))
+        val census = joined.filter(col("indexable"))
+          .groupBy(md5(col("clean")).as("__dig"))
+          .agg(min("doc_id").as("__keep"))
+        joined.join(census,
+            md5(col("clean")) === col("__dig") && col("indexable"),
+            "left_outer")
+          .select(col("doc_id"), col("allowed"), col("noindex"),
+            col("n_tokens"),
+            when(col("indexable"), col("doc_id") =!= col("__keep"))
+              .otherwise(lit(false)).as("is_dup"),
+            when(col("indexable"),
+              col("doc_id") === col("__keep") && col("n_tokens") >= 30)
+              .otherwise(lit(false)).as("kept"))
+      }
     }
   )
 }
