@@ -163,6 +163,8 @@ object WebGraphQueries {
       |rob AS (
       |  SELECT 'h' || k || '.example.org' AS host,
       |    '# robots for h' || k || chr(10) ||
+      |    CASE WHEN k % 2 = 0 THEN 'Sitemap: http://h' || k ||
+      |      '.example.org/sitemap.xml' || chr(10) ELSE '' END ||
       |    CASE WHEN k % 3 <> 2 THEN 'User-agent: graftbot' || chr(10) ||
       |      'Disallow: /private' || k || '/' || chr(10) ||
       |      'Allow: /private' || k || '/ok/' || chr(10) ||
@@ -249,6 +251,9 @@ object WebGraphQueries {
           .as("host"),
         concat(
           lit("# robots for h"), col("__k").cast("string"), nl,
+          when(pmod(col("__k"), lit(2)) === 0, concat(
+            lit("Sitemap: http://h"), col("__k").cast("string"),
+            lit(".example.org/sitemap.xml"), nl)).otherwise(lit("")),
           when(pmod(col("__k"), lit(3)) =!= 2, concat(
             lit("User-agent: graftbot"), nl,
             lit("Disallow: /private"), col("__k").cast("string"),
@@ -774,6 +779,122 @@ object WebGraphQueries {
             when(col("indexable"),
               col("doc_id") === col("__keep") && col("n_tokens") >= 30)
               .otherwise(lit(false)).as("kept"))
+      }
+    },
+
+    // SITEMAPS (sitemaps.org + the robots `Sitemap:` extension — the
+    // third leg of the politeness/discovery family: what the SITE
+    // ITSELF asks to have crawled): declarations are mined from the
+    // shared robots fixture (k%2==0 hosts declare one, placed BEFORE
+    // any group — the field is file-wide, not group-scoped; the rule
+    // funnel ignores it as an unknown key, which q250/q251 gate), and
+    // each declaring host's sitemap document is parsed — k%6==0 hosts
+    // serve a <sitemapindex> (two child sitemaps, the recursion edge),
+    // the rest a <urlset> with lastmod/changefreq/priority on residue
+    // classes, entity-escaped &amp; in every loc (the spec REQUIRES
+    // URL entity-escaping — decode is gated), and priority_milli in
+    // exact DECIMAL promille. The oracle replays synthesis, block
+    // regexes, field extraction, entity decode, and the decimal cast.
+    QueryDef.sql("q252_sitemaps",
+      """WITH hosts AS (SELECT DISTINCT (doc_id % 19) AS k FROM documents),
+        |decl AS (SELECT k, 'h' || k || '.example.org' AS host
+        |         FROM hosts WHERE k % 2 = 0),
+        |blk AS (
+        |  SELECT doc_id, (doc_id % 19) AS k,
+        |    '<url><loc>http://h' || (doc_id % 19) || '.example.org/p/' ||
+        |    doc_id || '?a=1&amp;b=2</loc>' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '<lastmod>2024-01-' ||
+        |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |      '</lastmod>' ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 0 THEN '<changefreq>daily</changefreq>'
+        |         WHEN doc_id % 9 = 3 THEN '<changefreq>weekly</changefreq>'
+        |         WHEN doc_id % 9 = 6 THEN '<changefreq>monthly</changefreq>'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '<priority>0.' || (doc_id % 10) ||
+        |      '</priority>' ELSE '' END || '</url>' AS b
+        |  FROM documents),
+        |us AS (
+        |  SELECT k, '<urlset>' || string_agg(b, '' ORDER BY doc_id) ||
+        |         '</urlset>' AS xml
+        |  FROM blk GROUP BY k),
+        |xmls AS (
+        |  SELECT d.host,
+        |    CASE WHEN d.k % 6 = 0 THEN
+        |      '<sitemapindex><sitemap><loc>http://' || d.host ||
+        |      '/sitemap-1.xml</loc><lastmod>2024-02-01</lastmod></sitemap>' ||
+        |      '<sitemap><loc>http://' || d.host ||
+        |      '/sitemap-2.xml</loc><lastmod>2024-02-02</lastmod></sitemap>' ||
+        |      '</sitemapindex>'
+        |    ELSE us.xml END AS xml
+        |  FROM decl d JOIN us ON us.k = d.k),
+        |ext AS (
+        |  SELECT host,
+        |    unnest(generate_series(1, len(bl))) AS entry_no,
+        |    unnest(bl) AS blkx
+        |  FROM (SELECT host, regexp_extract_all(xml,
+        |          '(?is)<url\s*>.*?</url\s*>|<sitemap\s*>.*?</sitemap\s*>',
+        |          0) AS bl
+        |        FROM xmls) x)
+        |SELECT * FROM (
+        |  SELECT host, CAST(entry_no AS BIGINT) AS entry_no,
+        |    replace(replace(replace(replace(replace(
+        |      trim(regexp_extract(blkx, '(?is)<loc\s*>(.*?)</loc\s*>', 1)),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+        |      '&amp;', '&') AS loc,
+        |    trim(regexp_extract(blkx,
+        |      '(?is)<lastmod\s*>(.*?)</lastmod\s*>', 1)) AS lastmod,
+        |    trim(regexp_extract(blkx,
+        |      '(?is)<changefreq\s*>(.*?)</changefreq\s*>', 1)) AS changefreq,
+        |    CASE WHEN trim(regexp_extract(blkx,
+        |        '(?is)<priority\s*>(.*?)</priority\s*>', 1)) <> ''
+        |      THEN CAST(CAST(trim(regexp_extract(blkx,
+        |        '(?is)<priority\s*>(.*?)</priority\s*>', 1))
+        |        AS DECIMAL(10,3)) * 1000 AS BIGINT) END AS priority_milli,
+        |    regexp_matches(blkx, '(?is)^<sitemap\s*>') AS from_index
+        |  FROM ext) y
+        |WHERE loc <> ''""".stripMargin) {
+      (s, d) => {
+        val decl = graft.operators.Sitemaps.declarations(
+          robotsFixture(s, d), "host", col("body"))
+        val did = col("doc_id")
+        val ds = did.cast("string")
+        val ks = pmod(did, lit(19)).cast("string")
+        val blk = concat(
+          lit("<url><loc>http://h"), ks, lit(".example.org/p/"), ds,
+          lit("?a=1&amp;b=2</loc>"),
+          when(pmod(did, lit(2)) === 0, concat(lit("<lastmod>2024-01-"),
+            lpad((pmod(did, lit(28)) + 1).cast("string"), 2, "0"),
+            lit("</lastmod>"))).otherwise(lit("")),
+          when(pmod(did, lit(9)) === 0, lit("<changefreq>daily</changefreq>"))
+            .when(pmod(did, lit(9)) === 3, lit("<changefreq>weekly</changefreq>"))
+            .when(pmod(did, lit(9)) === 6, lit("<changefreq>monthly</changefreq>"))
+            .otherwise(lit("")),
+          when(pmod(did, lit(4)) === 0, concat(lit("<priority>0."),
+            pmod(did, lit(10)).cast("string"), lit("</priority>")))
+            .otherwise(lit("")),
+          lit("</url>"))
+        val us = Tables.documents(s, d)
+          .select(pmod(did, lit(19)).as("__k"),
+            struct(did.as("i"), blk.as("b")).as("__e"))
+          .groupBy("__k").agg(collect_list(col("__e")).as("__lst"))
+          .select(col("__k"),
+            concat(lit("<urlset>"),
+              array_join(transform(sort_array(col("__lst")),
+                x => x.getField("b")), ""),
+              lit("</urlset>")).as("__uxml"))
+        val kStr = col("__k").cast("string")
+        val xmls = us.select(
+          concat(lit("h"), kStr, lit(".example.org")).as("host"),
+          when(pmod(col("__k"), lit(6)) === 0, concat(
+            lit("<sitemapindex><sitemap><loc>http://h"), kStr,
+            lit(".example.org/sitemap-1.xml</loc>" +
+              "<lastmod>2024-02-01</lastmod></sitemap>" +
+              "<sitemap><loc>http://h"), kStr,
+            lit(".example.org/sitemap-2.xml</loc>" +
+              "<lastmod>2024-02-02</lastmod></sitemap></sitemapindex>")))
+            .otherwise(col("__uxml")).as("xml"))
+        val declared = xmls.join(decl.select("host"), Seq("host"), "left_semi")
+        graft.operators.Sitemaps.entries(declared, "host", col("xml"))
       }
     }
   )

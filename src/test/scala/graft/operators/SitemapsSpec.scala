@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SitemapsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("sitemaps")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("declarations: file-wide, position-free, repeatable, comment-stripped") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // before any group (where a rule would be dead), plus a second
+      // one INSIDE a group — both count; key is case-insensitive
+      ("ha", "Sitemap: http://ha/s1.xml\nUser-agent: *\nDisallow: /x/\n" +
+        "SITEMAP: http://ha/s2.xml # trailing comment"),
+      ("hb", "User-agent: *\nDisallow: /\nSitemap:\n"), // empty value dropped
+      ("hc", "# no declarations at all\nUser-agent: *\nAllow: /")
+    ).toDF("host", "body")
+    val got = Sitemaps.declarations(df, "host", col("body"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("ha", "http://ha/s1.xml"), ("ha", "http://ha/s2.xml")))
+  }
+
+  test("entries: field extraction, entity decode, decimal priority, index blocks, empty loc dropped") {
+    val s = spark
+    import s.implicits._
+    val urlset = "<urlset>" +
+      "<url><loc> http://e.x/a?p=1&amp;q=2 </loc><lastmod>2024-01-05</lastmod>" +
+      "<changefreq>daily</changefreq><priority>0.8</priority></url>" +
+      "<url><loc>http://e.x/&lt;b&gt;</loc></url>" +
+      "<URL><LOC>http://e.x/c</LOC><PRIORITY>0.55</PRIORITY></URL>" +
+      "<url><loc></loc><priority>0.1</priority></url>" + // no loc -> dropped
+      "</urlset>"
+    val index = "<sitemapindex>" +
+      "<sitemap><loc>http://e.x/s1.xml</loc><lastmod>2024-02-01</lastmod></sitemap>" +
+      "</sitemapindex>"
+    val got = Sitemaps.entries(
+      Seq((1L, urlset), (2L, index)).toDF("id", "xml"), "id", col("xml"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2),
+        r.getString(3), r.getString(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5), r.getBoolean(6)))).toMap
+    // &amp; decoded, loc trimmed; priority 0.8 -> exactly 800
+    assert(got((1L, 1L)) ===
+      (("http://e.x/a?p=1&q=2", "2024-01-05", "daily", 800L, false)))
+    // entity-encoded angle brackets decode; absent fields empty/null
+    assert(got((1L, 2L)) === (("http://e.x/<b>", "", "", -1L, false)))
+    // case-insensitive tags; 0.55 -> exactly 550 (decimal, not double)
+    assert(got((1L, 3L)) === (("http://e.x/c", "", "", 550L, false)))
+    // the no-loc block held position 4 and was dropped
+    assert(!got.contains((1L, 4L)))
+    // index entries flagged; entry numbering restarts per document
+    assert(got((2L, 1L)) ===
+      (("http://e.x/s1.xml", "2024-02-01", "", -1L, true)))
+    assert(got.size === 4)
+  }
+}
