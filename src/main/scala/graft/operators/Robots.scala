@@ -35,6 +35,11 @@ import org.apache.spark.sql.functions._
   *     LONGEST pattern wins, `allow` beats `disallow` on equal
   *     length; no matching rule (or no robots entry, or an empty
   *     `Disallow:`) → allowed
+  *   - `Crawl-delay` (the de-facto extension) is parsed as a group
+  *     member — it terminates a user-agent run like any rule, per the
+  *     RFC grammar — and surfaced by [[crawlDelay]] under the same
+  *     group selection; `Sitemap:` is file-wide and belongs to
+  *     [[Sitemaps.declarations]]
   *
   * Each input ROW is parsed and selected independently (keyed by a
   * per-row id, not by host), so duplicate host rows — a data error,
@@ -49,7 +54,41 @@ object Robots {
     * where `pattern` is the anchored regex the path compiles to.
     */
   def directives(robots: DataFrame, hostCol: String, body: Column,
-                 agent: String): DataFrame = {
+                 agent: String): DataFrame =
+    selectedMembers(robots, hostCol, body, agent)
+      .filter(col("__key").isin("allow", "disallow"))
+      .select(col("host"), col("__key").as("rule"), col("__val").as("path"),
+        pathPattern(col("__val")).as("pattern"))
+
+  /** Effective `Crawl-delay` for `agent` (the de-facto extension
+    * RFC 9309 §2.2.4 files under "other records"; Bing/Yandex honor
+    * it): group-scoped like allow/disallow and selected by the SAME
+    * three-tier group selection; when several selected groups (or
+    * repeated lines) declare it, the MAX — most conservative — wins.
+    * Seconds may be fractional; returned as exact DECIMAL millis
+    * (never double). Non-numeric values are ignored; hosts whose
+    * selected groups declare none are absent.
+    *
+    * Returns (host, crawl_delay_ms: long).
+    */
+  def crawlDelay(robots: DataFrame, hostCol: String, body: Column,
+                 agent: String): DataFrame =
+    selectedMembers(robots, hostCol, body, agent)
+      .filter(col("__key") === "crawl-delay" &&
+        col("__val").rlike("^\\d+(\\.\\d+)?$"))
+      .select(col("host"),
+        (col("__val").cast("decimal(18,3)") * 1000).cast("long").as("__ms"))
+      .groupBy("host").agg(max("__ms").as("crawl_delay_ms"))
+
+  /** The shared parse/group/select funnel: every group-MEMBER line
+    * (allow, disallow, crawl-delay — anything but user-agent) of the
+    * group(s) selected for `agent`, as (host, __rid, __grp, __key,
+    * __val). [[directives]] and [[crawlDelay]] are projections of
+    * this one frame, so grouping and tier selection cannot diverge
+    * between them.
+    */
+  private def selectedMembers(robots: DataFrame, hostCol: String,
+                              body: Column, agent: String): DataFrame = {
     val token = agent.toLowerCase
     val lines = robots
       .select(col(hostCol).as("host"), body.as("__body"))
@@ -61,7 +100,12 @@ object Robots {
         "^\\s*([A-Za-z-]+)\\s*:", 1))).as("__key"),
       trim(regexp_extract(regexp_replace(col("__line"), "#.*", ""),
         "^\\s*[A-Za-z-]+\\s*:(.*)$", 1)).as("__val"))
-      .filter(col("__key").isin("user-agent", "allow", "disallow"))
+      // crawl-delay participates in PARSING (a group-member line ends
+      // a user-agent run, per the RFC grammar) even though directives
+      // itself only emits allow/disallow rules — [[crawlDelay]] reads
+      // the same funnel
+      .filter(col("__key").isin("user-agent", "allow", "disallow",
+        "crawl-delay"))
     // group id = count of ua-run STARTS so far (consecutive ua lines
     // share a group); a per-input-row window over line position —
     // robots files are KB-sized, the window partitions by row id
@@ -77,9 +121,9 @@ object Robots {
     val agents = grouped.filter(col("__ua"))
       .select(col("host"), col("__rid"), col("__grp"),
         lower(col("__val")).as("__agent"))
-    val rules = grouped.filter(!col("__ua") && col("__val") =!= "")
+    val members = grouped.filter(!col("__ua") && col("__val") =!= "")
       .select(col("host"), col("__rid"), col("__grp"),
-        col("__key").as("rule"), col("__val").as("path"))
+        col("__key"), col("__val"))
     // RFC 9309 group selection: groups whose agent value is a prefix
     // of the product token, longest value wins; else the * groups.
     // An empty user-agent value (malformed line) is a prefix of
@@ -94,10 +138,8 @@ object Robots {
     val selStar = agents.filter(col("__agent") === "*")
       .join(best, Seq("__rid"), "left_anti")
       .select("__rid", "__grp").distinct()
-    rules.join(selPrefix.unionByName(selStar), Seq("__rid", "__grp"),
-        "left_semi")
-      .select(col("host"), col("rule"), col("path"),
-        pathPattern(col("path")).as("pattern"))
+    members.join(selPrefix.unionByName(selStar), Seq("__rid", "__grp"),
+      "left_semi")
   }
 
   /** The anchored regex a robots path compiles to: escape regex

@@ -168,7 +168,9 @@ object WebGraphQueries {
       |    CASE WHEN k % 3 <> 2 THEN 'User-agent: graftbot' || chr(10) ||
       |      'Disallow: /private' || k || '/' || chr(10) ||
       |      'Allow: /private' || k || '/ok/' || chr(10) ||
-      |      'Disallow: /*.tmp$' || chr(10) || chr(10) ELSE '' END ||
+      |      'Disallow: /*.tmp$' || chr(10) ||
+      |      CASE WHEN k % 4 = 0 THEN 'Crawl-delay: 2.5' || chr(10)
+      |           ELSE '' END || chr(10) ELSE '' END ||
       |    CASE WHEN k % 3 <> 2 OR k % 2 = 1 THEN
       |      'User-agent: graft' || chr(10) ||
       |      'Disallow: /graftonly/' || chr(10) || chr(10) ELSE '' END ||
@@ -177,6 +179,8 @@ object WebGraphQueries {
       |      'Disallow: /' || chr(10) || chr(10) ELSE '' END ||
       |    'User-agent: *' || chr(10) ||
       |    'Disallow: /all/' || chr(10) ||
+      |    CASE WHEN k % 4 = 2 THEN 'Crawl-delay: 10' || chr(10)
+      |         ELSE '' END ||
       |    CASE WHEN k % 4 = 1 THEN 'Disallow: /a.b/' || chr(10)
       |         ELSE '' END AS body
       |  FROM hosts),
@@ -194,7 +198,8 @@ object WebGraphQueries {
       |      '^\s*[A-Za-z-]+\s*:(.*)$', 1)) AS val
       |  FROM lines),
       |kept AS (SELECT * FROM kv
-      |         WHERE key IN ('user-agent', 'allow', 'disallow')),
+      |         WHERE key IN ('user-agent', 'allow', 'disallow',
+      |                       'crawl-delay')),
       |marks AS (
       |  SELECT *, CASE WHEN key = 'user-agent' AND NOT coalesce(
       |      lag(key = 'user-agent') OVER (PARTITION BY host ORDER BY pos),
@@ -206,7 +211,8 @@ object WebGraphQueries {
       |agents AS (SELECT host, g, lower(val) AS agent FROM grps
       |           WHERE key = 'user-agent' AND g >= 1),
       |rules0 AS (SELECT host, g, key AS rule, val AS path FROM grps
-      |           WHERE key <> 'user-agent' AND val <> '' AND g >= 1),
+      |           WHERE key IN ('allow', 'disallow') AND val <> ''
+      |             AND g >= 1),
       |mt AS (SELECT host, g, length(agent) AS alen FROM agents
       |       WHERE agent <> '' AND starts_with('graftbot', agent)),
       |mx AS (SELECT host, max(alen) AS m FROM mt GROUP BY host),
@@ -260,7 +266,10 @@ object WebGraphQueries {
             lit("/"), nl,
             lit("Allow: /private"), col("__k").cast("string"),
             lit("/ok/"), nl,
-            lit("Disallow: /*.tmp$"), nl, nl)).otherwise(lit("")),
+            lit("Disallow: /*.tmp$"), nl,
+            when(pmod(col("__k"), lit(4)) === 0,
+              concat(lit("Crawl-delay: 2.5"), nl)).otherwise(lit("")),
+            nl)).otherwise(lit("")),
           when(pmod(col("__k"), lit(3)) =!= 2 ||
             pmod(col("__k"), lit(2)) === 1, concat(
             lit("User-agent: graft"), nl,
@@ -270,6 +279,8 @@ object WebGraphQueries {
             lit("Disallow: /"), nl, nl)).otherwise(lit("")),
           lit("User-agent: *"), nl,
           lit("Disallow: /all/"), nl,
+          when(pmod(col("__k"), lit(4)) === 2,
+            concat(lit("Crawl-delay: 10"), nl)).otherwise(lit("")),
           when(pmod(col("__k"), lit(4)) === 1,
             concat(lit("Disallow: /a.b/"), nl)).otherwise(lit("")))
           .as("body"))
@@ -896,6 +907,32 @@ object WebGraphQueries {
         val declared = xmls.join(decl.select("host"), Seq("host"), "left_semi")
         graft.operators.Sitemaps.entries(declared, "host", col("xml"))
       }
+    },
+
+    // CRAWL-DELAY (the de-facto robots extension Bing/Yandex honor —
+    // RFC 9309 files it under "other records", which per the grammar
+    // are GROUP MEMBERS): extracted through the identical
+    // parse/group/tier-select funnel as the rules, max-of-selected
+    // wins, fractional seconds in exact DECIMAL millis. The fixture
+    // places 2.5 s inside the graftbot group (k%4==0 — surfaces only
+    // on exact-tier hosts) and 10 s inside the * group (k%4==2 —
+    // surfaces only on hosts that actually FALL to *: k%3==2 ∧ k even;
+    // on graftbot/graft-tier hosts the star delay must NOT leak).
+    // Hosts whose selected group declares none are absent.
+    QueryDef.sql("q253_crawl_delay",
+      s"""WITH $robotsDirsCtes,
+         |cd AS (
+         |  SELECT g.host, g.val
+         |  FROM grps g JOIN sel ON sel.host = g.host AND sel.g = g.g
+         |  WHERE g.key = 'crawl-delay' AND g.val <> ''
+         |    AND regexp_matches(g.val, '^[0-9]+(\\.[0-9]+)?$$'))
+         |SELECT host,
+         |  CAST(max(CAST(val AS DECIMAL(18,3)) * 1000) AS BIGINT)
+         |    AS crawl_delay_ms
+         |FROM cd GROUP BY host""".stripMargin) {
+      (s, d) =>
+        graft.operators.Robots.crawlDelay(
+          robotsFixture(s, d), "host", col("body"), agent = "graftbot")
     }
   )
 }

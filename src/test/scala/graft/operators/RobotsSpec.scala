@@ -83,6 +83,41 @@ class RobotsSpec extends AnyFunSuite {
     assert(d === Set(("hd", "/a/"), ("hd", "/b/")))
   }
 
+  test("crawlDelay: tier-selected, max-of-selected, fractional millis, non-numeric ignored") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // selected graftbot group's 2.5 s wins; the * group's 10 is not selected
+      ("ha", "User-agent: graftbot\nDisallow: /x/\nCrawl-delay: 2.5\n\n" +
+        "User-agent: *\nCrawl-delay: 10"),
+      // two tied selected groups -> max (most conservative)
+      ("hb", "User-agent: graftbot\nCrawl-delay: 1\n\n" +
+        "User-agent: GRAFTBOT\nCrawl-delay: 3"),
+      // selected group has a malformed value -> ignored, host absent
+      ("hc", "User-agent: *\nCrawl-delay: soon"),
+      // no delay anywhere -> absent
+      ("hd", "User-agent: *\nDisallow: /")
+    ).toDF("host", "body")
+    val got = Robots.crawlDelay(df, "host", col("body"), "graftbot")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("ha" -> 2500L, "hb" -> 3000L))
+  }
+
+  test("crawl-delay is a group member: it terminates a user-agent run (RFC grammar)") {
+    val s = spark
+    import s.implicits._
+    // the delay line between the two ua lines ends agent-a's run, so
+    // * starts a NEW group; for graftbot (no prefix match on 'a') the
+    // * group is selected -> /x applies, and a's 5 s delay does NOT
+    val df = Seq(
+      ("he", "User-agent: a\nCrawl-delay: 5\nUser-agent: *\nDisallow: /x/")
+    ).toDF("host", "body")
+    val rules = Robots.directives(df, "host", col("body"), "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(rules === Set(("he", "/x/")))
+    assert(Robots.crawlDelay(df, "host", col("body"), "graftbot").isEmpty)
+  }
+
   test("allowed: longest-match, allow-on-tie-beats, wildcard, anchor, literal dot, missing host") {
     val s = spark
     import s.implicits._
