@@ -286,6 +286,30 @@ object WebGraphQueries {
           .as("body"))
   }
 
+  /** Oracle CTEs `urls`→`hits`→`win` shared by q250 and q254: the
+    * per-doc fixture URLs matched against `dirs` with the
+    * longest-match winner window; a verdict row is `win WHERE rn = 1`.
+    */
+  private val robotsVerdictCtes: String =
+    s"""urls AS (
+       |  SELECT doc_id,
+       |    'http://h' || (doc_id % 19) || '.example.org' || p AS url,
+       |    'h' || (doc_id % 19) || '.example.org' AS host, p
+       |  FROM (SELECT doc_id,
+       |      $urlPathSql AS p
+       |    FROM documents) y),
+       |hits AS (
+       |  SELECT u.doc_id, u.url, u.host, d.rule, d.path AS rpath,
+       |    d.pattern IS NOT NULL AND regexp_matches(u.p, d.pattern) AS m,
+       |    length(d.path) AS plen
+       |  FROM urls u LEFT JOIN dirs d ON d.host = u.host),
+       |win AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY
+       |      CASE WHEN m THEN plen ELSE -1 END DESC,
+       |      CASE WHEN rule = 'allow' THEN 1 ELSE 0 END DESC,
+       |      rpath ASC NULLS LAST) AS rn
+       |  FROM hits)""".stripMargin
+
   /** The per-doc decision path — Spark twin of [[urlPathSql]]. */
   private def urlPath(did: Column): Column = {
     val ks = pmod(did, lit(19)).cast("string")
@@ -573,24 +597,7 @@ object WebGraphQueries {
     // winner window — in SQL.
     QueryDef.sql("q250_robots_eval",
       s"""WITH $robotsDirsCtes,
-         |urls AS (
-         |  SELECT doc_id,
-         |    'http://h' || (doc_id % 19) || '.example.org' || p AS url,
-         |    'h' || (doc_id % 19) || '.example.org' AS host, p
-         |  FROM (SELECT doc_id,
-         |      $urlPathSql AS p
-         |    FROM documents) y),
-         |hits AS (
-         |  SELECT u.doc_id, u.url, u.host, d.rule, d.path AS rpath,
-         |    d.pattern IS NOT NULL AND regexp_matches(u.p, d.pattern) AS m,
-         |    length(d.path) AS plen
-         |  FROM urls u LEFT JOIN dirs d ON d.host = u.host),
-         |win AS (
-         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY
-         |      CASE WHEN m THEN plen ELSE -1 END DESC,
-         |      CASE WHEN rule = 'allow' THEN 1 ELSE 0 END DESC,
-         |      rpath ASC NULLS LAST) AS rn
-         |  FROM hits)
+         |$robotsVerdictCtes
          |SELECT doc_id, url, host,
          |  (NOT m) OR rule = 'allow' AS allowed,
          |  CASE WHEN m THEN rule END AS rule,
@@ -933,6 +940,55 @@ object WebGraphQueries {
       (s, d) =>
         graft.operators.Robots.crawlDelay(
           robotsFixture(s, d), "host", col("body"), agent = "graftbot")
+    },
+
+    // FRONTIER SCHEDULING (the operator that CONSUMES the politeness
+    // family: robots verdicts q250 + crawl delays q253 → a per-host
+    // fetch timetable): allowed URLs are sequenced per host and spaced
+    // by the host's delay (1 s default), fetch_at_ms = t0 + seq·delay;
+    // the 20-URL horizon cap defers the tail with a NULL timestamp
+    // (frontier accounting balances — nothing silently dropped). The
+    // oracle replays verdicts, delay extraction, the per-host
+    // sequencing window, and the horizon arithmetic end-to-end.
+    QueryDef.sql("q254_fetch_schedule",
+      s"""WITH $robotsDirsCtes,
+         |$robotsVerdictCtes,
+         |verd AS (
+         |  SELECT doc_id, url, host, (NOT m) OR rule = 'allow' AS allowed
+         |  FROM win WHERE rn = 1),
+         |cd AS (
+         |  SELECT g.host, g.val
+         |  FROM grps g JOIN sel ON sel.host = g.host AND sel.g = g.g
+         |  WHERE g.key = 'crawl-delay' AND g.val <> ''
+         |    AND regexp_matches(g.val, '^[0-9]+(\\.[0-9]+)?$$')),
+         |dl AS (
+         |  SELECT host,
+         |    CAST(max(CAST(val AS DECIMAL(18,3)) * 1000) AS BIGINT) AS ms
+         |  FROM cd GROUP BY host),
+         |sq AS (
+         |  SELECT doc_id, url, host,
+         |    row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1 AS seq
+         |  FROM verd WHERE allowed)
+         |SELECT sq.doc_id, sq.url, sq.host, CAST(sq.seq AS BIGINT) AS seq,
+         |  CASE WHEN sq.seq < 20
+         |    THEN 1704067200000 + sq.seq * coalesce(dl.ms, 1000)
+         |  END AS fetch_at_ms
+         |FROM sq LEFT JOIN dl ON dl.host = sq.host""".stripMargin) {
+      (s, d) => {
+        val did = col("doc_id")
+        val urls = Tables.documents(s, d).select(did,
+          concat(lit("http://h"), pmod(did, lit(19)).cast("string"),
+            lit(".example.org"), urlPath(did)).as("url"))
+        val robots = robotsFixture(s, d)
+        val allowed = graft.operators.Robots.allowed(urls, "doc_id",
+          col("url"), robots, "host", col("body"), agent = "graftbot")
+          .filter(col("allowed"))
+          .select(col("doc_id"), col("url"))
+        val delays = graft.operators.Robots.crawlDelay(
+          robots, "host", col("body"), agent = "graftbot")
+        graft.operators.Frontier.fetchSchedule(allowed, "doc_id",
+          col("url"), delays, t0Ms = 1704067200000L, maxPerHost = 20)
+      }
     }
   )
 }
