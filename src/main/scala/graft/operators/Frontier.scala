@@ -6,15 +6,53 @@ import org.apache.spark.sql.functions._
 
 /** URL-frontier scheduling — the operator that CONSUMES the
   * politeness family's outputs ([[Robots.allowed]] verdicts,
-  * [[Robots.crawlDelay]] delays, [[Sitemaps]] seeds): turn a set of
-  * fetchable URLs into a per-host timetable a polite crawler can
-  * execute.
+  * [[Robots.crawlDelay]] delays, [[Sitemaps]] seeds): merge
+  * site-declared seeds with link discovery, then turn the fetchable
+  * set into a per-host timetable a polite crawler can execute.
   */
 object Frontier {
 
+  /** Merge link-DISCOVERED URLs with site-DECLARED sitemap seeds into
+    * one schedulable set, deduplicated by canonical form
+    * ([[graft.functions.TextFunctions.canonicalizeUrl]] — the same
+    * key crawl-level dedup uses, so `/p?b=2&a=1` and `/p?a=1&b=2` are
+    * ONE fetch). When both sides carry a canonical URL the SEED's raw
+    * form is the representative (the site's own declaration is the
+    * authoritative spelling) and its priority is kept — priority is
+    * the field that exists precisely to order a crawl
+    * ([[fetchSchedule]]'s `priorityCol`).
+    *
+    * Returns (canon, url, source, priority_milli) — `source` ∈
+    * discovered | sitemap | both; `priority_milli` the max declared
+    * promille over the canon's seed entries (null for
+    * discovered-only). One row per canonical URL; raw-form ties break
+    * to the bytewise min (deterministic on any engine).
+    */
+  def mergeSeeds(discovered: DataFrame, dUrl: Column,
+                 seeds: DataFrame, sUrl: Column,
+                 sPriority: Column): DataFrame = {
+    import graft.functions.TextFunctions.canonicalizeUrl
+    val d = discovered
+      .select(canonicalizeUrl(dUrl).as("canon"), dUrl.as("__u"))
+      .groupBy("canon").agg(min("__u").as("__d_url"))
+    val s = seeds
+      .select(canonicalizeUrl(sUrl).as("canon"), sUrl.as("__u"),
+        sPriority.as("__p"))
+      .groupBy("canon").agg(min("__u").as("__s_url"),
+        max("__p").as("priority_milli"))
+    d.join(s, Seq("canon"), "full_outer")
+      .select(col("canon"),
+        coalesce(col("__s_url"), col("__d_url")).as("url"),
+        when(col("__s_url").isNotNull && col("__d_url").isNotNull, "both")
+          .when(col("__s_url").isNotNull, "sitemap")
+          .otherwise("discovered").as("source"),
+        col("priority_milli"))
+  }
+
   /** Politeness-scheduled fetch plan: within each host, URLs are
-    * sequenced deterministically by `idCol` and spaced by the host's
-    * crawl delay —
+    * sequenced deterministically — by `priorityCol` descending (nulls
+    * last) when given, then by `idCol` — and spaced by the host's
+    * crawl delay:
     *
     *   fetch_at_ms = t0Ms + seq · delay(host)
     *
@@ -23,6 +61,16 @@ object Frontier {
     * back with a NULL `fetch_at_ms` (deferred to the next round, not
     * silently dropped — frontier accounting must balance).
     *
+    * Hosts are extracted case-insensitively and lowercased (RFC 3986)
+    * so `HTTP://Example.org/x` schedules under — and joins the delay
+    * dimension at — `example.org`. A URL that does not match the
+    * http(s) grammar at all is NOT schedulable: it passes through
+    * with NULL host/seq/fetch_at_ms (visible, never dropped) and —
+    * critically — does NOT share a window partition with other
+    * garbage rows (each partitions by its own url text), so an
+    * unfiltered frontier feed cannot create a `host=""` skew
+    * partition (r11 verdict finding #3).
+    *
     * Scale shape: ONE window per host (the frontier's unit of
     * seriality IS the host — that is what politeness means; cross-host
     * parallelism is free) and one broadcast join to the delay
@@ -30,24 +78,35 @@ object Frontier {
     * accident: the schedule itself says that host takes long, and
     * `maxPerHost` is the horizon (and skew) bound.
     *
-    * Returns (idCol, url, host, seq, fetch_at_ms) — `seq` the 0-based
-    * per-host position.
+    * Returns (idCol, url, host, seq, fetch_at_ms, <other caller
+    * columns passed through>) — `seq` the 0-based per-host position.
+    * Caller columns named `host`/`seq`/`fetch_at_ms` would collide
+    * and are the caller's to avoid.
     */
   def fetchSchedule(urls: DataFrame, idCol: String, url: Column,
                     delays: DataFrame, t0Ms: Long,
                     defaultDelayMs: Long = 1000L,
-                    maxPerHost: Int = 1000): DataFrame = {
+                    maxPerHost: Int = 1000,
+                    priorityCol: Option[String] = None): DataFrame = {
     require(defaultDelayMs >= 0, s"negative defaultDelayMs: $defaultDelayMs")
     require(maxPerHost >= 1, s"maxPerHost must be positive, got $maxPerHost")
-    val u = urls.select(col(idCol), url.as("url"),
-      regexp_extract(url, "^https?://([^/?#]+)", 1).as("host"))
-    val w = Window.partitionBy("host").orderBy(col(idCol))
-    u.withColumn("seq", (row_number().over(w) - 1).cast("long"))
+    val extras = urls.columns.toSeq.filterNot(c =>
+      c == idCol || c == "url" || c == "host" || c == "seq" ||
+        c == "fetch_at_ms")
+    val rawHost = regexp_extract(col("url"), "(?i)^https?://([^/?#]+)", 1)
+    val u = urls.withColumn("url", url)
+      .withColumn("host", when(rawHost =!= "", lower(rawHost)))
+    val ord = priorityCol.map(p => col(p).desc_nulls_last).toSeq :+
+      col(idCol).asc
+    val w = Window.partitionBy(coalesce(col("host"), col("url")))
+      .orderBy(ord: _*)
+    u.withColumn("seq", when(col("host").isNotNull,
+        (row_number().over(w) - 1).cast("long")))
       .join(broadcast(delays), Seq("host"), "left_outer")
-      .select(col(idCol), col("url"), col("host"), col("seq"),
+      .select((Seq(col(idCol), col("url"), col("host"), col("seq"),
         when(col("seq") < maxPerHost,
           lit(t0Ms) + col("seq") *
             coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
-          .as("fetch_at_ms"))
+          .as("fetch_at_ms")) ++ extras.map(col)): _*)
   }
 }

@@ -29,13 +29,15 @@ object Sitemaps {
     * anywhere (before any group included — where allow/disallow lines
     * would be dead), and may repeat. Same line grammar as the rule
     * parse ([[Robots.directives]]): `#` comments stripped, key
-    * case-insensitive, value trimmed; empty values dropped.
+    * case-insensitive, value trimmed; empty values dropped. The host
+    * is lowercased like everywhere in the politeness family
+    * (RFC 3986: the authority is case-insensitive).
     *
     * Returns (host, sitemap_url), one row per declaration.
     */
   def declarations(robots: DataFrame, hostCol: String,
                    body: Column): DataFrame =
-    robots.select(col(hostCol).as("host"),
+    robots.select(lower(col(hostCol)).as("host"),
         explode(split(body, "\n")).as("__line"))
       .select(col("host"),
         lower(trim(regexp_extract(regexp_replace(col("__line"), "#.*", ""),
@@ -78,6 +80,58 @@ object Sitemaps {
     * DECIMAL arithmetic, not double — engine-portable), `from_index`
     * whether the block is a `<sitemap>` index entry.
     */
+  /** `lastmod`'s W3C datetime grammar (the subset sitemaps.org names)
+    * as typed epoch millis — the parse [[entries]] deliberately leaves
+    * to the consumer, here AS the consumer (recrawl-due needs a typed
+    * column; r11 verdict gap #2). Forms:
+    *
+    *   - `YYYY`, `YYYY-MM`, `YYYY-MM-DD` — date precision, midnight
+    *     UTC of the period's first instant
+    *   - `YYYY-MM-DDThh:mmTZD`, `Thh:mm:ssTZD`, `Thh:mm:ss.sTZD` —
+    *     time precision; TZD = `Z` or `±hh:mm` (mandatory per the
+    *     grammar)
+    *
+    * Every form is NORMALIZED to one full ISO-8601 instant string and
+    * parsed by a single `try_to_timestamp` — both engines cast the
+    * SAME normalized text, so the parse is engine-portable by
+    * construction; anything outside the grammar (or a semantically
+    * invalid date like `2024-13-45`) yields null, never an error.
+    */
+  def lastmodMillis(lastmod: Column): Column = {
+    val t = trim(lastmod)
+    val tzd = "(Z|[+-]\\d{2}:\\d{2})"
+    val norm = when(t.rlike("^\\d{4}$"), concat(t, lit("-01-01T00:00:00Z")))
+      .when(t.rlike("^\\d{4}-\\d{2}$"), concat(t, lit("-01T00:00:00Z")))
+      .when(t.rlike("^\\d{4}-\\d{2}-\\d{2}$"), concat(t, lit("T00:00:00Z")))
+      .when(t.rlike(s"^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}$tzd$$"),
+        concat(substring(t, 1, 16), lit(":00"),
+          regexp_extract(t, s"$tzd$$", 1)))
+      .when(t.rlike(s"^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?$tzd$$"),
+        t)
+    unix_millis(try_to_timestamp(norm))
+  }
+
+  /** Recrawl due time: `lastmod + period(changefreq)` — the
+    * composition the two fields exist for (when should a polite
+    * crawler come back?). Period convention (documented over exotic:
+    * the spec calls the field "a hint", so fixed periods are the
+    * portable reading): always → 0 (due immediately at lastmod),
+    * hourly/daily/weekly → exact, monthly → 30 days, yearly → 365
+    * days, `never`/absent/unknown → null (no time-based recrawl).
+    * Null lastmod → null. Millis in, millis out — feeds
+    * [[graft.operators.Frontier.fetchSchedule]]'s time axis directly.
+    */
+  def recrawlDueMillis(lastmodMs: Column, changefreq: Column): Column = {
+    val f = lower(trim(changefreq))
+    val period = when(f === "always", lit(0L))
+      .when(f === "hourly", lit(3600000L))
+      .when(f === "daily", lit(86400000L))
+      .when(f === "weekly", lit(604800000L))
+      .when(f === "monthly", lit(2592000000L))
+      .when(f === "yearly", lit(31536000000L))
+    lastmodMs + period
+  }
+
   def entries(df: DataFrame, idCol: String, xml: Column): DataFrame =
     df.select(col(idCol),
         posexplode(regexp_extract_all(xml, lit(BlockPattern), lit(0)))

@@ -61,7 +61,7 @@ object WebGraph {
     * pipelines drop these edges; the census keeps them, flagged).
     */
   val NofollowPattern: String =
-    "(?i)\\brel\\s*=\\s*(\"[^\">]*\\bnofollow|'[^'>]*\\bnofollow)"
+    "(?i)\\brel\\s*=\\s*(\"[^\">]*\\bnofollow\\b|'[^'>]*\\bnofollow\\b)"
 
   /** Strip the enclosing quotes off a quotes-included attribute
     * capture ([[HrefPattern]]-style); a no-match "" passes through.
@@ -174,7 +174,7 @@ object WebGraph {
         .as("html_lang"),
       regexp_extract(html,
         "(?i)<meta\\s[^>]*name\\s*=\\s*(\"robots\"|'robots')[^>]*>", 0)
-        .rlike("(?i)\\bcontent\\s*=\\s*(\"[^\">]*\\bnoindex|'[^'>]*\\bnoindex)")
+        .rlike("(?i)\\bcontent\\s*=\\s*(\"[^\">]*\\bnoindex\\b|'[^'>]*\\bnoindex\\b)")
         .as("noindex"))
   }
 

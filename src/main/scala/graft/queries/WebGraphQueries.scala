@@ -98,7 +98,7 @@ object WebGraphQueries {
       |      '(?i)\bhref\s*=\s*("[^">]*"|''[^''>]*'')', 1),
       |      '^["'']|["'']$', '', 'g') AS href,
       |    regexp_matches(tag,
-      |      '(?i)\brel\s*=\s*("[^">]*\bnofollow|''[^''>]*\bnofollow)') AS nofollow
+      |      '(?i)\brel\s*=\s*("[^">]*\bnofollow\b|''[^''>]*\bnofollow\b)') AS nofollow
       |  FROM ext),
       |res AS (
       |  SELECT doc_id, link_no, href, nofollow,
@@ -471,7 +471,7 @@ object WebGraphQueries {
         |    '^["'']|["'']$', '', 'g') AS html_lang,
         |  regexp_matches(regexp_extract(html,
         |    '(?i)<meta\s[^>]*name\s*=\s*("robots"|''robots'')[^>]*>', 0),
-        |    '(?i)\bcontent\s*=\s*("[^">]*\bnoindex|''[^''>]*\bnoindex)') AS noindex
+        |    '(?i)\bcontent\s*=\s*("[^">]*\bnoindex\b|''[^''>]*\bnoindex\b)') AS noindex
         |FROM x""".stripMargin) {
       (s, d) => {
         val did = col("doc_id")
@@ -696,7 +696,7 @@ object WebGraphQueries {
          |ni AS (
          |  SELECT doc_id, regexp_matches(regexp_extract(raw,
          |    '(?i)<meta\\s[^>]*name\\s*=\\s*("robots"|''robots'')[^>]*>', 0),
-         |    '(?i)\\bcontent\\s*=\\s*("[^">]*\\bnoindex|''[^''>]*\\bnoindex)')
+         |    '(?i)\\bcontent\\s*=\\s*("[^">]*\\bnoindex\\b|''[^''>]*\\bnoindex\\b)')
          |    AS noindex
          |  FROM pg),
          |s1 AS (SELECT doc_id, regexp_replace(raw, '(?s)<!--.*?-->', ' ', 'g') AS t FROM pg),
@@ -934,8 +934,9 @@ object WebGraphQueries {
          |  WHERE g.key = 'crawl-delay' AND g.val <> ''
          |    AND regexp_matches(g.val, '^[0-9]+(\\.[0-9]+)?$$'))
          |SELECT host,
-         |  CAST(max(CAST(val AS DECIMAL(18,3)) * 1000) AS BIGINT)
-         |    AS crawl_delay_ms
+         |  CAST(max(least(CASE WHEN length(val) <= 12
+         |      THEN CAST(val AS DECIMAL(18,3)) ELSE 3600 END, 3600) * 1000)
+         |    AS BIGINT) AS crawl_delay_ms
          |FROM cd GROUP BY host""".stripMargin) {
       (s, d) =>
         graft.operators.Robots.crawlDelay(
@@ -963,7 +964,9 @@ object WebGraphQueries {
          |    AND regexp_matches(g.val, '^[0-9]+(\\.[0-9]+)?$$')),
          |dl AS (
          |  SELECT host,
-         |    CAST(max(CAST(val AS DECIMAL(18,3)) * 1000) AS BIGINT) AS ms
+         |    CAST(max(least(CASE WHEN length(val) <= 12
+         |        THEN CAST(val AS DECIMAL(18,3)) ELSE 3600 END, 3600) * 1000)
+         |      AS BIGINT) AS ms
          |  FROM cd GROUP BY host),
          |sq AS (
          |  SELECT doc_id, url, host,

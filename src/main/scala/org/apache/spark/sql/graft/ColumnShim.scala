@@ -53,6 +53,7 @@ object PlanShim {
 object TypeShim {
   import org.apache.spark.sql.types._
   val oneString: Seq[AbstractDataType] = Seq(StringType)
+  val twoStrings: Seq[AbstractDataType] = Seq(StringType, StringType)
   val oneLong: Seq[AbstractDataType] = Seq(LongType)
   val oneFloatArray: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   val twoFloatArrays: Seq[AbstractDataType] =

@@ -38,4 +38,78 @@ class FrontierSpec extends AnyFunSuite {
     assert(got(6L) === (("b.x", 2L, -1L)))
     assert(got.size === 6) // accounting balances: every URL comes back
   }
+
+  test("fetchSchedule: case-insensitive scheme/host; garbage URLs pass through unscheduled, no shared skew partition") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      (1L, "HTTP://Example.org/p1"),     // uppercase scheme + mixed-case host
+      (2L, "http://example.org/p2"),     // same host after lowering
+      (3L, "not a url"),                 // garbage
+      (4L, "ftp://files.example/f"),     // non-http scheme
+      (5L, "")                           // empty
+    ).toDF("id", "url")
+    val delays = Seq(("example.org", 2000L)).toDF("host", "crawl_delay_ms")
+    val rows = Frontier.fetchSchedule(urls, "id", col("url"), delays,
+      t0Ms = 0L, defaultDelayMs = 500L, maxPerHost = 10).collect()
+    val got = rows.map(r => r.getLong(0) -> ((
+      if (r.isNullAt(2)) null else r.getString(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3),
+      if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    // both spellings land on ONE host window and its declared delay
+    assert(got(1L) === (("example.org", 0L, 0L)))
+    assert(got(2L) === (("example.org", 1L, 2000L)))
+    // garbage: visible, unscheduled (null host/seq/fetch), never dropped
+    assert(got(3L) === ((null, -1L, -1L)))
+    assert(got(4L) === ((null, -1L, -1L)))
+    assert(got(5L) === ((null, -1L, -1L)))
+    assert(got.size === 5)
+  }
+
+  test("fetchSchedule: priorityCol orders within host before idCol; caller columns pass through") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      (1L, "http://a.x/low", Some(100L), "s1"),
+      (2L, "http://a.x/high", Some(900L), "s2"),
+      (3L, "http://a.x/none", None: Option[Long], "s3"), // null priority -> last
+      (4L, "http://a.x/high2", Some(900L), "s4")         // tie -> id order
+    ).toDF("id", "url", "priority_milli", "tag")
+    val delays = Seq.empty[(String, Long)].toDF("host", "crawl_delay_ms")
+    val got = Frontier.fetchSchedule(urls, "id", col("url"), delays,
+      t0Ms = 0L, defaultDelayMs = 1000L, maxPerHost = 10,
+      priorityCol = Some("priority_milli"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(6)))).toMap
+    assert(got(2L) === ((0L, "s2"))) // 900 first, id 2 before id 4
+    assert(got(4L) === ((1L, "s4")))
+    assert(got(1L) === ((2L, "s1")))
+    assert(got(3L) === ((3L, "s3"))) // null priority sequenced last
+  }
+
+  test("mergeSeeds: canonical-form dedup, seed representative wins, source provenance") {
+    val s = spark
+    import s.implicits._
+    val discovered = Seq(
+      (1L, "http://a.x/p?b=2&a=1"),         // canonical twin of seed 1
+      (2L, "http://a.x/only-discovered"),
+      (3L, "http://a.x/only-discovered")    // same url twice -> one row
+    ).toDF("id", "url")
+    val seeds = Seq(
+      ("http://a.x/p?a=1&b=2", Some(800L)),
+      ("http://a.x/p?a=1&b=2", Some(300L)), // repeat seed -> max priority
+      ("http://a.x/only-seed", None: Option[Long])
+    ).toDF("loc", "priority_milli")
+    val got = Frontier.mergeSeeds(discovered, col("url"),
+      seeds, col("loc"), col("priority_milli"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got.size === 3)
+    // overlap: the seed's raw spelling is the representative
+    assert(got("http://a.x/p?a=1&b=2") ===
+      (("http://a.x/p?a=1&b=2", "both", 800L)))
+    assert(got("http://a.x/only-discovered") ===
+      (("http://a.x/only-discovered", "discovered", -1L)))
+    assert(got("http://a.x/only-seed") ===
+      (("http://a.x/only-seed", "sitemap", -1L)))
+  }
 }

@@ -103,6 +103,62 @@ class RobotsSpec extends AnyFunSuite {
     assert(got === Map("ha" -> 2500L, "hb" -> 3000L))
   }
 
+  test("crawlDelay: pathological values clamp to the 3600 s ceiling, never overflow") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // past the cap but castable
+      ("ha", "User-agent: *\nCrawl-delay: 7200"),
+      // 16-digit run: would be a ~317-year delay and overflow
+      // fetch_at arithmetic (r11 ADVICE) -> clamps
+      ("hb", "User-agent: *\nCrawl-delay: 9999999999999999"),
+      // longer than decimal(18,3) can even hold -> clamps, no error
+      ("hc", "User-agent: *\nCrawl-delay: 99999999999999999999999"),
+      // under the cap: untouched
+      ("hd", "User-agent: *\nCrawl-delay: 3599.5")
+    ).toDF("host", "body")
+    val got = Robots.crawlDelay(df, "host", col("body"), "graftbot")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("ha" -> 3600000L, "hb" -> 3600000L,
+      "hc" -> 3600000L, "hd" -> 3599500L))
+  }
+
+  test("hosts are case-insensitive: dimension keys lowercase, URL hosts lowered to match") {
+    val s = spark
+    import s.implicits._
+    val robots = Seq(
+      ("Example.ORG", "User-agent: *\nDisallow: /x/\nCrawl-delay: 2")
+    ).toDF("host", "body")
+    val d = Robots.directives(robots, "host", col("body"), "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(d === Set(("example.org", "/x/")))
+    val cd = Robots.crawlDelay(robots, "host", col("body"), "graftbot")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cd === Map("example.org" -> 2000L))
+    // an uppercase-scheme, mixed-case-host URL still meets the rules
+    val urls = Seq((1L, "HTTP://EXAMPLE.org/x/1"), (2L, "http://example.org/ok"))
+      .toDF("id", "url")
+    val got = Robots.allowed(urls, "id", col("url"), robots, "host",
+      col("body"), agent = "graftbot")
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === (("example.org", false)))
+    assert(got(2L) === (("example.org", true)))
+  }
+
+  test("identical (host, body) duplicate rows collapse; distinct bodies still union") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("hd", "User-agent: graftbot\nDisallow: /a/"),
+      ("hd", "User-agent: graftbot\nDisallow: /a/"), // exact duplicate
+      ("hd", "User-agent: *\nDisallow: /b/")
+    ).toDF("host", "body")
+    val d = Robots.directives(df, "host", col("body"), "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    // the duplicate body contributes ONE copy of its rule set
+    assert(d.sorted === Seq(("hd", "/a/"), ("hd", "/b/")))
+  }
+
   test("crawl-delay is a group member: it terminates a user-agent run (RFC grammar)") {
     val s = spark
     import s.implicits._

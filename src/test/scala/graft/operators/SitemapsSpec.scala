@@ -63,4 +63,62 @@ class SitemapsSpec extends AnyFunSuite {
       (("http://e.x/s1.xml", "2024-02-01", "", -1L, true)))
     assert(got.size === 4)
   }
+
+  test("lastmodMillis: every W3C datetime form; out-of-grammar and invalid dates yield null") {
+    val s = spark
+    import s.implicits._
+    // expected values verified against DuckDB epoch_ms(TIMESTAMPTZ) —
+    // this spec IS the cross-engine pin for the q256 oracle
+    val cases = Seq(
+      ("2024", 1704067200000L),
+      ("2024-03", 1709251200000L),
+      ("2024-03-15", 1710460800000L),
+      ("2024-03-15T10:30Z", 1710498600000L),
+      ("2024-03-15T10:30:45+02:00", 1710491445000L),
+      ("2024-03-15T10:30:45.5-05:30", 1710518445500L),
+      ("not a date", -1L),
+      ("2024-13-45", -1L),       // grammar-shaped but not a real date
+      ("2024-03-15 10:30:45", -1L), // space form is not in the grammar
+      ("2024-03-15T10:30", -1L), // time without mandatory TZD
+      ("", -1L)
+    )
+    val got = cases.map(_._1).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("i", "v")
+      .select(col("i"), Sitemaps.lastmodMillis(col("v")).as("ms"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    cases.zipWithIndex.foreach { case ((v, exp), i) =>
+      assert(got(i.toLong) === exp, s"lastmod '$v'")
+    }
+  }
+
+  test("recrawlDueMillis: period table, always=0, never/unknown/null propagate null") {
+    val s = spark
+    import s.implicits._
+    val base = 1710460800000L
+    val cases = Seq(
+      (Some(base), "always", base),
+      (Some(base), "hourly", base + 3600000L),
+      (Some(base), "DAILY", base + 86400000L), // case-insensitive
+      (Some(base), "weekly", base + 604800000L),
+      (Some(base), "monthly", base + 2592000000L),
+      (Some(base), "yearly", base + 31536000000L),
+      (Some(base), "never", -1L),
+      (Some(base), "", -1L),
+      (Some(base), "sometimes", -1L),
+      (None: Option[Long], "daily", -1L)
+    )
+    val got = cases.zipWithIndex
+      .map { case ((ms, f, _), i) => (i.toLong, ms, f) }
+      .toDF("i", "ms", "f")
+      .select(col("i"),
+        Sitemaps.recrawlDueMillis(col("ms"), col("f")).as("due"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    cases.zipWithIndex.foreach { case ((_, f, exp), i) =>
+      assert(got(i.toLong) === exp, s"changefreq '$f'")
+    }
+  }
 }

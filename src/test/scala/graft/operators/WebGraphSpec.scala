@@ -79,6 +79,28 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got(4L)._4 === false)
   }
 
+  test("nofollow/noindex are whole tokens: longer words sharing the prefix don't flag") {
+    val got = links("http://k.example/p",
+      """<a rel="nofollower" href="http://l.example/1">1</a>""" +
+        """<a rel='nofollowing ugc' href="http://m.example/2">2</a>""" +
+        """<a rel="ugc nofollow" href="http://n.example/3">3</a>""")
+    assert(got(1L)._4 === false) // nofollower is not the nofollow token
+    assert(got(2L)._4 === false)
+    assert(got(3L)._4 === true)
+    val s = spark
+    import s.implicits._
+    val got2 = Seq(
+      (1L, "http://t.example/", "<html><head>" +
+        "<meta name=\"robots\" content=\"noindexing\"></head></html>"),
+      (2L, "http://t.example/", "<html><head>" +
+        "<meta name='robots' content='noindex,follow'></head></html>"))
+      .toDF("id", "uri", "html")
+      .select(col("id"),
+        WebGraph.pageMeta(col("uri"), col("html")).getField("noindex").as("ni"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got2 === Map(1L -> false, 2L -> true))
+  }
+
   test("per-quote alternation and bare <a> counting") {
     val got = links("http://q.example/p",
       """<a href="/o'brien">1</a><a>bare</a><a href='x"y'>3</a>""")
