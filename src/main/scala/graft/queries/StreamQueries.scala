@@ -708,5 +708,59 @@ object StreamQueries {
         }.select(col("window_start"), col("segment"), col("n"),
           cents(col("value_sum")).as("value_cents"))
       }
+    },
+
+    // STREAMING POLITENESS GATE TRANSCRIPT (the politeness family's
+    // stream leg — r11 verdict gap #3): the ACTUAL
+    // EventStreams.politenessGate flatMapGroupsWithState query
+    // (Append, NoTimeout — a state shape none of q213–q218 exercises:
+    // a monotone per-key timetable against a broadcast delay
+    // dimension, no watermark) over the day-sliced 3-batch replay.
+    // Fetch requests derive from events (req_id = event_id, host from
+    // the user residue); even-k hosts declare a crawl delay, odd-k
+    // hosts fall to the 1 s default. Because state carries each host's
+    // (nextFree, seq) across triggers, the per-host spacing NEVER
+    // resets at batch boundaries — which is exactly what the oracle's
+    // closed form asserts: seq = rank over (batch, req_id) within
+    // host, fetch_at = t0 + seq · delay(host). A state reset, a lost
+    // grant, or cross-batch reordering all break the hash.
+    QueryDef.sql("q257_stream_politeness_gate",
+      """WITH ev AS (
+        |  SELECT event_id AS req_id,
+        |    CAST((epoch_us(ts) // 86400000000) % 3 AS BIGINT) AS b,
+        |    (user_id % 19) AS k
+        |  FROM events),
+        |r AS (
+        |  SELECT req_id, b, k,
+        |    'http://h' || k || '.example.org/e/' || req_id AS url,
+        |    'h' || k || '.example.org' AS host,
+        |    CASE WHEN k % 2 = 0 THEN 500 * (k % 5) + 500 ELSE 1000 END AS delay
+        |  FROM ev),
+        |sq AS (
+        |  SELECT req_id, url, host, delay,
+        |    row_number() OVER (PARTITION BY host ORDER BY b, req_id) - 1 AS seq
+        |  FROM r)
+        |SELECT req_id, url, host, CAST(seq AS BIGINT) AS seq,
+        |  CAST(1704067200000 + seq * delay AS BIGINT) AS fetch_at_ms
+        |FROM sq""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val reqs = Tables.events(s, d).select(
+          col("event_id").as("req_id"), col("ts"),
+          concat(lit("http://h"),
+            pmod(col("user_id"), lit(19)).cast("string"),
+            lit(".example.org/e/"), col("event_id").cast("string"))
+            .as("url"))
+        val batches = daySlicedBatches[EventStreams.FetchRequest](s, reqs)
+        val delays = (0 until 19).filter(_ % 2 == 0)
+          .map(k => (s"h$k.example.org", 500L * (k % 5) + 500L))
+          .toDF("host", "crawl_delay_ms")
+        runTranscript(s, "q257_stream_politeness_gate", batches,
+          OutputMode.Append()) {
+          (ds: Dataset[EventStreams.FetchRequest]) =>
+            EventStreams.politenessGate(ds, delays,
+              t0Ms = 1704067200000L, defaultDelayMs = 1000L).toDF()
+        }
+      }
     })
 }

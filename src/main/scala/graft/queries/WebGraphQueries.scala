@@ -992,6 +992,257 @@ object WebGraphQueries {
         graft.operators.Frontier.fetchSchedule(allowed, "doc_id",
           col("url"), delays, t0Ms = 1704067200000L, maxPerHost = 20)
       }
+    },
+
+    // FRONTIER SEED MERGE (the politeness loop CLOSED — the frontier
+    // consumes what the family produces): q252-style sitemap seeds are
+    // entity-decoded by Sitemaps.entries, merged with the
+    // robots-allowed discovered URL set by CANONICAL form (q138's
+    // canonicalizer: even-doc seeds respell their discovered twin with
+    // an uppercase host + utm tracking params — same fetch, so the
+    // merge must unify them, seed spelling winning), and scheduled
+    // per host ordered by sitemap priority desc (the field exists
+    // precisely to order a crawl) then canon. Disallowed discovered
+    // URLs never enter; a seed whose twin was disallowed surfaces as
+    // sitemap-only. The oracle replays verdicts, seed synthesis,
+    // canonicalization, the full-outer merge, delay extraction, and
+    // the priority window end-to-end from `documents` alone.
+    QueryDef.sql("q255_frontier_seed_merge", {
+      def canonChain(pfx: String, src: String, urlCol: String): String =
+        s"""${pfx}nf AS (SELECT *, regexp_replace($urlCol, '#.*$$', '') AS __nofrag FROM $src),
+           |${pfx}pt AS (
+           |  SELECT *,
+           |    lower(regexp_extract(__nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS __sch,
+           |    lower(regexp_extract(__nofrag, '^[^:/?#]+://([^/?#]*)', 1)) AS __hp,
+           |    regexp_extract(__nofrag, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS __rp,
+           |    regexp_extract(__nofrag, '\\?([^#]*)', 1) AS __q
+           |  FROM ${pfx}nf),
+           |${pfx}cq AS (
+           |  -- array_to_string of an EMPTY list is NULL in DuckDB, not
+           |  -- '' — every no-query / all-tracking-params URL hits that
+           |  SELECT *, coalesce(array_to_string(list_sort(list_filter(
+           |      string_split(__q, '&'),
+           |      p -> p <> '' AND NOT regexp_matches(p,
+           |        '^(utm_[^=]*|fbclid|gclid)(=.*)?$$'))), '&'), '') AS __cq
+           |  FROM ${pfx}pt),
+           |${pfx}cn AS (
+           |  SELECT *, __sch || '://' ||
+           |    (CASE WHEN __sch = 'http' THEN regexp_replace(__hp, ':80$$', '')
+           |          WHEN __sch = 'https' THEN regexp_replace(__hp, ':443$$', '')
+           |          ELSE __hp END) ||
+           |    (CASE WHEN __rp = '' THEN '/' ELSE __rp END) ||
+           |    (CASE WHEN __cq = '' THEN '' ELSE '?' || __cq END)
+           |    AS canon
+           |  FROM ${pfx}cq)""".stripMargin
+      s"""WITH $robotsDirsCtes,
+         |$robotsVerdictCtes,
+         |disc AS (
+         |  SELECT url FROM win WHERE rn = 1 AND ((NOT m) OR rule = 'allow')),
+         |${canonChain("d", "disc", "url")},
+         |dc AS (SELECT canon, min(url) AS d_url FROM dcn GROUP BY canon),
+         |seeds AS (
+         |  SELECT CASE WHEN doc_id % 2 = 0 THEN
+         |      'http://H' || (doc_id % 19) || '.EXAMPLE.ORG' || $urlPathSql
+         |        || '?utm_source=sm&utm_medium=x'
+         |    ELSE 'http://h' || (doc_id % 19) || '.example.org/seed/doc' || doc_id
+         |    END AS loc,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN CAST((doc_id % 10) * 100 AS BIGINT) END AS pm
+         |  FROM documents),
+         |${canonChain("s", "seeds", "loc")},
+         |sc AS (SELECT canon, min(loc) AS s_url, max(pm) AS priority_milli
+         |       FROM scn GROUP BY canon),
+         |mg AS (
+         |  SELECT coalesce(dc.canon, sc.canon) AS canon,
+         |    coalesce(sc.s_url, dc.d_url) AS url,
+         |    CASE WHEN sc.canon IS NOT NULL AND dc.canon IS NOT NULL THEN 'both'
+         |         WHEN sc.canon IS NOT NULL THEN 'sitemap'
+         |         ELSE 'discovered' END AS source,
+         |    sc.priority_milli
+         |  FROM dc FULL OUTER JOIN sc ON dc.canon = sc.canon),
+         |cd AS (
+         |  SELECT g.host, g.val
+         |  FROM grps g JOIN sel ON sel.host = g.host AND sel.g = g.g
+         |  WHERE g.key = 'crawl-delay' AND g.val <> ''
+         |    AND regexp_matches(g.val, '^[0-9]+(\\.[0-9]+)?$$')),
+         |dl AS (
+         |  SELECT host,
+         |    CAST(max(least(CASE WHEN length(val) <= 12
+         |        THEN CAST(val AS DECIMAL(18,3)) ELSE 3600 END, 3600) * 1000)
+         |      AS BIGINT) AS ms
+         |  FROM cd GROUP BY host),
+         |sq AS (
+         |  SELECT canon, url, source, priority_milli,
+         |    lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)) AS host,
+         |    row_number() OVER (
+         |      PARTITION BY lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1))
+         |      ORDER BY priority_milli DESC NULLS LAST, canon) - 1 AS seq
+         |  FROM mg)
+         |SELECT sq.canon, sq.url, sq.host, CAST(sq.seq AS BIGINT) AS seq,
+         |  CASE WHEN sq.seq < 25
+         |    THEN 1704067200000 + sq.seq * coalesce(dl.ms, 1000)
+         |  END AS fetch_at_ms,
+         |  sq.source, sq.priority_milli
+         |FROM sq LEFT JOIN dl ON dl.host = sq.host""".stripMargin
+    }) {
+      (s, d) => {
+        val did = col("doc_id")
+        val ks = pmod(did, lit(19)).cast("string")
+        val docs = Tables.documents(s, d)
+        val urls = docs.select(did,
+          concat(lit("http://h"), ks, lit(".example.org"), urlPath(did))
+            .as("url"))
+        val robots = robotsFixture(s, d)
+        val allowed = graft.operators.Robots.allowed(urls, "doc_id",
+          col("url"), robots, "host", col("body"), agent = "graftbot")
+          .filter(col("allowed"))
+          .select(col("doc_id"), col("url"))
+        // seed urlset XML per host: even docs respell their discovered
+        // twin (uppercase host + tracking params, & entity-escaped as
+        // the sitemap spec REQUIRES); odd docs declare new /seed/ URLs;
+        // priority on doc%3==0
+        val blk = concat(lit("<url><loc>"),
+          when(pmod(did, lit(2)) === 0, concat(
+            lit("http://H"), ks, lit(".EXAMPLE.ORG"), urlPath(did),
+            lit("?utm_source=sm&amp;utm_medium=x")))
+            .otherwise(concat(lit("http://h"), ks,
+              lit(".example.org/seed/doc"), did.cast("string"))),
+          lit("</loc>"),
+          when(pmod(did, lit(3)) === 0, concat(lit("<priority>0."),
+            pmod(did, lit(10)).cast("string"), lit("</priority>")))
+            .otherwise(lit("")),
+          lit("</url>"))
+        val xmls = docs
+          .select(pmod(did, lit(19)).as("__k"),
+            struct(did.as("i"), blk.as("b")).as("__e"))
+          .groupBy("__k").agg(collect_list(col("__e")).as("__lst"))
+          .select(concat(lit("h"), col("__k").cast("string"),
+              lit(".example.org")).as("host"),
+            concat(lit("<urlset>"),
+              array_join(transform(sort_array(col("__lst")),
+                x => x.getField("b")), ""),
+              lit("</urlset>")).as("xml"))
+        val seeds = graft.operators.Sitemaps.entries(xmls, "host", col("xml"))
+          .filter(!col("from_index"))
+        val merged = graft.operators.Frontier.mergeSeeds(
+          allowed, col("url"), seeds, col("loc"), col("priority_milli"))
+        val delays = graft.operators.Robots.crawlDelay(
+          robots, "host", col("body"), agent = "graftbot")
+        graft.operators.Frontier.fetchSchedule(merged, "canon", col("url"),
+          delays, t0Ms = 1704067200000L, defaultDelayMs = 1000L,
+          maxPerHost = 25, priorityCol = Some("priority_milli"))
+      }
+    },
+
+    // TYPED LASTMOD + RECRAWL DUE (the parse q252 leaves to the
+    // consumer, here AS the consumer): every W3C datetime form the
+    // sitemaps grammar names — year, year-month, date, minute-precision
+    // with mandatory TZD, second precision, fractional second, across
+    // Z and ±hh:mm offsets — normalized to one ISO instant and parsed
+    // to exact epoch millis; out-of-grammar values (doc%8==7 plants an
+    // RFC-822 date) yield NULL, never an error. due_at_ms composes the
+    // changefreq period table (doc%9 walks all seven values + absent +
+    // an unknown) onto the typed lastmod — the recrawl timetable the
+    // frontier consumes. The oracle replays synthesis, extraction,
+    // normalization (same regex tiers), TRY_CAST, and the period join.
+    QueryDef.sql("q256_sitemap_recrawl", {
+      val lastmodSql =
+        """CASE CAST(doc_id % 8 AS INTEGER)
+          |      WHEN 0 THEN '2024'
+          |      WHEN 1 THEN '2024-03'
+          |      WHEN 2 THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+          |      WHEN 3 THEN '2024-03-15T10:30Z'
+          |      WHEN 4 THEN '2024-03-15T10:30:45+02:00'
+          |      WHEN 5 THEN '2024-03-15T10:30:45.5-05:30'
+          |      WHEN 6 THEN ''
+          |      ELSE '15 Mar 2024' END""".stripMargin
+      val freqSql =
+        """CASE CAST(doc_id % 9 AS INTEGER)
+          |      WHEN 0 THEN 'always' WHEN 1 THEN 'hourly'
+          |      WHEN 2 THEN 'daily' WHEN 3 THEN 'weekly'
+          |      WHEN 4 THEN 'monthly' WHEN 5 THEN 'yearly'
+          |      WHEN 6 THEN 'never' WHEN 7 THEN ''
+          |      ELSE 'sometimes' END""".stripMargin
+      s"""WITH blk AS (
+         |  SELECT (doc_id % 19) AS k, doc_id,
+         |    'http://h' || (doc_id % 19) || '.example.org/r/' || doc_id AS loc,
+         |    $lastmodSql AS lm,
+         |    $freqSql AS cf
+         |  FROM documents),
+         |ent AS (
+         |  SELECT 'h' || k || '.example.org' AS host,
+         |    row_number() OVER (PARTITION BY k ORDER BY doc_id) AS entry_no,
+         |    loc, lm, cf
+         |  FROM blk),
+         |nm AS (
+         |  SELECT *, CASE
+         |    WHEN regexp_matches(lm, '^[0-9]{4}$$') THEN lm || '-01-01T00:00:00Z'
+         |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}$$') THEN lm || '-01T00:00:00Z'
+         |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$') THEN lm || 'T00:00:00Z'
+         |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}(Z|[+-][0-9]{2}:[0-9]{2})$$')
+         |      THEN substr(lm, 1, 16) || ':00' || regexp_extract(lm, '(Z|[+-][0-9]{2}:[0-9]{2})$$', 1)
+         |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})$$')
+         |      THEN lm
+         |    END AS norm
+         |  FROM ent),
+         |ty AS (
+         |  SELECT host, entry_no, loc, lm, cf,
+         |    epoch_ms(TRY_CAST(norm AS TIMESTAMPTZ)) AS lastmod_ms
+         |  FROM nm)
+         |SELECT host, CAST(entry_no AS BIGINT) AS entry_no, loc,
+         |  lm AS lastmod, lastmod_ms,
+         |  lastmod_ms + CASE lower(cf)
+         |    WHEN 'always' THEN 0 WHEN 'hourly' THEN 3600000
+         |    WHEN 'daily' THEN 86400000 WHEN 'weekly' THEN 604800000
+         |    WHEN 'monthly' THEN 2592000000 WHEN 'yearly' THEN 31536000000
+         |    END AS due_at_ms
+         |FROM ty""".stripMargin
+    }) {
+      (s, d) => {
+        val did = col("doc_id")
+        val ks = pmod(did, lit(19)).cast("string")
+        val lm = when(pmod(did, lit(8)) === 0, lit("2024"))
+          .when(pmod(did, lit(8)) === 1, lit("2024-03"))
+          .when(pmod(did, lit(8)) === 2, concat(lit("2024-01-"),
+            lpad((pmod(did, lit(28)) + 1).cast("string"), 2, "0")))
+          .when(pmod(did, lit(8)) === 3, lit("2024-03-15T10:30Z"))
+          .when(pmod(did, lit(8)) === 4, lit("2024-03-15T10:30:45+02:00"))
+          .when(pmod(did, lit(8)) === 5, lit("2024-03-15T10:30:45.5-05:30"))
+          .when(pmod(did, lit(8)) === 6, lit(""))
+          .otherwise(lit("15 Mar 2024"))
+        val cf = when(pmod(did, lit(9)) === 0, lit("always"))
+          .when(pmod(did, lit(9)) === 1, lit("hourly"))
+          .when(pmod(did, lit(9)) === 2, lit("daily"))
+          .when(pmod(did, lit(9)) === 3, lit("weekly"))
+          .when(pmod(did, lit(9)) === 4, lit("monthly"))
+          .when(pmod(did, lit(9)) === 5, lit("yearly"))
+          .when(pmod(did, lit(9)) === 6, lit("never"))
+          .when(pmod(did, lit(9)) === 7, lit(""))
+          .otherwise(lit("sometimes"))
+        val blk = concat(lit("<url><loc>http://h"), ks,
+          lit(".example.org/r/"), did.cast("string"), lit("</loc>"),
+          when(lm =!= "", concat(lit("<lastmod>"), lm, lit("</lastmod>")))
+            .otherwise(lit("")),
+          when(cf =!= "", concat(lit("<changefreq>"), cf,
+            lit("</changefreq>"))).otherwise(lit("")),
+          lit("</url>"))
+        val xmls = Tables.documents(s, d)
+          .select(pmod(did, lit(19)).as("__k"),
+            struct(did.as("i"), blk.as("b")).as("__e"))
+          .groupBy("__k").agg(collect_list(col("__e")).as("__lst"))
+          .select(concat(lit("h"), col("__k").cast("string"),
+              lit(".example.org")).as("host"),
+            concat(lit("<urlset>"),
+              array_join(transform(sort_array(col("__lst")),
+                x => x.getField("b")), ""),
+              lit("</urlset>")).as("xml"))
+        val ents = graft.operators.Sitemaps.entries(xmls, "host", col("xml"))
+        val lms = graft.operators.Sitemaps.lastmodMillis(col("lastmod"))
+        ents.select(col("host"), col("entry_no"), col("loc"),
+          col("lastmod"), lms.as("lastmod_ms"),
+          graft.operators.Sitemaps.recrawlDueMillis(lms, col("changefreq"))
+            .as("due_at_ms"))
+      }
     }
   )
 }

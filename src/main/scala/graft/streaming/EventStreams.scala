@@ -174,6 +174,78 @@ object EventStreams {
       }
   }
 
+  /** A fetch request entering the streaming politeness gate. */
+  final case class FetchRequest(req_id: Long, ts: Timestamp, url: String)
+
+  /** Gate-internal row shape (public: encoder codegen needs
+    * accessible accessors, like [[SessionState]]). */
+  final case class GateInput(req_id: Long, url: String,
+                             host: String, delay_ms: Long)
+
+  /** Per-host gate state: where the host's timetable frontier stands. */
+  final case class HostGate(nextFreeMs: Long, seq: Long)
+
+  final case class ScheduledFetch(req_id: Long, url: String, host: String,
+                                  seq: Long, fetch_at_ms: Long)
+
+  /** Streaming politeness rate gate — the stream twin of
+    * [[graft.operators.Frontier.fetchSchedule]]: fetch requests arrive
+    * as a stream, each host's timetable frontier lives in keyed state
+    * (`nextFreeMs`, the per-key "timer" the next grant must wait for),
+    * and every request is granted the host's next slot:
+    *
+    *   fetch_at = nextFree;  nextFree += delay(host)
+    *
+    * so spacing NEVER resets across micro-batches — the state shape
+    * none of the q213–q218 gates exercises (monotone per-key timetable
+    * against a broadcast dimension, no watermark, no timeout). The
+    * crawl-delay dimension ([[graft.operators.Robots.crawlDelay]]'s
+    * output shape) joins the stream as a broadcast BEFORE keying, so
+    * the stateful operator stays a pure per-host fold.
+    *
+    * Determinism contract: within a trigger each host's requests are
+    * granted in `req_id` order (micro-batches are unordered); across
+    * triggers state carries — the emitted timetable is a pure function
+    * of the batch sequence, which is what lets a committed transcript
+    * hash-gate it. Like the batch schedule, the gate does not consult
+    * the wall clock (`t0Ms` seeds every host); a fetcher executing the
+    * timetable applies its own "not before now".
+    *
+    * Non-http(s) URLs are DROPPED here (documented narrowing vs the
+    * batch operator's pass-through: an unbounded stream has no
+    * "deferred" bucket to park garbage in — filter upstream).
+    */
+  def politenessGate(reqs: Dataset[FetchRequest], delays: DataFrame,
+                     t0Ms: Long,
+                     defaultDelayMs: Long = 1000L): Dataset[ScheduledFetch] = {
+    val s = reqs.sparkSession
+    import s.implicits._
+    val rawHost = regexp_extract(col("url"), "(?i)^https?://([^/?#]+)", 1)
+    val keyed = reqs.toDF()
+      .withColumn("host", when(rawHost =!= "", lower(rawHost)))
+      .filter(col("host").isNotNull)
+      .join(broadcast(delays), Seq("host"), "left_outer")
+      .select(col("req_id"), col("url"), col("host"),
+        coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)).as("delay_ms"))
+      .as[GateInput]
+    keyed.groupByKey(_.host)
+      .flatMapGroupsWithState[HostGate, ScheduledFetch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (host: String, batch: Iterator[GateInput], state: GroupState[HostGate]) =>
+          val g0 = state.getOption.getOrElse(HostGate(t0Ms, 0L))
+          var next = g0.nextFreeMs
+          var sq = g0.seq
+          val out = batch.toArray.sortBy(_.req_id).map { r =>
+            val granted = ScheduledFetch(r.req_id, r.url, host, sq, next)
+            next += r.delay_ms
+            sq += 1
+            granted
+          }
+          state.update(HostGate(next, sq))
+          out.iterator
+      }
+  }
+
   /** Stream-stream interval join: attribute each purchase to the click
     * by the same user within the preceding `window`. Watermarks on both
     * sides bound the join state (late rows beyond them are dropped and

@@ -8,15 +8,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * 100 TB streaming job runs the RocksDB provider (bounded executor
   * heap, spill-to-native). The semantics contract is that the provider
   * is a storage detail — identical micro-batch sequence in, identical
-  * rows out. This spec replays ALL SIX transcript gates under BOTH
+  * rows out. This spec replays ALL SEVEN transcript gates under BOTH
   * providers and asserts row-identical output, using the bundled
   * rocksdbjni — each exercises a distinct store access pattern:
   * windowed-aggregate eviction timers (q213), mapGroupsWithState
   * processing-time and event-time timeouts (q214/q215), the
   * stream-stream join's four stores per partition (q216),
-  * dropDuplicates key-only state (q217), and the never-expiring
+  * dropDuplicates key-only state (q217), the never-expiring
   * flatMapGroupsWithState version store (q218, Update mode without a
-  * watermark).
+  * watermark), and the politeness gate's monotone per-key timetable
+  * state (q257, Append + NoTimeout against a broadcast dimension).
   */
 class StateStoreProviderSpec extends AnyFunSuite {
 
@@ -56,7 +57,8 @@ class StateStoreProviderSpec extends AnyFunSuite {
     "q215_stream_sessionize_eventtime",
     "q216_stream_click_to_purchase",
     "q217_stream_dedup_events",
-    "q218_stream_current_view")) {
+    "q218_stream_current_view",
+    "q257_stream_politeness_gate")) {
     test(s"$gate: RocksDB state store emits rows identical to the default provider") {
       val dflt = underProvider(None)(gate)
       val rocks = underProvider(Some(RocksDb))(gate)
