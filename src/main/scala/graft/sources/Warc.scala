@@ -370,6 +370,107 @@ object Warc {
 
   // ---------------------------------------------------------------- read
 
+  /** Gzip-member boundary machinery for the OPT-IN splitting of one
+    * giant `.warc.gz` (the r11 verdict's corner case: the file is
+    * normally the unit of parallelism — real crawls ship thousands of
+    * ~1 GiB files and per-file readers are the honest scale design —
+    * but a single multi-GB archive would otherwise read on one task).
+    *
+    * A boundary is VERIFIED, not guessed: candidate = the 3-byte gzip
+    * magic `1f 8b 08`; accepted only if decompressing from there
+    * yields a `WARC/` version line (every WARC record starts with
+    * one). A random deflate payload position passing the magic check
+    * (~2⁻²⁴ per byte) AND inflating cleanly to exactly `WARC/`
+    * is ~2⁻⁶⁰-grade; a hypothetical false accept still fails loudly in
+    * the record parser rather than corrupting output silently.
+    */
+  object MemberSplit {
+
+    /** Decompressing from `pos` yields a WARC version line? `raf`'s
+      * position is clobbered. Bounded read window — verification never
+      * streams the member.
+      */
+    def isBoundary(raf: java.io.RandomAccessFile, pos: Long): Boolean = {
+      raf.seek(pos)
+      // 4 KiB suffices to inflate 5 bytes (a deflate block header +
+      // huffman tables are < 400 bytes); keeping the window small
+      // bounds the scan pass's read amplification on tiny members
+      val window = new Array[Byte](1 << 12)
+      var got = 0
+      var n = 0
+      while (got < window.length && n >= 0) {
+        n = raf.read(window, got, window.length - got)
+        if (n > 0) got += n
+      }
+      tryInflate(window, got) // a short (EOF) window is fine
+    }
+
+    private def tryInflate(window: Array[Byte], len: Int): Boolean = {
+      if (len < 10 || window(0) != 0x1f.toByte || window(1) != 0x8b.toByte ||
+        window(2) != 0x08.toByte) return false
+      try {
+        val gz = new GZIPInputStream(
+          new java.io.ByteArrayInputStream(window, 0, len), 1 << 12)
+        val head = new Array[Byte](5)
+        var got = 0
+        while (got < 5) {
+          val n = gz.read(head, got, 5 - got)
+          if (n < 0) return false
+          got += n
+        }
+        java.util.Arrays.equals(head, "WARC/".getBytes(UTF_8))
+      } catch { case _: java.io.IOException => false }
+    }
+
+    /** First verified member boundary at or after `from` (`-1` when
+      * none before EOF). Block-scans for the magic triple; overlap
+      * carry handles a triple straddling block edges.
+      */
+    def nextBoundary(raf: java.io.RandomAccessFile, from: Long): Long = {
+      val fileLen = raf.length()
+      val block = new Array[Byte](1 << 20)
+      var base = from
+      while (base < fileLen) {
+        raf.seek(base)
+        val n = raf.read(block)
+        if (n <= 0) return -1L
+        var i = 0
+        while (i < n - 2) {
+          if (block(i) == 0x1f.toByte && block(i + 1) == 0x8b.toByte &&
+            block(i + 2) == 0x08.toByte && isBoundary(raf, base + i))
+            return base + i
+          i += 1
+        }
+        // step past the scanned region, re-covering the 2-byte tail a
+        // straddling magic triple could hide in
+        base += math.max(1, n - 2)
+      }
+      -1L
+    }
+
+    /** Raw-byte window [start, end) of `raf` as a stream (used to feed
+      * one member chunk to a [[RecordReader]]).
+      */
+    final class RangeStream(raf: java.io.RandomAccessFile, start: Long,
+                            end: Long) extends InputStream {
+      private var pos = start
+      raf.seek(start)
+      override def read(): Int = {
+        if (pos >= end) -1
+        else { val c = raf.read(); if (c >= 0) pos += 1; c }
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (pos >= end) -1
+        else {
+          val n = raf.read(b, off, math.min(len.toLong, end - pos).toInt)
+          if (n > 0) pos += n
+          n
+        }
+      }
+      override def close(): Unit = () // the reader owns the raf
+    }
+  }
+
   /** Input stream that counts consumed bytes — record offsets in the
     * (decompressed) stream come from here, not from guesswork.
     */

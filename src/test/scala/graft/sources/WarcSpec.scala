@@ -298,6 +298,44 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("member_split_bytes: split read is record-identical to the unsplit read (no dup, no loss)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("split")
+    // one big single-shard .warc.gz with varied payload sizes — some
+    // payloads contain WARC version lines and member-ish text to make
+    // boundary verification earn its keep
+    val docs = (1L to 400L).map { i =>
+      val body =
+        if (i % 7 == 0) s"WARC/1.0\r\nWARC-Type: response\r\nfake inner $i " + ("x" * 2000)
+        else s"payload $i " + ("y" * (i % 50).toInt * 40)
+      (i, s"http://e/$i", "2024-01-01 00:00:01", body)
+    }.toDF("doc_id", "uri", "d", "text")
+      .withColumn("d", to_timestamp(col("d")))
+    Warc.export(docs, "doc_id", "uri", "d", "text", dir, numShards = 1,
+      compress = true, infoDateSecs = 0L, shardCol = Some(lit(0)))
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("record_id"), col("warc_type"), col("target_uri"),
+        col("warc_date").cast("string"), col("content_type"),
+        col("content_length"), col("payload_digest"),
+        md5(col("payload")).as("pm"))
+      .collect().map(_.toString).sorted.toSeq
+    val unsplit = key(spark.read.format("warc").load(dir))
+    // split small enough to force MANY ranges, incl. ranges whose
+    // boundary scan runs past their end (empty partitions)
+    val split = spark.read.format("warc")
+      .option("member_split_bytes", 4096L.toString).load(dir)
+    assert(split.rdd.getNumPartitions > 10,
+      s"expected many ranges, got ${split.rdd.getNumPartitions}")
+    assert(key(split) === unsplit)
+    // offsets under splitting stay unique per file (monotone locator)
+    val offs = split.select(col("warc_offset")).collect().map(_.getLong(0))
+    assert(offs.distinct.length === offs.length)
+    assert(f.length() > 4096, "fixture must actually exceed the split size")
+  }
+
   test("truncated payload fails loudly, never yields a short record") {
     val dir = tmpDir("trunc")
     Warc.export(docsDf.limit(1), "doc_id", "uri", "d", "text", dir,
