@@ -61,6 +61,20 @@ object Frontier {
     * back with a NULL `fetch_at_ms` (deferred to the next round, not
     * silently dropped — frontier accounting must balance).
     *
+    * `notBeforeCol` (epoch millis, e.g. [[Sitemaps.recrawlDueMillis]]'
+    * `due_at`) makes this a RECRAWL schedule: each URL is granted the
+    * earliest slot that is ≥ its own not-before AND ≥ the previous
+    * grant + delay —
+    *
+    *   fetch_i = max(t0Ms, nb_i, fetch_(i-1) + delay)
+    *
+    * (null not-before = t0Ms). The recurrence is solved RELATIONALLY,
+    * not iteratively: with a constant per-host delay d,
+    * fetch_i = seq_i·d + max_(j≤i)(coalesce(nb_j, t0) − seq_j·d), a
+    * running-max window over the SAME per-host frame the sequencing
+    * already shuffles on — the not-before feature costs zero extra
+    * exchanges at any scale.
+    *
     * Hosts are extracted case-insensitively and lowercased (RFC 3986)
     * so `HTTP://Example.org/x` schedules under — and joins the delay
     * dimension at — `example.org`. A URL that does not match the
@@ -87,7 +101,8 @@ object Frontier {
                     delays: DataFrame, t0Ms: Long,
                     defaultDelayMs: Long = 1000L,
                     maxPerHost: Int = 1000,
-                    priorityCol: Option[String] = None): DataFrame = {
+                    priorityCol: Option[String] = None,
+                    notBeforeCol: Option[String] = None): DataFrame = {
     require(defaultDelayMs >= 0, s"negative defaultDelayMs: $defaultDelayMs")
     require(maxPerHost >= 1, s"maxPerHost must be positive, got $maxPerHost")
     val extras = urls.columns.toSeq.filterNot(c =>
@@ -96,17 +111,33 @@ object Frontier {
     val rawHost = regexp_extract(col("url"), "(?i)^https?://([^/?#]+)", 1)
     val u = urls.withColumn("url", url)
       .withColumn("host", when(rawHost =!= "", lower(rawHost)))
+      // broadcast dim joined BEFORE the window: the running-max term
+      // needs the delay inside the window expression
+      .join(broadcast(delays), Seq("host"), "left_outer")
+      .withColumn("__d",
+        coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
+      // the partition key materializes ONCE: both windows partition by
+      // the same attribute, so the second plans with no extra
+      // exchange/sort (a coalesce() inline in partitionBy would get a
+      // fresh alias per Window and re-shuffle)
+      .withColumn("__pk", coalesce(col("host"), col("url")))
     val ord = priorityCol.map(p => col(p).desc_nulls_last).toSeq :+
       col(idCol).asc
-    val w = Window.partitionBy(coalesce(col("host"), col("url")))
-      .orderBy(ord: _*)
-    u.withColumn("seq", when(col("host").isNotNull,
-        (row_number().over(w) - 1).cast("long")))
-      .join(broadcast(delays), Seq("host"), "left_outer")
+    val w = Window.partitionBy(col("__pk")).orderBy(ord: _*)
+    val nb = notBeforeCol.map(col).getOrElse(lit(null).cast("long"))
+    // fetch_i = seq_i·d + max_{j≤i}(coalesce(nb_j, t0) − seq_j·d)
+    // = max(t0, nb_i, fetch_{i−1} + d) — all three grant constraints.
+    // seq materializes first (window functions cannot nest); the two
+    // windows share partition+order, so they plan without an extra
+    // exchange or sort.
+    val runMax = max(coalesce(nb, lit(t0Ms)) - col("__seq") * col("__d"))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u.withColumn("__seq", (row_number().over(w) - 1).cast("long"))
+      .withColumn("__base", runMax)
+      .withColumn("seq", when(col("host").isNotNull, col("__seq")))
       .select((Seq(col(idCol), col("url"), col("host"), col("seq"),
-        when(col("seq") < maxPerHost,
-          lit(t0Ms) + col("seq") *
-            coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
+        when(col("host").isNotNull && col("seq") < maxPerHost,
+          col("__base") + col("seq") * col("__d"))
           .as("fetch_at_ms")) ++ extras.map(col)): _*)
   }
 }

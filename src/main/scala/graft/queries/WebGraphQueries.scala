@@ -310,6 +310,111 @@ object WebGraphQueries {
        |      rpath ASC NULLS LAST) AS rn
        |  FROM hits)""".stripMargin
 
+  /** q256/q258 shared fixture SQL: the per-doc lastmod string (every
+    * W3C datetime form + absent + an out-of-grammar RFC-822 date) and
+    * changefreq (all seven values + absent + an unknown).
+    */
+  private val sitemapLastmodSql: String =
+    """CASE CAST(doc_id % 8 AS INTEGER)
+      |      WHEN 0 THEN '2024'
+      |      WHEN 1 THEN '2024-03'
+      |      WHEN 2 THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+      |      WHEN 3 THEN '2024-03-15T10:30Z'
+      |      WHEN 4 THEN '2024-03-15T10:30:45+02:00'
+      |      WHEN 5 THEN '2024-03-15T10:30:45.5-05:30'
+      |      WHEN 6 THEN ''
+      |      ELSE '15 Mar 2024' END""".stripMargin
+
+  private val sitemapFreqSql: String =
+    """CASE CAST(doc_id % 9 AS INTEGER)
+      |      WHEN 0 THEN 'always' WHEN 1 THEN 'hourly'
+      |      WHEN 2 THEN 'daily' WHEN 3 THEN 'weekly'
+      |      WHEN 4 THEN 'monthly' WHEN 5 THEN 'yearly'
+      |      WHEN 6 THEN 'never' WHEN 7 THEN ''
+      |      ELSE 'sometimes' END""".stripMargin
+
+  /** The lastmod normalization + TRY_CAST + changefreq-period oracle
+    * chain over a `blk(k, doc_id, loc, lm, cf)` CTE — shared verbatim
+    * by q256 and q258 so their typed-lastmod semantics cannot diverge.
+    * Ends in `due(host, entry_no, loc, lm, cf, lastmod_ms, due_at_ms)`.
+    */
+  private val sitemapDueCtes: String =
+    """ent AS (
+      |  SELECT 'h' || k || '.example.org' AS host,
+      |    row_number() OVER (PARTITION BY k ORDER BY doc_id) AS entry_no,
+      |    loc, lm, cf
+      |  FROM blk),
+      |nm AS (
+      |  SELECT *, CASE
+      |    WHEN regexp_matches(lm, '^[0-9]{4}$') THEN lm || '-01-01T00:00:00Z'
+      |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}$') THEN lm || '-01T00:00:00Z'
+      |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN lm || 'T00:00:00Z'
+      |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}(Z|[+-][0-9]{2}:[0-9]{2})$')
+      |      THEN substr(lm, 1, 16) || ':00' || regexp_extract(lm, '(Z|[+-][0-9]{2}:[0-9]{2})$', 1)
+      |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})$')
+      |      THEN lm
+      |    END AS norm
+      |  FROM ent),
+      |due AS (
+      |  SELECT host, entry_no, loc, lm, cf,
+      |    epoch_ms(TRY_CAST(norm AS TIMESTAMPTZ)) AS lastmod_ms,
+      |    epoch_ms(TRY_CAST(norm AS TIMESTAMPTZ)) + CASE lower(cf)
+      |      WHEN 'always' THEN 0 WHEN 'hourly' THEN 3600000
+      |      WHEN 'daily' THEN 86400000 WHEN 'weekly' THEN 604800000
+      |      WHEN 'monthly' THEN 2592000000 WHEN 'yearly' THEN 31536000000
+      |      END AS due_at_ms
+      |  FROM nm)""".stripMargin
+
+  /** Spark twins of [[sitemapLastmodSql]]/[[sitemapFreqSql]]. */
+  private def sitemapLastmod(did: Column): Column =
+    when(pmod(did, lit(8)) === 0, lit("2024"))
+      .when(pmod(did, lit(8)) === 1, lit("2024-03"))
+      .when(pmod(did, lit(8)) === 2, concat(lit("2024-01-"),
+        lpad((pmod(did, lit(28)) + 1).cast("string"), 2, "0")))
+      .when(pmod(did, lit(8)) === 3, lit("2024-03-15T10:30Z"))
+      .when(pmod(did, lit(8)) === 4, lit("2024-03-15T10:30:45+02:00"))
+      .when(pmod(did, lit(8)) === 5, lit("2024-03-15T10:30:45.5-05:30"))
+      .when(pmod(did, lit(8)) === 6, lit(""))
+      .otherwise(lit("15 Mar 2024"))
+
+  private def sitemapFreq(did: Column): Column =
+    when(pmod(did, lit(9)) === 0, lit("always"))
+      .when(pmod(did, lit(9)) === 1, lit("hourly"))
+      .when(pmod(did, lit(9)) === 2, lit("daily"))
+      .when(pmod(did, lit(9)) === 3, lit("weekly"))
+      .when(pmod(did, lit(9)) === 4, lit("monthly"))
+      .when(pmod(did, lit(9)) === 5, lit("yearly"))
+      .when(pmod(did, lit(9)) === 6, lit("never"))
+      .when(pmod(did, lit(9)) === 7, lit(""))
+      .otherwise(lit("sometimes"))
+
+  /** The q256/q258 sitemap urlset fixture: one block per doc with the
+    * lastmod/changefreq residue walk, aggregated per host.
+    */
+  private def recrawlSitemapXmls(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    val ks = pmod(did, lit(19)).cast("string")
+    val lm = sitemapLastmod(did)
+    val cf = sitemapFreq(did)
+    val blk = concat(lit("<url><loc>http://h"), ks,
+      lit(".example.org/r/"), did.cast("string"), lit("</loc>"),
+      when(lm =!= "", concat(lit("<lastmod>"), lm, lit("</lastmod>")))
+        .otherwise(lit("")),
+      when(cf =!= "", concat(lit("<changefreq>"), cf,
+        lit("</changefreq>"))).otherwise(lit("")),
+      lit("</url>"))
+    Tables.documents(s, d)
+      .select(pmod(did, lit(19)).as("__k"),
+        struct(did.as("i"), blk.as("b")).as("__e"))
+      .groupBy("__k").agg(collect_list(col("__e")).as("__lst"))
+      .select(concat(lit("h"), col("__k").cast("string"),
+          lit(".example.org")).as("host"),
+        concat(lit("<urlset>"),
+          array_join(transform(sort_array(col("__lst")),
+            x => x.getField("b")), ""),
+          lit("</urlset>")).as("xml"))
+  }
+
   /** The per-doc decision path — Spark twin of [[urlPathSql]]. */
   private def urlPath(did: Column): Column = {
     val ks = pmod(did, lit(19)).cast("string")
@@ -1145,103 +1250,81 @@ object WebGraphQueries {
     // an unknown) onto the typed lastmod — the recrawl timetable the
     // frontier consumes. The oracle replays synthesis, extraction,
     // normalization (same regex tiers), TRY_CAST, and the period join.
-    QueryDef.sql("q256_sitemap_recrawl", {
-      val lastmodSql =
-        """CASE CAST(doc_id % 8 AS INTEGER)
-          |      WHEN 0 THEN '2024'
-          |      WHEN 1 THEN '2024-03'
-          |      WHEN 2 THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
-          |      WHEN 3 THEN '2024-03-15T10:30Z'
-          |      WHEN 4 THEN '2024-03-15T10:30:45+02:00'
-          |      WHEN 5 THEN '2024-03-15T10:30:45.5-05:30'
-          |      WHEN 6 THEN ''
-          |      ELSE '15 Mar 2024' END""".stripMargin
-      val freqSql =
-        """CASE CAST(doc_id % 9 AS INTEGER)
-          |      WHEN 0 THEN 'always' WHEN 1 THEN 'hourly'
-          |      WHEN 2 THEN 'daily' WHEN 3 THEN 'weekly'
-          |      WHEN 4 THEN 'monthly' WHEN 5 THEN 'yearly'
-          |      WHEN 6 THEN 'never' WHEN 7 THEN ''
-          |      ELSE 'sometimes' END""".stripMargin
+    QueryDef.sql("q256_sitemap_recrawl",
       s"""WITH blk AS (
          |  SELECT (doc_id % 19) AS k, doc_id,
          |    'http://h' || (doc_id % 19) || '.example.org/r/' || doc_id AS loc,
-         |    $lastmodSql AS lm,
-         |    $freqSql AS cf
+         |    $sitemapLastmodSql AS lm,
+         |    $sitemapFreqSql AS cf
          |  FROM documents),
-         |ent AS (
-         |  SELECT 'h' || k || '.example.org' AS host,
-         |    row_number() OVER (PARTITION BY k ORDER BY doc_id) AS entry_no,
-         |    loc, lm, cf
-         |  FROM blk),
-         |nm AS (
-         |  SELECT *, CASE
-         |    WHEN regexp_matches(lm, '^[0-9]{4}$$') THEN lm || '-01-01T00:00:00Z'
-         |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}$$') THEN lm || '-01T00:00:00Z'
-         |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$') THEN lm || 'T00:00:00Z'
-         |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}(Z|[+-][0-9]{2}:[0-9]{2})$$')
-         |      THEN substr(lm, 1, 16) || ':00' || regexp_extract(lm, '(Z|[+-][0-9]{2}:[0-9]{2})$$', 1)
-         |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})$$')
-         |      THEN lm
-         |    END AS norm
-         |  FROM ent),
-         |ty AS (
-         |  SELECT host, entry_no, loc, lm, cf,
-         |    epoch_ms(TRY_CAST(norm AS TIMESTAMPTZ)) AS lastmod_ms
-         |  FROM nm)
+         |$sitemapDueCtes
          |SELECT host, CAST(entry_no AS BIGINT) AS entry_no, loc,
-         |  lm AS lastmod, lastmod_ms,
-         |  lastmod_ms + CASE lower(cf)
-         |    WHEN 'always' THEN 0 WHEN 'hourly' THEN 3600000
-         |    WHEN 'daily' THEN 86400000 WHEN 'weekly' THEN 604800000
-         |    WHEN 'monthly' THEN 2592000000 WHEN 'yearly' THEN 31536000000
-         |    END AS due_at_ms
-         |FROM ty""".stripMargin
-    }) {
+         |  lm AS lastmod, lastmod_ms, due_at_ms
+         |FROM due""".stripMargin) {
       (s, d) => {
-        val did = col("doc_id")
-        val ks = pmod(did, lit(19)).cast("string")
-        val lm = when(pmod(did, lit(8)) === 0, lit("2024"))
-          .when(pmod(did, lit(8)) === 1, lit("2024-03"))
-          .when(pmod(did, lit(8)) === 2, concat(lit("2024-01-"),
-            lpad((pmod(did, lit(28)) + 1).cast("string"), 2, "0")))
-          .when(pmod(did, lit(8)) === 3, lit("2024-03-15T10:30Z"))
-          .when(pmod(did, lit(8)) === 4, lit("2024-03-15T10:30:45+02:00"))
-          .when(pmod(did, lit(8)) === 5, lit("2024-03-15T10:30:45.5-05:30"))
-          .when(pmod(did, lit(8)) === 6, lit(""))
-          .otherwise(lit("15 Mar 2024"))
-        val cf = when(pmod(did, lit(9)) === 0, lit("always"))
-          .when(pmod(did, lit(9)) === 1, lit("hourly"))
-          .when(pmod(did, lit(9)) === 2, lit("daily"))
-          .when(pmod(did, lit(9)) === 3, lit("weekly"))
-          .when(pmod(did, lit(9)) === 4, lit("monthly"))
-          .when(pmod(did, lit(9)) === 5, lit("yearly"))
-          .when(pmod(did, lit(9)) === 6, lit("never"))
-          .when(pmod(did, lit(9)) === 7, lit(""))
-          .otherwise(lit("sometimes"))
-        val blk = concat(lit("<url><loc>http://h"), ks,
-          lit(".example.org/r/"), did.cast("string"), lit("</loc>"),
-          when(lm =!= "", concat(lit("<lastmod>"), lm, lit("</lastmod>")))
-            .otherwise(lit("")),
-          when(cf =!= "", concat(lit("<changefreq>"), cf,
-            lit("</changefreq>"))).otherwise(lit("")),
-          lit("</url>"))
-        val xmls = Tables.documents(s, d)
-          .select(pmod(did, lit(19)).as("__k"),
-            struct(did.as("i"), blk.as("b")).as("__e"))
-          .groupBy("__k").agg(collect_list(col("__e")).as("__lst"))
-          .select(concat(lit("h"), col("__k").cast("string"),
-              lit(".example.org")).as("host"),
-            concat(lit("<urlset>"),
-              array_join(transform(sort_array(col("__lst")),
-                x => x.getField("b")), ""),
-              lit("</urlset>")).as("xml"))
-        val ents = graft.operators.Sitemaps.entries(xmls, "host", col("xml"))
+        val ents = graft.operators.Sitemaps.entries(
+          recrawlSitemapXmls(s, d), "host", col("xml"))
         val lms = graft.operators.Sitemaps.lastmodMillis(col("lastmod"))
         ents.select(col("host"), col("entry_no"), col("loc"),
           col("lastmod"), lms.as("lastmod_ms"),
           graft.operators.Sitemaps.recrawlDueMillis(lms, col("changefreq"))
             .as("due_at_ms"))
+      }
+    },
+
+    // RECRAWL-DRIVEN FRONTIER (q256's due_at actually CONSUMED — the
+    // last politeness output that fed nothing): each URL's grant must
+    // satisfy THREE constraints at once — not before t0, not before
+    // its own recrawl due time, and at least delay(host) after the
+    // previous grant on that host. The per-host recurrence
+    // fetch_i = max(t0, nb_i, fetch_{i-1}+d) is solved RELATIONALLY as
+    // a running-max window over the same frame the sequencing already
+    // shuffles on (fetch_i = seq_i·d + max_{j≤i}(coalesce(nb_j,t0) −
+    // seq_j·d)) — no iteration, no extra exchange. The oracle replays
+    // the q256 typed-lastmod chain (shared CTE text — the semantics
+    // CANNOT diverge between the two gates) plus the same two-window
+    // recurrence; a wrong running-max frame, a nb/delay mixup, or a
+    // deferral leak all break the hash.
+    QueryDef.sql("q258_frontier_recrawl",
+      s"""WITH blk AS (
+         |  SELECT (doc_id % 19) AS k, doc_id,
+         |    'http://h' || (doc_id % 19) || '.example.org/r/' || doc_id AS loc,
+         |    $sitemapLastmodSql AS lm,
+         |    $sitemapFreqSql AS cf
+         |  FROM documents),
+         |$sitemapDueCtes,
+         |dd AS (
+         |  SELECT *, CASE WHEN CAST(substr(host, 2, length(host) - 13) AS INTEGER) % 2 = 0
+         |      THEN 500 * (CAST(substr(host, 2, length(host) - 13) AS INTEGER) % 5) + 500
+         |      ELSE 1000 END AS d
+         |  FROM due),
+         |sq AS (
+         |  SELECT *, row_number() OVER (PARTITION BY host ORDER BY loc) - 1 AS seq
+         |  FROM dd),
+         |rm AS (
+         |  SELECT *, max(coalesce(due_at_ms, 1704067200000) - seq * d) OVER (
+         |      PARTITION BY host ORDER BY loc
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS base
+         |  FROM sq)
+         |SELECT loc, host, CAST(seq AS BIGINT) AS seq, due_at_ms,
+         |  CASE WHEN seq < 15 THEN base + seq * d END AS fetch_at_ms
+         |FROM rm""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val ents = graft.operators.Sitemaps.entries(
+          recrawlSitemapXmls(s, d), "host", col("xml"))
+        val lms = graft.operators.Sitemaps.lastmodMillis(col("lastmod"))
+        val urls = ents.select(col("loc"),
+          graft.operators.Sitemaps.recrawlDueMillis(lms, col("changefreq"))
+            .as("due_at_ms"))
+        val delays = (0 until 19).filter(_ % 2 == 0)
+          .map(k => (s"h$k.example.org", 500L * (k % 5) + 500L))
+          .toDF("host", "crawl_delay_ms")
+        graft.operators.Frontier.fetchSchedule(urls, "loc", col("loc"),
+          delays, t0Ms = 1704067200000L, defaultDelayMs = 1000L,
+          maxPerHost = 15, notBeforeCol = Some("due_at_ms"))
+          .select(col("loc"), col("host"), col("seq"), col("due_at_ms"),
+            col("fetch_at_ms"))
       }
     }
   )

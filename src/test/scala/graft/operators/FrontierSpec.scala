@@ -86,6 +86,25 @@ class FrontierSpec extends AnyFunSuite {
     assert(got(3L) === ((3L, "s3"))) // null priority sequenced last
   }
 
+  test("fetchSchedule: notBeforeCol recurrence — every grant >= own due AND >= prev + delay") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      (1L, "http://a.x/1", None: Option[Long]), // -> t0 = 0
+      (2L, "http://a.x/2", Some(7000L)),        // own due dominates -> 7000
+      (3L, "http://a.x/3", None: Option[Long]), // prev + d -> 8000
+      (4L, "http://a.x/4", Some(2000L)),        // stale due; prev + d -> 9000
+      (5L, "http://b.x/1", Some(500L))          // independent host -> 500
+    ).toDF("id", "url", "due")
+    val delays = Seq(("a.x", 1000L)).toDF("host", "crawl_delay_ms")
+    val got = Frontier.fetchSchedule(urls, "id", col("url"), delays,
+      t0Ms = 0L, defaultDelayMs = 1000L, maxPerHost = 10,
+      notBeforeCol = Some("due"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 7000L, 3L -> 8000L, 4L -> 9000L,
+      5L -> 500L))
+  }
+
   test("mergeSeeds: canonical-form dedup, seed representative wins, source provenance") {
     val s = spark
     import s.implicits._
