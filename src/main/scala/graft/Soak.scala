@@ -388,6 +388,76 @@ object Soak {
             when(col("indexable"), did === col("__keep") &&
               col("n_tokens") >= 30).otherwise(lit(false)).as("kept"))
       },
+      // ---- r12 newcomers (the round's new frontier/stream operators
+      // need their own scale datapoints, like every newcomer family)
+      "frontier_seed_merge" -> { d: String =>
+        // q255's composition at scale: discovered URLs over 997 hosts
+        // canonically merged with a same-size seed set (even ids:
+        // uppercase-host + tracking-param respellings of discovered
+        // URLs — the dedup path; odd ids: new /seed/ URLs) and
+        // priority-scheduled per host against a broadcast delay dim.
+        // Expected: two canon hash-agg shuffles, one co-partitioned
+        // full-outer join, one window shuffle — all on the URL grain.
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        val did = col("doc_id")
+        val k = pmod(did, lit(997)).cast("string")
+        val disc = docs.select(did,
+          concat(lit("http://h"), k, lit(".example.org/doc"),
+            did.cast("string")).as("url"))
+        val seeds = docs.select(
+          when(pmod(did, lit(2)) === 0,
+            concat(lit("http://H"), k, lit(".EXAMPLE.ORG/doc"),
+              did.cast("string"), lit("?utm_source=sm")))
+            .otherwise(concat(lit("http://h"), k, lit(".example.org/seed"),
+              did.cast("string"))).as("loc"),
+          when(pmod(did, lit(3)) === 0,
+            (pmod(did, lit(10)) * 100).cast("long")).as("priority_milli"))
+        val merged = operators.Frontier.mergeSeeds(
+          disc, col("url"), seeds, col("loc"), col("priority_milli"))
+        val delays = spark.range(997)
+          .filter(pmod(col("id"), lit(2)) === 0)
+          .select(concat(lit("h"), col("id").cast("string"),
+              lit(".example.org")).as("host"),
+            (pmod(col("id"), lit(5)) * 500 + 500).cast("long")
+              .as("crawl_delay_ms"))
+        operators.Frontier.fetchSchedule(merged, "canon", col("url"),
+          delays, t0Ms = 1704067200000L, maxPerHost = Int.MaxValue,
+          priorityCol = Some("priority_milli"))
+      },
+      "politeness_gate_stream" -> { d: String =>
+        // q257's stateful rate gate at scale: the scaled corpus becomes
+        // a 3-trigger request stream against the 997-host broadcast
+        // delay dim; per-host timetable state carries across triggers.
+        // The timed region includes the driver-side MemoryStream feed
+        // (the harness, like warc_stream_ingest's export) — the gate's
+        // own cost is the broadcast join + 997-key state fold.
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        val did = col("doc_id")
+        val reqs = docs.select(did.as("req_id"),
+          timestamp_seconds(pmod(did, lit(86400L))).as("ts"),
+          concat(lit("http://h"), pmod(did, lit(997)).cast("string"),
+            lit(".example.org/e/"), did.cast("string")).as("url"))
+        val batches = (0L until 3L).map(b =>
+          reqs.filter(pmod(col("req_id"), lit(3)) === b)
+            .as[graft.streaming.EventStreams.FetchRequest].collect().toSeq)
+        val delays = spark.range(997)
+          .filter(pmod(col("id"), lit(2)) === 0)
+          .select(concat(lit("h"), col("id").cast("string"),
+              lit(".example.org")).as("host"),
+            (pmod(col("id"), lit(5)) * 500 + 500).cast("long")
+              .as("crawl_delay_ms"))
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[graft.streaming.EventStreams.FetchRequest]
+        val q = graft.streaming.EventStreams.politenessGate(
+            input.toDS(), delays, t0Ms = 1704067200000L)
+          .toDF().writeStream.format("memory")
+          .queryName("soak_politeness_gate").outputMode("append").start()
+        try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        finally q.stop()
+        spark.table("soak_politeness_gate")
+      },
       "warc_stream_ingest" -> { d: String =>
         // q229's LIVE two-wave streaming ingest at scale: wave A (12
         // shard files) is the initial batch, wave B (4 files, names
