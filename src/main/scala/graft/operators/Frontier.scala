@@ -125,12 +125,15 @@ object Frontier {
       col(idCol).asc
     val w = Window.partitionBy(col("__pk")).orderBy(ord: _*)
     val nb = notBeforeCol.map(col).getOrElse(lit(null).cast("long"))
-    // fetch_i = seq_i·d + max_{j≤i}(coalesce(nb_j, t0) − seq_j·d)
+    // fetch_i = seq_i·d + max_{j≤i}(max(t0, nb_j) − seq_j·d)
     // = max(t0, nb_i, fetch_{i−1} + d) — all three grant constraints.
-    // seq materializes first (window functions cannot nest); the two
-    // windows share partition+order, so they plan without an extra
-    // exchange or sort.
-    val runMax = max(coalesce(nb, lit(t0Ms)) - col("__seq") * col("__d"))
+    // The t0 clamp must sit INSIDE the term (a stale not-before — a
+    // recrawl due in the past — must floor to t0, not schedule before
+    // it; caught by FrontierRecurrencePropertySpec). seq materializes
+    // first (window functions cannot nest); the two windows share
+    // partition+order, so they plan without an extra exchange or sort.
+    val runMax = max(greatest(coalesce(nb, lit(t0Ms)), lit(t0Ms)) -
+        col("__seq") * col("__d"))
       .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     u.withColumn("__seq", (row_number().over(w) - 1).cast("long"))
       .withColumn("__base", runMax)

@@ -1302,7 +1302,8 @@ object WebGraphQueries {
          |  SELECT *, row_number() OVER (PARTITION BY host ORDER BY loc) - 1 AS seq
          |  FROM dd),
          |rm AS (
-         |  SELECT *, max(coalesce(due_at_ms, 1704067200000) - seq * d) OVER (
+         |  SELECT *, max(greatest(coalesce(due_at_ms, 1706745600000),
+         |        1706745600000) - seq * d) OVER (
          |      PARTITION BY host ORDER BY loc
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS base
          |  FROM sq)
@@ -1320,8 +1321,11 @@ object WebGraphQueries {
         val delays = (0 until 19).filter(_ % 2 == 0)
           .map(k => (s"h$k.example.org", 500L * (k % 5) + 500L))
           .toDF("host", "crawl_delay_ms")
+        // t0 = 2024-02-01: the January dues are STALE (they must clamp
+        // to t0 — the bug class FrontierRecurrencePropertySpec caught),
+        // the March dues are future deferrals that dominate successors
         graft.operators.Frontier.fetchSchedule(urls, "loc", col("loc"),
-          delays, t0Ms = 1704067200000L, defaultDelayMs = 1000L,
+          delays, t0Ms = 1706745600000L, defaultDelayMs = 1000L,
           maxPerHost = 15, notBeforeCol = Some("due_at_ms"))
           .select(col("loc"), col("host"), col("seq"), col("due_at_ms"),
             col("fetch_at_ms"))
