@@ -323,17 +323,21 @@ class WarcSpec extends AnyFunSuite {
         md5(col("payload")).as("pm"))
       .collect().map(_.toString).sorted.toSeq
     val unsplit = key(spark.read.format("warc").load(dir))
-    // split small enough to force MANY ranges, incl. ranges whose
-    // boundary scan runs past their end (empty partitions)
-    val split = spark.read.format("warc")
-      .option("member_split_bytes", 4096L.toString).load(dir)
-    assert(split.rdd.getNumPartitions > 10,
-      s"expected many ranges, got ${split.rdd.getNumPartitions}")
-    assert(key(split) === unsplit)
-    // offsets under splitting stay unique per file (monotone locator)
-    val offs = split.select(col("warc_offset")).collect().map(_.getLong(0))
-    assert(offs.distinct.length === offs.length)
-    assert(f.length() > 4096, "fixture must actually exceed the split size")
+    // several granularities: tiny (most ranges hold < 1 member and
+    // must come back empty or align forward), member-sized, and
+    // near-file-sized (1-2 ranges); identity must hold at every one
+    for (sb <- Seq(512L, 4096L, 65536L, f.length() - 1)) {
+      val split = spark.read.format("warc")
+        .option("member_split_bytes", sb.toString).load(dir)
+      assert(key(split) === unsplit, s"split_bytes=$sb")
+      // offsets under splitting stay unique per file (member locator)
+      val offs = split.select(col("warc_offset")).collect().map(_.getLong(0))
+      assert(offs.distinct.length === offs.length, s"split_bytes=$sb")
+    }
+    assert(spark.read.format("warc")
+      .option("member_split_bytes", "4096").load(dir)
+      .rdd.getNumPartitions > 10, "expected many ranges at 4 KiB")
+    assert(f.length() > 65536, "fixture must exceed the largest split size")
   }
 
   test("truncated payload fails loudly, never yields a short record") {
