@@ -427,25 +427,42 @@ object Warc {
       * carry handles a triple straddling block edges.
       */
     def nextBoundary(raf: java.io.RandomAccessFile, from: Long): Long = {
+      val (bs, stop) = boundariesIn(raf, from, from + 1)
+      bs.headOption.getOrElse(stop)
+    }
+
+    /** ONE sequential scan pass: every verified boundary in
+      * `[from, end)`, plus the stop boundary — the first verified
+      * boundary at-or-after `end` (`-1` at EOF). Total bytes read =
+      * the scanned region once + a 4 KiB verification window per
+      * magic candidate (~one per member) — a per-member re-scan
+      * would read a full block per boundary, a 500× amplification on
+      * small per-record members.
+      */
+    def boundariesIn(raf: java.io.RandomAccessFile, from: Long,
+                     end: Long): (IndexedSeq[Long], Long) = {
       val fileLen = raf.length()
+      val bs = scala.collection.mutable.ArrayBuffer.empty[Long]
       val block = new Array[Byte](1 << 20)
       var base = from
       while (base < fileLen) {
         raf.seek(base)
         val n = raf.read(block)
-        if (n <= 0) return -1L
+        if (n <= 0) return (bs.toIndexedSeq, -1L)
         var i = 0
         while (i < n - 2) {
           if (block(i) == 0x1f.toByte && block(i + 1) == 0x8b.toByte &&
-            block(i + 2) == 0x08.toByte && isBoundary(raf, base + i))
-            return base + i
+            block(i + 2) == 0x08.toByte && isBoundary(raf, base + i)) {
+            if (base + i >= end) return (bs.toIndexedSeq, base + i)
+            bs += base + i
+          }
           i += 1
         }
         // step past the scanned region, re-covering the 2-byte tail a
         // straddling magic triple could hide in
         base += math.max(1, n - 2)
       }
-      -1L
+      (bs.toIndexedSeq, -1L)
     }
 
     /** Raw-byte window [start, end) of `raf` as a stream (used to feed

@@ -326,13 +326,8 @@ final class WarcRangeReader(required: StructType,
   // one sequential scan pass: every verified boundary in [start, end),
   // plus the stop boundary (first at-or-after end, or EOF)
   private val (boundaries, stop) = {
-    val bs = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var b = Warc.MemberSplit.nextBoundary(raf, start)
-    while (b >= 0 && b < end) {
-      bs += b
-      b = Warc.MemberSplit.nextBoundary(raf, b + 1)
-    }
-    (bs.toIndexedSeq, if (b >= 0) b else raf.length())
+    val (bs, s) = Warc.MemberSplit.boundariesIn(raf, start, end)
+    (bs, if (s >= 0) s else raf.length())
   }
 
   private val enc = new WarcRowEncoder(required)
