@@ -94,8 +94,9 @@ object Frontier {
     *
     * Returns (idCol, url, host, seq, fetch_at_ms, <other caller
     * columns passed through>) — `seq` the 0-based per-host position.
-    * Caller columns named `host`/`seq`/`fetch_at_ms` would collide
-    * and are the caller's to avoid.
+    * Caller columns named `host`/`seq`/`fetch_at_ms`/`crawl_delay_ms`
+    * (or the `__`-prefixed internals) would collide with computed
+    * columns and are rejected loudly rather than shadowed silently.
     */
   def fetchSchedule(urls: DataFrame, idCol: String, url: Column,
                     delays: DataFrame, t0Ms: Long,
@@ -105,9 +106,12 @@ object Frontier {
                     notBeforeCol: Option[String] = None): DataFrame = {
     require(defaultDelayMs >= 0, s"negative defaultDelayMs: $defaultDelayMs")
     require(maxPerHost >= 1, s"maxPerHost must be positive, got $maxPerHost")
-    val extras = urls.columns.toSeq.filterNot(c =>
-      c == idCol || c == "url" || c == "host" || c == "seq" ||
-        c == "fetch_at_ms")
+    val reserved = Set("host", "seq", "fetch_at_ms", "crawl_delay_ms",
+      "__d", "__pk", "__seq", "__base")
+    val clash = urls.columns.filter(c => reserved(c) && c != idCol)
+    require(clash.isEmpty,
+      s"urls columns collide with computed schedule columns: ${clash.mkString(", ")}")
+    val extras = urls.columns.toSeq.filterNot(c => c == idCol || c == "url")
     val rawHost = regexp_extract(col("url"), "(?i)^https?://([^/?#]+)", 1)
     val u = urls.withColumn("url", url)
       .withColumn("host", when(rawHost =!= "", lower(rawHost)))
