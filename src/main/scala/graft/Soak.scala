@@ -501,6 +501,45 @@ object Soak {
         finally q.stop()
         batches.synchronized { batches.toList }.toDF("batch", "n_records")
       },
+      "sitemap_expand" -> { d: String =>
+        // q259's composition at scale: a 997-host fetched-sitemap
+        // corpus — per host one root index referencing 4 part urlsets
+        // plus a missing child — expanded against itself. Expected:
+        // one regex-parse pass (persisted once), two BROADCAST joins
+        // on the file-count-sized dimensions; the url-entry stream
+        // (one entry per scaled doc) never shuffles.
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        val did = col("doc_id")
+        val k = pmod(did, lit(997)).cast("string")
+        val blk = concat(lit("<url><loc>http://h"), k,
+          lit(".example.org/doc"), did.cast("string"), lit("</loc>"),
+          when(pmod(did, lit(3)) === 0, concat(lit("<priority>0."),
+            pmod(did, lit(10)).cast("string"), lit("</priority>")))
+            .otherwise(lit("")),
+          lit("</url>"))
+        val parts = docs.select(pmod(did, lit(997)).as("__k"),
+            pmod(did, lit(4)).as("__p"), blk.as("b"))
+          .groupBy("__k", "__p")
+          .agg(concat_ws("", collect_list(col("b"))).as("__body"))
+          .select(concat(lit("http://h"), col("__k").cast("string"),
+              lit(".example.org/sm/part"), col("__p").cast("string"),
+              lit(".xml")).as("u"),
+            concat(lit("<urlset>"), col("__body"), lit("</urlset>"))
+              .as("xml"))
+        val ks = col("id").cast("string")
+        val roots = spark.range(997).select(
+          concat(lit("http://h"), ks,
+            lit(".example.org/sitemap.xml")).as("u"),
+          concat(lit("<sitemapindex>"),
+            concat_ws("", transform(sequence(lit(0), lit(3)), p =>
+              concat(lit("<sitemap><loc>http://h"), ks,
+                lit(".example.org/sm/part"), p.cast("string"),
+                lit(".xml</loc></sitemap>")))),
+            lit("<sitemap><loc>http://h"), ks,
+            lit(".example.org/sm/missing.xml</loc></sitemap>" +
+              "</sitemapindex>")).as("xml"))
+        operators.Sitemaps.expand(roots.unionByName(parts), "u", col("xml"))
+      },
       "warc_roundtrip" -> { d: String =>
         // full WARC sink+source cycle at scale: per-record-gzip export
         // of the scaled corpus (16 shard files — writer parallelism),

@@ -132,6 +132,70 @@ object Sitemaps {
     lastmodMs + period
   }
 
+  /** Resolve the sitemapindex recursion edge [[entries]] only MARKS
+    * (`from_index` — r11 verdict's "parses but nothing consumes"
+    * class): given a corpus of FETCHED sitemap documents
+    * (`urlCol` = the document's own URL, `xml` = its body), expand
+    * index references against the corpus and return one row per
+    * final entry:
+    *
+    *  - every `<url>` entry of every document, `resolved = true`,
+    *    with one-hop provenance: `via_index` = the (bytewise-min)
+    *    corpus document whose `<sitemap>` entry references the
+    *    containing document, null when none does (a top-level
+    *    sitemap). The sitemaps.org protocol allows exactly ONE index
+    *    level, so one-hop provenance IS the protocol's full depth;
+    *    a deeper (protocol-violating) chain still attributes each
+    *    document to its immediate referrer, never transitively.
+    *  - every `<sitemap>` entry whose loc is NOT a corpus document,
+    *    `resolved = false` — exactly the fetch loop's work list
+    *    (children declared but not yet fetched). An index entry whose
+    *    child IS in the corpus is dropped: the child's own rows carry
+    *    the content, and the edge stays visible as their `via_index`.
+    *
+    * Returns (sitemap_url, entry_no, loc, lastmod, changefreq,
+    * priority_milli, via_index, resolved) — `resolved = true` rows
+    * are page URLs (feed [[Frontier.mergeSeeds]] / [[Robots.allowed]]),
+    * `resolved = false` rows are sitemap files still to fetch.
+    *
+    * Scale shape: the parse is persisted ONCE (CacheRegistry-released;
+    * three consumers — the reference census, the url rows, the
+    * unresolved anti-join — would otherwise re-run the regex pass) and
+    * the entry stream takes two BROADCAST joins keyed by document URL:
+    * both dimension frames are file-count-sized, ~5·10⁴× smaller than
+    * the entry stream they annotate (a sitemap file holds up to 50k
+    * URLs), so the 100 TB side never shuffles.
+    */
+  def expand(docs: DataFrame, urlCol: String, xml: Column): DataFrame = {
+    // identical refetches collapse BEFORE the parse (identical bodies
+    // parse identically — the Robots.selectedMembers discipline); a
+    // conflicting refetch (same URL, different body) stays visible as
+    // duplicate entry_no rows for the caller to resolve, never a
+    // silent pick
+    val ents = CacheRegistry.register(
+      entries(docs.select(col(urlCol).cast("string").as("sitemap_url"),
+          xml.as("__xml")).distinct(), "sitemap_url", col("__xml"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // one-hop provenance: child document URL -> min referencing index
+    val refs = ents.filter(col("from_index"))
+      .groupBy(col("loc").as("__child"))
+      .agg(min(col("sitemap_url")).as("via_index"))
+    val corpus = docs.select(col(urlCol).cast("string").as("__doc")).distinct()
+    val withVia = ents
+      .join(broadcast(refs), ents("sitemap_url") === refs("__child"),
+        "left_outer")
+      .drop("__child")
+    val urlRows = withVia.filter(!col("from_index"))
+      .withColumn("resolved", lit(true))
+    val idxRows = withVia.filter(col("from_index"))
+      .join(broadcast(corpus), col("loc") === col("__doc"), "left_anti")
+      .withColumn("resolved", lit(false))
+    urlRows.unionByName(idxRows)
+      .select(col("sitemap_url"), col("entry_no"), col("loc"),
+        col("lastmod"), col("changefreq"), col("priority_milli"),
+        col("via_index"), col("resolved"))
+  }
+
   def entries(df: DataFrame, idCol: String, xml: Column): DataFrame =
     df.select(col(idCol),
         posexplode(regexp_extract_all(xml, lit(BlockPattern), lit(0)))

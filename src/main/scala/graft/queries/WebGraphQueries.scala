@@ -415,6 +415,172 @@ object WebGraphQueries {
           lit("</urlset>")).as("xml"))
   }
 
+  /** The q259/q260 FETCHED-sitemap corpus (sitemap_url, xml): per host
+    * a root sitemapindex referencing two part urlsets (both fetched),
+    * a missing child on k%3==0 (not fetched — the expand work list), a
+    * nested index on k%4==1 (fetched, its own deep child NOT — the
+    * one-hop provenance case); the part urlsets carry the q250
+    * decision paths (so q260's robots audit sees the full verdict
+    * spread) plus lastmod/priority residues; an UNREFERENCED
+    * standalone urlset on k%5==2 (top-level rows, entity-escaped
+    * locs).
+    */
+  private def sitemapCorpus(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    val ks = pmod(did, lit(19)).cast("string")
+    val blk = concat(
+      lit("<url><loc>http://h"), ks, lit(".example.org"), urlPath(did),
+      lit("</loc>"),
+      when(pmod(did, lit(4)) === 2, concat(lit("<lastmod>2024-03-"),
+        lpad((pmod(did, lit(28)) + 1).cast("string"), 2, "0"),
+        lit("</lastmod>"))).otherwise(lit("")),
+      when(pmod(did, lit(3)) === 0, concat(lit("<priority>0."),
+        pmod(did, lit(10)).cast("string"), lit("</priority>")))
+        .otherwise(lit("")),
+      lit("</url>"))
+    val parts = Tables.documents(s, d)
+      .select(pmod(did, lit(19)).as("__k"),
+        pmod(floor(did / lit(19)), lit(2)).as("__p"),
+        struct(did.as("i"), blk.as("b")).as("__e"))
+      .groupBy("__k", "__p").agg(collect_list(col("__e")).as("__lst"))
+      .select(concat(lit("http://h"), col("__k").cast("string"),
+          lit(".example.org/sm/part"), col("__p").cast("string"),
+          lit(".xml")).as("sitemap_url"),
+        concat(lit("<urlset>"),
+          array_join(transform(sort_array(col("__lst")),
+            x => x.getField("b")), ""),
+          lit("</urlset>")).as("xml"))
+    val hosts = Tables.documents(s, d)
+      .select(pmod(did, lit(19)).as("__k")).distinct()
+    val kS = col("__k").cast("string")
+    val hBase = concat(lit("http://h"), kS, lit(".example.org"))
+    val root = hosts.select(
+      concat(hBase, lit("/sitemap.xml")).as("sitemap_url"),
+      concat(lit("<sitemapindex><sitemap><loc>"), hBase,
+        lit("/sm/part0.xml</loc><lastmod>2024-01-15</lastmod></sitemap>" +
+          "<sitemap><loc>"), hBase, lit("/sm/part1.xml</loc></sitemap>"),
+        when(pmod(col("__k"), lit(3)) === 0, concat(lit("<sitemap><loc>"),
+          hBase, lit("/sm/missing.xml</loc></sitemap>"))).otherwise(lit("")),
+        when(pmod(col("__k"), lit(4)) === 1, concat(lit("<sitemap><loc>"),
+          hBase, lit("/sm/nested.xml</loc></sitemap>"))).otherwise(lit("")),
+        lit("</sitemapindex>")).as("xml"))
+    val nested = hosts.filter(pmod(col("__k"), lit(4)) === 1).select(
+      concat(hBase, lit("/sm/nested.xml")).as("sitemap_url"),
+      concat(lit("<sitemapindex><sitemap><loc>"), hBase,
+        lit("/sm/deep.xml</loc></sitemap></sitemapindex>")).as("xml"))
+    val exBlk = concat(lit("<url><loc>http://h"), ks,
+      lit(".example.org/x/doc"), did.cast("string"),
+      lit("?a=1&amp;b=2</loc></url>"))
+    val exAgg = Tables.documents(s, d).filter(pmod(did, lit(7)) === 0)
+      .select(pmod(did, lit(19)).as("__k"),
+        struct(did.as("i"), exBlk.as("b")).as("__e"))
+      .groupBy("__k").agg(collect_list(col("__e")).as("__lst"))
+      .select(col("__k"),
+        array_join(transform(sort_array(col("__lst")),
+          x => x.getField("b")), "").as("__body"))
+    val extra = hosts.filter(pmod(col("__k"), lit(5)) === 2)
+      .join(exAgg, Seq("__k"), "left_outer")
+      .select(concat(hBase, lit("/extra.xml")).as("sitemap_url"),
+        concat(lit("<urlset>"), coalesce(col("__body"), lit("")),
+          lit("</urlset>")).as("xml"))
+    root.unionByName(parts).unionByName(nested).unionByName(extra)
+  }
+
+  /** Oracle twin of [[sitemapCorpus]] + [[graft.operators.Sitemaps.expand]],
+    * shared VERBATIM by q259 and q260 (the q256/q258 discipline — the
+    * two gates' expansion semantics cannot diverge). Ends in
+    * `sexp(sitemap_url, entry_no, loc, lastmod, changefreq,
+    * priority_milli, via_index, resolved)`.
+    */
+  private val sitemapCorpusCtes: String =
+    s"""hostsx AS (SELECT DISTINCT (doc_id % 19) AS k FROM documents),
+       |pb AS (
+       |  SELECT doc_id, (doc_id % 19) AS k, (doc_id // 19) % 2 AS p,
+       |    '<url><loc>http://h' || (doc_id % 19) || '.example.org' ||
+       |    ($urlPathSql) || '</loc>' ||
+       |    CASE WHEN doc_id % 4 = 2 THEN '<lastmod>2024-03-' ||
+       |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+       |      '</lastmod>' ELSE '' END ||
+       |    CASE WHEN doc_id % 3 = 0 THEN '<priority>0.' || (doc_id % 10) ||
+       |      '</priority>' ELSE '' END || '</url>' AS b
+       |  FROM documents),
+       |partsx AS (
+       |  SELECT 'http://h' || k || '.example.org/sm/part' || p ||
+       |      '.xml' AS su,
+       |    '<urlset>' || string_agg(b, '' ORDER BY doc_id) ||
+       |      '</urlset>' AS xml
+       |  FROM pb GROUP BY k, p),
+       |rootx AS (
+       |  SELECT 'http://h' || k || '.example.org/sitemap.xml' AS su,
+       |    '<sitemapindex><sitemap><loc>http://h' || k ||
+       |    '.example.org/sm/part0.xml</loc><lastmod>2024-01-15</lastmod></sitemap>' ||
+       |    '<sitemap><loc>http://h' || k ||
+       |    '.example.org/sm/part1.xml</loc></sitemap>' ||
+       |    CASE WHEN k % 3 = 0 THEN '<sitemap><loc>http://h' || k ||
+       |      '.example.org/sm/missing.xml</loc></sitemap>' ELSE '' END ||
+       |    CASE WHEN k % 4 = 1 THEN '<sitemap><loc>http://h' || k ||
+       |      '.example.org/sm/nested.xml</loc></sitemap>' ELSE '' END ||
+       |    '</sitemapindex>' AS xml
+       |  FROM hostsx),
+       |nestx AS (
+       |  SELECT 'http://h' || k || '.example.org/sm/nested.xml' AS su,
+       |    '<sitemapindex><sitemap><loc>http://h' || k ||
+       |    '.example.org/sm/deep.xml</loc></sitemap></sitemapindex>' AS xml
+       |  FROM hostsx WHERE k % 4 = 1),
+       |exb AS (
+       |  SELECT (doc_id % 19) AS k, doc_id,
+       |    '<url><loc>http://h' || (doc_id % 19) ||
+       |    '.example.org/x/doc' || doc_id ||
+       |    '?a=1&amp;b=2</loc></url>' AS b
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |extrax AS (
+       |  SELECT 'http://h' || h.k || '.example.org/extra.xml' AS su,
+       |    '<urlset>' ||
+       |      coalesce(string_agg(e.b, '' ORDER BY e.doc_id), '') ||
+       |      '</urlset>' AS xml
+       |  FROM hostsx h LEFT JOIN exb e ON e.k = h.k
+       |  WHERE h.k % 5 = 2 GROUP BY h.k),
+       |corpusx AS (
+       |  SELECT su, xml FROM rootx UNION ALL SELECT su, xml FROM partsx
+       |  UNION ALL SELECT su, xml FROM nestx
+       |  UNION ALL SELECT su, xml FROM extrax),
+       |sextq AS (
+       |  SELECT su, unnest(generate_series(1, len(bl))) AS entry_no,
+       |    unnest(bl) AS blkx
+       |  FROM (SELECT su, regexp_extract_all(xml,
+       |          '(?is)<url\\s*>.*?</url\\s*>|<sitemap\\s*>.*?</sitemap\\s*>',
+       |          0) AS bl
+       |        FROM corpusx) x),
+       |sent AS (
+       |  SELECT * FROM (
+       |    SELECT su AS sitemap_url, CAST(entry_no AS BIGINT) AS entry_no,
+       |      replace(replace(replace(replace(replace(
+       |        trim(regexp_extract(blkx, '(?is)<loc\\s*>(.*?)</loc\\s*>', 1)),
+       |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+       |        '&amp;', '&') AS loc,
+       |      trim(regexp_extract(blkx,
+       |        '(?is)<lastmod\\s*>(.*?)</lastmod\\s*>', 1)) AS lastmod,
+       |      trim(regexp_extract(blkx,
+       |        '(?is)<changefreq\\s*>(.*?)</changefreq\\s*>', 1)) AS changefreq,
+       |      CASE WHEN trim(regexp_extract(blkx,
+       |          '(?is)<priority\\s*>(.*?)</priority\\s*>', 1)) <> ''
+       |        THEN CAST(CAST(trim(regexp_extract(blkx,
+       |          '(?is)<priority\\s*>(.*?)</priority\\s*>', 1))
+       |          AS DECIMAL(10,3)) * 1000 AS BIGINT) END AS priority_milli,
+       |      regexp_matches(blkx, '(?is)^<sitemap\\s*>') AS from_index
+       |    FROM sextq) y
+       |  WHERE loc <> ''),
+       |refsx AS (SELECT loc AS child, min(sitemap_url) AS via_index
+       |          FROM sent WHERE from_index GROUP BY loc),
+       |docsx AS (SELECT DISTINCT su FROM corpusx),
+       |sexp AS (
+       |  SELECT e.sitemap_url, e.entry_no, e.loc, e.lastmod,
+       |    e.changefreq, e.priority_milli, r.via_index,
+       |    NOT e.from_index AS resolved
+       |  FROM sent e LEFT JOIN refsx r ON r.child = e.sitemap_url
+       |  WHERE (NOT e.from_index)
+       |     OR NOT EXISTS (SELECT 1 FROM docsx c WHERE c.su = e.loc))""".stripMargin
+
   /** The per-doc decision path — Spark twin of [[urlPathSql]]. */
   private def urlPath(did: Column): Column = {
     val ks = pmod(did, lit(19)).cast("string")
@@ -1329,6 +1495,78 @@ object WebGraphQueries {
           maxPerHost = 15, notBeforeCol = Some("due_at_ms"))
           .select(col("loc"), col("host"), col("seq"), col("due_at_ms"),
             col("fetch_at_ms"))
+      }
+    },
+
+    // SITEMAP EXPANSION (the recursion edge q252 only MARKS, followed:
+    // a sitemapindex's <sitemap> entries resolved against the fetched
+    // corpus). Page-URL rows carry one-hop provenance (via_index = the
+    // referencing index; the protocol allows exactly one index level,
+    // so one hop IS full depth), followed index entries are REPLACED
+    // by their child's rows, and index entries whose child was never
+    // fetched surface as resolved=false — exactly the fetch loop's
+    // work list. The fixture exercises every edge: followed children
+    // (part0/part1), a missing child (k%3==0), a nested index whose
+    // own child is unfetched (k%4==1 — surfaces unresolved WITH the
+    // root as provenance), an unreferenced standalone urlset (k%5==2,
+    // null via_index, entity-escaped locs). The oracle replays
+    // synthesis, block regex, field extraction, the reference census,
+    // and the corpus anti-join end-to-end.
+    QueryDef.sql("q259_sitemap_expand",
+      s"""WITH $sitemapCorpusCtes
+         |SELECT sitemap_url, entry_no, loc, lastmod, changefreq,
+         |  priority_milli, via_index, resolved
+         |FROM sexp""".stripMargin) {
+      (s, d) =>
+        graft.operators.Sitemaps.expand(sitemapCorpus(s, d),
+          "sitemap_url", col("xml"))
+    },
+
+    // SITEMAP-SEED AUTHORIZATION (sitemaps DISCOVER, robots AUTHORIZE
+    // — the composition q255's merge does not exercise: its seeds
+    // entered the frontier ungated): every expanded page URL gets its
+    // RFC 9309 verdict, so a site-declared URL its own robots.txt
+    // disallows — Search Console's "submitted URL blocked by
+    // robots.txt" — is visible per entry. The part urlsets reuse the
+    // q250 decision paths, so the full verdict spread (exact-tier
+    // allow/disallow, wildcard $ pattern, *-tier fall-through) lands
+    // on sitemap-declared URLs; provenance (via_index) rides along so
+    // a blocked entry is attributable to the index that declared it.
+    QueryDef.sql("q260_seed_robots_audit",
+      s"""WITH $robotsDirsCtes,
+         |$sitemapCorpusCtes,
+         |seedsx AS (SELECT loc, via_index FROM sexp WHERE resolved),
+         |spathx AS (
+         |  SELECT loc, via_index,
+         |    lower(regexp_extract(loc, '(?i)^https?://([^/?#]+)', 1)) AS host,
+         |    CASE WHEN regexp_extract(loc,
+         |        '(?i)^https?://[^/?#]+([^#]*)', 1) = '' THEN '/'
+         |      ELSE regexp_extract(loc,
+         |        '(?i)^https?://[^/?#]+([^#]*)', 1) END AS p
+         |  FROM seedsx),
+         |hitsx AS (
+         |  SELECT s.loc, s.via_index, s.host, d.rule, d.path AS rpath,
+         |    d.pattern IS NOT NULL AND regexp_matches(s.p, d.pattern) AS m,
+         |    length(d.path) AS plen
+         |  FROM spathx s LEFT JOIN dirs d ON d.host = s.host),
+         |winx AS (
+         |  SELECT *, row_number() OVER (PARTITION BY loc ORDER BY
+         |      CASE WHEN m THEN plen ELSE -1 END DESC,
+         |      CASE WHEN rule = 'allow' THEN 1 ELSE 0 END DESC,
+         |      rpath ASC NULLS LAST) AS rn
+         |  FROM hitsx)
+         |SELECT loc, host, via_index,
+         |  (NOT m) OR rule = 'allow' AS allowed
+         |FROM winx WHERE rn = 1""".stripMargin) {
+      (s, d) => {
+        val ex = graft.operators.Sitemaps.expand(sitemapCorpus(s, d),
+            "sitemap_url", col("xml"))
+          .filter(col("resolved")).select(col("loc"), col("via_index"))
+        val v = graft.operators.Robots.allowed(ex.select("loc"), "loc",
+          col("loc"), robotsFixture(s, d), "host", col("body"),
+          agent = "graftbot")
+        v.join(ex, Seq("loc"))
+          .select(col("loc"), col("host"), col("via_index"), col("allowed"))
       }
     }
   )

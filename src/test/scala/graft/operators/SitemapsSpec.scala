@@ -121,4 +121,70 @@ class SitemapsSpec extends AnyFunSuite {
       assert(got(i.toLong) === exp, s"changefreq '$f'")
     }
   }
+
+  private def expandRows(docs: Seq[(String, String)]) = {
+    val s = spark
+    import s.implicits._
+    Sitemaps.expand(docs.toDF("u", "xml"), "u", col("xml"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.getString(6)).getOrElse(""), r.getBoolean(7)))
+      .toSet
+  }
+
+  test("expand: followed child carries via_index, missing child is the unresolved work list") {
+    val idx = "<sitemapindex>" +
+      "<sitemap><loc>http://e.x/part.xml</loc></sitemap>" +
+      "<sitemap><loc>http://e.x/missing.xml</loc></sitemap>" +
+      "</sitemapindex>"
+    val part = "<urlset><url><loc>http://e.x/a</loc></url>" +
+      "<url><loc>http://e.x/b</loc></url></urlset>"
+    assert(expandRows(Seq(("http://e.x/sitemap.xml", idx),
+      ("http://e.x/part.xml", part))) === Set(
+      // child's url rows, provenance = the referencing index
+      ("http://e.x/part.xml", 1L, "http://e.x/a", "http://e.x/sitemap.xml", true),
+      ("http://e.x/part.xml", 2L, "http://e.x/b", "http://e.x/sitemap.xml", true),
+      // the followed <sitemap> entry is dropped; the missing one stays
+      ("http://e.x/sitemap.xml", 2L, "http://e.x/missing.xml", "", false)))
+  }
+
+  test("expand: standalone urlset is top-level (null via_index); nested index entry surfaces unresolved with its own provenance") {
+    val root = "<sitemapindex><sitemap><loc>http://e.x/nested.xml</loc></sitemap></sitemapindex>"
+    val nested = "<sitemapindex><sitemap><loc>http://e.x/deep.xml</loc></sitemap></sitemapindex>"
+    val solo = "<urlset><url><loc>http://e.x/s1</loc></url></urlset>"
+    assert(expandRows(Seq(("http://e.x/sitemap.xml", root),
+      ("http://e.x/nested.xml", nested),
+      ("http://e.x/solo.xml", solo))) === Set(
+      // one-hop only: nested's own entry is NOT followed further, and
+      // its provenance is the root that referenced nested
+      ("http://e.x/nested.xml", 1L, "http://e.x/deep.xml", "http://e.x/sitemap.xml", false),
+      ("http://e.x/solo.xml", 1L, "http://e.x/s1", "", true)))
+  }
+
+  test("expand: identical duplicate fetches collapse; a conflicting refetch stays visible") {
+    val s = spark
+    import s.implicits._
+    val part = "<urlset><url><loc>http://e.x/a</loc></url></urlset>"
+    val part2 = "<urlset><url><loc>http://e.x/b</loc></url></urlset>"
+    def locs(docs: Seq[(String, String)]): Seq[String] =
+      Sitemaps.expand(docs.toDF("u", "xml"), "u", col("xml"))
+        .collect().map(_.getString(2)).toSeq.sorted
+    // same (url, body) twice -> ONE set of rows, not two
+    assert(locs(Seq(("http://e.x/p.xml", part),
+      ("http://e.x/p.xml", part))) === Seq("http://e.x/a"))
+    // same url, DIFFERENT body -> both parses surface (caller resolves)
+    assert(locs(Seq(("http://e.x/p.xml", part),
+      ("http://e.x/p.xml", part2))) ===
+      Seq("http://e.x/a", "http://e.x/b"))
+  }
+
+  test("expand: two indexes referencing one child break the provenance tie to the bytewise-min index") {
+    val i1 = "<sitemapindex><sitemap><loc>http://e.x/part.xml</loc></sitemap></sitemapindex>"
+    val i2 = "<sitemapindex><sitemap><loc>http://e.x/part.xml</loc></sitemap></sitemapindex>"
+    val part = "<urlset><url><loc>http://e.x/a</loc></url></urlset>"
+    assert(expandRows(Seq(("http://e.x/idx-b.xml", i1),
+      ("http://e.x/idx-a.xml", i2),
+      ("http://e.x/part.xml", part))) === Set(
+      ("http://e.x/part.xml", 1L, "http://e.x/a", "http://e.x/idx-a.xml", true)))
+  }
 }
