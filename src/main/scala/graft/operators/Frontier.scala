@@ -27,6 +27,12 @@ object Frontier {
     * promille over the canon's seed entries (null for
     * discovered-only). One row per canonical URL; raw-form ties break
     * to the bytewise min (deterministic on any engine).
+    *
+    * The merge is discovery machinery, not authorization: sitemaps
+    * DISCOVER, robots AUTHORIZE — gate the seed side through
+    * [[Robots.allowed]] (the q260 composition) before scheduling, or
+    * audit the declared-but-disallowed conflicts per entry. `source`
+    * feeds [[coverageCensus]]'s per-host coverage/orphan report.
     */
   def mergeSeeds(discovered: DataFrame, dUrl: Column,
                  seeds: DataFrame, sUrl: Column,
@@ -47,6 +53,45 @@ object Frontier {
           .when(col("__s_url").isNotNull, "sitemap")
           .otherwise("discovered").as("source"),
         col("priority_milli"))
+  }
+
+  /** Per-host sitemap-coverage census over a [[mergeSeeds]] frame —
+    * the crawl-ops report the merge's `source` provenance exists for
+    * (Search Console's coverage/orphan buckets): how much of what the
+    * crawl DISCOVERS does the site also declare, and how much of what
+    * the site declares was never discovered by links — orphan pages,
+    * reachable only through the sitemap (the classic sign of a stale
+    * sitemap or an unlinked section).
+    *
+    * Returns one row per host: (host, n_urls, n_both, n_sitemap_only,
+    * n_discovered_only, coverage_milli, orphan_milli) —
+    * `coverage_milli` = 1000·both/(both+discovered_only) (declared
+    * share of link-discovered pages), `orphan_milli` =
+    * 1000·sitemap_only/(sitemap_only+both) (never-discovered share of
+    * declared pages); both integer promille (exact on any engine),
+    * null when the denominator is empty. Hosts come out of the URL
+    * itself (lowercased, RFC 3986); a URL outside the http(s) grammar
+    * groups under a null host, visible rather than dropped.
+    *
+    * Scale shape: ONE hash-aggregate shuffle on the host key — the
+    * conditional counts partial-aggregate map-side, so the exchange
+    * carries host-count rows, not URLs.
+    */
+  def coverageCensus(merged: DataFrame, url: Column): DataFrame = {
+    val rawHost = regexp_extract(url, "(?i)^https?://([^/?#]+)", 1)
+    merged
+      .select(when(rawHost =!= "", lower(rawHost)).as("host"),
+        col("source"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        count(when(col("source") === "both", 1)).as("n_both"),
+        count(when(col("source") === "sitemap", 1)).as("n_sitemap_only"),
+        count(when(col("source") === "discovered", 1))
+          .as("n_discovered_only"))
+      .withColumn("coverage_milli",
+        expr("(1000 * n_both) div nullif(n_both + n_discovered_only, 0)"))
+      .withColumn("orphan_milli",
+        expr("(1000 * n_sitemap_only) div nullif(n_sitemap_only + n_both, 0)"))
   }
 
   /** Politeness-scheduled fetch plan: within each host, URLs are

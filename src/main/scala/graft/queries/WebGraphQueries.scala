@@ -310,6 +310,69 @@ object WebGraphQueries {
        |      rpath ASC NULLS LAST) AS rn
        |  FROM hits)""".stripMargin
 
+  /** Oracle replay of [[graft.functions.TextFunctions.canonicalizeUrl]]
+    * over `src.urlCol`, CTE-prefixed with `pfx` — ends in
+    * `<pfx>cn(..., canon)`. Shared by the q255/q261 merge CTEs.
+    */
+  private def canonChain(pfx: String, src: String, urlCol: String): String =
+    s"""${pfx}nf AS (SELECT *, regexp_replace($urlCol, '#.*$$', '') AS __nofrag FROM $src),
+       |${pfx}pt AS (
+       |  SELECT *,
+       |    lower(regexp_extract(__nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS __sch,
+       |    lower(regexp_extract(__nofrag, '^[^:/?#]+://([^/?#]*)', 1)) AS __hp,
+       |    regexp_extract(__nofrag, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS __rp,
+       |    regexp_extract(__nofrag, '\\?([^#]*)', 1) AS __q
+       |  FROM ${pfx}nf),
+       |${pfx}cq AS (
+       |  -- array_to_string of an EMPTY list is NULL in DuckDB, not
+       |  -- '' — every no-query / all-tracking-params URL hits that
+       |  SELECT *, coalesce(array_to_string(list_sort(list_filter(
+       |      string_split(__q, '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p,
+       |        '^(utm_[^=]*|fbclid|gclid)(=.*)?$$'))), '&'), '') AS __cq
+       |  FROM ${pfx}pt),
+       |${pfx}cn AS (
+       |  SELECT *, __sch || '://' ||
+       |    (CASE WHEN __sch = 'http' THEN regexp_replace(__hp, ':80$$', '')
+       |          WHEN __sch = 'https' THEN regexp_replace(__hp, ':443$$', '')
+       |          ELSE __hp END) ||
+       |    (CASE WHEN __rp = '' THEN '/' ELSE __rp END) ||
+       |    (CASE WHEN __cq = '' THEN '' ELSE '?' || __cq END)
+       |    AS canon
+       |  FROM ${pfx}cq)""".stripMargin
+
+  /** q255/q261 shared fixture+merge CTE text (the q256/q258 shared-CTE
+    * discipline — the two gates' merge semantics cannot diverge):
+    * robots-allowed discovery canon-merged with sitemap seeds. Expects
+    * [[robotsDirsCtes]] + [[robotsVerdictCtes]] upstream; ends in
+    * `mg(canon, url, source, priority_milli)`.
+    */
+  private lazy val seedMergeCtes: String =
+    s"""disc AS (
+       |  SELECT url FROM win WHERE rn = 1 AND ((NOT m) OR rule = 'allow')),
+       |${canonChain("d", "disc", "url")},
+       |dc AS (SELECT canon, min(url) AS d_url FROM dcn GROUP BY canon),
+       |seeds AS (
+       |  SELECT CASE WHEN doc_id % 2 = 0 THEN
+       |      'http://H' || (doc_id % 19) || '.EXAMPLE.ORG' || ($urlPathSql) ||
+       |        '?utm_source=sm&utm_medium=x'
+       |    ELSE 'http://h' || (doc_id % 19) || '.example.org/seed/doc' || doc_id
+       |    END AS loc,
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN CAST((doc_id % 10) * 100 AS BIGINT) END AS pm
+       |  FROM documents),
+       |${canonChain("s", "seeds", "loc")},
+       |sc AS (SELECT canon, min(loc) AS s_url, max(pm) AS priority_milli
+       |       FROM scn GROUP BY canon),
+       |mg AS (
+       |  SELECT coalesce(dc.canon, sc.canon) AS canon,
+       |    coalesce(sc.s_url, dc.d_url) AS url,
+       |    CASE WHEN sc.canon IS NOT NULL AND dc.canon IS NOT NULL THEN 'both'
+       |         WHEN sc.canon IS NOT NULL THEN 'sitemap'
+       |         ELSE 'discovered' END AS source,
+       |    sc.priority_milli
+       |  FROM dc FULL OUTER JOIN sc ON dc.canon = sc.canon)""".stripMargin
+
   /** q256/q258 shared fixture SQL: the per-doc lastmod string (every
     * W3C datetime form + absent + an out-of-grammar RFC-822 date) and
     * changefreq (all seven values + absent + an unknown).
@@ -580,6 +643,59 @@ object WebGraphQueries {
        |  FROM sent e LEFT JOIN refsx r ON r.child = e.sitemap_url
        |  WHERE (NOT e.from_index)
        |     OR NOT EXISTS (SELECT 1 FROM docsx c WHERE c.su = e.loc))""".stripMargin
+
+
+  /** Spark twin of [[seedMergeCtes]] — the q255/q261 shared fixture:
+    * robots-allowed discovered URLs canon-merged with per-host sitemap
+    * seeds (even docs respell their discovered twin — uppercase host +
+    * tracking params, entity-escaped as the sitemap spec requires; odd
+    * docs declare new /seed/ URLs; priority on doc%3==0). Returns
+    * [[graft.operators.Frontier.mergeSeeds]]' (canon, url, source,
+    * priority_milli).
+    */
+  private def seedMerge(s: SparkSession, d: String): DataFrame = {
+        val did = col("doc_id")
+        val ks = pmod(did, lit(19)).cast("string")
+        val docs = Tables.documents(s, d)
+        val urls = docs.select(did,
+          concat(lit("http://h"), ks, lit(".example.org"), urlPath(did))
+            .as("url"))
+        val robots = robotsFixture(s, d)
+        val allowed = graft.operators.Robots.allowed(urls, "doc_id",
+          col("url"), robots, "host", col("body"), agent = "graftbot")
+          .filter(col("allowed"))
+          .select(col("doc_id"), col("url"))
+        // seed urlset XML per host: even docs respell their discovered
+        // twin (uppercase host + tracking params, & entity-escaped as
+        // the sitemap spec REQUIRES); odd docs declare new /seed/ URLs;
+        // priority on doc%3==0
+        val blk = concat(lit("<url><loc>"),
+          when(pmod(did, lit(2)) === 0, concat(
+            lit("http://H"), ks, lit(".EXAMPLE.ORG"), urlPath(did),
+            lit("?utm_source=sm&amp;utm_medium=x")))
+            .otherwise(concat(lit("http://h"), ks,
+              lit(".example.org/seed/doc"), did.cast("string"))),
+          lit("</loc>"),
+          when(pmod(did, lit(3)) === 0, concat(lit("<priority>0."),
+            pmod(did, lit(10)).cast("string"), lit("</priority>")))
+            .otherwise(lit("")),
+          lit("</url>"))
+        val xmls = docs
+          .select(pmod(did, lit(19)).as("__k"),
+            struct(did.as("i"), blk.as("b")).as("__e"))
+          .groupBy("__k").agg(collect_list(col("__e")).as("__lst"))
+          .select(concat(lit("h"), col("__k").cast("string"),
+              lit(".example.org")).as("host"),
+            concat(lit("<urlset>"),
+              array_join(transform(sort_array(col("__lst")),
+                x => x.getField("b")), ""),
+              lit("</urlset>")).as("xml"))
+        val seeds = graft.operators.Sitemaps.entries(xmls, "host", col("xml"))
+          .filter(!col("from_index"))
+        val merged = graft.operators.Frontier.mergeSeeds(
+          allowed, col("url"), seeds, col("loc"), col("priority_milli"))
+        merged
+  }
 
   /** The per-doc decision path — Spark twin of [[urlPathSql]]. */
   private def urlPath(did: Column): Column = {
@@ -1278,59 +1394,10 @@ object WebGraphQueries {
     // sitemap-only. The oracle replays verdicts, seed synthesis,
     // canonicalization, the full-outer merge, delay extraction, and
     // the priority window end-to-end from `documents` alone.
-    QueryDef.sql("q255_frontier_seed_merge", {
-      def canonChain(pfx: String, src: String, urlCol: String): String =
-        s"""${pfx}nf AS (SELECT *, regexp_replace($urlCol, '#.*$$', '') AS __nofrag FROM $src),
-           |${pfx}pt AS (
-           |  SELECT *,
-           |    lower(regexp_extract(__nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS __sch,
-           |    lower(regexp_extract(__nofrag, '^[^:/?#]+://([^/?#]*)', 1)) AS __hp,
-           |    regexp_extract(__nofrag, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS __rp,
-           |    regexp_extract(__nofrag, '\\?([^#]*)', 1) AS __q
-           |  FROM ${pfx}nf),
-           |${pfx}cq AS (
-           |  -- array_to_string of an EMPTY list is NULL in DuckDB, not
-           |  -- '' — every no-query / all-tracking-params URL hits that
-           |  SELECT *, coalesce(array_to_string(list_sort(list_filter(
-           |      string_split(__q, '&'),
-           |      p -> p <> '' AND NOT regexp_matches(p,
-           |        '^(utm_[^=]*|fbclid|gclid)(=.*)?$$'))), '&'), '') AS __cq
-           |  FROM ${pfx}pt),
-           |${pfx}cn AS (
-           |  SELECT *, __sch || '://' ||
-           |    (CASE WHEN __sch = 'http' THEN regexp_replace(__hp, ':80$$', '')
-           |          WHEN __sch = 'https' THEN regexp_replace(__hp, ':443$$', '')
-           |          ELSE __hp END) ||
-           |    (CASE WHEN __rp = '' THEN '/' ELSE __rp END) ||
-           |    (CASE WHEN __cq = '' THEN '' ELSE '?' || __cq END)
-           |    AS canon
-           |  FROM ${pfx}cq)""".stripMargin
+    QueryDef.sql("q255_frontier_seed_merge",
       s"""WITH $robotsDirsCtes,
          |$robotsVerdictCtes,
-         |disc AS (
-         |  SELECT url FROM win WHERE rn = 1 AND ((NOT m) OR rule = 'allow')),
-         |${canonChain("d", "disc", "url")},
-         |dc AS (SELECT canon, min(url) AS d_url FROM dcn GROUP BY canon),
-         |seeds AS (
-         |  SELECT CASE WHEN doc_id % 2 = 0 THEN
-         |      'http://H' || (doc_id % 19) || '.EXAMPLE.ORG' || $urlPathSql
-         |        || '?utm_source=sm&utm_medium=x'
-         |    ELSE 'http://h' || (doc_id % 19) || '.example.org/seed/doc' || doc_id
-         |    END AS loc,
-         |    CASE WHEN doc_id % 3 = 0
-         |      THEN CAST((doc_id % 10) * 100 AS BIGINT) END AS pm
-         |  FROM documents),
-         |${canonChain("s", "seeds", "loc")},
-         |sc AS (SELECT canon, min(loc) AS s_url, max(pm) AS priority_milli
-         |       FROM scn GROUP BY canon),
-         |mg AS (
-         |  SELECT coalesce(dc.canon, sc.canon) AS canon,
-         |    coalesce(sc.s_url, dc.d_url) AS url,
-         |    CASE WHEN sc.canon IS NOT NULL AND dc.canon IS NOT NULL THEN 'both'
-         |         WHEN sc.canon IS NOT NULL THEN 'sitemap'
-         |         ELSE 'discovered' END AS source,
-         |    sc.priority_milli
-         |  FROM dc FULL OUTER JOIN sc ON dc.canon = sc.canon),
+         |$seedMergeCtes,
          |cd AS (
          |  SELECT g.host, g.val
          |  FROM grps g JOIN sel ON sel.host = g.host AND sel.g = g.g
@@ -1354,51 +1421,11 @@ object WebGraphQueries {
          |    THEN 1704067200000 + sq.seq * coalesce(dl.ms, 1000)
          |  END AS fetch_at_ms,
          |  sq.source, sq.priority_milli
-         |FROM sq LEFT JOIN dl ON dl.host = sq.host""".stripMargin
-    }) {
+         |FROM sq LEFT JOIN dl ON dl.host = sq.host""".stripMargin) {
       (s, d) => {
-        val did = col("doc_id")
-        val ks = pmod(did, lit(19)).cast("string")
-        val docs = Tables.documents(s, d)
-        val urls = docs.select(did,
-          concat(lit("http://h"), ks, lit(".example.org"), urlPath(did))
-            .as("url"))
-        val robots = robotsFixture(s, d)
-        val allowed = graft.operators.Robots.allowed(urls, "doc_id",
-          col("url"), robots, "host", col("body"), agent = "graftbot")
-          .filter(col("allowed"))
-          .select(col("doc_id"), col("url"))
-        // seed urlset XML per host: even docs respell their discovered
-        // twin (uppercase host + tracking params, & entity-escaped as
-        // the sitemap spec REQUIRES); odd docs declare new /seed/ URLs;
-        // priority on doc%3==0
-        val blk = concat(lit("<url><loc>"),
-          when(pmod(did, lit(2)) === 0, concat(
-            lit("http://H"), ks, lit(".EXAMPLE.ORG"), urlPath(did),
-            lit("?utm_source=sm&amp;utm_medium=x")))
-            .otherwise(concat(lit("http://h"), ks,
-              lit(".example.org/seed/doc"), did.cast("string"))),
-          lit("</loc>"),
-          when(pmod(did, lit(3)) === 0, concat(lit("<priority>0."),
-            pmod(did, lit(10)).cast("string"), lit("</priority>")))
-            .otherwise(lit("")),
-          lit("</url>"))
-        val xmls = docs
-          .select(pmod(did, lit(19)).as("__k"),
-            struct(did.as("i"), blk.as("b")).as("__e"))
-          .groupBy("__k").agg(collect_list(col("__e")).as("__lst"))
-          .select(concat(lit("h"), col("__k").cast("string"),
-              lit(".example.org")).as("host"),
-            concat(lit("<urlset>"),
-              array_join(transform(sort_array(col("__lst")),
-                x => x.getField("b")), ""),
-              lit("</urlset>")).as("xml"))
-        val seeds = graft.operators.Sitemaps.entries(xmls, "host", col("xml"))
-          .filter(!col("from_index"))
-        val merged = graft.operators.Frontier.mergeSeeds(
-          allowed, col("url"), seeds, col("loc"), col("priority_milli"))
+        val merged = seedMerge(s, d)
         val delays = graft.operators.Robots.crawlDelay(
-          robots, "host", col("body"), agent = "graftbot")
+          robotsFixture(s, d), "host", col("body"), agent = "graftbot")
         graft.operators.Frontier.fetchSchedule(merged, "canon", col("url"),
           delays, t0Ms = 1704067200000L, defaultDelayMs = 1000L,
           maxPerHost = 25, priorityCol = Some("priority_milli"))
@@ -1568,6 +1595,46 @@ object WebGraphQueries {
         v.join(ex, Seq("loc"))
           .select(col("loc"), col("host"), col("via_index"), col("allowed"))
       }
+    },
+
+    // SITEMAP COVERAGE CENSUS (the consumer of mergeSeeds' `source`
+    // provenance — the crawl-ops report next to q260's per-entry
+    // audit): per host, how much of what the crawl DISCOVERS does the
+    // site also declare (coverage), and how much of what the site
+    // declares was never discovered by links (orphan pages — the
+    // stale-sitemap / unlinked-section signal). The fixture makes the
+    // buckets non-trivial: even docs' seeds are canonical respellings
+    // of discovered URLs (-> both), odd docs' /seed/ URLs are declared
+    // but never linked (-> sitemap-only), and robots-disallowed
+    // discovered URLs never reach the merge at all. One hash-aggregate
+    // shuffle on the host key; promille in exact integer division.
+    // Oracle: the SAME merge CTE text as q255 (shared — the census and
+    // the schedule cannot disagree about what merged), then the census
+    // fold.
+    QueryDef.sql("q261_sitemap_coverage",
+      s"""WITH $robotsDirsCtes,
+         |$robotsVerdictCtes,
+         |$seedMergeCtes,
+         |cov AS (
+         |  SELECT nullif(lower(regexp_extract(url,
+         |      '(?i)^https?://([^/?#]+)', 1)), '') AS host,
+         |    count(*) AS n_urls,
+         |    count(CASE WHEN source = 'both' THEN 1 END) AS n_both,
+         |    count(CASE WHEN source = 'sitemap' THEN 1 END)
+         |      AS n_sitemap_only,
+         |    count(CASE WHEN source = 'discovered' THEN 1 END)
+         |      AS n_discovered_only
+         |  FROM mg GROUP BY 1)
+         |SELECT host, n_urls, n_both, n_sitemap_only, n_discovered_only,
+         |  CASE WHEN n_both + n_discovered_only > 0
+         |    THEN (1000 * n_both) // (n_both + n_discovered_only)
+         |  END AS coverage_milli,
+         |  CASE WHEN n_sitemap_only + n_both > 0
+         |    THEN (1000 * n_sitemap_only) // (n_sitemap_only + n_both)
+         |  END AS orphan_milli
+         |FROM cov""".stripMargin) {
+      (s, d) =>
+        graft.operators.Frontier.coverageCensus(seedMerge(s, d), col("url"))
     }
   )
 }

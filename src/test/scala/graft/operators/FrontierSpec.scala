@@ -131,4 +131,30 @@ class FrontierSpec extends AnyFunSuite {
     assert(got("http://a.x/only-seed") ===
       (("http://a.x/only-seed", "sitemap", -1L)))
   }
+
+  test("coverageCensus: per-host buckets, promille guards, null host for non-http URLs") {
+    val s = spark
+    import s.implicits._
+    val merged = Seq(
+      // a.x: 2 both + 1 discovered-only + 1 sitemap-only
+      ("http://a.x/1", "both"), ("http://a.x/2", "both"),
+      ("http://a.x/3", "discovered"), ("http://a.x/4", "sitemap"),
+      // b.x: discovered only -> coverage 0, orphan NULL (no declared)
+      ("http://b.x/1", "discovered"), ("HTTP://B.X/2", "discovered"),
+      // c.x: sitemap only -> coverage NULL (nothing discovered), orphan 1000
+      ("http://c.x/1", "sitemap"),
+      // non-http: groups under null host, never dropped
+      ("ftp://z.x/1", "discovered")
+    ).toDF("url", "source")
+    val got = Frontier.coverageCensus(merged, col("url"))
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("") ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    assert(got("a.x") === ((4L, 2L, 1L, 1L, 666L, 333L)))
+    assert(got("b.x") === ((2L, 0L, 0L, 2L, 0L, -1L)))
+    assert(got("c.x") === ((1L, 0L, 1L, 0L, -1L, 1000L)))
+    assert(got("") === ((1L, 0L, 0L, 1L, 0L, -1L)))
+  }
 }
