@@ -654,47 +654,47 @@ object WebGraphQueries {
     * priority_milli).
     */
   private def seedMerge(s: SparkSession, d: String): DataFrame = {
-        val did = col("doc_id")
-        val ks = pmod(did, lit(19)).cast("string")
-        val docs = Tables.documents(s, d)
-        val urls = docs.select(did,
-          concat(lit("http://h"), ks, lit(".example.org"), urlPath(did))
-            .as("url"))
-        val robots = robotsFixture(s, d)
-        val allowed = graft.operators.Robots.allowed(urls, "doc_id",
-          col("url"), robots, "host", col("body"), agent = "graftbot")
-          .filter(col("allowed"))
-          .select(col("doc_id"), col("url"))
-        // seed urlset XML per host: even docs respell their discovered
-        // twin (uppercase host + tracking params, & entity-escaped as
-        // the sitemap spec REQUIRES); odd docs declare new /seed/ URLs;
-        // priority on doc%3==0
-        val blk = concat(lit("<url><loc>"),
-          when(pmod(did, lit(2)) === 0, concat(
-            lit("http://H"), ks, lit(".EXAMPLE.ORG"), urlPath(did),
-            lit("?utm_source=sm&amp;utm_medium=x")))
-            .otherwise(concat(lit("http://h"), ks,
-              lit(".example.org/seed/doc"), did.cast("string"))),
-          lit("</loc>"),
-          when(pmod(did, lit(3)) === 0, concat(lit("<priority>0."),
-            pmod(did, lit(10)).cast("string"), lit("</priority>")))
-            .otherwise(lit("")),
-          lit("</url>"))
-        val xmls = docs
-          .select(pmod(did, lit(19)).as("__k"),
-            struct(did.as("i"), blk.as("b")).as("__e"))
-          .groupBy("__k").agg(collect_list(col("__e")).as("__lst"))
-          .select(concat(lit("h"), col("__k").cast("string"),
-              lit(".example.org")).as("host"),
-            concat(lit("<urlset>"),
-              array_join(transform(sort_array(col("__lst")),
-                x => x.getField("b")), ""),
-              lit("</urlset>")).as("xml"))
-        val seeds = graft.operators.Sitemaps.entries(xmls, "host", col("xml"))
-          .filter(!col("from_index"))
-        val merged = graft.operators.Frontier.mergeSeeds(
-          allowed, col("url"), seeds, col("loc"), col("priority_milli"))
-        merged
+    val did = col("doc_id")
+    val ks = pmod(did, lit(19)).cast("string")
+    val docs = Tables.documents(s, d)
+    val urls = docs.select(did,
+      concat(lit("http://h"), ks, lit(".example.org"), urlPath(did))
+        .as("url"))
+    val robots = robotsFixture(s, d)
+    val allowed = graft.operators.Robots.allowed(urls, "doc_id",
+      col("url"), robots, "host", col("body"), agent = "graftbot")
+      .filter(col("allowed"))
+      .select(col("doc_id"), col("url"))
+    // seed urlset XML per host: even docs respell their discovered
+    // twin (uppercase host + tracking params, & entity-escaped as
+    // the sitemap spec REQUIRES); odd docs declare new /seed/ URLs;
+    // priority on doc%3==0
+    val blk = concat(lit("<url><loc>"),
+      when(pmod(did, lit(2)) === 0, concat(
+        lit("http://H"), ks, lit(".EXAMPLE.ORG"), urlPath(did),
+        lit("?utm_source=sm&amp;utm_medium=x")))
+        .otherwise(concat(lit("http://h"), ks,
+          lit(".example.org/seed/doc"), did.cast("string"))),
+      lit("</loc>"),
+      when(pmod(did, lit(3)) === 0, concat(lit("<priority>0."),
+        pmod(did, lit(10)).cast("string"), lit("</priority>")))
+        .otherwise(lit("")),
+      lit("</url>"))
+    val xmls = docs
+      .select(pmod(did, lit(19)).as("__k"),
+        struct(did.as("i"), blk.as("b")).as("__e"))
+      .groupBy("__k").agg(collect_list(col("__e")).as("__lst"))
+      .select(concat(lit("h"), col("__k").cast("string"),
+          lit(".example.org")).as("host"),
+        concat(lit("<urlset>"),
+          array_join(transform(sort_array(col("__lst")),
+            x => x.getField("b")), ""),
+          lit("</urlset>")).as("xml"))
+    val seeds = graft.operators.Sitemaps.entries(xmls, "host", col("xml"))
+      .filter(!col("from_index"))
+    val merged = graft.operators.Frontier.mergeSeeds(
+      allowed, col("url"), seeds, col("loc"), col("priority_milli"))
+    merged
   }
 
   /** The per-doc decision path — Spark twin of [[urlPathSql]]. */
