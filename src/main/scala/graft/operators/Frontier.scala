@@ -94,6 +94,56 @@ object Frontier {
         expr("(1000 * n_sitemap_only) div nullif(n_sitemap_only + n_both, 0)"))
   }
 
+  /** Crawl-budget apportionment (the operational "crawl budget": a
+    * wave fetches `budget` URLs total — which hosts deserve how many
+    * slots?): split `budget` across hosts proportional to a
+    * nonnegative weight (a mined host rank like
+    * [[Graphs.pageRankMicro]]'s `rank_micro` — importance-ordered
+    * crawling — or any demand signal) by LARGEST-REMAINDER (Hamilton)
+    * apportionment in exact integer arithmetic:
+    *
+    *   slots_i = ⌊budget·w_i / W⌋ + [i among the top-R remainders],
+    *   R = budget − Σ⌊·⌋, remainders ranked (budget·w_i mod W) desc,
+    *   host asc as the deterministic tie-break
+    *
+    * so Σ slots = budget exactly when W > 0, every step replayable on
+    * any engine (no floating shares). Null or negative weights count
+    * as 0 (they still get a row — visible, eligible only for leftover
+    * slots). Degenerate W = 0: every floor share is 0 and the
+    * R = budget leftovers spread one per host in host order (a budget
+    * beyond #hosts is left unassigned — apportionment needs mass).
+    * Caller contract: budget·max(w) must stay under 2^63 (a promille/
+    * micro rank with a ≤10^6 budget is 5 orders inside that).
+    *
+    * Returns (host, weight, slots) — feed `slots` to
+    * [[fetchSchedule]]'s `caps` for a budget-capped wave.
+    *
+    * Scale shape: the weights frame is HOST-grain (a dimension by
+    * construction); one scalar-aggregate broadcast for (W, Σfloor) and
+    * one global window over that host census — the q235/q238 declared
+    * class: dimension-sized by nature, never the corpus.
+    */
+  def allocateBudget(weights: DataFrame, hostCol: String, weight: Column,
+                     budget: Long): DataFrame = {
+    require(budget >= 0, s"negative budget: $budget")
+    val w = weights.select(col(hostCol).as("host"),
+      when(weight.isNull || weight < 0, 0L)
+        .otherwise(weight.cast("long")).as("weight"))
+    val tot = w.agg(sum("weight").as("__W"))
+    val base = w.crossJoin(broadcast(tot))
+      .withColumn("__fl", when(col("__W") > 0,
+        expr(s"(${budget}L * weight) div __W")).otherwise(lit(0L)))
+      .withColumn("__rem", when(col("__W") > 0,
+        expr(s"(${budget}L * weight) % __W")).otherwise(lit(0L)))
+    val leftover = base.agg((lit(budget) - sum("__fl")).as("__R"))
+    base.crossJoin(broadcast(leftover))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col("host").asc)))
+      .select(col("host"), col("weight"),
+        (col("__fl") + when(col("__rk") <= col("__R"), 1L).otherwise(0L))
+          .as("slots"))
+  }
+
   /** Politeness-scheduled fetch plan: within each host, URLs are
     * sequenced deterministically — by `priorityCol` descending (nulls
     * last) when given, then by `idCol` — and spaced by the host's
@@ -104,7 +154,11 @@ object Frontier {
     * with `defaultDelayMs` for hosts that declare none. `maxPerHost`
     * caps the scheduling horizon per round: URLs past the cap come
     * back with a NULL `fetch_at_ms` (deferred to the next round, not
-    * silently dropped — frontier accounting must balance).
+    * silently dropped — frontier accounting must balance). `caps`
+    * (host, slots — [[allocateBudget]]'s output) tightens the horizon
+    * PER HOST to `least(maxPerHost, slots)`: the budget-capped wave,
+    * where an important host gets a deep schedule and a low-rank host
+    * defers early; hosts absent from the frame keep the scalar cap.
     *
     * `notBeforeCol` (epoch millis, e.g. [[Sitemaps.recrawlDueMillis]]'
     * `due_at`) makes this a RECRAWL schedule: each URL is granted the
@@ -148,11 +202,12 @@ object Frontier {
                     defaultDelayMs: Long = 1000L,
                     maxPerHost: Int = 1000,
                     priorityCol: Option[String] = None,
-                    notBeforeCol: Option[String] = None): DataFrame = {
+                    notBeforeCol: Option[String] = None,
+                    caps: Option[DataFrame] = None): DataFrame = {
     require(defaultDelayMs >= 0, s"negative defaultDelayMs: $defaultDelayMs")
     require(maxPerHost >= 1, s"maxPerHost must be positive, got $maxPerHost")
     val reserved = Set("host", "seq", "fetch_at_ms", "crawl_delay_ms",
-      "__d", "__pk", "__seq", "__base")
+      "slots", "__d", "__pk", "__seq", "__base")
     val clash = urls.columns.filter(c => reserved(c) && c != idCol)
     require(clash.isEmpty,
       s"urls columns collide with computed schedule columns: ${clash.mkString(", ")}")
@@ -163,6 +218,12 @@ object Frontier {
       // broadcast dim joined BEFORE the window: the running-max term
       // needs the delay inside the window expression
       .join(broadcast(delays), Seq("host"), "left_outer")
+      // per-host budget caps ([[allocateBudget]]'s slots) ride the same
+      // broadcast-dimension path; hosts absent from the caps frame fall
+      // back to the scalar horizon
+      .transform(df => caps.fold(df)(c =>
+        df.join(broadcast(c.select(col("host"), col("slots"))),
+          Seq("host"), "left_outer")))
       .withColumn("__d",
         coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
       // the partition key materializes ONCE: both windows partition by
@@ -173,6 +234,7 @@ object Frontier {
     val ord = priorityCol.map(p => col(p).desc_nulls_last).toSeq :+
       col(idCol).asc
     val w = Window.partitionBy(col("__pk")).orderBy(ord: _*)
+    val horizon = horizonExpr(maxPerHost, caps)
     val nb = notBeforeCol.map(col).getOrElse(lit(null).cast("long"))
     // fetch_i = seq_i·d + max_{j≤i}(max(t0, nb_j) − seq_j·d)
     // = max(t0, nb_i, fetch_{i−1} + d) — all three grant constraints.
@@ -188,8 +250,15 @@ object Frontier {
       .withColumn("__base", runMax)
       .withColumn("seq", when(col("host").isNotNull, col("__seq")))
       .select((Seq(col(idCol), col("url"), col("host"), col("seq"),
-        when(col("host").isNotNull && col("seq") < maxPerHost,
+        when(col("host").isNotNull && col("seq") < horizon,
           col("__base") + col("seq") * col("__d"))
           .as("fetch_at_ms")) ++ extras.map(col)): _*)
   }
+
+  /** Effective per-host horizon: the scalar `maxPerHost`, tightened by
+    * the host's budget `slots` when a caps frame was joined. */
+  private def horizonExpr(maxPerHost: Int, caps: Option[DataFrame]): Column =
+    caps.fold(lit(maxPerHost.toLong))(_ =>
+      least(lit(maxPerHost.toLong),
+        coalesce(col("slots"), lit(maxPerHost.toLong))))
 }

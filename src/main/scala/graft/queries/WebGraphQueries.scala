@@ -151,6 +151,30 @@ object WebGraphQueries {
   private def hostName(node: Column): Column =
     concat(lit("h"), node.cast("string"), lit(".example.org"))
 
+  /** Oracle CTE chain for [[graft.operators.Graphs.pageRankMicro]]
+    * over `hedges`/`nodes` (requires [[hostEdgeCtes]] upstream):
+    * st/outdeg/r0 then `iters` unrolled iterations, ending in
+    * `r{iters}`. Shared by q246 and q262 — the shared-CTE discipline:
+    * rank semantics cannot diverge between the rank report and the
+    * crawl-budget consumer.
+    */
+  private def hostRankCtes(iters: Int): String = {
+    def it(i: Int): String =
+      s"""r${i + 1} AS (
+         |  SELECT n.node, st.base + (85 * coalesce(inf.s, 0)) // 100 AS r
+         |  FROM nodes n CROSS JOIN st
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r$i.r // od.c) AS s
+         |    FROM hedges e JOIN r$i ON e.src = r$i.node
+         |    JOIN outdeg od ON e.src = od.src
+         |    GROUP BY e.dst) inf ON n.node = inf.node)""".stripMargin
+    s"""st AS (SELECT (15 * (1000000000000 // count(*))) // 100 AS base,
+       |              1000000000000 // count(*) AS r0 FROM nodes),
+       |outdeg AS (SELECT src, count(*) AS c FROM hedges GROUP BY src),
+       |r0 AS (SELECT node, st.r0 AS r FROM nodes CROSS JOIN st),
+       |${(0 until iters).map(it).mkString(",\n")}""".stripMargin
+  }
+
   /** Oracle CTE chain `hosts`→`rob`→`lines`→…→`dirs` shared by q250
     * and the q251 composition: the synthetic per-host robots bodies
     * (all three RFC 9309 selection tiers represented — see q250's
@@ -770,26 +794,12 @@ object WebGraphQueries {
     // iterations on q244's edges — the Common Crawl host-rank
     // composition). All hosts output (19 nodes); the oracle unrolls
     // the same iterations over the same regex-mined edge CTE.
-    QueryDef.sql("q246_host_pagerank", {
-      def it(i: Int): String =
-        s"""r${i + 1} AS (
-           |  SELECT n.node, st.base + (85 * coalesce(inf.s, 0)) // 100 AS r
-           |  FROM nodes n CROSS JOIN st
-           |  LEFT JOIN (
-           |    SELECT e.dst AS node, sum(r$i.r // od.c) AS s
-           |    FROM hedges e JOIN r$i ON e.src = r$i.node
-           |    JOIN outdeg od ON e.src = od.src
-           |    GROUP BY e.dst) inf ON n.node = inf.node)""".stripMargin
+    QueryDef.sql("q246_host_pagerank",
       s"""WITH $hostEdgeCtes,
-         |st AS (SELECT (15 * (1000000000000 // count(*))) // 100 AS base,
-         |              1000000000000 // count(*) AS r0 FROM nodes),
-         |outdeg AS (SELECT src, count(*) AS c FROM hedges GROUP BY src),
-         |r0 AS (SELECT node, st.r0 AS r FROM nodes CROSS JOIN st),
-         |${(0 until 4).map(it).mkString(",\n")}
+         |${hostRankCtes(4)}
          |SELECT 'h' || node || '.example.org' AS host,
          |       CAST(r AS BIGINT) AS rank_micro
-         |FROM r4""".stripMargin
-    }) {
+         |FROM r4""".stripMargin) {
       (s, d) =>
         Graphs.pageRankMicro(hostEdges(s, d), iterations = 4)
           .select(hostName(col("node")).as("host"), col("rank_micro"))
@@ -1635,6 +1645,71 @@ object WebGraphQueries {
          |FROM cov""".stripMargin) {
       (s, d) =>
         graft.operators.Frontier.coverageCensus(seedMerge(s, d), col("url"))
+    },
+
+    // CRAWL-BUDGET SCHEDULING (q246's mined host rank actually
+    // CONSUMED by the frontier — importance-ordered crawling, the
+    // operational "crawl budget"): a 200-fetch wave is apportioned
+    // across hosts proportional to PageRank over the WAT-mined host
+    // graph by largest-remainder (exact integers, Σslots = budget),
+    // then the robots-allowed URL set schedules under PER-HOST
+    // horizons — an important host gets a deep schedule, a low-rank
+    // host defers early (NULL fetch_at_ms, accounting balances). The
+    // oracle replays the WHOLE chain: page synthesis → link mining →
+    // host graph → the q246 rank CTEs (SHARED text — rank semantics
+    // cannot diverge between report and consumer) → floor+remainder
+    // apportionment → robots verdicts → capped schedule windows.
+    QueryDef.sql("q262_budget_schedule",
+      s"""WITH $robotsDirsCtes,
+         |$robotsVerdictCtes,
+         |$hostEdgeCtes,
+         |${hostRankCtes(4)},
+         |rk AS (SELECT 'h' || node || '.example.org' AS host,
+         |              CAST(r AS BIGINT) AS w FROM r4),
+         |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM rk),
+         |fl AS (SELECT host, w, (200 * w) // tot AS bs, (200 * w) % tot AS rem
+         |       FROM rk CROSS JOIN tw),
+         |lo AS (SELECT CAST(200 - sum(bs) AS BIGINT) AS leftover FROM fl),
+         |al AS (SELECT host, w, CAST(bs + CASE WHEN row_number() OVER (
+         |           ORDER BY rem DESC, host ASC) <= leftover
+         |         THEN 1 ELSE 0 END AS BIGINT) AS slots
+         |       FROM fl CROSS JOIN lo),
+         |au AS (SELECT doc_id, url, host FROM win
+         |       WHERE rn = 1 AND ((NOT m) OR rule = 'allow')),
+         |bq AS (SELECT doc_id, url, host, row_number() OVER (
+         |           PARTITION BY host ORDER BY doc_id) - 1 AS seq
+         |       FROM au)
+         |SELECT bq.doc_id, bq.url, bq.host, CAST(bq.seq AS BIGINT) AS seq,
+         |  CASE WHEN bq.seq < al.slots
+         |    THEN 1704067200000 + bq.seq * 1000 END AS fetch_at_ms,
+         |  al.slots, al.w AS rank_micro
+         |FROM bq LEFT JOIN al ON al.host = bq.host""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val ranks = Graphs.pageRankMicro(hostEdges(s, d), iterations = 4)
+          .select(hostName(col("node")).as("host"), col("rank_micro"))
+        val alloc = graft.operators.Frontier.allocateBudget(
+          ranks, "host", col("rank_micro"), budget = 200L)
+        val did = col("doc_id")
+        val urls = Tables.documents(s, d).select(did,
+          concat(lit("http://h"), pmod(did, lit(19)).cast("string"),
+            lit(".example.org"), urlPath(did)).as("url"))
+        val allowed = graft.operators.Robots.allowed(urls, "doc_id",
+          col("url"), robotsFixture(s, d), "host", col("body"),
+          agent = "graftbot")
+          .filter(col("allowed"))
+          .select(col("doc_id"), col("url"))
+        val noDelays = Seq.empty[(String, Long)]
+          .toDF("host", "crawl_delay_ms")
+        val sched = graft.operators.Frontier.fetchSchedule(allowed,
+          "doc_id", col("url"), noDelays, t0Ms = 1704067200000L,
+          defaultDelayMs = 1000L, maxPerHost = 1000,
+          caps = Some(alloc.select(col("host"), col("slots"))))
+        sched.join(alloc.select(col("host"), col("slots"),
+            col("weight").as("rank_micro")), Seq("host"), "left_outer")
+          .select(col("doc_id"), col("url"), col("host"), col("seq"),
+            col("fetch_at_ms"), col("slots"), col("rank_micro"))
+      }
     }
   )
 }

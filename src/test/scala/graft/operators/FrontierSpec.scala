@@ -157,4 +157,48 @@ class FrontierSpec extends AnyFunSuite {
     assert(got("c.x") === ((1L, 0L, 1L, 0L, -1L, 1000L)))
     assert(got("") === ((1L, 0L, 0L, 1L, 0L, -1L)))
   }
+
+  test("allocateBudget: largest-remainder apportionment, sum = budget, deterministic ties, degenerate zero mass") {
+    val s = spark
+    import s.implicits._
+    def alloc(budget: Long, rows: (String, Long)*): Map[String, Long] =
+      Frontier.allocateBudget(rows.toDF("host", "w"), "host", col("w"), budget)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // 10 slots over weights 5/3/2 -> exact floors 5/3/2, no leftovers
+    assert(alloc(10L, ("a", 5L), ("b", 3L), ("c", 2L)) ===
+      Map("a" -> 5L, "b" -> 3L, "c" -> 2L))
+    // 10 over 1/1/1: floors 3/3/3, one leftover -> host-asc tie-break
+    assert(alloc(10L, ("a", 1L), ("b", 1L), ("c", 1L)) ===
+      Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // 7 over 3/6/1: floors 2/4/0 (21/10, 42/10, 7/10), leftover 1 goes
+    // to the largest remainder (c: rem 7 vs a: 1, b: 2)
+    assert(alloc(7L, ("a", 3L), ("b", 6L), ("c", 1L)) ===
+      Map("a" -> 2L, "b" -> 4L, "c" -> 1L))
+    // null/negative weights count as 0 but stay visible
+    assert(alloc(4L, ("a", 4L), ("b", -9L)) === Map("a" -> 4L, "b" -> 0L))
+    // zero total mass: leftovers spread one per host in host order,
+    // excess budget left unassigned
+    assert(alloc(5L, ("a", 0L), ("b", 0L)) === Map("a" -> 1L, "b" -> 1L))
+  }
+
+  test("fetchSchedule caps: per-host budget horizon defers beyond slots, absent hosts keep the scalar cap") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      (1L, "http://a.x/1"), (2L, "http://a.x/2"), (3L, "http://a.x/3"),
+      (4L, "http://b.x/1"), (5L, "http://b.x/2")
+    ).toDF("id", "url")
+    val noDelays = Seq.empty[(String, Long)].toDF("host", "crawl_delay_ms")
+    val caps = Seq(("a.x", 2L)).toDF("host", "slots")
+    val got = Frontier.fetchSchedule(urls, "id", col("url"), noDelays,
+      t0Ms = 0L, defaultDelayMs = 100L, maxPerHost = 1000,
+      caps = Some(caps))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    // a.x capped at 2 slots: third URL defers; b.x (no cap row) keeps
+    // the scalar horizon
+    assert(got === Map(1L -> 0L, 2L -> 100L, 3L -> -1L,
+      4L -> 0L, 5L -> 100L))
+  }
 }

@@ -102,7 +102,11 @@ class PlanLintSpec extends AnyFunSuite {
     // ksTest's cumulative window runs over the distinct-score census
     // (the aucExact class: bounded by the score quantization grain,
     // not the corpus — the operator's documented contract).
-    "q242_ks_test")
+    "q242_ks_test",
+    // allocateBudget's remainder-rank window runs over the HOST census
+    // (the weights frame is host-grain by construction — a dimension,
+    // never the corpus; the operator's documented scale shape).
+    "q262_budget_schedule")
 
   test("no gate query plans an unpartitioned window or undeclared cartesian") {
     // AQE wraps the plan in a leaf AdaptiveSparkPlanExec that defeats
