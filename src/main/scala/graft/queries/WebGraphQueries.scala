@@ -1688,8 +1688,13 @@ object WebGraphQueries {
         import s.implicits._
         val ranks = Graphs.pageRankMicro(hostEdges(s, d), iterations = 4)
           .select(hostName(col("node")).as("host"), col("rank_micro"))
-        val alloc = graft.operators.Frontier.allocateBudget(
-          ranks, "host", col("rank_micro"), budget = 200L)
+        // the allocation is consumed twice (schedule caps + the final
+        // slots/rank join); pin the host-count-sized frame so the WAT
+        // mining + rank funnel upstream runs ONCE (the q251 discipline)
+        val alloc = graft.operators.CacheRegistry.register(
+          graft.operators.Frontier.allocateBudget(
+            ranks, "host", col("rank_micro"), budget = 200L)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val did = col("doc_id")
         val urls = Tables.documents(s, d).select(did,
           concat(lit("http://h"), pmod(did, lit(19)).cast("string"),
