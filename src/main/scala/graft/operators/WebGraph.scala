@@ -186,6 +186,77 @@ object WebGraph {
     * census should say so; rank computations filter them (a
     * self-edge only feeds a node its own mass back).
     */
+  /** Redirect-chain resolution — the 3xx half of a crawl's URL
+    * identity story next to canonical-URL hints ([[pageMeta]]) and
+    * crawl-key canonicalization: given per-URL fetch results (the
+    * [[graft.sources.Warc]] → HTTP-parse shape: url, status,
+    * `Location` header), follow `Location` links WITHIN the result
+    * set to each URL's final destination. Bounded at `maxHops`
+    * relational hops — redirect chains in the wild are short (user
+    * agents cap around 5–20; RFC 9110 recommends detecting cycles),
+    * and the bound is also the cycle detector: a loop never settles,
+    * so it exhausts the hop budget and comes out `exceeded`.
+    *
+    * Returns one row per input URL: (url, final_url, hops, outcome) —
+    * `outcome` ∈ `ok` (settled on a fetched URL; hops 0 for
+    * non-redirects), `dangling` (settled on a Location target that
+    * was never fetched — the frontier's follow-up list), `exceeded`
+    * (hop budget exhausted: a cycle or a deeper-than-`maxHops`
+    * chain). `Location` values are taken as absolute URLs (the
+    * dominant real-world form; RFC 9110 allows relative — absolutize
+    * upstream with the [[outlinks]] resolution chain if needed).
+    *
+    * Scale shape: the redirect table is the 3xx SUBSET of fetches (a
+    * few percent of a real crawl); each of the `maxHops` joins probes
+    * it keyed by current URL, with settled rows riding through as
+    * no-match probes (the join condition includes NOT done), so the
+    * chain never shuffles more than the fetch-result grain and the
+    * per-hop build side is redirect-count-sized (AQE broadcasts it
+    * when it fits). No iteration-to-convergence: the hop bound makes
+    * the plan k fixed joins, partition-count-independent and
+    * engine-replayable as unrolled SQL.
+    */
+  def redirectChains(responses: DataFrame, urlCol: String,
+                     status: Column, location: Column,
+                     maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be positive, got $maxHops")
+    // one target per source: a URL fetched twice with a conflicting
+    // Location collapses to the bytewise-min target (deterministic on
+    // any engine — the expand/selectedMembers duplicate discipline);
+    // identical duplicates collapse for free
+    val red = responses.select(col(urlCol).cast("string").as("__src0"),
+        status.as("__st"), trim(location).as("__dst0"))
+      .filter(col("__st") >= 300 && col("__st") <= 399 &&
+        col("__dst0").isNotNull && col("__dst0") =!= "")
+      .groupBy("__src0").agg(min("__dst0").as("__dst0"))
+    def redAs(i: Int): DataFrame =
+      red.select(col("__src0").as(s"__src$i"), col("__dst0").as(s"__dst$i"))
+    val r1 = redAs(1)
+    var st = responses.select(col(urlCol).cast("string").as("url"))
+      .join(r1, col("url") === col("__src1"), "left_outer")
+      .select(col("url"), coalesce(col("__dst1"), col("url")).as("cur"),
+        when(col("__dst1").isNotNull, 1L).otherwise(0L).as("hops"),
+        col("__dst1").isNull.as("done"))
+    for (i <- 2 to maxHops) {
+      val r = redAs(i)
+      st = st.join(r, col("cur") === col(s"__src$i") && !col("done"),
+          "left_outer")
+        .select(col("url"),
+          when(col("done") || col(s"__dst$i").isNull, col("cur"))
+            .otherwise(col(s"__dst$i")).as("cur"),
+          (col("hops") + when(!col("done") && col(s"__dst$i").isNotNull, 1L)
+            .otherwise(0L)).as("hops"),
+          (col("done") || col(s"__dst$i").isNull).as("done"))
+    }
+    val members = responses
+      .select(col(urlCol).cast("string").as("__u")).distinct()
+    st.join(members, col("cur") === col("__u"), "left_outer")
+      .select(col("url"), col("cur").as("final_url"), col("hops"),
+        when(!col("done"), "exceeded")
+          .when(col("__u").isNull, "dangling")
+          .otherwise("ok").as("outcome"))
+  }
+
   def hostEdges(links: DataFrame, srcHost: Column, dstHost: Column): DataFrame =
     links
       .groupBy(srcHost.as("src_host"), dstHost.as("dst_host"))

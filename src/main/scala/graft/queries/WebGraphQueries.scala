@@ -1715,6 +1715,86 @@ object WebGraphQueries {
           .select(col("doc_id"), col("url"), col("host"), col("seq"),
             col("fetch_at_ms"), col("slots"), col("rank_micro"))
       }
+    },
+
+    // REDIRECT-CHAIN RESOLUTION (the 3xx half of crawl URL identity,
+    // next to q249's canonical hints and q138's crawl keys): every
+    // fetched URL follows Location links WITHIN the fetch set to its
+    // final destination in maxHops bounded relational hops — the hop
+    // budget doubles as the cycle detector (a loop never settles).
+    // Residues: %11==0 starts a 3-hop chain (301 -> +1, whose %11==1
+    // 302s -> +3, whose %11==3 301s to a never-fetched /missing/ URL
+    // -> dangling at hops 3); %11==1 and %11==3 are that chain's
+    // 2- and 1-hop suffixes; %11==5 self-loops (exceeded at the hop
+    // budget); the rest are 200s (ok at hops 0). The oracle replays
+    // the min-target collapse, all four unrolled hop joins, and the
+    // membership verdict.
+    QueryDef.sql("q263_redirect_chains", {
+      def hop(i: Int): String =
+        s"""c$i AS (
+           |  SELECT url,
+           |    CASE WHEN done OR r.dst IS NULL THEN cur ELSE r.dst END AS cur,
+           |    hops + CASE WHEN NOT done AND r.dst IS NOT NULL
+           |      THEN 1 ELSE 0 END AS hops,
+           |    done OR r.dst IS NULL AS done
+           |  FROM c${i - 1} LEFT JOIN red r
+           |    ON NOT c${i - 1}.done AND r.src = c${i - 1}.cur)""".stripMargin
+      def u(expr: String): String =
+        s"'http://h' || (($expr) % 19) || '.example.org/r/doc' || ($expr)"
+      s"""WITH resp AS (
+         |  SELECT ${u("doc_id")} AS url,
+         |    CASE WHEN doc_id % 11 = 0 THEN 301
+         |         WHEN doc_id % 11 = 1 THEN 302
+         |         WHEN doc_id % 11 = 3 THEN 301
+         |         WHEN doc_id % 11 = 5 THEN 301
+         |         ELSE 200 END AS status,
+         |    CASE WHEN doc_id % 11 = 0 THEN ${u("doc_id + 1")}
+         |         WHEN doc_id % 11 = 1 THEN ${u("doc_id + 2")}
+         |         WHEN doc_id % 11 = 3 THEN 'http://h' || (doc_id % 19) ||
+         |           '.example.org/missing/doc' || doc_id
+         |         WHEN doc_id % 11 = 5 THEN ${u("doc_id")}
+         |         END AS location
+         |  FROM documents),
+         |red AS (
+         |  SELECT url AS src, min(trim(location)) AS dst FROM resp
+         |  WHERE status >= 300 AND status <= 399 AND location IS NOT NULL
+         |    AND trim(location) <> ''
+         |  GROUP BY url),
+         |c1 AS (
+         |  SELECT resp.url, coalesce(r.dst, resp.url) AS cur,
+         |    CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS hops,
+         |    r.dst IS NULL AS done
+         |  FROM resp LEFT JOIN red r ON r.src = resp.url),
+         |${(2 to 4).map(hop).mkString(",\n")},
+         |mem AS (SELECT DISTINCT url AS u FROM resp)
+         |SELECT c4.url, c4.cur AS final_url, CAST(c4.hops AS BIGINT) AS hops,
+         |  CASE WHEN NOT c4.done THEN 'exceeded'
+         |       WHEN m.u IS NULL THEN 'dangling'
+         |       ELSE 'ok' END AS outcome
+         |FROM c4 LEFT JOIN mem m ON m.u = c4.cur""".stripMargin
+    }) {
+      (s, d) => {
+        val did = col("doc_id")
+        def u(x: Column): Column =
+          concat(lit("http://h"), pmod(x, lit(19)).cast("string"),
+            lit(".example.org/r/doc"), x.cast("string"))
+        val resp = Tables.documents(s, d).select(
+          u(did).as("url"),
+          when(pmod(did, lit(11)) === 0, 301)
+            .when(pmod(did, lit(11)) === 1, 302)
+            .when(pmod(did, lit(11)) === 3, 301)
+            .when(pmod(did, lit(11)) === 5, 301)
+            .otherwise(200).as("status"),
+          when(pmod(did, lit(11)) === 0, u(did + 1))
+            .when(pmod(did, lit(11)) === 1, u(did + 2))
+            .when(pmod(did, lit(11)) === 3, concat(lit("http://h"),
+              pmod(did, lit(19)).cast("string"),
+              lit(".example.org/missing/doc"), did.cast("string")))
+            .when(pmod(did, lit(11)) === 5, u(did))
+            .as("location"))
+        graft.operators.WebGraph.redirectChains(resp, "url",
+          col("status"), col("location"), maxHops = 4)
+      }
     }
   )
 }

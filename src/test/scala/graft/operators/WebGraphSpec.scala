@@ -163,4 +163,51 @@ class WebGraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got === Map(("a", "b") -> 2L, ("a", "a") -> 1L, ("b", "a") -> 1L))
   }
+
+  test("redirectChains: multi-hop, dangling, self-loop and 2-cycle exceed the budget") {
+    val s = spark
+    import s.implicits._
+    val resp = Seq(
+      ("http://x/a", 200, null.asInstanceOf[String]),
+      ("http://x/b", 301, "http://x/a"),
+      ("http://x/c", 302, "http://x/b"),
+      ("http://x/d", 301, "http://x/gone"),
+      ("http://x/e", 301, "http://x/e"),
+      ("http://x/f", 301, "http://x/g"),
+      ("http://x/g", 307, "http://x/f"),
+      // 3xx with no Location is terminal, not a chain edge
+      ("http://x/h", 301, "")
+    ).toDF("url", "status", "location")
+    val got = WebGraph.redirectChains(resp, "url", col("status"),
+        col("location"), maxHops = 4)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(got("http://x/a") === (("http://x/a", 0L, "ok")))
+    assert(got("http://x/b") === (("http://x/a", 1L, "ok")))
+    assert(got("http://x/c") === (("http://x/a", 2L, "ok")))
+    assert(got("http://x/d") === (("http://x/gone", 1L, "dangling")))
+    assert(got("http://x/e") === (("http://x/e", 4L, "exceeded")))
+    assert(got("http://x/f")._3 === "exceeded")
+    assert(got("http://x/g")._3 === "exceeded")
+    assert(got("http://x/h") === (("http://x/h", 0L, "ok")))
+  }
+
+  test("redirectChains: conflicting duplicate fetches collapse to the bytewise-min target") {
+    val s = spark
+    import s.implicits._
+    val resp = Seq(
+      ("http://x/h", 301, "http://x/zz"),
+      ("http://x/h", 301, "http://x/aa"),
+      ("http://x/aa", 200, null.asInstanceOf[String])
+    ).toDF("url", "status", "location")
+    val got = WebGraph.redirectChains(resp, "url", col("status"),
+        col("location"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3)))
+    // output grain = input rows: both h fetches resolve identically,
+    // through the min target aa (in corpus -> ok)
+    assert(got.count(_ == (("http://x/h", "http://x/aa", 1L, "ok"))) === 2)
+    assert(got.contains(("http://x/aa", "http://x/aa", 0L, "ok")))
+  }
 }
