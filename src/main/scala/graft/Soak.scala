@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.collection.concurrent.TrieMap
@@ -539,6 +539,34 @@ object Soak {
             lit(".example.org/sm/missing.xml</loc></sitemap>" +
               "</sitemapindex>")).as("xml"))
         operators.Sitemaps.expand(roots.unionByName(parts), "u", col("xml"))
+      },
+      "redirect_chains" -> { d: String =>
+        // q263's shape at scale: the %11 residue walk plants 3-hop
+        // chains, suffixes, danglers and self-loops over the scaled
+        // corpus (one fetch row per doc, 997 hosts). Expected: one
+        // aggregate for the min-target collapse, then four joins
+        // probing the 3xx-subset dimension — corpus-grain, no window.
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        val did = col("doc_id")
+        def u(x: Column): Column =
+          concat(lit("http://h"), pmod(x, lit(997)).cast("string"),
+            lit(".example.org/r/doc"), x.cast("string"))
+        val resp = docs.select(
+          u(did).as("url"),
+          when(pmod(did, lit(11)) === 0, 301)
+            .when(pmod(did, lit(11)) === 1, 302)
+            .when(pmod(did, lit(11)) === 3, 301)
+            .when(pmod(did, lit(11)) === 5, 301)
+            .otherwise(200).as("status"),
+          when(pmod(did, lit(11)) === 0, u(did + 1))
+            .when(pmod(did, lit(11)) === 1, u(did + 2))
+            .when(pmod(did, lit(11)) === 3, concat(lit("http://h"),
+              pmod(did, lit(997)).cast("string"),
+              lit(".example.org/missing/doc"), did.cast("string")))
+            .when(pmod(did, lit(11)) === 5, u(did))
+            .as("location"))
+        operators.WebGraph.redirectChains(resp, "url",
+          col("status"), col("location"), maxHops = 4)
       },
       "warc_roundtrip" -> { d: String =>
         // full WARC sink+source cycle at scale: per-record-gzip export
