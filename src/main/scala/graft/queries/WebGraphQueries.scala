@@ -721,6 +721,88 @@ object WebGraphQueries {
     merged
   }
 
+
+  /** Oracle replay of [[graft.operators.WebGraph.redirectChains]] over
+    * the q263/q264 fetch fixture (the %11 residue walk): synthesis,
+    * min-target collapse, four unrolled hop joins, membership verdict.
+    * Shared text (the q256/q258 discipline — chain semantics cannot
+    * diverge between the resolution gate and the alias-dedup
+    * consumer); ends in `rc(url, final_url, hops, outcome)`.
+    */
+  private lazy val redirectCtes: String = {
+    def hop(i: Int): String =
+      s"""c$i AS (
+         |  SELECT url,
+         |    CASE WHEN done OR r.dst IS NULL THEN cur ELSE r.dst END AS cur,
+         |    hops + CASE WHEN NOT done AND r.dst IS NOT NULL
+         |      THEN 1 ELSE 0 END AS hops,
+         |    done OR r.dst IS NULL AS done
+         |  FROM c${i - 1} LEFT JOIN red r
+         |    ON NOT c${i - 1}.done AND r.src = c${i - 1}.cur)""".stripMargin
+    def u(expr: String): String =
+      s"'http://h' || (($expr) % 19) || '.example.org/r/doc' || ($expr)"
+    s"""resp AS (
+       |  SELECT ${u("doc_id")} AS url,
+       |    CASE WHEN doc_id % 11 = 0 THEN 301
+       |         WHEN doc_id % 11 = 1 THEN 302
+       |         WHEN doc_id % 11 = 3 THEN 301
+       |         WHEN doc_id % 11 = 5 THEN 301
+       |         ELSE 200 END AS status,
+       |    CASE WHEN doc_id % 11 = 0 THEN ${u("doc_id + 1")}
+       |         WHEN doc_id % 11 = 1 THEN ${u("doc_id + 2")}
+       |         WHEN doc_id % 11 = 3 THEN 'http://h' || (doc_id % 19) ||
+       |           '.example.org/missing/doc' || doc_id
+       |         WHEN doc_id % 11 = 5 THEN ${u("doc_id")}
+       |         END AS location
+       |  FROM documents),
+       |red AS (
+       |  SELECT url AS src, min(trim(location)) AS dst FROM resp
+       |  WHERE status >= 300 AND status <= 399 AND location IS NOT NULL
+       |    AND trim(location) <> ''
+       |  GROUP BY url),
+       |c1 AS (
+       |  SELECT resp.url, coalesce(r.dst, resp.url) AS cur,
+       |    CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS hops,
+       |    r.dst IS NULL AS done
+       |  FROM resp LEFT JOIN red r ON r.src = resp.url),
+       |${(2 to 4).map(hop).mkString(",\n")},
+       |mem AS (SELECT DISTINCT url AS u FROM resp),
+       |rc AS (
+       |  SELECT c4.url, c4.cur AS final_url, CAST(c4.hops AS BIGINT) AS hops,
+       |    CASE WHEN NOT c4.done THEN 'exceeded'
+       |         WHEN m.u IS NULL THEN 'dangling'
+       |         ELSE 'ok' END AS outcome
+       |  FROM c4 LEFT JOIN mem m ON m.u = c4.cur)""".stripMargin
+  }
+
+
+  /** Spark twin of [[redirectCtes]] — the q263/q264 shared fixture:
+    * the %11 residue fetch results resolved through
+    * [[graft.operators.WebGraph.redirectChains]].
+    */
+  private def redirectResolved(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    def u(x: Column): Column =
+      concat(lit("http://h"), pmod(x, lit(19)).cast("string"),
+        lit(".example.org/r/doc"), x.cast("string"))
+    val resp = Tables.documents(s, d).select(
+      u(did).as("url"),
+      when(pmod(did, lit(11)) === 0, 301)
+        .when(pmod(did, lit(11)) === 1, 302)
+        .when(pmod(did, lit(11)) === 3, 301)
+        .when(pmod(did, lit(11)) === 5, 301)
+        .otherwise(200).as("status"),
+      when(pmod(did, lit(11)) === 0, u(did + 1))
+        .when(pmod(did, lit(11)) === 1, u(did + 2))
+        .when(pmod(did, lit(11)) === 3, concat(lit("http://h"),
+          pmod(did, lit(19)).cast("string"),
+          lit(".example.org/missing/doc"), did.cast("string")))
+        .when(pmod(did, lit(11)) === 5, u(did))
+        .as("location"))
+    graft.operators.WebGraph.redirectChains(resp, "url",
+      col("status"), col("location"), maxHops = 4)
+  }
+
   /** The per-doc decision path — Spark twin of [[urlPathSql]]. */
   private def urlPath(did: Column): Column = {
     val ks = pmod(did, lit(19)).cast("string")
@@ -1729,71 +1811,44 @@ object WebGraphQueries {
     // budget); the rest are 200s (ok at hops 0). The oracle replays
     // the min-target collapse, all four unrolled hop joins, and the
     // membership verdict.
-    QueryDef.sql("q263_redirect_chains", {
-      def hop(i: Int): String =
-        s"""c$i AS (
-           |  SELECT url,
-           |    CASE WHEN done OR r.dst IS NULL THEN cur ELSE r.dst END AS cur,
-           |    hops + CASE WHEN NOT done AND r.dst IS NOT NULL
-           |      THEN 1 ELSE 0 END AS hops,
-           |    done OR r.dst IS NULL AS done
-           |  FROM c${i - 1} LEFT JOIN red r
-           |    ON NOT c${i - 1}.done AND r.src = c${i - 1}.cur)""".stripMargin
-      def u(expr: String): String =
-        s"'http://h' || (($expr) % 19) || '.example.org/r/doc' || ($expr)"
-      s"""WITH resp AS (
-         |  SELECT ${u("doc_id")} AS url,
-         |    CASE WHEN doc_id % 11 = 0 THEN 301
-         |         WHEN doc_id % 11 = 1 THEN 302
-         |         WHEN doc_id % 11 = 3 THEN 301
-         |         WHEN doc_id % 11 = 5 THEN 301
-         |         ELSE 200 END AS status,
-         |    CASE WHEN doc_id % 11 = 0 THEN ${u("doc_id + 1")}
-         |         WHEN doc_id % 11 = 1 THEN ${u("doc_id + 2")}
-         |         WHEN doc_id % 11 = 3 THEN 'http://h' || (doc_id % 19) ||
-         |           '.example.org/missing/doc' || doc_id
-         |         WHEN doc_id % 11 = 5 THEN ${u("doc_id")}
-         |         END AS location
-         |  FROM documents),
-         |red AS (
-         |  SELECT url AS src, min(trim(location)) AS dst FROM resp
-         |  WHERE status >= 300 AND status <= 399 AND location IS NOT NULL
-         |    AND trim(location) <> ''
-         |  GROUP BY url),
-         |c1 AS (
-         |  SELECT resp.url, coalesce(r.dst, resp.url) AS cur,
-         |    CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS hops,
-         |    r.dst IS NULL AS done
-         |  FROM resp LEFT JOIN red r ON r.src = resp.url),
-         |${(2 to 4).map(hop).mkString(",\n")},
-         |mem AS (SELECT DISTINCT url AS u FROM resp)
-         |SELECT c4.url, c4.cur AS final_url, CAST(c4.hops AS BIGINT) AS hops,
-         |  CASE WHEN NOT c4.done THEN 'exceeded'
-         |       WHEN m.u IS NULL THEN 'dangling'
-         |       ELSE 'ok' END AS outcome
-         |FROM c4 LEFT JOIN mem m ON m.u = c4.cur""".stripMargin
-    }) {
+    QueryDef.sql("q263_redirect_chains",
+      s"""WITH $redirectCtes
+         |SELECT url, final_url, hops, outcome FROM rc""".stripMargin) {
+      (s, d) => redirectResolved(s, d)
+    },
+
+    // URL-ALIAS DEDUP (q263's final_url actually CONSUMED — the reason
+    // redirect resolution exists in a crawl pipeline: URLs that LAND
+    // on the same place are one page): dedup key = the resolved final
+    // destination (an unresolvable `exceeded` loop keys by its own
+    // URL — never merged on a guess), keep rule = bytewise-min URL per
+    // key (the q24 exact-dedup discipline). The %11 fixture makes
+    // 3-alias groups by construction: the d%11==0 chain, its 1- and
+    // 2-hop suffixes, and the dangling target they all share. The
+    // oracle replays the SAME chain CTE text as q263 plus the census —
+    // one hash-aggregate shuffle on the key, one key-equi join back.
+    QueryDef.sql("q264_redirect_dedup",
+      s"""WITH $redirectCtes,
+         |ky AS (SELECT url, CASE WHEN outcome = 'exceeded' THEN url
+         |         ELSE final_url END AS dedup_key FROM rc),
+         |grp AS (SELECT dedup_key, min(url) AS kept_url,
+         |          count(*) AS n_aliases
+         |        FROM ky GROUP BY dedup_key)
+         |SELECT ky.url, ky.dedup_key, g.kept_url,
+         |  CAST(g.n_aliases AS BIGINT) AS n_aliases,
+         |  ky.url = g.kept_url AS is_kept
+         |FROM ky JOIN grp g ON g.dedup_key = ky.dedup_key""".stripMargin) {
       (s, d) => {
-        val did = col("doc_id")
-        def u(x: Column): Column =
-          concat(lit("http://h"), pmod(x, lit(19)).cast("string"),
-            lit(".example.org/r/doc"), x.cast("string"))
-        val resp = Tables.documents(s, d).select(
-          u(did).as("url"),
-          when(pmod(did, lit(11)) === 0, 301)
-            .when(pmod(did, lit(11)) === 1, 302)
-            .when(pmod(did, lit(11)) === 3, 301)
-            .when(pmod(did, lit(11)) === 5, 301)
-            .otherwise(200).as("status"),
-          when(pmod(did, lit(11)) === 0, u(did + 1))
-            .when(pmod(did, lit(11)) === 1, u(did + 2))
-            .when(pmod(did, lit(11)) === 3, concat(lit("http://h"),
-              pmod(did, lit(19)).cast("string"),
-              lit(".example.org/missing/doc"), did.cast("string")))
-            .when(pmod(did, lit(11)) === 5, u(did))
-            .as("location"))
-        graft.operators.WebGraph.redirectChains(resp, "url",
-          col("status"), col("location"), maxHops = 4)
+        val rc = redirectResolved(s, d)
+        val ky = rc.select(col("url"),
+          when(col("outcome") === "exceeded", col("url"))
+            .otherwise(col("final_url")).as("dedup_key"))
+        val grp = ky.groupBy("dedup_key")
+          .agg(min("url").as("kept_url"), count(lit(1)).as("n_aliases"))
+        ky.join(grp, Seq("dedup_key"))
+          .select(col("url"), col("dedup_key"), col("kept_url"),
+            col("n_aliases"),
+            (col("url") === col("kept_url")).as("is_kept"))
       }
     }
   )
