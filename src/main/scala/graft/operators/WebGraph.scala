@@ -201,10 +201,16 @@ object WebGraph {
     * `outcome` ∈ `ok` (settled on a fetched URL; hops 0 for
     * non-redirects), `dangling` (settled on a Location target that
     * was never fetched — the frontier's follow-up list), `exceeded`
-    * (hop budget exhausted: a cycle or a deeper-than-`maxHops`
-    * chain). `Location` values are taken as absolute URLs (the
-    * dominant real-world form; RFC 9110 allows relative — absolutize
-    * upstream with the [[outlinks]] resolution chain if needed).
+    * (a REAL redirect edge remains after `maxHops` hops: a cycle or a
+    * deeper-than-`maxHops` chain — a chain that settles at exactly
+    * `maxHops` hops is settled, not exceeded; a final no-match probe
+    * distinguishes the two). `Location` values are absolutized
+    * against the SOURCE url through the same resolution chain as
+    * [[outlinks]]/[[pageMeta]] — RFC 7231 §7.1.2 explicitly allows
+    * relative references in `Location`, and `Location: /new-path` is
+    * the most common real-world form. A Location outside the chain's
+    * grammar (empty, fragment-only, non-http scheme) resolves to null
+    * and the response behaves as a non-redirect.
     *
     * Scale shape: the redirect table is the 3xx SUBSET of fetches (a
     * few percent of a real crawl); each of the `maxHops` joins probes
@@ -222,10 +228,15 @@ object WebGraph {
     require(maxHops >= 1, s"maxHops must be positive, got $maxHops")
     // one target per source: a URL fetched twice with a conflicting
     // Location collapses to the bytewise-min target (deterministic on
-    // any engine — the expand/selectedMembers duplicate discipline);
-    // identical duplicates collapse for free
-    val red = responses.select(col(urlCol).cast("string").as("__src0"),
-        status.as("__st"), trim(location).as("__dst0"))
+    // any engine — the expand/selectedMembers duplicate discipline).
+    // The collapse runs on the RESOLVED target, so two relative
+    // spellings of one destination are no conflict at all.
+    val src = col(urlCol).cast("string")
+    val red = responses.select(src.as("__src0"), status.as("__st"),
+        resolve(location,
+          regexp_extract(src, "^(https?)://", 1),
+          regexp_extract(src, "^https?://([^/?#]+)", 1),
+          regexp_extract(src, "^https?://[^/?#]+(/[^?#]*)", 1)).as("__dst0"))
       .filter(col("__st") >= 300 && col("__st") <= 399 &&
         col("__dst0").isNotNull && col("__dst0") =!= "")
       .groupBy("__src0").agg(min("__dst0").as("__dst0"))
@@ -248,11 +259,19 @@ object WebGraph {
             .otherwise(0L)).as("hops"),
           (col("done") || col(s"__dst$i").isNull).as("done"))
     }
+    // settle probe: a row that consumed the whole hop budget may have
+    // LANDED on its terminal URL at exactly maxHops — only a real
+    // remaining redirect edge out of `cur` makes it `exceeded`
+    val probe = redAs(maxHops + 1)
+    val settled = st.join(probe,
+      col("cur") === col(s"__src${maxHops + 1}") && !col("done"),
+      "left_outer")
     val members = responses
       .select(col(urlCol).cast("string").as("__u")).distinct()
-    st.join(members, col("cur") === col("__u"), "left_outer")
+    settled.join(members, col("cur") === col("__u"), "left_outer")
       .select(col("url"), col("cur").as("final_url"), col("hops"),
-        when(!col("done"), "exceeded")
+        when(!col("done") && col(s"__dst${maxHops + 1}").isNotNull,
+          "exceeded")
           .when(col("__u").isNull, "dangling")
           .otherwise("ok").as("outcome"))
   }

@@ -60,13 +60,36 @@ object WebGraphQueries {
         lit("</body></html>")).as("html"))
   }
 
+  /** The [[WebGraph]] resolution contract (RFC-3986-lite) as oracle
+    * SQL over a raw reference column `v`, expecting `sch`/`hst`/`pth`
+    * (the base URL's scheme, host, path) in scope — shared VERBATIM by
+    * the href chain ([[linksCtes]]' `res`) and the redirect chain
+    * ([[redirectCtes]]' `red`), so link-target and Location-target
+    * resolution semantics cannot diverge between the two families.
+    */
+  private def resolveSql(v: String): String =
+    s"""regexp_replace(CASE
+       |      WHEN regexp_matches(trim($v), '^(?i)https?://') THEN trim($v)
+       |      WHEN regexp_matches(trim($v), '^//')
+       |        THEN sch || ':' || trim($v)
+       |      WHEN regexp_matches(trim($v), '^/')
+       |        THEN sch || '://' || hst || trim($v)
+       |      WHEN trim($v) = '' OR regexp_matches(trim($v), '^#')
+       |           OR regexp_matches(trim($v), '^[A-Za-z][A-Za-z0-9+.-]*:')
+       |        THEN NULL
+       |      ELSE sch || '://' || hst ||
+       |           (CASE WHEN pth = '' THEN '/'
+       |                 ELSE regexp_replace(pth, '[^/]*$$', '') END) ||
+       |           trim($v) END,
+       |      '#.*', '')""".stripMargin
+
   /** Oracle CTE chain `pages`→`ext`→`exa`→`res`→`links`: the same page
     * synthesis, tag/href/rel regexes, and resolution CASE as the Spark
     * side, ending in (doc_id, link_no, href, url, nofollow, src_host,
     * dst_host).
     */
-  private val linksCtes: String =
-    """pages AS MATERIALIZED (
+  private lazy val linksCtes: String =
+    raw"""pages AS MATERIALIZED (
       |  SELECT doc_id,
       |    'http://h' || (doc_id % 19) || '.example.org/p/' || doc_id AS uri,
       |    '<html><body><p>' || text || '</p>' ||
@@ -96,26 +119,13 @@ object WebGraphQueries {
       |  SELECT doc_id, uri, link_no,
       |    regexp_replace(regexp_extract(tag,
       |      '(?i)\bhref\s*=\s*("[^">]*"|''[^''>]*'')', 1),
-      |      '^["'']|["'']$', '', 'g') AS href,
+      |      '^["'']|["'']$$', '', 'g') AS href,
       |    regexp_matches(tag,
       |      '(?i)\brel\s*=\s*("[^">]*\bnofollow\b|''[^''>]*\bnofollow\b)') AS nofollow
       |  FROM ext),
       |res AS (
       |  SELECT doc_id, link_no, href, nofollow,
-      |    regexp_replace(CASE
-      |      WHEN regexp_matches(trim(href), '^(?i)https?://') THEN trim(href)
-      |      WHEN regexp_matches(trim(href), '^//')
-      |        THEN sch || ':' || trim(href)
-      |      WHEN regexp_matches(trim(href), '^/')
-      |        THEN sch || '://' || hst || trim(href)
-      |      WHEN trim(href) = '' OR regexp_matches(trim(href), '^#')
-      |           OR regexp_matches(trim(href), '^[A-Za-z][A-Za-z0-9+.-]*:')
-      |        THEN NULL
-      |      ELSE sch || '://' || hst ||
-      |           (CASE WHEN pth = '' THEN '/'
-      |                 ELSE regexp_replace(pth, '[^/]*$', '') END) ||
-      |           trim(href) END,
-      |      '#.*', '') AS url,
+      |    ${resolveSql("href")} AS url,
       |    hst AS src_host
       |  FROM (SELECT e.*,
       |          regexp_extract(uri, '^(https?)://', 1) AS sch,
@@ -724,10 +734,16 @@ object WebGraphQueries {
 
   /** Oracle replay of [[graft.operators.WebGraph.redirectChains]] over
     * the q263/q264 fetch fixture (the %11 residue walk): synthesis,
-    * min-target collapse, four unrolled hop joins, membership verdict.
-    * Shared text (the q256/q258 discipline — chain semantics cannot
-    * diverge between the resolution gate and the alias-dedup
-    * consumer); ends in `rc(url, final_url, hops, outcome)`.
+    * Location ABSOLUTIZATION against the source URL ([[resolveSql]] —
+    * the same shared resolution text as the href chain; RFC 7231
+    * §7.1.2 allows relative Location and the fixture synthesizes
+    * root-relative, protocol-relative, and path-relative forms),
+    * min-RESOLVED-target collapse, four unrolled hop joins, the settle
+    * probe (`exceeded` only with a real remaining redirect edge — a
+    * chain landing at exactly maxHops is settled), and the membership
+    * verdict. Shared text (the q256/q258 discipline — chain semantics
+    * cannot diverge between the resolution gate and its consumers);
+    * ends in `rc(url, final_url, hops, outcome)`.
     */
   private lazy val redirectCtes: String = {
     def hop(i: Int): String =
@@ -745,34 +761,58 @@ object WebGraphQueries {
        |  SELECT ${u("doc_id")} AS url,
        |    CASE WHEN doc_id % 11 = 0 THEN 301
        |         WHEN doc_id % 11 = 1 THEN 302
+       |         WHEN doc_id % 11 = 2 THEN 301
        |         WHEN doc_id % 11 = 3 THEN 301
        |         WHEN doc_id % 11 = 5 THEN 301
+       |         WHEN doc_id % 11 = 6 THEN 302
+       |         WHEN doc_id % 11 = 7 THEN 301
+       |         WHEN doc_id % 11 = 8 THEN 307
+       |         WHEN doc_id % 11 = 9 THEN 302
+       |         WHEN doc_id % 11 = 10 THEN 303
        |         ELSE 200 END AS status,
        |    CASE WHEN doc_id % 11 = 0 THEN ${u("doc_id + 1")}
        |         WHEN doc_id % 11 = 1 THEN ${u("doc_id + 2")}
+       |         WHEN doc_id % 11 = 2 THEN ${u("doc_id + 4")}
        |         WHEN doc_id % 11 = 3 THEN 'http://h' || (doc_id % 19) ||
-       |           '.example.org/missing/doc' || doc_id
+       |           '.example.org/private' || (doc_id % 19) ||
+       |           '/moved/doc' || doc_id
        |         WHEN doc_id % 11 = 5 THEN ${u("doc_id")}
+       |         WHEN doc_id % 11 = 6 THEN ${u("doc_id + 2")}
+       |         WHEN doc_id % 11 = 7 THEN '/r/doc' || (doc_id + 19)
+       |         WHEN doc_id % 11 = 8 THEN ${u("doc_id + 1")}
+       |         WHEN doc_id % 11 = 9 THEN '//h' || (doc_id % 19) ||
+       |           '.example.org/r/doc' || (doc_id + 171)
+       |         WHEN doc_id % 11 = 10 THEN 'doc' || (doc_id + 19)
        |         END AS location
        |  FROM documents),
        |red AS (
-       |  SELECT url AS src, min(trim(location)) AS dst FROM resp
-       |  WHERE status >= 300 AND status <= 399 AND location IS NOT NULL
-       |    AND trim(location) <> ''
-       |  GROUP BY url),
+       |  SELECT src, min(dst) AS dst FROM (
+       |    SELECT url AS src, ${resolveSql("location")} AS dst
+       |    FROM (SELECT url, location,
+       |            regexp_extract(url, '^(https?)://', 1) AS sch,
+       |            regexp_extract(url, '^https?://([^/?#]+)', 1) AS hst,
+       |            regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1) AS pth
+       |          FROM resp
+       |          WHERE status >= 300 AND status <= 399
+       |            AND location IS NOT NULL) z) y
+       |  WHERE dst IS NOT NULL AND dst <> ''
+       |  GROUP BY src),
        |c1 AS (
        |  SELECT resp.url, coalesce(r.dst, resp.url) AS cur,
        |    CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS hops,
        |    r.dst IS NULL AS done
        |  FROM resp LEFT JOIN red r ON r.src = resp.url),
        |${(2 to 4).map(hop).mkString(",\n")},
+       |cp AS (
+       |  SELECT c4.url, c4.cur, c4.hops, c4.done, r.dst AS nxt
+       |  FROM c4 LEFT JOIN red r ON NOT c4.done AND r.src = c4.cur),
        |mem AS (SELECT DISTINCT url AS u FROM resp),
        |rc AS (
-       |  SELECT c4.url, c4.cur AS final_url, CAST(c4.hops AS BIGINT) AS hops,
-       |    CASE WHEN NOT c4.done THEN 'exceeded'
+       |  SELECT cp.url, cp.cur AS final_url, CAST(cp.hops AS BIGINT) AS hops,
+       |    CASE WHEN NOT cp.done AND cp.nxt IS NOT NULL THEN 'exceeded'
        |         WHEN m.u IS NULL THEN 'dangling'
        |         ELSE 'ok' END AS outcome
-       |  FROM c4 LEFT JOIN mem m ON m.u = c4.cur)""".stripMargin
+       |  FROM cp LEFT JOIN mem m ON m.u = cp.cur)""".stripMargin
   }
 
 
@@ -780,27 +820,54 @@ object WebGraphQueries {
     * the %11 residue fetch results resolved through
     * [[graft.operators.WebGraph.redirectChains]].
     */
-  private def redirectResolved(s: SparkSession, d: String): DataFrame = {
+  private def redirectResolved(s: SparkSession, d: String): DataFrame =
+    graft.operators.WebGraph.redirectChains(redirectFixture(s, d), "url",
+      col("status"), col("location"), maxHops = 4)
+
+  /** The q263/q264/q265 fetch-result fixture (url, status, location) —
+    * Spark twin of [[redirectCtes]]' `resp`. The %11 residue walk
+    * covers every Location form the resolution contract names:
+    * absolute chains (0→1→3: three hops into a robots-DISALLOWED
+    * /private landing — dangling; 2→6→8→9: exactly-maxHops settled),
+    * a self-loop (5 — exceeded), root-relative (7), protocol-relative
+    * (9, same-host +171 ≡ 0 mod 19 so the landing IS a fetched URL),
+    * and path-relative (10, resolved against the /r/ base directory).
+    */
+  private def redirectFixture(s: SparkSession, d: String): DataFrame = {
     val did = col("doc_id")
+    val ks = pmod(did, lit(19)).cast("string")
     def u(x: Column): Column =
       concat(lit("http://h"), pmod(x, lit(19)).cast("string"),
         lit(".example.org/r/doc"), x.cast("string"))
-    val resp = Tables.documents(s, d).select(
+    Tables.documents(s, d).select(
       u(did).as("url"),
       when(pmod(did, lit(11)) === 0, 301)
         .when(pmod(did, lit(11)) === 1, 302)
+        .when(pmod(did, lit(11)) === 2, 301)
         .when(pmod(did, lit(11)) === 3, 301)
         .when(pmod(did, lit(11)) === 5, 301)
+        .when(pmod(did, lit(11)) === 6, 302)
+        .when(pmod(did, lit(11)) === 7, 301)
+        .when(pmod(did, lit(11)) === 8, 307)
+        .when(pmod(did, lit(11)) === 9, 302)
+        .when(pmod(did, lit(11)) === 10, 303)
         .otherwise(200).as("status"),
       when(pmod(did, lit(11)) === 0, u(did + 1))
         .when(pmod(did, lit(11)) === 1, u(did + 2))
-        .when(pmod(did, lit(11)) === 3, concat(lit("http://h"),
-          pmod(did, lit(19)).cast("string"),
-          lit(".example.org/missing/doc"), did.cast("string")))
+        .when(pmod(did, lit(11)) === 2, u(did + 4))
+        .when(pmod(did, lit(11)) === 3, concat(lit("http://h"), ks,
+          lit(".example.org/private"), ks,
+          lit("/moved/doc"), did.cast("string")))
         .when(pmod(did, lit(11)) === 5, u(did))
+        .when(pmod(did, lit(11)) === 6, u(did + 2))
+        .when(pmod(did, lit(11)) === 7,
+          concat(lit("/r/doc"), (did + 19).cast("string")))
+        .when(pmod(did, lit(11)) === 8, u(did + 1))
+        .when(pmod(did, lit(11)) === 9, concat(lit("//h"), ks,
+          lit(".example.org/r/doc"), (did + 171).cast("string")))
+        .when(pmod(did, lit(11)) === 10,
+          concat(lit("doc"), (did + 19).cast("string")))
         .as("location"))
-    graft.operators.WebGraph.redirectChains(resp, "url",
-      col("status"), col("location"), maxHops = 4)
   }
 
   /** The per-doc decision path — Spark twin of [[urlPathSql]]. */
@@ -1802,15 +1869,19 @@ object WebGraphQueries {
     // REDIRECT-CHAIN RESOLUTION (the 3xx half of crawl URL identity,
     // next to q249's canonical hints and q138's crawl keys): every
     // fetched URL follows Location links WITHIN the fetch set to its
-    // final destination in maxHops bounded relational hops — the hop
-    // budget doubles as the cycle detector (a loop never settles).
-    // Residues: %11==0 starts a 3-hop chain (301 -> +1, whose %11==1
-    // 302s -> +3, whose %11==3 301s to a never-fetched /missing/ URL
-    // -> dangling at hops 3); %11==1 and %11==3 are that chain's
-    // 2- and 1-hop suffixes; %11==5 self-loops (exceeded at the hop
-    // budget); the rest are 200s (ok at hops 0). The oracle replays
-    // the min-target collapse, all four unrolled hop joins, and the
-    // membership verdict.
+    // final destination in maxHops bounded relational hops, Location
+    // ABSOLUTIZED against the source URL first (RFC 7231 §7.1.2 —
+    // relative Location is the most common real-world form; the
+    // fixture synthesizes root-relative %11==7, protocol-relative
+    // %11==9, and path-relative %11==10 hops). Residues: %11==0
+    // starts a 3-hop chain into a never-fetched /private landing
+    // (dangling); %11==2 starts a chain that settles at EXACTLY
+    // maxHops (2→6→8→9→200 — settled, NOT exceeded: the settle probe
+    // reserves `exceeded` for a real remaining redirect edge);
+    // %11==5 self-loops (exceeded); the rest are suffixes or 200s.
+    // The oracle replays the shared resolution CASE, the
+    // min-RESOLVED-target collapse, all four unrolled hop joins, the
+    // settle probe, and the membership verdict.
     QueryDef.sql("q263_redirect_chains",
       s"""WITH $redirectCtes
          |SELECT url, final_url, hops, outcome FROM rc""".stripMargin) {

@@ -210,4 +210,91 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got.count(_ == (("http://x/h", "http://x/aa", 1L, "ok"))) === 2)
     assert(got.contains(("http://x/aa", "http://x/aa", 0L, "ok")))
   }
+
+  // RFC 7231 §7.1.2: "The Location header field value... can be a
+  // relative reference" — the forms the %k fixture cannot synthesize
+  // per-row without arithmetic, asserted here explicitly.
+  test("redirectChains: relative Location forms absolutize against the source URL") {
+    val s = spark
+    import s.implicits._
+    val resp = Seq(
+      // root-relative (RFC 3986 §4.2 absolute-path reference)
+      ("http://a.example/old/page", 301, "/new/page"),
+      ("http://a.example/new/page", 200, null.asInstanceOf[String]),
+      // protocol-relative (RFC 3986 §4.2 network-path reference)
+      ("http://b.example/x", 302, "//a.example/new/page"),
+      // path-relative: resolved against the base DIRECTORY
+      ("http://a.example/old/alias", 303, "page"),
+      // query-only: path-relative per the documented RFC-3986-lite
+      // contract (no dot-segment or query-merge semantics)
+      ("http://a.example/old/q", 301, "?v=2"),
+      // fragment-only Location is outside the grammar -> non-redirect
+      ("http://c.example/frag", 301, "#sec"),
+      // non-http scheme -> non-redirect (the chain only follows http)
+      ("http://c.example/ftp", 301, "ftp://c.example/file")
+    ).toDF("url", "status", "location")
+    val got = WebGraph.redirectChains(resp, "url", col("status"),
+        col("location"), maxHops = 4)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(got("http://a.example/old/page") ===
+      (("http://a.example/new/page", 1L, "ok")))
+    assert(got("http://b.example/x") ===
+      (("http://a.example/new/page", 1L, "ok")))
+    // "page" against base dir /old/ -> /old/page, a redirect itself
+    assert(got("http://a.example/old/alias") ===
+      (("http://a.example/new/page", 2L, "ok")))
+    assert(got("http://a.example/old/q") ===
+      (("http://a.example/old/?v=2", 1L, "dangling")))
+    assert(got("http://c.example/frag") ===
+      (("http://c.example/frag", 0L, "ok")))
+    assert(got("http://c.example/ftp") ===
+      (("http://c.example/ftp", 0L, "ok")))
+  }
+
+  test("redirectChains: two relative spellings of one destination are no conflict") {
+    val s = spark
+    import s.implicits._
+    // same source fetched twice: Location differs as TEXT but resolves
+    // to one target -> the collapse (on the RESOLVED target) keeps the
+    // chain deterministic without treating it as a conflict
+    val resp = Seq(
+      ("http://a.example/dir/x", 301, "/dir/dest"),
+      ("http://a.example/dir/x", 301, "dest"),
+      ("http://a.example/dir/dest", 200, null.asInstanceOf[String])
+    ).toDF("url", "status", "location")
+    val got = WebGraph.redirectChains(resp, "url", col("status"),
+        col("location"), maxHops = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3)))
+    assert(got.count(_ ==
+      (("http://a.example/dir/x", "http://a.example/dir/dest", 1L, "ok"))) === 2)
+  }
+
+  test("redirectChains: a chain settling at exactly maxHops is settled, not exceeded") {
+    val s = spark
+    import s.implicits._
+    val resp = Seq(
+      ("http://x/1", 301, "http://x/2"),
+      ("http://x/2", 301, "http://x/3"),
+      ("http://x/3", 200, null.asInstanceOf[String]),
+      // and one hop DEEPER than the budget: a real remaining edge
+      ("http://x/0", 301, "http://x/1"),
+      // exactly-maxHops landing on a NEVER-FETCHED url: dangling
+      ("http://x/d1", 301, "http://x/d2"),
+      ("http://x/d2", 301, "http://x/gone")
+    ).toDF("url", "status", "location")
+    val got = WebGraph.redirectChains(resp, "url", col("status"),
+        col("location"), maxHops = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getString(3)))).toMap
+    // 1 -> 2 -> 3: two hops, budget is two, no edge out of 3: settled
+    assert(got("http://x/1") === (("http://x/3", 2L, "ok")))
+    // 0 -> 1 -> 2: budget exhausted with 2 -> 3 still pending
+    assert(got("http://x/0")._3 === "exceeded")
+    // d1 -> d2 -> gone: exactly maxHops, no edge out: dangling not exceeded
+    assert(got("http://x/d1") === (("http://x/gone", 2L, "dangling")))
+  }
 }
