@@ -104,7 +104,10 @@ object Frontier {
     *
     *   slots_i = ⌊budget·w_i / W⌋ + [i among the top-R remainders],
     *   R = budget − Σ⌊·⌋, remainders ranked (budget·w_i mod W) desc,
-    *   host asc as the deterministic tie-break
+    *   host asc NULLS LAST as the deterministic tie-break (nulls-last
+    *   explicitly: Spark's bare asc is NULLS FIRST, DuckDB's default
+    *   ASC is NULLS LAST — the leftover-slot assignment must not
+    *   depend on the engine if a null host ever enters)
     *
     * so Σ slots = budget exactly when W > 0, every step replayable on
     * any engine (no floating shares). Null or negative weights count
@@ -118,9 +121,12 @@ object Frontier {
     * Returns (host, weight, slots) — feed `slots` to
     * [[fetchSchedule]]'s `caps` for a budget-capped wave.
     *
-    * Scale shape: the weights frame is HOST-grain (a dimension by
-    * construction); one scalar-aggregate broadcast for (W, Σfloor) and
-    * one global window over that host census — the q235/q238 declared
+    * Scale shape: the weights frame is MADE host-grain by construction
+    * (a groupBy-sum on the host key — duplicate host rows, which would
+    * otherwise each receive an apportionment and silently break
+    * Σslots = budget, collapse to one row carrying their summed
+    * demand); one scalar-aggregate broadcast for (W, Σfloor) and one
+    * global window over that host census — the q235/q238 declared
     * class: dimension-sized by nature, never the corpus.
     */
   def allocateBudget(weights: DataFrame, hostCol: String, weight: Column,
@@ -129,6 +135,7 @@ object Frontier {
     val w = weights.select(col(hostCol).as("host"),
       when(weight.isNull || weight < 0, 0L)
         .otherwise(weight.cast("long")).as("weight"))
+      .groupBy("host").agg(sum("weight").as("weight"))
     val tot = w.agg(sum("weight").as("__W"))
     val base = w.crossJoin(broadcast(tot))
       .withColumn("__fl", when(col("__W") > 0,
@@ -138,7 +145,7 @@ object Frontier {
     val leftover = base.agg((lit(budget) - sum("__fl")).as("__R"))
     base.crossJoin(broadcast(leftover))
       .withColumn("__rk", row_number().over(
-        Window.orderBy(col("__rem").desc, col("host").asc)))
+        Window.orderBy(col("__rem").desc, col("host").asc_nulls_last)))
       .select(col("host"), col("weight"),
         (col("__fl") + when(col("__rk") <= col("__R"), 1L).otherwise(0L))
           .as("slots"))
@@ -220,9 +227,14 @@ object Frontier {
       .join(broadcast(delays), Seq("host"), "left_outer")
       // per-host budget caps ([[allocateBudget]]'s slots) ride the same
       // broadcast-dimension path; hosts absent from the caps frame fall
-      // back to the scalar horizon
+      // back to the scalar horizon. The frame is FORCED to host grain
+      // (min slots per host — the tightest declared cap wins): a
+      // duplicate-host caps row would otherwise multiply URL rows
+      // BEFORE the sequencing windows and silently corrupt seq and the
+      // per-host horizon accounting.
       .transform(df => caps.fold(df)(c =>
-        df.join(broadcast(c.select(col("host"), col("slots"))),
+        df.join(broadcast(c.select(col("host"), col("slots"))
+            .groupBy("host").agg(min("slots").as("slots"))),
           Seq("host"), "left_outer")))
       .withColumn("__d",
         coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))

@@ -1814,13 +1814,13 @@ object WebGraphQueries {
          |$hostEdgeCtes,
          |${hostRankCtes(4)},
          |rk AS (SELECT 'h' || node || '.example.org' AS host,
-         |              CAST(r AS BIGINT) AS w FROM r4),
+         |              CAST(sum(r) AS BIGINT) AS w FROM r4 GROUP BY 1),
          |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM rk),
          |fl AS (SELECT host, w, (200 * w) // tot AS bs, (200 * w) % tot AS rem
          |       FROM rk CROSS JOIN tw),
          |lo AS (SELECT CAST(200 - sum(bs) AS BIGINT) AS leftover FROM fl),
          |al AS (SELECT host, w, CAST(bs + CASE WHEN row_number() OVER (
-         |           ORDER BY rem DESC, host ASC) <= leftover
+         |           ORDER BY rem DESC, host ASC NULLS LAST) <= leftover
          |         THEN 1 ELSE 0 END AS BIGINT) AS slots
          |       FROM fl CROSS JOIN lo),
          |au AS (SELECT doc_id, url, host FROM win

@@ -181,6 +181,54 @@ class FrontierSpec extends AnyFunSuite {
     assert(alloc(5L, ("a", 0L), ("b", 0L)) === Map("a" -> 1L, "b" -> 1L))
   }
 
+  test("allocateBudget: duplicate host rows collapse to one summed-demand row, sum still = budget") {
+    val s = spark
+    import s.implicits._
+    // a appears twice (3+2=5): grain is forced to host level — without
+    // the fold each duplicate would receive its own apportionment and
+    // Σslots would silently exceed the budget
+    val got = Frontier.allocateBudget(
+      Seq(("a", 3L), ("a", 2L), ("b", 5L)).toDF("host", "w"),
+      "host", col("w"), budget = 10L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === Map("a" -> ((5L, 5L)), "b" -> ((5L, 5L))))
+  }
+
+  test("allocateBudget: null host ranks NULLS LAST in the leftover tie-break") {
+    val s = spark
+    import s.implicits._
+    // equal weights, one leftover slot: remainders tie, so the host-asc
+    // tie-break decides — the named host must win over the null row
+    // (Spark's bare asc would be NULLS FIRST; DuckDB's ASC default is
+    // NULLS LAST — the explicit nulls-last pins one cross-engine order)
+    val got = Frontier.allocateBudget(
+      Seq((null.asInstanceOf[String], 1L), ("a", 1L)).toDF("host", "w"),
+      "host", col("w"), budget = 3L)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
+    assert(got === Map(Option("a") -> 2L, None -> 1L))
+  }
+
+  test("fetchSchedule caps: a duplicate-host caps frame collapses to the tightest cap, never multiplies URL rows") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      (1L, "http://a.x/1"), (2L, "http://a.x/2"), (3L, "http://a.x/3")
+    ).toDF("id", "url")
+    val noDelays = Seq.empty[(String, Long)].toDF("host", "crawl_delay_ms")
+    // conflicting caps rows for a.x: min (tightest) wins; the join must
+    // stay 1:1 so seq stays 0,1,2 — a multiplied row would corrupt the
+    // sequencing windows before the horizon even applies
+    val caps = Seq(("a.x", 2L), ("a.x", 9L)).toDF("host", "slots")
+    val rows = Frontier.fetchSchedule(urls, "id", col("url"), noDelays,
+      t0Ms = 0L, defaultDelayMs = 100L, maxPerHost = 1000,
+      caps = Some(caps)).collect()
+    assert(rows.length === 3)
+    val got = rows.map(r => r.getLong(0) ->
+      (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(got === Map(1L -> 0L, 2L -> 100L, 3L -> -1L))
+  }
+
   test("fetchSchedule caps: per-host budget horizon defers beyond slots, absent hosts keep the scalar cap") {
     val s = spark
     import s.implicits._
