@@ -55,6 +55,64 @@ object Frontier {
         col("priority_milli"))
   }
 
+  /** Redirect-aware frontier collapse —
+    * [[WebGraph.redirectChains]]' URL identity CONSUMED by scheduling
+    * (closing the "produced but not consumed" edge the sitemap family
+    * closed in r12): frontier entries whose fetches LAND on the same
+    * place are ONE page, scheduled once, at the LANDING URL — so a
+    * cross-host redirect is robots-checked and politeness-scheduled at
+    * the destination host, not the source host.
+    *
+    * `merged` is a [[mergeSeeds]]-shaped frame (canon, url, source,
+    * priority_milli); `chains` a [[WebGraph.redirectChains]]-shaped
+    * frame (url, final_url, outcome). Each frontier entry maps through
+    * its chain by CANONICAL form
+    * ([[graft.functions.TextFunctions.canonicalizeUrl]] — the chain
+    * holds the fetched spelling, the frontier may hold a respelling);
+    * an `exceeded` chain keys by its own URL (never merged on a
+    * guess), an entry with no chain row keeps itself (never fetched —
+    * no redirect knowledge yet). Entries then re-group by the
+    * canonical landing key.
+    *
+    * Returns (canon, url, source, priority_milli, n_aliases) — one row
+    * per landing key: `url` the bytewise-min landing spelling (the
+    * fetch to schedule), `priority_milli` the max declared promille
+    * over the group (a priority declared for ANY alias is a priority
+    * for the page), `source` the provenance fold (`both` when the
+    * group saw sitemap and discovery evidence through any member),
+    * `n_aliases` the group size — the alias-dedup census.
+    *
+    * Scale shape: the chain map is one canon-keyed equi-join (the
+    * chain frame is fetch-grain; AQE handles relative sizes) and the
+    * collapse one hash-aggregate shuffle on the landing key — every
+    * aggregate partial-combines map-side; no window, no iteration.
+    */
+  def resolveAliases(merged: DataFrame, chains: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.canonicalizeUrl
+    // one destination per canonical source: exceeded loops keep their
+    // own URL; duplicate fetches collapse bytewise-min (the
+    // allocateBudget/caps grain discipline)
+    val ch = chains.select(
+        canonicalizeUrl(col("url")).as("canon"),
+        when(col("outcome") === "exceeded", col("url"))
+          .otherwise(col("final_url")).as("__dest"))
+      .groupBy("canon").agg(min("__dest").as("__dest"))
+    merged.join(ch, Seq("canon"), "left_outer")
+      .select(coalesce(col("__dest"), col("url")).as("__target"),
+        col("source"), col("priority_milli"))
+      .groupBy(canonicalizeUrl(col("__target")).as("canon"))
+      .agg(min("__target").as("url"),
+        max(col("priority_milli")).as("priority_milli"),
+        count(lit(1)).as("n_aliases"),
+        max(col("source").isin("sitemap", "both").cast("int")).as("__sm"),
+        max(col("source").isin("discovered", "both").cast("int")).as("__dv"))
+      .select(col("canon"), col("url"),
+        when(col("__sm") === 1 && col("__dv") === 1, "both")
+          .when(col("__sm") === 1, "sitemap")
+          .otherwise("discovered").as("source"),
+        col("priority_milli"), col("n_aliases"))
+  }
+
   /** Per-host sitemap-coverage census over a [[mergeSeeds]] frame —
     * the crawl-ops report the merge's `source` provenance exists for
     * (Search Console's coverage/orphan buckets): how much of what the

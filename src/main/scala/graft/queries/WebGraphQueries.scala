@@ -1921,6 +1921,160 @@ object WebGraphQueries {
             col("n_aliases"),
             (col("url") === col("kept_url")).as("is_kept"))
       }
+    },
+
+    // REDIRECT-AWARE FRONTIER (q263/q264's redirect identity actually
+    // CONSUMED by scheduling — r12's last "parallel products that
+    // never meet" edge): sitemap seeds respelling fetched URLs
+    // (uppercase host + utm params, even docs) canon-merge with the
+    // discovered fetch set (mergeSeeds), each merged entry maps
+    // through its redirect chain to the LANDING key, and alias groups
+    // collapse to ONE schedulable row carrying the max declared
+    // priority and the group census. The landing URL — not the source
+    // — is then robots-checked (the %11==3 chains land in /private
+    // paths, DISALLOWED on graftbot-tier hosts: a redirect into a
+    // forbidden area must not be fetched just because its source was
+    // clean) and politeness-scheduled at the landing host. The oracle
+    // replays the whole composition from `documents`: the shared
+    // redirect chain text, both canon chains, the merge, the alias
+    // fold, the q250 verdict funnel on landing URLs, delay extraction,
+    // and the priority-ordered capped windows.
+    QueryDef.sql("q265_frontier_redirect_merge",
+      s"""WITH $robotsDirsCtes,
+         |$redirectCtes,
+         |disc AS (SELECT url FROM resp),
+         |${canonChain("d", "disc", "url")},
+         |dc AS (SELECT canon, min(url) AS d_url FROM dcn GROUP BY canon),
+         |seeds AS (
+         |  SELECT 'http://H' || (doc_id % 19) || '.EXAMPLE.ORG/r/doc' ||
+         |      doc_id || '?utm_source=sm' AS loc,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN CAST((doc_id % 10) * 100 AS BIGINT) END AS pm
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |${canonChain("s", "seeds", "loc")},
+         |sc AS (SELECT canon, min(loc) AS s_url, max(pm) AS priority_milli
+         |       FROM scn GROUP BY canon),
+         |mg AS (
+         |  SELECT coalesce(dc.canon, sc.canon) AS canon,
+         |    coalesce(sc.s_url, dc.d_url) AS url,
+         |    CASE WHEN sc.canon IS NOT NULL AND dc.canon IS NOT NULL THEN 'both'
+         |         WHEN sc.canon IS NOT NULL THEN 'sitemap'
+         |         ELSE 'discovered' END AS source,
+         |    sc.priority_milli
+         |  FROM dc FULL OUTER JOIN sc ON dc.canon = sc.canon),
+         |chd AS (SELECT url, CASE WHEN outcome = 'exceeded' THEN url
+         |          ELSE final_url END AS dest FROM rc),
+         |${canonChain("c", "chd", "url")},
+         |ch AS (SELECT canon, min(dest) AS dest FROM ccn GROUP BY canon),
+         |tg AS (SELECT coalesce(ch.dest, mg.url) AS target, mg.source,
+         |         mg.priority_milli
+         |       FROM mg LEFT JOIN ch ON ch.canon = mg.canon),
+         |${canonChain("t", "tg", "target")},
+         |fo AS (
+         |  SELECT canon, min(target) AS url,
+         |    max(priority_milli) AS priority_milli,
+         |    CAST(count(*) AS BIGINT) AS n_aliases,
+         |    max(CASE WHEN source IN ('sitemap', 'both') THEN 1 ELSE 0 END) AS sm,
+         |    max(CASE WHEN source IN ('discovered', 'both') THEN 1 ELSE 0 END) AS dv
+         |  FROM tcn GROUP BY canon),
+         |fa AS (SELECT canon, url,
+         |    CASE WHEN sm = 1 AND dv = 1 THEN 'both'
+         |         WHEN sm = 1 THEN 'sitemap' ELSE 'discovered' END AS source,
+         |    priority_milli, n_aliases FROM fo),
+         |fpath AS (
+         |  SELECT canon, url,
+         |    lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)) AS host,
+         |    CASE WHEN regexp_extract(url, '(?i)^https?://[^/?#]+([^#]*)', 1) = ''
+         |      THEN '/' ELSE regexp_extract(url, '(?i)^https?://[^/?#]+([^#]*)', 1)
+         |      END AS p
+         |  FROM fa),
+         |fhits AS (
+         |  SELECT f.canon, f.host, d.rule, d.path AS rpath,
+         |    d.pattern IS NOT NULL AND regexp_matches(f.p, d.pattern) AS m,
+         |    length(d.path) AS plen
+         |  FROM fpath f LEFT JOIN dirs d ON d.host = f.host),
+         |fwin AS (
+         |  SELECT *, row_number() OVER (PARTITION BY canon ORDER BY
+         |      CASE WHEN m THEN plen ELSE -1 END DESC,
+         |      CASE WHEN rule = 'allow' THEN 1 ELSE 0 END DESC,
+         |      rpath ASC NULLS LAST) AS rn
+         |  FROM fhits),
+         |fv AS (SELECT canon, host, (NOT m) OR rule = 'allow' AS allowed
+         |       FROM fwin WHERE rn = 1),
+         |cd AS (
+         |  SELECT g.host, g.val
+         |  FROM grps g JOIN sel ON sel.host = g.host AND sel.g = g.g
+         |  WHERE g.key = 'crawl-delay' AND g.val <> ''
+         |    AND regexp_matches(g.val, '^[0-9]+(\\.[0-9]+)?$$')),
+         |dl AS (
+         |  SELECT host,
+         |    CAST(max(least(CASE WHEN length(val) <= 12
+         |        THEN CAST(val AS DECIMAL(18,3)) ELSE 3600 END, 3600) * 1000)
+         |      AS BIGINT) AS ms
+         |  FROM cd GROUP BY host),
+         |alw AS (SELECT fa.*, fv.host FROM fa
+         |        JOIN fv ON fv.canon = fa.canon WHERE fv.allowed),
+         |sqx AS (SELECT *, row_number() OVER (PARTITION BY host
+         |          ORDER BY priority_milli DESC NULLS LAST, canon) - 1 AS seq
+         |        FROM alw)
+         |SELECT sqx.canon, sqx.url, sqx.host, sqx.source,
+         |  sqx.priority_milli, sqx.n_aliases, true AS allowed,
+         |  CAST(sqx.seq AS BIGINT) AS seq,
+         |  CASE WHEN sqx.seq < 15
+         |    THEN 1704067200000 + sqx.seq * coalesce(dl.ms, 1000)
+         |  END AS fetch_at_ms
+         |FROM sqx LEFT JOIN dl ON dl.host = sqx.host
+         |UNION ALL
+         |SELECT fa.canon, fa.url, fv.host, fa.source, fa.priority_milli,
+         |  fa.n_aliases, false AS allowed, CAST(NULL AS BIGINT) AS seq,
+         |  CAST(NULL AS BIGINT) AS fetch_at_ms
+         |FROM fa JOIN fv ON fv.canon = fa.canon
+         |WHERE NOT fv.allowed""".stripMargin) {
+      (s, d) => {
+        val did = col("doc_id")
+        val ks = pmod(did, lit(19)).cast("string")
+        val fx = redirectFixture(s, d)
+        val discovered = fx.select(col("url"))
+        val seeds = Tables.documents(s, d)
+          .filter(pmod(did, lit(2)) === 0)
+          .select(concat(lit("http://H"), ks, lit(".EXAMPLE.ORG/r/doc"),
+              did.cast("string"), lit("?utm_source=sm")).as("loc"),
+            when(pmod(did, lit(3)) === 0,
+              (pmod(did, lit(10)) * 100).cast("long")).as("pm"))
+        val merged = graft.operators.Frontier.mergeSeeds(
+          discovered, col("url"), seeds, col("loc"), col("pm"))
+        val collapsed = graft.operators.Frontier.resolveAliases(
+          merged, redirectResolved(s, d))
+        val robots = robotsFixture(s, d)
+        val verd = graft.operators.Robots.allowed(
+          collapsed.select("canon", "url"), "canon", col("url"),
+          robots, "host", col("body"), agent = "graftbot")
+          .select(col("canon"), col("host"), col("allowed"))
+        // the verdict-annotated frame feeds BOTH the scheduled branch
+        // and the blocked branch: pin the landing-key-grain frame so
+        // the redirect + merge + verdict funnel runs once (the q262
+        // discipline)
+        val full = graft.operators.CacheRegistry.register(
+          collapsed.join(verd, Seq("canon"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val delays = graft.operators.Robots.crawlDelay(
+          robots, "host", col("body"), agent = "graftbot")
+        val sched = graft.operators.Frontier.fetchSchedule(
+          full.filter(col("allowed")).drop("host", "allowed"),
+          "canon", col("url"), delays, t0Ms = 1704067200000L,
+          defaultDelayMs = 1000L, maxPerHost = 15,
+          priorityCol = Some("priority_milli"))
+        sched.withColumn("allowed", lit(true))
+          .unionByName(full.filter(!col("allowed"))
+            .select(col("canon"), col("url"), col("host"),
+              lit(null).cast("long").as("seq"),
+              lit(null).cast("long").as("fetch_at_ms"),
+              col("source"), col("priority_milli"), col("n_aliases"),
+              lit(false).as("allowed")))
+          .select(col("canon"), col("url"), col("host"), col("source"),
+            col("priority_milli"), col("n_aliases"), col("allowed"),
+            col("seq"), col("fetch_at_ms"))
+      }
     }
   )
 }

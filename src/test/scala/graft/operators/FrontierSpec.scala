@@ -209,6 +209,38 @@ class FrontierSpec extends AnyFunSuite {
     assert(got === Map(Option("a") -> 2L, None -> 1L))
   }
 
+  test("resolveAliases: alias groups collapse to one landing-key row; exceeded loops never merge") {
+    val s = spark
+    import s.implicits._
+    // two seed-set entries redirect to the same destination -> ONE
+    // schedulable row at the landing URL (cross-host: the landing host
+    // b.x is where robots/politeness apply downstream, not a.x)
+    val merged = Seq(
+      ("http://a.x/old1", "http://a.x/old1", "sitemap", Some(700L)),
+      ("http://a.x/old2", "http://a.x/old2", "discovered",
+        None: Option[Long]),
+      ("http://b.x/dest", "http://b.x/dest", "discovered",
+        None: Option[Long]),
+      ("http://c.x/loop", "http://c.x/loop", "sitemap", Some(100L))
+    ).toDF("canon", "url", "source", "priority_milli")
+    val chains = Seq(
+      ("http://a.x/old1", "http://b.x/dest", 1L, "ok"),
+      ("http://a.x/old2", "http://b.x/dest", 1L, "ok"),
+      ("http://b.x/dest", "http://b.x/dest", 0L, "ok"),
+      ("http://c.x/loop", "http://c.x/loop", 4L, "exceeded")
+    ).toDF("url", "final_url", "hops", "outcome")
+    val got = Frontier.resolveAliases(merged, chains).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size === 2)
+    // 3 aliases, sitemap+discovered evidence -> both; max priority rides
+    assert(got("http://b.x/dest") ===
+      (("http://b.x/dest", "both", 700L, 3L)))
+    // the unresolvable loop keys by its own URL, never merged on a guess
+    assert(got("http://c.x/loop") ===
+      (("http://c.x/loop", "sitemap", 100L, 1L)))
+  }
+
   test("fetchSchedule caps: a duplicate-host caps frame collapses to the tightest cap, never multiplies URL rows") {
     val s = spark
     import s.implicits._
