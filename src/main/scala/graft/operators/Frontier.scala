@@ -152,6 +152,63 @@ object Frontier {
         expr("(1000 * n_sitemap_only) div nullif(n_sitemap_only + n_both, 0)"))
   }
 
+  /** Conditional-recrawl policy — fetch-OBSERVED validators folded
+    * over sitemap hints, completing the recrawl family: the
+    * typed-lastmod path derives due-ness from what the SITE DECLARES,
+    * but a real scheduler prefers what the FETCH OBSERVED when present
+    * (RFC 9110 §8.8: the origin's own validators are authoritative;
+    * sitemaps.org explicitly calls `lastmod` a hint).
+    *
+    * `hints` is URL-grain (locCol, a typed sitemap lastmod — feed
+    * [[Sitemaps.lastmodMillis]] — and the declared changefreq);
+    * `fetches` the observation log (url, fetch time, the parsed
+    * validators — `ETag` verbatim, `Last-Modified` typed via
+    * [[graft.sources.Warc.httpDateMillis]]) with possibly several
+    * rows per URL (refetches). The LATEST observation per URL wins —
+    * observation recency, not validator recency: a fresh fetch that
+    * returned no validator supersedes an old one that did (the server
+    * stopped emitting it) and the URL falls back to the sitemap hint.
+    * The collapse is deterministic on any engine: fetch-time desc,
+    * then lastmod / etag desc nulls-last as stable tiebreaks.
+    *
+    * Returns (loc, basis, base_ms, due_at_ms, etag, conditional) —
+    * `basis` ∈ validator | sitemap | null (where the freshness base
+    * came from), `base_ms` the observed Last-Modified else the sitemap
+    * lastmod, `due_at_ms` = base + period(changefreq)
+    * ([[Sitemaps.recrawlDueMillis]] — a fresh validator DEFERS a
+    * sitemap-due URL), `conditional` whether revalidation is possible
+    * (any validator observed: send If-None-Match / If-Modified-Since
+    * instead of an unconditional fetch).
+    *
+    * Scale shape: one window on the observation log's url key and one
+    * url-keyed equi-join — the two corpus-grain shuffles a recrawl
+    * pass pays by nature; every step engine-replayable, no iteration.
+    */
+  def conditionalRecrawl(hints: DataFrame, locCol: String,
+                         sitemapLastmodMs: Column, changefreq: Column,
+                         fetches: DataFrame, fUrl: Column, fetchMs: Column,
+                         etag: Column, fetchedLastmodMs: Column): DataFrame = {
+    val obs = fetches.select(fUrl.as("__u"), fetchMs.as("__t"),
+      etag.as("__etag"), fetchedLastmodMs.as("__flm"))
+    val w = Window.partitionBy(col("__u")).orderBy(col("__t").desc,
+      col("__flm").desc_nulls_last, col("__etag").desc_nulls_last)
+    val latest = obs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__u"), col("__etag"), col("__flm"))
+    val h = hints.select(col(locCol).as("loc"),
+      sitemapLastmodMs.as("__slm"), changefreq.as("__cf"))
+    val base = coalesce(col("__flm"), col("__slm"))
+    h.join(latest, col("loc") === col("__u"), "left_outer")
+      .select(col("loc"),
+        when(col("__flm").isNotNull, "validator")
+          .when(col("__slm").isNotNull, "sitemap").as("basis"),
+        base.as("base_ms"),
+        Sitemaps.recrawlDueMillis(base, col("__cf")).as("due_at_ms"),
+        col("__etag").as("etag"),
+        (col("__etag").isNotNull || col("__flm").isNotNull)
+          .as("conditional"))
+  }
+
   /** Crawl-budget apportionment (the operational "crawl budget": a
     * wave fetches `budget` URLs total — which hosts deserve how many
     * slots?): split `budget` across hosts proportional to a

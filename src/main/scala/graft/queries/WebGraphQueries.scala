@@ -430,36 +430,46 @@ object WebGraphQueries {
       |      WHEN 6 THEN 'never' WHEN 7 THEN ''
       |      ELSE 'sometimes' END""".stripMargin
 
+  /** The changefreq→period table ([[graft.operators.Sitemaps.recrawlDueMillis]]'
+    * convention) as oracle SQL over a changefreq expression — shared
+    * by [[sitemapDueCtes]] (q256/q258) and the q266 validator fold so
+    * the period semantics cannot diverge between the hint-driven and
+    * validator-driven recrawl paths.
+    */
+  private def changefreqPeriodSql(cf: String): String =
+    s"""CASE lower($cf)
+       |      WHEN 'always' THEN 0 WHEN 'hourly' THEN 3600000
+       |      WHEN 'daily' THEN 86400000 WHEN 'weekly' THEN 604800000
+       |      WHEN 'monthly' THEN 2592000000 WHEN 'yearly' THEN 31536000000
+       |      END""".stripMargin
+
   /** The lastmod normalization + TRY_CAST + changefreq-period oracle
     * chain over a `blk(k, doc_id, loc, lm, cf)` CTE — shared verbatim
     * by q256 and q258 so their typed-lastmod semantics cannot diverge.
     * Ends in `due(host, entry_no, loc, lm, cf, lastmod_ms, due_at_ms)`.
     */
-  private val sitemapDueCtes: String =
-    """ent AS (
+  private lazy val sitemapDueCtes: String =
+    raw"""ent AS (
       |  SELECT 'h' || k || '.example.org' AS host,
       |    row_number() OVER (PARTITION BY k ORDER BY doc_id) AS entry_no,
       |    loc, lm, cf
       |  FROM blk),
       |nm AS (
       |  SELECT *, CASE
-      |    WHEN regexp_matches(lm, '^[0-9]{4}$') THEN lm || '-01-01T00:00:00Z'
-      |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}$') THEN lm || '-01T00:00:00Z'
-      |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN lm || 'T00:00:00Z'
-      |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}(Z|[+-][0-9]{2}:[0-9]{2})$')
-      |      THEN substr(lm, 1, 16) || ':00' || regexp_extract(lm, '(Z|[+-][0-9]{2}:[0-9]{2})$', 1)
-      |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})$')
+      |    WHEN regexp_matches(lm, '^[0-9]{4}$$') THEN lm || '-01-01T00:00:00Z'
+      |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}$$') THEN lm || '-01T00:00:00Z'
+      |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$') THEN lm || 'T00:00:00Z'
+      |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}(Z|[+-][0-9]{2}:[0-9]{2})$$')
+      |      THEN substr(lm, 1, 16) || ':00' || regexp_extract(lm, '(Z|[+-][0-9]{2}:[0-9]{2})$$', 1)
+      |    WHEN regexp_matches(lm, '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})$$')
       |      THEN lm
       |    END AS norm
       |  FROM ent),
       |due AS (
       |  SELECT host, entry_no, loc, lm, cf,
       |    epoch_ms(TRY_CAST(norm AS TIMESTAMPTZ)) AS lastmod_ms,
-      |    epoch_ms(TRY_CAST(norm AS TIMESTAMPTZ)) + CASE lower(cf)
-      |      WHEN 'always' THEN 0 WHEN 'hourly' THEN 3600000
-      |      WHEN 'daily' THEN 86400000 WHEN 'weekly' THEN 604800000
-      |      WHEN 'monthly' THEN 2592000000 WHEN 'yearly' THEN 31536000000
-      |      END AS due_at_ms
+      |    epoch_ms(TRY_CAST(norm AS TIMESTAMPTZ)) +
+      |      ${changefreqPeriodSql("cf")} AS due_at_ms
       |  FROM nm)""".stripMargin
 
   /** Spark twins of [[sitemapLastmodSql]]/[[sitemapFreqSql]]. */
@@ -2074,6 +2084,97 @@ object WebGraphQueries {
           .select(col("canon"), col("url"), col("host"), col("source"),
             col("priority_milli"), col("n_aliases"), col("allowed"),
             col("seq"), col("fetch_at_ms"))
+      }
+    },
+
+    // CONDITIONAL RECRAWL FROM HTTP VALIDATORS (the q225 header parse
+    // actually CONSUMED by the recrawl family — RFC 9110 §8.8: the
+    // origin's own ETag/Last-Modified beat the sitemap's declared
+    // lastmod, which the spec itself calls a hint): fetch observations
+    // are synthesized as REAL HTTP responses, parsed through the q225
+    // httpMessage chain, Last-Modified typed through the IMF-fixdate
+    // parser, the LATEST observation per URL wins (a %7==0 stale
+    // refetch with a March validator is superseded by the fresh June
+    // one — and where the fresh fetch carries no validator, the URL
+    // falls BACK to the sitemap hint: observation recency, not
+    // validator recency), and due_at = base + period(changefreq) —
+    // so a fresh validator DEFERS a sitemap-due URL. The oracle
+    // replays the q256 typed-lastmod chain (shared CTE text), the
+    // observation synthesis with engine-derived epochs, the
+    // latest-wins window, and the precedence fold; a byte lost in the
+    // header parse or a wrong precedence breaks the hash.
+    QueryDef.sql("q266_conditional_recrawl",
+      s"""WITH blk AS (
+         |  SELECT (doc_id % 19) AS k, doc_id,
+         |    'http://h' || (doc_id % 19) || '.example.org/r/' || doc_id AS loc,
+         |    $sitemapLastmodSql AS lm,
+         |    $sitemapFreqSql AS cf
+         |  FROM documents),
+         |$sitemapDueCtes,
+         |fob AS (
+         |  SELECT 'http://h' || (doc_id % 19) || '.example.org/r/' ||
+         |      doc_id AS u,
+         |    1717243200000 AS t,
+         |    CASE WHEN doc_id % 5 = 0 THEN '"v' || doc_id || '"' END AS etag,
+         |    CASE WHEN doc_id % 4 = 0
+         |      THEN epoch_ms(TIMESTAMP '2024-06-01 12:00:00') END AS flm
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'http://h' || (doc_id % 19) || '.example.org/r/' || doc_id,
+         |    1709251200000, CAST(NULL AS VARCHAR),
+         |    epoch_ms(TIMESTAMP '2024-03-01 00:00:00')
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |fl AS (
+         |  SELECT u, etag, flm FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY u ORDER BY t DESC,
+         |        flm DESC NULLS LAST, etag DESC NULLS LAST) AS rn
+         |    FROM fob) x WHERE rn = 1)
+         |SELECT d.loc,
+         |  CASE WHEN f.flm IS NOT NULL THEN 'validator'
+         |       WHEN d.lastmod_ms IS NOT NULL THEN 'sitemap' END AS basis,
+         |  coalesce(f.flm, d.lastmod_ms) AS base_ms,
+         |  coalesce(f.flm, d.lastmod_ms) +
+         |    ${changefreqPeriodSql("d.cf")} AS due_at_ms,
+         |  f.etag,
+         |  (f.etag IS NOT NULL OR f.flm IS NOT NULL) AS conditional
+         |FROM due d LEFT JOIN fl f ON f.u = d.loc""".stripMargin) {
+      (s, d) => {
+        val did = col("doc_id")
+        val ks = pmod(did, lit(19)).cast("string")
+        val ds = did.cast("string")
+        val ents = graft.operators.Sitemaps.entries(
+          recrawlSitemapXmls(s, d), "host", col("xml"))
+        val hints = ents.select(col("loc"),
+          graft.operators.Sitemaps.lastmodMillis(col("lastmod")).as("slm"),
+          col("changefreq"))
+        val docs = Tables.documents(s, d)
+        val urlc = concat(lit("http://h"), ks, lit(".example.org/r/"), ds)
+        // fresh observations (June): validators on the %4/%5 residues
+        val fresh = docs.select(urlc.as("furl"),
+          lit(1717243200000L).as("fms"),
+          concat(lit("HTTP/1.1 200 OK\r\n"),
+            when(pmod(did, lit(4)) === 0,
+              lit("Last-Modified: Sat, 01 Jun 2024 12:00:00 GMT\r\n"))
+              .otherwise(lit("")),
+            when(pmod(did, lit(5)) === 0,
+              concat(lit("ETag: \"v"), ds, lit("\"\r\n")))
+              .otherwise(lit("")),
+            lit("Content-Type: text/html\r\n\r\nok")).as("payload"))
+        // a stale March refetch on %7==0 the latest-wins window must
+        // supersede
+        val stale = docs.filter(pmod(did, lit(7)) === 0)
+          .select(urlc.as("furl"), lit(1709251200000L).as("fms"),
+            lit("HTTP/1.1 200 OK\r\nLast-Modified: " +
+              "Fri, 01 Mar 2024 00:00:00 GMT\r\n\r\nok").as("payload"))
+        val msg = graft.sources.Warc.httpMessage(col("payload"))
+        def hv(n: String) = get(filter(msg.getField("headers"),
+          h => h.getField("name") === n), lit(0)).getField("value")
+        val parsed = fresh.unionByName(stale).select(
+          col("furl"), col("fms"), hv("etag").as("etag"),
+          graft.sources.Warc.httpDateMillis(hv("last-modified")).as("flm"))
+        graft.operators.Frontier.conditionalRecrawl(hints, "loc",
+          col("slm"), col("changefreq"), parsed, col("furl"), col("fms"),
+          col("etag"), col("flm"))
       }
     }
   )

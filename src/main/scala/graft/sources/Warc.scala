@@ -345,6 +345,28 @@ object Warc {
       body.as("body"))
   }
 
+  /** RFC 7231 §7.1.1.1 IMF-fixdate (`Sun, 06 Nov 1994 08:49:37 GMT`)
+    * as epoch millis — the HTTP-date grammar `Last-Modified` /
+    * `Expires` / `Date` header values carry, the validator a
+    * conditional-recrawl scheduler prefers over sitemap hints
+    * ([[graft.operators.Frontier.conditionalRecrawl]]). IMF-fixdate
+    * only (documented over exotic: the obsolete RFC 850 and asctime
+    * forms a server MAY still emit parse to null, never an error);
+    * the weekday token is shape-checked but not validated against the
+    * date (receivers use it for nothing). The value is normalized to
+    * a bare `dd MMM yyyy HH:mm:ss` and parsed by one
+    * try_to_timestamp under the session's UTC zone — both engines
+    * cast the same normalized text, engine-portable by construction
+    * (the [[graft.operators.Sitemaps.lastmodMillis]] discipline).
+    */
+  def httpDateMillis(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = trim(v)
+    val norm = when(t.rlike(
+      "^[A-Za-z]{3}, \\d{2} [A-Za-z]{3} \\d{4} \\d{2}:\\d{2}:\\d{2} GMT$"),
+      substring(t, 6, 20))
+    unix_millis(try_to_timestamp(norm, lit("dd MMM yyyy HH:mm:ss")))
+  }
+
   /** CDX-style capture index over a WARC read frame — the side index
     * that makes a `.warc.gz` corpus randomly accessible (Common
     * Crawl ships one: per-record gzip members mean (file, offset)

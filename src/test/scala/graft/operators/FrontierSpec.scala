@@ -241,6 +241,45 @@ class FrontierSpec extends AnyFunSuite {
       (("http://c.x/loop", "sitemap", 100L, 1L)))
   }
 
+  test("conditionalRecrawl: fetch-observed validator beats sitemap hint; latest observation wins even without a validator") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000L
+    val hints = Seq(
+      // sitemap says March 1, daily
+      ("http://a.x/1", Some(1709251200000L), "daily"),
+      // sitemap hint only — no observation at all
+      ("http://a.x/2", Some(1709251200000L), "weekly"),
+      // no usable hint, but an etag observed: conditional, no due
+      ("http://a.x/3", None: Option[Long], "")
+    ).toDF("loc", "slm", "cf")
+    val fetches = Seq(
+      // two observations for /1: the LATER one (June) must win and
+      // DEFER the sitemap-due URL (RFC 9110 §8.8 validator precedence)
+      ("http://a.x/1", 100L, Some("\"old\""), Some(1709300000000L)),
+      ("http://a.x/1", 200L, None: Option[String], Some(1717243200000L)),
+      // /3: latest fetch has an etag but no Last-Modified
+      ("http://a.x/3", 100L, Some("\"e3\""), None: Option[Long])
+    ).toDF("url", "t", "etag", "flm")
+    val got = Frontier.conditionalRecrawl(hints, "loc", col("slm"),
+        col("cf"), fetches, col("url"), col("t"), col("etag"), col("flm"))
+      .collect()
+      .map(r => r.getString(0) -> ((Option(r.getString(1)),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        Option(r.getString(4)), r.getBoolean(5)))).toMap
+    // validator base June 1 + daily -> due June 2 (deferred past the
+    // sitemap's March 2); the stale fetch's etag does NOT leak through
+    assert(got("http://a.x/1") ===
+      ((Some("validator"), 1717243200000L, 1717243200000L + day,
+        None, true)))
+    assert(got("http://a.x/2") ===
+      ((Some("sitemap"), 1709251200000L, 1709251200000L + 7 * day,
+        None, false)))
+    assert(got("http://a.x/3") ===
+      ((None, -1L, -1L, Some("\"e3\""), true)))
+  }
+
   test("fetchSchedule caps: a duplicate-host caps frame collapses to the tightest cap, never multiplies URL rows") {
     val s = spark
     import s.implicits._

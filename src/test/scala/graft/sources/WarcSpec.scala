@@ -354,4 +354,23 @@ class WarcSpec extends AnyFunSuite {
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString
     assert(chain.contains("truncated"), s"unexpected failure: $chain")
   }
+
+  test("httpDateMillis: IMF-fixdate parses exactly; obsolete RFC 850 / asctime forms null") {
+    val s = spark
+    import s.implicits._
+    val got = Seq(
+      "Sun, 06 Nov 1994 08:49:37 GMT",     // RFC 7231 IMF-fixdate
+      "Sat, 01 Jun 2024 12:00:00 GMT",
+      " Sat, 01 Jun 2024 12:00:00 GMT ",   // OWS-trimmed
+      "Sunday, 06-Nov-94 08:49:37 GMT",    // obsolete RFC 850 -> null
+      "Sun Nov  6 08:49:37 1994",          // obsolete asctime -> null
+      "Sat, 01 Jun 2024 12:00:00 +0000",   // non-GMT zone text -> null
+      "Sat, 99 Jun 2024 12:00:00 GMT",     // shape ok, invalid date -> null
+      ""                                    // absent -> null
+    ).toDF("v")
+      .select(Warc.httpDateMillis(col("v")))
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(got === Seq(784111777000L, 1717243200000L, 1717243200000L,
+      -1L, -1L, -1L, -1L, -1L))
+  }
 }
