@@ -320,6 +320,46 @@ object WebGraphQueries {
           .as("body"))
   }
 
+  /** The crawl-delay extraction chain (`cd`→`dl`, expects
+    * [[robotsDirsCtes]]' `grps`/`sel` upstream) — the oracle twin of
+    * [[graft.operators.Robots.crawlDelay]], shared by every gate that
+    * schedules with robots-declared delays (q254/q255/q265/q267) so
+    * delay semantics cannot diverge across the scheduling family.
+    * Ends in `dl(host, ms)`.
+    */
+  private lazy val crawlDelayCtes: String =
+    raw"""cd AS (
+       |  SELECT g.host, g.val
+       |  FROM grps g JOIN sel ON sel.host = g.host AND sel.g = g.g
+       |  WHERE g.key = 'crawl-delay' AND g.val <> ''
+       |    AND regexp_matches(g.val, '^[0-9]+(\.[0-9]+)?$$')),
+       |dl AS (
+       |  SELECT host,
+       |    CAST(max(least(CASE WHEN length(val) <= 12
+       |        THEN CAST(val AS DECIMAL(18,3)) ELSE 3600 END, 3600) * 1000)
+       |      AS BIGINT) AS ms
+       |  FROM cd GROUP BY host)""".stripMargin
+
+  /** The 200-slot largest-remainder apportionment over the mined host
+    * rank (`rk`→`tw`→`fl`→`lo`→`al`, expects [[hostRankCtes]]' `r4`
+    * upstream) — the oracle twin of
+    * [[graft.operators.Frontier.allocateBudget]], shared by q262 and
+    * the q267 unified wave so budget semantics cannot diverge between
+    * the rank-capped schedule and its policy composition. Ends in
+    * `al(host, w, slots)`.
+    */
+  private lazy val budgetAllocCtes: String =
+    """rk AS (SELECT 'h' || node || '.example.org' AS host,
+      |              CAST(sum(r) AS BIGINT) AS w FROM r4 GROUP BY 1),
+      |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM rk),
+      |fl AS (SELECT host, w, (200 * w) // tot AS bs, (200 * w) % tot AS rem
+      |       FROM rk CROSS JOIN tw),
+      |lo AS (SELECT CAST(200 - sum(bs) AS BIGINT) AS leftover FROM fl),
+      |al AS (SELECT host, w, CAST(bs + CASE WHEN row_number() OVER (
+      |           ORDER BY rem DESC, host ASC NULLS LAST) <= leftover
+      |         THEN 1 ELSE 0 END AS BIGINT) AS slots
+      |       FROM fl CROSS JOIN lo)""".stripMargin
+
   /** Oracle CTEs `urls`→`hits`→`win` shared by q250 and q254: the
     * per-doc fixture URLs matched against `dirs` with the
     * longest-match winner window; a verdict row is `win WHERE rn = 1`.
@@ -1513,17 +1553,7 @@ object WebGraphQueries {
          |verd AS (
          |  SELECT doc_id, url, host, (NOT m) OR rule = 'allow' AS allowed
          |  FROM win WHERE rn = 1),
-         |cd AS (
-         |  SELECT g.host, g.val
-         |  FROM grps g JOIN sel ON sel.host = g.host AND sel.g = g.g
-         |  WHERE g.key = 'crawl-delay' AND g.val <> ''
-         |    AND regexp_matches(g.val, '^[0-9]+(\\.[0-9]+)?$$')),
-         |dl AS (
-         |  SELECT host,
-         |    CAST(max(least(CASE WHEN length(val) <= 12
-         |        THEN CAST(val AS DECIMAL(18,3)) ELSE 3600 END, 3600) * 1000)
-         |      AS BIGINT) AS ms
-         |  FROM cd GROUP BY host),
+         |$crawlDelayCtes,
          |sq AS (
          |  SELECT doc_id, url, host,
          |    row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1 AS seq
@@ -1567,17 +1597,7 @@ object WebGraphQueries {
       s"""WITH $robotsDirsCtes,
          |$robotsVerdictCtes,
          |$seedMergeCtes,
-         |cd AS (
-         |  SELECT g.host, g.val
-         |  FROM grps g JOIN sel ON sel.host = g.host AND sel.g = g.g
-         |  WHERE g.key = 'crawl-delay' AND g.val <> ''
-         |    AND regexp_matches(g.val, '^[0-9]+(\\.[0-9]+)?$$')),
-         |dl AS (
-         |  SELECT host,
-         |    CAST(max(least(CASE WHEN length(val) <= 12
-         |        THEN CAST(val AS DECIMAL(18,3)) ELSE 3600 END, 3600) * 1000)
-         |      AS BIGINT) AS ms
-         |  FROM cd GROUP BY host),
+         |$crawlDelayCtes,
          |sq AS (
          |  SELECT canon, url, source, priority_milli,
          |    lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)) AS host,
@@ -1823,16 +1843,7 @@ object WebGraphQueries {
          |$robotsVerdictCtes,
          |$hostEdgeCtes,
          |${hostRankCtes(4)},
-         |rk AS (SELECT 'h' || node || '.example.org' AS host,
-         |              CAST(sum(r) AS BIGINT) AS w FROM r4 GROUP BY 1),
-         |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM rk),
-         |fl AS (SELECT host, w, (200 * w) // tot AS bs, (200 * w) % tot AS rem
-         |       FROM rk CROSS JOIN tw),
-         |lo AS (SELECT CAST(200 - sum(bs) AS BIGINT) AS leftover FROM fl),
-         |al AS (SELECT host, w, CAST(bs + CASE WHEN row_number() OVER (
-         |           ORDER BY rem DESC, host ASC NULLS LAST) <= leftover
-         |         THEN 1 ELSE 0 END AS BIGINT) AS slots
-         |       FROM fl CROSS JOIN lo),
+         |$budgetAllocCtes,
          |au AS (SELECT doc_id, url, host FROM win
          |       WHERE rn = 1 AND ((NOT m) OR rule = 'allow')),
          |bq AS (SELECT doc_id, url, host, row_number() OVER (
@@ -2011,17 +2022,7 @@ object WebGraphQueries {
          |  FROM fhits),
          |fv AS (SELECT canon, host, (NOT m) OR rule = 'allow' AS allowed
          |       FROM fwin WHERE rn = 1),
-         |cd AS (
-         |  SELECT g.host, g.val
-         |  FROM grps g JOIN sel ON sel.host = g.host AND sel.g = g.g
-         |  WHERE g.key = 'crawl-delay' AND g.val <> ''
-         |    AND regexp_matches(g.val, '^[0-9]+(\\.[0-9]+)?$$')),
-         |dl AS (
-         |  SELECT host,
-         |    CAST(max(least(CASE WHEN length(val) <= 12
-         |        THEN CAST(val AS DECIMAL(18,3)) ELSE 3600 END, 3600) * 1000)
-         |      AS BIGINT) AS ms
-         |  FROM cd GROUP BY host),
+         |$crawlDelayCtes,
          |alw AS (SELECT fa.*, fv.host FROM fa
          |        JOIN fv ON fv.canon = fa.canon WHERE fv.allowed),
          |sqx AS (SELECT *, row_number() OVER (PARTITION BY host
@@ -2175,6 +2176,95 @@ object WebGraphQueries {
         graft.operators.Frontier.conditionalRecrawl(hints, "loc",
           col("slm"), col("changefreq"), parsed, col("furl"), col("fms"),
           col("etag"), col("flm"))
+      }
+    },
+
+    // UNIFIED SCHEDULING POLICY (the three scheduling products — the
+    // q262 rank budget, the q255 priority order, the q256/q258
+    // recrawl-due — in ONE frontier wave, the last unconsumed edge in
+    // the family): PageRank over the WAT-mined host graph apportions
+    // the 200-slot budget across hosts (rank picks HOSTS); within a
+    // host, declared sitemap priority orders the wave and each URL's
+    // typed recrawl-due rides the running-max recurrence as its
+    // not-before (priority + due order WITHIN the host); robots
+    // crawl-delays space the grants. t0 = 2024-02-01: January dues
+    // are stale (clamp to t0), March dues defer their successors. The
+    // oracle reuses the four families' shared CTE texts verbatim —
+    // rank (q246), allocation (q262), delays (q254/q255), typed
+    // lastmod (q256/q258) — plus the priority-ordered two-window
+    // recurrence and the least(scalar, slots) horizon.
+    QueryDef.sql("q267_unified_schedule",
+      s"""WITH $robotsDirsCtes,
+         |$hostEdgeCtes,
+         |${hostRankCtes(4)},
+         |$budgetAllocCtes,
+         |$crawlDelayCtes,
+         |blk AS (
+         |  SELECT (doc_id % 19) AS k, doc_id,
+         |    'http://h' || (doc_id % 19) || '.example.org/r/' || doc_id AS loc,
+         |    $sitemapLastmodSql AS lm,
+         |    $sitemapFreqSql AS cf
+         |  FROM documents),
+         |$sitemapDueCtes,
+         |pr AS (
+         |  SELECT loc, host, due_at_ms,
+         |    CASE WHEN CAST(regexp_extract(loc, '([0-9]+)$$', 1) AS BIGINT)
+         |        % 3 = 0
+         |      THEN CAST((CAST(regexp_extract(loc, '([0-9]+)$$', 1) AS BIGINT)
+         |        % 10) * 100 AS BIGINT)
+         |    END AS priority_milli
+         |  FROM due),
+         |sq AS (
+         |  SELECT pr.*, coalesce(dl.ms, 1000) AS d,
+         |    row_number() OVER (PARTITION BY pr.host
+         |      ORDER BY pr.priority_milli DESC NULLS LAST, pr.loc) - 1 AS seq
+         |  FROM pr LEFT JOIN dl ON dl.host = pr.host),
+         |rm AS (
+         |  SELECT *, max(greatest(coalesce(due_at_ms, 1706745600000),
+         |        1706745600000) - seq * d) OVER (
+         |      PARTITION BY host ORDER BY priority_milli DESC NULLS LAST, loc
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS base
+         |  FROM sq)
+         |SELECT rm.loc, rm.host, CAST(rm.seq AS BIGINT) AS seq,
+         |  rm.priority_milli, rm.due_at_ms, al.slots, al.w AS rank_micro,
+         |  CASE WHEN rm.seq < least(20, coalesce(al.slots, 20))
+         |    THEN rm.base + rm.seq * rm.d END AS fetch_at_ms
+         |FROM rm LEFT JOIN al ON al.host = rm.host""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val ents = graft.operators.Sitemaps.entries(
+          recrawlSitemapXmls(s, d), "host", col("xml"))
+        val didFromLoc =
+          regexp_extract(col("loc"), "([0-9]+)$", 1).cast("long")
+        val urls = ents.select(col("loc"),
+          graft.operators.Sitemaps.recrawlDueMillis(
+            graft.operators.Sitemaps.lastmodMillis(col("lastmod")),
+            col("changefreq")).as("due_at_ms"),
+          when(pmod(didFromLoc, lit(3)) === 0,
+            (pmod(didFromLoc, lit(10)) * 100).cast("long"))
+            .as("priority_milli"))
+        val ranks = Graphs.pageRankMicro(hostEdges(s, d), iterations = 4)
+          .select(hostName(col("node")).as("host"), col("rank_micro"))
+        // the allocation feeds BOTH the schedule caps and the final
+        // slots/rank join: pin the host-count-sized frame so the WAT
+        // mining + rank funnel runs once (the q262 discipline)
+        val alloc = graft.operators.CacheRegistry.register(
+          graft.operators.Frontier.allocateBudget(
+            ranks, "host", col("rank_micro"), budget = 200L)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val delays = graft.operators.Robots.crawlDelay(
+          robotsFixture(s, d), "host", col("body"), agent = "graftbot")
+        val sched = graft.operators.Frontier.fetchSchedule(urls, "loc",
+          col("loc"), delays, t0Ms = 1706745600000L,
+          defaultDelayMs = 1000L, maxPerHost = 20,
+          priorityCol = Some("priority_milli"),
+          notBeforeCol = Some("due_at_ms"),
+          caps = Some(alloc.select(col("host"), col("slots"))))
+        sched.join(alloc.select(col("host"), col("slots"),
+            col("weight").as("rank_micro")), Seq("host"), "left_outer")
+          .select(col("loc"), col("host"), col("seq"),
+            col("priority_milli"), col("due_at_ms"), col("slots"),
+            col("rank_micro"), col("fetch_at_ms"))
       }
     }
   )
