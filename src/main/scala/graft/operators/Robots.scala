@@ -124,8 +124,13 @@ object Robots {
       .select(lower(col(hostCol)).as("host"), body.as("__body"))
       .distinct()
       .withColumn("__rid", xxhash64(col("host"), col("__body")))
+      // RFC 9309 §2.1: lines are delimited by CR, LF, or CR/LF — a
+      // CRLF body must not leave \r glued to rule paths (Spark's trim
+      // strips 0x20 only); §2.3: the file is UTF-8, so a leading BOM
+      // is encoding machinery, not the first line's first character
       .select(col("host"), col("__rid"),
-        posexplode(split(col("__body"), "\n")).as(Seq("__pos", "__line")))
+        posexplode(split(regexp_replace(col("__body"), "^\\uFEFF", ""),
+          "\r\n|\r|\n")).as(Seq("__pos", "__line")))
     val kv = lines.select(col("host"), col("__rid"), col("__pos"),
       lower(trim(regexp_extract(regexp_replace(col("__line"), "#.*", ""),
         "^\\s*([A-Za-z-]+)\\s*:", 1))).as("__key"),

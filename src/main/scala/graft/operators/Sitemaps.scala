@@ -37,8 +37,12 @@ object Sitemaps {
     */
   def declarations(robots: DataFrame, hostCol: String,
                    body: Column): DataFrame =
+    // RFC 9309 §2.1 line delimiters (CR / LF / CRLF) and the §2.3
+    // UTF-8 BOM — the same tolerant-line contract as [[Robots]]'
+    // funnel: a CRLF body must not leave \r glued to sitemap URLs
     robots.select(lower(col(hostCol)).as("host"),
-        explode(split(body, "\n")).as("__line"))
+        explode(split(regexp_replace(body, "^\\uFEFF", ""),
+          "\r\n|\r|\n")).as("__line"))
       .select(col("host"),
         lower(trim(regexp_extract(regexp_replace(col("__line"), "#.*", ""),
           "^\\s*([A-Za-z-]+)\\s*:", 1))).as("__key"),
