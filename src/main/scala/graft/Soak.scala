@@ -133,6 +133,48 @@ object Soak {
       operators.CacheRegistry.releaseAll()
     }
 
+    // the q263/q265 fetch-result fixture at soak scale (997 hosts):
+    // the r13 %11 residue walk — absolute chains, a never-fetched
+    // landing, a self-loop, and the three relative Location forms
+    // (same-host offsets are multiples of 997 where the landing must
+    // be a fetched URL)
+    def soakRedirectResp(d: String): DataFrame = {
+      val did = col("doc_id")
+      val ks = pmod(did, lit(997)).cast("string")
+      def u(x: Column): Column =
+        concat(lit("http://h"), pmod(x, lit(997)).cast("string"),
+          lit(".example.org/r/doc"), x.cast("string"))
+      spark.read.parquet(s"$d/documents.parquet").select(
+        u(did).as("url"),
+        when(pmod(did, lit(11)) === 0, 301)
+          .when(pmod(did, lit(11)) === 1, 302)
+          .when(pmod(did, lit(11)) === 2, 301)
+          .when(pmod(did, lit(11)) === 3, 301)
+          .when(pmod(did, lit(11)) === 5, 301)
+          .when(pmod(did, lit(11)) === 6, 302)
+          .when(pmod(did, lit(11)) === 7, 301)
+          .when(pmod(did, lit(11)) === 8, 307)
+          .when(pmod(did, lit(11)) === 9, 302)
+          .when(pmod(did, lit(11)) === 10, 303)
+          .otherwise(200).as("status"),
+        when(pmod(did, lit(11)) === 0, u(did + 1))
+          .when(pmod(did, lit(11)) === 1, u(did + 2))
+          .when(pmod(did, lit(11)) === 2, u(did + 4))
+          .when(pmod(did, lit(11)) === 3, concat(lit("http://h"), ks,
+            lit(".example.org/private"), ks,
+            lit("/moved/doc"), did.cast("string")))
+          .when(pmod(did, lit(11)) === 5, u(did))
+          .when(pmod(did, lit(11)) === 6, u(did + 2))
+          .when(pmod(did, lit(11)) === 7,
+            concat(lit("/r/doc"), (did + 997).cast("string")))
+          .when(pmod(did, lit(11)) === 8, u(did + 1))
+          .when(pmod(did, lit(11)) === 9, concat(lit("//h"), ks,
+            lit(".example.org/r/doc"), (did + 8973).cast("string")))
+          .when(pmod(did, lit(11)) === 10,
+            concat(lit("doc"), (did + 997).cast("string")))
+          .as("location"))
+    }
+
     val shapes: Seq[(String, String => DataFrame)] = Seq(
       "minhash_lsh_pairs" -> { d: String =>
         operators.Dedup.minhashLshPairs(Tables.documents(spark, d),
@@ -542,31 +584,40 @@ object Soak {
       },
       "redirect_chains" -> { d: String =>
         // q263's shape at scale: the %11 residue walk plants 3-hop
-        // chains, suffixes, danglers and self-loops over the scaled
-        // corpus (one fetch row per doc, 997 hosts). Expected: one
-        // aggregate for the min-target collapse, then four joins
-        // probing the 3xx-subset dimension — corpus-grain, no window.
+        // chains, suffixes, danglers, self-loops AND the r13 relative
+        // Location forms (root-/protocol-/path-relative — every 3xx
+        // row now routes through the resolve expression chain) over
+        // the scaled corpus (one fetch row per doc, 997 hosts).
+        // Expected: one aggregate for the min-RESOLVED-target
+        // collapse, then four joins plus the settle probe against the
+        // 3xx-subset dimension — corpus-grain, no window.
+        operators.WebGraph.redirectChains(soakRedirectResp(d), "url",
+          col("status"), col("location"), maxHops = 4)
+      },
+      "alias_merge" -> { d: String =>
+        // q265's shape at scale: the redirect chains feed
+        // Frontier.resolveAliases over a same-grain merged frontier
+        // (every fetched URL discovered; even docs respelled as seeds
+        // with tracking params). Expected on top of the chain shape:
+        // the mergeSeeds full-outer on canon, ONE canon-keyed chain
+        // join, and ONE hash aggregate on the landing key — all
+        // partial-aggregate friendly, no window; alias-group fan-in
+        // is bounded by the chain depth, never corpus-sized.
         val docs = spark.read.parquet(s"$d/documents.parquet")
         val did = col("doc_id")
-        def u(x: Column): Column =
-          concat(lit("http://h"), pmod(x, lit(997)).cast("string"),
-            lit(".example.org/r/doc"), x.cast("string"))
-        val resp = docs.select(
-          u(did).as("url"),
-          when(pmod(did, lit(11)) === 0, 301)
-            .when(pmod(did, lit(11)) === 1, 302)
-            .when(pmod(did, lit(11)) === 3, 301)
-            .when(pmod(did, lit(11)) === 5, 301)
-            .otherwise(200).as("status"),
-          when(pmod(did, lit(11)) === 0, u(did + 1))
-            .when(pmod(did, lit(11)) === 1, u(did + 2))
-            .when(pmod(did, lit(11)) === 3, concat(lit("http://h"),
-              pmod(did, lit(997)).cast("string"),
-              lit(".example.org/missing/doc"), did.cast("string")))
-            .when(pmod(did, lit(11)) === 5, u(did))
-            .as("location"))
-        operators.WebGraph.redirectChains(resp, "url",
+        val resp = soakRedirectResp(d)
+        val chains = operators.WebGraph.redirectChains(resp, "url",
           col("status"), col("location"), maxHops = 4)
+        val seeds = docs.filter(pmod(did, lit(2)) === 0)
+          .select(concat(lit("http://H"),
+              pmod(did, lit(997)).cast("string"),
+              lit(".EXAMPLE.ORG/r/doc"), did.cast("string"),
+              lit("?utm_source=x")).as("loc"),
+            when(pmod(did, lit(3)) === 0,
+              (pmod(did, lit(10)) * 100).cast("long")).as("pm"))
+        val merged = operators.Frontier.mergeSeeds(
+          resp.select(col("url")), col("url"), seeds, col("loc"), col("pm"))
+        operators.Frontier.resolveAliases(merged, chains)
       },
       "warc_roundtrip" -> { d: String =>
         // full WARC sink+source cycle at scale: per-record-gzip export
