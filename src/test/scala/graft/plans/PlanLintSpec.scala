@@ -106,7 +106,10 @@ class PlanLintSpec extends AnyFunSuite {
     // allocateBudget's remainder-rank window runs over the HOST census
     // (the weights frame is host-grain by construction — a dimension,
     // never the corpus; the operator's documented scale shape).
-    "q262_budget_schedule")
+    "q262_budget_schedule",
+    // q267 composes the same allocateBudget host-census window (rank
+    // picks hosts for the unified wave) — identical declared shape.
+    "q267_unified_schedule")
 
   test("no gate query plans an unpartitioned window or undeclared cartesian") {
     // AQE wraps the plan in a leaf AdaptiveSparkPlanExec that defeats
