@@ -1932,9 +1932,14 @@ object WebGraphQueries {
          |FROM ky JOIN grp g ON g.dedup_key = ky.dedup_key""".stripMargin) {
       (s, d) => {
         val rc = redirectResolved(s, d)
-        val ky = rc.select(col("url"),
-          when(col("outcome") === "exceeded", col("url"))
-            .otherwise(col("final_url")).as("dedup_key"))
+        // the keyed frame feeds BOTH the group census and the final
+        // join-back: pin it so the five-join chain funnel upstream
+        // runs once (the q262/q265 discipline)
+        val ky = graft.operators.CacheRegistry.register(
+          rc.select(col("url"),
+            when(col("outcome") === "exceeded", col("url"))
+              .otherwise(col("final_url")).as("dedup_key"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val grp = ky.groupBy("dedup_key")
           .agg(min("url").as("kept_url"), count(lit(1)).as("n_aliases"))
         ky.join(grp, Seq("dedup_key"))
