@@ -209,6 +209,41 @@ object Frontier {
           .as("conditional"))
   }
 
+  /** Per-host fetch backoff from `Retry-After` (RFC 9110 §10.2.3) —
+    * the politeness signal a server sends WITH a 429 (Too Many
+    * Requests) or 503 (Service Unavailable): do not come back before
+    * this. Unlike crawl-delay (a standing spacing rule) this is an
+    * EVENT: the host's whole schedule must shift past the backoff
+    * horizon, so the output is a host-grain dimension to feed into
+    * [[fetchSchedule]]'s not-before axis (join on host, `greatest`
+    * with any per-URL due).
+    *
+    * `Retry-After` carries either delay-seconds or an HTTP-date (the
+    * RFC's two forms): digits parse as seconds from the OBSERVING
+    * fetch's time, anything else goes through
+    * [[graft.sources.Warc.httpDateMillis]] (IMF-fixdate; obsolete
+    * forms → null → the response contributes no backoff, never an
+    * error). Several throttled responses per host fold to the MAX
+    * horizon — the most conservative reading, the crawl-delay
+    * discipline.
+    *
+    * Returns (host, backoff_until_ms). Scale shape: one filter on the
+    * 429/503 subset plus one hash-aggregate shuffle carrying
+    * host-count rows — a dimension by construction.
+    */
+  def hostBackoff(responses: DataFrame, url: Column, status: Column,
+                  retryAfter: Column, fetchMs: Column): DataFrame = {
+    val t = trim(retryAfter)
+    val until = when(t.rlike("^\\d{1,15}$"), fetchMs + t.cast("long") * 1000)
+      .otherwise(graft.sources.Warc.httpDateMillis(t))
+    responses.select(
+        lower(regexp_extract(url, "(?i)^https?://([^/?#]+)", 1)).as("host"),
+        status.as("__st"), until.as("__until"))
+      .filter((col("__st") === 429 || col("__st") === 503) &&
+        col("__until").isNotNull && col("host") =!= "")
+      .groupBy("host").agg(max("__until").as("backoff_until_ms"))
+  }
+
   /** Crawl-budget apportionment (the operational "crawl budget": a
     * wave fetches `budget` URLs total — which hosts deserve how many
     * slots?): split `budget` across hosts proportional to a

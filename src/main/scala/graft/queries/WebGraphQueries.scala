@@ -2184,6 +2184,120 @@ object WebGraphQueries {
       }
     },
 
+    // EXPLICIT HTTP FRESHNESS over the heuristic tiers (RFC 9111 —
+    // when the ORIGIN ITSELF declares staleness, that beats every
+    // lastmod heuristic): Cache-Control no-cache/no-store -> stale at
+    // fetch (always revalidate), max-age -> fetch + N s (and MUST
+    // shadow Expires, §5.2.2.1 — the %18==0 overlap plants exactly
+    // that conflict), Expires -> the typed HTTP-date; only URLs with
+    // NO freshness info fall back to q266's validator/sitemap tiers.
+    // Headers parsed from real synthesized responses (httpMessage);
+    // the oracle replays synthesis, the freshness precedence CASE on
+    // the header value, engine-derived epochs, and the fallback fold.
+    QueryDef.sql("q268_http_freshness",
+      s"""WITH blk AS (
+         |  SELECT (doc_id % 19) AS k, doc_id,
+         |    'http://h' || (doc_id % 19) || '.example.org/r/' || doc_id AS loc,
+         |    $sitemapLastmodSql AS lm,
+         |    $sitemapFreqSql AS cf
+         |  FROM documents),
+         |$sitemapDueCtes,
+         |fob AS (
+         |  SELECT 'http://h' || (doc_id % 19) || '.example.org/r/' ||
+         |      doc_id AS u,
+         |    1717243200000 AS t,
+         |    CASE WHEN doc_id % 5 = 0 THEN '"v' || doc_id || '"' END AS etag,
+         |    CASE WHEN doc_id % 4 = 0
+         |      THEN epoch_ms(TIMESTAMP '2024-06-01 12:00:00') END AS flm,
+         |    CASE WHEN doc_id % 6 = 0 THEN 'public, max-age=86400'
+         |         WHEN doc_id % 6 = 3 THEN 'no-store' END AS cc,
+         |    CASE WHEN doc_id % 9 = 0
+         |      THEN epoch_ms(TIMESTAMP '2024-08-01 00:00:00') END AS expms
+         |  FROM documents),
+         |crx AS (
+         |  SELECT d.loc, f.etag, f.t, f.cc, f.expms,
+         |    lower(coalesce(f.cc, '')) AS lcc,
+         |    CASE WHEN f.flm IS NOT NULL THEN 'validator'
+         |         WHEN d.lastmod_ms IS NOT NULL THEN 'sitemap' END AS hbasis,
+         |    coalesce(f.flm, d.lastmod_ms) +
+         |      ${changefreqPeriodSql("d.cf")} AS hdue,
+         |    (f.etag IS NOT NULL OR f.flm IS NOT NULL) AS conditional
+         |  FROM due d LEFT JOIN fob f ON f.u = d.loc)
+         |SELECT loc,
+         |  CASE WHEN regexp_matches(lcc,
+         |        '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)') THEN 'no-cache'
+         |       WHEN regexp_extract(lcc,
+         |        '(^|[,\\s])max-age\\s*=\\s*"?([0-9]{1,15})', 2) <> ''
+         |         THEN 'max-age'
+         |       WHEN expms IS NOT NULL THEN 'expires'
+         |       ELSE hbasis END AS basis,
+         |  CASE WHEN regexp_matches(lcc,
+         |        '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)') THEN t
+         |       WHEN regexp_extract(lcc,
+         |        '(^|[,\\s])max-age\\s*=\\s*"?([0-9]{1,15})', 2) <> ''
+         |         THEN t + CAST(regexp_extract(lcc,
+         |           '(^|[,\\s])max-age\\s*=\\s*"?([0-9]{1,15})', 2)
+         |           AS BIGINT) * 1000
+         |       WHEN expms IS NOT NULL THEN expms
+         |       ELSE hdue END AS due_at_ms,
+         |  etag, conditional
+         |FROM crx""".stripMargin) {
+      (s, d) => {
+        val did = col("doc_id")
+        val ks = pmod(did, lit(19)).cast("string")
+        val ds = did.cast("string")
+        val ents = graft.operators.Sitemaps.entries(
+          recrawlSitemapXmls(s, d), "host", col("xml"))
+        val hints = ents.select(col("loc"),
+          graft.operators.Sitemaps.lastmodMillis(col("lastmod")).as("slm"),
+          col("changefreq"))
+        val urlc = concat(lit("http://h"), ks, lit(".example.org/r/"), ds)
+        val raw = Tables.documents(s, d).select(urlc.as("furl"),
+          lit(1717243200000L).as("fms"),
+          concat(lit("HTTP/1.1 200 OK\r\n"),
+            when(pmod(did, lit(4)) === 0,
+              lit("Last-Modified: Sat, 01 Jun 2024 12:00:00 GMT\r\n"))
+              .otherwise(lit("")),
+            when(pmod(did, lit(5)) === 0,
+              concat(lit("ETag: \"v"), ds, lit("\"\r\n")))
+              .otherwise(lit("")),
+            when(pmod(did, lit(6)) === 0,
+              lit("Cache-Control: public, max-age=86400\r\n"))
+              .when(pmod(did, lit(6)) === 3,
+                lit("Cache-Control: no-store\r\n"))
+              .otherwise(lit("")),
+            when(pmod(did, lit(9)) === 0,
+              lit("Expires: Thu, 01 Aug 2024 00:00:00 GMT\r\n"))
+              .otherwise(lit("")),
+            lit("\r\nok")).as("payload"))
+        val msg = graft.sources.Warc.httpMessage(col("payload"))
+        def hv(n: String) = get(filter(msg.getField("headers"),
+          h => h.getField("name") === n), lit(0)).getField("value")
+        // the parsed observation frame feeds BOTH the heuristic tier
+        // (conditionalRecrawl) and the freshness overlay: pin it so
+        // the header parse runs once (the q262/q264/q265 discipline)
+        val parsed = graft.operators.CacheRegistry.register(
+          raw.select(col("furl"), col("fms"), hv("etag").as("etag"),
+            graft.sources.Warc.httpDateMillis(hv("last-modified"))
+              .as("flm"),
+            hv("cache-control").as("cc"),
+            graft.sources.Warc.httpDateMillis(hv("expires")).as("expms"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val cr = graft.operators.Frontier.conditionalRecrawl(hints, "loc",
+          col("slm"), col("changefreq"), parsed, col("furl"), col("fms"),
+          col("etag"), col("flm"))
+        val fr = parsed.select(col("furl"),
+          graft.sources.Warc.freshnessDue(col("fms"), col("cc"),
+            col("expms")).as("fr"))
+        cr.join(fr, cr("loc") === fr("furl"), "left_outer")
+          .select(col("loc"),
+            coalesce(col("fr").getField("basis"), col("basis")).as("basis"),
+            when(col("fr").isNotNull, col("fr").getField("due_ms"))
+              .otherwise(col("due_at_ms")).as("due_at_ms"),
+            col("etag"), col("conditional"))
+      }
+    },
+
     // UNIFIED SCHEDULING POLICY (the three scheduling products — the
     // q262 rank budget, the q255 priority order, the q256/q258
     // recrawl-due — in ONE frontier wave, the last unconsumed edge in
@@ -2270,6 +2384,102 @@ object WebGraphQueries {
           .select(col("loc"), col("host"), col("seq"),
             col("priority_milli"), col("due_at_ms"), col("slots"),
             col("rank_micro"), col("fetch_at_ms"))
+      }
+    },
+
+    // RETRY-AFTER HOST BACKOFF (RFC 9110 §10.2.3 — the politeness
+    // signal a 429/503 carries: do not come back before this; an
+    // EVENT, not a standing spacing rule, so the whole host schedule
+    // must shift past it): both RFC forms live in the fixture —
+    // delay-seconds scaled per host ((k+1)·60 s on %13==0) and an
+    // HTTP-date (600 s past t0 on %13==1), so low-k hosts are
+    // dominated by the date form and high-k hosts by the delta form;
+    // a malformed value (%13==2, 'soon') contributes nothing, never
+    // an error; several throttled responses fold to the MAX horizon.
+    // The backoff dimension then rides fetchSchedule's not-before
+    // axis: every grant on a backed-off host is >= its horizon AND
+    // >= prev + delay. The oracle replays synthesis, both parse
+    // forms (strptime on the same normalized text), the max fold,
+    // and the running-max recurrence.
+    QueryDef.sql("q269_retry_after_backoff",
+      s"""WITH resp AS (
+         |  SELECT 'http://h' || (doc_id % 19) || '.example.org/r/' ||
+         |      doc_id AS u,
+         |    (doc_id % 19) AS k, doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN 503
+         |         WHEN doc_id % 13 = 1 THEN 429
+         |         WHEN doc_id % 13 = 2 THEN 503 ELSE 200 END AS status,
+         |    CASE WHEN doc_id % 13 = 0
+         |           THEN CAST((doc_id % 19 + 1) * 60 AS VARCHAR)
+         |         WHEN doc_id % 13 = 1
+         |           THEN 'Thu, 01 Feb 2024 00:10:00 GMT'
+         |         WHEN doc_id % 13 = 2 THEN 'soon' END AS ra
+         |  FROM documents),
+         |bo AS (
+         |  SELECT 'h' || k || '.example.org' AS host,
+         |    max(untl) AS backoff_until_ms
+         |  FROM (
+         |    SELECT k,
+         |      CASE WHEN regexp_matches(trim(ra), '^[0-9]{1,15}$$')
+         |        THEN 1706745600000 + CAST(trim(ra) AS BIGINT) * 1000
+         |        ELSE epoch_ms(try_strptime(
+         |          CASE WHEN regexp_matches(trim(ra),
+         |            '^[A-Za-z]{3}, [0-9]{2} [A-Za-z]{3} [0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2} GMT$$')
+         |            THEN substr(trim(ra), 6, 20) END,
+         |          '%d %b %Y %H:%M:%S'))
+         |        END AS untl
+         |    FROM resp WHERE status IN (429, 503) AND ra IS NOT NULL) x
+         |  WHERE untl IS NOT NULL GROUP BY k),
+         |sq AS (
+         |  SELECT r.doc_id, r.u,
+         |    'h' || r.k || '.example.org' AS host, b.backoff_until_ms,
+         |    row_number() OVER (PARTITION BY r.k ORDER BY r.doc_id) - 1 AS seq
+         |  FROM resp r
+         |  LEFT JOIN bo b ON b.host = 'h' || r.k || '.example.org'),
+         |rm AS (
+         |  SELECT *, max(greatest(coalesce(backoff_until_ms, 1706745600000),
+         |      1706745600000) - seq * 1000) OVER (
+         |    PARTITION BY host ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS base
+         |  FROM sq)
+         |SELECT doc_id, u AS url, host, CAST(seq AS BIGINT) AS seq,
+         |  backoff_until_ms,
+         |  CASE WHEN seq < 30 THEN base + seq * 1000 END AS fetch_at_ms
+         |FROM rm""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val did = col("doc_id")
+        val ks = pmod(did, lit(19)).cast("string")
+        val ds = did.cast("string")
+        val urlc = concat(lit("http://h"), ks, lit(".example.org/r/"), ds)
+        val docs = Tables.documents(s, d)
+        val resp = docs.select(did, urlc.as("rurl"),
+          when(pmod(did, lit(13)) === 0, 503)
+            .when(pmod(did, lit(13)) === 1, 429)
+            .when(pmod(did, lit(13)) === 2, 503)
+            .otherwise(200).as("status"),
+          when(pmod(did, lit(13)) === 0,
+            ((pmod(did, lit(19)) + 1) * 60).cast("string"))
+            .when(pmod(did, lit(13)) === 1,
+              lit("Thu, 01 Feb 2024 00:10:00 GMT"))
+            .when(pmod(did, lit(13)) === 2, lit("soon"))
+            .as("retry_after"))
+        val backoff = graft.operators.Frontier.hostBackoff(resp,
+          col("rurl"), col("status"), col("retry_after"),
+          lit(1706745600000L))
+        val urls = docs.select(did, urlc.as("u"))
+          .withColumn("__bh",
+            lower(regexp_extract(col("u"), "(?i)^https?://([^/?#]+)", 1)))
+          .join(broadcast(backoff.withColumnRenamed("host", "__bh")),
+            Seq("__bh"), "left_outer")
+          .drop("__bh")
+        val noDelays = Seq.empty[(String, Long)]
+          .toDF("host", "crawl_delay_ms")
+        graft.operators.Frontier.fetchSchedule(urls, "doc_id", col("u"),
+          noDelays, t0Ms = 1706745600000L, defaultDelayMs = 1000L,
+          maxPerHost = 30, notBeforeCol = Some("backoff_until_ms"))
+          .select(col("doc_id"), col("url"), col("host"), col("seq"),
+            col("backoff_until_ms"), col("fetch_at_ms"))
       }
     }
   )

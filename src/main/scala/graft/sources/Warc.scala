@@ -367,6 +367,43 @@ object Warc {
     unix_millis(try_to_timestamp(norm, lit("dd MMM yyyy HH:mm:ss")))
   }
 
+  /** Explicit HTTP freshness lifetime (RFC 9111) as a recrawl due
+    * time: when the ORIGIN ITSELF says the response goes stale — the
+    * strongest recrawl signal there is, above validators and sitemap
+    * hints ([[graft.operators.Frontier.conditionalRecrawl]]'s
+    * heuristic tier). Precedence, per RFC 9111:
+    *
+    *   - `no-cache` / `no-store` in Cache-Control → stale immediately
+    *     (due = fetch time; §5.2.2.4/.5 — always revalidate)
+    *   - `max-age=N` → due = fetch + N s (§5.2.2.1; a recipient MUST
+    *     ignore Expires when max-age is present — and the directive
+    *     grammar allows a quoted argument)
+    *   - `Expires` (an HTTP-date — feed through [[httpDateMillis]])
+    *     → due = that instant (§5.3)
+    *
+    * Age-at-fetch is taken as 0 (the polite-crawler reading: the
+    * crawler talks to the origin, not a shared cache — `s-maxage` is
+    * ignored for the same reason) and a `no-cache` with field
+    * arguments is out of the simple-directive grammar (documented
+    * over exotic). Returns a struct (due_ms, basis ∈ no-cache |
+    * max-age | expires), null when no freshness information exists.
+    */
+  def freshnessDue(fetchMs: org.apache.spark.sql.Column,
+                   cacheControl: org.apache.spark.sql.Column,
+                   expiresMs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val cc = lower(coalesce(cacheControl, lit("")))
+    val noCache = cc.rlike("(^|[,\\s])(no-cache|no-store)\\s*(,|$)")
+    val maxAge = regexp_extract(cc,
+      "(^|[,\\s])max-age\\s*=\\s*\"?(\\d{1,15})", 2)
+    when(noCache,
+      struct(fetchMs.as("due_ms"), lit("no-cache").as("basis")))
+      .when(maxAge =!= "",
+        struct((fetchMs + maxAge.cast("long") * 1000).as("due_ms"),
+          lit("max-age").as("basis")))
+      .when(expiresMs.isNotNull,
+        struct(expiresMs.as("due_ms"), lit("expires").as("basis")))
+  }
+
   /** CDX-style capture index over a WARC read frame — the side index
     * that makes a `.warc.gz` corpus randomly accessible (Common
     * Crawl ships one: per-record gzip members mean (file, offset)

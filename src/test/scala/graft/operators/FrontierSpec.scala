@@ -280,6 +280,29 @@ class FrontierSpec extends AnyFunSuite {
       ((None, -1L, -1L, Some("\"e3\""), true)))
   }
 
+  test("hostBackoff: delta-seconds and HTTP-date forms, max fold, malformed and non-throttle rows ignored") {
+    val s = spark
+    import s.implicits._
+    val resp = Seq(
+      // RFC 9110 §10.2.3 delay-seconds form
+      ("http://a.x/1", 503, "120"),
+      // same host, HTTP-date form, further out -> the max wins
+      ("http://A.X/2", 429, "Thu, 01 Feb 2024 00:10:00 GMT"),
+      // malformed value contributes nothing, never an error
+      ("http://a.x/3", 503, "soon"),
+      // Retry-After on a non-throttle status is not a backoff signal
+      ("http://b.x/1", 200, "999999"),
+      // obsolete RFC 850 date form -> null -> no contribution
+      ("http://b.x/2", 503, "Thursday, 01-Feb-24 00:10:00 GMT")
+    ).toDF("url", "status", "ra")
+    val got = Frontier.hostBackoff(resp, col("url"), col("status"),
+        col("ra"), lit(1706745600000L))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a.x: max(t+120s, 2024-02-01T00:10Z) = the 600 s date; host
+    // lowercased across spellings; b.x contributes nothing at all
+    assert(got === Map("a.x" -> 1706746200000L))
+  }
+
   test("fetchSchedule caps: a duplicate-host caps frame collapses to the tightest cap, never multiplies URL rows") {
     val s = spark
     import s.implicits._

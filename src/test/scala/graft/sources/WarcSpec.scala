@@ -373,4 +373,28 @@ class WarcSpec extends AnyFunSuite {
     assert(got === Seq(784111777000L, 1717243200000L, 1717243200000L,
       -1L, -1L, -1L, -1L, -1L))
   }
+
+  test("freshnessDue: RFC 9111 precedence — no-store, then max-age (shadowing Expires), then Expires") {
+    val s = spark
+    import s.implicits._
+    val t = 1000000L
+    val exp = 9999999L
+    val got = Seq(
+      ("public, max-age=60", Some(exp)),   // max-age MUST shadow Expires
+      ("max-age=\"60\"", None: Option[Long]), // quoted argument form
+      ("no-store, max-age=60", Some(exp)), // no-store wins: stale at fetch
+      ("private", Some(exp)),              // no directive -> Expires
+      ("private", None: Option[Long]),     // nothing -> null
+      ("s-maxage=60", None: Option[Long])  // shared-cache directive ignored
+    ).toDF("cc", "expms")
+      .select(Warc.freshnessDue(lit(t), col("cc"), col("expms")).as("f"))
+      .collect().map(r => if (r.isNullAt(0)) null
+        else (r.getStruct(0).getLong(0), r.getStruct(0).getString(1)))
+    assert(got(0) === ((t + 60000L, "max-age")))
+    assert(got(1) === ((t + 60000L, "max-age")))
+    assert(got(2) === ((t, "no-cache")))
+    assert(got(3) === ((exp, "expires")))
+    assert(got(4) === null)
+    assert(got(5) === null)
+  }
 }
