@@ -2481,6 +2481,201 @@ object WebGraphQueries {
           .select(col("doc_id"), col("url"), col("host"), col("seq"),
             col("backoff_until_ms"), col("fetch_at_ms"))
       }
+    },
+
+    // THE COMPLETE RECRAWL WAVE (every recrawl signal the family
+    // produces, consumed in ONE schedule — the q267 pattern applied
+    // to the conditional-recrawl side): per URL, the due time fuses
+    // RFC 9111 explicit freshness over RFC 9110 validators over
+    // sitemap hints (q268's precedence); per HOST, Retry-After
+    // backoff (q269) floors every grant; robots crawl-delays space
+    // them. nb = greatest(due, backoff) — both engines' greatest
+    // skips nulls, so a URL with either signal alone still defers.
+    // t0 = 2024-06-02T00:00Z makes every class live: no-cache and
+    // hourly-validator dues are STALE (clamp to t0), max-age/daily/
+    // Expires dues DEFER, delta backoffs are dead below host k=5 and
+    // live above, the date-form backoff is live everywhere it
+    // dominates. All signals parse from ONE real response per URL
+    // (status line + headers through httpMessage), the parse pinned
+    // once for its three consumers.
+    QueryDef.sql("q270_recrawl_wave",
+      s"""WITH $robotsDirsCtes,
+         |$crawlDelayCtes,
+         |blk AS (
+         |  SELECT (doc_id % 19) AS k, doc_id,
+         |    'http://h' || (doc_id % 19) || '.example.org/r/' || doc_id AS loc,
+         |    $sitemapLastmodSql AS lm,
+         |    $sitemapFreqSql AS cf
+         |  FROM documents),
+         |$sitemapDueCtes,
+         |fob AS (
+         |  SELECT 'http://h' || (doc_id % 19) || '.example.org/r/' ||
+         |      doc_id AS u,
+         |    (doc_id % 19) AS k, 1717243200000 AS t,
+         |    CASE WHEN doc_id % 13 = 0 THEN 503
+         |         WHEN doc_id % 13 = 1 THEN 429
+         |         WHEN doc_id % 13 = 2 THEN 503 ELSE 200 END AS status,
+         |    CASE WHEN doc_id % 13 = 0
+         |           THEN CAST((doc_id % 19 + 1) * 7200 AS VARCHAR)
+         |         WHEN doc_id % 13 = 1
+         |           THEN 'Sun, 02 Jun 2024 06:00:00 GMT'
+         |         WHEN doc_id % 13 = 2 THEN 'soon' END AS ra,
+         |    CASE WHEN doc_id % 5 = 0 THEN '"v' || doc_id || '"' END AS etag,
+         |    CASE WHEN doc_id % 4 = 0
+         |      THEN epoch_ms(TIMESTAMP '2024-06-01 12:00:00') END AS flm,
+         |    CASE WHEN doc_id % 6 = 0 THEN 'public, max-age=86400'
+         |         WHEN doc_id % 6 = 3 THEN 'no-store' END AS cc,
+         |    CASE WHEN doc_id % 9 = 0
+         |      THEN epoch_ms(TIMESTAMP '2024-08-01 00:00:00') END AS expms
+         |  FROM documents),
+         |fx AS (
+         |  SELECT d.loc, d.host, f.t, lower(coalesce(f.cc, '')) AS lcc,
+         |    f.expms, f.etag, f.flm,
+         |    CASE WHEN f.flm IS NOT NULL THEN 'validator'
+         |         WHEN d.lastmod_ms IS NOT NULL THEN 'sitemap' END AS hbasis,
+         |    coalesce(f.flm, d.lastmod_ms) +
+         |      ${changefreqPeriodSql("d.cf")} AS hdue
+         |  FROM due d LEFT JOIN fob f ON f.u = d.loc),
+         |fz AS (
+         |  SELECT loc, host,
+         |    CASE WHEN regexp_matches(lcc,
+         |          '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)') THEN 'no-cache'
+         |         WHEN regexp_extract(lcc,
+         |          '(^|[,\\s])max-age\\s*=\\s*"?([0-9]{1,15})', 2) <> ''
+         |           THEN 'max-age'
+         |         WHEN expms IS NOT NULL THEN 'expires'
+         |         ELSE hbasis END AS basis,
+         |    CASE WHEN regexp_matches(lcc,
+         |          '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)') THEN t
+         |         WHEN regexp_extract(lcc,
+         |          '(^|[,\\s])max-age\\s*=\\s*"?([0-9]{1,15})', 2) <> ''
+         |           THEN t + CAST(regexp_extract(lcc,
+         |             '(^|[,\\s])max-age\\s*=\\s*"?([0-9]{1,15})', 2)
+         |             AS BIGINT) * 1000
+         |         WHEN expms IS NOT NULL THEN expms
+         |         ELSE hdue END AS due_ms
+         |  FROM fx),
+         |bo AS (
+         |  SELECT 'h' || k || '.example.org' AS host,
+         |    max(untl) AS backoff_until_ms
+         |  FROM (
+         |    SELECT k,
+         |      CASE WHEN regexp_matches(trim(ra), '^[0-9]{1,15}$$')
+         |        THEN t + CAST(trim(ra) AS BIGINT) * 1000
+         |        ELSE epoch_ms(try_strptime(
+         |          CASE WHEN regexp_matches(trim(ra),
+         |            '^[A-Za-z]{3}, [0-9]{2} [A-Za-z]{3} [0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2} GMT$$')
+         |            THEN substr(trim(ra), 6, 20) END,
+         |          '%d %b %Y %H:%M:%S'))
+         |        END AS untl
+         |    FROM fob WHERE status IN (429, 503) AND ra IS NOT NULL) x
+         |  WHERE untl IS NOT NULL GROUP BY k),
+         |uw AS (
+         |  SELECT fz.loc, fz.host, fz.basis, fz.due_ms, b.backoff_until_ms,
+         |    greatest(fz.due_ms, b.backoff_until_ms) AS nb
+         |  FROM fz LEFT JOIN bo b ON b.host = fz.host),
+         |sq AS (
+         |  SELECT uw.*, coalesce(dl.ms, 1000) AS dd,
+         |    row_number() OVER (PARTITION BY uw.host ORDER BY uw.loc) - 1 AS seq
+         |  FROM uw LEFT JOIN dl ON dl.host = uw.host),
+         |rm AS (
+         |  SELECT *, max(greatest(coalesce(nb, 1717286400000),
+         |      1717286400000) - seq * dd) OVER (
+         |    PARTITION BY host ORDER BY loc
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS base
+         |  FROM sq)
+         |SELECT loc, host, basis, due_ms, backoff_until_ms,
+         |  CAST(seq AS BIGINT) AS seq,
+         |  CASE WHEN seq < 25 THEN base + seq * dd END AS fetch_at_ms
+         |FROM rm""".stripMargin) {
+      (s, d) => {
+        val did = col("doc_id")
+        val ks = pmod(did, lit(19)).cast("string")
+        val ds = did.cast("string")
+        val ents = graft.operators.Sitemaps.entries(
+          recrawlSitemapXmls(s, d), "host", col("xml"))
+        val hints = ents.select(col("loc"),
+          graft.operators.Sitemaps.lastmodMillis(col("lastmod")).as("slm"),
+          col("changefreq"))
+        val urlc = concat(lit("http://h"), ks, lit(".example.org/r/"), ds)
+        val raw = Tables.documents(s, d).select(urlc.as("furl"),
+          lit(1717243200000L).as("fms"),
+          concat(
+            when(pmod(did, lit(13)) === 0,
+              lit("HTTP/1.1 503 Service Unavailable\r\n"))
+              .when(pmod(did, lit(13)) === 1,
+                lit("HTTP/1.1 429 Too Many Requests\r\n"))
+              .when(pmod(did, lit(13)) === 2,
+                lit("HTTP/1.1 503 Service Unavailable\r\n"))
+              .otherwise(lit("HTTP/1.1 200 OK\r\n")),
+            when(pmod(did, lit(13)) === 0, concat(lit("Retry-After: "),
+              ((pmod(did, lit(19)) + 1) * 7200).cast("string"),
+              lit("\r\n")))
+              .when(pmod(did, lit(13)) === 1,
+                lit("Retry-After: Sun, 02 Jun 2024 06:00:00 GMT\r\n"))
+              .when(pmod(did, lit(13)) === 2,
+                lit("Retry-After: soon\r\n"))
+              .otherwise(lit("")),
+            when(pmod(did, lit(4)) === 0,
+              lit("Last-Modified: Sat, 01 Jun 2024 12:00:00 GMT\r\n"))
+              .otherwise(lit("")),
+            when(pmod(did, lit(5)) === 0,
+              concat(lit("ETag: \"v"), ds, lit("\"\r\n")))
+              .otherwise(lit("")),
+            when(pmod(did, lit(6)) === 0,
+              lit("Cache-Control: public, max-age=86400\r\n"))
+              .when(pmod(did, lit(6)) === 3,
+                lit("Cache-Control: no-store\r\n"))
+              .otherwise(lit("")),
+            when(pmod(did, lit(9)) === 0,
+              lit("Expires: Thu, 01 Aug 2024 00:00:00 GMT\r\n"))
+              .otherwise(lit("")),
+            lit("\r\nok")).as("payload"))
+        val msg = graft.sources.Warc.httpMessage(col("payload"))
+        def hv(n: String) = get(filter(msg.getField("headers"),
+          h => h.getField("name") === n), lit(0)).getField("value")
+        // one real response carries every signal; the parse feeds
+        // THREE consumers (heuristic due, freshness overlay, backoff)
+        // — pinned once
+        val parsed = graft.operators.CacheRegistry.register(
+          raw.select(col("furl"), col("fms"),
+            msg.getField("status_code").as("st"),
+            hv("retry-after").as("ra"), hv("etag").as("etag"),
+            graft.sources.Warc.httpDateMillis(hv("last-modified"))
+              .as("flm"),
+            hv("cache-control").as("cc"),
+            graft.sources.Warc.httpDateMillis(hv("expires")).as("expms"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val cr = graft.operators.Frontier.conditionalRecrawl(hints, "loc",
+          col("slm"), col("changefreq"), parsed, col("furl"), col("fms"),
+          col("etag"), col("flm"))
+        val fr = parsed.select(col("furl"),
+          graft.sources.Warc.freshnessDue(col("fms"), col("cc"),
+            col("expms")).as("fr"))
+        val fused = cr.join(fr, cr("loc") === fr("furl"), "left_outer")
+          .select(col("loc"),
+            coalesce(col("fr").getField("basis"), col("basis"))
+              .as("basis"),
+            when(col("fr").isNotNull, col("fr").getField("due_ms"))
+              .otherwise(col("due_at_ms")).as("due_ms"))
+        val bo = graft.operators.Frontier.hostBackoff(parsed, col("furl"),
+          col("st"), col("ra"), col("fms"))
+        val urls = fused
+          .withColumn("__bh",
+            lower(regexp_extract(col("loc"), "(?i)^https?://([^/?#]+)", 1)))
+          .join(broadcast(bo.withColumnRenamed("host", "__bh")),
+            Seq("__bh"), "left_outer")
+          .drop("__bh")
+          .withColumn("nb",
+            greatest(col("due_ms"), col("backoff_until_ms")))
+        val delays = graft.operators.Robots.crawlDelay(
+          robotsFixture(s, d), "host", col("body"), agent = "graftbot")
+        graft.operators.Frontier.fetchSchedule(urls, "loc", col("loc"),
+          delays, t0Ms = 1717286400000L, defaultDelayMs = 1000L,
+          maxPerHost = 25, notBeforeCol = Some("nb"))
+          .select(col("loc"), col("host"), col("basis"), col("due_ms"),
+            col("backoff_until_ms"), col("seq"), col("fetch_at_ms"))
+      }
     }
   )
 }
