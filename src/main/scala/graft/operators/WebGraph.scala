@@ -49,6 +49,14 @@ object WebGraph {
     */
   val TagPattern: String = "(?i)<a(\\s[^>]*)?>"
 
+  /** A whole `<base …>` tag — the HTML element that REBASES every
+    * relative reference in the document (HTML spec: only the FIRST
+    * base element with an href is honored; `regexp_extract`'s
+    * first-match semantics give exactly that). The base href itself
+    * may be relative, resolved against the document URI.
+    */
+  val BasePattern: String = "(?i)<base(\\s[^>]*)?>"
+
   /** Within one tag: `href="…"` / `href='…'`, group 1 = the value
     * INCLUDING its quotes (per-quote alternation; strip with
     * [[unquote]]). A capture that kept only the inner text would need
@@ -89,6 +97,29 @@ object WebGraph {
     regexp_replace(resolved, "#.*", "")
   }
 
+  /** The effective resolution base: the document URI's (scheme, host,
+    * path) unless the page carries a `<base href>` — in which case the
+    * base href (itself resolved against the document URI; relative
+    * base hrefs are legal HTML) supplies all three. Out-of-grammar
+    * base hrefs (absent, empty, fragment-only, non-http scheme) fall
+    * back to the document URI — the tolerant-reader convention.
+    */
+  private def effectiveBase(uri: Column, html: Column): (Column, Column, Column) = {
+    val sch0 = regexp_extract(uri, "^(https?)://", 1)
+    val hst0 = regexp_extract(uri, "^https?://([^/?#]+)", 1)
+    val pth0 = regexp_extract(uri, "^https?://[^/?#]+(/[^?#]*)", 1)
+    val rawBase = unquote(regexp_extract(
+      regexp_extract(html, BasePattern, 0), HrefPattern, 1))
+    val baseUrl = resolve(rawBase, sch0, hst0, pth0)
+    (when(baseUrl.isNotNull,
+      regexp_extract(baseUrl, "^(?i)(https?)://", 1)).otherwise(sch0),
+      when(baseUrl.isNotNull,
+        regexp_extract(baseUrl, "^(?i)https?://([^/?#]+)", 1)).otherwise(hst0),
+      when(baseUrl.isNotNull,
+        regexp_extract(baseUrl, "^(?i)https?://[^/?#]+(/[^?#]*)", 1))
+        .otherwise(pth0))
+  }
+
   /** Per-page outlinks: one row per RESOLVABLE href, in page order.
     *
     * Returns (idCol, link_no, href, url, nofollow, src_host,
@@ -97,29 +128,32 @@ object WebGraph {
     * leave gaps: position is provenance), `href` the raw attribute
     * value, `url` the absolutized fragment-stripped target,
     * `nofollow` whether the tag's `rel` carries the nofollow token,
-    * `src_host` the page's own authority component, `dst_host` the
-    * target's.
+    * `src_host` the page's own authority component (provenance —
+    * where the link was FOUND, base-independent), `dst_host` the
+    * target's. Relative hrefs resolve against the page's
+    * [[effectiveBase]]: a `<base href>` rebases them (HTML spec,
+    * first base wins), absolute hrefs are untouched.
     */
   def outlinks(df: DataFrame, idCol: String, uri: Column,
                html: Column): DataFrame = {
+    val (sch, hst, pth) = effectiveBase(uri, html)
     val tagged = df.select(
       col(idCol),
-      regexp_extract(uri, "^(https?)://", 1).as("__sch"),
-      regexp_extract(uri, "^https?://([^/?#]+)", 1).as("__h"),
-      regexp_extract(uri, "^https?://[^/?#]+(/[^?#]*)", 1).as("__p"),
+      sch.as("__sch"), hst.as("__h"), pth.as("__p"),
+      regexp_extract(uri, "^https?://([^/?#]+)", 1).as("__h0"),
       posexplode(regexp_extract_all(html, lit(TagPattern), lit(0)))
         .as(Seq("__pos", "__tag")))
     // an <a> without an href extracts "" — dropped by the same branch
     // as an explicit empty href (no target either way)
     val raw = tagged.select(col(idCol), col("__sch"), col("__h"), col("__p"),
-      col("__pos"),
+      col("__h0"), col("__pos"),
       unquote(regexp_extract(col("__tag"), HrefPattern, 1)).as("href"),
       col("__tag").rlike(NofollowPattern).as("nofollow"))
     raw
       .select(col(idCol), (col("__pos") + 1).cast("long").as("link_no"), col("href"),
         resolve(col("href"), col("__sch"), col("__h"), col("__p")).as("url"),
         col("nofollow"),
-        col("__h").as("src_host"))
+        col("__h0").as("src_host"))
       .filter(col("url").isNotNull)
       .withColumn("dst_host", regexp_extract(col("url"), "^https?://([^/?#]+)", 1))
   }
@@ -131,12 +165,14 @@ object WebGraph {
     * link is the site's OWN dedup hint), language routing before
     * content-based language-ID, and index-exclusion filtering.
     *
-    * `canonical_url` is ABSOLUTIZED against the page URI with the
-    * same resolution chain as [[outlinks]] — a relative canonical is
-    * the common real-world case, and the cross-host canonical-dedup
-    * join this field feeds needs absolute targets. Absent, empty,
-    * fragment-only, and non-http-scheme canonicals all yield "" (no
-    * usable dedup hint either way).
+    * `canonical_url` is ABSOLUTIZED against the page's
+    * [[effectiveBase]] (a `<base href>` rebases it, like every
+    * relative reference) with the same resolution chain as
+    * [[outlinks]] — a relative canonical is the common real-world
+    * case, and the cross-host canonical-dedup join this field feeds
+    * needs absolute targets. Absent, empty, fragment-only, and
+    * non-http-scheme canonicals all yield "" (no usable dedup hint
+    * either way).
     *
     * Pure codegen'd regexes (RE2-compatible — the oracle replays on
     * identical bytes); absent elements yield empty strings / false,
@@ -154,9 +190,7 @@ object WebGraph {
       unquote(regexp_extract(regexp_extract(html, tagPattern, 0),
         attrPattern, 1))
     val content = "(?i)\\bcontent\\s*=\\s*(\"[^\">]*\"|'[^'>]*')"
-    val sch = regexp_extract(uri, "^(https?)://", 1)
-    val hst = regexp_extract(uri, "^https?://([^/?#]+)", 1)
-    val pth = regexp_extract(uri, "^https?://[^/?#]+(/[^?#]*)", 1)
+    val (sch, hst, pth) = effectiveBase(uri, html)
     val rawCanonical = tagAttr(
       "(?i)<link\\s[^>]*rel\\s*=\\s*(\"canonical\"|'canonical')[^>]*>",
       HrefPattern)

@@ -42,7 +42,17 @@ object WebGraphQueries {
     Tables.documents(s, d).select(did,
       concat(lit("http://"), h(pmod(did, lit(19))), lit("/p/"), ds).as("uri"),
       concat(
-        lit("<html><body><p>"), col("text"), lit("</p>"),
+        lit("<html>"),
+        // %23==0 pages carry a <base href> (single-quoted): the HTML
+        // element that rebases every RELATIVE reference on the page —
+        // root-/path-relative anchors land on the base's host/dir,
+        // absolute and protocol-relative-host anchors are untouched,
+        // and src_host provenance stays the page's own authority
+        when(pmod(did, lit(23)) === 0, concat(
+          lit("<head><base href='http://"),
+          h(pmod(did * 3 + 7, lit(19))),
+          lit("/bdir/'></head>"))).otherwise(lit("")),
+        lit("<body><p>"), col("text"), lit("</p>"),
         lit("<a href=\"http://"), h(pmod(did * 7 + 3, lit(19))),
         lit("/x/"), ds, lit("\">a</a>"),
         lit("<a class=\"n\" href=\"/p/"), (did + 1).cast("string"),
@@ -92,7 +102,11 @@ object WebGraphQueries {
     raw"""pages AS MATERIALIZED (
       |  SELECT doc_id,
       |    'http://h' || (doc_id % 19) || '.example.org/p/' || doc_id AS uri,
-      |    '<html><body><p>' || text || '</p>' ||
+      |    '<html>' ||
+      |    CASE WHEN doc_id % 23 = 0 THEN '<head><base href=''http://h' ||
+      |      ((doc_id * 3 + 7) % 19) || '.example.org/bdir/''></head>'
+      |      ELSE '' END ||
+      |    '<body><p>' || text || '</p>' ||
       |    '<a href="http://h' || ((doc_id * 7 + 3) % 19) ||
       |      '.example.org/x/' || doc_id || '">a</a>' ||
       |    '<a class="n" href="/p/' || (doc_id + 1) || '">b</a>' ||
@@ -109,29 +123,48 @@ object WebGraphQueries {
       |    '</body></html>' AS html
       |  FROM documents),
       |ext AS (
-      |  SELECT doc_id, uri,
+      |  SELECT doc_id, uri, bas,
       |    unnest(generate_series(1, len(tags))) AS link_no,
       |    unnest(tags) AS tag
       |  FROM (SELECT doc_id, uri,
+      |          regexp_replace(regexp_extract(regexp_extract(html,
+      |            '(?i)<base(\s[^>]*)?>', 0),
+      |            '(?i)\bhref\s*=\s*("[^">]*"|''[^''>]*'')', 1),
+      |            '^["'']|["'']$$', '', 'g') AS bas,
       |          regexp_extract_all(html, '(?i)<a(\s[^>]*)?>', 0) AS tags
       |        FROM pages) x),
       |exa AS (
-      |  SELECT doc_id, uri, link_no,
+      |  SELECT doc_id, uri, bas, link_no,
       |    regexp_replace(regexp_extract(tag,
       |      '(?i)\bhref\s*=\s*("[^">]*"|''[^''>]*'')', 1),
       |      '^["'']|["'']$$', '', 'g') AS href,
       |    regexp_matches(tag,
       |      '(?i)\brel\s*=\s*("[^">]*\bnofollow\b|''[^''>]*\bnofollow\b)') AS nofollow
       |  FROM ext),
-      |res AS (
-      |  SELECT doc_id, link_no, href, nofollow,
-      |    ${resolveSql("href")} AS url,
-      |    hst AS src_host
+      |resb AS (
+      |  SELECT y.*, ${resolveSql("bas")} AS baseurl
       |  FROM (SELECT e.*,
       |          regexp_extract(uri, '^(https?)://', 1) AS sch,
       |          regexp_extract(uri, '^https?://([^/?#]+)', 1) AS hst,
       |          regexp_extract(uri, '^https?://[^/?#]+(/[^?#]*)', 1) AS pth
       |        FROM exa e) y),
+      |rese AS (
+      |  SELECT doc_id, link_no, href, nofollow, hst AS src_host,
+      |    CASE WHEN baseurl IS NOT NULL THEN
+      |      regexp_extract(baseurl, '^(?i)(https?)://', 1) ELSE sch END AS sch2,
+      |    CASE WHEN baseurl IS NOT NULL THEN
+      |      regexp_extract(baseurl, '^(?i)https?://([^/?#]+)', 1)
+      |      ELSE hst END AS hst2,
+      |    CASE WHEN baseurl IS NOT NULL THEN
+      |      regexp_extract(baseurl, '^(?i)https?://[^/?#]+(/[^?#]*)', 1)
+      |      ELSE pth END AS pth2
+      |  FROM resb),
+      |res AS (
+      |  SELECT doc_id, link_no, href, nofollow,
+      |    ${resolveSql("href")} AS url,
+      |    src_host
+      |  FROM (SELECT doc_id, link_no, href, nofollow, src_host,
+      |          sch2 AS sch, hst2 AS hst, pth2 AS pth FROM rese) z),
       |links AS MATERIALIZED (
       |  SELECT doc_id, CAST(link_no AS BIGINT) AS link_no, href, url,
       |         nofollow, src_host,
@@ -1015,10 +1048,13 @@ object WebGraphQueries {
     // content BEFORE name (attribute order is free); the oracle
     // replays extraction AND the resolution CASE.
     QueryDef.sql("q249_wat_page_meta",
-      """WITH m AS (
+      raw"""WITH m AS (
         |  SELECT doc_id,
         |    'http://h' || (doc_id % 19) || '.example.org/p/' || doc_id AS uri,
-        |    '<html lang="' || lang || '"><head><title>  Doc ' || doc_id ||
+        |    '<html lang="' || lang || '"><head>' ||
+        |    CASE WHEN doc_id % 7 = 5 THEN
+        |      '<base href="http://canon-b.example/cb/">' ELSE '' END ||
+        |    '<title>  Doc ' || doc_id ||
         |    chr(10) || ' - ' || source || '  </title>' ||
         |    CASE WHEN doc_id % 4 = 0 THEN
         |      '<meta name="description" content="doc ' ||
@@ -1040,42 +1076,55 @@ object WebGraphQueries {
         |    regexp_extract(uri, '^(https?)://', 1) AS sch,
         |    regexp_extract(uri, '^https?://([^/?#]+)', 1) AS hst,
         |    regexp_extract(uri, '^https?://[^/?#]+(/[^?#]*)', 1) AS pth,
+        |    regexp_replace(regexp_extract(regexp_extract(html,
+        |      '(?i)<base(\s[^>]*)?>', 0),
+        |      '(?i)\bhref\s*=\s*("[^">]*"|''[^''>]*'')', 1),
+        |      '^["'']|["'']$$', '', 'g') AS bas,
         |    trim(regexp_replace(regexp_extract(regexp_extract(html,
         |      '(?i)<link\s[^>]*rel\s*=\s*("canonical"|''canonical'')[^>]*>', 0),
         |      '(?i)\bhref\s*=\s*("[^">]*"|''[^''>]*'')', 1),
-        |      '^["'']|["'']$', '', 'g')) AS canr
-        |  FROM m)
+        |      '^["'']|["'']$$', '', 'g')) AS canr
+        |  FROM m),
+        |xb AS (SELECT x.*, ${resolveSql("bas")} AS baseurl FROM x),
+        |xe AS (
+        |  SELECT doc_id, html, canr,
+        |    CASE WHEN baseurl IS NOT NULL THEN
+        |      regexp_extract(baseurl, '^(?i)(https?)://', 1) ELSE sch END AS sch2,
+        |    CASE WHEN baseurl IS NOT NULL THEN
+        |      regexp_extract(baseurl, '^(?i)https?://([^/?#]+)', 1)
+        |      ELSE hst END AS hst2,
+        |    CASE WHEN baseurl IS NOT NULL THEN
+        |      regexp_extract(baseurl, '^(?i)https?://[^/?#]+(/[^?#]*)', 1)
+        |      ELSE pth END AS pth2
+        |  FROM xb),
+        |xf AS (SELECT doc_id, html, canr,
+        |         sch2 AS sch, hst2 AS hst, pth2 AS pth FROM xe)
         |SELECT doc_id,
         |  trim(regexp_replace(regexp_extract(html,
         |    '(?is)<title[^>]*>(.*?)</title\s*>', 1), '\s+', ' ', 'g')) AS title,
         |  regexp_replace(regexp_extract(regexp_extract(html,
         |    '(?i)<meta\s[^>]*name\s*=\s*("description"|''description'')[^>]*>', 0),
         |    '(?i)\bcontent\s*=\s*("[^">]*"|''[^''>]*'')', 1),
-        |    '^["'']|["'']$', '', 'g') AS meta_description,
-        |  coalesce(regexp_replace(CASE
-        |    WHEN regexp_matches(canr, '^(?i)https?://') THEN canr
-        |    WHEN regexp_matches(canr, '^//') THEN sch || ':' || canr
-        |    WHEN regexp_matches(canr, '^/') THEN sch || '://' || hst || canr
-        |    WHEN canr = '' OR regexp_matches(canr, '^#')
-        |         OR regexp_matches(canr, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
-        |    ELSE sch || '://' || hst ||
-        |         (CASE WHEN pth = '' THEN '/'
-        |               ELSE regexp_replace(pth, '[^/]*$', '') END) ||
-        |         canr END, '#.*', ''), '') AS canonical_url,
+        |    '^["'']|["'']$$', '', 'g') AS meta_description,
+        |  coalesce(${resolveSql("canr")}, '') AS canonical_url,
         |  regexp_replace(regexp_extract(html,
         |    '(?i)<html\s[^>]*\blang\s*=\s*("[^">]*"|''[^''>]*'')', 1),
-        |    '^["'']|["'']$', '', 'g') AS html_lang,
+        |    '^["'']|["'']$$', '', 'g') AS html_lang,
         |  regexp_matches(regexp_extract(html,
         |    '(?i)<meta\s[^>]*name\s*=\s*("robots"|''robots'')[^>]*>', 0),
         |    '(?i)\bcontent\s*=\s*("[^">]*\bnoindex\b|''[^''>]*\bnoindex\b)') AS noindex
-        |FROM x""".stripMargin) {
+        |FROM xf""".stripMargin) {
       (s, d) => {
         val did = col("doc_id")
         val ds = did.cast("string")
         val uri = concat(lit("http://h"), pmod(did, lit(19)).cast("string"),
           lit(".example.org/p/"), ds)
         val html = concat(
-          lit("<html lang=\""), col("lang"), lit("\"><head><title>  Doc "),
+          lit("<html lang=\""), col("lang"), lit("\"><head>"),
+          when(pmod(did, lit(7)) === 5,
+            lit("<base href=\"http://canon-b.example/cb/\">"))
+            .otherwise(lit("")),
+          lit("<title>  Doc "),
           ds, lit("\n - "), col("source"), lit("  </title>"),
           when(pmod(did, lit(4)) === 0,
             concat(lit("<meta name=\"description\" content=\"doc "),

@@ -211,6 +211,63 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got.contains(("http://x/aa", "http://x/aa", 0L, "ok")))
   }
 
+  // HTML spec: the <base> element's href rebases every RELATIVE
+  // reference in the document; only the FIRST base is honored, and
+  // the base href may itself be relative (resolved against the
+  // document URI). The %k fixture only synthesizes absolute same-
+  // grammar bases — the edges live here.
+  test("outlinks: <base href> rebases relative links; first base wins; src_host stays the page host") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      // absolute base on another host: root-/path-relative rebase,
+      // absolute links untouched
+      (1L, "http://a.x/dir/page",
+        "<head><base href=\"http://b.y/bd/\"></head>" +
+          "<a href=\"/root\">r</a><a href=\"rel\">p</a>" +
+          "<a href=\"http://c.z/abs\">a</a>"),
+      // RELATIVE base href: resolved against the document URI first
+      // (HTML allows it), so links rebase under a.x/sub/
+      (2L, "http://a.x/dir/page", "<base href='sub/'><a href='rel'>p</a>"),
+      // two base tags: the FIRST wins (regexp_extract's first match)
+      (3L, "http://a.x/p",
+        "<base href=\"http://one.x/d/\"><base href=\"http://two.x/d/\">" +
+          "<a href=\"rel\">p</a>"),
+      // out-of-grammar base (non-http scheme): falls back to the URI
+      (4L, "http://a.x/dir/p", "<base href=\"ftp://f.x/\"><a href='rel'>p</a>"),
+      // no base at all: the document URI is the base
+      (5L, "http://a.x/dir/p", "<a href='rel'>p</a>")
+    ).toDF("id", "uri", "html")
+    val got = WebGraph.outlinks(pages, "id", col("uri"), col("html"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2)) ->
+        ((r.getString(3), r.getString(5), r.getString(6)))).toMap
+    assert(got((1L, "/root")) === (("http://b.y/root", "a.x", "b.y")))
+    assert(got((1L, "rel")) === (("http://b.y/bd/rel", "a.x", "b.y")))
+    assert(got((1L, "http://c.z/abs")) === (("http://c.z/abs", "a.x", "c.z")))
+    assert(got((2L, "rel")) === (("http://a.x/dir/sub/rel", "a.x", "a.x")))
+    assert(got((3L, "rel")) === (("http://one.x/d/rel", "a.x", "one.x")))
+    assert(got((4L, "rel")) === (("http://a.x/dir/rel", "a.x", "a.x")))
+    assert(got((5L, "rel")) === (("http://a.x/dir/rel", "a.x", "a.x")))
+  }
+
+  test("pageMeta: a relative canonical rebases through <base href> like any relative reference") {
+    val s = spark
+    import s.implicits._
+    val got = Seq(
+      ("http://a.x/dir/p",
+        "<head><base href=\"http://b.y/bd/\">" +
+          "<link rel=\"canonical\" href=\"canon.html\"></head>"),
+      ("http://a.x/dir/p",
+        "<head><link rel=\"canonical\" href=\"canon.html\"></head>")
+    ).toDF("uri", "html")
+      .select(WebGraph.pageMeta(col("uri"), col("html"))
+        .getField("canonical_url"))
+      .collect().map(_.getString(0))
+    assert(got === Array("http://b.y/bd/canon.html",
+      "http://a.x/dir/canon.html"))
+  }
+
   // RFC 7231 §7.1.2: "The Location header field value... can be a
   // relative reference" — the forms the %k fixture cannot synthesize
   // per-row without arithmetic, asserted here explicitly.
