@@ -97,19 +97,47 @@ object WebGraph {
     regexp_replace(resolved, "#.*", "")
   }
 
+  /** Cheap substring pre-test for [[BasePattern]]: any string the
+    * full pattern matches necessarily contains a case-variant of
+    * `<base`, so guarding the tag extraction behind this `rlike` is
+    * semantics-free — and the overwhelming majority of real pages
+    * (no base element) skip the heavier scan entirely. This is the
+    * r13 verdict's fix: the unguarded per-page base scan cost the
+    * whole WAT family 2–5×.
+    */
+  private val BaseGuard = "(?i)<base"
+
+  /** The base `<base …>` tag of a page, materialization-friendly: ""
+    * when the page carries none (the guarded fast path — one cheap
+    * substring scan, no tag regex). The "" no-tag value flows through
+    * [[HrefPattern]] extraction and [[resolve]] to the same
+    * document-URI fallback as an absent match.
+    */
+  private def baseTag(html: Column): Column =
+    when(html.rlike(BaseGuard), regexp_extract(html, BasePattern, 0))
+      .otherwise(lit(""))
+
   /** The effective resolution base: the document URI's (scheme, host,
     * path) unless the page carries a `<base href>` — in which case the
     * base href (itself resolved against the document URI; relative
     * base hrefs are legal HTML) supplies all three. Out-of-grammar
     * base hrefs (absent, empty, fragment-only, non-http scheme) fall
     * back to the document URI — the tolerant-reader convention.
+    *
+    * EXPRESSION form — every reference to the returned columns
+    * re-evaluates the (guarded) base extraction, so this is only for
+    * consumers whose struct pruning drops the based fields (e.g.
+    * [[pageMeta]]'s noindex-only callers). Frame-shaped consumers use
+    * [[withEffectiveBase]], which materializes the scan ONCE per page
+    * in dedicated projections — evaluation count guaranteed by plan
+    * shape, not by codegen subexpression elimination (conditional
+    * branches are exempt from CSE, the r13 regression mechanism).
     */
   private def effectiveBase(uri: Column, html: Column): (Column, Column, Column) = {
     val sch0 = regexp_extract(uri, "^(https?)://", 1)
     val hst0 = regexp_extract(uri, "^https?://([^/?#]+)", 1)
     val pth0 = regexp_extract(uri, "^https?://[^/?#]+(/[^?#]*)", 1)
-    val rawBase = unquote(regexp_extract(
-      regexp_extract(html, BasePattern, 0), HrefPattern, 1))
+    val rawBase = unquote(regexp_extract(baseTag(html), HrefPattern, 1))
     val baseUrl = resolve(rawBase, sch0, hst0, pth0)
     (when(baseUrl.isNotNull,
       regexp_extract(baseUrl, "^(?i)(https?)://", 1)).otherwise(sch0),
@@ -119,6 +147,46 @@ object WebGraph {
         regexp_extract(baseUrl, "^(?i)https?://[^/?#]+(/[^?#]*)", 1))
         .otherwise(pth0))
   }
+
+  /** [[effectiveBase]] as materialized columns: appends `__sch`/`__h`/
+    * `__p` (the effective scheme, host, path) to `df`, with the
+    * expensive steps pinned to their own projections so each runs
+    * exactly once per page regardless of how many downstream branches
+    * consume them:
+    *
+    *   1. `__bt` — the guarded base-tag extract (the only full-HTML
+    *      scan on this path; base-less pages pay one cheap substring
+    *      test);
+    *   2. `__bu` — the base href resolved against the document URI
+    *      (tiny-string work);
+    *   3. `__sch`/`__h`/`__p` — the per-component fallback choice.
+    *
+    * The projection boundaries hold because Catalyst's CollapseProject
+    * refuses to inline a non-cheap producer referenced more than once
+    * — `__bt` is consumed ~6× by [[resolve]]'s branch tree and `__bu`
+    * by all three component columns, so the plan cannot re-fuse them
+    * into per-branch re-evaluation.
+    */
+  private def withEffectiveBase(df: DataFrame, uri: Column,
+                                html: Column): DataFrame =
+    df.withColumn("__sch0", regexp_extract(uri, "^(https?)://", 1))
+      .withColumn("__hst0", regexp_extract(uri, "^https?://([^/?#]+)", 1))
+      .withColumn("__pth0",
+        regexp_extract(uri, "^https?://[^/?#]+(/[^?#]*)", 1))
+      .withColumn("__bt", baseTag(html))
+      .withColumn("__bu",
+        resolve(unquote(regexp_extract(col("__bt"), HrefPattern, 1)),
+          col("__sch0"), col("__hst0"), col("__pth0")))
+      .withColumn("__sch", when(col("__bu").isNotNull,
+        regexp_extract(col("__bu"), "^(?i)(https?)://", 1))
+        .otherwise(col("__sch0")))
+      .withColumn("__h", when(col("__bu").isNotNull,
+        regexp_extract(col("__bu"), "^(?i)https?://([^/?#]+)", 1))
+        .otherwise(col("__hst0")))
+      .withColumn("__p", when(col("__bu").isNotNull,
+        regexp_extract(col("__bu"), "^(?i)https?://[^/?#]+(/[^?#]*)", 1))
+        .otherwise(col("__pth0")))
+      .drop("__sch0", "__pth0", "__bt", "__bu")
 
   /** Per-page outlinks: one row per RESOLVABLE href, in page order.
     *
@@ -136,12 +204,17 @@ object WebGraph {
     */
   def outlinks(df: DataFrame, idCol: String, uri: Column,
                html: Column): DataFrame = {
-    val (sch, hst, pth) = effectiveBase(uri, html)
-    val tagged = df.select(
+    // base materialized ONCE per page ([[withEffectiveBase]] — __hst0
+    // doubles as src_host provenance: the page's own authority,
+    // base-independent by contract)
+    val based = withEffectiveBase(
+      df.select(col(idCol), uri.as("__uri"), html.as("__html")),
+      col("__uri"), col("__html"))
+    val tagged = based.select(
       col(idCol),
-      sch.as("__sch"), hst.as("__h"), pth.as("__p"),
-      regexp_extract(uri, "^https?://([^/?#]+)", 1).as("__h0"),
-      posexplode(regexp_extract_all(html, lit(TagPattern), lit(0)))
+      col("__sch"), col("__h"), col("__p"),
+      col("__hst0").as("__h0"),
+      posexplode(regexp_extract_all(col("__html"), lit(TagPattern), lit(0)))
         .as(Seq("__pos", "__tag")))
     // an <a> without an href extracts "" — dropped by the same branch
     // as an explicit empty href (no target either way)
@@ -185,24 +258,33 @@ object WebGraph {
     * Returns a struct column (title, meta_description, canonical_url,
     * html_lang, noindex) — title whitespace-normalized and trimmed.
     */
-  def pageMeta(uri: Column, html: Column): Column = {
-    def tagAttr(tagPattern: String, attrPattern: String): Column =
-      unquote(regexp_extract(regexp_extract(html, tagPattern, 0),
-        attrPattern, 1))
-    val content = "(?i)\\bcontent\\s*=\\s*(\"[^\">]*\"|'[^'>]*')"
-    val (sch, hst, pth) = effectiveBase(uri, html)
-    val rawCanonical = tagAttr(
-      "(?i)<link\\s[^>]*rel\\s*=\\s*(\"canonical\"|'canonical')[^>]*>",
-      HrefPattern)
+  /** The `<link rel="canonical">` tag and the raw href inside it. */
+  private val CanonicalTagPattern: String =
+    "(?i)<link\\s[^>]*rel\\s*=\\s*(\"canonical\"|'canonical')[^>]*>"
+
+  private val ContentAttrPattern: String =
+    "(?i)\\bcontent\\s*=\\s*(\"[^\">]*\"|'[^'>]*')"
+
+  /** The raw (unresolved) canonical href of a page, "" when absent. */
+  private def rawCanonical(html: Column): Column =
+    unquote(regexp_extract(regexp_extract(html, CanonicalTagPattern, 0),
+      HrefPattern, 1))
+
+  /** The WAT-record struct over an html column and an ALREADY-resolved
+    * canonical URL — the single field-set shared by both [[pageMeta]]
+    * forms so their semantics cannot diverge. Every field is one
+    * full-HTML scan; each is referenced exactly once, so the struct
+    * costs one scan per field however it is consumed.
+    */
+  private def metaStruct(html: Column, canonicalUrl: Column): Column =
     struct(
       trim(regexp_replace(
         regexp_extract(html, "(?is)<title[^>]*>(.*?)</title\\s*>", 1),
         "\\s+", " ")).as("title"),
-      tagAttr(
+      unquote(regexp_extract(regexp_extract(html,
         "(?i)<meta\\s[^>]*name\\s*=\\s*(\"description\"|'description')[^>]*>",
-        content).as("meta_description"),
-      coalesce(resolve(rawCanonical, sch, hst, pth), lit(""))
-        .as("canonical_url"),
+        0), ContentAttrPattern, 1)).as("meta_description"),
+      canonicalUrl.as("canonical_url"),
       unquote(regexp_extract(html,
         "(?i)<html\\s[^>]*\\blang\\s*=\\s*(\"[^\">]*\"|'[^'>]*')", 1))
         .as("html_lang"),
@@ -210,6 +292,41 @@ object WebGraph {
         "(?i)<meta\\s[^>]*name\\s*=\\s*(\"robots\"|'robots')[^>]*>", 0)
         .rlike("(?i)\\bcontent\\s*=\\s*(\"[^\">]*\\bnoindex\\b|'[^'>]*\\bnoindex\\b)")
         .as("noindex"))
+
+  /** EXPRESSION form: use only when struct pruning drops the
+    * `canonical_url` field (e.g. a `.getField("noindex")` consumer —
+    * Catalyst rewrites the extract to the field expression alone, so
+    * none of the base/canonical machinery survives into the plan).
+    * A consumer of the WHOLE struct re-evaluates the base and
+    * canonical extractions once per branch reference — use
+    * [[pageMetaFrame]] there, which materializes them once per page.
+    */
+  def pageMeta(uri: Column, html: Column): Column = {
+    val (sch, hst, pth) = effectiveBase(uri, html)
+    metaStruct(html,
+      coalesce(resolve(rawCanonical(html), sch, hst, pth), lit("")))
+  }
+
+  /** FRAME form of [[pageMeta]]: appends the WAT-record struct as
+    * column `out`, with the base-tag and canonical extractions
+    * materialized ONCE per page in dedicated projections (the same
+    * [[withEffectiveBase]] discipline as [[outlinks]] — evaluation
+    * count guaranteed by plan shape). Use this form whenever
+    * `canonical_url` is consumed.
+    */
+  def pageMetaFrame(df: DataFrame, uri: Column, html: Column,
+                    out: String = "meta"): DataFrame = {
+    val keep = df.columns.toSeq
+    val based = withEffectiveBase(
+      df.withColumn("__muri", uri).withColumn("__mhtml", html),
+      col("__muri"), col("__mhtml"))
+    based
+      .withColumn("__canr", rawCanonical(col("__mhtml")))
+      .withColumn("__canu",
+        coalesce(resolve(col("__canr"), col("__sch"), col("__h"), col("__p")),
+          lit("")))
+      .select((keep.map(col) :+
+        metaStruct(col("__mhtml"), col("__canu")).as(out)): _*)
   }
 
   /** Host→host link census from an [[outlinks]]-shaped frame plus the

@@ -1141,8 +1141,10 @@ object WebGraphQueries {
               concat(lit("<link rel='canonical' href='c"), ds, lit("'>")))
             .otherwise(lit("")),
           lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
-        Tables.documents(s, d)
-          .select(did, WebGraph.pageMeta(uri, html).as("m"))
+        // frame form: the full struct (canonical_url included) is
+        // consumed, so the base/canonical scans must materialize once
+        // per page — the r13 base-regression fix
+        WebGraph.pageMetaFrame(Tables.documents(s, d), uri, html, out = "m")
           .select(col("doc_id"), col("m.title"), col("m.meta_description"),
             col("m.canonical_url"), col("m.html_lang"), col("m.noindex"))
       }

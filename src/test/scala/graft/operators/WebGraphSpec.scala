@@ -268,6 +268,36 @@ class WebGraphSpec extends AnyFunSuite {
       "http://a.x/dir/canon.html"))
   }
 
+  test("pageMeta forms agree: the expression and frame forms produce identical structs") {
+    val s = spark
+    import s.implicits._
+    // every field populated, base-bearing AND base-less, relative and
+    // absolute canonicals — the exact surface the frame form's
+    // materialized projections must reproduce byte-for-byte
+    val pages = Seq(
+      (1L, "http://a.x/dir/p",
+        "<html lang=\"en\"><head><base href='http://b.y/bd/'>" +
+          "<title> T \n 1 </title>" +
+          "<meta name=\"description\" content=\"d's 1\">" +
+          "<meta content=\"noindex\" name=\"robots\">" +
+          "<link rel=\"canonical\" href=\"c.html\"></head></html>"),
+      (2L, "http://a.x/dir/p",
+        "<html><head><link rel='canonical' href='/c/2'></head></html>"),
+      (3L, "http://a.x/p", "<html><body>nothing</body></html>"),
+      (4L, "http://a.x/p",
+        "<base href=\"sub/\"><link rel=\"canonical\" href=\"c4\">")
+    ).toDF("id", "uri", "html")
+    val expr = pages.select(col("id"),
+        WebGraph.pageMeta(col("uri"), col("html")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1).toSeq).toMap
+    val frame = WebGraph.pageMetaFrame(pages, col("uri"), col("html"))
+      .select(col("id"), col("meta"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1).toSeq).toMap
+    assert(frame === expr)
+    assert(frame(1L) === Seq("T 1", "d's 1", "http://b.y/bd/c.html", "en", true))
+    assert(frame(4L) === Seq("", "", "http://a.x/sub/c4", "", false))
+  }
+
   // RFC 7231 §7.1.2: "The Location header field value... can be a
   // relative reference" — the forms the %k fixture cannot synthesize
   // per-row without arithmetic, asserted here explicitly.
