@@ -55,8 +55,11 @@ object WebGraphQueries {
         lit("<body><p>"), col("text"), lit("</p>"),
         lit("<a href=\"http://"), h(pmod(did * 7 + 3, lit(19))),
         lit("/x/"), ds, lit("\">a</a>"),
+        // entity-escaped ampersand: the spec-correct spelling of a
+        // multi-parameter URL in an attribute value — href stays raw,
+        // url decodes (the r13 verdict's blind-by-construction gap)
         lit("<a class=\"n\" href=\"/p/"), (did + 1).cast("string"),
-        lit("\">b</a>"),
+        lit("?a=1&amp;b=2\">b</a>"),
         lit("<a href=\"//"), h(pmod(did * 5 + 1, lit(19))),
         lit("/y/"), ds, lit("\">c</a>"),
         lit("<a href='r/"), ds, lit("'>d</a>"),
@@ -77,6 +80,17 @@ object WebGraphQueries {
     * ([[redirectCtes]]' `red`), so link-target and Location-target
     * resolution semantics cannot diverge between the two families.
     */
+  /** Oracle twin of [[graft.operators.WebGraph.htmlUnescape]]: the
+    * five named references decode first (their replacements cannot
+    * form another reference), then ONE global regex pass decodes the
+    * ampersand class — single-pass, so `&amp;lt;` decodes once to the
+    * literal `&lt;`, exactly like the engine's chain.
+    */
+  private def unescapeSql(v: String): String =
+    "regexp_replace(replace(replace(replace(replace(replace(" + v +
+      ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&apos;', ''''), " +
+      "'&#39;', ''''), '&(amp|#38|#x26);', '&', 'g')"
+
   private def resolveSql(v: String): String =
     s"""regexp_replace(CASE
        |      WHEN regexp_matches(trim($v), '^(?i)https?://') THEN trim($v)
@@ -109,7 +123,7 @@ object WebGraphQueries {
       |    '<body><p>' || text || '</p>' ||
       |    '<a href="http://h' || ((doc_id * 7 + 3) % 19) ||
       |      '.example.org/x/' || doc_id || '">a</a>' ||
-      |    '<a class="n" href="/p/' || (doc_id + 1) || '">b</a>' ||
+      |    '<a class="n" href="/p/' || (doc_id + 1) || '?a=1&amp;b=2">b</a>' ||
       |    '<a href="//h' || ((doc_id * 5 + 1) % 19) ||
       |      '.example.org/y/' || doc_id || '">c</a>' ||
       |    '<a href=''r/' || doc_id || '''>d</a>' ||
@@ -141,15 +155,18 @@ object WebGraphQueries {
       |    regexp_matches(tag,
       |      '(?i)\brel\s*=\s*("[^">]*\bnofollow\b|''[^''>]*\bnofollow\b)') AS nofollow
       |  FROM ext),
+      |exd AS (
+      |  SELECT *, ${unescapeSql("href")} AS hd, ${unescapeSql("bas")} AS bd
+      |  FROM exa),
       |resb AS (
-      |  SELECT y.*, ${resolveSql("bas")} AS baseurl
+      |  SELECT y.*, ${resolveSql("bd")} AS baseurl
       |  FROM (SELECT e.*,
       |          regexp_extract(uri, '^(https?)://', 1) AS sch,
       |          regexp_extract(uri, '^https?://([^/?#]+)', 1) AS hst,
       |          regexp_extract(uri, '^https?://[^/?#]+(/[^?#]*)', 1) AS pth
-      |        FROM exa e) y),
+      |        FROM exd e) y),
       |rese AS (
-      |  SELECT doc_id, link_no, href, nofollow, hst AS src_host,
+      |  SELECT doc_id, link_no, href, hd, nofollow, hst AS src_host,
       |    CASE WHEN baseurl IS NOT NULL THEN
       |      regexp_extract(baseurl, '^(?i)(https?)://', 1) ELSE sch END AS sch2,
       |    CASE WHEN baseurl IS NOT NULL THEN
@@ -161,9 +178,9 @@ object WebGraphQueries {
       |  FROM resb),
       |res AS (
       |  SELECT doc_id, link_no, href, nofollow,
-      |    ${resolveSql("href")} AS url,
+      |    ${resolveSql("hd")} AS url,
       |    src_host
-      |  FROM (SELECT doc_id, link_no, href, nofollow, src_host,
+      |  FROM (SELECT doc_id, link_no, href, hd, nofollow, src_host,
       |          sch2 AS sch, hst2 AS hst, pth2 AS pth FROM rese) z),
       |links AS MATERIALIZED (
       |  SELECT doc_id, CAST(link_no AS BIGINT) AS link_no, href, url,
@@ -1065,7 +1082,8 @@ object WebGraphQueries {
         |      '<link rel="canonical" href="http://canon.example/c/' ||
         |      (doc_id - doc_id % 3) || '">'
         |    WHEN doc_id % 3 = 1 THEN
-        |      '<link rel="canonical" href="/c/' || doc_id || '">'
+        |      '<link rel="canonical" href="/c/' || doc_id ||
+        |      '?x=1&amp;y=2">'
         |    WHEN doc_id % 6 = 2 THEN
         |      '<link rel=''canonical'' href=''c' || doc_id || '''>'
         |    ELSE '' END ||
@@ -1085,9 +1103,11 @@ object WebGraphQueries {
         |      '(?i)\bhref\s*=\s*("[^">]*"|''[^''>]*'')', 1),
         |      '^["'']|["'']$$', '', 'g')) AS canr
         |  FROM m),
-        |xb AS (SELECT x.*, ${resolveSql("bas")} AS baseurl FROM x),
+        |xd AS (SELECT *, ${unescapeSql("bas")} AS bas_d,
+        |         ${unescapeSql("canr")} AS canr_d FROM x),
+        |xb AS (SELECT xd.*, ${resolveSql("bas_d")} AS baseurl FROM xd),
         |xe AS (
-        |  SELECT doc_id, html, canr,
+        |  SELECT doc_id, html, canr_d,
         |    CASE WHEN baseurl IS NOT NULL THEN
         |      regexp_extract(baseurl, '^(?i)(https?)://', 1) ELSE sch END AS sch2,
         |    CASE WHEN baseurl IS NOT NULL THEN
@@ -1097,7 +1117,7 @@ object WebGraphQueries {
         |      regexp_extract(baseurl, '^(?i)https?://[^/?#]+(/[^?#]*)', 1)
         |      ELSE pth END AS pth2
         |  FROM xb),
-        |xf AS (SELECT doc_id, html, canr,
+        |xf AS (SELECT doc_id, html, canr_d,
         |         sch2 AS sch, hst2 AS hst, pth2 AS pth FROM xe)
         |SELECT doc_id,
         |  trim(regexp_replace(regexp_extract(html,
@@ -1106,7 +1126,7 @@ object WebGraphQueries {
         |    '(?i)<meta\s[^>]*name\s*=\s*("description"|''description'')[^>]*>', 0),
         |    '(?i)\bcontent\s*=\s*("[^">]*"|''[^''>]*'')', 1),
         |    '^["'']|["'']$$', '', 'g') AS meta_description,
-        |  coalesce(${resolveSql("canr")}, '') AS canonical_url,
+        |  coalesce(${resolveSql("canr_d")}, '') AS canonical_url,
         |  regexp_replace(regexp_extract(html,
         |    '(?i)<html\s[^>]*\blang\s*=\s*("[^">]*"|''[^''>]*'')', 1),
         |    '^["'']|["'']$$', '', 'g') AS html_lang,
@@ -1136,7 +1156,8 @@ object WebGraphQueries {
             concat(lit("<link rel=\"canonical\" href=\"http://canon.example/c/"),
               (did - pmod(did, lit(3))).cast("string"), lit("\">")))
             .when(pmod(did, lit(3)) === 1,
-              concat(lit("<link rel=\"canonical\" href=\"/c/"), ds, lit("\">")))
+              concat(lit("<link rel=\"canonical\" href=\"/c/"), ds,
+                lit("?x=1&amp;y=2\">")))
             .when(pmod(did, lit(6)) === 2,
               concat(lit("<link rel='canonical' href='c"), ds, lit("'>")))
             .otherwise(lit("")),

@@ -114,6 +114,48 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got(3L)._2 === "http://q.example/x\"y")
   }
 
+  // HTML spec: `&` MUST be entity-escaped inside attribute values, so
+  // `&amp;` is the normal spelling of a multi-parameter URL in real
+  // pages. The %k fixtures carry one `&amp;` href; the decode-order
+  // and numeric-form edges live here.
+  test("character references in hrefs decode before resolution; raw href keeps the bytes") {
+    val got = links("http://a.x/dir/p",
+      """<a href="/p?a=1&amp;b=2">1</a>""" +
+        """<a href='q?x=&#38;y'>2</a>""" +
+        """<a href="/o&apos;brien">3</a>""" +
+        """<a href="/h?u=&#x26;v">4</a>""" +
+        """<a href="/p?x=&amp;amp;">5</a>""" +
+        """<a href="/lt?a=&amp;lt;">6</a>""")
+    assert(got(1L)._1 === "/p?a=1&amp;b=2") // provenance: raw bytes
+    assert(got(1L)._2 === "http://a.x/p?a=1&b=2")
+    assert(got(2L)._2 === "http://a.x/dir/q?x=&y") // numeric decimal
+    assert(got(3L)._2 === "http://a.x/o'brien") // named apostrophe
+    assert(got(4L)._2 === "http://a.x/h?u=&v") // numeric hex
+    // double-escaped: ONE decode, never two (single-pass amp class)
+    assert(got(5L)._2 === "http://a.x/p?x=&amp;")
+    assert(got(6L)._2 === "http://a.x/lt?a=&lt;")
+  }
+
+  test("character references in base and canonical hrefs decode like any attribute value") {
+    val s = spark
+    import s.implicits._
+    // entity in the base PATH (a query would be invisible to the
+    // directory computation) rebases relatives under the decoded dir
+    val got = links("http://a.x/dir/p",
+      "<base href=\"http://b.y/a&amp;b/\"><a href='rel'>1</a>")
+    assert(got(1L)._2 === "http://b.y/a&b/rel")
+    val canon = Seq(
+      ("http://a.x/p", "<head><link rel=\"canonical\" " +
+        "href=\"/c?a=1&amp;b=2\"></head>"))
+      .toDF("uri", "html")
+    val expr = canon.select(WebGraph.pageMeta(col("uri"), col("html"))
+      .getField("canonical_url")).collect().map(_.getString(0))
+    val frame = WebGraph.pageMetaFrame(canon, col("uri"), col("html"))
+      .select(col("meta.canonical_url")).collect().map(_.getString(0))
+    assert(expr === Array("http://a.x/c?a=1&b=2"))
+    assert(frame === expr)
+  }
+
   test("pageMeta: title normalization, attribute order, absent elements, noindex token, canonical absolutization") {
     val s = spark
     import s.implicits._
