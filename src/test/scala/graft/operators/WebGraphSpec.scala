@@ -355,7 +355,8 @@ class WebGraphSpec extends AnyFunSuite {
       // path-relative: resolved against the base DIRECTORY
       ("http://a.example/old/alias", 303, "page"),
       // query-only: path-relative per the documented RFC-3986-lite
-      // contract (no dot-segment or query-merge semantics)
+      // contract (no query-merge semantics; dot segments DO
+      // normalize — §5.2.4 — see the dot-segment spec below)
       ("http://a.example/old/q", 301, "?v=2"),
       // fragment-only Location is outside the grammar -> non-redirect
       ("http://c.example/frag", 301, "#sec"),
@@ -380,6 +381,51 @@ class WebGraphSpec extends AnyFunSuite {
       (("http://c.example/frag", 0L, "ok")))
     assert(got("http://c.example/ftp") ===
       (("http://c.example/ftp", 0L, "ok")))
+  }
+
+  // RFC 3986 §5.2.4: since the resolve chain feeds URL-grain
+  // equi-joins (redirect chains, alias collapse, frontier merge),
+  // `http://h/a/../p` must normalize to the fetched `/p` spelling.
+  test("dot segments in resolved targets normalize per RFC 3986 §5.2.4") {
+    val got = links("http://a.x/d1/d2/page",
+      """<a href="../up">1</a>""" +
+        """<a href="./same">2</a>""" +
+        """<a href="../../root">3</a>""" +
+        """<a href="../../../over">4</a>""" +
+        """<a href="http://b.y/a/../abs">5</a>""" +
+        """<a href="/.well-known/x">6</a>""" +
+        """<a href="x/..">7</a>""" +
+        """<a href="/p/../q?r=/s/../t">8</a>""")
+    assert(got(1L)._2 === "http://a.x/d1/up")
+    assert(got(2L)._2 === "http://a.x/d1/d2/same")
+    assert(got(3L)._2 === "http://a.x/root")
+    // over-pop: a leading ../ beyond the root drops (§5.2.4 rule 2C)
+    assert(got(4L)._2 === "http://a.x/over")
+    // absolute targets normalize too (§5.2.2 applies the removal to
+    // every target path, not only relative references)
+    assert(got(5L)._2 === "http://b.y/abs")
+    // a dot-PREFIXED segment is not a dot segment
+    assert(got(6L)._2 === "http://a.x/.well-known/x")
+    // trailing pair cancels to the directory
+    assert(got(7L)._2 === "http://a.x/d1/d2/")
+    // the QUERY is never touched by path normalization
+    assert(got(8L)._2 === "http://a.x/q?r=/s/../t")
+  }
+
+  test("redirectChains: a dot-segment Location settles on the fetched spelling") {
+    val s = spark
+    import s.implicits._
+    val resp = Seq(
+      ("http://h.x/a/q", 301, "../p"),
+      ("http://h.x/p", 200, null.asInstanceOf[String])
+    ).toDF("url", "status", "location")
+    val got = WebGraph.redirectChains(resp, "url", col("status"),
+        col("location"), maxHops = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getString(3)))).toMap
+    // without §5.2.4 this would dangle at http://h.x/a/../p
+    assert(got("http://h.x/a/q") === (("http://h.x/p", 1L, "ok")))
   }
 
   test("redirectChains: two relative spellings of one destination are no conflict") {
