@@ -220,7 +220,11 @@ object Frontier {
     *
     * `Retry-After` carries either delay-seconds or an HTTP-date (the
     * RFC's two forms): digits parse as seconds from the OBSERVING
-    * fetch's time, anything else goes through
+    * fetch's time — a syntactically valid value LONGER than 15 digits
+    * SATURATES at the 15-digit horizon (10^15−1 s ≈ 31M years: an
+    * absurd ask reads as "maximally backed off", never as "no
+    * backoff"; dropping it would invert the max-horizon discipline,
+    * the r13 ADVICE item) — anything else goes through
     * [[graft.sources.Warc.httpDateMillis]] (IMF-fixdate; obsolete
     * forms → null → the response contributes no backoff, never an
     * error). Several throttled responses per host fold to the MAX
@@ -235,6 +239,8 @@ object Frontier {
                   retryAfter: Column, fetchMs: Column): DataFrame = {
     val t = trim(retryAfter)
     val until = when(t.rlike("^\\d{1,15}$"), fetchMs + t.cast("long") * 1000)
+      .when(t.rlike("^\\d{16,}$"),
+        fetchMs + lit(999999999999999L) * 1000)
       .otherwise(graft.sources.Warc.httpDateMillis(t))
     responses.select(
         lower(regexp_extract(url, "(?i)^https?://([^/?#]+)", 1)).as("host"),

@@ -265,16 +265,20 @@ object WebGraphQueries {
        |${(0 until iters).map(it).mkString(",\n")}""".stripMargin
   }
 
-  /** Oracle CTE chain `hosts`→`rob`→`lines`→…→`dirs` shared by q250
-    * and the q251 composition: the synthetic per-host robots bodies
-    * (all three RFC 9309 selection tiers represented — see q250's
-    * comment) and the full parse/group/select/compile funnel, ending
-    * in the effective (host, rule, path, pattern) directive set for
-    * the `graftbot` product token.
+  /** Oracle CTE chain `hosts`→`rob0`→`rob`→`lines`→…→`dirs` shared by
+    * q250 and the q251 composition: the synthetic per-host robots
+    * bodies (all three RFC 9309 selection tiers represented — see
+    * q250's comment; k%7==3 hosts ship BOM-prefixed CRLF bodies, the
+    * Windows-served form) and the full parse/group/select/compile
+    * funnel, ending in the effective (host, rule, path, pattern)
+    * directive set for the `graftbot` product token. The `lines` CTE
+    * mirrors the engine's full line-delimiter contract
+    * (`Robots.scala` — BOM strip, CRLF/CR/LF split), not the LF-only
+    * fixture subset (the r13 ADVICE item).
     */
   private val robotsDirsCtes: String =
     """hosts AS (SELECT DISTINCT (doc_id % 19) AS k FROM documents),
-      |rob AS (
+      |rob0 AS (
       |  SELECT 'h' || k || '.example.org' AS host,
       |    '# robots for h' || k || chr(10) ||
       |    CASE WHEN k % 2 = 0 THEN 'Sitemap: http://h' || k ||
@@ -296,13 +300,21 @@ object WebGraphQueries {
       |    CASE WHEN k % 4 = 2 THEN 'Crawl-delay: 10' || chr(10)
       |         ELSE '' END ||
       |    CASE WHEN k % 4 = 1 THEN 'Disallow: /a.b/' || chr(10)
-      |         ELSE '' END AS body
+      |         ELSE '' END AS body0, k
       |  FROM hosts),
+      |rob AS (
+      |  SELECT host,
+      |    CASE WHEN k % 7 = 3
+      |      THEN chr(65279) || replace(body0, chr(10), chr(13) || chr(10))
+      |      ELSE body0 END AS body
+      |  FROM rob0),
       |lines AS (
       |  SELECT host,
       |    unnest(generate_series(1, len(ln))) AS pos,
       |    unnest(ln) AS line
-      |  FROM (SELECT host, regexp_split_to_array(body, chr(10)) AS ln
+      |  FROM (SELECT host, regexp_split_to_array(
+      |          regexp_replace(body, '^\x{FEFF}', ''),
+      |          '\r\n|\r|\n') AS ln
       |        FROM rob) x),
       |kv AS (
       |  SELECT host, pos,
@@ -397,7 +409,17 @@ object WebGraphQueries {
             concat(lit("Crawl-delay: 10"), nl)).otherwise(lit("")),
           when(pmod(col("__k"), lit(4)) === 1,
             concat(lit("Disallow: /a.b/"), nl)).otherwise(lit("")))
-          .as("body"))
+          .as("body0"))
+      // k%7==3 hosts serve the Windows form: BOM-prefixed, CRLF line
+      // ends — the engine's full RFC 9309 line-delimiter contract
+      // (Robots.scala strips the BOM and splits \r\n|\r|\n), now
+      // exercised by the fixture instead of LF-only (r13 ADVICE)
+      .select(col("host"),
+        when(pmod(regexp_extract(col("host"), "^h(\\d+)", 1).cast("int"),
+          lit(7)) === 3,
+          concat(lit("\uFEFF"),
+            regexp_replace(col("body0"), "\n", "\r\n")))
+          .otherwise(col("body0")).as("body"))
   }
 
   /** The crawl-delay extraction chain (`cd`→`dl`, expects
@@ -2316,7 +2338,7 @@ object WebGraphQueries {
          |fob AS (
          |  SELECT 'http://h' || (doc_id % 19) || '.example.org/r/' ||
          |      doc_id AS u,
-         |    1717243200000 AS t,
+         |    1719835200000 AS t,
          |    CASE WHEN doc_id % 5 = 0 THEN '"v' || doc_id || '"' END AS etag,
          |    CASE WHEN doc_id % 4 = 0
          |      THEN epoch_ms(TIMESTAMP '2024-06-01 12:00:00') END AS flm,
@@ -2326,7 +2348,7 @@ object WebGraphQueries {
          |      THEN epoch_ms(TIMESTAMP '2024-08-01 00:00:00') END AS expms
          |  FROM documents),
          |crx AS (
-         |  SELECT d.loc, f.etag, f.t, f.cc, f.expms,
+         |  SELECT d.loc, f.etag, f.t, f.cc, f.expms, f.flm,
          |    lower(coalesce(f.cc, '')) AS lcc,
          |    CASE WHEN f.flm IS NOT NULL THEN 'validator'
          |         WHEN d.lastmod_ms IS NOT NULL THEN 'sitemap' END AS hbasis,
@@ -2336,11 +2358,15 @@ object WebGraphQueries {
          |  FROM due d LEFT JOIN fob f ON f.u = d.loc)
          |SELECT loc,
          |  CASE WHEN regexp_matches(lcc,
-         |        '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)') THEN 'no-cache'
+         |        '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)')
+         |         THEN regexp_extract(lcc,
+         |           '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)', 2)
          |       WHEN regexp_extract(lcc,
          |        '(^|[,\\s])max-age\\s*=\\s*"?([0-9]{1,15})', 2) <> ''
          |         THEN 'max-age'
          |       WHEN expms IS NOT NULL THEN 'expires'
+         |       WHEN hdue IS NOT NULL THEN hbasis
+         |       WHEN flm IS NOT NULL AND t >= flm THEN 'heuristic'
          |       ELSE hbasis END AS basis,
          |  CASE WHEN regexp_matches(lcc,
          |        '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)') THEN t
@@ -2350,7 +2376,10 @@ object WebGraphQueries {
          |           '(^|[,\\s])max-age\\s*=\\s*"?([0-9]{1,15})', 2)
          |           AS BIGINT) * 1000
          |       WHEN expms IS NOT NULL THEN expms
-         |       ELSE hdue END AS due_at_ms,
+         |       WHEN hdue IS NOT NULL THEN hdue
+         |       WHEN flm IS NOT NULL AND t >= flm
+         |         THEN t + (t - flm) // 10
+         |       END AS due_at_ms,
          |  etag, conditional
          |FROM crx""".stripMargin) {
       (s, d) => {
@@ -2363,8 +2392,11 @@ object WebGraphQueries {
           graft.operators.Sitemaps.lastmodMillis(col("lastmod")).as("slm"),
           col("changefreq"))
         val urlc = concat(lit("http://h"), ks, lit(".example.org/r/"), ds)
+        // observation time 2024-07-01T12:00Z: 30 days after the June 1
+        // Last-Modified, so the §4.2.2 heuristic tier (10% of age) is
+        // a REAL 3-day lifetime, not a degenerate zero
         val raw = Tables.documents(s, d).select(urlc.as("furl"),
-          lit(1717243200000L).as("fms"),
+          lit(1719835200000L).as("fms"),
           concat(lit("HTTP/1.1 200 OK\r\n"),
             when(pmod(did, lit(4)) === 0,
               lit("Last-Modified: Sat, 01 Jun 2024 12:00:00 GMT\r\n"))
@@ -2399,12 +2431,22 @@ object WebGraphQueries {
           col("etag"), col("flm"))
         val fr = parsed.select(col("furl"),
           graft.sources.Warc.freshnessDue(col("fms"), col("cc"),
-            col("expms")).as("fr"))
+            col("expms"), col("flm")).as("fr"))
+        // precedence: explicit freshness (no-cache/no-store/max-age/
+        // expires) > typed validator/sitemap due > RFC 9111 §4.2.2
+        // heuristic (lowest — it fills only where no typed due exists)
+        val explicitFr = col("fr").isNotNull &&
+          col("fr").getField("basis") =!= "heuristic"
         cr.join(fr, cr("loc") === fr("furl"), "left_outer")
           .select(col("loc"),
-            coalesce(col("fr").getField("basis"), col("basis")).as("basis"),
-            when(col("fr").isNotNull, col("fr").getField("due_ms"))
-              .otherwise(col("due_at_ms")).as("due_at_ms"),
+            when(explicitFr, col("fr").getField("basis"))
+              .when(col("due_at_ms").isNotNull, col("basis"))
+              .when(col("fr").isNotNull, col("fr").getField("basis"))
+              .otherwise(col("basis")).as("basis"),
+            when(explicitFr, col("fr").getField("due_ms"))
+              .when(col("due_at_ms").isNotNull, col("due_at_ms"))
+              .when(col("fr").isNotNull, col("fr").getField("due_ms"))
+              .as("due_at_ms"),
             col("etag"), col("conditional"))
       }
     },
@@ -2517,10 +2559,12 @@ object WebGraphQueries {
          |  SELECT 'http://h' || (doc_id % 19) || '.example.org/r/' ||
          |      doc_id AS u,
          |    (doc_id % 19) AS k, doc_id,
-         |    CASE WHEN doc_id % 13 = 0 THEN 503
+         |    CASE WHEN doc_id % 247 = 3 THEN 503
+         |         WHEN doc_id % 13 = 0 THEN 503
          |         WHEN doc_id % 13 = 1 THEN 429
          |         WHEN doc_id % 13 = 2 THEN 503 ELSE 200 END AS status,
-         |    CASE WHEN doc_id % 13 = 0
+         |    CASE WHEN doc_id % 247 = 3 THEN '99999999999999999999'
+         |         WHEN doc_id % 13 = 0
          |           THEN CAST((doc_id % 19 + 1) * 60 AS VARCHAR)
          |         WHEN doc_id % 13 = 1
          |           THEN 'Thu, 01 Feb 2024 00:10:00 GMT'
@@ -2533,6 +2577,8 @@ object WebGraphQueries {
          |    SELECT k,
          |      CASE WHEN regexp_matches(trim(ra), '^[0-9]{1,15}$$')
          |        THEN 1706745600000 + CAST(trim(ra) AS BIGINT) * 1000
+         |        WHEN regexp_matches(trim(ra), '^[0-9]{16,}$$')
+         |        THEN 1706745600000 + 999999999999999 * 1000
          |        ELSE epoch_ms(try_strptime(
          |          CASE WHEN regexp_matches(trim(ra),
          |            '^[A-Za-z]{3}, [0-9]{2} [A-Za-z]{3} [0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2} GMT$$')
@@ -2564,13 +2610,20 @@ object WebGraphQueries {
         val ds = did.cast("string")
         val urlc = concat(lit("http://h"), ks, lit(".example.org/r/"), ds)
         val docs = Tables.documents(s, d)
+        // %247==3 (one host: k=3, since 247 = 13·19) carries a 20-digit
+        // delay-seconds — syntactically valid, absurd: SATURATES at the
+        // 15-digit horizon instead of dropping to no-backoff (r13
+        // ADVICE); contained to one host so the other hosts keep the
+        // delta-vs-date dominance design
         val resp = docs.select(did, urlc.as("rurl"),
-          when(pmod(did, lit(13)) === 0, 503)
+          when(pmod(did, lit(247)) === 3, 503)
+            .when(pmod(did, lit(13)) === 0, 503)
             .when(pmod(did, lit(13)) === 1, 429)
             .when(pmod(did, lit(13)) === 2, 503)
             .otherwise(200).as("status"),
-          when(pmod(did, lit(13)) === 0,
-            ((pmod(did, lit(19)) + 1) * 60).cast("string"))
+          when(pmod(did, lit(247)) === 3, lit("99999999999999999999"))
+            .when(pmod(did, lit(13)) === 0,
+              ((pmod(did, lit(19)) + 1) * 60).cast("string"))
             .when(pmod(did, lit(13)) === 1,
               lit("Thu, 01 Feb 2024 00:10:00 GMT"))
             .when(pmod(did, lit(13)) === 2, lit("soon"))
@@ -2650,11 +2703,15 @@ object WebGraphQueries {
          |fz AS (
          |  SELECT loc, host,
          |    CASE WHEN regexp_matches(lcc,
-         |          '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)') THEN 'no-cache'
+         |          '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)')
+         |           THEN regexp_extract(lcc,
+         |             '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)', 2)
          |         WHEN regexp_extract(lcc,
          |          '(^|[,\\s])max-age\\s*=\\s*"?([0-9]{1,15})', 2) <> ''
          |           THEN 'max-age'
          |         WHEN expms IS NOT NULL THEN 'expires'
+         |         WHEN hdue IS NOT NULL THEN hbasis
+         |         WHEN flm IS NOT NULL AND t >= flm THEN 'heuristic'
          |         ELSE hbasis END AS basis,
          |    CASE WHEN regexp_matches(lcc,
          |          '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)') THEN t
@@ -2664,7 +2721,10 @@ object WebGraphQueries {
          |             '(^|[,\\s])max-age\\s*=\\s*"?([0-9]{1,15})', 2)
          |             AS BIGINT) * 1000
          |         WHEN expms IS NOT NULL THEN expms
-         |         ELSE hdue END AS due_ms
+         |         WHEN hdue IS NOT NULL THEN hdue
+         |         WHEN flm IS NOT NULL AND t >= flm
+         |           THEN t + (t - flm) // 10
+         |         END AS due_ms
          |  FROM fx),
          |bo AS (
          |  SELECT 'h' || k || '.example.org' AS host,
@@ -2673,6 +2733,8 @@ object WebGraphQueries {
          |    SELECT k,
          |      CASE WHEN regexp_matches(trim(ra), '^[0-9]{1,15}$$')
          |        THEN t + CAST(trim(ra) AS BIGINT) * 1000
+         |        WHEN regexp_matches(trim(ra), '^[0-9]{16,}$$')
+         |        THEN t + 999999999999999 * 1000
          |        ELSE epoch_ms(try_strptime(
          |          CASE WHEN regexp_matches(trim(ra),
          |            '^[A-Za-z]{3}, [0-9]{2} [A-Za-z]{3} [0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2} GMT$$')
@@ -2762,13 +2824,20 @@ object WebGraphQueries {
           col("etag"), col("flm"))
         val fr = parsed.select(col("furl"),
           graft.sources.Warc.freshnessDue(col("fms"), col("cc"),
-            col("expms")).as("fr"))
+            col("expms"), col("flm")).as("fr"))
+        // q268's precedence: explicit > typed due > §4.2.2 heuristic
+        val explicitFr = col("fr").isNotNull &&
+          col("fr").getField("basis") =!= "heuristic"
         val fused = cr.join(fr, cr("loc") === fr("furl"), "left_outer")
           .select(col("loc"),
-            coalesce(col("fr").getField("basis"), col("basis"))
-              .as("basis"),
-            when(col("fr").isNotNull, col("fr").getField("due_ms"))
-              .otherwise(col("due_at_ms")).as("due_ms"))
+            when(explicitFr, col("fr").getField("basis"))
+              .when(col("due_at_ms").isNotNull, col("basis"))
+              .when(col("fr").isNotNull, col("fr").getField("basis"))
+              .otherwise(col("basis")).as("basis"),
+            when(explicitFr, col("fr").getField("due_ms"))
+              .when(col("due_at_ms").isNotNull, col("due_at_ms"))
+              .when(col("fr").isNotNull, col("fr").getField("due_ms"))
+              .as("due_ms"))
         val bo = graft.operators.Frontier.hostBackoff(parsed, col("furl"),
           col("st"), col("ra"), col("fms"))
         val urls = fused

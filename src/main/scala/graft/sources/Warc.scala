@@ -380,28 +380,49 @@ object Warc {
     *     grammar allows a quoted argument)
     *   - `Expires` (an HTTP-date — feed through [[httpDateMillis]])
     *     → due = that instant (§5.3)
+    *   - no explicit freshness but a `Last-Modified` validator →
+    *     HEURISTIC freshness (§4.2.2): lifetime = 10% of the
+    *     response's age at fetch (the section's own suggested
+    *     fraction), due = fetch + (fetch − last_modified)/10 in exact
+    *     integer millis (floor division — both engines replay it).
+    *     A future-dated Last-Modified (negative age) yields no
+    *     heuristic (undefined by the RFC; tolerant-reader null).
+    *     LOWEST precedence by nature: consumers that also hold a
+    *     typed validator/sitemap due (q268/q270) apply it only where
+    *     that due is null — test `basis = 'heuristic'` to rank it.
     *
-    * Age-at-fetch is taken as 0 (the polite-crawler reading: the
-    * crawler talks to the origin, not a shared cache — `s-maxage` is
-    * ignored for the same reason) and a `no-cache` with field
-    * arguments is out of the simple-directive grammar (documented
-    * over exotic). Returns a struct (due_ms, basis ∈ no-cache |
-    * max-age | expires), null when no freshness information exists.
+    * Age-at-fetch is taken as 0 for the explicit tiers (the
+    * polite-crawler reading: the crawler talks to the origin, not a
+    * shared cache — `s-maxage` is ignored for the same reason) and a
+    * `no-cache` with field arguments is out of the simple-directive
+    * grammar (documented over exotic). Returns a struct (due_ms,
+    * basis ∈ no-cache | no-store | max-age | expires | heuristic) —
+    * `basis` reports the ACTUAL matched directive (`no-store` is no
+    * longer mislabeled `no-cache`; their scheduling effect is
+    * identical, the label is provenance) — null when no freshness
+    * information exists.
     */
   def freshnessDue(fetchMs: org.apache.spark.sql.Column,
                    cacheControl: org.apache.spark.sql.Column,
-                   expiresMs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+                   expiresMs: org.apache.spark.sql.Column,
+                   lastModifiedMs: org.apache.spark.sql.Column =
+                     lit(null).cast("long")): org.apache.spark.sql.Column = {
     val cc = lower(coalesce(cacheControl, lit("")))
-    val noCache = cc.rlike("(^|[,\\s])(no-cache|no-store)\\s*(,|$)")
+    val noStore = regexp_extract(cc,
+      "(^|[,\\s])(no-cache|no-store)\\s*(,|$)", 2)
     val maxAge = regexp_extract(cc,
       "(^|[,\\s])max-age\\s*=\\s*\"?(\\d{1,15})", 2)
-    when(noCache,
-      struct(fetchMs.as("due_ms"), lit("no-cache").as("basis")))
+    val age = fetchMs - lastModifiedMs
+    when(noStore =!= "",
+      struct(fetchMs.as("due_ms"), noStore.as("basis")))
       .when(maxAge =!= "",
         struct((fetchMs + maxAge.cast("long") * 1000).as("due_ms"),
           lit("max-age").as("basis")))
       .when(expiresMs.isNotNull,
         struct(expiresMs.as("due_ms"), lit("expires").as("basis")))
+      .when(lastModifiedMs.isNotNull && age >= 0,
+        struct((fetchMs + (age / lit(10)).cast("long")).as("due_ms"),
+          lit("heuristic").as("basis")))
   }
 
   /** CDX-style capture index over a WARC read frame — the side index

@@ -303,6 +303,24 @@ class FrontierSpec extends AnyFunSuite {
     assert(got === Map("a.x" -> 1706746200000L))
   }
 
+  test("hostBackoff: an oversized delay-seconds saturates at the 15-digit horizon, never drops") {
+    val s = spark
+    import s.implicits._
+    val t = 1706745600000L
+    val resp = Seq(
+      // 20 digits: syntactically valid delay-seconds, absurd value —
+      // the most-conservative reading is MAX backoff, not none
+      ("http://a.x/1", 503, "99999999999999999999"),
+      // exactly 15 digits still parses arithmetically
+      ("http://b.x/1", 429, "999999999999999")
+    ).toDF("url", "status", "ra")
+    val got = Frontier.hostBackoff(resp, col("url"), col("status"),
+        col("ra"), lit(t))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val horizon = t + 999999999999999L * 1000L
+    assert(got === Map("a.x" -> horizon, "b.x" -> horizon))
+  }
+
   test("fetchSchedule caps: a duplicate-host caps frame collapses to the tightest cap, never multiplies URL rows") {
     val s = spark
     import s.implicits._

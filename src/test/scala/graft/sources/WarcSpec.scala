@@ -392,9 +392,40 @@ class WarcSpec extends AnyFunSuite {
         else (r.getStruct(0).getLong(0), r.getStruct(0).getString(1)))
     assert(got(0) === ((t + 60000L, "max-age")))
     assert(got(1) === ((t + 60000L, "max-age")))
-    assert(got(2) === ((t, "no-cache")))
+    // basis reports the ACTUAL matched directive (no-store here)
+    assert(got(2) === ((t, "no-store")))
     assert(got(3) === ((exp, "expires")))
     assert(got(4) === null)
+    assert(got(5) === null)
+  }
+
+  test("freshnessDue: §4.2.2 heuristic — 10% of age when validators exist but no explicit freshness") {
+    val s = spark
+    import s.implicits._
+    val t = 2000000L
+    val got = Seq(
+      // lastmod 1,000,000 ms ago -> lifetime 100,000 ms
+      ("private", None: Option[Long], Some(1000000L)),
+      // explicit max-age shadows the heuristic
+      ("max-age=60", None: Option[Long], Some(1000000L)),
+      // no-cache label stays the matched directive
+      ("no-cache", None: Option[Long], Some(1000000L)),
+      // FUTURE Last-Modified: heuristic undefined -> null
+      ("private", None: Option[Long], Some(t + 1L)),
+      // age 0 -> due = fetch (stale now)
+      ("", None: Option[Long], Some(t)),
+      // no validator, nothing else -> null
+      ("private", None: Option[Long], None: Option[Long])
+    ).toDF("cc", "expms", "lm")
+      .select(Warc.freshnessDue(lit(t), col("cc"), col("expms"),
+        col("lm")).as("f"))
+      .collect().map(r => if (r.isNullAt(0)) null
+        else (r.getStruct(0).getLong(0), r.getStruct(0).getString(1)))
+    assert(got(0) === ((t + 100000L, "heuristic")))
+    assert(got(1) === ((t + 60000L, "max-age")))
+    assert(got(2) === ((t, "no-cache")))
+    assert(got(3) === null)
+    assert(got(4) === ((t, "heuristic")))
     assert(got(5) === null)
   }
 }
