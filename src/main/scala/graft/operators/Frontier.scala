@@ -87,11 +87,57 @@ object Frontier {
     * collapse one hash-aggregate shuffle on the landing key — every
     * aggregate partial-combines map-side; no window, no iteration.
     */
-  def resolveAliases(merged: DataFrame, chains: DataFrame): DataFrame = {
+  def resolveAliases(merged: DataFrame, chains: DataFrame): DataFrame =
+    collapseAliases(mapThroughChains(merged, chains))
+
+  /** [[resolveAliases]] with the CONTENT-level identity evidence
+    * folded in — `canonical_url` finally consumed (the r13 verdict's
+    * "produced but never consumed" edge, closing the same loop
+    * sitemaps closed in r12 and redirects in r13): after each entry
+    * maps through its redirect chain to the landing URL, the LANDING
+    * page's own `<link rel="canonical">` hint
+    * ([[WebGraph.pageMeta]]'s `canonical_url` — the site's own dedup
+    * hint, absolutized) moves the key once more, so canonical ∪
+    * redirect evidence collapse to ONE schedulable row. One hop only:
+    * a canonical is a HINT, not a chain (no transitive closure — a
+    * site whose canonicals chain is mis-configured, and a bounded
+    * reader never follows hints through hints). Empty/null hints are
+    * no evidence; duplicate hints for one landing key collapse
+    * bytewise-min (the chain-map discipline). Cross-host canonicals
+    * move scheduling to the canonical's host — robots-check the
+    * collapsed URL at ITS host (the q265 landing discipline), which
+    * the q271 gate composes.
+    *
+    * `canonicals` is URL-grain: `cUrl` the fetched page URL, `cCanon`
+    * its extracted canonical (`""` = none). Scale shape: ONE more
+    * canon-keyed equi-join against a fetch-grain dimension — same
+    * class as the chain map; no window, no iteration.
+    */
+  def resolveAliases(merged: DataFrame, chains: DataFrame,
+                     canonicals: DataFrame, cUrl: Column,
+                     cCanon: Column): DataFrame = {
     import graft.functions.TextFunctions.canonicalizeUrl
-    // one destination per canonical source: exceeded loops keep their
-    // own URL; duplicate fetches collapse bytewise-min (the
-    // allocateBudget/caps grain discipline)
+    val hints = canonicals
+      .select(canonicalizeUrl(cUrl).as("__hk"), cCanon.as("__cu"))
+      .filter(col("__cu").isNotNull && col("__cu") =!= "")
+      .groupBy("__hk").agg(min("__cu").as("__cu"))
+    val entries = mapThroughChains(merged, chains)
+      .join(hints, canonicalizeUrl(col("__target")) === col("__hk"),
+        "left_outer")
+      .select(coalesce(col("__cu"), col("__target")).as("__target"),
+        col("source"), col("priority_milli"))
+    collapseAliases(entries)
+  }
+
+  /** Map each merged entry through its redirect chain by canonical
+    * form: one destination per canonical source (exceeded loops keep
+    * their own URL; duplicate fetches collapse bytewise-min — the
+    * allocateBudget/caps grain discipline); entries with no chain row
+    * keep themselves. Ends (__target, source, priority_milli).
+    */
+  private def mapThroughChains(merged: DataFrame,
+                               chains: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.canonicalizeUrl
     val ch = chains.select(
         canonicalizeUrl(col("url")).as("canon"),
         when(col("outcome") === "exceeded", col("url"))
@@ -100,6 +146,15 @@ object Frontier {
     merged.join(ch, Seq("canon"), "left_outer")
       .select(coalesce(col("__dest"), col("url")).as("__target"),
         col("source"), col("priority_milli"))
+  }
+
+  /** The landing-key collapse shared by both [[resolveAliases]]
+    * forms: one hash-aggregate shuffle on the canonical landing key,
+    * every aggregate partial-combining map-side.
+    */
+  private def collapseAliases(entries: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.canonicalizeUrl
+    entries
       .groupBy(canonicalizeUrl(col("__target")).as("canon"))
       .agg(min("__target").as("url"),
         max(col("priority_milli")).as("priority_milli"),

@@ -2856,6 +2856,176 @@ object WebGraphQueries {
           .select(col("loc"), col("host"), col("basis"), col("due_ms"),
             col("backoff_until_ms"), col("seq"), col("fetch_at_ms"))
       }
+    },
+
+    // CANONICAL-AWARE FRONTIER (q249's canonical_url actually CONSUMED
+    // by the URL identity story — the r13 verdict's last "produced but
+    // never consumed" edge, the same loop sitemaps closed in r12 and
+    // redirects in r13): fetch results map through their redirect
+    // chains to the LANDING URL (q263/q265's shared text), then the
+    // landing PAGE's own <link rel="canonical"> — mined from real HTML
+    // through the q249 extraction machinery (decode, base chain,
+    // resolve, dot-norm) — moves the key once more, so canonical ∪
+    // redirect evidence collapse to ONE schedulable fetch. %11==4
+    // landings (the 200 class) carry hints on two residues: %22==4 a
+    // same-host relative canonical (/r/doc{N+11}) and %22==15 a
+    // CROSS-HOST absolute one (h{(N+2)%19}) — the collapsed row is
+    // robots-checked and politeness-scheduled at the CANONICAL's host
+    // (the q265 landing discipline applied one identity level up).
+    // The oracle replays the whole composition: chain text, the
+    // extraction regex chain, unescape + resolve + dot-norm, both
+    // canon folds, the q250 verdict funnel, and the capped windows.
+    QueryDef.sql("q271_canonical_frontier",
+      raw"""WITH $robotsDirsCtes,
+         |$redirectCtes,
+         |disc AS (SELECT url FROM resp),
+         |${canonChain("d", "disc", "url")},
+         |dc AS (SELECT canon, min(url) AS url FROM dcn GROUP BY canon),
+         |chd AS (SELECT url, CASE WHEN outcome = 'exceeded' THEN url
+         |          ELSE final_url END AS dest FROM rc),
+         |${canonChain("c", "chd", "url")},
+         |ch AS (SELECT canon, min(dest) AS dest FROM ccn GROUP BY canon),
+         |tg AS (SELECT coalesce(ch.dest, dc.url) AS target
+         |       FROM dc LEFT JOIN ch ON ch.canon = dc.canon),
+         |cpg AS (
+         |  SELECT doc_id,
+         |    'http://h' || (doc_id % 19) || '.example.org/r/doc' ||
+         |      doc_id AS curl,
+         |    '<html><head>' ||
+         |    CASE WHEN doc_id % 22 = 4 THEN
+         |      '<link rel="canonical" href="/r/doc' || (doc_id + 11) || '">'
+         |    WHEN doc_id % 22 = 15 THEN
+         |      '<link rel=''canonical'' href=''http://h' ||
+         |      ((doc_id + 2) % 19) || '.example.org/r/doc' || doc_id || '''>'
+         |    ELSE '' END ||
+         |    '</head><body><p>x</p></body></html>' AS html
+         |  FROM documents WHERE doc_id % 11 = 4),
+         |cx AS (
+         |  SELECT curl,
+         |    regexp_extract(curl, '^(https?)://', 1) AS sch,
+         |    regexp_extract(curl, '^https?://([^/?#]+)', 1) AS hst,
+         |    regexp_extract(curl, '^https?://[^/?#]+(/[^?#]*)', 1) AS pth,
+         |    regexp_replace(regexp_extract(regexp_extract(html,
+         |      '(?i)<link\s[^>]*rel\s*=\s*("canonical"|''canonical'')[^>]*>', 0),
+         |      '(?i)\bhref\s*=\s*("[^">]*"|''[^''>]*'')', 1),
+         |      '^["'']|["'']$$', '', 'g') AS canr
+         |  FROM cpg),
+         |cxd AS (SELECT *, ${unescapeSql("canr")} AS canr_d FROM cx),
+         |cxu AS (SELECT curl, ${resolveSql("canr_d")} AS canu0 FROM cxd),
+         |cxn AS (SELECT curl,
+         |          coalesce(${dotNormSql("canu0")}, '') AS canu FROM cxu),
+         |${canonChain("h", "cxn", "curl")},
+         |hx AS (SELECT canon AS hk, min(canu) AS canu FROM hcn
+         |       WHERE canu <> '' GROUP BY canon),
+         |${canonChain("t", "tg", "target")},
+         |t2 AS (SELECT CASE WHEN h.canu IS NOT NULL THEN h.canu
+         |         ELSE t.target END AS target2
+         |       FROM tcn t LEFT JOIN hx h ON h.hk = t.canon),
+         |${canonChain("f", "t2", "target2")},
+         |fo AS (SELECT canon, min(target2) AS url,
+         |         CAST(count(*) AS BIGINT) AS n_aliases
+         |       FROM fcn GROUP BY canon),
+         |fpath AS (
+         |  SELECT canon, url,
+         |    lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)) AS host,
+         |    CASE WHEN regexp_extract(url, '(?i)^https?://[^/?#]+([^#]*)', 1) = ''
+         |      THEN '/' ELSE regexp_extract(url, '(?i)^https?://[^/?#]+([^#]*)', 1)
+         |      END AS p
+         |  FROM fo),
+         |fhits AS (
+         |  SELECT f.canon, f.host, d.rule, d.path AS rpath,
+         |    d.pattern IS NOT NULL AND regexp_matches(f.p, d.pattern) AS m,
+         |    length(d.path) AS plen
+         |  FROM fpath f LEFT JOIN dirs d ON d.host = f.host),
+         |fwin AS (
+         |  SELECT *, row_number() OVER (PARTITION BY canon ORDER BY
+         |      CASE WHEN m THEN plen ELSE -1 END DESC,
+         |      CASE WHEN rule = 'allow' THEN 1 ELSE 0 END DESC,
+         |      rpath ASC NULLS LAST) AS rn
+         |  FROM fhits),
+         |fv AS (SELECT canon, host, (NOT m) OR rule = 'allow' AS allowed
+         |       FROM fwin WHERE rn = 1),
+         |$crawlDelayCtes,
+         |alw AS (SELECT fo.canon, fo.url, fo.n_aliases, fv.host FROM fo
+         |        JOIN fv ON fv.canon = fo.canon WHERE fv.allowed),
+         |sqx AS (SELECT *, row_number() OVER (PARTITION BY host
+         |          ORDER BY canon) - 1 AS seq
+         |        FROM alw)
+         |SELECT sqx.canon, sqx.url, sqx.host, 'discovered' AS source,
+         |  CAST(NULL AS BIGINT) AS priority_milli, sqx.n_aliases,
+         |  true AS allowed, CAST(sqx.seq AS BIGINT) AS seq,
+         |  CASE WHEN sqx.seq < 15
+         |    THEN 1704067200000 + sqx.seq * coalesce(dl.ms, 1000)
+         |  END AS fetch_at_ms
+         |FROM sqx LEFT JOIN dl ON dl.host = sqx.host
+         |UNION ALL
+         |SELECT fo.canon, fo.url, fv.host, 'discovered' AS source,
+         |  CAST(NULL AS BIGINT) AS priority_milli, fo.n_aliases,
+         |  false AS allowed, CAST(NULL AS BIGINT) AS seq,
+         |  CAST(NULL AS BIGINT) AS fetch_at_ms
+         |FROM fo JOIN fv ON fv.canon = fo.canon
+         |WHERE NOT fv.allowed""".stripMargin) {
+      (s, d) => {
+        import s.implicits._
+        val did = col("doc_id")
+        val fx = redirectFixture(s, d)
+        val discovered = fx.select(col("url"))
+        val emptySeeds = Seq.empty[(String, java.lang.Long)]
+          .toDF("loc", "pm")
+        val merged = graft.operators.Frontier.mergeSeeds(
+          discovered, col("url"), emptySeeds, col("loc"), col("pm"))
+        // the landing pages' REAL HTML, mined through the q249
+        // extraction machinery (frame form): the content-level
+        // identity evidence
+        val cpages = Tables.documents(s, d)
+          .filter(pmod(did, lit(11)) === 4)
+          .select(
+            concat(lit("http://h"), pmod(did, lit(19)).cast("string"),
+              lit(".example.org/r/doc"), did.cast("string")).as("curl"),
+            concat(lit("<html><head>"),
+              when(pmod(did, lit(22)) === 4,
+                concat(lit("<link rel=\"canonical\" href=\"/r/doc"),
+                  (did + 11).cast("string"), lit("\">")))
+                .when(pmod(did, lit(22)) === 15,
+                  concat(lit("<link rel='canonical' href='http://h"),
+                    pmod(did + 2, lit(19)).cast("string"),
+                    lit(".example.org/r/doc"), did.cast("string"),
+                    lit("'>")))
+                .otherwise(lit("")),
+              lit("</head><body><p>x</p></body></html>")).as("html"))
+        val hints = WebGraph.pageMetaFrame(cpages, col("curl"),
+            col("html"), out = "m")
+          .select(col("curl"), col("m.canonical_url").as("canu"))
+        val collapsed = graft.operators.Frontier.resolveAliases(
+          merged, redirectResolved(s, d), hints, col("curl"), col("canu"))
+        val robots = robotsFixture(s, d)
+        val verd = graft.operators.Robots.allowed(
+          collapsed.select("canon", "url"), "canon", col("url"),
+          robots, "host", col("body"), agent = "graftbot")
+          .select(col("canon"), col("host"), col("allowed"))
+        // verdict-annotated frame feeds the scheduled AND blocked
+        // branches: pin it so the chain + canonical + verdict funnel
+        // runs once (the q262/q265 discipline)
+        val full = graft.operators.CacheRegistry.register(
+          collapsed.join(verd, Seq("canon"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val delays = graft.operators.Robots.crawlDelay(
+          robots, "host", col("body"), agent = "graftbot")
+        val sched = graft.operators.Frontier.fetchSchedule(
+          full.filter(col("allowed")).drop("host", "allowed"),
+          "canon", col("url"), delays, t0Ms = 1704067200000L,
+          defaultDelayMs = 1000L, maxPerHost = 15)
+        sched.withColumn("allowed", lit(true))
+          .unionByName(full.filter(!col("allowed"))
+            .select(col("canon"), col("url"), col("host"),
+              lit(null).cast("long").as("seq"),
+              lit(null).cast("long").as("fetch_at_ms"),
+              col("source"), col("priority_milli"), col("n_aliases"),
+              lit(false).as("allowed")))
+          .select(col("canon"), col("url"), col("host"), col("source"),
+            col("priority_milli"), col("n_aliases"), col("allowed"),
+            col("seq"), col("fetch_at_ms"))
+      }
     }
   )
 }

@@ -280,6 +280,49 @@ class FrontierSpec extends AnyFunSuite {
       ((None, -1L, -1L, Some("\"e3\""), true)))
   }
 
+  test("resolveAliases with canonicals: canonical + redirect evidence collapse to ONE schedulable row") {
+    val s = spark
+    import s.implicits._
+    // /a 301-> /b; /b's PAGE declares canonical /c; /c also fetched.
+    // All three frontier entries must land on ONE key (/c): redirect
+    // evidence maps /a to /b, the landing page's canonical hint moves
+    // /b (and /a through it) to /c.
+    val merged = Seq(
+      ("http://h.x/a", "http://h.x/a", "discovered", None: Option[Long]),
+      ("http://h.x/b", "http://h.x/b", "sitemap", Some(700L)),
+      ("http://h.x/c", "http://h.x/c", "discovered", None: Option[Long]),
+      // cross-host canonical: /d's page points at g.x — the collapsed
+      // row must carry the g.x spelling (scheduling moves host)
+      ("http://h.x/d", "http://h.x/d", "discovered", None: Option[Long])
+    ).toDF("canon", "url", "source", "priority_milli")
+    val chains = Seq(
+      ("http://h.x/a", "http://h.x/b", "ok"),
+      ("http://h.x/b", "http://h.x/b", "ok"),
+      ("http://h.x/c", "http://h.x/c", "ok"),
+      ("http://h.x/d", "http://h.x/d", "ok")
+    ).toDF("url", "final_url", "outcome")
+    val canonicals = Seq(
+      ("http://h.x/b", "http://h.x/c"),
+      ("http://h.x/d", "http://g.x/canon"),
+      // empty hint = no evidence; hint for a never-landed URL = no-op
+      ("http://h.x/c", ""),
+      ("http://h.x/zz", "http://h.x/elsewhere")
+    ).toDF("curl", "canu")
+    val got = Frontier.resolveAliases(merged, chains, canonicals,
+        col("curl"), col("canu"))
+      .collect()
+      .map(r => r.getString(1) -> ((r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))).toMap
+    // ONE row for the a/b/c family, priority carried from any alias
+    assert(got === Map(
+      "http://h.x/c" -> (("both", 700L, 3L)),
+      "http://g.x/canon" -> (("discovered", -1L, 1L))))
+    // and WITHOUT canonicals the same input stays split (b vs c)
+    val plain = Frontier.resolveAliases(merged, chains)
+      .collect().map(_.getString(1)).toSet
+    assert(plain === Set("http://h.x/b", "http://h.x/c", "http://h.x/d"))
+  }
+
   test("hostBackoff: delta-seconds and HTTP-date forms, max fold, malformed and non-throttle rows ignored") {
     val s = spark
     import s.implicits._
