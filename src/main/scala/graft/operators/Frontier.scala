@@ -117,13 +117,25 @@ object Frontier {
                      canonicals: DataFrame, cUrl: Column,
                      cCanon: Column): DataFrame = {
     import graft.functions.TextFunctions.canonicalizeUrl
+    // no-evidence rows ("" / null) drop via CONDITIONAL AGGREGATION,
+    // deliberately not a pre-aggregate filter: a filter predicate on
+    // the extracted canonical would be PUSHDOWN-SUBSTITUTED through
+    // every projection of the caller's extraction lineage (e.g.
+    // pageMetaFrame's materialized base/resolve/norm columns),
+    // re-inlining the whole tree once per projection level — measured
+    // 24 s on a 455-row hints frame before this shape (the
+    // expression-cost discipline's pushdown clause). min() skips the
+    // nulls the `when` leaves; empty-only groups aggregate to null and
+    // drop AFTER the aggregate, where the predicate sits on an
+    // aggregate output and cannot push into the input.
     val hints = canonicals
       .select(canonicalizeUrl(cUrl).as("__hk"), cCanon.as("__cu"))
-      .filter(col("__cu").isNotNull && col("__cu") =!= "")
-      .groupBy("__hk").agg(min("__cu").as("__cu"))
+      .groupBy("__hk")
+      .agg(min(when(col("__cu") =!= "", col("__cu"))).as("__cu"))
+      .filter(col("__cu").isNotNull)
     val entries = mapThroughChains(merged, chains)
-      .join(hints, canonicalizeUrl(col("__target")) === col("__hk"),
-        "left_outer")
+      .withColumn("__tk", canonicalizeUrl(col("__target")))
+      .join(hints, col("__tk") === col("__hk"), "left_outer")
       .select(coalesce(col("__cu"), col("__target")).as("__target"),
         col("source"), col("priority_milli"))
     collapseAliases(entries)
