@@ -619,6 +619,51 @@ object Soak {
           resp.select(col("url")), col("url"), seeds, col("loc"), col("pm"))
         operators.Frontier.resolveAliases(merged, chains)
       },
+      "canonical_merge" -> { d: String =>
+        // q271's shape at scale: alias_merge PLUS the content-level
+        // canonical fold — hints mined from real HTML through
+        // pageMetaFrame (the materialized extraction projections) and
+        // folded by conditional aggregation (never a pre-aggregate
+        // filter: predicate pushdown would re-inline the extraction
+        // tree, the r14 q271 finding). Expected on top of alias_merge:
+        // ONE more canon-keyed equi-join against a fetch-grain hint
+        // dimension and the hint hash aggregate — no window.
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        val did = col("doc_id")
+        val resp = soakRedirectResp(d)
+        val chains = operators.WebGraph.redirectChains(resp, "url",
+          col("status"), col("location"), maxHops = 4)
+        val merged = operators.Frontier.mergeSeeds(
+          resp.select(col("url")), col("url"),
+          docs.filter(pmod(did, lit(2)) === 0)
+            .select(concat(lit("http://H"),
+                pmod(did, lit(997)).cast("string"),
+                lit(".EXAMPLE.ORG/r/doc"), did.cast("string"),
+                lit("?utm_source=x")).as("loc"),
+              when(pmod(did, lit(3)) === 0,
+                (pmod(did, lit(10)) * 100).cast("long")).as("pm")),
+          col("loc"), col("pm"))
+        val cpages = docs.filter(pmod(did, lit(11)) === 4)
+          .select(
+            concat(lit("http://h"), pmod(did, lit(997)).cast("string"),
+              lit(".example.org/r/doc"), did.cast("string")).as("curl"),
+            concat(lit("<html><head>"),
+              when(pmod(did, lit(22)) === 4,
+                concat(lit("<link rel=\"canonical\" href=\"/r/doc"),
+                  (did + 11).cast("string"), lit("\">")))
+                .when(pmod(did, lit(22)) === 15,
+                  concat(lit("<link rel='canonical' href='http://h"),
+                    pmod(did + 2, lit(997)).cast("string"),
+                    lit(".example.org/r/doc"), did.cast("string"),
+                    lit("'>")))
+                .otherwise(lit("")),
+              lit("</head><body><p>x</p></body></html>")).as("html"))
+        val hints = operators.WebGraph.pageMetaFrame(cpages, col("curl"),
+            col("html"), out = "m")
+          .select(col("curl"), col("m.canonical_url").as("canu"))
+        operators.Frontier.resolveAliases(merged, chains, hints,
+          col("curl"), col("canu"))
+      },
       "warc_roundtrip" -> { d: String =>
         // full WARC sink+source cycle at scale: per-record-gzip export
         // of the scaled corpus (16 shard files — writer parallelism),
