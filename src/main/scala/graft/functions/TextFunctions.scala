@@ -443,20 +443,62 @@ object TextFunctions {
         (col("n_hits") === 0L).as("kept"))
   }
 
+  /** RFC 3986 §6.2.2.1–2 percent-encoding normalization — the bounded
+    * fold [[canonicalizeUrl]] applies before parsing: uppercase the
+    * hex digits of every percent-escape (`%2f` → `%2F`, §6.2.2.1) and
+    * DECODE escapes of unreserved characters (ALPHA / DIGIT /
+    * `-` `.` `_` `~`, §6.2.2.2 — `%7E` IS `~` by definition, and an
+    * unreserved byte is never a delimiter, so decoding cannot change
+    * how the URL parses). A malformed escape (`%` not followed by two
+    * hex digits) passes through verbatim — the tolerant-reader
+    * convention, like [[graft.operators.WebGraph.normalizeDotSegments]]'
+    * leftover rule. Decoding runs BEFORE the query split, so an
+    * encoded tracking key (`utm%5Fsource`) normalizes into the drop
+    * list like its plain spelling.
+    *
+    * Shape: one literal split on `%` + one array transform + one
+    * join — no per-escape regex; hex digits value through two
+    * `instr` probes of a 16-char alphabet (exact integer arithmetic,
+    * replayable on any engine). The caller guards the whole fold
+    * behind one `instr` test, so a URL with no `%` at all — the
+    * overwhelming majority — pays a single substring probe.
+    */
+  private def pctNormalize(u: Column): Column = {
+    val hexAbc = lit("0123456789ABCDEF")
+    val segs = split(u, "%", -1)
+    val folded = concat(element_at(segs, 1), array_join(
+      transform(slice(segs, lit(2), size(segs) - 1), s => {
+        val h = upper(substring(s, 1, 2))
+        val code = (instr(hexAbc, substring(h, 1, 1)) - 1) * 16 +
+          instr(hexAbc, substring(h, 2, 1)) - 1
+        val unreserved = (code >= 65 && code <= 90) ||
+          (code >= 97 && code <= 122) || (code >= 48 && code <= 57) ||
+          code.isin(45, 46, 95, 126)
+        val rest = s.substr(lit(3), length(s))
+        when(s.rlike("^[0-9A-Fa-f]{2}"),
+          when(unreserved, concat(char(code), rest))
+            .otherwise(concat(lit("%"), h, rest)))
+          .otherwise(concat(lit("%"), s))
+      }), ""))
+    when(instr(u, "%") > 0, folded).otherwise(u)
+  }
+
   /** Canonicalize a URL for crawl-level dedup and domain analytics:
     * lowercase scheme and host, strip the scheme's default port
-    * (:80 http / :443 https), drop the fragment, drop tracking
-    * parameters (utm_*, fbclid, gclid) and empty parameters, sort the
-    * surviving query parameters bytewise, and normalize an empty path
-    * to "/". Two raw URLs that differ only in these ways are the same
-    * fetch — canonical-form equality is THE join/dedup key for
-    * crawl frontier dedup and per-site aggregation. Userinfo and
-    * percent-encoding normalization are intentionally out of scope
-    * (flag, don't rewrite, credentials-bearing URLs). Pure regexp +
-    * array ops — codegen'd, engine-replicable.
+    * (:80 http / :443 https), drop the fragment, normalize
+    * percent-encoding (RFC 3986 §6.2.2.1–2 via [[pctNormalize]]:
+    * uppercase escape hex, decode unreserved — `%7Euser` and `~user`
+    * are the same fetch), drop tracking parameters (utm_*, fbclid,
+    * gclid) and empty parameters, sort the surviving query parameters
+    * bytewise, and normalize an empty path to "/". Two raw URLs that
+    * differ only in these ways are the same fetch — canonical-form
+    * equality is THE join/dedup key for crawl frontier dedup and
+    * per-site aggregation. Userinfo normalization is intentionally
+    * out of scope (flag, don't rewrite, credentials-bearing URLs).
+    * Pure regexp + array ops — codegen'd, engine-replicable.
     */
   def canonicalizeUrl(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
+    val noFrag = pctNormalize(regexp_replace(url, "#.*$", ""))
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostPort = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]*)", 1))
     val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))

@@ -304,7 +304,12 @@ object Frontier {
     */
   def hostBackoff(responses: DataFrame, url: Column, status: Column,
                   retryAfter: Column, fetchMs: Column): DataFrame = {
-    val t = trim(retryAfter)
+    // leading zeros strip BEFORE the length test: servers can legally
+    // zero-pad delay-seconds, and '0000000000000060' is 60 s, not a
+    // 16-digit saturation (the r14 ADVICE item). The strip keeps one
+    // digit so bare '0' survives; non-digit forms (HTTP-dates) never
+    // match '^0+\d' and pass through untouched.
+    val t = regexp_replace(trim(retryAfter), "^0+(\\d)", "$1")
     val until = when(t.rlike("^\\d{1,15}$"), fetchMs + t.cast("long") * 1000)
       .when(t.rlike("^\\d{16,}$"),
         fetchMs + lit(999999999999999L) * 1000)

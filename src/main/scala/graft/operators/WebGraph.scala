@@ -105,9 +105,17 @@ object WebGraph {
   def htmlUnescape(c: Column): Column = {
     val named = Seq("&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&apos;" -> "'", "&#39;" -> "'")
+    // the ampersand class decodes case-insensitively: `&AMP;` is a
+    // valid legacy named reference (HTML's legacy set matches without
+    // case) and the URL-critical one — an uppercase-spelled &AMP; in
+    // a real href would otherwise break the downstream equi-join this
+    // decode exists to fix (the r14 ADVICE item). The non-ampersand
+    // NAMED replaces above stay exact-case: a documented gap (&LT;
+    // etc. are rare outside URLs and a case-folding replace would
+    // need a regex pass per name).
     regexp_replace(
       named.foldLeft(c) { case (a, (f, t)) => replace(a, lit(f), lit(t)) },
-      "&(amp|#38|#x26);", "&")
+      "(?i)&(amp|#38|#x26);", "&")
   }
 
   /** Parent-traversal bound for [[normalizeDotSegments]]: paths with
@@ -136,8 +144,13 @@ object WebGraph {
     * [[redirectChains]] all do.
     */
   def normalizeDotSegments(u: Column): Column = {
-    val origin = regexp_extract(u, "^(https?://[^/?#]*)", 1)
-    val tail = regexp_replace(u, "^https?://[^/?#]*", "")
+    // (?i): [[resolve]] passes ABSOLUTE hrefs/Location values through
+    // under a case-insensitive scheme match, so `HTTP://h/a/../p` is a
+    // legal input here — case-sensitive anchors would fail the origin
+    // split and let the pair-cancel fold eat through the authority
+    // (the r14 ADVICE finding)
+    val origin = regexp_extract(u, "(?i)^(https?://[^/?#]*)", 1)
+    val tail = regexp_replace(u, "(?i)^https?://[^/?#]*", "")
     val path = regexp_extract(tail, "^([^?]*)", 1)
     val query = regexp_replace(tail, "^[^?]*", "")
     val noDot = regexp_replace(

@@ -2053,30 +2053,34 @@ object TextQueries {
     // canonicalizes; the oracle re-implements every normalization step
     // independently in SQL.
     QueryDef.sql("q138_url_canonicalize",
-      """WITH u AS (
+      raw"""WITH u AS (
         |  SELECT doc_id,
         |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'HTTPS://WWW.' END)
         |    || upper(source) || '.Example.COM'
         |    || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
         |    || (CASE WHEN doc_id % 3 = 0 THEN '' ELSE '/Docs/' || doc_id END)
-        |    || '?z=' || doc_id || '&utm_source=feed&b=2&a=1&gclid=x&#sec' AS raw
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/%7euser/%2fseg%41%zz%25%' ELSE '' END)
+        |    || '?z=' || doc_id || '&utm_source=feed&b=2&a=1&gclid=x'
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '&c=%7E&utm%5Fmedium=z' ELSE '' END)
+        |    || '&#sec' AS raw
         |  FROM documents),
-        |nf AS (SELECT doc_id, regexp_replace(raw, '#.*$', '') AS nofrag FROM u),
+        |nf AS (SELECT doc_id, regexp_replace(raw, '#.*$$', '') AS nofrag0 FROM u),
+        |pn AS (SELECT doc_id, ${UrlOracleSql.pctNormSql("nofrag0")} AS nofrag FROM nf),
         |parts AS (
         |  SELECT doc_id,
         |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |    lower(regexp_extract(nofrag, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
         |    regexp_extract(nofrag, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS rawpath,
         |    regexp_extract(nofrag, '\?([^#]*)', 1) AS q
-        |  FROM nf),
+        |  FROM pn),
         |canon AS (
         |  SELECT doc_id, scheme,
-        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-        |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
         |         ELSE hostport END AS host,
         |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
         |    array_to_string(list_sort(list_filter(string_split(q, '&'),
-        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?$'))),
+        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?$$'))),
         |      '&') AS cq
         |  FROM parts)
         |SELECT doc_id, scheme || '://' || host || path ||
@@ -2089,8 +2093,18 @@ object TextQueries {
           when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
           when(col("doc_id") % 3 === 0, lit(""))
             .otherwise(concat(lit("/Docs/"), col("doc_id").cast("string"))),
+          // RFC 3986 §6.2.2 mixed-encoding battery: unreserved decodes
+          // (%7e→~, %41→A), reserved uppercases (%2f→%2F, %25 stays),
+          // malformed (%zz, trailing %) verbatim; in the query, an
+          // ENCODED tracking key (utm%5Fmedium) must decode into the
+          // drop list before the param filter sees it
+          when(col("doc_id") % 5 === 0, lit("/%7euser/%2fseg%41%zz%25%"))
+            .otherwise(lit("")),
           lit("?z="), col("doc_id").cast("string"),
-          lit("&utm_source=feed&b=2&a=1&gclid=x&#sec"))
+          lit("&utm_source=feed&b=2&a=1&gclid=x"),
+          when(col("doc_id") % 7 === 0, lit("&c=%7E&utm%5Fmedium=z"))
+            .otherwise(lit("")),
+          lit("&#sec"))
         Tables.documents(s, d)
           .select(col("doc_id"), canonicalizeUrl(raw).as("url_canon"))
       }

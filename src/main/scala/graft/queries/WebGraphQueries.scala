@@ -92,7 +92,7 @@ object WebGraphQueries {
   private def unescapeSql(v: String): String =
     "regexp_replace(replace(replace(replace(replace(replace(" + v +
       ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&apos;', ''''), " +
-      "'&#39;', ''''), '&(amp|#38|#x26);', '&', 'g')"
+      "'&#39;', ''''), '(?i)&(amp|#38|#x26);', '&', 'g')"
 
   /** Oracle twin of [[graft.operators.WebGraph.normalizeDotSegments]]
     * — RFC 3986 §5.2.4 over the path, the identical bounded fold (8
@@ -105,16 +105,16 @@ object WebGraphQueries {
     def rep(e: String, pat: String) =
       "regexp_replace(" + e + ", '" + pat + "', '/', 'g')"
     val path = "regexp_extract(regexp_replace(" + v +
-      ", '^https?://[^/?#]*', ''), '^([^?]*)', 1)"
+      ", '(?i)^https?://[^/?#]*', ''), '^([^?]*)', 1)"
     val noDot = rep((1 to 8).foldLeft(path)((p, _) => rep(p, "/\\./")),
       "/\\.$")
     val folded = (1 to 8).foldLeft(noDot)((p, _) =>
       rep(rep(rep(p, "/[^/]+/\\.\\./"), "/[^/]+/\\.\\.$"),
         "^/\\.\\.(/|$)"))
     "CASE WHEN " + v + " IS NULL THEN NULL ELSE " +
-      "regexp_extract(" + v + ", '^(https?://[^/?#]*)', 1) || " + folded +
+      "regexp_extract(" + v + ", '(?i)^(https?://[^/?#]*)', 1) || " + folded +
       " || regexp_replace(regexp_replace(" + v +
-      ", '^https?://[^/?#]*', ''), '^[^?]*', '') END"
+      ", '(?i)^https?://[^/?#]*', ''), '^[^?]*', '') END"
   }
 
   private def resolveSql(v: String): String =
@@ -491,7 +491,8 @@ object WebGraphQueries {
     * `<pfx>cn(..., canon)`. Shared by the q255/q261 merge CTEs.
     */
   private def canonChain(pfx: String, src: String, urlCol: String): String =
-    s"""${pfx}nf AS (SELECT *, regexp_replace($urlCol, '#.*$$', '') AS __nofrag FROM $src),
+    s"""${pfx}nf0 AS (SELECT *, regexp_replace($urlCol, '#.*$$', '') AS __nofrag0 FROM $src),
+       |${pfx}nf AS (SELECT *, ${UrlOracleSql.pctNormSql("__nofrag0")} AS __nofrag FROM ${pfx}nf0),
        |${pfx}pt AS (
        |  SELECT *,
        |    lower(regexp_extract(__nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS __sch,
@@ -2105,7 +2106,10 @@ object WebGraphQueries {
          |${canonChain("d", "disc", "url")},
          |dc AS (SELECT canon, min(url) AS d_url FROM dcn GROUP BY canon),
          |seeds AS (
-         |  SELECT 'http://H' || (doc_id % 19) || '.EXAMPLE.ORG/r/doc' ||
+         |  -- %6F is an ENCODED unreserved 'o': the seed spelling
+         |  -- merges with the discovered fetch set only through RFC
+         |  -- 3986 §6.2.2.2 decode — the previously-split alias proof
+         |  SELECT 'http://H' || (doc_id % 19) || '.EXAMPLE.ORG/r/d%6Fc' ||
          |      doc_id || '?utm_source=sm' AS loc,
          |    CASE WHEN doc_id % 3 = 0
          |      THEN CAST((doc_id % 10) * 100 AS BIGINT) END AS pm
@@ -2186,7 +2190,7 @@ object WebGraphQueries {
         val discovered = fx.select(col("url"))
         val seeds = Tables.documents(s, d)
           .filter(pmod(did, lit(2)) === 0)
-          .select(concat(lit("http://H"), ks, lit(".EXAMPLE.ORG/r/doc"),
+          .select(concat(lit("http://H"), ks, lit(".EXAMPLE.ORG/r/d%6Fc"),
               did.cast("string"), lit("?utm_source=sm")).as("loc"),
             when(pmod(did, lit(3)) === 0,
               (pmod(did, lit(10)) * 100).cast("long")).as("pm"))
@@ -2560,10 +2564,12 @@ object WebGraphQueries {
          |      doc_id AS u,
          |    (doc_id % 19) AS k, doc_id,
          |    CASE WHEN doc_id % 247 = 3 THEN 503
+         |         WHEN doc_id % 247 = 16 THEN 503
          |         WHEN doc_id % 13 = 0 THEN 503
          |         WHEN doc_id % 13 = 1 THEN 429
          |         WHEN doc_id % 13 = 2 THEN 503 ELSE 200 END AS status,
          |    CASE WHEN doc_id % 247 = 3 THEN '99999999999999999999'
+         |         WHEN doc_id % 247 = 16 THEN '0000000000000060'
          |         WHEN doc_id % 13 = 0
          |           THEN CAST((doc_id % 19 + 1) * 60 AS VARCHAR)
          |         WHEN doc_id % 13 = 1
@@ -2575,17 +2581,18 @@ object WebGraphQueries {
          |    max(untl) AS backoff_until_ms
          |  FROM (
          |    SELECT k,
-         |      CASE WHEN regexp_matches(trim(ra), '^[0-9]{1,15}$$')
-         |        THEN 1706745600000 + CAST(trim(ra) AS BIGINT) * 1000
-         |        WHEN regexp_matches(trim(ra), '^[0-9]{16,}$$')
+         |      CASE WHEN regexp_matches(tra, '^[0-9]{1,15}$$')
+         |        THEN 1706745600000 + CAST(tra AS BIGINT) * 1000
+         |        WHEN regexp_matches(tra, '^[0-9]{16,}$$')
          |        THEN 1706745600000 + 999999999999999 * 1000
          |        ELSE epoch_ms(try_strptime(
-         |          CASE WHEN regexp_matches(trim(ra),
+         |          CASE WHEN regexp_matches(tra,
          |            '^[A-Za-z]{3}, [0-9]{2} [A-Za-z]{3} [0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2} GMT$$')
-         |            THEN substr(trim(ra), 6, 20) END,
+         |            THEN substr(tra, 6, 20) END,
          |          '%d %b %Y %H:%M:%S'))
          |        END AS untl
-         |    FROM resp WHERE status IN (429, 503) AND ra IS NOT NULL) x
+         |    FROM (SELECT k, regexp_replace(trim(ra), '^0+([0-9])', '\\1') AS tra
+         |          FROM resp WHERE status IN (429, 503) AND ra IS NOT NULL) x0) x
          |  WHERE untl IS NOT NULL GROUP BY k),
          |sq AS (
          |  SELECT r.doc_id, r.u,
@@ -2615,13 +2622,18 @@ object WebGraphQueries {
         // 15-digit horizon instead of dropping to no-backoff (r13
         // ADVICE); contained to one host so the other hosts keep the
         // delta-vs-date dominance design
+        // %247==16 (host k=16): a ZERO-PADDED 16-digit delay-seconds —
+        // legally 60 s, which must strip to the arithmetic branch, not
+        // saturate to the 15-digit horizon (r14 ADVICE)
         val resp = docs.select(did, urlc.as("rurl"),
           when(pmod(did, lit(247)) === 3, 503)
+            .when(pmod(did, lit(247)) === 16, 503)
             .when(pmod(did, lit(13)) === 0, 503)
             .when(pmod(did, lit(13)) === 1, 429)
             .when(pmod(did, lit(13)) === 2, 503)
             .otherwise(200).as("status"),
           when(pmod(did, lit(247)) === 3, lit("99999999999999999999"))
+            .when(pmod(did, lit(247)) === 16, lit("0000000000000060"))
             .when(pmod(did, lit(13)) === 0,
               ((pmod(did, lit(19)) + 1) * 60).cast("string"))
             .when(pmod(did, lit(13)) === 1,
@@ -2731,17 +2743,18 @@ object WebGraphQueries {
          |    max(untl) AS backoff_until_ms
          |  FROM (
          |    SELECT k,
-         |      CASE WHEN regexp_matches(trim(ra), '^[0-9]{1,15}$$')
-         |        THEN t + CAST(trim(ra) AS BIGINT) * 1000
-         |        WHEN regexp_matches(trim(ra), '^[0-9]{16,}$$')
+         |      CASE WHEN regexp_matches(tra, '^[0-9]{1,15}$$')
+         |        THEN t + CAST(tra AS BIGINT) * 1000
+         |        WHEN regexp_matches(tra, '^[0-9]{16,}$$')
          |        THEN t + 999999999999999 * 1000
          |        ELSE epoch_ms(try_strptime(
-         |          CASE WHEN regexp_matches(trim(ra),
+         |          CASE WHEN regexp_matches(tra,
          |            '^[A-Za-z]{3}, [0-9]{2} [A-Za-z]{3} [0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2} GMT$$')
-         |            THEN substr(trim(ra), 6, 20) END,
+         |            THEN substr(tra, 6, 20) END,
          |          '%d %b %Y %H:%M:%S'))
          |        END AS untl
-         |    FROM fob WHERE status IN (429, 503) AND ra IS NOT NULL) x
+         |    FROM (SELECT k, t, regexp_replace(trim(ra), '^0+([0-9])', '\\1') AS tra
+         |          FROM fob WHERE status IN (429, 503) AND ra IS NOT NULL) x0) x
          |  WHERE untl IS NOT NULL GROUP BY k),
          |uw AS (
          |  SELECT fz.loc, fz.host, fz.basis, fz.due_ms, b.backoff_until_ms,
@@ -2880,12 +2893,20 @@ object WebGraphQueries {
          |$redirectCtes,
          |disc AS (SELECT url FROM resp),
          |${canonChain("d", "disc", "url")},
-         |dc AS (SELECT canon, min(url) AS url FROM dcn GROUP BY canon),
+         |-- the fixture merges with EMPTY seeds, so mergeSeeds'
+         |-- full-outer CASE degenerates to discovered/NULL here — but
+         |-- the fold below CARRIES these through the collapse (the
+         |-- q263/q265 discipline), so a seed-bearing variant of this
+         |-- fixture would flow, not silently diverge (r14 ADVICE)
+         |dc AS (SELECT canon, min(url) AS url, 'discovered' AS source,
+         |         CAST(NULL AS BIGINT) AS priority_milli
+         |       FROM dcn GROUP BY canon),
          |chd AS (SELECT url, CASE WHEN outcome = 'exceeded' THEN url
          |          ELSE final_url END AS dest FROM rc),
          |${canonChain("c", "chd", "url")},
          |ch AS (SELECT canon, min(dest) AS dest FROM ccn GROUP BY canon),
-         |tg AS (SELECT coalesce(ch.dest, dc.url) AS target
+         |tg AS (SELECT coalesce(ch.dest, dc.url) AS target, dc.source,
+         |         dc.priority_milli
          |       FROM dc LEFT JOIN ch ON ch.canon = dc.canon),
          |cpg AS (
          |  SELECT doc_id,
@@ -2919,12 +2940,22 @@ object WebGraphQueries {
          |       WHERE canu <> '' GROUP BY canon),
          |${canonChain("t", "tg", "target")},
          |t2 AS (SELECT CASE WHEN h.canu IS NOT NULL THEN h.canu
-         |         ELSE t.target END AS target2
+         |         ELSE t.target END AS target2, t.source, t.priority_milli
          |       FROM tcn t LEFT JOIN hx h ON h.hk = t.canon),
          |${canonChain("f", "t2", "target2")},
-         |fo AS (SELECT canon, min(target2) AS url,
-         |         CAST(count(*) AS BIGINT) AS n_aliases
+         |fo0 AS (SELECT canon, min(target2) AS url,
+         |         max(priority_milli) AS priority_milli,
+         |         CAST(count(*) AS BIGINT) AS n_aliases,
+         |         max(CASE WHEN source IN ('sitemap', 'both')
+         |             THEN 1 ELSE 0 END) AS sm,
+         |         max(CASE WHEN source IN ('discovered', 'both')
+         |             THEN 1 ELSE 0 END) AS dv
          |       FROM fcn GROUP BY canon),
+         |fo AS (SELECT canon, url,
+         |         CASE WHEN sm = 1 AND dv = 1 THEN 'both'
+         |              WHEN sm = 1 THEN 'sitemap'
+         |              ELSE 'discovered' END AS source,
+         |         priority_milli, n_aliases FROM fo0),
          |fpath AS (
          |  SELECT canon, url,
          |    lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)) AS host,
@@ -2946,21 +2977,22 @@ object WebGraphQueries {
          |fv AS (SELECT canon, host, (NOT m) OR rule = 'allow' AS allowed
          |       FROM fwin WHERE rn = 1),
          |$crawlDelayCtes,
-         |alw AS (SELECT fo.canon, fo.url, fo.n_aliases, fv.host FROM fo
+         |alw AS (SELECT fo.canon, fo.url, fo.source, fo.priority_milli,
+         |          fo.n_aliases, fv.host FROM fo
          |        JOIN fv ON fv.canon = fo.canon WHERE fv.allowed),
          |sqx AS (SELECT *, row_number() OVER (PARTITION BY host
          |          ORDER BY canon) - 1 AS seq
          |        FROM alw)
-         |SELECT sqx.canon, sqx.url, sqx.host, 'discovered' AS source,
-         |  CAST(NULL AS BIGINT) AS priority_milli, sqx.n_aliases,
+         |SELECT sqx.canon, sqx.url, sqx.host, sqx.source,
+         |  sqx.priority_milli, sqx.n_aliases,
          |  true AS allowed, CAST(sqx.seq AS BIGINT) AS seq,
          |  CASE WHEN sqx.seq < 15
          |    THEN 1704067200000 + sqx.seq * coalesce(dl.ms, 1000)
          |  END AS fetch_at_ms
          |FROM sqx LEFT JOIN dl ON dl.host = sqx.host
          |UNION ALL
-         |SELECT fo.canon, fo.url, fv.host, 'discovered' AS source,
-         |  CAST(NULL AS BIGINT) AS priority_milli, fo.n_aliases,
+         |SELECT fo.canon, fo.url, fv.host, fo.source,
+         |  fo.priority_milli, fo.n_aliases,
          |  false AS allowed, CAST(NULL AS BIGINT) AS seq,
          |  CAST(NULL AS BIGINT) AS fetch_at_ms
          |FROM fo JOIN fv ON fv.canon = fo.canon

@@ -1435,7 +1435,22 @@ class CorpusOpsSpec extends AnyFunSuite {
       // tracking-only query → no '?'
       "http://h.io/p?utm_campaign=c" -> "http://h.io/p",
       // path case is SIGNIFICANT (only scheme/host lowercase)
-      "HTTPS://H.io/CaseSensitive?Q=1" -> "https://h.io/CaseSensitive?Q=1")
+      "HTTPS://H.io/CaseSensitive?Q=1" -> "https://h.io/CaseSensitive?Q=1",
+      // RFC 3986 §6.2.2.2: unreserved escapes DECODE (%7e/%7E → ~,
+      // %41 → A, %5f → _, %2d → -, %2e → ., %30 → 0)
+      "http://h.io/%7euser/%7E2" -> "http://h.io/~user/~2",
+      "http://h.io/%41%5a%61%7a%30%39%2d%2e%5f" -> "http://h.io/AZaz09-._",
+      // §6.2.2.1: reserved escapes stay encoded, hex UPPERCASES
+      "http://h.io/a%2fb?x=%3a" -> "http://h.io/a%2Fb?x=%3A",
+      // %25 (the escape char itself) is reserved-class: stays
+      "http://h.io/100%25?a=1" -> "http://h.io/100%25?a=1",
+      // malformed escapes pass through verbatim (tolerant reader)
+      "http://h.io/a%G1/b%" -> "http://h.io/a%G1/b%",
+      "http://h.io/%" -> "http://h.io/%",
+      // decode runs BEFORE the query split: an encoded tracking key
+      // normalizes into the drop list; surviving params sort on the
+      // DECODED text
+      "http://h.io/p?utm%5Fsource=x&b=%7e&a=1" -> "http://h.io/p?a=1&b=~")
     val out = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
       .toDF("id", "url")
       .select(col("id"), TextFunctions.canonicalizeUrl(col("url")).as("c"))

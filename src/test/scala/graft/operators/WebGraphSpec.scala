@@ -412,6 +412,37 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got(8L)._2 === "http://a.x/q?r=/s/../t")
   }
 
+  test("dot segments normalize under a mixed-case scheme (r14 ADVICE)") {
+    val s = spark
+    import s.implicits._
+    // resolve() passes absolute hrefs through under a CASE-INSENSITIVE
+    // scheme match, so HTTP://… reaches the dot-segment fold verbatim;
+    // case-sensitive origin anchors would cancel THROUGH the authority
+    // and emit the corrupted host HTTP://p
+    val got = Seq(
+      "HTTP://a.x/../p",
+      "Http://A.x/d/../q",
+      "HTTPS://b.y/./r",
+      "HTTP://c.z/keep")
+      .toDF("u")
+      .select(col("u"), WebGraph.normalizeDotSegments(col("u")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("HTTP://a.x/../p") === "HTTP://a.x/p")
+    assert(got("Http://A.x/d/../q") === "Http://A.x/q")
+    assert(got("HTTPS://b.y/./r") === "HTTPS://b.y/r")
+    assert(got("HTTP://c.z/keep") === "HTTP://c.z/keep")
+  }
+
+  test("uppercase-spelled ampersand references decode (legacy named set is case-insensitive)") {
+    val got = links("http://a.x/dir/p",
+      """<a href="/p?a=1&AMP;b=2">1</a>""" +
+        """<a href="/q?x=&#X26;y">2</a>""" +
+        """<a href="/r?u=&Amp;v">3</a>""")
+    assert(got(1L)._2 === "http://a.x/p?a=1&b=2")
+    assert(got(2L)._2 === "http://a.x/q?x=&y")
+    assert(got(3L)._2 === "http://a.x/r?u=&v")
+  }
+
   test("redirectChains: a dot-segment Location settles on the fetched spelling") {
     val s = spark
     import s.implicits._
