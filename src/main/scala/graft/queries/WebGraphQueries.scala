@@ -2346,14 +2346,29 @@ object WebGraphQueries {
          |    CASE WHEN doc_id % 5 = 0 THEN '"v' || doc_id || '"' END AS etag,
          |    CASE WHEN doc_id % 4 = 0
          |      THEN epoch_ms(TIMESTAMP '2024-06-01 12:00:00') END AS flm,
-         |    CASE WHEN doc_id % 6 = 0 THEN 'public, max-age=86400'
+         |    CASE WHEN doc_id % 30 = 12 THEN 'max-age=99999999999999999'
+         |         WHEN doc_id % 6 = 0 THEN 'public, max-age=86400'
          |         WHEN doc_id % 6 = 3 THEN 'no-store' END AS cc,
          |    CASE WHEN doc_id % 9 = 0
-         |      THEN epoch_ms(TIMESTAMP '2024-08-01 00:00:00') END AS expms
+         |      THEN epoch_ms(TIMESTAMP '2024-08-01 00:00:00') END AS expms,
+         |    CASE WHEN doc_id % 12 = 0 THEN '86000'
+         |         WHEN doc_id % 12 = 6 THEN '0000012'
+         |         WHEN doc_id % 20 = 4 THEN '3600' END AS ageh
          |  FROM documents),
          |crx AS (
          |  SELECT d.loc, f.etag, f.t, f.cc, f.expms, f.flm,
          |    lower(coalesce(f.cc, '')) AS lcc,
+         |    regexp_replace(regexp_extract(lower(coalesce(f.cc, '')),
+         |      '(^|[,\\s])max-age\\s*=\\s*"?([0-9]+)', 2),
+         |      '^0+([0-9])', '\\1') AS mat,
+         |    CASE WHEN regexp_matches(regexp_replace(trim(coalesce(f.ageh,
+         |        '')), '^0+([0-9])', '\\1'), '^[0-9]{1,15}$$')
+         |      THEN CAST(regexp_replace(trim(f.ageh), '^0+([0-9])', '\\1')
+         |        AS BIGINT) * 1000
+         |      WHEN regexp_matches(regexp_replace(trim(coalesce(f.ageh,
+         |        '')), '^0+([0-9])', '\\1'), '^[0-9]{16,}$$')
+         |      THEN 999999999999999 * 1000
+         |      ELSE 0 END AS agems,
          |    CASE WHEN f.flm IS NOT NULL THEN 'validator'
          |         WHEN d.lastmod_ms IS NOT NULL THEN 'sitemap' END AS hbasis,
          |    coalesce(f.flm, d.lastmod_ms) +
@@ -2365,24 +2380,21 @@ object WebGraphQueries {
          |        '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)')
          |         THEN regexp_extract(lcc,
          |           '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)', 2)
-         |       WHEN regexp_extract(lcc,
-         |        '(^|[,\\s])max-age\\s*=\\s*"?([0-9]{1,15})', 2) <> ''
-         |         THEN 'max-age'
+         |       WHEN mat <> '' THEN 'max-age'
          |       WHEN expms IS NOT NULL THEN 'expires'
          |       WHEN hdue IS NOT NULL THEN hbasis
          |       WHEN flm IS NOT NULL AND t >= flm THEN 'heuristic'
          |       ELSE hbasis END AS basis,
          |  CASE WHEN regexp_matches(lcc,
          |        '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)') THEN t
-         |       WHEN regexp_extract(lcc,
-         |        '(^|[,\\s])max-age\\s*=\\s*"?([0-9]{1,15})', 2) <> ''
-         |         THEN t + CAST(regexp_extract(lcc,
-         |           '(^|[,\\s])max-age\\s*=\\s*"?([0-9]{1,15})', 2)
-         |           AS BIGINT) * 1000
+         |       WHEN regexp_matches(mat, '^[0-9]{1,15}$$')
+         |         THEN t + CAST(mat AS BIGINT) * 1000 - agems
+         |       WHEN regexp_matches(mat, '^[0-9]{16,}$$')
+         |         THEN t + 999999999999999 * 1000
          |       WHEN expms IS NOT NULL THEN expms
          |       WHEN hdue IS NOT NULL THEN hdue
          |       WHEN flm IS NOT NULL AND t >= flm
-         |         THEN t + (t - flm) // 10
+         |         THEN t + least((t - flm) // 10, 86400000) - agems
          |       END AS due_at_ms,
          |  etag, conditional
          |FROM crx""".stripMargin) {
@@ -2408,13 +2420,24 @@ object WebGraphQueries {
             when(pmod(did, lit(5)) === 0,
               concat(lit("ETag: \"v"), ds, lit("\"\r\n")))
               .otherwise(lit("")),
-            when(pmod(did, lit(6)) === 0,
-              lit("Cache-Control: public, max-age=86400\r\n"))
+            // %30==12 (⊂ %6==0): a 17-digit max-age SATURATES at the
+            // 15-digit horizon, never truncates to its first 15 digits
+            when(pmod(did, lit(30)) === 12,
+              lit("Cache-Control: max-age=99999999999999999\r\n"))
+              .when(pmod(did, lit(6)) === 0,
+                lit("Cache-Control: public, max-age=86400\r\n"))
               .when(pmod(did, lit(6)) === 3,
                 lit("Cache-Control: no-store\r\n"))
               .otherwise(lit("")),
             when(pmod(did, lit(9)) === 0,
               lit("Expires: Thu, 01 Aug 2024 00:00:00 GMT\r\n"))
+              .otherwise(lit("")),
+            // RFC 9111 §4.2.3 Age rows: %12==0 near-stale under its
+            // max-age (due = t+400 s), %12==6 ZERO-PADDED seconds,
+            // %20==4 spans both the max-age and heuristic tiers
+            when(pmod(did, lit(12)) === 0, lit("Age: 86000\r\n"))
+              .when(pmod(did, lit(12)) === 6, lit("Age: 0000012\r\n"))
+              .when(pmod(did, lit(20)) === 4, lit("Age: 3600\r\n"))
               .otherwise(lit("")),
             lit("\r\nok")).as("payload"))
         val msg = graft.sources.Warc.httpMessage(col("payload"))
@@ -2428,14 +2451,15 @@ object WebGraphQueries {
             graft.sources.Warc.httpDateMillis(hv("last-modified"))
               .as("flm"),
             hv("cache-control").as("cc"),
-            graft.sources.Warc.httpDateMillis(hv("expires")).as("expms"))
+            graft.sources.Warc.httpDateMillis(hv("expires")).as("expms"),
+            hv("age").as("ageh"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val cr = graft.operators.Frontier.conditionalRecrawl(hints, "loc",
           col("slm"), col("changefreq"), parsed, col("furl"), col("fms"),
           col("etag"), col("flm"))
         val fr = parsed.select(col("furl"),
           graft.sources.Warc.freshnessDue(col("fms"), col("cc"),
-            col("expms"), col("flm")).as("fr"))
+            col("expms"), col("flm"), col("ageh")).as("fr"))
         // precedence: explicit freshness (no-cache/no-store/max-age/
         // expires) > typed validator/sitemap due > RFC 9111 §4.2.2
         // heuristic (lowest — it fills only where no typed due exists)
@@ -2702,10 +2726,24 @@ object WebGraphQueries {
          |    CASE WHEN doc_id % 6 = 0 THEN 'public, max-age=86400'
          |         WHEN doc_id % 6 = 3 THEN 'no-store' END AS cc,
          |    CASE WHEN doc_id % 9 = 0
-         |      THEN epoch_ms(TIMESTAMP '2024-08-01 00:00:00') END AS expms
+         |      THEN epoch_ms(TIMESTAMP '2024-08-01 00:00:00') END AS expms,
+         |    CASE WHEN doc_id % 12 = 0 THEN '86000'
+         |         WHEN doc_id % 12 = 6 THEN '0000012'
+         |         WHEN doc_id % 20 = 4 THEN '3600' END AS ageh
          |  FROM documents),
          |fx AS (
          |  SELECT d.loc, d.host, f.t, lower(coalesce(f.cc, '')) AS lcc,
+         |    regexp_replace(regexp_extract(lower(coalesce(f.cc, '')),
+         |      '(^|[,\\s])max-age\\s*=\\s*"?([0-9]+)', 2),
+         |      '^0+([0-9])', '\\1') AS mat,
+         |    CASE WHEN regexp_matches(regexp_replace(trim(coalesce(f.ageh,
+         |        '')), '^0+([0-9])', '\\1'), '^[0-9]{1,15}$$')
+         |      THEN CAST(regexp_replace(trim(f.ageh), '^0+([0-9])', '\\1')
+         |        AS BIGINT) * 1000
+         |      WHEN regexp_matches(regexp_replace(trim(coalesce(f.ageh,
+         |        '')), '^0+([0-9])', '\\1'), '^[0-9]{16,}$$')
+         |      THEN 999999999999999 * 1000
+         |      ELSE 0 END AS agems,
          |    f.expms, f.etag, f.flm,
          |    CASE WHEN f.flm IS NOT NULL THEN 'validator'
          |         WHEN d.lastmod_ms IS NOT NULL THEN 'sitemap' END AS hbasis,
@@ -2718,24 +2756,21 @@ object WebGraphQueries {
          |          '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)')
          |           THEN regexp_extract(lcc,
          |             '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)', 2)
-         |         WHEN regexp_extract(lcc,
-         |          '(^|[,\\s])max-age\\s*=\\s*"?([0-9]{1,15})', 2) <> ''
-         |           THEN 'max-age'
+         |         WHEN mat <> '' THEN 'max-age'
          |         WHEN expms IS NOT NULL THEN 'expires'
          |         WHEN hdue IS NOT NULL THEN hbasis
          |         WHEN flm IS NOT NULL AND t >= flm THEN 'heuristic'
          |         ELSE hbasis END AS basis,
          |    CASE WHEN regexp_matches(lcc,
          |          '(^|[,\\s])(no-cache|no-store)\\s*(,|$$)') THEN t
-         |         WHEN regexp_extract(lcc,
-         |          '(^|[,\\s])max-age\\s*=\\s*"?([0-9]{1,15})', 2) <> ''
-         |           THEN t + CAST(regexp_extract(lcc,
-         |             '(^|[,\\s])max-age\\s*=\\s*"?([0-9]{1,15})', 2)
-         |             AS BIGINT) * 1000
+         |         WHEN regexp_matches(mat, '^[0-9]{1,15}$$')
+         |           THEN t + CAST(mat AS BIGINT) * 1000 - agems
+         |         WHEN regexp_matches(mat, '^[0-9]{16,}$$')
+         |           THEN t + 999999999999999 * 1000
          |         WHEN expms IS NOT NULL THEN expms
          |         WHEN hdue IS NOT NULL THEN hdue
          |         WHEN flm IS NOT NULL AND t >= flm
-         |           THEN t + (t - flm) // 10
+         |           THEN t + least((t - flm) // 10, 86400000) - agems
          |         END AS due_ms
          |  FROM fx),
          |bo AS (
@@ -2816,6 +2851,15 @@ object WebGraphQueries {
             when(pmod(did, lit(9)) === 0,
               lit("Expires: Thu, 01 Aug 2024 00:00:00 GMT\r\n"))
               .otherwise(lit("")),
+            // RFC 9111 §4.2.3 Age rows (the q268 battery at this
+            // gate's fetch vintage): %12==0 near-stale max-age,
+            // %12==6 zero-padded, %20==4 a stale-at-arrival heuristic
+            // (lifetime 0 − 3600 s: due BEFORE fetch, rides the nb
+            // clamp)
+            when(pmod(did, lit(12)) === 0, lit("Age: 86000\r\n"))
+              .when(pmod(did, lit(12)) === 6, lit("Age: 0000012\r\n"))
+              .when(pmod(did, lit(20)) === 4, lit("Age: 3600\r\n"))
+              .otherwise(lit("")),
             lit("\r\nok")).as("payload"))
         val msg = graft.sources.Warc.httpMessage(col("payload"))
         def hv(n: String) = get(filter(msg.getField("headers"),
@@ -2830,14 +2874,15 @@ object WebGraphQueries {
             graft.sources.Warc.httpDateMillis(hv("last-modified"))
               .as("flm"),
             hv("cache-control").as("cc"),
-            graft.sources.Warc.httpDateMillis(hv("expires")).as("expms"))
+            graft.sources.Warc.httpDateMillis(hv("expires")).as("expms"),
+            hv("age").as("ageh"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val cr = graft.operators.Frontier.conditionalRecrawl(hints, "loc",
           col("slm"), col("changefreq"), parsed, col("furl"), col("fms"),
           col("etag"), col("flm"))
         val fr = parsed.select(col("furl"),
           graft.sources.Warc.freshnessDue(col("fms"), col("cc"),
-            col("expms"), col("flm")).as("fr"))
+            col("expms"), col("flm"), col("ageh")).as("fr"))
         // q268's precedence: explicit > typed due > §4.2.2 heuristic
         val explicitFr = col("fr").isNotNull &&
           col("fr").getField("basis") =!= "heuristic"

@@ -428,4 +428,46 @@ class WarcSpec extends AnyFunSuite {
     assert(got(4) === ((t, "heuristic")))
     assert(got(5) === null)
   }
+
+  test("freshnessDue: Age header, max-age saturation, heuristic 24h cap (RFC 9111 §4.2.2–3)") {
+    val s = spark
+    import s.implicits._
+    val t = 10000000000000L
+    val day = 86400000L
+    val horizon = 999999999999999L * 1000
+    val got = Seq(
+      // current_age starts at Age: due = t + 86400s − 86000s
+      ("max-age=86400", None: Option[Long], None: Option[Long], Some("86000")),
+      // zero-padded Age is seconds, not saturation
+      ("max-age=86400", None: Option[Long], None: Option[Long],
+        Some("0000000000000012")),
+      // stale-at-arrival: due lands BEFORE the fetch, arithmetic exact
+      ("max-age=60", None: Option[Long], None: Option[Long], Some("120")),
+      // invalid Age → 0 (tolerant reader)
+      ("max-age=60", None: Option[Long], None: Option[Long], Some("soon")),
+      // Expires is ABSOLUTE: Age does not shift it
+      ("private", Some(123456789L), None: Option[Long], Some("3600")),
+      // 17-digit max-age SATURATES (never truncates to 15 digits)
+      ("max-age=99999999999999999", None: Option[Long],
+        None: Option[Long], None: Option[String]),
+      // zero-padded max-age strips to its value
+      ("max-age=0000000000000060", None: Option[Long],
+        None: Option[Long], None: Option[String]),
+      // heuristic lifetime caps at 24h (lastmod 20 days back → 48h
+      // uncapped), and Age still subtracts
+      ("private", None: Option[Long], Some(t - 20 * day), Some("3600"))
+    ).toDF("cc", "expms", "lm", "age")
+      .select(Warc.freshnessDue(lit(t), col("cc"), col("expms"),
+        col("lm"), col("age")).as("f"))
+      .collect().map(r => if (r.isNullAt(0)) null
+        else (r.getStruct(0).getLong(0), r.getStruct(0).getString(1)))
+    assert(got(0) === ((t + 400000L, "max-age")))
+    assert(got(1) === ((t + 86388000L, "max-age")))
+    assert(got(2) === ((t - 60000L, "max-age")))
+    assert(got(3) === ((t + 60000L, "max-age")))
+    assert(got(4) === ((123456789L, "expires")))
+    assert(got(5) === ((t + horizon, "max-age")))
+    assert(got(6) === ((t + 60000L, "max-age")))
+    assert(got(7) === ((t + day - 3600000L, "heuristic")))
+  }
 }
