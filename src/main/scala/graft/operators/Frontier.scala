@@ -141,6 +141,61 @@ object Frontier {
     collapseAliases(entries)
   }
 
+  /** Permanence-aware frontier collapse — RFC 9110 §15.4 finally
+    * split: [[resolveAliases]] treats EVERY settled redirect as
+    * identity evidence, which is right for a within-snapshot content
+    * census but wrong for a standing frontier — a site-wide 302 login
+    * bounce would alias-merge every protected page into one row and
+    * silently drop them from the crawl. Real frontiers read 301/308
+    * ("the resource IS now there") as identity and 302/303/307 ("go
+    * there FOR THIS REQUEST") as this-visit-only routing.
+    *
+    * `chains` must be [[WebGraph.redirectChains]]-shaped WITH its
+    * `perm_url` column (url, final_url, outcome, perm_url). Identity
+    * maps each entry through the longest all-PERMANENT chain prefix
+    * (`perm_url`; `exceeded` chains key by their own URL — never
+    * merged on a guess; unfetched entries keep themselves), then
+    * collapses on the canonical identity key exactly like
+    * [[resolveAliases]]. The TEMPORARY evidence is not discarded — it
+    * becomes `fetch_url`: the kept identity URL mapped through the
+    * FULL routing chain, i.e. where a fetch of this identity actually
+    * lands this wave. Two 302-bounced pages thus survive as two
+    * frontier rows (distinct `canon`/`url`) sharing one `fetch_url` —
+    * the wave scheduler dedups at the fetch grain while the frontier
+    * keeps both identities alive for the next wave.
+    *
+    * Returns (canon, url, source, priority_milli, n_aliases,
+    * fetch_url). Scale shape: the two chain maps are canon-keyed
+    * equi-joins against the fetch-grain chain frame and the collapse
+    * is one hash-aggregate shuffle on the identity key — same class
+    * as [[resolveAliases]], one extra fetch-grain join, no window, no
+    * iteration.
+    */
+  def resolveAliasesPermanent(merged: DataFrame,
+                              chains: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.canonicalizeUrl
+    val pch = chains.select(
+        canonicalizeUrl(col("url")).as("canon"),
+        when(col("outcome") === "exceeded", col("url"))
+          .otherwise(col("perm_url")).as("__dest"))
+      .groupBy("canon").agg(min("__dest").as("__dest"))
+    val entries = merged.join(pch, Seq("canon"), "left_outer")
+      .select(coalesce(col("__dest"), col("url")).as("__target"),
+        col("source"), col("priority_milli"))
+    // collapseAliases leaves canon == canonicalizeUrl(url), so the
+    // routing map joins straight on the collapsed identity key
+    val routed = chains.select(
+        canonicalizeUrl(col("url")).as("__rk"),
+        when(col("outcome") === "exceeded", col("url"))
+          .otherwise(col("final_url")).as("__rdest"))
+      .groupBy("__rk").agg(min("__rdest").as("__rdest"))
+    collapseAliases(entries)
+      .join(routed, col("canon") === col("__rk"), "left_outer")
+      .select(col("canon"), col("url"), col("source"),
+        col("priority_milli"), col("n_aliases"),
+        coalesce(col("__rdest"), col("url")).as("fetch_url"))
+  }
+
   /** Map each merged entry through its redirect chain by canonical
     * form: one destination per canonical source (exceeded loops keep
     * their own URL; duplicate fetches collapse bytewise-min — the

@@ -453,10 +453,11 @@ object WebGraph {
     * and the bound is also the cycle detector: a loop never settles,
     * so it exhausts the hop budget and comes out `exceeded`.
     *
-    * Returns one row per input URL: (url, final_url, hops, outcome) —
-    * `outcome` ∈ `ok` (settled on a fetched URL; hops 0 for
-    * non-redirects), `dangling` (settled on a Location target that
-    * was never fetched — the frontier's follow-up list), `exceeded`
+    * Returns one row per input URL: (url, final_url, hops, outcome,
+    * perm_url) — `outcome` ∈ `ok` (settled on a fetched URL; hops 0
+    * for non-redirects), `dangling` (settled on a Location target
+    * that was never fetched — the frontier's follow-up list),
+    * `exceeded`
     * (a REAL redirect edge remains after `maxHops` hops: a cycle or a
     * deeper-than-`maxHops` chain — a chain that settles at exactly
     * `maxHops` hops is settled, not exceeded; a final no-match probe
@@ -467,6 +468,21 @@ object WebGraph {
     * the most common real-world form. A Location outside the chain's
     * grammar (empty, fragment-only, non-http scheme) resolves to null
     * and the response behaves as a non-redirect.
+    *
+    * `perm_url` is the landing of the chain's longest all-PERMANENT
+    * prefix — RFC 9110 §15.4 splits 3xx by permanence: 301/308 say
+    * "this resource IS now there" (identity evidence a dedup or
+    * frontier may collapse on), while 302/303/307 say "go there FOR
+    * THIS REQUEST" (routing, valid this visit only — a site-wide 302
+    * login bounce must not merge every protected page into one
+    * frontier row). The prefix walks edge-by-edge with the routing
+    * chain and stops at the first non-permanent edge, so for
+    * A→301→B→302→C: `final_url` = C (where a fetch goes today),
+    * `perm_url` = B (what A's identity is). A non-redirect has
+    * `perm_url` = itself; conflicting duplicate fetches of one URL
+    * whose collapsed min-target carries both permanent and temporary
+    * status readings take the TEMPORARY reading (never claim
+    * permanent identity on conflicting evidence).
     *
     * Scale shape: the redirect table is the 3xx SUBSET of fetches (a
     * few percent of a real crawl); each of the `maxHops` joins probes
@@ -503,15 +519,33 @@ object WebGraph {
       .filter(col("__st") >= 300 && col("__st") <= 399 &&
         col("__draw").isNotNull && col("__draw") =!= "")
       .withColumn("__dst0", normalizeDotSegments(col("__draw")))
-      .groupBy("__src0").agg(min("__dst0").as("__dst0"))
+      // struct-min collapses conflicting duplicates to the bytewise-min
+      // target AND, for that target, the min permanence reading — so a
+      // (src,dst) edge fetched once as 301 and once as 302 reads
+      // temporary (0 < 1): never permanent identity on conflict
+      .withColumn("__perm0",
+        (col("__st") === 301 || col("__st") === 308).cast("int"))
+      .groupBy("__src0")
+      .agg(min(struct(col("__dst0"), col("__perm0"))).as("__m"))
+      .select(col("__src0"), col("__m.__dst0").as("__dst0"),
+        col("__m.__perm0").as("__perm0"))
     def redAs(i: Int): DataFrame =
-      red.select(col("__src0").as(s"__src$i"), col("__dst0").as(s"__dst$i"))
+      red.select(col("__src0").as(s"__src$i"), col("__dst0").as(s"__dst$i"),
+        col("__perm0").as(s"__perm$i"))
     val r1 = redAs(1)
+    // (pcur, pstop) track the longest all-permanent prefix: while
+    // pstop is false, pcur == cur (the prefix has followed routing
+    // exactly), so the edge the hop join consumed out of `cur` IS the
+    // next candidate prefix edge; the first temporary/absent edge
+    // freezes pcur for good
     var st = responses.select(col(urlCol).cast("string").as("url"))
       .join(r1, col("url") === col("__src1"), "left_outer")
       .select(col("url"), coalesce(col("__dst1"), col("url")).as("cur"),
         when(col("__dst1").isNotNull, 1L).otherwise(0L).as("hops"),
-        col("__dst1").isNull.as("done"))
+        col("__dst1").isNull.as("done"),
+        when(col("__dst1").isNotNull && col("__perm1") === 1, col("__dst1"))
+          .otherwise(col("url")).as("pcur"),
+        (col("__dst1").isNull || col("__perm1") =!= 1).as("pstop"))
     for (i <- 2 to maxHops) {
       val r = redAs(i)
       st = st.join(r, col("cur") === col(s"__src$i") && !col("done"),
@@ -521,7 +555,12 @@ object WebGraph {
             .otherwise(col(s"__dst$i")).as("cur"),
           (col("hops") + when(!col("done") && col(s"__dst$i").isNotNull, 1L)
             .otherwise(0L)).as("hops"),
-          (col("done") || col(s"__dst$i").isNull).as("done"))
+          (col("done") || col(s"__dst$i").isNull).as("done"),
+          when(!col("pstop") && !col("done") && col(s"__dst$i").isNotNull &&
+              col(s"__perm$i") === 1, col(s"__dst$i"))
+            .otherwise(col("pcur")).as("pcur"),
+          (col("pstop") || col("done") || col(s"__dst$i").isNull ||
+            col(s"__perm$i") =!= 1).as("pstop"))
     }
     // settle probe: a row that consumed the whole hop budget may have
     // LANDED on its terminal URL at exactly maxHops — only a real
@@ -537,7 +576,8 @@ object WebGraph {
         when(!col("done") && col(s"__dst${maxHops + 1}").isNotNull,
           "exceeded")
           .when(col("__u").isNull, "dangling")
-          .otherwise("ok").as("outcome"))
+          .otherwise("ok").as("outcome"),
+        col("pcur").as("perm_url"))
   }
 
   def hostEdges(links: DataFrame, srcHost: Column, dstHost: Column): DataFrame =

@@ -896,7 +896,10 @@ object WebGraphQueries {
     * chain landing at exactly maxHops is settled), and the membership
     * verdict. Shared text (the q256/q258 discipline — chain semantics
     * cannot diverge between the resolution gate and its consumers);
-    * ends in `rc(url, final_url, hops, outcome)`.
+    * ends in `rc(url, final_url, hops, outcome, perm_url)` —
+    * `perm_url` the longest all-permanent (301/308) prefix landing,
+    * tracked through the hops as (pcur, pstop) exactly like the
+    * engine.
     */
   private lazy val redirectCtes: String = {
     def hop(i: Int): String =
@@ -905,7 +908,10 @@ object WebGraphQueries {
          |    CASE WHEN done OR r.dst IS NULL THEN cur ELSE r.dst END AS cur,
          |    hops + CASE WHEN NOT done AND r.dst IS NOT NULL
          |      THEN 1 ELSE 0 END AS hops,
-         |    done OR r.dst IS NULL AS done
+         |    done OR r.dst IS NULL AS done,
+         |    CASE WHEN NOT pstop AND NOT done AND r.dst IS NOT NULL
+         |        AND r.permi = 1 THEN r.dst ELSE pcur END AS pcur,
+         |    pstop OR done OR r.dst IS NULL OR r.permi <> 1 AS pstop
          |  FROM c${i - 1} LEFT JOIN red r
          |    ON NOT c${i - 1}.done AND r.src = c${i - 1}.cur)""".stripMargin
     def u(expr: String): String =
@@ -938,11 +944,16 @@ object WebGraphQueries {
        |         WHEN doc_id % 11 = 10 THEN '../r/doc' || (doc_id + 19)
        |         END AS location
        |  FROM documents),
-       |red AS (
-       |  SELECT src, min(dst) AS dst FROM (
-       |    SELECT src, ${dotNormSql("draw")} AS dst FROM (
-       |      SELECT url AS src, ${resolveSql("location")} AS draw
-       |      FROM (SELECT url, location,
+       |red0 AS (
+       |  -- (src,dst)-grain permanence first (conflicting duplicate
+       |  -- fetches of one edge read temporary: min), THEN min-dst per
+       |  -- src with arg_min carrying that dst's reading — the SQL twin
+       |  -- of the engine's struct-min collapse
+       |  SELECT src, dst, min(permi) AS permi FROM (
+       |    SELECT src, ${dotNormSql("draw")} AS dst, permi FROM (
+       |      SELECT url AS src, ${resolveSql("location")} AS draw,
+       |        CASE WHEN status IN (301, 308) THEN 1 ELSE 0 END AS permi
+       |      FROM (SELECT url, location, status,
        |              regexp_extract(url, '^(https?)://', 1) AS sch,
        |              regexp_extract(url, '^https?://([^/?#]+)', 1) AS hst,
        |              regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1) AS pth
@@ -950,22 +961,29 @@ object WebGraphQueries {
        |            WHERE status >= 300 AND status <= 399
        |              AND location IS NOT NULL) z) zz) y
        |  WHERE dst IS NOT NULL AND dst <> ''
-       |  GROUP BY src),
+       |  GROUP BY src, dst),
+       |red AS (
+       |  SELECT src, min(dst) AS dst, arg_min(permi, dst) AS permi
+       |  FROM red0 GROUP BY src),
        |c1 AS (
        |  SELECT resp.url, coalesce(r.dst, resp.url) AS cur,
        |    CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS hops,
-       |    r.dst IS NULL AS done
+       |    r.dst IS NULL AS done,
+       |    CASE WHEN r.dst IS NOT NULL AND r.permi = 1 THEN r.dst
+       |         ELSE resp.url END AS pcur,
+       |    r.dst IS NULL OR r.permi <> 1 AS pstop
        |  FROM resp LEFT JOIN red r ON r.src = resp.url),
        |${(2 to 4).map(hop).mkString(",\n")},
        |cp AS (
-       |  SELECT c4.url, c4.cur, c4.hops, c4.done, r.dst AS nxt
+       |  SELECT c4.url, c4.cur, c4.hops, c4.done, c4.pcur, r.dst AS nxt
        |  FROM c4 LEFT JOIN red r ON NOT c4.done AND r.src = c4.cur),
        |mem AS (SELECT DISTINCT url AS u FROM resp),
        |rc AS (
        |  SELECT cp.url, cp.cur AS final_url, CAST(cp.hops AS BIGINT) AS hops,
        |    CASE WHEN NOT cp.done AND cp.nxt IS NOT NULL THEN 'exceeded'
        |         WHEN m.u IS NULL THEN 'dangling'
-       |         ELSE 'ok' END AS outcome
+       |         ELSE 'ok' END AS outcome,
+       |    cp.pcur AS perm_url
        |  FROM cp LEFT JOIN mem m ON m.u = cp.cur)""".stripMargin
   }
 
@@ -2039,7 +2057,7 @@ object WebGraphQueries {
     // settle probe, and the membership verdict.
     QueryDef.sql("q263_redirect_chains",
       s"""WITH $redirectCtes
-         |SELECT url, final_url, hops, outcome FROM rc""".stripMargin) {
+         |SELECT url, final_url, hops, outcome, perm_url FROM rc""".stripMargin) {
       (s, d) => redirectResolved(s, d)
     },
 
@@ -3102,6 +3120,116 @@ object WebGraphQueries {
           .select(col("canon"), col("url"), col("host"), col("source"),
             col("priority_milli"), col("n_aliases"), col("allowed"),
             col("seq"), col("fetch_at_ms"))
+      }
+    },
+
+    // PERMANENCE-AWARE FRONTIER (RFC 9110 §15.4 finally split —
+    // resolveAliases treats every settled redirect as identity, which
+    // is right for a content census and wrong for a standing
+    // frontier): identity collapses only through the longest
+    // all-PERMANENT (301/308) chain prefix (q263's perm_url), while
+    // temporary evidence (302/303/307) becomes per-wave ROUTING — the
+    // kept identity mapped through the FULL chain to fetch_url. The
+    // %11 fixture proves both directions at once: d%11==0's 301 edge
+    // merges it with its landing, but the 302 edge one hop later does
+    // NOT pull it to the chain's routing terminus — the 302-bounced
+    // identities survive as distinct rows (distinct canon) SHARING a
+    // fetch_canon, and is_fetch_leader marks exactly one row per
+    // fetch group as the wave's single scheduled fetch ("two rows
+    // survive, one fetch scheduled"). Seeds respell fetched URLs
+    // through the §6.2.2 decode (the q265 %6F discipline) so the
+    // source/priority folds carry real sitemap evidence through the
+    // permanent collapse. The oracle replays chain + perm tracking,
+    // both canon chains, the merge, the permanent collapse, the
+    // routing map, and the fetch-grain census.
+    QueryDef.sql("q272_permanent_frontier",
+      s"""WITH $redirectCtes,
+         |disc AS (SELECT url FROM resp),
+         |${canonChain("d", "disc", "url")},
+         |dc AS (SELECT canon, min(url) AS d_url FROM dcn GROUP BY canon),
+         |seeds AS (
+         |  SELECT 'http://H' || (doc_id % 19) || '.EXAMPLE.ORG/r/d%6Fc' ||
+         |      doc_id || '?utm_source=sm' AS loc,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN CAST((doc_id % 10) * 100 AS BIGINT) END AS pm
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |${canonChain("s", "seeds", "loc")},
+         |sc AS (SELECT canon, min(loc) AS s_url, max(pm) AS priority_milli
+         |       FROM scn GROUP BY canon),
+         |mg AS (
+         |  SELECT coalesce(dc.canon, sc.canon) AS canon,
+         |    coalesce(sc.s_url, dc.d_url) AS url,
+         |    CASE WHEN sc.canon IS NOT NULL AND dc.canon IS NOT NULL THEN 'both'
+         |         WHEN sc.canon IS NOT NULL THEN 'sitemap'
+         |         ELSE 'discovered' END AS source,
+         |    sc.priority_milli
+         |  FROM dc FULL OUTER JOIN sc ON dc.canon = sc.canon),
+         |pchd AS (SELECT url, CASE WHEN outcome = 'exceeded' THEN url
+         |           ELSE perm_url END AS dest FROM rc),
+         |${canonChain("p", "pchd", "url")},
+         |pch AS (SELECT canon, min(dest) AS dest FROM pcn GROUP BY canon),
+         |tg AS (SELECT coalesce(pch.dest, mg.url) AS target, mg.source,
+         |         mg.priority_milli
+         |       FROM mg LEFT JOIN pch ON pch.canon = mg.canon),
+         |${canonChain("t", "tg", "target")},
+         |fo0 AS (SELECT canon, min(target) AS url,
+         |         max(priority_milli) AS priority_milli,
+         |         CAST(count(*) AS BIGINT) AS n_aliases,
+         |         max(CASE WHEN source IN ('sitemap', 'both')
+         |             THEN 1 ELSE 0 END) AS sm,
+         |         max(CASE WHEN source IN ('discovered', 'both')
+         |             THEN 1 ELSE 0 END) AS dv
+         |       FROM tcn GROUP BY canon),
+         |fa AS (SELECT canon, url,
+         |         CASE WHEN sm = 1 AND dv = 1 THEN 'both'
+         |              WHEN sm = 1 THEN 'sitemap'
+         |              ELSE 'discovered' END AS source,
+         |         priority_milli, n_aliases FROM fo0),
+         |rchd AS (SELECT url, CASE WHEN outcome = 'exceeded' THEN url
+         |           ELSE final_url END AS dest FROM rc),
+         |${canonChain("r", "rchd", "url")},
+         |rch AS (SELECT canon AS rk, min(dest) AS dest FROM rcn GROUP BY canon),
+         |rt AS (SELECT fa.canon AS id_canon, fa.url, fa.source,
+         |         fa.priority_milli, fa.n_aliases,
+         |         coalesce(rch.dest, fa.url) AS fetch_url
+         |       FROM fa LEFT JOIN rch ON rch.rk = fa.canon),
+         |${canonChain("g", "rt", "fetch_url")},
+         |fcen AS (SELECT canon AS fetch_canon,
+         |           CAST(count(*) AS BIGINT) AS n_identities,
+         |           min(id_canon) AS lead FROM gcn GROUP BY canon)
+         |SELECT g.id_canon AS canon, g.url, g.source, g.priority_milli,
+         |  g.n_aliases, g.fetch_url, f.fetch_canon, f.n_identities,
+         |  g.id_canon = f.lead AS is_fetch_leader
+         |FROM gcn g JOIN fcen f ON f.fetch_canon = g.canon""".stripMargin) {
+      (s, d) => {
+        import graft.functions.TextFunctions.canonicalizeUrl
+        val did = col("doc_id")
+        val ks = pmod(did, lit(19)).cast("string")
+        val fx = redirectFixture(s, d)
+        val discovered = fx.select(col("url"))
+        val seeds = Tables.documents(s, d)
+          .filter(pmod(did, lit(2)) === 0)
+          .select(concat(lit("http://H"), ks, lit(".EXAMPLE.ORG/r/d%6Fc"),
+              did.cast("string"), lit("?utm_source=sm")).as("loc"),
+            when(pmod(did, lit(3)) === 0,
+              (pmod(did, lit(10)) * 100).cast("long")).as("pm"))
+        val merged = graft.operators.Frontier.mergeSeeds(
+          discovered, col("url"), seeds, col("loc"), col("pm"))
+        // the identity-grain frame feeds BOTH the fetch-grain census
+        // and the final join-back: pin it so the chain + merge +
+        // permanent-collapse funnel runs once (the q264 discipline)
+        val rows = graft.operators.CacheRegistry.register(
+          graft.operators.Frontier.resolveAliasesPermanent(
+              merged, redirectResolved(s, d))
+            .withColumn("fetch_canon", canonicalizeUrl(col("fetch_url")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val census = rows.groupBy("fetch_canon")
+          .agg(count(lit(1)).as("n_identities"), min("canon").as("__lead"))
+        rows.join(census, Seq("fetch_canon"))
+          .select(col("canon"), col("url"), col("source"),
+            col("priority_milli"), col("n_aliases"), col("fetch_url"),
+            col("fetch_canon"), col("n_identities"),
+            (col("canon") === col("__lead")).as("is_fetch_leader"))
       }
     }
   )

@@ -241,6 +241,53 @@ class FrontierSpec extends AnyFunSuite {
       (("http://c.x/loop", "sitemap", 100L, 1L)))
   }
 
+  test("resolveAliasesPermanent: a 302 bounce routes but never aliases; a 301 collapses (RFC 9110 §15.4)") {
+    val s = spark
+    import s.implicits._
+    // the site-wide login bounce: /a and /b both 302 to /login — two
+    // protected pages that MUST survive as two frontier identities;
+    // /c and /d both 301 to /m — one moved page, one identity
+    val merged = Seq(
+      ("http://s.x/a", "http://s.x/a", "discovered", None: Option[Long]),
+      ("http://s.x/b", "http://s.x/b", "sitemap", Some(600L)),
+      ("http://s.x/c", "http://s.x/c", "discovered", None: Option[Long]),
+      ("http://s.x/d", "http://s.x/d", "sitemap", Some(300L)),
+      ("http://s.x/login", "http://s.x/login", "discovered",
+        None: Option[Long]),
+      ("http://s.x/m", "http://s.x/m", "discovered", None: Option[Long])
+    ).toDF("canon", "url", "source", "priority_milli")
+    val chains = Seq(
+      ("http://s.x/a", "http://s.x/login", "ok", "http://s.x/a"),
+      ("http://s.x/b", "http://s.x/login", "ok", "http://s.x/b"),
+      ("http://s.x/c", "http://s.x/m", "ok", "http://s.x/m"),
+      ("http://s.x/d", "http://s.x/m", "ok", "http://s.x/m"),
+      ("http://s.x/login", "http://s.x/login", "ok", "http://s.x/login"),
+      ("http://s.x/m", "http://s.x/m", "ok", "http://s.x/m")
+    ).toDF("url", "final_url", "outcome", "perm_url")
+    val got = Frontier.resolveAliasesPermanent(merged, chains).collect()
+      .map(r => r.getString(1) -> ((r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4),
+        r.getString(5)))).toMap
+    // four identities: a and b SURVIVE (302 is routing, not identity),
+    // the 301 family c/d/m collapses to one row, login keeps itself
+    assert(got.size === 4)
+    assert(got("http://s.x/a") ===
+      (("discovered", -1L, 1L, "http://s.x/login")))
+    assert(got("http://s.x/b") ===
+      (("sitemap", 600L, 1L, "http://s.x/login")))
+    assert(got("http://s.x/m") === (("both", 300L, 3L, "http://s.x/m")))
+    // one fetch scheduled this wave for the bounce group: a, b and
+    // login all route to the same fetch target
+    assert(got("http://s.x/login") ===
+      (("discovered", -1L, 1L, "http://s.x/login")))
+    assert(got.values.count(_._4 == "http://s.x/login") === 3)
+    // the lenient collapse on the same input merges the bounce group —
+    // the exact failure mode the permanent variant exists to stop
+    val lenient = Frontier.resolveAliases(merged, chains)
+      .collect().map(_.getString(1)).toSet
+    assert(lenient === Set("http://s.x/login", "http://s.x/m"))
+  }
+
   test("conditionalRecrawl: fetch-observed validator beats sitemap hint; latest observation wins even without a validator") {
     val s = spark
     import s.implicits._

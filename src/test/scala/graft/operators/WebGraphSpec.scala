@@ -253,6 +253,50 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got.contains(("http://x/aa", "http://x/aa", 0L, "ok")))
   }
 
+  test("redirectChains: perm_url follows the longest all-permanent prefix (RFC 9110 §15.4)") {
+    val s = spark
+    import s.implicits._
+    val resp = Seq(
+      // a 301-> b 302-> c: identity stops at b, routing reaches c
+      ("http://x/a", 301, "http://x/b"),
+      ("http://x/b", 302, "http://x/c"),
+      ("http://x/c", 200, null.asInstanceOf[String]),
+      // all-permanent 308+301 chain: identity == routing
+      ("http://x/p", 308, "http://x/q"),
+      ("http://x/q", 301, "http://x/c"),
+      // temporary from the first hop: identity stays put
+      ("http://x/t", 307, "http://x/c")
+    ).toDF("url", "status", "location")
+    val got = WebGraph.redirectChains(resp, "url", col("status"),
+        col("location"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(4)))).toMap
+    assert(got("http://x/a") === (("http://x/c", "http://x/b")))
+    assert(got("http://x/b") === (("http://x/c", "http://x/b")))
+    assert(got("http://x/c") === (("http://x/c", "http://x/c")))
+    assert(got("http://x/p") === (("http://x/c", "http://x/c")))
+    assert(got("http://x/q") === (("http://x/c", "http://x/c")))
+    assert(got("http://x/t") === (("http://x/c", "http://x/t")))
+  }
+
+  test("redirectChains: conflicting permanence for one collapsed edge reads temporary") {
+    val s = spark
+    import s.implicits._
+    // one URL fetched twice, same min target, 301 once and 302 once:
+    // never permanent identity on conflicting evidence
+    val resp = Seq(
+      ("http://x/h", 301, "http://x/aa"),
+      ("http://x/h", 302, "http://x/aa"),
+      ("http://x/aa", 200, null.asInstanceOf[String])
+    ).toDF("url", "status", "location")
+    val got = WebGraph.redirectChains(resp, "url", col("status"),
+        col("location"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(4)))
+    assert(got.count(_ == (("http://x/h", "http://x/aa", "http://x/h"))) === 2)
+    assert(got.contains(("http://x/aa", "http://x/aa", "http://x/aa")))
+  }
+
   // HTML spec: the <base> element's href rebases every RELATIVE
   // reference in the document; only the FIRST base is honored, and
   // the base href may itself be relative (resolved against the
