@@ -293,36 +293,65 @@ object Frontier {
     * The collapse is deterministic on any engine: fetch-time desc,
     * then lastmod / etag desc nulls-last as stable tiebreaks.
     *
+    * A `304 Not Modified` observation (`status` — the loop's own
+    * conditional fetches coming back) closes the conditional-fetch
+    * loop: per RFC 9111 §4.3.4 a 304 REFRESHES the stored response's
+    * recency and keeps its stored validators. Here that means the
+    * validators (etag / Last-Modified) always come from the latest
+    * FULL (non-304) observation — a 304 carries no body and its
+    * header echo is not a new validator — while a 304 NEWER than that
+    * full observation moves the freshness base to its own fetch time
+    * (`basis` = `revalidated`): content verified unchanged at that
+    * moment, so the next due defers from THEN, without pretending new
+    * validators appeared. A 304 older than the latest full fetch is
+    * superseded evidence and contributes nothing; a time tie reads as
+    * the full fetch winning (strict `>`, deterministic).
+    *
     * Returns (loc, basis, base_ms, due_at_ms, etag, conditional) —
-    * `basis` ∈ validator | sitemap | null (where the freshness base
-    * came from), `base_ms` the observed Last-Modified else the sitemap
-    * lastmod, `due_at_ms` = base + period(changefreq)
+    * `basis` ∈ revalidated | validator | sitemap | null (where the
+    * freshness base came from), `base_ms` the 304 revalidation time
+    * else the observed Last-Modified else the sitemap lastmod,
+    * `due_at_ms` = base + period(changefreq)
     * ([[Sitemaps.recrawlDueMillis]] — a fresh validator DEFERS a
     * sitemap-due URL), `conditional` whether revalidation is possible
-    * (any validator observed: send If-None-Match / If-Modified-Since
+    * (any STORED validator: send If-None-Match / If-Modified-Since
     * instead of an unconditional fetch).
     *
-    * Scale shape: one window on the observation log's url key and one
-    * url-keyed equi-join — the two corpus-grain shuffles a recrawl
-    * pass pays by nature; every step engine-replayable, no iteration.
+    * Scale shape: one window on the full-observation subset plus one
+    * hash-aggregate on the (small) 304 subset, then two url-keyed
+    * equi-joins — the corpus-grain shuffles a recrawl pass pays by
+    * nature; every step engine-replayable, no iteration.
     */
   def conditionalRecrawl(hints: DataFrame, locCol: String,
                          sitemapLastmodMs: Column, changefreq: Column,
                          fetches: DataFrame, fUrl: Column, fetchMs: Column,
-                         etag: Column, fetchedLastmodMs: Column): DataFrame = {
+                         etag: Column, fetchedLastmodMs: Column,
+                         status: Column = lit(200)): DataFrame = {
     val obs = fetches.select(fUrl.as("__u"), fetchMs.as("__t"),
-      etag.as("__etag"), fetchedLastmodMs.as("__flm"))
+      etag.as("__etag"), fetchedLastmodMs.as("__flm"), status.as("__st"))
+    // stored response = latest full observation; a missing status
+    // reads as full (an observation log without statuses is a log of
+    // completed fetches)
     val w = Window.partitionBy(col("__u")).orderBy(col("__t").desc,
       col("__flm").desc_nulls_last, col("__etag").desc_nulls_last)
-    val latest = obs.withColumn("__rn", row_number().over(w))
+    val latest = obs.filter(col("__st").isNull || col("__st") =!= 304)
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col("__u"), col("__etag"), col("__flm"))
+      .select(col("__u"), col("__t").as("__ft"), col("__etag"),
+        col("__flm"))
+    val reval = obs.filter(col("__st") === 304)
+      .groupBy(col("__u").as("__ru")).agg(max(col("__t")).as("__rt"))
     val h = hints.select(col(locCol).as("loc"),
       sitemapLastmodMs.as("__slm"), changefreq.as("__cf"))
-    val base = coalesce(col("__flm"), col("__slm"))
+    val revalWins = col("__rt").isNotNull &&
+      (col("__ft").isNull || col("__rt") > col("__ft"))
+    val base = when(revalWins, col("__rt"))
+      .otherwise(coalesce(col("__flm"), col("__slm")))
     h.join(latest, col("loc") === col("__u"), "left_outer")
+      .join(reval, col("loc") === col("__ru"), "left_outer")
       .select(col("loc"),
-        when(col("__flm").isNotNull, "validator")
+        when(revalWins, "revalidated")
+          .when(col("__flm").isNotNull, "validator")
           .when(col("__slm").isNotNull, "sitemap").as("basis"),
         base.as("base_ms"),
         Sitemaps.recrawlDueMillis(base, col("__cf")).as("due_at_ms"),

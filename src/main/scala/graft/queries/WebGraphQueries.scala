@@ -2259,7 +2259,11 @@ object WebGraphQueries {
     // one — and where the fresh fetch carries no validator, the URL
     // falls BACK to the sitemap hint: observation recency, not
     // validator recency), and due_at = base + period(changefreq) —
-    // so a fresh validator DEFERS a sitemap-due URL. The oracle
+    // so a fresh validator DEFERS a sitemap-due URL. The loop CLOSES
+    // on its own output: the %3==0 July wave replays the conditional
+    // fetches coming back 304 Not Modified (RFC 9111 §4.3.4) — the
+    // freshness base moves to the revalidation time while the stored
+    // validators (and the conditional verdict) stay. The oracle
     // replays the q256 typed-lastmod chain (shared CTE text), the
     // observation synthesis with engine-derived epochs, the
     // latest-wins window, and the precedence fold; a byte lost in the
@@ -2275,30 +2279,45 @@ object WebGraphQueries {
          |fob AS (
          |  SELECT 'http://h' || (doc_id % 19) || '.example.org/r/' ||
          |      doc_id AS u,
-         |    1717243200000 AS t,
+         |    1717243200000 AS t, 200 AS st,
          |    CASE WHEN doc_id % 5 = 0 THEN '"v' || doc_id || '"' END AS etag,
          |    CASE WHEN doc_id % 4 = 0
          |      THEN epoch_ms(TIMESTAMP '2024-06-01 12:00:00') END AS flm
          |  FROM documents
          |  UNION ALL
          |  SELECT 'http://h' || (doc_id % 19) || '.example.org/r/' || doc_id,
-         |    1709251200000, CAST(NULL AS VARCHAR),
+         |    1709251200000, 200, CAST(NULL AS VARCHAR),
          |    epoch_ms(TIMESTAMP '2024-03-01 00:00:00')
-         |  FROM documents WHERE doc_id % 7 = 0),
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  -- the July revalidation wave: conditional fetches coming
+         |  -- back 304 — recency refreshes, stored validators stay
+         |  SELECT 'http://h' || (doc_id % 19) || '.example.org/r/' || doc_id,
+         |    1719835200000, 304, CAST(NULL AS VARCHAR),
+         |    CAST(NULL AS BIGINT)
+         |  FROM documents WHERE doc_id % 3 = 0),
          |fl AS (
-         |  SELECT u, etag, flm FROM (
+         |  SELECT u, t AS ft, etag, flm FROM (
          |    SELECT *, row_number() OVER (PARTITION BY u ORDER BY t DESC,
          |        flm DESC NULLS LAST, etag DESC NULLS LAST) AS rn
-         |    FROM fob) x WHERE rn = 1)
-         |SELECT d.loc,
-         |  CASE WHEN f.flm IS NOT NULL THEN 'validator'
-         |       WHEN d.lastmod_ms IS NOT NULL THEN 'sitemap' END AS basis,
-         |  coalesce(f.flm, d.lastmod_ms) AS base_ms,
-         |  coalesce(f.flm, d.lastmod_ms) +
-         |    ${changefreqPeriodSql("d.cf")} AS due_at_ms,
-         |  f.etag,
-         |  (f.etag IS NOT NULL OR f.flm IS NOT NULL) AS conditional
-         |FROM due d LEFT JOIN fl f ON f.u = d.loc""".stripMargin) {
+         |    FROM fob WHERE st <> 304) x WHERE rn = 1),
+         |rv AS (SELECT u, max(t) AS rt FROM fob WHERE st = 304 GROUP BY u),
+         |crb AS (
+         |  SELECT d.loc, d.cf, f.etag, f.flm,
+         |    CASE WHEN rv.rt IS NOT NULL AND (f.ft IS NULL OR rv.rt > f.ft)
+         |         THEN 'revalidated'
+         |         WHEN f.flm IS NOT NULL THEN 'validator'
+         |         WHEN d.lastmod_ms IS NOT NULL THEN 'sitemap' END AS basis,
+         |    CASE WHEN rv.rt IS NOT NULL AND (f.ft IS NULL OR rv.rt > f.ft)
+         |         THEN rv.rt
+         |         ELSE coalesce(f.flm, d.lastmod_ms) END AS base_ms
+         |  FROM due d LEFT JOIN fl f ON f.u = d.loc
+         |    LEFT JOIN rv ON rv.u = d.loc)
+         |SELECT loc, basis, base_ms,
+         |  base_ms + ${changefreqPeriodSql("cf")} AS due_at_ms,
+         |  etag,
+         |  (etag IS NOT NULL OR flm IS NOT NULL) AS conditional
+         |FROM crb""".stripMargin) {
       (s, d) => {
         val did = col("doc_id")
         val ks = pmod(did, lit(19)).cast("string")
@@ -2327,15 +2346,23 @@ object WebGraphQueries {
           .select(urlc.as("furl"), lit(1709251200000L).as("fms"),
             lit("HTTP/1.1 200 OK\r\nLast-Modified: " +
               "Fri, 01 Mar 2024 00:00:00 GMT\r\n\r\nok").as("payload"))
+        // the July revalidation wave on %3==0: the loop's own
+        // conditional fetches coming back 304 (no body, no new
+        // validators) — recency refreshes, stored validators stay
+        val reval = docs.filter(pmod(did, lit(3)) === 0)
+          .select(urlc.as("furl"), lit(1719835200000L).as("fms"),
+            lit("HTTP/1.1 304 Not Modified\r\n" +
+              "Date: Mon, 01 Jul 2024 12:00:00 GMT\r\n\r\n").as("payload"))
         val msg = graft.sources.Warc.httpMessage(col("payload"))
         def hv(n: String) = get(filter(msg.getField("headers"),
           h => h.getField("name") === n), lit(0)).getField("value")
-        val parsed = fresh.unionByName(stale).select(
+        val parsed = fresh.unionByName(stale).unionByName(reval).select(
           col("furl"), col("fms"), hv("etag").as("etag"),
-          graft.sources.Warc.httpDateMillis(hv("last-modified")).as("flm"))
+          graft.sources.Warc.httpDateMillis(hv("last-modified")).as("flm"),
+          msg.getField("status_code").cast("int").as("hstatus"))
         graft.operators.Frontier.conditionalRecrawl(hints, "loc",
           col("slm"), col("changefreq"), parsed, col("furl"), col("fms"),
-          col("etag"), col("flm"))
+          col("etag"), col("flm"), col("hstatus"))
       }
     },
 

@@ -327,6 +327,49 @@ class FrontierSpec extends AnyFunSuite {
       ((None, -1L, -1L, Some("\"e3\""), true)))
   }
 
+  test("conditionalRecrawl: a 304 refreshes the freshness base and keeps stored validators (RFC 9111 §4.3.4)") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000L
+    val hints = Seq(
+      ("http://a.x/1", Some(1709251200000L), "daily"),
+      ("http://a.x/2", Some(1709251200000L), "daily"),
+      ("http://a.x/3", Some(1709251200000L), "daily")
+    ).toDF("loc", "slm", "cf")
+    val fetches = Seq(
+      // /1: June full fetch with validators, then a July 304 — base
+      // moves to July, etag survives, still conditional
+      ("http://a.x/1", 1717243200000L, Some("\"e1\""),
+        Some(1717243200000L), 200),
+      ("http://a.x/1", 1719835200000L, None: Option[String],
+        None: Option[Long], 304),
+      // /2: the 304 is OLDER than the latest full fetch — superseded,
+      // plain validator basis
+      ("http://a.x/2", 1719835200000L, None: Option[String],
+        Some(1717243200000L), 200),
+      ("http://a.x/2", 1717243200000L, None: Option[String],
+        None: Option[Long], 304),
+      // /3: only a 304 on record — revalidated, but nothing to send
+      // conditionally next time
+      ("http://a.x/3", 1719835200000L, None: Option[String],
+        None: Option[Long], 304)
+    ).toDF("url", "t", "etag", "flm", "st")
+    val got = Frontier.conditionalRecrawl(hints, "loc", col("slm"),
+        col("cf"), fetches, col("url"), col("t"), col("etag"), col("flm"),
+        col("st"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), Option(r.getString(4)), r.getBoolean(5)))).toMap
+    assert(got("http://a.x/1") ===
+      (("revalidated", 1719835200000L, 1719835200000L + day,
+        Some("\"e1\""), true)))
+    assert(got("http://a.x/2") ===
+      (("validator", 1717243200000L, 1717243200000L + day, None, true)))
+    assert(got("http://a.x/3") ===
+      (("revalidated", 1719835200000L, 1719835200000L + day,
+        None, false)))
+  }
+
   test("resolveAliases with canonicals: canonical + redirect evidence collapse to ONE schedulable row") {
     val s = spark
     import s.implicits._
