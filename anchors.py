@@ -18,7 +18,13 @@ adjudication a diff:
       fresh anchor file) against the committed anchors. Flags a query
       only when BOTH ratio >= --ratio (default 1.5) AND absolute
       delta >= --abs-sec (default 1.0 s) — sub-second jitter never
-      flags. Exit 1 when anything is flagged, so CI can gate on it.
+      flags. Contiguous EXECUTION-ORDER runs of --window-len (default
+      5) queries all >= --window-ratio (default 2.0) are labeled as
+      contention WINDOWS ("box, not code" -- r14's driver bench ran 50
+      consecutive queries at ~3x across unrelated families; every
+      isolate re-ran clean): flags inside a window are reported but do
+      not gate. Exit 1 only for ISOLATED flags, so CI gates on the
+      code signal.
 
       Accepts THREE input shapes: a raw graft.Bench JSON line
       ({"queries": {...}}), another anchors file, or the driver's
@@ -125,6 +131,26 @@ def extract_queries(doc):
              "no 'tail' — keys: " + ", ".join(sorted(doc)))
 
 
+def find_windows(order, ratio_of, window_ratio, window_len):
+    """Contiguous runs (execution order) of >= window_len queries all
+    at >= window_ratio vs anchors. A run that long spanning adjacent
+    EXECUTION indices — typically unrelated query families — is box
+    contention during that wall-clock span, not a code regression
+    (r14's driver bench: 50 consecutive queries at ~3x across token /
+    ANN / script families; every isolate re-ran at <=1x)."""
+    windows, run = [], []
+    for n in order:
+        if ratio_of[n] >= window_ratio:
+            run.append(n)
+        else:
+            if len(run) >= window_len:
+                windows.append(run)
+            run = []
+    if len(run) >= window_len:
+        windows.append(run)
+    return windows
+
+
 def cmd_compare(args) -> int:
     with open(args.anchors) as f:
         anchors = json.load(f)
@@ -132,6 +158,15 @@ def cmd_compare(args) -> int:
         bench = json.load(f)
     new, truncated = extract_queries(bench)
     base = anchors["queries"]
+    # insertion order of the bench queries object IS execution order
+    # (the raw line, the anchors file, and the driver-tail regex all
+    # preserve it) — that adjacency is what window adjudication needs;
+    # Bench's `starts` offsets corroborate but are not required
+    order = [n for n in new if n in base and base[n] > 0]
+    ratio_of = {n: new[n] / base[n] for n in order}
+    windows = find_windows(order, ratio_of,
+                           args.window_ratio, args.window_len)
+    in_window = {n for w in windows for n in w}
     flagged, improved, added, removed = [], [], [], []
     for name in sorted(set(base) | set(new)):
         if name not in base:
@@ -146,8 +181,19 @@ def cmd_compare(args) -> int:
             flagged.append((name, b, n, ratio))
         elif 1 / ratio >= args.ratio and (b - n) >= args.abs_sec:
             improved.append((name, b, n, ratio))
-    for name, b, n, r in sorted(flagged, key=lambda x: -x[3]):
+    windowed = [f for f in flagged if f[0] in in_window]
+    isolated = [f for f in flagged if f[0] not in in_window]
+    for i, w in enumerate(windows, 1):
+        med = statistics.median(ratio_of[n] for n in w)
+        print(f"WINDOW {i}: {len(w)} consecutive queries "
+              f"{w[0]}..{w[-1]} all >= {args.window_ratio}x "
+              f"(median {med:.2f}x) — box, not code; "
+              f"isolate before belief")
+    for name, b, n, r in sorted(isolated, key=lambda x: -x[3]):
         print(f"SLOWER  {name}: {b:.2f}s -> {n:.2f}s ({r:.2f}x)")
+    for name, b, n, r in sorted(windowed, key=lambda x: -x[3]):
+        print(f"slower-in-window  {name}: {b:.2f}s -> {n:.2f}s "
+              f"({r:.2f}x)")
     for name, b, n, r in sorted(improved, key=lambda x: x[3]):
         print(f"faster  {name}: {b:.2f}s -> {n:.2f}s ({r:.2f}x)")
     if added:
@@ -168,11 +214,13 @@ def cmd_compare(args) -> int:
         return 1
     print(f"common-query total: {tot_b:.1f}s anchor -> {tot_n:.1f}s "
           f"({tot_n / tot_b:.2f}x) over {ncommon} queries; "
-          f"{len(flagged)} flagged (>= {args.ratio}x and >= {args.abs_sec}s)")
-    if flagged:
+          f"{len(isolated)} flagged (>= {args.ratio}x and "
+          f">= {args.abs_sec}s), {len(windowed)} more inside "
+          f"contention windows")
+    if isolated:
         print("flagged queries need the bench-noise protocol "
               "(3x A/B isolates) before belief — see PERF.md")
-    return 1 if flagged else 0
+    return 1 if isolated else 0
 
 
 def cmd_selftest(_args=None) -> int:
@@ -227,7 +275,9 @@ def cmd_selftest(_args=None) -> int:
                            "parsed": None}, f)
             ns = argparse.Namespace(bench=bench, anchors=anch,
                                     ratio=kw.get("ratio", 1.5),
-                                    abs_sec=kw.get("abs_sec", 1.0))
+                                    abs_sec=kw.get("abs_sec", 1.0),
+                                    window_ratio=kw.get("window_ratio", 2.0),
+                                    window_len=kw.get("window_len", 5))
             return cmd_compare(ns)
 
         clean = run('neardup":0.73,"q204_cdc_replay":3.497,'
@@ -239,6 +289,37 @@ def cmd_selftest(_args=None) -> int:
         disjoint = run('"q999_unknown":1.0},"failed":[]}\n')
         check("compare disjoint names -> exit 1 without crash",
               disjoint == 1)
+    # 6. contiguous slow window -> labeled box-not-code, exit 0; the
+    # same slow queries NON-contiguous -> isolated flags, exit 1; a
+    # bench line carrying @-prefixed starts must not confuse timings
+    with tempfile.TemporaryDirectory() as d:
+        anch = os.path.join(d, "ANCHORS.json")
+        qnames = [f"q{i:02d}_w" for i in range(1, 9)]
+        with open(anch, "w") as f:
+            json.dump({"queries": {n: 2.0 for n in qnames}}, f)
+
+        def run2(times, window_len=3):
+            bench = os.path.join(d, "bench.json")
+            doc = {"metric": "total", "value": sum(times.values()),
+                   "unit": "sec", "queries": times,
+                   "starts": {"@" + n: i for i, n in enumerate(times)},
+                   "sf": "x"}
+            with open(bench, "w") as f:
+                json.dump(doc, f)
+            ns = argparse.Namespace(bench=bench, anchors=anch,
+                                    ratio=1.5, abs_sec=1.0,
+                                    window_ratio=2.0,
+                                    window_len=window_len)
+            return cmd_compare(ns)
+
+        contiguous = {n: (6.0 if i in (2, 3, 4) else 2.0)
+                      for i, n in enumerate(qnames)}
+        check("compare contiguous window -> exit 0",
+              run2(contiguous) == 0)
+        scattered = {n: (6.0 if i in (1, 4, 7) else 2.0)
+                     for i, n in enumerate(qnames)}
+        check("compare scattered slowness -> exit 1",
+              run2(scattered) == 1)
     print(f"selftest: {'PASS' if not fails else 'FAIL'} "
           f"({total[0] - len(fails)}/{total[0]})")
     return 1 if fails else 0
@@ -256,6 +337,12 @@ def main() -> int:
     c.add_argument("--anchors", default="ANCHORS.json")
     c.add_argument("--ratio", type=float, default=1.5)
     c.add_argument("--abs-sec", type=float, default=1.0)
+    c.add_argument("--window-ratio", type=float, default=2.0,
+                   help="per-query ratio that counts toward a "
+                        "contention window (default 2.0)")
+    c.add_argument("--window-len", type=int, default=5,
+                   help="minimum consecutive executed queries at "
+                        ">= window-ratio to call a window (default 5)")
     sub.add_parser("selftest")
     args = p.parse_args()
     if args.cmd == "generate":

@@ -9,7 +9,17 @@ import org.apache.spark.sql.SparkSession
   * (joins, aggregates, formatting) with nothing collected — because a
   * bare count() would let Catalyst prune most of the work. A warmup
   * query amortizes session/codegen startup out of the first
-  * measurement. AQE is on, shuffle partitions match cores.
+  * measurement. AQE is on, shuffle partitions match cores. Gates with
+  * a [[graft.queries.QueryDef]] `prepare` hook get their scratch
+  * fixtures materialized OUTSIDE the timed window (the q251
+  * discipline: WARC synthesis I/O made the gate un-adjudicable).
+  *
+  * The JSON line also carries `starts`: each query's start offset in
+  * seconds from the first timed query, keyed `"@<name>"` (the `@`
+  * keeps the driver-tail query regex from confusing offsets with
+  * timings). `anchors.py compare` uses execution adjacency + offsets
+  * to label contiguous slow WINDOWS (box contention) apart from
+  * isolated regressions (code).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,7 +40,15 @@ object Bench {
     // (default off — keeps continuity with the r1-r5 artifacts)
     val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
 
-    def execute(name: String): (Double, Boolean) = {
+    // SPARK_GRAFT_BENCH_REPEAT=N (dev-only; driver never sets it): time
+    // each query N times in this JVM, report the MEDIAN, print each
+    // run to stderr — the noise protocol's within-JVM variance probe
+    // (stable repeats + unstable fresh JVMs = startup/JIT; unstable
+    // repeats = contention or nondeterministic work)
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+
+    def executeOnce(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir)
@@ -49,6 +67,16 @@ object Bench {
       (elapsed, ok)
     }
 
+    def execute(name: String): (Double, Boolean) =
+      if (repeat == 1) executeOnce(name)
+      else {
+        val runs = (1 to repeat).map(_ => executeOnce(name))
+        System.err.println(s"[bench] $name repeats: " +
+          runs.map(r => f"${r._1}%.2f").mkString(" "))
+        val sorted = runs.map(_._1).sorted
+        (sorted(sorted.size / 2), runs.forall(_._2))
+      }
+
     // SPARK_GRAFT_BENCH_FILTER=<regex>: run only matching queries (dev
     // iteration / standalone per-query measurement; driver never sets it)
     val allNames = SparkEntry.allQueries.map(_.name)
@@ -61,16 +89,30 @@ object Bench {
     catch { case _: Throwable => }
     graft.operators.CacheRegistry.releaseAll()
 
-    val results = names.map(n => n -> execute(n))
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val t00 = System.nanoTime()
+    val results = names.map { n =>
+      // fixture preparation is session setup, not query work: run it
+      // untimed (idempotent — the lambda self-triggers it elsewhere)
+      SparkEntry.prepares.get(n).foreach { p =>
+        try p(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $n prepare failed: ${e.getMessage}")
+        }
+      }
+      val startOff = (System.nanoTime() - t00) / 1e9
+      (n, execute(n), startOff)
+    }
+    val qs = results.map { case (k, (v, _), _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // failed queries still count their elapsed time toward the total (a
     // crash must never IMPROVE the headline metric) and are listed
     val total = results.map(_._2._1).sum
-    val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val failed = results.collect { case (k, (_, false), _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val starts = results.map { case (k, _, off) =>
+      "\"@" + k + "\":" + math.rint(off * 1000) / 1000 }.mkString("{", ",", "}")
     def jsonStr(x: String): String =
       "\"" + x.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":${jsonStr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"starts":$starts,"sf":${jsonStr(sfDir)}}"""
     println(line)
     // also persist to a file — the stdout line is the contract, but log
     // tails get truncated (round 4 lost q01-q06 and the total that way)

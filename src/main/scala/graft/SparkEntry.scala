@@ -24,4 +24,12 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Untimed fixture preparation for gates that materialize scratch
+    * input (idempotent; the query lambda also self-triggers it) —
+    * [[Bench]] runs these OUTSIDE the timer so measurements certify
+    * operators, not fixture I/O.
+    */
+  def prepares: Map[String, (SparkSession, String) => Unit] =
+    allQueries.flatMap(q => q.prepare.map(q.name -> _)).toMap
 }

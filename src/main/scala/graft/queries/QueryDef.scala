@@ -6,15 +6,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * a Spark query over the testdata tables plus (when SQL-expressible)
   * the equivalent DuckDB oracle SQL. Column names must match exactly —
   * the driver sorts columns by name and hashes values.
+  *
+  * `prepare` is the optional UNTIMED fixture step for gates whose
+  * lambda materializes scratch input (WARC exports, local stores)
+  * before the measured query: `Bench` runs it outside the timer so
+  * the measurement certifies the OPERATOR, not the fixture I/O (the
+  * q251 discipline). The lambda must stay self-sufficient — prepare
+  * is idempotent memoized synthesis the lambda also triggers on its
+  * own first call — so `Verify` and ad-hoc use need no prepare pass.
   */
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    prepare: Option[(SparkSession, String) => Unit] = None)
 
 object QueryDef {
   def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, Some(oracle))
+  def sqlPrepared(name: String, oracle: String)(
+      prep: (SparkSession, String) => Unit)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle), Some(prep))
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
 }
