@@ -664,6 +664,76 @@ object Soak {
         operators.Frontier.resolveAliases(merged, chains, hints,
           col("curl"), col("canu"))
       },
+      "unified_schedule" -> { d: String =>
+        // q267's five-product composition at scale — the suite's
+        // heaviest gate and (r14 verdict) the one headline shape
+        // without a soak row: WAT host mining → 4-iteration PageRank
+        // on the 997-host graph → largest-remainder budget → crawl-
+        // delay dimension → priority+due recurrence windows under
+        // rank caps. Expected: the mining pass is corpus-grain (one
+        // regex funnel + one distinct-edge shuffle), everything from
+        // rank to allocation is host-grain (997 rows, pinned once —
+        // the q262 discipline), and the schedule is two host-
+        // partitioned windows over the URL grain (≈ corpus/997 rows
+        // per partition — bounded at every scale).
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        val did = col("doc_id")
+        val ds = did.cast("string")
+        def hh(n: Column) =
+          concat(lit("h"), n.cast("string"), lit(".example.org"))
+        val pages = docs.select(did,
+          concat(lit("http://"), hh(pmod(did, lit(997))), lit("/p/"), ds)
+            .as("uri"),
+          concat(lit("<html><body><p>"), col("text"), lit("</p>"),
+            lit("<a href=\"http://"), hh(pmod(did * 7 + 3, lit(997))),
+            lit("/x/"), ds, lit("\">a</a>"),
+            lit("<a href=\"//"), hh(pmod(did * 5 + 1, lit(997))),
+            lit("/y/"), ds, lit("\">c</a>"),
+            lit("</body></html>")).as("html"))
+        val edges = operators.WebGraph.outlinks(pages, "doc_id",
+            col("uri"), col("html"))
+          .filter(col("src_host") =!= col("dst_host") && !col("nofollow"))
+          .select(
+            regexp_extract(col("src_host"), "^h(\\d+)", 1).cast("long")
+              .as("src"),
+            regexp_extract(col("dst_host"), "^h(\\d+)", 1).cast("long")
+              .as("dst"))
+          .distinct()
+        val ranks = operators.Graphs.pageRankMicro(edges, iterations = 4)
+          .select(hh(col("node")).as("host"), col("rank_micro"))
+        // the allocation feeds BOTH the schedule caps and the final
+        // slots/rank join: pin the host-count-sized frame so the
+        // mining + rank funnel runs once (the q262/q267 discipline)
+        val alloc = operators.CacheRegistry.register(
+          operators.Frontier.allocateBudget(ranks, "host",
+              col("rank_micro"), budget = 200L)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val delays = spark.range(997)
+          .filter(pmod(col("id"), lit(2)) === 0)
+          .select(hh(col("id")).as("host"),
+            (pmod(col("id"), lit(5)) * 500 + 500).cast("long")
+              .as("crawl_delay_ms"))
+        // typed dues straddle t0 = 2024-02-01 exactly like q267:
+        // January dues are stale (clamp to t0), March dues defer
+        val urls = docs.select(
+          concat(lit("http://"), hh(pmod(did, lit(997))), lit("/r/"), ds)
+            .as("loc"),
+          when(pmod(did, lit(4)) === 0,
+            lit(1704067200000L) + pmod(did, lit(28)) * 86400000L)
+            .when(pmod(did, lit(4)) === 1,
+              lit(1709251200000L) + pmod(did, lit(28)) * 86400000L)
+            .as("due_at_ms"),
+          when(pmod(did, lit(3)) === 0,
+            (pmod(did, lit(10)) * 100).cast("long")).as("priority_milli"))
+        val sched = operators.Frontier.fetchSchedule(urls, "loc",
+          col("loc"), delays, t0Ms = 1706745600000L,
+          defaultDelayMs = 1000L, maxPerHost = 20,
+          priorityCol = Some("priority_milli"),
+          notBeforeCol = Some("due_at_ms"),
+          caps = Some(alloc.select(col("host"), col("slots"))))
+        sched.join(alloc.select(col("host"), col("slots"),
+            col("weight").as("rank_micro")), Seq("host"), "left_outer")
+      },
       "warc_roundtrip" -> { d: String =>
         // full WARC sink+source cycle at scale: per-record-gzip export
         // of the scaled corpus (16 shard files — writer parallelism),

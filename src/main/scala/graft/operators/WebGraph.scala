@@ -519,19 +519,35 @@ object WebGraph {
       .filter(col("__st") >= 300 && col("__st") <= 399 &&
         col("__draw").isNotNull && col("__draw") =!= "")
       .withColumn("__dst0", normalizeDotSegments(col("__draw")))
-      // struct-min collapses conflicting duplicates to the bytewise-min
-      // target AND, for that target, the min permanence reading — so a
-      // (src,dst) edge fetched once as 301 and once as 302 reads
-      // temporary (0 < 1): never permanent identity on conflict
+      // the (dst, perm) pair min-collapses as ONE NUL-joined string —
+      // bytewise min picks the min target and, for that target, the
+      // min permanence reading, so a (src,dst) edge fetched once as
+      // 301 and once as 302 reads temporary ("0" < "1"): never
+      // permanent identity on conflict. The encoding is deliberate
+      // twice over: min(struct) falls out of hash aggregation into a
+      // SortAggregate, and a DECODED (dst, perm) column pair broke
+      // exchange reuse — the settle probe consumes only dst, so
+      // column pruning rewrote ITS copy of this aggregate into a
+      // different subtree and the chain paid the collapse twice
+      // (plan-fingerprint caught both). One encoded column keeps
+      // every hop, the probe, and r1 on the IDENTICAL two-column
+      // subtree: one aggregate, reused everywhere. Order-equivalence
+      // holds because URLs carry no NUL and a prefix-dst still sorts
+      // first (NUL < every URL byte).
       .withColumn("__perm0",
         (col("__st") === 301 || col("__st") === 308).cast("int"))
       .groupBy("__src0")
-      .agg(min(struct(col("__dst0"), col("__perm0"))).as("__m"))
-      .select(col("__src0"), col("__m.__dst0").as("__dst0"),
-        col("__m.__perm0").as("__perm0"))
+      .agg(min(concat(col("__dst0"), lit("\u0000"),
+        col("__perm0").cast("string"))).as("__dp0"))
     def redAs(i: Int): DataFrame =
-      red.select(col("__src0").as(s"__src$i"), col("__dst0").as(s"__dst$i"),
-        col("__perm0").as(s"__perm$i"))
+      red.select(col("__src0").as(s"__src$i"), col("__dp0").as(s"__dp$i"))
+    // decode at the use sites (the suffix is exactly 2 chars — NUL +
+    // one digit — so the split is positional and NUL-in-dst-proof);
+    // a no-match join leaves dst/perm null exactly like the decoded
+    // columns would
+    def dstOf(i: Int): Column =
+      expr(s"substring(__dp$i, 1, length(__dp$i) - 2)")
+    def permOf(i: Int): Column = expr(s"substring(__dp$i, -1, 1)") === "1"
     val r1 = redAs(1)
     // (pcur, pstop) track the longest all-permanent prefix: while
     // pstop is false, pcur == cur (the prefix has followed routing
@@ -540,27 +556,27 @@ object WebGraph {
     // freezes pcur for good
     var st = responses.select(col(urlCol).cast("string").as("url"))
       .join(r1, col("url") === col("__src1"), "left_outer")
-      .select(col("url"), coalesce(col("__dst1"), col("url")).as("cur"),
-        when(col("__dst1").isNotNull, 1L).otherwise(0L).as("hops"),
-        col("__dst1").isNull.as("done"),
-        when(col("__dst1").isNotNull && col("__perm1") === 1, col("__dst1"))
+      .select(col("url"), coalesce(dstOf(1), col("url")).as("cur"),
+        when(col("__dp1").isNotNull, 1L).otherwise(0L).as("hops"),
+        col("__dp1").isNull.as("done"),
+        when(col("__dp1").isNotNull && permOf(1), dstOf(1))
           .otherwise(col("url")).as("pcur"),
-        (col("__dst1").isNull || col("__perm1") =!= 1).as("pstop"))
+        (col("__dp1").isNull || !permOf(1)).as("pstop"))
     for (i <- 2 to maxHops) {
       val r = redAs(i)
       st = st.join(r, col("cur") === col(s"__src$i") && !col("done"),
           "left_outer")
         .select(col("url"),
-          when(col("done") || col(s"__dst$i").isNull, col("cur"))
-            .otherwise(col(s"__dst$i")).as("cur"),
-          (col("hops") + when(!col("done") && col(s"__dst$i").isNotNull, 1L)
+          when(col("done") || col(s"__dp$i").isNull, col("cur"))
+            .otherwise(dstOf(i)).as("cur"),
+          (col("hops") + when(!col("done") && col(s"__dp$i").isNotNull, 1L)
             .otherwise(0L)).as("hops"),
-          (col("done") || col(s"__dst$i").isNull).as("done"),
-          when(!col("pstop") && !col("done") && col(s"__dst$i").isNotNull &&
-              col(s"__perm$i") === 1, col(s"__dst$i"))
+          (col("done") || col(s"__dp$i").isNull).as("done"),
+          when(!col("pstop") && !col("done") && col(s"__dp$i").isNotNull &&
+              permOf(i), dstOf(i))
             .otherwise(col("pcur")).as("pcur"),
-          (col("pstop") || col("done") || col(s"__dst$i").isNull ||
-            col(s"__perm$i") =!= 1).as("pstop"))
+          (col("pstop") || col("done") || col(s"__dp$i").isNull ||
+            !permOf(i)).as("pstop"))
     }
     // settle probe: a row that consumed the whole hop budget may have
     // LANDED on its terminal URL at exactly maxHops — only a real
@@ -573,7 +589,7 @@ object WebGraph {
       .select(col(urlCol).cast("string").as("__u")).distinct()
     settled.join(members, col("cur") === col("__u"), "left_outer")
       .select(col("url"), col("cur").as("final_url"), col("hops"),
-        when(!col("done") && col(s"__dst${maxHops + 1}").isNotNull,
+        when(!col("done") && col(s"__dp${maxHops + 1}").isNotNull,
           "exceeded")
           .when(col("__u").isNull, "dangling")
           .otherwise("ok").as("outcome"),
