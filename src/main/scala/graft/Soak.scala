@@ -619,6 +619,29 @@ object Soak {
           resp.select(col("url")), col("url"), seeds, col("loc"), col("pm"))
         operators.Frontier.resolveAliases(merged, chains)
       },
+      "permanent_alias_merge" -> { d: String =>
+        // q272's shape at scale: alias_merge with the PERMANENT
+        // collapse (perm_url identity) plus the fetch-routing join.
+        // Expected on top of alias_merge: the perm tracking rides the
+        // same chain joins (two extra state columns, no new shuffle)
+        // and routing adds ONE canon-keyed equi-join against the
+        // fetch-grain chain dimension — same class as the chain map.
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        val did = col("doc_id")
+        val resp = soakRedirectResp(d)
+        val chains = operators.WebGraph.redirectChains(resp, "url",
+          col("status"), col("location"), maxHops = 4)
+        val seeds = docs.filter(pmod(did, lit(2)) === 0)
+          .select(concat(lit("http://H"),
+              pmod(did, lit(997)).cast("string"),
+              lit(".EXAMPLE.ORG/r/doc"), did.cast("string"),
+              lit("?utm_source=x")).as("loc"),
+            when(pmod(did, lit(3)) === 0,
+              (pmod(did, lit(10)) * 100).cast("long")).as("pm"))
+        val merged = operators.Frontier.mergeSeeds(
+          resp.select(col("url")), col("url"), seeds, col("loc"), col("pm"))
+        operators.Frontier.resolveAliasesPermanent(merged, chains)
+      },
       "canonical_merge" -> { d: String =>
         // q271's shape at scale: alias_merge PLUS the content-level
         // canonical fold — hints mined from real HTML through

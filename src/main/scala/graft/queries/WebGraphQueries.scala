@@ -3283,6 +3283,173 @@ object WebGraphQueries {
             col("fetch_canon"), col("n_identities"),
             (col("canon") === col("__lead")).as("is_fetch_leader"))
       }
+    },
+
+    // PERMANENT-FRONTIER WAVE (q272's fetch_url actually CONSUMED by
+    // scheduling — the same loop-closing step q265 took for
+    // final_url): identities collapse on PERMANENT evidence, then the
+    // wave deduplicates at the FETCH grain (one fetch per fetch_canon
+    // group — min-canon leader, min wave spelling, max priority over
+    // the group: a priority declared for ANY identity prioritizes the
+    // fetch), the wave URL is robots-checked at ITS host (the landing
+    // discipline one grain down: you are about to hit fetch_url, so
+    // that is where politeness applies) and politeness-scheduled per
+    // fetch host. Every identity row rides back with its group's
+    // verdict and grant: the 302-bounced identities share ONE
+    // scheduled fetch (same seq/fetch_at_ms, one is_fetch_leader).
+    // The oracle replays chain + perm + routing + the fetch-grain
+    // fold + the q250 verdict funnel on wave URLs + delay extraction
+    // + the priority-ordered capped windows.
+    QueryDef.sql("q273_permanent_wave",
+      s"""WITH $robotsDirsCtes,
+         |$redirectCtes,
+         |disc AS (SELECT url FROM resp),
+         |${canonChain("d", "disc", "url")},
+         |dc AS (SELECT canon, min(url) AS d_url FROM dcn GROUP BY canon),
+         |seeds AS (
+         |  SELECT 'http://H' || (doc_id % 19) || '.EXAMPLE.ORG/r/d%6Fc' ||
+         |      doc_id || '?utm_source=sm' AS loc,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN CAST((doc_id % 10) * 100 AS BIGINT) END AS pm
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |${canonChain("s", "seeds", "loc")},
+         |sc AS (SELECT canon, min(loc) AS s_url, max(pm) AS priority_milli
+         |       FROM scn GROUP BY canon),
+         |mg AS (
+         |  SELECT coalesce(dc.canon, sc.canon) AS canon,
+         |    coalesce(sc.s_url, dc.d_url) AS url,
+         |    CASE WHEN sc.canon IS NOT NULL AND dc.canon IS NOT NULL THEN 'both'
+         |         WHEN sc.canon IS NOT NULL THEN 'sitemap'
+         |         ELSE 'discovered' END AS source,
+         |    sc.priority_milli
+         |  FROM dc FULL OUTER JOIN sc ON dc.canon = sc.canon),
+         |pchd AS (SELECT url, CASE WHEN outcome = 'exceeded' THEN url
+         |           ELSE perm_url END AS dest FROM rc),
+         |${canonChain("p", "pchd", "url")},
+         |pch AS (SELECT canon, min(dest) AS dest FROM pcn GROUP BY canon),
+         |tg AS (SELECT coalesce(pch.dest, mg.url) AS target, mg.source,
+         |         mg.priority_milli
+         |       FROM mg LEFT JOIN pch ON pch.canon = mg.canon),
+         |${canonChain("t", "tg", "target")},
+         |fo0 AS (SELECT canon, min(target) AS url,
+         |         max(priority_milli) AS priority_milli,
+         |         CAST(count(*) AS BIGINT) AS n_aliases,
+         |         max(CASE WHEN source IN ('sitemap', 'both')
+         |             THEN 1 ELSE 0 END) AS sm,
+         |         max(CASE WHEN source IN ('discovered', 'both')
+         |             THEN 1 ELSE 0 END) AS dv
+         |       FROM tcn GROUP BY canon),
+         |fa AS (SELECT canon, url,
+         |         CASE WHEN sm = 1 AND dv = 1 THEN 'both'
+         |              WHEN sm = 1 THEN 'sitemap'
+         |              ELSE 'discovered' END AS source,
+         |         priority_milli, n_aliases FROM fo0),
+         |rchd AS (SELECT url, CASE WHEN outcome = 'exceeded' THEN url
+         |           ELSE final_url END AS dest FROM rc),
+         |${canonChain("r", "rchd", "url")},
+         |rch AS (SELECT canon AS rk, min(dest) AS dest FROM rcn GROUP BY canon),
+         |rt AS (SELECT fa.canon AS id_canon, fa.url, fa.source,
+         |         fa.priority_milli, fa.n_aliases,
+         |         coalesce(rch.dest, fa.url) AS fetch_url
+         |       FROM fa LEFT JOIN rch ON rch.rk = fa.canon),
+         |${canonChain("g", "rt", "fetch_url")},
+         |wv AS (SELECT canon AS fetch_canon, min(id_canon) AS lead,
+         |         min(fetch_url) AS wave_url,
+         |         max(priority_milli) AS wave_priority
+         |       FROM gcn GROUP BY canon),
+         |wpath AS (
+         |  SELECT fetch_canon, wave_url,
+         |    lower(regexp_extract(wave_url, '(?i)^https?://([^/?#]+)', 1)) AS host,
+         |    CASE WHEN regexp_extract(wave_url, '(?i)^https?://[^/?#]+([^#]*)', 1) = ''
+         |      THEN '/' ELSE regexp_extract(wave_url,
+         |        '(?i)^https?://[^/?#]+([^#]*)', 1) END AS p
+         |  FROM wv),
+         |whits AS (
+         |  SELECT w.fetch_canon, w.host, d.rule, d.path AS rpath,
+         |    d.pattern IS NOT NULL AND regexp_matches(w.p, d.pattern) AS m,
+         |    length(d.path) AS plen
+         |  FROM wpath w LEFT JOIN dirs d ON d.host = w.host),
+         |wwin AS (
+         |  SELECT *, row_number() OVER (PARTITION BY fetch_canon ORDER BY
+         |      CASE WHEN m THEN plen ELSE -1 END DESC,
+         |      CASE WHEN rule = 'allow' THEN 1 ELSE 0 END DESC,
+         |      rpath ASC NULLS LAST) AS rn
+         |  FROM whits),
+         |wverd AS (SELECT fetch_canon, host, (NOT m) OR rule = 'allow' AS allowed
+         |          FROM wwin WHERE rn = 1),
+         |$crawlDelayCtes,
+         |walw AS (SELECT wv.fetch_canon, wv.wave_priority, wverd.host
+         |         FROM wv JOIN wverd ON wverd.fetch_canon = wv.fetch_canon
+         |         WHERE wverd.allowed),
+         |wsqx AS (SELECT *, row_number() OVER (PARTITION BY host
+         |           ORDER BY wave_priority DESC NULLS LAST, fetch_canon) - 1
+         |           AS seq
+         |         FROM walw),
+         |sch AS (SELECT wsqx.fetch_canon, CAST(wsqx.seq AS BIGINT) AS seq,
+         |          CASE WHEN wsqx.seq < 15
+         |            THEN 1704067200000 + wsqx.seq * coalesce(dl.ms, 1000)
+         |          END AS fetch_at_ms
+         |        FROM wsqx LEFT JOIN dl ON dl.host = wsqx.host)
+         |SELECT g.id_canon AS canon, g.url, g.source, g.priority_milli,
+         |  g.n_aliases, w.wave_url, wverd.host AS fetch_host,
+         |  wverd.allowed, g.id_canon = w.lead AS is_fetch_leader,
+         |  sch.seq, sch.fetch_at_ms
+         |FROM gcn g
+         |JOIN wv w ON w.fetch_canon = g.canon
+         |JOIN wverd ON wverd.fetch_canon = g.canon
+         |LEFT JOIN sch ON sch.fetch_canon = g.canon""".stripMargin) {
+      (s, d) => {
+        import graft.functions.TextFunctions.canonicalizeUrl
+        val did = col("doc_id")
+        val ks = pmod(did, lit(19)).cast("string")
+        val fx = redirectFixture(s, d)
+        val discovered = fx.select(col("url"))
+        val seeds = Tables.documents(s, d)
+          .filter(pmod(did, lit(2)) === 0)
+          .select(concat(lit("http://H"), ks, lit(".EXAMPLE.ORG/r/d%6Fc"),
+              did.cast("string"), lit("?utm_source=sm")).as("loc"),
+            when(pmod(did, lit(3)) === 0,
+              (pmod(did, lit(10)) * 100).cast("long")).as("pm"))
+        val merged = graft.operators.Frontier.mergeSeeds(
+          discovered, col("url"), seeds, col("loc"), col("pm"))
+        // identity rows feed the wave fold AND the final join-back;
+        // the wave frame feeds the verdict, the schedule, and the
+        // join-back — pin both (the q264/q265 discipline)
+        val rows = graft.operators.CacheRegistry.register(
+          graft.operators.Frontier.resolveAliasesPermanent(
+              merged, redirectResolved(s, d))
+            .withColumn("fetch_canon", canonicalizeUrl(col("fetch_url")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val wave = rows.groupBy("fetch_canon")
+          .agg(min("canon").as("__lead"), min("fetch_url").as("wave_url"),
+            max("priority_milli").as("wave_priority"))
+        val robots = robotsFixture(s, d)
+        val verd = graft.operators.Robots.allowed(
+          wave.select("fetch_canon", "wave_url"), "fetch_canon",
+          col("wave_url"), robots, "host", col("body"), agent = "graftbot")
+          .select(col("fetch_canon"), col("host"), col("allowed"))
+        val waveFull = graft.operators.CacheRegistry.register(
+          wave.join(verd, Seq("fetch_canon"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val delays = graft.operators.Robots.crawlDelay(
+          robots, "host", col("body"), agent = "graftbot")
+        val sched = graft.operators.Frontier.fetchSchedule(
+          waveFull.filter(col("allowed"))
+            .select("fetch_canon", "wave_url", "wave_priority"),
+          "fetch_canon", col("wave_url"), delays, t0Ms = 1704067200000L,
+          defaultDelayMs = 1000L, maxPerHost = 15,
+          priorityCol = Some("wave_priority"))
+        rows.join(waveFull.select(col("fetch_canon"), col("__lead"),
+            col("wave_url"), col("host").as("fetch_host"), col("allowed")),
+            Seq("fetch_canon"))
+          .join(sched.select(col("fetch_canon"), col("seq"),
+            col("fetch_at_ms")), Seq("fetch_canon"), "left_outer")
+          .select(col("canon"), col("url"), col("source"),
+            col("priority_milli"), col("n_aliases"), col("wave_url"),
+            col("fetch_host"), col("allowed"),
+            (col("canon") === col("__lead")).as("is_fetch_leader"),
+            col("seq"), col("fetch_at_ms"))
+      }
     }
   )
 }
