@@ -498,20 +498,32 @@ object TextFunctions {
     * Pure regexp + array ops — codegen'd, engine-replicable.
     */
   def canonicalizeUrl(url: Column): Column = {
-    val noFrag = pctNormalize(regexp_replace(url, "#.*$", ""))
-    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostPort = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]*)", 1))
-    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
-      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
-      .otherwise(hostPort)
-    val rawPath = regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
-    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
-    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
-    val params = filter(split(query, "&"), p =>
-      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=.*)?$"))
-    val canonQ = array_join(array_sort(params), "&")
-    concat(scheme, lit("://"), host, path,
-      when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
+    // the normalized no-fragment string is referenced SIX times below
+    // (scheme, host, path, query, …). Column expressions are TREES:
+    // a plain `val noFrag = pctNormalize(…)` would INLINE the whole
+    // percent-decode fold into every reference — six interpreted
+    // higher-order folds per row (measured q265 7.5→12.5 s, q271
+    // 8.3→18 s when the r15 pct-norm landed this way). Binding it as
+    // a one-element `transform` lambda variable makes it a VALUE:
+    // the fold runs once, the six consumers read the bound string —
+    // the same materialize-once discipline the frame-level callers
+    // apply, expressed inside a single Column.
+    val raw = regexp_replace(url, "#.*$", "")
+    element_at(transform(array(pctNormalize(raw)), noFrag => {
+      val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+      val hostPort = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]*)", 1))
+      val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+        .otherwise(hostPort)
+      val rawPath = regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+      val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+      val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+      val params = filter(split(query, "&"), p =>
+        p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=.*)?$"))
+      val canonQ = array_join(array_sort(params), "&")
+      concat(scheme, lit("://"), host, path,
+        when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
+    }), 1)
   }
 
   /** GOPHER REPETITION rules (Rae et al., Table A1) — the
