@@ -26,5 +26,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // local[N] runs driver+executor in ONE JVM: at 8g the 270-query bench
+  // session accumulated heap pressure (persisted blocks, broadcasts,
+  // codegen classes) that inflated mid-run queries 3-22x vs their
+  // isolates (measured r15: q47 11.9s in-suite vs 0.6s isolated; 24g
+  // cut the suite total 767.5->707.7s with 15.6s total GC pause).
+  // The box is 128 GiB; 24g is still conservative. Overridable via
+  // SPARK_DRIVER_MEM. On a real cluster executor/driver sizing is a
+  // deploy-time conf — this only sizes the local harness JVM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+) ++
+  // Extra JVM flags for ad-hoc measurement (GC logs, code-cache probes);
+  // empty by default so the driver contract is unchanged.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
