@@ -32,6 +32,16 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The generated-code cache defaults to 100 entries; the composed
+      // crawl/graph gates alone carry 100+ codegen fragments each, so
+      // the suite thrashed it — every stage re-ran Janino INSIDE the
+      // first task while its 31 siblings blocked on the loading cache
+      // (measured r15: q262 task time 466s -> 17s with the larger
+      // cache; stage profiles showed runTime 15-45s at 0.4-0.7s CPU).
+      // Size-adaptive by nature (it is a driver/executor compile cache,
+      // not a data knob); env-overridable for A/B.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

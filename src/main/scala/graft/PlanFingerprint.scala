@@ -84,11 +84,13 @@ object PlanFingerprint {
         graft.operators.CacheRegistry.releaseAll()
         (q.name -> fp) +: probed
       }
-      // two iterative loops the gate corpus never reaches — q55's
-      // connectedComponents takes the ≤driverMaxEdges union-find fast
-      // path at sf0.001, and BPE training is offline (the q212 merge
-      // table is a committed fixture) — get their #iter plans gated
-      // here on pinned micro-inputs that force the distributed path
+      // iterative loops the gate corpus never reaches — q55's
+      // connectedComponents, and (since the r15 optimization round)
+      // every Graphs operator with a tiny-graph driver fast path,
+      // take the ≤driverMaxEdges route at sf0.001; BPE training is
+      // offline (the q212 merge table is a committed fixture) — get
+      // their #iter plans gated here on pinned micro-inputs that
+      // force the distributed path
       val forced = {
         import spark.implicits._
         val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
@@ -98,6 +100,14 @@ object PlanFingerprint {
         graft.operators.Tokenization.trainBpe(
           Seq("aa ab aa ab ba").toDF("t"),
           org.apache.spark.sql.functions.col("t"), numMerges = 2): Unit
+        val g = edges.toDF("src", "dst")
+        graft.operators.Graphs.hitsMicro(g, iterations = 1,
+          driverMaxEdges = 0).count(): Unit
+        graft.operators.Graphs.bfsDistances(g,
+          Seq(1L).toDF("node"), maxHops = 2, driverMaxEdges = 0)
+          .count(): Unit
+        graft.operators.Graphs.kCore(g.toDF("a", "b"), k = 1, rounds = 1,
+          driverMaxEdges = 0).count(): Unit
         graft.operators.CacheRegistry.releaseAll()
         TriggerPlanProbe.drain().toSeq.sortBy(_._1)
           .map { case (k, plan) => k -> fingerprint(plan) }

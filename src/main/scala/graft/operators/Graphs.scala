@@ -11,6 +11,56 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graphs {
 
+  /** ADAPTIVE SMALL-GRAPH GATE shared by the iterative operators (the
+    * [[Dedup.connectedComponents]] `driverMaxEdges` posture, r14-
+    * verdict-blessed): iterative graph analytics cost 2-4 shuffle
+    * stages per round REGARDLESS of size, so on a mined graph that is
+    * orders of magnitude smaller than the corpus (host graphs, capped
+    * co-occurrence edges) the rounds ARE the cost — measured r15:
+    * q232's 4 HITS iterations burned 66 jobs / 100-290 s of task time
+    * on a 19-node graph. When the materialized edge list is provably
+    * tiny (count ≤ cap, integral non-null ids), collect it once and
+    * run the SAME exact integer recurrences in a driver loop — the
+    * formulas are engine-portable by design (that is what makes them
+    * gate-able), so the driver path is bit-identical to the
+    * distributed one. Anything bigger — or with nulls / non-integral
+    * ids — takes the distributed path unchanged; at 100 TB the mined
+    * graph exceeds any driver cap and this gate never fires. Returns
+    * None on fallback. The caller must pass an ALREADY-PERSISTED
+    * frame (count + collect = one cache materialization, which the
+    * distributed path needs anyway).
+    */
+  private def collectEdgesIfSmall(e: DataFrame, cap: Long): Option[Array[(Long, Long)]] = {
+    val integral = e.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (!integral || cap <= 0) return None
+    val n = e.count()
+    if (n == 0 || n > cap) return None
+    val rows = e.collect()
+    val out = new Array[(Long, Long)](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val row = rows(i)
+      if (row.isNullAt(0) || row.isNullAt(1)) return None
+      out(i) = (row.get(0).asInstanceOf[Number].longValue(),
+        row.get(1).asInstanceOf[Number].longValue())
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** Sorted distinct node array + id→index map for a collected edge
+    * list (driver fast paths). */
+  private def indexNodes(es: Array[(Long, Long)],
+                         extra: Iterable[Long] = Nil): (Array[Long], scala.collection.mutable.LongMap[Int]) = {
+    val nodes = (es.map(_._1) ++ es.map(_._2) ++ extra).distinct.sorted
+    val idx = new scala.collection.mutable.LongMap[Int](nodes.length * 2)
+    var i = 0
+    while (i < nodes.length) { idx(nodes(i)) = i; i += 1 }
+    (nodes, idx)
+  }
+
   /** PageRank with damping 0.85 over a directed edge list, every
     * quantity an INTEGER: ranks are micro-mass units out of
     * `massMicro` total, per-edge contributions and the damping step
@@ -43,7 +93,8 @@ object Graphs {
     */
   def pageRankMicro(edges: DataFrame, srcCol: String = "src",
                     dstCol: String = "dst", iterations: Int = 4,
-                    massMicro: Long = 1000000000000L): DataFrame = {
+                    massMicro: Long = 1000000000000L,
+                    driverMaxEdges: Long = 1L << 20): DataFrame = {
     require(iterations >= 1, s"iterations must be positive, got $iterations")
     require(massMicro > 0, s"massMicro must be positive, got $massMicro")
     // pre-partition the loop-invariant sides by their join keys BEFORE
@@ -56,6 +107,28 @@ object Graphs {
         col(dstCol).cast("long").as("dst"))
         .repartition(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK))
+    // tiny-graph fast path (see [[collectEdgesIfSmall]]): the same
+    // integer recurrence, zero iterative shuffle rounds
+    collectEdgesIfSmall(e, driverMaxEdges) match {
+      case Some(es) =>
+        val (nodes, idx) = indexNodes(es)
+        val nN = nodes.length
+        val r0 = massMicro / nN
+        val base = (15L * r0) / 100L
+        val outd = new Array[Long](nN)
+        es.foreach { case (s, _) => outd(idx(s)) += 1L }
+        var r = Array.fill(nN)(r0)
+        for (_ <- 1 to iterations) {
+          val in = new Array[Long](nN)
+          es.foreach { case (s, d) => in(idx(d)) += r(idx(s)) / outd(idx(s)) }
+          r = Array.tabulate(nN)(i => base + (85L * in(i)) / 100L)
+        }
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return nodes.indices.map(i => (nodes(i), r(i)))
+          .toDF("node", "rank_micro")
+      case None => ()
+    }
     val outdeg = CacheRegistry.register(
       e.groupBy("src").agg(count(lit(1)).as("__out"))
         .persist(StorageLevel.MEMORY_AND_DISK))
@@ -145,7 +218,8 @@ object Graphs {
   def hitsMicro(edges: DataFrame, srcCol: String = "src",
                 dstCol: String = "dst", iterations: Int = 4,
                 massMicro: Long = 1000000L,
-                checkpointInterval: Int = 1): DataFrame = {
+                checkpointInterval: Int = 1,
+                driverMaxEdges: Long = 1L << 20): DataFrame = {
     require(iterations >= 1, s"iterations must be positive, got $iterations")
     require(massMicro > 0, s"massMicro must be positive, got $massMicro")
     require(checkpointInterval >= 1 && checkpointInterval <= 3,
@@ -156,6 +230,34 @@ object Graphs {
         col(dstCol).cast("long").as("dst"))
         .repartition(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK))
+    // tiny-graph fast path (see [[collectEdgesIfSmall]]): the same
+    // integer half-steps, zero checkpoint jobs. ma/mh are always > 0:
+    // every edge target has an in-edge so rawA ≥ min h > 0 in iter 1,
+    // and the max-normalized node keeps a = massMicro whose source's
+    // rawH ≥ massMicro — the same argument that makes the distributed
+    // div-by-__m safe.
+    collectEdgesIfSmall(e, driverMaxEdges) match {
+      case Some(es) =>
+        val (nodes, idx) = indexNodes(es)
+        val nN = nodes.length
+        var h = Array.fill(nN)(massMicro)
+        var a = new Array[Long](nN)
+        for (_ <- 1 to iterations) {
+          val rawA = new Array[Long](nN)
+          es.foreach { case (u, v) => rawA(idx(v)) += h(idx(u)) }
+          val ma = rawA.max
+          a = rawA.map(x => (massMicro * x) / ma)
+          val rawH = new Array[Long](nN)
+          es.foreach { case (u, v) => rawH(idx(u)) += a(idx(v)) }
+          val mh = rawH.max
+          h = rawH.map(x => (massMicro * x) / mh)
+        }
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return nodes.indices.map(i => (nodes(i), a(i), h(i)))
+          .toDF("node", "authority_micro", "hub_micro")
+      case None => ()
+    }
     val nodes = CacheRegistry.register(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct().repartition(col("node"))
@@ -237,7 +339,8 @@ object Graphs {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            srcCol: String = "src", dstCol: String = "dst",
                            seedCol: String = "node", iterations: Int = 4,
-                           massMicro: Long = 1000000000000L): DataFrame = {
+                           massMicro: Long = 1000000000000L,
+                           driverMaxEdges: Long = 1L << 20): DataFrame = {
     require(iterations >= 1, s"iterations must be positive, got $iterations")
     require(massMicro > 0, s"massMicro must be positive, got $massMicro")
     val e = CacheRegistry.register(
@@ -255,6 +358,33 @@ object Graphs {
     // NULL ranks everywhere (one cheap limit-1 probe, not a full count)
     require(!sd.isEmpty,
       "personalizedPageRank: seeds must contain at least one non-null node id")
+    // tiny-graph fast path (see [[collectEdgesIfSmall]]): the seed set
+    // is node-bounded, so it rides the same cap
+    collectEdgesIfSmall(e, driverMaxEdges) match {
+      case Some(es) =>
+        val seedArr = sd.collect().map(_.getLong(0))
+        if (seedArr.length <= driverMaxEdges) {
+          val seedSet = seedArr.toSet
+          val (nodes, idx) = indexNodes(es, seedSet)
+          val nN = nodes.length
+          val r0 = massMicro / seedSet.size
+          val base = (15L * r0) / 100L
+          val outd = new Array[Long](nN)
+          es.foreach { case (s, _) => outd(idx(s)) += 1L }
+          var r = Array.tabulate(nN)(i => if (seedSet(nodes(i))) r0 else 0L)
+          for (_ <- 1 to iterations) {
+            val in = new Array[Long](nN)
+            es.foreach { case (s, d) => in(idx(d)) += r(idx(s)) / outd(idx(s)) }
+            r = Array.tabulate(nN)(i =>
+              (if (seedSet(nodes(i))) base else 0L) + (85L * in(i)) / 100L)
+          }
+          val spark = edges.sparkSession
+          import spark.implicits._
+          return nodes.indices.map(i => (nodes(i), r(i)))
+            .toDF("node", "rank_micro")
+        }
+      case None => ()
+    }
     val nodes = CacheRegistry.register(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .union(sd.select("node"))
@@ -336,12 +466,50 @@ object Graphs {
     */
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
                    srcCol: String = "src", dstCol: String = "dst",
-                   seedCol: String = "node", maxHops: Int = 6): DataFrame = {
+                   seedCol: String = "node", maxHops: Int = 6,
+                   driverMaxEdges: Long = 1L << 20): DataFrame = {
     require(maxHops >= 1 && maxHops <= 1000, s"maxHops out of range: $maxHops")
     val sc = edges.sparkSession.sparkContext
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     e.count() // materialize before the checkpoint bookkeeping below
+    // tiny-graph fast path (see [[collectEdgesIfSmall]]): same frontier
+    // expansion, zero per-round join/checkpoint jobs. Node values pass
+    // through untouched (no arithmetic), cast back to the seed column's
+    // type so the returned schema matches the distributed path.
+    val sdist = seeds.select(col(seedCol).as("node")).distinct()
+    val seedType = sdist.schema("node").dataType
+    val seedIntegral = seedType == org.apache.spark.sql.types.LongType ||
+      seedType == org.apache.spark.sql.types.IntegerType
+    if (seedIntegral) collectEdgesIfSmall(e, driverMaxEdges) match {
+      case Some(es) =>
+        val seedRows = sdist.collect()
+        if (seedRows.length <= driverMaxEdges && !seedRows.exists(_.isNullAt(0))) {
+          val adj = new scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuffer[Long]]()
+          es.foreach { case (s, d) =>
+            adj.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += d
+          }
+          val dist = new scala.collection.mutable.LongMap[Long]()
+          var frontier = seedRows.map(_.get(0).asInstanceOf[Number].longValue()).distinct
+          frontier.foreach(n => dist(n) = 0L)
+          var hop = 1L
+          while (frontier.nonEmpty && hop <= maxHops) {
+            val next = frontier.iterator.flatMap(n => adj.getOrElse(n, Nil))
+              .filterNot(dist.contains).toArray.distinct
+            next.foreach(n => dist(n) = hop)
+            frontier = next
+            hop += 1
+          }
+          e.unpersist()
+          val spark = edges.sparkSession
+          import spark.implicits._
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          dist.foreach { case (n, dd) => out += ((n, dd)) }
+          return out.toSeq.toDF("node", "dist")
+            .select(col("node").cast(seedType).as("node"), col("dist"))
+        }
+      case None => ()
+    }
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
     // checkpoint ids read off each frame's own plan — see hitsMicro
@@ -411,10 +579,52 @@ object Graphs {
     * Returns one row (n_edges, n_triangles).
     */
   def triangleCount(edges: DataFrame, aCol: String = "a",
-                    bCol: String = "b"): DataFrame = {
+                    bCol: String = "b",
+                    driverMaxEdges: Long = 1L << 18): DataFrame = {
     val e = CacheRegistry.register(
       edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
         .persist(StorageLevel.MEMORY_AND_DISK))
+    // tiny-graph fast path (see [[collectEdgesIfSmall]]): the same
+    // degree-oriented wedge closure. The cap is LOWER than the other
+    // operators' (2^18): driver wedge work is O(m^1.5), not O(m) —
+    // ~1.3e8 probe ops at the cap, still well under a second of
+    // HashSet lookups, but not worth pushing further.
+    collectEdgesIfSmall(e, driverMaxEdges) match {
+      case Some(es) =>
+        val deg = new scala.collection.mutable.LongMap[Long]()
+        es.foreach { case (x, y) =>
+          deg(x) = deg.getOrElse(x, 0L) + 1L
+          deg(y) = deg.getOrElse(y, 0L) + 1L
+        }
+        val adj = new scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+        val oset = new scala.collection.mutable.HashSet[(Long, Long)]()
+        es.foreach { case (x, y) =>
+          val flip = deg(x) < deg(y) || (deg(x) == deg(y) && x < y)
+          val (src, dst, dd) = if (flip) (x, y, deg(y)) else (y, x, deg(x))
+          adj.getOrElseUpdate(src, scala.collection.mutable.ArrayBuffer.empty) += ((dd, dst))
+          oset += ((src, dst))
+        }
+        var tri = 0L
+        adj.foreach { case (_, lst) =>
+          val sorted = lst.sortInPlace()(Ordering.Tuple2[Long, Long]).toArray
+          var i = 0
+          while (i < sorted.length) {
+            var j = i + 1
+            while (j < sorted.length) {
+              // the strict (dd, dst) order of the wedge join
+              if ((sorted(i)._1 < sorted(j)._1 ||
+                  (sorted(i)._1 == sorted(j)._1 && sorted(i)._2 < sorted(j)._2)) &&
+                  oset.contains((sorted(i)._2, sorted(j)._2))) tri += 1L
+              j += 1
+            }
+            i += 1
+          }
+        }
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return Seq((es.length.toLong, tri)).toDF("n_edges", "n_triangles")
+      case None => ()
+    }
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -463,7 +673,8 @@ object Graphs {
     * both directions are derived inside. Returns (node, community).
     */
   def labelPropagation(edges: DataFrame, aCol: String = "a", bCol: String = "b",
-                       rounds: Int = 3): DataFrame = {
+                       rounds: Int = 3,
+                       driverMaxEdges: Long = 1L << 20): DataFrame = {
     require(rounds >= 1, s"rounds must be positive, got $rounds")
     val e = CacheRegistry.register(
       edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
@@ -473,6 +684,40 @@ object Graphs {
         .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK))
+    // tiny-graph fast path (see [[collectEdgesIfSmall]]): the same
+    // deterministic (max count, min label) adoption, zero round joins.
+    // Every node has in-edges here (e is bidirectional), so adopting
+    // from the per-(node, label) census covers every node each round —
+    // exactly the distributed groupBy/min_by semantics.
+    collectEdgesIfSmall(e, driverMaxEdges) match {
+      case Some(es) =>
+        val (nodes, idx) = indexNodes(es)
+        val nN = nodes.length
+        var lbl = Array.tabulate(nN)(i => nodes(i))
+        for (_ <- 1 to rounds) {
+          val counts = new java.util.HashMap[(Int, Long), Long]()
+          es.foreach { case (s, d) =>
+            counts.merge((idx(d), lbl(idx(s))), 1L, java.lang.Long.sum(_, _))
+          }
+          val next = new Array[Long](nN)
+          java.util.Arrays.fill(next, Long.MaxValue)
+          val bestN = new Array[Long](nN)
+          counts.forEach { (k, n) =>
+            val (i, community) = k
+            // min_by(community, struct(-n, community)): larger count
+            // wins, ties break to the SMALLEST label
+            if (n > bestN(i) || (n == bestN(i) && community < next(i))) {
+              bestN(i) = n; next(i) = community
+            }
+          }
+          lbl = next
+        }
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return nodes.indices.map(i => (nodes(i), lbl(i)))
+          .toDF("node", "community")
+      case None => ()
+    }
     val nodes = e.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("community", col("node"))
     for (_ <- 1 to rounds) {
@@ -510,21 +755,45 @@ object Graphs {
     * Returns the surviving (node, degree).
     */
   def kCore(edges: DataFrame, aCol: String = "a", bCol: String = "b",
-            k: Int = 3, rounds: Int = 5): DataFrame = {
+            k: Int = 3, rounds: Int = 5,
+            driverMaxEdges: Long = 1L << 20): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(rounds >= 1, s"rounds must be positive, got $rounds")
     val sc = edges.sparkSession.sparkContext
-    // checkpoint ids read off each frame's own plan — see hitsMicro
-    val ckptIds = scala.collection.mutable.ArrayBuffer.empty[Int]
-    var e = edges
+    // the bidirectional distinct edge set is consumed twice per round;
+    // persist it once (CacheRegistry lifecycle) — the gate's count is
+    // also its materialization, replacing the former lazy checkpoint
+    val e0 = CacheRegistry.register(edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
-      .localCheckpoint(false)
-    ckptIds += PlanShim.checkpointedRddId(e)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    // tiny-graph fast path (see [[collectEdgesIfSmall]]): same
+    // synchronous peel, zero per-round jobs
+    collectEdgesIfSmall(e0, driverMaxEdges) match {
+      case Some(es0) =>
+        var cur = es0
+        for (_ <- 1 to rounds) {
+          val deg = new scala.collection.mutable.LongMap[Long]()
+          cur.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
+          cur = cur.filter { case (s, d) =>
+            deg.getOrElse(s, 0L) >= k && deg.getOrElse(d, 0L) >= k }
+        }
+        val deg = new scala.collection.mutable.LongMap[Long]()
+        cur.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        deg.foreach { case (n, dd) => out += ((n, dd)) }
+        return out.toSeq.toDF("node", "degree")
+      case None => ()
+    }
+    // checkpoint ids read off each frame's own plan — see hitsMicro
+    val ckptIds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var e: DataFrame = e0
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select("src")
