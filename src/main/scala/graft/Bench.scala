@@ -42,6 +42,17 @@ object Bench {
       // not a data knob); env-overridable for A/B.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
+      // The 10 MB default broadcast threshold sits exactly where the
+      // cached doc-grain dimensions of the verify joins hover (the
+      // 5000-doc shingle frame measures ~8-12 MB depending on
+      // compression), so AQE flip-flopped BroadcastHash <-> SortMerge
+      // run to run — q143 was bimodal 2.5 s / 40 s on IDENTICAL code
+      // (the SMJ sorts 600k array-carrying rows). 64 MB is a routine
+      // production setting on >=8 GB executors (guide §3.1: size the
+      // threshold to what the executors can hold, don't trust
+      // estimates at the boundary); env-overridable for A/B.
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -28,6 +28,8 @@ object ProfileQuery {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -49,10 +51,12 @@ object ProfileQuery {
         val m = sc.stageInfo.taskMetrics
         val rt = m.executorRunTime
         taskTimeMs += rt
+        val site = sc.stageInfo.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("ProfileQuery"))
+          .getOrElse(sc.stageInfo.name).trim.take(90)
         heavy.add((rt, s"stage${sc.stageInfo.stageId}[${sc.stageInfo.numTasks}t] " +
           f"cpu=${m.executorCpuTime / 1e9}%.1fs gc=${m.jvmGCTime / 1e3}%.1fs " +
-          f"deser=${m.executorDeserializeTime / 1e3}%.1fs " +
-          sc.stageInfo.name.take(60)))
+          f"deser=${m.executorDeserializeTime / 1e3}%.1fs " + site))
       }
     })
 

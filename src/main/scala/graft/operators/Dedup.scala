@@ -447,10 +447,18 @@ object Dedup {
                             aCol: String, bCol: String, minJaccardPpm: Long): DataFrame = {
     val shA = docsA.select(col("doc_id").as(aCol), col("sh").as("sh_a"))
     val shB = docsB.select(col("doc_id").as(bCol), col("sh").as("sh_b"))
+    // |A∪B| = |A| + |B| − |A∩B| exactly (shingle arrays are
+    // duplicate-free by [[shingles]]' LinkedHashSet construction), so
+    // the union never materializes — one hash-set pass per pair
+    // instead of two (r15: the verify stage is the dominant CPU of
+    // every LSH/PPJoin gate; this halves its per-pair set work)
     candidates.join(shA, aCol).join(shB, bCol)
       .select(col(aCol), col(bCol),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))) * 1000000.0 /
-          size(array_union(col("sh_a"), col("sh_b")))).cast("long").as("jaccard_ppm"))
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("__i"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("__t"))
+      .select(col(aCol), col(bCol),
+        round(col("__i") * 1000000.0 / (col("__t") - col("__i")))
+          .cast("long").as("jaccard_ppm"))
       .filter(col("jaccard_ppm") >= minJaccardPpm)
   }
 
@@ -633,10 +641,14 @@ object Dedup {
                                     minJaccardPpm: Long): DataFrame = {
     val shA = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val shB = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    // |A∪B| = |A| + |B| − |A∩B| exactly (duplicate-free shingle
+    // arrays) — see [[jaccardVerify]]; one set pass per pair, not two
     candidates.join(shA, "id_a").join(shB, "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("__i"),
-        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("__u"))
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("__t"))
+      .select(col("id_a"), col("id_b"), col("__i"),
+        (col("__t") - col("__i")).as("__u"))
       .filter(col("__i") * lit(1000000L) >= lit(minJaccardPpm) * col("__u"))
       .select(col("id_a"), col("id_b"),
         round(col("__i") * 1000000.0 / col("__u")).cast("long").as("jaccard_ppm"))
@@ -1213,8 +1225,16 @@ object Dedup {
     */
   def pairSetComparison(truth: DataFrame, candidates: DataFrame,
                         idA: String = "id_a", idB: String = "id_b"): DataFrame = {
-    val t = truth.select(col(idA), col(idB))
-    val c = candidates.select(col(idA), col(idB))
+    // both inputs are consumed twice (own count + the overlap join) and
+    // each is typically the tail of a full candidate-generation/verify
+    // funnel — pin them so the funnels run once, not twice (measured
+    // r15: q174's truth funnel re-executed for the overlap join, 267 s
+    // of task CPU on the second pass; CacheRegistry lifecycle, caller
+    // releases after its action)
+    val t = CacheRegistry.register(truth.select(col(idA), col(idB))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val c = CacheRegistry.register(candidates.select(col(idA), col(idB))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nT = t.agg(count(lit(1)).as("n_truth"))
     val nC = c.agg(count(lit(1)).as("n_cand"))
     val nB = t.join(c, Seq(idA, idB)).agg(count(lit(1)).as("n_common"))
