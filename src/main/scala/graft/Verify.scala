@@ -18,6 +18,9 @@ object Verify {
       // see Bench.scala: estimate-boundary join-strategy flip-flop
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
+      // see Bench.scala: ContextCleaner starvation on a large heap
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30s"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

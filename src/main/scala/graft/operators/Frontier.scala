@@ -174,7 +174,15 @@ object Frontier {
   def resolveAliasesPermanent(merged: DataFrame,
                               chains: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.canonicalizeUrl
-    val pch = chains.select(
+    // the chain frame feeds BOTH the permanent-identity map and the
+    // routing map below — pin it so the caller's redirect-resolution
+    // funnel (4 unrolled hop joins + settle probe) executes once, not
+    // once per map (CacheRegistry lifecycle, caller releases after
+    // its action; fetch-grain frame, one pass at any scale)
+    val ch = CacheRegistry.register(chains
+      .select(col("url"), col("final_url"), col("outcome"), col("perm_url"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pch = ch.select(
         canonicalizeUrl(col("url")).as("canon"),
         when(col("outcome") === "exceeded", col("url"))
           .otherwise(col("perm_url")).as("__dest"))
@@ -184,7 +192,7 @@ object Frontier {
         col("source"), col("priority_milli"))
     // collapseAliases leaves canon == canonicalizeUrl(url), so the
     // routing map joins straight on the collapsed identity key
-    val routed = chains.select(
+    val routed = ch.select(
         canonicalizeUrl(col("url")).as("__rk"),
         when(col("outcome") === "exceeded", col("url"))
           .otherwise(col("final_url")).as("__rdest"))

@@ -403,24 +403,39 @@ object EventStreams {
                                 bands: Int = 16, rows: Int = 4,
                                 minJaccardPpm: Long = 800000L): (DataFrame, DataFrame) = {
     import graft.operators.Dedup
+    import graft.operators.CacheRegistry
+    import org.apache.spark.storage.StorageLevel
+    // every returned frame is consumed TWICE by the caller (the docs
+    // write and the sigs write share the funnel; sigs additionally
+    // semi-join the survivors) — pin the per-trigger intermediates so
+    // each trigger's exact-dedup/anti-join/LSH funnel executes once,
+    // not once per store write (CacheRegistry lifecycle: the
+    // foreachBatch closure releases after writeStore returns)
     val hashed = batch.withColumn("__h", md5(col(textCol)))
     val keepIds = hashed.groupBy("__h").agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    val exact = hashed.join(keepIds, Seq(idCol), "left_semi").drop("__h")
+    val exact = CacheRegistry.register(
+      hashed.join(keepIds, Seq(idCol), "left_semi").drop("__h")
+        .persist(StorageLevel.MEMORY_AND_DISK))
     store match {
       case None =>
         (exact, Dedup.bandedSignatures(exact, idCol, col(textCol), bands, rows))
       case Some((docs, sigs)) =>
-        val afterExact = Dedup.incrementalExact(exact, docs, idCol, col(textCol))
-        val incSigs = Dedup.bandedSignatures(
-          afterExact, idCol, col(textCol), bands, rows)
+        val afterExact = CacheRegistry.register(
+          Dedup.incrementalExact(exact, docs, idCol, col(textCol))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        val incSigs = CacheRegistry.register(
+          Dedup.bandedSignatures(afterExact, idCol, col(textCol), bands, rows)
+            .persist(StorageLevel.MEMORY_AND_DISK))
         val nearDup = Dedup.minhashLshPairsAcrossStored(
           afterExact, idCol, col(textCol), docs, sigs,
           bands = bands, rows = rows, minJaccardPpm = minJaccardPpm,
           incomingSignatures = Some(incSigs))
-        val surv = afterExact.join(
-          nearDup.select(col("inc_id").as(idCol)).distinct(),
-          Seq(idCol), "left_anti")
+        val surv = CacheRegistry.register(
+          afterExact.join(
+            nearDup.select(col("inc_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK))
         (surv, incSigs.join(surv.select(col(idCol).as("doc_id")),
           Seq("doc_id"), "left_semi"))
     }
