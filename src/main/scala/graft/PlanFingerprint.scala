@@ -108,6 +108,14 @@ object PlanFingerprint {
           .count(): Unit
         graft.operators.Graphs.kCore(g.toDF("a", "b"), k = 1, rounds = 1,
           driverMaxEdges = 0).count(): Unit
+        graft.operators.Graphs.pageRankMicro(g, iterations = 1,
+          driverMaxEdges = 0).count(): Unit
+        graft.operators.Graphs.personalizedPageRank(g, Seq(1L).toDF("node"),
+          iterations = 1, driverMaxEdges = 0).count(): Unit
+        graft.operators.Graphs.labelPropagation(g.toDF("a", "b"), rounds = 1,
+          driverMaxEdges = 0).count(): Unit
+        graft.operators.Graphs.triangleCount(g.toDF("a", "b"),
+          driverMaxEdges = 0).count(): Unit
         graft.operators.CacheRegistry.releaseAll()
         TriggerPlanProbe.drain().toSeq.sortBy(_._1)
           .map { case (k, plan) => k -> fingerprint(plan) }

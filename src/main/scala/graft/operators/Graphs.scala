@@ -154,6 +154,7 @@ object Graphs {
         .join(inflow, Seq("node"), "left_outer")
         .select(col("node"),
           (col("__base") + expr("(85 * coalesce(__in, 0L)) div 100")).as("r"))
+      graft.TriggerPlanProbe.recordIter("page_rank_micro", r)
     }
     r.select(col("node"), col("r").cast("long").as("rank_micro"))
   }
@@ -410,6 +411,7 @@ object Graphs {
         .select(col("node"),
           (col("__seed") * col("__base") +
             expr("(85 * coalesce(__in, 0L)) div 100")).as("r"))
+      graft.TriggerPlanProbe.recordIter("personalized_page_rank", r)
     }
     r.select(col("node"), col("r").cast("long").as("rank_micro"))
   }
@@ -481,7 +483,12 @@ object Graphs {
     val seedType = sdist.schema("node").dataType
     val seedIntegral = seedType == org.apache.spark.sql.types.LongType ||
       seedType == org.apache.spark.sql.types.IntegerType
-    if (seedIntegral) collectEdgesIfSmall(e, driverMaxEdges) match {
+    // fast path only when seed and edge id types AGREE: with (say) int
+    // seeds over long edges the distributed union widens node to long,
+    // while a cast-to-seed-type here would both truncate >2^31 ids and
+    // diverge from the distributed schema
+    val typesAgree = e.schema.fields.forall(_.dataType == seedType)
+    if (seedIntegral && typesAgree) collectEdgesIfSmall(e, driverMaxEdges) match {
       case Some(es) =>
         val seedRows = sdist.collect()
         if (seedRows.length <= driverMaxEdges && !seedRows.exists(_.isNullAt(0))) {
@@ -645,8 +652,13 @@ object Graphs {
     val closed = wedges.join(
       o.select(col("src").as("wb"), col("dst").as("wc")), Seq("wb", "wc"),
       "left_semi")
-    e.agg(count(lit(1)).as("n_edges"))
+    val out = e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_triangles"))))
+    // not iterative, but the same gate boundary applies: at gate scale
+    // the driver path returns a LocalTableScan, so the wedge-join plan
+    // is only CI-visible through this probe (forced in PlanFingerprint)
+    graft.TriggerPlanProbe.recordIter("triangle_count", out)
+    out
   }
 
   /** Synchronous label propagation (community detection): every node
@@ -727,6 +739,7 @@ object Graphs {
       val winners = counts.groupBy("node")
         .agg(min_by(col("community"), struct((-col("__n")).as("__neg"),
           col("community"))).as("community"))
+      graft.TriggerPlanProbe.recordIter("label_propagation", winners)
       labels = winners
     }
     // e backs every round of the returned lazy plan — the caller (or

@@ -423,7 +423,9 @@ object StreamQueries {
           () => if (docDirs.isEmpty) None
                 else Some((s.read.parquet(docDirs: _*), s.read.parquet(sigDirs: _*))),
           (dd, sg) => {
-            graft.TriggerPlanProbe.record("q206_stream_incremental_dedup", dd)
+            // trigger-internal plans are recorded by the OPERATOR
+            // (stream_incdedup_*#iter keys), pre-persist — recording
+            // `dd` here would fingerprint a bare InMemoryTableScan
             val k = docDirs.size
             dd.write.mode("overwrite").parquet(s"$root/docs_$k")
             sg.write.mode("overwrite").parquet(s"$root/sigs_$k")

@@ -411,31 +411,42 @@ object EventStreams {
     // each trigger's exact-dedup/anti-join/LSH funnel executes once,
     // not once per store write (CacheRegistry lifecycle: the
     // foreachBatch closure releases after writeStore returns)
+    // Each funnel stage's plan is probe-recorded BEFORE its persist
+    // call: persisting rewrites the recorded plan to a bare
+    // InMemoryTableScan (all-zero fingerprint — the r15 q206#trigger
+    // regression), so the structural gate must capture the pre-cache
+    // shape. recordIter forces the frame's physical plan only under
+    // PlanFingerprint (enabled=true), where that same frame then skips
+    // its cache — harmless at gate scale; Verify/Bench pay nothing.
     val hashed = batch.withColumn("__h", md5(col(textCol)))
     val keepIds = hashed.groupBy("__h").agg(min(col(idCol)).as(idCol))
       .select(idCol)
+    val rawExact = hashed.join(keepIds, Seq(idCol), "left_semi").drop("__h")
+    graft.TriggerPlanProbe.recordIter("stream_incdedup_exact", rawExact)
     val exact = CacheRegistry.register(
-      hashed.join(keepIds, Seq(idCol), "left_semi").drop("__h")
-        .persist(StorageLevel.MEMORY_AND_DISK))
+      rawExact.persist(StorageLevel.MEMORY_AND_DISK))
     store match {
       case None =>
         (exact, Dedup.bandedSignatures(exact, idCol, col(textCol), bands, rows))
       case Some((docs, sigs)) =>
+        val rawAfterExact = Dedup.incrementalExact(exact, docs, idCol, col(textCol))
+        graft.TriggerPlanProbe.recordIter("stream_incdedup_store_anti", rawAfterExact)
         val afterExact = CacheRegistry.register(
-          Dedup.incrementalExact(exact, docs, idCol, col(textCol))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+          rawAfterExact.persist(StorageLevel.MEMORY_AND_DISK))
+        val rawIncSigs = Dedup.bandedSignatures(afterExact, idCol, col(textCol), bands, rows)
+        graft.TriggerPlanProbe.recordIter("stream_incdedup_sigs", rawIncSigs)
         val incSigs = CacheRegistry.register(
-          Dedup.bandedSignatures(afterExact, idCol, col(textCol), bands, rows)
-            .persist(StorageLevel.MEMORY_AND_DISK))
+          rawIncSigs.persist(StorageLevel.MEMORY_AND_DISK))
         val nearDup = Dedup.minhashLshPairsAcrossStored(
           afterExact, idCol, col(textCol), docs, sigs,
           bands = bands, rows = rows, minJaccardPpm = minJaccardPpm,
           incomingSignatures = Some(incSigs))
+        val rawSurv = afterExact.join(
+          nearDup.select(col("inc_id").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+        graft.TriggerPlanProbe.recordIter("stream_incdedup_surv", rawSurv)
         val surv = CacheRegistry.register(
-          afterExact.join(
-            nearDup.select(col("inc_id").as(idCol)).distinct(),
-            Seq(idCol), "left_anti")
-            .persist(StorageLevel.MEMORY_AND_DISK))
+          rawSurv.persist(StorageLevel.MEMORY_AND_DISK))
         (surv, incSigs.join(surv.select(col(idCol).as("doc_id")),
           Seq("doc_id"), "left_semi"))
     }
