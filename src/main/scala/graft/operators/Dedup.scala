@@ -521,7 +521,10 @@ object Dedup {
             .filter(col("__df") > maxDf).select("g")),
           Seq("g"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val pairs = sh.as("a").join(sh.as("b"),
+    // self-join: no smaller side to broadcast at any scale — shuffled
+    // hash parallelizes the build (the q165 measurement); maxDf bounds
+    // per-shingle build state
+    val pairs = sh.as("a").hint("shuffle_hash").join(sh.as("b").hint("shuffle_hash"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))

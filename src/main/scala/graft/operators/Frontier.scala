@@ -179,11 +179,16 @@ object Frontier {
     // funnel (4 unrolled hop joins + settle probe) executes once, not
     // once per map (CacheRegistry lifecycle, caller releases after
     // its action; fetch-grain frame, one pass at any scale)
+    // the canonical key of the chain source is computed INSIDE the pin:
+    // both maps below group on it, and canonicalizeUrl is the family's
+    // dominant per-row expression (regex + escape-fold) — one cached
+    // pass instead of two re-derivations
     val ch = CacheRegistry.register(chains
-      .select(col("url"), col("final_url"), col("outcome"), col("perm_url"))
+      .select(canonicalizeUrl(col("url")).as("__ck"),
+        col("url"), col("final_url"), col("outcome"), col("perm_url"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pch = ch.select(
-        canonicalizeUrl(col("url")).as("canon"),
+        col("__ck").as("canon"),
         when(col("outcome") === "exceeded", col("url"))
           .otherwise(col("perm_url")).as("__dest"))
       .groupBy("canon").agg(min("__dest").as("__dest"))
@@ -193,7 +198,7 @@ object Frontier {
     // collapseAliases leaves canon == canonicalizeUrl(url), so the
     // routing map joins straight on the collapsed identity key
     val routed = ch.select(
-        canonicalizeUrl(col("url")).as("__rk"),
+        col("__ck").as("__rk"),
         when(col("outcome") === "exceeded", col("url"))
           .otherwise(col("final_url")).as("__rdest"))
       .groupBy("__rk").agg(min("__rdest").as("__rdest"))

@@ -559,7 +559,12 @@ object Graphs {
     val kept = items.join(
       items.groupBy("k").agg(count(lit(1)).as("__n"))
         .filter(col("__n") <= maxBasketSize).select("k"), Seq("k"))
-    kept.as("x").join(kept.as("y"),
+    // self-join: both sides are the SAME frame, so there is no smaller
+    // side to broadcast at any scale — shuffled-hash builds the
+    // per-basket tables in parallel instead of one driver-built
+    // broadcast relation (the q165 measurement; basket cap bounds the
+    // per-partition build state)
+    kept.as("x").hint("shuffle_hash").join(kept.as("y").hint("shuffle_hash"),
         col("x.k") === col("y.k") && col("x.i") < col("y.i"))
       .groupBy(col("x.i").as("a"), col("y.i").as("b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -858,7 +863,10 @@ object Graphs {
         .persist(StorageLevel.MEMORY_AND_DISK))
     val nBaskets = kept.select("k").distinct().agg(count(lit(1)).as("__nb"))
     val itemN = kept.groupBy("i").agg(count(lit(1)).as("__ni"))
-    val pairs = kept.as("x").join(kept.as("y"),
+    // shuffled-hash for the same reason as cooccurrenceEdges: a
+    // self-join has no broadcastable smaller side
+    val pairs = kept.as("x").hint("shuffle_hash")
+      .join(kept.as("y").hint("shuffle_hash"),
         col("x.k") === col("y.k") && col("x.i") =!= col("y.i"))
       .groupBy(col("x.i").as("a"), col("y.i").as("b"))
       .agg(count(lit(1)).as("n_ab"))
@@ -906,7 +914,14 @@ object Graphs {
     val deg = links.groupBy("u").agg(count(lit(1)).as("__deg"))
       .filter(col("__deg") <= maxUnitDegree)
     val kept = links.join(deg, Seq("u"))
-    kept.as("x").join(kept.as("y"),
+    // the wedge self-join's build side is the WHOLE kept frame — as a
+    // broadcast join the hash relation is built single-threaded on the
+    // driver (measured r16: ~6 s of the gate's 7 s at sf0.1) and
+    // shipped to every task; shuffled-hash builds per-partition tables
+    // in parallel and the u-keyed exchange is links-sized, not
+    // wedge-sized. The degree cap bounds every u-partition's build
+    // state, so the SHJ build cannot OOM at any scale.
+    kept.as("x").hint("shuffle_hash").join(kept.as("y").hint("shuffle_hash"),
         col("x.u") === col("y.u") && col("x.ent") < col("y.ent"))
       .select(col("x.ent").as("a"), col("y.ent").as("b"),
         col("x.__deg").as("__deg"))

@@ -319,23 +319,57 @@ object Sampling {
       .select(explode(graft.functions.TextFunctions.tokens(text)).as("__t"))
       .select(bucket(col("__t")).as("__b"))
       .groupBy("__b").agg(count(lit(1)).as("__ct"))
-    val nr = rawB.agg(sum("__cr").as("__nr"))
-    val nt = tgtB.agg(coalesce(sum("__ct"), lit(0L)).as("__nt"))
-    // target-only buckets can never join a raw doc's features, so the
-    // λ table only needs rawB's buckets (left join, absent target → 0)
-    val lamBase = rawB
-      .join(tgtB, Seq("__b"), "left_outer")
-      .na.fill(0L, Seq("__ct"))
-      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
-      .withColumn("__at", col("__ct") + 1)
-      .withColumn("__bt", col("__nt") + dims)
-      .withColumn("__ar", col("__cr") + 1)
-      .withColumn("__br", col("__nr") + dims)
-    val lam = graft.functions.IntMath.fracLog2Col(
-        graft.functions.IntMath.fracLog2Col(lamBase, "__at", "__bt", "__lt"),
-        "__ar", "__br", "__lr")
-      .withColumn("__lam", col("__lt") - col("__lr"))
-      .select("__b", "__lam")
+    // λ TABLE ON THE DRIVER when it is provably tiny: the table is ≤
+    // `dims` rows BY CONSTRUCTION (bucket = hash mod dims), so for the
+    // practical dims range the two bucket censuses collect bounded
+    // state (the perceptron-delta / BPE-argmax precedent: driver reads
+    // bounded by a declared parameter, never by data). The fixed-point
+    // log2 is [[graft.functions.IntMath.fracLog2Ref]] — the committed
+    // Scala REFERENCE the fracLog2Col spec asserts bit-equality
+    // against — so both paths are identical by the same contract that
+    // makes the metric oracle-gate-able. This removes the ~80-column
+    // generated step chain whose planning/codegen/per-task
+    // deserialization dominated the gate (measured r16: 0.5 s analysis
+    // + 2 s driver build + 3.6 s task deser at sf0.1), plus two 1-row
+    // total aggregates and two crossJoins. Beyond the driver bound —
+    // or on any future wide-dims call — the distributed chain runs
+    // unchanged.
+    val lam: DataFrame =
+      if (dims <= (1 << 16)) {
+        val rawArr = rawB.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val tgtMap = tgtB.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val nrV = rawArr.map(_._2).sum
+        val ntV = tgtMap.values.sum
+        import graft.functions.IntMath.fracLog2Ref
+        val rows = rawArr.toSeq.map { case (b, cr) =>
+          val lt = fracLog2Ref(tgtMap.getOrElse(b, 0L) + 1, ntV + dims)
+          val lr = fracLog2Ref(cr + 1, nrV + dims)
+          (b, lt - lr)
+        }
+        val spark = raw.sparkSession
+        import spark.implicits._
+        rows.toDF("__b", "__lam")
+      } else {
+        val nr = rawB.agg(sum("__cr").as("__nr"))
+        val nt = tgtB.agg(coalesce(sum("__ct"), lit(0L)).as("__nt"))
+        // target-only buckets can never join a raw doc's features, so
+        // the λ table only needs rawB's buckets (left join, absent
+        // target → 0)
+        val lamBase = rawB
+          .join(tgtB, Seq("__b"), "left_outer")
+          .na.fill(0L, Seq("__ct"))
+          .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+          .withColumn("__at", col("__ct") + 1)
+          .withColumn("__bt", col("__nt") + dims)
+          .withColumn("__ar", col("__cr") + 1)
+          .withColumn("__br", col("__nr") + dims)
+        graft.functions.IntMath.fracLog2Col(
+            graft.functions.IntMath.fracLog2Col(lamBase, "__at", "__bt", "__lt"),
+            "__ar", "__br", "__lr")
+          .withColumn("__lam", col("__lt") - col("__lr"))
+          .select("__b", "__lam")
+      }
     docB.join(broadcast(lam), Seq("__b"))
       .groupBy("doc_id")
       .agg(sum("__c").cast("long").as("n_tokens"),

@@ -2239,8 +2239,16 @@ object WebGraphQueries {
               (pmod(did, lit(10)) * 100).cast("long")).as("pm"))
         val merged = graft.operators.Frontier.mergeSeeds(
           discovered, col("url"), seeds, col("loc"), col("pm"))
-        val collapsed = graft.operators.Frontier.resolveAliases(
-          merged, redirectResolved(s, d))
+        // the collapsed frame feeds the robots verdict AND the full
+        // join's left side; unpinned, the verdict's column pruning
+        // rewrites its copy of the redirect+merge funnel into a
+        // different subtree, so exchange reuse misses and the 4-hop
+        // chain resolution runs twice (r16 measured: the funnel is the
+        // gate's dominant cost) — pin at the landing-key grain
+        val collapsed = graft.operators.CacheRegistry.register(
+          graft.operators.Frontier.resolveAliases(
+              merged, redirectResolved(s, d))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val robots = robotsFixture(s, d)
         val verd = graft.operators.Robots.allowed(
           collapsed.select("canon", "url"), "canon", col("url"),
@@ -3143,8 +3151,13 @@ object WebGraphQueries {
         val hints = WebGraph.pageMetaFrame(cpages, col("curl"),
             col("html"), out = "m")
           .select(col("curl"), col("m.canonical_url").as("canu"))
-        val collapsed = graft.operators.Frontier.resolveAliases(
-          merged, redirectResolved(s, d), hints, col("curl"), col("canu"))
+        // pinned for the same reason as q265's collapsed: the verdict
+        // side's pruning otherwise re-derives the chain + canonical
+        // funnel as a second, non-reusable subtree
+        val collapsed = graft.operators.CacheRegistry.register(
+          graft.operators.Frontier.resolveAliases(
+              merged, redirectResolved(s, d), hints, col("curl"), col("canu"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val robots = robotsFixture(s, d)
         val verd = graft.operators.Robots.allowed(
           collapsed.select("canon", "url"), "canon", col("url"),
