@@ -300,7 +300,8 @@ object Sampling {
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
                   text: Column, dims: Int = 1024,
-                  persistFeatures: Boolean = true): DataFrame = {
+                  persistFeatures: Boolean = true,
+                  driverMaxDims: Int = 1 << 16): DataFrame = {
     require(dims >= 2 && (dims & (dims - 1)) == 0,
       s"dims must be a power of two, got $dims")
     def bucket(t: Column): Column = pmod(xxhash64(t), lit(dims.toLong))
@@ -335,7 +336,7 @@ object Sampling {
     // or on any future wide-dims call — the distributed chain runs
     // unchanged.
     val lam: DataFrame =
-      if (dims <= (1 << 16)) {
+      if (dims <= driverMaxDims) {
         val rawArr = rawB.collect().map(r => (r.getLong(0), r.getLong(1)))
         val tgtMap = tgtB.collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1540,6 +1540,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(toyW.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
   }
 
+  test("dsirWeights: driver-side λ path is row-identical to the distributed chain") {
+    // the r16 optimization computes the λ table on the driver with
+    // fracLog2Ref when dims <= driverMaxDims; forcing driverMaxDims = 0
+    // runs the distributed fracLog2Col chain on the SAME inputs — the
+    // two paths must agree bit-for-bit on every column (the same
+    // contract the fracLog2Col-vs-Ref spec asserts at expression level)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(driverMaxDims: Int) = {
+      val w = Sampling.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", col("text"), dims = 64, driverMaxDims = driverMaxDims)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      graft.operators.CacheRegistry.releaseAll()
+      w.toSeq
+    }
+    val driver = rows(driverMaxDims = 1 << 16)
+    val dist = rows(driverMaxDims = 0)
+    assert(driver.nonEmpty && driver === dist)
+  }
+
   test("blocklistFilter: token boundaries, phrases, normalization, overlap counting") {
     import spark.implicits._
     val docs = Seq(
